@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate (builder tooling only;
+the shipped library is pure Scala). Reads graft.Verify output (parquet per
+query + oracle_sql.json), runs each oracle SQL in DuckDB against the same
+testdata parquet, and hash-compares values with columns sorted by name.
+
+Usage: tools/check.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    # sort rows by all columns for order-insensitive compare
+    if len(df) > 0:
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        res_dir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark result parquet"); n_fail += 1; continue
+        try:
+            got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+            want = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        ok_schema = list(got.columns) == list(want.columns)
+        ok_rows = len(got) == len(want)
+        ok_vals = ok_schema and ok_rows and got.astype(str).equals(want.astype(str))
+        if ok_vals:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: schema_match={ok_schema} rows {len(got)}/{len(want)}")
+            if ok_schema:
+                merged = got.astype(str).compare(want.astype(str)) if ok_rows else None
+                if merged is not None and len(merged):
+                    print(merged.head(10))
+                else:
+                    print("spark:\n", got.head(5), "\noracle:\n", want.head(5))
+            else:
+                print("spark cols:", list(got.columns), "oracle cols:", list(want.columns))
+    # queries without an oracle: rows-only check
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if os.path.isdir(d) and name not in oracle:
+            files = glob.glob(os.path.join(d, "*.parquet"))
+            rows = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+            status = "PASS" if rows > 0 else "FAIL"
+            print(f"{status} {name} (rows-only: {rows})")
+            if rows > 0: n_pass += 1
+            else: n_fail += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
