@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.WelfordAgg
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,7 +24,43 @@ object SparkEntry {
     // §2.6 T1 + §2.4 A1/A2 + §2.8 F1/F2: tokenize → count → top-k.
     "q_topk_words" -> ((s, dir) => TextOps.topKWords(Tables.documents(s, dir), 100)),
     // §2.4 A3 + §2.8 F3: per-letter mean/std-dev over dense per-doc counts.
-    "q_char_hist" -> ((s, dir) => TextOps.charHistogram(Tables.documents(s, dir)))
+    "q_char_hist" -> ((s, dir) => TextOps.charHistogram(Tables.documents(s, dir))),
+    // §2.3 J4: set difference (custkeys with orders − high-balance custkeys).
+    "q_set_diff" -> ((s, dir) => RelationalOps.setDifference(
+      Tables.orders(s, dir).select(col("o_custkey").as("custkey")),
+      Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey")),
+      "custkey").orderBy("custkey")),
+    // §2.2 P5: one-pass hash-bucket sample + streaming-shaped agg.
+    "q_hash_sample" -> ((s, dir) =>
+      RelationalOps.hashBucketSample(Tables.events(s, dir), "user_id", 16, 3)
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")), 4).as("mean_value"),
+          round(stddev_pop(col("value")), 4).as("std_value"))),
+    // §2.3 J5 + §2.2 P6: two-pass sampler as a semi-join.
+    "q_semi_sample" -> ((s, dir) =>
+      RelationalOps.semiJoinSample(Tables.events(s, dir), "user_id", 16, 3)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_tx"), round(avg(col("value")), 4).as("mean_value"))
+        .orderBy("user_id")),
+    // §2.4 A5: deterministic last-rating-wins dedup.
+    "q_dedup_last" -> ((s, dir) => Ratings.deduped(s, dir).orderBy("user_id", "item_id")),
+    // §2.2 P3 + §2.4 A8: support filter (items with ≥25 distinct raters).
+    "q_support_items" -> ((s, dir) => RelationalOps.supportFilter(
+      Ratings.deduped(s, dir), "item_id", "user_id", 25).orderBy("item_id")),
+    // §2.4 A7: distinct key collection.
+    "q_distinct_users" -> ((s, dir) =>
+      Tables.events(s, dir).select("user_id").distinct().orderBy("user_id")),
+    // §2.4 A4: single-pass Welford mean/std as a custom Aggregator (UDAF).
+    "q_welford" -> ((s, dir) => {
+      val welford = udaf(WelfordAgg)
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(welford(col("value")).as("w"))
+        .select(col("event_type"), col("w.n").as("n"),
+          round(col("w.mean"), 4).as("mean_value"),
+          round(col("w.std"), 4).as("std_value"))
+        .orderBy("event_type")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -50,6 +88,37 @@ object SparkEntry {
         |  LEFT JOIN perdoc p ON p.doc_id = d.doc_id AND p.ch = a.ch
         |)
         |SELECT ch, round(avg(n), 4) AS mean_n, round(stddev_pop(n), 4) AS std_n
-        |FROM dense GROUP BY ch ORDER BY ch""".stripMargin
+        |FROM dense GROUP BY ch ORDER BY ch""".stripMargin,
+    "q_set_diff" ->
+      """SELECT custkey FROM (
+        |  (SELECT DISTINCT o_custkey AS custkey FROM orders)
+        |  EXCEPT
+        |  (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+        |) t ORDER BY custkey""".stripMargin,
+    "q_hash_sample" ->
+      """SELECT count(*) AS n, round(avg(value), 4) AS mean_value,
+        |       round(stddev_pop(value), 4) AS std_value
+        |FROM events WHERE (user_id * 2654435761) % 16 = 3""".stripMargin,
+    "q_semi_sample" ->
+      """SELECT user_id, count(*) AS n_tx, round(avg(value), 4) AS mean_value
+        |FROM events WHERE user_id IN (
+        |  SELECT DISTINCT user_id FROM events WHERE (user_id * 2654435761) % 16 = 3)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_dedup_last" ->
+      s"""WITH ${Ratings.OracleDedupCte}
+         |SELECT user_id, item_id, rating FROM ratings
+         |ORDER BY user_id, item_id""".stripMargin,
+    "q_support_items" ->
+      s"""WITH ${Ratings.OracleDedupCte}
+         |SELECT item_id, count(DISTINCT user_id) AS n_support
+         |FROM ratings GROUP BY item_id
+         |HAVING count(DISTINCT user_id) >= 25
+         |ORDER BY item_id""".stripMargin,
+    "q_distinct_users" ->
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    "q_welford" ->
+      """SELECT event_type, count(value) AS n, round(avg(value), 4) AS mean_value,
+        |       round(stddev_pop(value), 4) AS std_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

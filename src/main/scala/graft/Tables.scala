@@ -18,7 +18,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = spark.read.parquet(s"$dir/part.parquet")
   def orders(spark: SparkSession, dir: String): DataFrame    = spark.read.parquet(s"$dir/orders.parquet")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = spark.read.parquet(s"$dir/lineitem.parquet")
-  def events(spark: SparkSession, dir: String): DataFrame    = spark.read.parquet(s"$dir/events.parquet")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS); with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by all graft
+    * session builders) it surfaces as epoch-nanos LONG. Re-derive a
+    * microsecond timestamp so downstream time logic is type-correct.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Long-form (user, item, rating) view derived from the testdata, the
+  * stand-in for the reference's Amazon review ratings (FIXTURES.md §B):
+  * user = o_custkey (orders⋈lineitem), item = l_partkey, rating =
+  * deterministic 1–5 from quantity. (ord, ln) give a total order for
+  * "last rating wins" semantics (a3_p2.py:22).
+  *
+  * The orders⋈lineitem equi-join shuffles both sides on orderkey at
+  * scale (or broadcasts orders when it fits); on a real lake both tables
+  * would be bucketed by orderkey to make this a zero-shuffle join.
+  */
+object Ratings {
+  def apply(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_linenumber")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(
+        o("o_custkey").as("user_id"),
+        l("l_partkey").as("item_id"),
+        (lit(1L) + pmod(floor(l("l_quantity")).cast("long"), lit(5L))).as("rating"),
+        l("l_orderkey").as("ord"),
+        l("l_linenumber").as("ln"))
+  }
+
+  /** Shared oracle-SQL prefix for the same view (DuckDB dialect). */
+  val OracleCte: String =
+    """ratings_raw AS (
+      |  SELECT o_custkey AS user_id, l_partkey AS item_id,
+      |         1 + (CAST(floor(l_quantity) AS BIGINT) % 5) AS rating,
+      |         l_orderkey AS ord, l_linenumber AS ln
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |)""".stripMargin
+
+  /** One deterministic rating per (user, item): last under (ord, ln,
+    * rating). The testdata contains duplicate (ord, ln) pairs, so the
+    * rating itself is the final tie-break — ties beyond that produce
+    * identical output rows, keeping the result well-defined.
+    */
+  def deduped(spark: SparkSession, dir: String): DataFrame =
+    RelationalOps.dedupLast(apply(spark, dir), Seq("user_id", "item_id"),
+      Seq(col("ord"), col("ln"), col("rating")))
+      .select("user_id", "item_id", "rating")
+
+  val OracleDedupCte: String =
+    OracleCte +
+      """, ratings AS (
+        |  SELECT user_id, item_id, rating FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, item_id
+        |                                 ORDER BY ord DESC, ln DESC, rating DESC) AS rn
+        |    FROM ratings_raw) t
+        |  WHERE rn = 1
+        |)""".stripMargin
+}

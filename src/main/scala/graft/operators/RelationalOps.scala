@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational building blocks mirroring the reference's hand-rolled
+  * patterns (SURVEY.md §2.2/§2.3/§2.4):
+  *
+  *  - set difference (`SetDifferenceMR`, MRSystemSimulator2020.py:199-212)
+  *  - multi-level sampling (sampler_v02.py:32-87)
+  *  - dedup-to-last-per-key (a3_p2.py:22)
+  *  - group-support filtering (a3_p2.py:26,31)
+  *
+  * All are pure declarative plans: Catalyst supplies predicate pushdown,
+  * partial aggregation, and the join strategy (broadcast for the small
+  * sampled-id side, shuffle hash/sort-merge for the big-big case). None
+  * of these collect to the driver, so they scale with executor count.
+  */
+object RelationalOps {
+
+  /** R − S on a key column (distinct set semantics, like the reference's
+    * label-list reduce). Plans as a left-anti hash join; the anti side
+    * broadcasts when small enough, otherwise shuffles on the key —
+    * either way no driver materialization.
+    */
+  def setDifference(r: DataFrame, s: DataFrame, key: String): DataFrame =
+    r.select(key).distinct().join(s.select(key).distinct(), Seq(key), "left_anti")
+
+  /** Deterministic bucket assignment used by the one-pass sampler
+    * (sampler_v02.py:80 uses murmur3 % buckets; we expose the same
+    * shape). `knuthBucket` is the SQL-mirrorable variant used by the
+    * oracle-checked queries: a Knuth multiplicative hash whose exact
+    * arithmetic DuckDB reproduces. For opaque/string keys at scale
+    * prefer [[murmurBucket]] (Spark's codegen'd Murmur3 — the same
+    * family the reference uses via mmh3).
+    */
+  def knuthBucket(key: Column, buckets: Int): Column =
+    pmod(key * lit(2654435761L), lit(buckets.toLong))
+
+  def murmurBucket(key: Column, buckets: Int): Column =
+    pmod(hash(key), lit(buckets))
+
+  /** One-pass hash-bucket sample: keep rows whose key falls in `chosen`.
+    * This is the reference's stream sampler membership predicate — a
+    * scan-local filter (pushed to the parquet reader when the key is a
+    * plain column), no shuffle, no state.
+    */
+  def hashBucketSample(df: DataFrame, key: String, buckets: Int, chosen: Int): DataFrame =
+    df.filter(knuthBucket(col(key), buckets) === lit(chosen.toLong))
+
+  /** Two-pass "typical" sampler (sampler_v02.py:32-56): sample the
+    * distinct key population, then keep all rows of sampled keys. The
+    * reference collects sampled ids into driver memory; here the second
+    * pass is a left-semi join, which Catalyst turns into a broadcast
+    * semi-join when the sampled-id side is small — same I/O shape, no
+    * driver round-trip.
+    */
+  def semiJoinSample(df: DataFrame, key: String, buckets: Int, chosen: Int): DataFrame = {
+    val sampledIds = df.select(key).distinct()
+      .filter(knuthBucket(col(key), buckets) === lit(chosen.toLong))
+    df.join(sampledIds, Seq(key), "left_semi")
+  }
+
+  /** Keep the last row per key group under an explicit ordering — the
+    * deterministic version of the reference's `reduceByKey(lambda a,b: b)`
+    * (a3_p2.py:22, whose "last" was partition-order-dependent). Window
+    * row_number over (keys / order desc): one shuffle on the group keys,
+    * no driver state. At 100 TB the shuffle is unavoidable for this
+    * semantic; AQE handles skewed keys.
+    */
+  def dedupLast(df: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Groups of `groupCol` supported by at least `minDistinct` distinct
+    * `byCol` values (a3_p2.py:26,31's ≥25-raters / ≥5-items filters).
+    * Partial-aggregated count-distinct (exact); swap in
+    * `approx_count_distinct` at extreme cardinalities.
+    */
+  def supportFilter(df: DataFrame, groupCol: String, byCol: String, minDistinct: Long): DataFrame =
+    df.groupBy(groupCol)
+      .agg(countDistinct(col(byCol)).as("n_support"))
+      .filter(col("n_support") >= lit(minDistinct))
+}

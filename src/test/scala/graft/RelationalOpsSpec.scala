@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.{Ratings, RelationalOps}
+import org.apache.spark.sql.functions._
+
+class RelationalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("setDifference is R minus S with set semantics") {
+    val r = Seq(1L, 2L, 2L, 3L).toDF("k")
+    val s = Seq(2L, 4L).toDF("k")
+    val got = RelationalOps.setDifference(r, s, "k").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L))
+  }
+
+  test("dedupLast keeps exactly the last row under the given order") {
+    val df = Seq((1L, 10L, 3.0, 1L), (1L, 10L, 5.0, 2L), (1L, 11L, 4.0, 1L))
+      .toDF("u", "i", "r", "seq")
+    val got = RelationalOps.dedupLast(df, Seq("u", "i"), Seq(col("seq")))
+      .select("u", "i", "r").as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 10L, 5.0), (1L, 11L, 4.0)))
+  }
+
+  test("supportFilter thresholds on distinct support") {
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "b"), (2L, "a")).toDF("item", "user")
+    val got = RelationalOps.supportFilter(df, "item", "user", 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("two-pass (semi-join) and one-pass (hash-bucket) samplers agree on the sampled population") {
+    val ev = Tables.events(spark, sf0)
+    val onePass = RelationalOps.hashBucketSample(ev, "user_id", 16, 3)
+    val twoPass = RelationalOps.semiJoinSample(ev, "user_id", 16, 3)
+    // same rows: the one-pass filter and the semi-join select identical users
+    assert(onePass.count() == twoPass.count())
+    val a = onePass.agg(round(avg($"value"), 6).cast("double")).as[Double].head()
+    val b = twoPass.agg(round(avg($"value"), 6).cast("double")).as[Double].head()
+    assert(a == b)
+  }
+
+  test("ratings dedup is deterministic and unique per (user,item)") {
+    val r = Ratings.deduped(spark, sf0)
+    val dupes = r.groupBy("user_id", "item_id").count().filter($"count" > 1).count()
+    assert(dupes == 0L)
+    assert(r.count() > 0)
+  }
+}
