@@ -60,6 +60,18 @@ object SparkEntry {
           round(col("w.mean"), 4).as("mean_value"),
           round(col("w.std"), 4).as("std_value"))
         .orderBy("event_type")
+    }),
+    // §2.3 J3 + §2.4 A13: COO matrix multiply (equi-join on the inner
+    // dim + hash agg). M = label<5 slice, N = transposed label>=5 slice;
+    // vec_id bounded so the oracle output stays O(10^4) at every sf.
+    "q_matmul" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 100)
+      val m = MatrixOps.embeddingsToCoo(emb.filter(col("label") < 5))
+      val n = MatrixOps.embeddingsToCoo(emb.filter(col("label") >= 5))
+        .select(col("j"), col("i").as("k"), col("v"))
+      MatrixOps.multiply(m, n)
+        .select(col("i"), col("k"), round(col("v"), 6).as("v"))
+        .orderBy("i", "k")
     })
   )
 
@@ -119,6 +131,17 @@ object SparkEntry {
     "q_welford" ->
       """SELECT event_type, count(value) AS n, round(avg(value), 4) AS mean_value,
         |       round(stddev_pop(value), 4) AS std_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_matmul" ->
+      """WITH m AS (
+        |  SELECT vec_id AS i, t.j, CAST(embedding[t.j + 1] AS DOUBLE) AS v
+        |  FROM embeddings, range(64) t(j) WHERE label < 5 AND vec_id < 100
+        |), n AS (
+        |  SELECT t.j, vec_id AS k, CAST(embedding[t.j + 1] AS DOUBLE) AS v
+        |  FROM embeddings, range(64) t(j) WHERE label >= 5 AND vec_id < 100
+        |)
+        |SELECT m.i, n.k, round(sum(m.v * n.v), 6) AS v
+        |FROM m JOIN n ON m.j = n.j
+        |GROUP BY m.i, n.k ORDER BY i, k""".stripMargin
   )
 }
