@@ -15,9 +15,12 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The a3_p1 hypothesis-testing pipeline end-to-end: tokenize → dense
+    * top-k rel-freqs → per-word two-predictor standardized OLS.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_topk_words")(spark, "/root/testdata/sf0.001")
+    queries("q_reg_multi")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -35,13 +38,13 @@ object SparkEntry {
     "q_hash_sample" -> ((s, dir) =>
       RelationalOps.hashBucketSample(Tables.events(s, dir), "user_id", 16, 3)
         .agg(count(lit(1)).as("n"),
-          round(avg(col("value")), 4).as("mean_value"),
+          decMean(col("value")).as("mean_value"),
           round(stddev_pop(col("value")), 4).as("std_value"))),
     // §2.3 J5 + §2.2 P6: two-pass sampler as a semi-join.
     "q_semi_sample" -> ((s, dir) =>
       RelationalOps.semiJoinSample(Tables.events(s, dir), "user_id", 16, 3)
         .groupBy("user_id")
-        .agg(count(lit(1)).as("n_tx"), round(avg(col("value")), 4).as("mean_value"))
+        .agg(count(lit(1)).as("n_tx"), decMean(col("value")).as("mean_value"))
         .orderBy("user_id")),
     // §2.4 A5: deterministic last-rating-wins dedup.
     "q_dedup_last" -> ((s, dir) => Ratings.deduped(s, dir).orderBy("user_id", "item_id")),
@@ -72,8 +75,50 @@ object SparkEntry {
       MatrixOps.multiply(m, n)
         .select(col("i"), col("k"), round(col("v"), 6).as("v"))
         .orderBy("i", "k")
-    })
+    }),
+    // §2.3 J1 + §2.8 F8/F9 + §2.6 T2: flagship a3_p1 pipeline — dense
+    // rel-freqs, per-word standardized OLS via corr sufficient stats.
+    "q_reg_simple" -> ((s, dir) =>
+      RegressionOps.simpleRegression(regObs(s, dir), Some(RegK))
+        .select(col("word"), col("n"), round(col("beta"), 6).as("beta"),
+          round(col("t"), 6).as("t"))
+        .orderBy(col("beta").desc, col("word"))),
+    "q_reg_multi" -> ((s, dir) =>
+      RegressionOps.multiRegression(regObs(s, dir), Some(RegK))
+        .select(col("word"), col("n"), round(col("beta1"), 6).as("beta1"),
+          round(col("beta2"), 6).as("beta2"), round(col("t1"), 6).as("t1"))
+        .orderBy(col("beta1").desc, col("word"))),
+    // p-values (Student-t sf via commons-math): no SQL oracle — pinned
+    // instead by RegressionOpsSpec against a Breeze pinv solve.
+    "q_reg_pvalues" -> ((s, dir) =>
+      RegressionOps.multiRegression(regObs(s, dir), Some(RegK))
+        .select(col("word"), round(col("t1"), 6).as("t1"),
+          round(col("p1"), 6).as("p1"), round(col("p1_bonf"), 6).as("p1_bonf"))
+        .orderBy(col("word")))
   )
+
+  /** Order-insensitive mean: exact decimal sum, then one double divide.
+    * Plain `round(avg(double),4)` can flip the last digit between Spark
+    * and DuckDB because partial-sum order differs; the decimal sum is
+    * exact in both engines so the quotient is bit-identical.
+    */
+  private def decMean(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(sum(c.cast("decimal(28,12)")).cast("double") / count(lit(1)), 4)
+
+  /** DuckDB rendering of [[decMean]]. */
+  private def decMeanSql(expr: String): String =
+    s"round(CAST(sum(CAST($expr AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4)"
+
+  /** Top-k size for the regression pipeline (reference uses 1000 on a
+    * real vocabulary; the synthetic corpus has ~31 distinct tokens).
+    */
+  private val RegK = 20
+
+  /** Shared observations: outcome = 1 + n_chars%5, control = doc_id%3==0. */
+  private def regObs(s: SparkSession, dir: String): DataFrame =
+    RegressionOps.denseWordObservations(Tables.documents(s, dir), RegK,
+      lit(1) + pmod(col("n_chars"), lit(5L)),
+      (pmod(col("doc_id"), lit(3L)) === 0).cast("int"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -108,14 +153,14 @@ object SparkEntry {
         |  (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
         |) t ORDER BY custkey""".stripMargin,
     "q_hash_sample" ->
-      """SELECT count(*) AS n, round(avg(value), 4) AS mean_value,
-        |       round(stddev_pop(value), 4) AS std_value
-        |FROM events WHERE (user_id * 2654435761) % 16 = 3""".stripMargin,
+      s"""SELECT count(*) AS n, ${decMeanSql("value")} AS mean_value,
+         |       round(stddev_pop(value), 4) AS std_value
+         |FROM events WHERE (user_id * 2654435761) % 16 = 3""".stripMargin,
     "q_semi_sample" ->
-      """SELECT user_id, count(*) AS n_tx, round(avg(value), 4) AS mean_value
-        |FROM events WHERE user_id IN (
-        |  SELECT DISTINCT user_id FROM events WHERE (user_id * 2654435761) % 16 = 3)
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+      s"""SELECT user_id, count(*) AS n_tx, ${decMeanSql("value")} AS mean_value
+         |FROM events WHERE user_id IN (
+         |  SELECT DISTINCT user_id FROM events WHERE (user_id * 2654435761) % 16 = 3)
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_dedup_last" ->
       s"""WITH ${Ratings.OracleDedupCte}
          |SELECT user_id, item_id, rating FROM ratings
@@ -142,6 +187,50 @@ object SparkEntry {
         |)
         |SELECT m.i, n.k, round(sum(m.v * n.v), 6) AS v
         |FROM m JOIN n ON m.j = n.j
-        |GROUP BY m.i, n.k ORDER BY i, k""".stripMargin
+        |GROUP BY m.i, n.k ORDER BY i, k""".stripMargin,
+    "q_reg_simple" ->
+      s"""$RegObsCte
+         |SELECT word, count(*) AS n, round(corr(x, y), 6) AS beta,
+         |       round(corr(x, y) * sqrt((count(*) - 2)
+         |             / (1 - corr(x, y) * corr(x, y))), 6) AS t
+         |FROM dense GROUP BY word
+         |ORDER BY beta DESC, word""".stripMargin,
+    "q_reg_multi" ->
+      s"""$RegObsCte,
+         |st AS (
+         |  SELECT word, count(*) AS n, corr(x, y) AS ry1, corr(c, y) AS ry2,
+         |         corr(x, c) AS r12
+         |  FROM dense GROUP BY word
+         |)
+         |SELECT word, n,
+         |       round((ry1 - ry2 * r12) / (1 - r12 * r12), 6) AS beta1,
+         |       round((ry2 - ry1 * r12) / (1 - r12 * r12), 6) AS beta2,
+         |       round(((ry1 - ry2 * r12) / (1 - r12 * r12))
+         |             * sqrt((n - 3) * (1 - r12 * r12)
+         |                    / (1 - (ry1*ry1 + ry2*ry2 - 2*ry1*ry2*r12) / (1 - r12*r12))), 6) AS t1
+         |FROM st ORDER BY beta1 DESC, word""".stripMargin
   )
+
+  /** DuckDB CTE mirroring [[regObs]] (dense top-k word observations). */
+  private val RegObsCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '((?:[\.,!?;"])|(?:(?:\#|\@)?[A-Za-z0-9_\-]+(?:''[a-z]{1,3})?))', 1)) AS word
+      |  FROM documents
+      |), doclen AS (
+      |  SELECT doc_id, count(*) AS total FROM toks GROUP BY doc_id
+      |), tf AS (
+      |  SELECT doc_id, word, count(*) AS cnt FROM toks GROUP BY doc_id, word
+      |), top AS (
+      |  SELECT word FROM toks GROUP BY word ORDER BY count(*) DESC, word LIMIT 20
+      |), d AS (
+      |  SELECT doc_id, CAST(1 + n_chars % 5 AS DOUBLE) AS y,
+      |         CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS DOUBLE) AS c
+      |  FROM documents
+      |), dense AS (
+      |  SELECT t.word, d.doc_id,
+      |         CAST(coalesce(tf.cnt, 0) AS DOUBLE) / dl.total AS x, d.y, d.c
+      |  FROM d JOIN doclen dl ON dl.doc_id = d.doc_id
+      |  CROSS JOIN top t
+      |  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.word = t.word
+      |)""".stripMargin
 }

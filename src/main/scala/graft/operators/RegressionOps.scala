@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Massively-parallel standardized OLS — the reference's 1000-regression
+  * hypothesis-testing pipeline (`Assignment 3/a3_p1.py`): per word,
+  * regress an outcome on the word's relative frequency, optionally with
+  * a control covariate, and report standardized β, t-statistic and
+  * Bonferroni-corrected two-sided p-value.
+  *
+  * Design: the reference ships each word's observation list to a numpy
+  * `pinv` solve (`a3_p1.py:77-96,111-131`). For standardized variables
+  * the OLS solution is a closed form over Pearson correlations:
+  *
+  *   simple:        β = r_xy,           t = β·√((n−2)/(1−β²)),  df = n−2
+  *   two-predictor: β₁ = (r_y1 − r_y2·r_12)/(1 − r_12²)
+  *                  R² = (r_y1² + r_y2² − 2·r_y1·r_y2·r_12)/(1 − r_12²)
+  *                  t₁ = β₁·√((n−3)(1 − r_12²)/(1 − R²)),       df = n−3
+  *
+  * so the whole fit is `groupBy(word).agg(corr, corr, corr, count)` —
+  * codegen'd partial aggregation, ONE shuffle over (word), no per-group
+  * matrix materialization and no driver involvement. That is the shape
+  * that survives 100 TB: the reference's groupByKey→list would OOM on a
+  * hot word; sufficient statistics never grow past a few doubles per
+  * group. (`RegressionOpsSpec` cross-checks the closed form against a
+  * Breeze `pinv` solve on collected data.)
+  *
+  * p-values use Student's t survival function (commons-math3, which
+  * ships inside Spark's own classpath) applied AFTER aggregation — a
+  * non-codegen UDF touching k rows, not N.
+  */
+object RegressionOps {
+
+  /** Student-t two-sided survival probability 2·P(T_df > |t|)
+    * (`a3_p1.py:94-96` `stats.t.sf(abs(t), df)*2`).
+    */
+  def tSf2(t: Double, df: Long): Double =
+    if (df <= 0 || t.isNaN) Double.NaN
+    else {
+      val dist = new org.apache.commons.math3.distribution.TDistribution(df.toDouble)
+      2.0 * (1.0 - dist.cumulativeProbability(math.abs(t)))
+    }
+
+  private val tSf2Udf = udf((t: Double, df: Long) => tSf2(t, df))
+
+  /** Dense per-(word ∈ top-k, doc) observations — the reference's
+    * "emit a triple for EVERY top word per review, zero frequency
+    * included" join (`a3_p1.py:49-59`, J1 in SURVEY.md §2.3):
+    * docs × broadcast(top-k words) cross join, left join term
+    * frequencies, `coalesce(0)`. Output: (word, doc_id, x, y, c) with
+    * x = relative frequency, y = outcome, c = control.
+    *
+    * The only wide exchanges are the token aggregations; the dense
+    * expansion itself is a broadcast nested-loop (k rows) plus a
+    * broadcast-able left join, all streaming — no driver collection of
+    * the top-k list as in the reference.
+    */
+  def denseWordObservations(docs: DataFrame, k: Int,
+      outcome: Column, control: Column,
+      textCol: String = "text"): DataFrame = {
+    val toks = TextOps.tokenize(docs, "doc_id", textCol)
+    val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("total"))
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    val top = TextOps.topKWords(docs, k, textCol).select("word")
+    docs.select(col("doc_id"), outcome.cast(DoubleType).as("y"),
+        control.cast(DoubleType).as("c"))
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(top))
+      .join(tf, Seq("doc_id", "word"), "left")
+      .select(col("word"), col("doc_id"),
+        (coalesce(col("cnt"), lit(0L)).cast(DoubleType) / col("total")).as("x"),
+        col("y"), col("c"))
+  }
+
+  /** Per-word simple standardized OLS of y on x: (word, n, beta, t, p,
+    * p_bonf). `bonferroniK` defaults to the number of simultaneous
+    * tests = distinct words.
+    */
+  def simpleRegression(obs: DataFrame, bonferroniK: Option[Long] = None): DataFrame = {
+    val stats = obs.groupBy("word").agg(
+      count(lit(1)).as("n"), corr(col("x"), col("y")).as("beta"))
+    val k = bonferroniK.getOrElse(stats.count())
+    stats
+      .withColumn("t", col("beta") * sqrt((col("n") - 2) / (lit(1.0) - col("beta") * col("beta"))))
+      .withColumn("p", tSf2Udf(col("t"), col("n") - 2))
+      .withColumn("p_bonf", least(col("p") * lit(k.toDouble), lit(1.0)))
+  }
+
+  /** Per-word two-predictor standardized OLS of y on (x, c):
+    * (word, n, beta1, beta2, t1, p1, p1_bonf).
+    */
+  def multiRegression(obs: DataFrame, bonferroniK: Option[Long] = None): DataFrame = {
+    val stats = obs.groupBy("word").agg(
+      count(lit(1)).as("n"),
+      corr(col("x"), col("y")).as("ry1"),
+      corr(col("c"), col("y")).as("ry2"),
+      corr(col("x"), col("c")).as("r12"))
+    val k = bonferroniK.getOrElse(stats.count())
+    val denom = lit(1.0) - col("r12") * col("r12")
+    val r2 = (col("ry1") * col("ry1") + col("ry2") * col("ry2")
+      - lit(2.0) * col("ry1") * col("ry2") * col("r12")) / denom
+    stats
+      .withColumn("beta1", (col("ry1") - col("ry2") * col("r12")) / denom)
+      .withColumn("beta2", (col("ry2") - col("ry1") * col("r12")) / denom)
+      .withColumn("t1", col("beta1") * sqrt((col("n") - 3) * denom / (lit(1.0) - r2)))
+      .withColumn("p1", tSf2Udf(col("t1"), col("n") - 3))
+      .withColumn("p1_bonf", least(col("p1") * lit(k.toDouble), lit(1.0)))
+      .select("word", "n", "beta1", "beta2", "t1", "p1", "p1_bonf")
+  }
+}
