@@ -94,8 +94,24 @@ object SparkEntry {
       RegressionOps.multiRegression(regObs(s, dir), Some(RegK))
         .select(col("word"), round(col("t1"), 6).as("t1"),
           round(col("p1"), 6).as("p1"), round(col("p1_bonf"), 6).as("p1_bonf"))
-        .orderBy(col("word")))
+        .orderBy(col("word"))),
+    // §2.3 J2 + §2.4 A10/A11 + §2.6: a3_p2 recommender — capped
+    // neighbor lists per target item.
+    "q_cf_sims" -> ((s, dir) =>
+      CFOps.topNeighbors(CFOps.itemSimilarities(
+        CFOps.meanCentered(CFOps.supportFiltered(Ratings.deduped(s, dir))), CfTargets))
+        .select(col("t_item"), col("item_id"), round(col("sim"), 6).as("sim"),
+          col("n_common"))
+        .orderBy("t_item", "item_id")),
+    // §2.4 A12: weighted-average predictions with pass-through.
+    "q_cf_recommend" -> ((s, dir) =>
+      CFOps.recommend(Ratings.deduped(s, dir), CfTargets)
+        .select(col("t_item"), col("user_id"), round(col("pred"), 4).as("pred"))
+        .orderBy("t_item", "user_id"))
   )
+
+  /** CF query items (exist with ≥25 raters at every sf — FIXTURES.md). */
+  private val CfTargets = Seq(3L, 7L)
 
   /** Order-insensitive mean: exact decimal sum, then one double divide.
     * Plain `round(avg(double),4)` can flip the last digit between Spark
@@ -208,8 +224,76 @@ object SparkEntry {
          |       round(((ry1 - ry2 * r12) / (1 - r12 * r12))
          |             * sqrt((n - 3) * (1 - r12 * r12)
          |                    / (1 - (ry1*ry1 + ry2*ry2 - 2*ry1*ry2*r12) / (1 - r12*r12))), 6) AS t1
-         |FROM st ORDER BY beta1 DESC, word""".stripMargin
+         |FROM st ORDER BY beta1 DESC, word""".stripMargin,
+    "q_cf_sims" ->
+      s"""WITH ${Ratings.OracleDedupCte},
+         |$CfCte
+         |SELECT t_item, item_id, round(sim, 6) AS sim, n_common
+         |FROM nbrs ORDER BY t_item, item_id""".stripMargin,
+    "q_cf_recommend" ->
+      s"""WITH ${Ratings.OracleDedupCte},
+         |$CfCte,
+         |cand AS (
+         |  SELECT r2.user_id, n.t_item,
+         |         CAST(sum(CAST(r2.rating * n.sim AS DECIMAL(30,15))) AS DOUBLE)
+         |           / CAST(sum(CAST(n.sim AS DECIMAL(30,15))) AS DOUBLE) AS wavg,
+         |         count(*) AS n_nbrs
+         |  FROM r2 JOIN nbrs n ON r2.item_id = n.item_id
+         |  GROUP BY r2.user_id, n.t_item
+         |), own AS (
+         |  SELECT user_id, item_id AS t_item, rating FROM r2 WHERE item_id IN (3, 7)
+         |)
+         |SELECT c.t_item, c.user_id, round(coalesce(CAST(o.rating AS DOUBLE), c.wavg), 4) AS pred
+         |FROM cand c LEFT JOIN own o ON o.user_id = c.user_id AND o.t_item = c.t_item
+         |WHERE c.n_nbrs >= 2 AND coalesce(CAST(o.rating AS DOUBLE), c.wavg) > 0
+         |ORDER BY c.t_item, c.user_id""".stripMargin
   )
+
+  /** DuckDB CTE chain mirroring CFOps (support filters → centering →
+    * cosine similarities → 50-neighbor cap) for targets (3, 7).
+    */
+  private val CfCte: String =
+    """items_ok AS (
+      |  SELECT item_id FROM ratings GROUP BY item_id
+      |  HAVING count(DISTINCT user_id) >= 25
+      |), r1 AS (
+      |  SELECT r.* FROM ratings r JOIN items_ok USING (item_id)
+      |), users_ok AS (
+      |  SELECT user_id FROM r1 GROUP BY user_id
+      |  HAVING count(DISTINCT item_id) >= 5
+      |), r2 AS (
+      |  SELECT r1.* FROM r1 JOIN users_ok USING (user_id)
+      |), centered AS (
+      |  SELECT user_id, item_id, rating,
+      |         rating - avg(rating) OVER (PARTITION BY item_id) AS rc
+      |  FROM r2
+      |), norms AS (
+      |  SELECT item_id,
+      |         sqrt(CAST(sum(CAST(rc * rc AS DECIMAL(30,15))) AS DOUBLE)) AS nrm
+      |  FROM centered GROUP BY item_id
+      |), tvec AS (
+      |  SELECT * FROM centered WHERE item_id IN (3, 7)
+      |), dots AS (
+      |  SELECT c.item_id, t.item_id AS t_item,
+      |         CAST(sum(CAST(c.rc * t.rc AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+      |         count(*) AS n_common
+      |  FROM centered c JOIN tvec t
+      |    ON c.user_id = t.user_id AND c.item_id <> t.item_id
+      |  GROUP BY c.item_id, t.item_id
+      |), sims AS (
+      |  SELECT d.t_item, d.item_id, d.dot / (ni.nrm * nt.nrm) AS sim, d.n_common
+      |  FROM dots d
+      |  JOIN norms ni ON ni.item_id = d.item_id
+      |  JOIN norms nt ON nt.item_id = d.t_item
+      |  WHERE d.n_common >= 2 AND ni.nrm > 0 AND nt.nrm > 0
+      |    AND d.dot / (ni.nrm * nt.nrm) > 0
+      |), nbrs AS (
+      |  SELECT t_item, item_id, sim, n_common FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY t_item
+      |                                 ORDER BY sim DESC, item_id) AS rn
+      |    FROM sims) x
+      |  WHERE rn <= 50
+      |)""".stripMargin
 
   /** DuckDB CTE mirroring [[regObs]] (dense top-k word observations). */
   private val RegObsCte: String =

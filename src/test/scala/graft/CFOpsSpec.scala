@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{CFOps, Ratings}
+import org.apache.spark.sql.functions._
+
+class CFOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkRatings(rows: (Long, Long, Long)*) =
+    rows.toDF("user_id", "item_id", "rating")
+
+  test("cosine similarity on a hand-computed example") {
+    // items 1,2 rated by users 1..3; identical centered vectors -> sim 1
+    val r = mkRatings(
+      (1L, 1L, 5L), (2L, 1L, 3L), (3L, 1L, 1L),
+      (1L, 2L, 4L), (2L, 2L, 2L), (3L, 2L, 0L))
+    val p = CFOps.Params(minUsersPerItem = 1, minItemsPerUser = 1)
+    val sims = CFOps.itemSimilarities(CFOps.meanCentered(r), Seq(1L), p)
+      .select("item_id", "sim").as[(Long, Double)].collect().toMap
+    assert(math.abs(sims(2L) - 1.0) < 1e-12)
+  }
+
+  test("anti-correlated item is filtered by sim > 0") {
+    val r = mkRatings(
+      (1L, 1L, 5L), (2L, 1L, 1L),
+      (1L, 2L, 1L), (2L, 2L, 5L))
+    val p = CFOps.Params(minUsersPerItem = 1, minItemsPerUser = 1)
+    val sims = CFOps.itemSimilarities(CFOps.meanCentered(r), Seq(1L), p)
+    assert(sims.count() == 0)  // sim = -1 dropped
+  }
+
+  test("pass-through: user who rated the target gets their own rating") {
+    val r = mkRatings(
+      // target 1 and neighbors 2,3 positively correlated via users 1,2
+      (1L, 1L, 5L), (2L, 1L, 1L),
+      (1L, 2L, 5L), (2L, 2L, 1L),
+      (1L, 3L, 4L), (2L, 3L, 2L),
+      // user 3 rates both neighbors but not the target
+      (3L, 2L, 4L), (3L, 3L, 4L))
+    val p = CFOps.Params(minUsersPerItem = 1, minItemsPerUser = 1)
+    val pred = CFOps.recommend(r, Seq(1L), p)
+      .select("user_id", "pred").as[(Long, Double)].collect().toMap
+    assert(pred(1L) == 5.0)        // own rating passes through
+    assert(pred(2L) == 1.0)
+    assert(math.abs(pred(3L) - 4.0) < 1e-9)  // weighted avg of 4,4
+  }
+
+  test("neighbor cap limits each target's list") {
+    val nbrs = CFOps.topNeighbors(CFOps.itemSimilarities(
+      CFOps.meanCentered(CFOps.supportFiltered(Ratings.deduped(spark, sf0))),
+      Seq(3L, 7L)))
+    val counts = nbrs.groupBy("t_item").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ <= 50))
+    assert(counts.nonEmpty)
+  }
+
+  test("support filters are sequential (users counted on surviving items)") {
+    val r = mkRatings(
+      (1L, 1L, 3L), (2L, 1L, 3L),            // item 1: 2 users -> survives
+      (3L, 2L, 3L))                           // item 2: 1 user -> dropped; user 3 with it
+    val p = CFOps.Params(minUsersPerItem = 2, minItemsPerUser = 1)
+    val f = CFOps.supportFiltered(r, p)
+    assert(f.select("user_id").distinct().as[Long].collect().toSet == Set(1L, 2L))
+  }
+}
