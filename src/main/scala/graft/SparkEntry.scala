@@ -107,7 +107,43 @@ object SparkEntry {
     "q_cf_recommend" -> ((s, dir) =>
       CFOps.recommend(Ratings.deduped(s, dir), CfTargets)
         .select(col("t_item"), col("user_id"), round(col("pred"), 4).as("pred"))
-        .orderBy("t_item", "user_id"))
+        .orderBy("t_item", "user_id")),
+    // Training-data pipeline: exact dedup keep-list.
+    "q_exact_dedup" -> ((s, dir) =>
+      DedupOps.exactDedup(Tables.documents(s, dir)).orderBy("rep_doc_id")),
+    // Part_2 Q3b/Q4 + near-dup: MinHash+LSH candidates, exact-verify ≥0.8.
+    // Oracle is the exact all-pairs answer — equality IS the recall test.
+    "q_neardup_minhash" -> ((s, dir) =>
+      DedupOps.verifiedNearDups(Tables.documents(s, dir))
+        .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
+        .orderBy("da", "db")),
+    // Exact n-gram Jaccard pairs (inverted index) — the brute-force
+    // baseline the LSH path approximates.
+    "q_ngram_jaccard" -> ((s, dir) =>
+      DedupOps.ngramJaccardPairs(Tables.documents(s, dir), minJac = 0.5)
+        .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
+        .orderBy("da", "db")),
+    // SimHash 60-bit fingerprints (engine-portable md5 bit construction).
+    "q_simhash" -> ((s, dir) =>
+      DedupOps.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+    // Similarity search: brute-force cosine top-10 for queries vec_id<10.
+    "q_cosine_nn" -> ((s, dir) =>
+      SimilarityOps.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 10)
+        .select(col("q_id"), col("nn_id"), round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy("q_id", "rank")),
+    // Embedding-cosine near-dup pairs (brute force over the corpus;
+    // 0.4 because the synthetic embeddings carry no planted near-dups —
+    // max pairwise cosine is ~0.5).
+    "q_cosine_neardup" -> ((s, dir) =>
+      SimilarityOps.cosineNearDups(Tables.embeddings(s, dir), 0.4)
+        .select(col("va"), col("vb"), round(col("sim"), 6).as("sim"))
+        .orderBy("va", "vb")),
+    // ANN via signed-random-projection LSH — hash-bucketed candidates;
+    // recall vs brute force pinned in SimilarityOpsSpec (rows-only here).
+    "q_ann_lsh" -> ((s, dir) =>
+      SimilarityOps.annTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 10)
+        .select(col("q_id"), col("nn_id"), round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy("q_id", "rank"))
   )
 
   /** CF query items (exist with ≥25 raters at every sf — FIXTURES.md). */
@@ -246,8 +282,103 @@ object SparkEntry {
          |SELECT c.t_item, c.user_id, round(coalesce(CAST(o.rating AS DOUBLE), c.wavg), 4) AS pred
          |FROM cand c LEFT JOIN own o ON o.user_id = c.user_id AND o.t_item = c.t_item
          |WHERE c.n_nbrs >= 2 AND coalesce(CAST(o.rating AS DOUBLE), c.wavg) > 0
-         |ORDER BY c.t_item, c.user_id""".stripMargin
+         |ORDER BY c.t_item, c.user_id""".stripMargin,
+    "q_exact_dedup" ->
+      """SELECT min(doc_id) AS rep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY rep_doc_id""".stripMargin,
+    "q_neardup_minhash" ->
+      s"""WITH ${ShingleCte("documents")}
+         |SELECT co.da, co.db,
+         |       round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jac
+         |FROM co JOIN sz x ON x.doc_id = co.da JOIN sz y ON y.doc_id = co.db
+         |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+         |ORDER BY co.da, co.db""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH ${ShingleCte("documents")}
+         |SELECT co.da, co.db,
+         |       round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jac
+         |FROM co JOIN sz x ON x.doc_id = co.da JOIN sz y ON y.doc_id = co.db
+         |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5
+         |ORDER BY co.da, co.db""".stripMargin,
+    "q_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS token, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        |    FROM documents) x
+        |  GROUP BY doc_id, t
+        |), hashed AS (
+        |  SELECT doc_id, cnt, ('0x' || substring(md5(token), 1, 15))::BIGINT AS h
+        |  FROM toks
+        |), bitw AS (
+        |  SELECT doc_id, i,
+        |         sum(CASE WHEN (h >> CAST(i AS INTEGER)) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+        |  FROM hashed, range(60) r(i) GROUP BY doc_id, i
+        |)
+        |SELECT doc_id,
+        |       CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
+        |FROM bitw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_cosine_nn" ->
+      s"""WITH $CosineCte,
+         |dots AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id, ${DotSql("q", "c")} AS dot
+         |  FROM v q JOIN v c ON c.vec_id <> q.vec_id, range(64) r(d)
+         |  WHERE q.vec_id < 10
+         |  GROUP BY q.vec_id, c.vec_id
+         |), sims AS (
+         |  SELECT d.q_id, d.nn_id, d.dot / (nq.nrm * nc.nrm) AS sim
+         |  FROM dots d JOIN nrm nq ON nq.vec_id = d.q_id
+         |  JOIN nrm nc ON nc.vec_id = d.nn_id
+         |)
+         |SELECT q_id, nn_id, round(sim, 6) AS sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |                               ORDER BY sim DESC, nn_id) AS rank
+         |  FROM sims) x
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_cosine_neardup" ->
+      s"""WITH $CosineCte,
+         |dots AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb, ${DotSql("a", "b")} AS dot
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id, range(64) r(d)
+         |  GROUP BY a.vec_id, b.vec_id
+         |)
+         |SELECT d.va, d.vb, round(d.dot / (na.nrm * nb.nrm), 6) AS sim
+         |FROM dots d JOIN nrm na ON na.vec_id = d.va
+         |JOIN nrm nb ON nb.vec_id = d.vb
+         |WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
+         |ORDER BY d.va, d.vb""".stripMargin
   )
+
+  /** Exact decimal dot product between two aliased `v` rows (DuckDB). */
+  private def DotSql(a: String, b: String): String =
+    s"""CAST(sum(CAST(CAST($a.embedding[d+1] AS DOUBLE) * CAST($b.embedding[d+1] AS DOUBLE)
+       |          AS DECIMAL(38,18))) AS DOUBLE)""".stripMargin
+
+  /** Shared DuckDB CTEs for cosine queries: v (vectors) + nrm (norms). */
+  private val CosineCte: String =
+    s"""v AS (SELECT vec_id, embedding FROM embeddings),
+       |nrm AS (
+       |  SELECT vec_id, sqrt(CAST(sum(CAST(CAST(embedding[d+1] AS DOUBLE)
+       |         * CAST(embedding[d+1] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+       |  FROM v, range(64) r(d) GROUP BY vec_id
+       |)""".stripMargin
+
+  /** DuckDB inverted-index shingle CTEs (3-gram, distinct per doc):
+    * sh(doc_id, s), sz(doc_id, n), co(da, db, inter). `range(2000)`
+    * caps docs at ~2000 words (corpus max is ~100).
+    */
+  private def ShingleCte(src: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM $src
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+       |  FROM toks JOIN range(2000) t(i) ON i + 3 <= len(ws)
+       |), sz AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), co AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |)""".stripMargin
 
   /** DuckDB CTE chain mirroring CFOps (support filters → centering →
     * cosine similarities → 50-neighbor cap) for targets (3, 7).

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Dot product of two float-array columns as a native expression with
+  * Neumaier-compensated summation.
+  *
+  * Why not `aggregate(zip_with(...))`: interpreted higher-order
+  * functions cost ~µs per element (measured 78 s for 2M pair dots at
+  * sf0.1); this loop costs ~ns per element. Why compensated summation:
+  * each float×float product is exact in double (48-bit significand),
+  * and Neumaier keeps the fixed-order fold within 1 ulp of the true
+  * sum — so the result is deterministic and agrees with the DuckDB
+  * oracle's exact DECIMAL accumulation far below the 1e-6 rounding the
+  * queries publish.
+  *
+  * Mismatched lengths use the common prefix (callers pass equal-dim
+  * embeddings); null arrays yield null.
+  */
+case class ArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"array_dot expects (array<float>, array<float>), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0.0
+    var c = 0.0 // Neumaier compensation
+    var i = 0
+    while (i < n) {
+      val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val t = sum + p
+      c += (if (math.abs(sum) >= math.abs(p)) (sum - t) + p else (p - t) + sum)
+      sum = t
+      i += 1
+    }
+    sum + c
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "array_dot"
+}
+
+object ArrayDot {
+  def apply(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(ArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** MinHash signature of a string-array column as a native Catalyst
+  * expression: sig[i] = min over elements e of (h1(e) + i·h2(e)), the
+  * standard double-hashing construction of k hash functions from two
+  * xxHash64 evaluations per element (cf. Broder's minwise hashing and
+  * the Kirsch–Mitzenmacher double-hashing argument).
+  *
+  * Why an Expression and not `transform(sequence(0,k-1), s ->
+  * array_min(transform(set, e -> xxhash64(e, s))))`: nested
+  * higher-order functions evaluate interpreted, one closure call per
+  * (element × seed) — measured ~600 s for 5000 docs × 128 seeds at
+  * sf0.1. This loop does 2 hash evaluations + k additions per element
+  * inside a single eval call: ~1000× less interpreter overhead, same
+  * LSH banding guarantees (verification downstream is exact Jaccard,
+  * so signature quality only affects recall, which banding maths keeps
+  * at ~1−5e−8 for 0.8-similar pairs).
+  *
+  * Null elements are skipped; a null input array yields null.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig expects array<string>, got $other")
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 77L)
+        var j = 0
+        var h = h1
+        while (j < k) {
+          if (h < sig(j)) sig(j) = h
+          h += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSignature {
+  /** Column-level entry point: `minhashSig($"shingles", 128)`. */
+  def apply(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c), k))
+  }
+}

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (hash groupBy), MinHash+LSH near-dup, SimHash fingerprints and
+  * exact n-gram Jaccard. Extends the reference's minhash/LSH material
+  * (`Assignment 2/Part_2.pdf` p.4-7, following MMDS 3rd ed. §3.3-3.4)
+  * into first-class operators.
+  *
+  * Scale design (the whole point at 100 TB):
+  *  - Signatures are computed per-row inside a single scan — O(k·|set|)
+  *    arithmetic, no shuffle, no driver state, no model fit.
+  *  - LSH banding explodes each doc into `bands` bucket keys and
+  *    self-joins on (band, bucket): the only wide exchange is keyed by
+  *    bucket, whose cardinality grows with the corpus — no all-pairs
+  *    term anywhere. Candidate verification joins are bounded by the
+  *    candidate count, not N².
+  *  - Exact n-gram Jaccard uses an inverted-index join (shuffle keyed
+  *    by shingle). Hot shingles skew that key; `maxShingleDf` drops
+  *    shingles occurring in more than that many docs (a standard
+  *    trick — a shingle shared by half the corpus carries no dedup
+  *    signal but O(df²) join work).
+  *
+  * Banding math: with `sigLen` = r·b hashes, P(candidate | Jaccard s) =
+  * 1−(1−s^r)^b (`Part_2.pdf` p.5 Q4a). Defaults r=4, b=32 put the
+  * S-curve threshold at (1/32)^(1/4) ≈ 0.42, and the miss probability
+  * for a 0.8-Jaccard pair at (1−0.8⁴)³² ≈ 5·10⁻⁸ — effectively exact
+  * for verified near-dup extraction at 0.8.
+  */
+object DedupOps {
+
+  /** Language-agnostic word tokens (dedup ops deliberately use a
+    * simpler tokenizer than the reference-parity [[TextOps]] regex).
+    */
+  def words(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Distinct word n-gram shingles of a token array. */
+  def shingles(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + lit(1), lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  /** (doc_id, shingles) for docs with at least one shingle. The
+    * repartition spreads CPU-heavy downstream work (hashing) across all
+    * cores even when the input is a single small parquet split — on a
+    * real multi-file lake the exchange is cheap relative to the hashing
+    * it parallelizes.
+    */
+  def shingled(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), shingles(words(col(textCol)), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** Exact dedup: one representative (min doc_id) per distinct text,
+    * with its multiplicity. Keep-list semantics: `n_copies = 1` rows
+    * are unique docs; `> 1` rows deduplicate their group.
+    */
+  def exactDedup(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
+      .select("rep_doc_id", "n_copies")
+
+  /** MinHash signatures via the native [[graft.functions.MinHashSignature]]
+    * expression — k hash functions from two xxHash64 evaluations per
+    * element (double hashing), one tight loop per row. The reference
+    * uses 500 named functions the same conceptual way (`Part_2.pdf`
+    * p.4 Q3b); a nested higher-order-function formulation is ~1000×
+    * slower in interpreted eval (see the expression's scaladoc).
+    * Pure per-row compute, no shuffle.
+    */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
+    sh.withColumn("sig", graft.functions.MinHashSignature(col("shingles"), k))
+
+  /** LSH banding: (doc_id, band, bucket) with bucket = hash of the
+    * band's signature slice (r values per band).
+    */
+  def lshBands(sigs: DataFrame, r: Int, b: Int): DataFrame =
+    sigs.select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${b - 1}), bi -> xxhash64(bi, slice(sig, bi*$r + 1, $r)))")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+
+  /** Candidate pairs: docs sharing ≥1 (band, bucket). Equi self-join
+    * on the bucket key (J6 in SURVEY.md §2.3) + pair dedup.
+    */
+  def lshCandidates(sigs: DataFrame, r: Int, b: Int): DataFrame = {
+    val bands = lshBands(sigs, r, b)
+    val left = bands.select(col("band"), col("bucket"), col("doc_id").as("da"))
+    val right = bands.select(col("band"), col("bucket"), col("doc_id").as("db"))
+    left.join(right, Seq("band", "bucket"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+  }
+
+  /** Exact Jaccard of two (distinct-element) array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** End-to-end near-dup extraction: MinHash+LSH candidates, then
+    * exact-Jaccard verification at `minJac`. With the default banding
+    * the result equals the exact all-pairs answer (miss prob ≈ 5e−8 at
+    * 0.8) at a fraction of the cost. Output: (da, db, jac).
+    */
+  def verifiedNearDups(docs: DataFrame, nGram: Int = 3, sigLen: Int = 128,
+      r: Int = 4, bands: Int = 32, minJac: Double = 0.8,
+      textCol: String = "text"): DataFrame = {
+    val sh = shingled(docs, nGram, textCol)
+    val cand = lshCandidates(minhashSignatures(sh, sigLen), r, bands)
+    val sa = sh.select(col("doc_id").as("da"), col("shingles").as("sha"))
+    val sb = sh.select(col("doc_id").as("db"), col("shingles").as("shb"))
+    cand.join(sa, "da").join(sb, "db")
+      .withColumn("jac", jaccard(col("sha"), col("shb")))
+      .filter(col("jac") >= minJac)
+      .select("da", "db", "jac")
+  }
+
+  /** Exact n-gram Jaccard pairs via inverted-index join — the
+    * brute-force (but still N·df-bounded, never N²) baseline the LSH
+    * path approximates. `maxShingleDf` guards the shuffle key skew.
+    */
+  def ngramJaccardPairs(docs: DataFrame, nGram: Int = 3, minJac: Double = 0.5,
+      maxShingleDf: Option[Long] = None, textCol: String = "text"): DataFrame = {
+    val sh0 = shingled(docs, nGram, textCol)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sh = maxShingleDf match {
+      case Some(m) =>
+        val rare = sh0.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= m).select("s")
+        sh0.join(rare, "s")
+      case None => sh0
+    }
+    val sizes = sh0.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val co = sh.select(col("s"), col("doc_id").as("da"))
+      .join(sh.select(col("s"), col("doc_id").as("db")), "s")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    co.join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= minJac)
+      .select("da", "db", "jac")
+  }
+
+  /** SimHash fingerprint (60 usable bits so the BIGINT stays positive
+    * in every engine): bit i of the signature is the sign of
+    * Σ_tokens tf·(±1) where the ±1 is bit i of a 60-bit md5-derived
+    * token hash. Near-dup docs differ in few bits (Charikar 2002).
+    * Engine-portable by construction (md5 + integer bit ops only).
+    */
+  def simhash(docs: DataFrame, bits: Int = 60, textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(words(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10).cast("long"))
+    toks
+      .withColumn("i", explode(sequence(lit(0), lit(bits - 1))))
+      .withColumn("pm", when(expr("(h >> i) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
+      .groupBy("doc_id", "i").agg(sum(col("pm")).as("w"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("w") > 0, expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(lit(0L))).as("sig"))
+  }
+
+  /** Hamming distance between two simhash signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.DedupOps
+import org.apache.spark.sql.functions._
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedup groups identical texts and keeps min doc_id") {
+    val docs = Seq((5L, "aa bb"), (2L, "aa bb"), (9L, "cc")).toDF("doc_id", "text")
+    val got = DedupOps.exactDedup(docs).as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 2L), (9L, 1L)))
+  }
+
+  test("Jaccard = 0 (disjoint sets) produces no LSH candidates — Part_2 Q3a property") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val sh = DedupOps.shingled(docs, 3)
+    val cand = DedupOps.lshCandidates(DedupOps.minhashSignatures(sh, 128), 4, 32)
+    assert(cand.count() == 0)
+  }
+
+  test("identical docs always collide; minhash estimates Jaccard within sampling error") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o p"),          // j = 1 with doc 1
+      (3L, "a b c d e f g h i j k l m n o q")).toDF("doc_id", "text")
+    val sh = DedupOps.shingled(docs, 3)
+    val sigs = DedupOps.minhashSignatures(sh, 128)
+    val cand = DedupOps.lshCandidates(sigs, 4, 32).as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)))
+    // estimated similarity = fraction of equal signature positions
+    val est = sigs.select(col("doc_id"), col("sig")).as[(Long, Seq[Long])]
+      .collect().toMap
+    val est12 = est(1L).zip(est(2L)).count { case (a, b) => a == b } / 128.0
+    assert(est12 == 1.0)
+    val jac13 = DedupOps.shingled(docs, 3).as[(Long, Seq[String])].collect().toMap
+    val trueJ = {
+      val a = jac13(1L).toSet; val b = jac13(3L).toSet
+      a.intersect(b).size.toDouble / a.union(b).size
+    }
+    val est13 = est(1L).zip(est(3L)).count { case (a, b) => a == b } / 128.0
+    assert(math.abs(est13 - trueJ) < 0.2, s"est $est13 vs true $trueJ")
+  }
+
+  test("verifiedNearDups finds exactly the planted pairs (equals exact all-pairs)") {
+    val docs = Tables.documents(spark, sf0)
+    val lsh = DedupOps.verifiedNearDups(docs).select("da", "db")
+      .as[(Long, Long)].collect().toSet
+    val exact = DedupOps.ngramJaccardPairs(docs, minJac = 0.8).select("da", "db")
+      .as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+    assert(lsh.nonEmpty)
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val docs = Tables.documents(spark, sf0)
+    val sig = DedupOps.simhash(docs)
+    val pairs = DedupOps.verifiedNearDups(docs).select("da", "db")
+    val sa = sig.select(col("doc_id").as("da"), col("sig").as("siga"))
+    val sb = sig.select(col("doc_id").as("db"), col("sig").as("sigb"))
+    val ham = pairs.join(sa, "da").join(sb, "db")
+      .select(DedupOps.hamming(col("siga"), col("sigb")).as("d"))
+      .as[Int].collect()
+    assert(ham.nonEmpty)
+    // 0.8-Jaccard near-dups should be far below the ~30-bit random baseline
+    assert(ham.forall(_ <= 20), s"max hamming ${ham.max}")
+  }
+
+  test("shingles handles docs shorter than n") {
+    val docs = Seq((1L, "one two")).toDF("doc_id", "text")
+    assert(DedupOps.shingled(docs, 3).count() == 0)
+  }
+
+  test("maxShingleDf drops hot shingles but keeps rare ones") {
+    val docs = Seq(
+      (1L, "x y z a b c"), (2L, "x y z d e f"), (3L, "x y z g h i"),
+      (4L, "p q r s t u"), (5L, "p q r s t u")).toDF("doc_id", "text")
+    // 'x y z' df=3 dropped at maxDf=2; 4-5 still pair via their shingles
+    val got = DedupOps.ngramJaccardPairs(docs, minJac = 0.2, maxShingleDf = Some(2L))
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(got == Set((4L, 5L)))
+  }
+}

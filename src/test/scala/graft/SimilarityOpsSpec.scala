@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot/norm: exact on hand-built vectors") {
+    val df = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"), SimilarityOps.norm(col("embedding")).as("n"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 5.0 && got(2L) == 1.0)
+  }
+
+  test("bruteForceTopK: correct neighbor order on a tiny corpus") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),   // closest to 0
+      (2L, Seq(0.0f, 1.0f)),   // orthogonal
+      (3L, Seq(-1.0f, 0.0f))). // opposite
+      toDF("vec_id", "embedding")
+    val got = SimilarityOps.bruteForceTopK(df, col("vec_id") === 0, 3)
+      .select("nn_id", "rank").as[(Long, Int)].collect().sortBy(_._2).map(_._1)
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("cosineNearDups is symmetric-free (va < vb) and thresholded") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.001f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.cosineNearDups(df, 0.99)
+      .select("va", "vb").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L)))
+  }
+
+  test("ANN recall@10 vs brute force is usable on near-orthogonal data") {
+    val emb = Tables.embeddings(spark, sf0)
+    val brute = SimilarityOps.bruteForceTopK(emb, col("vec_id") < 10, 10)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    val ann = SimilarityOps.annTopK(emb, col("vec_id") < 10, 10)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    info(f"ANN recall@10 = $recall%.3f (candidates ${ann.size})")
+    // synthetic embeddings are near-orthogonal (max cosine ~0.5) — the
+    // hardest case for hyperplane LSH; deterministic hashes make this a
+    // fixed number, floor it well below the measured value
+    assert(recall >= 0.2, f"recall $recall%.3f")
+  }
+
+  test("lshCodes are deterministic and bounded") {
+    val codes = SimilarityOps.lshCodes(Tables.embeddings(spark, sf0))
+    val mx = codes.agg(max("code"), min("code")).as[(Long, Long)].head()
+    assert(mx._1 < 64 && mx._2 >= 0)       // 6-bit codes
+    val n = codes.groupBy("vec_id").count().select("count").distinct().as[Long].collect()
+    assert(n.toSeq == Seq(8L))              // 8 tables per vector
+  }
+}
