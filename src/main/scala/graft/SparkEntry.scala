@@ -143,7 +143,27 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) =>
       SimilarityOps.annTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 10)
         .select(col("q_id"), col("nn_id"), round(col("sim"), 6).as("sim"), col("rank"))
-        .orderBy("q_id", "rank"))
+        .orderBy("q_id", "rank")),
+    // Text analysis: marker-based language ID (argmax + und fallback).
+    "q_lang_id" -> ((s, dir) =>
+      TextAnalysisOps.langId(Tables.documents(s, dir)).orderBy("doc_id")),
+    // Quality features + pure-arithmetic composite score.
+    "q_quality" -> ((s, dir) =>
+      TextAnalysisOps.qualityScore(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id")),
+    // Whitespace + BPE-ish token counting.
+    "q_token_counts" -> ((s, dir) =>
+      TextAnalysisOps.tokenCounts(Tables.documents(s, dir))
+        .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+          round(col("chars_per_token"), 6).as("chars_per_token"))
+        .orderBy("doc_id")),
+    // Winnowing-style min-hash fingerprint over word 4-gram shingles.
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysisOps.fingerprints(Tables.documents(s, dir)).orderBy("doc_id"))
   )
 
   /** CF query items (exist with ≥25 raters at every sf — FIXTURES.md). */
@@ -175,7 +195,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlTextAnalysis ++ Map(
     "q_topk_words" ->
       """SELECT word, count(*) AS cnt FROM (
         |  SELECT unnest(regexp_extract_all(lower(text), '((?:[\.,!?;"])|(?:(?:\#|\@)?[A-Za-z0-9_\-]+(?:''[a-z]{1,3})?))', 1)) AS word
@@ -346,6 +366,67 @@ object SparkEntry {
          |JOIN nrm nb ON nb.vec_id = d.vb
          |WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
          |ORDER BY d.va, d.vb""".stripMargin
+  )
+
+  private val oracleSqlTextAnalysis: Map[String, String] = Map(
+    "q_lang_id" ->
+      """WITH markers(lang, word) AS (VALUES
+        |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','a'),
+        |  ('fr','le'),('fr','la'),('fr','et'),('fr','les'),('fr','des'),
+        |  ('es','el'),('es','la'),('es','de'),('es','los'),('es','y'),
+        |  ('de','der'),('de','die'),('de','und'),('de','das'),('de','ein')
+        |), toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, lang, count(*) AS hits
+        |  FROM toks JOIN markers USING (word) GROUP BY doc_id, lang
+        |), best AS (
+        |  SELECT doc_id, lang, hits FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                 ORDER BY hits DESC, lang) AS rn
+        |    FROM hits) x WHERE rn = 1
+        |)
+        |SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred,
+        |       coalesce(b.hits, 0) AS hits
+        |FROM documents d LEFT JOIN best b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+        |         CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |           / greatest(length(text), 1) AS punct_ratio,
+        |         CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                              t -> t IN ('the','a','of','to','and'))) AS DOUBLE)
+        |           / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS stop_ratio
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens, round(punct_ratio, 6) AS punct_ratio,
+        |       round(stop_ratio, 6) AS stop_ratio,
+        |       round(least(n_tokens / 64.0, 1.0) * 0.5
+        |             + (1.0 - punct_ratio) * 0.3
+        |             + least(stop_ratio * 4.0, 1.0) * 0.2, 6) AS score
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |       len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+        |       round(CAST(length(text) AS DOUBLE)
+        |             / greatest(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')), 1), 6)
+        |         AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s
+        |  FROM toks JOIN range(2000) t(i) ON i + 4 <= len(ws)
+        |)
+        |SELECT doc_id, min(('0x' || substring(md5(s), 1, 15))::BIGINT) AS fingerprint,
+        |       count(*) AS n_shingles
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** Exact decimal dot product between two aliased `v` rows (DuckDB). */

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: marker-based
+  * language ID, quality scoring, token counting, and document
+  * fingerprinting. All are single-scan, shuffle-light, and mirrored
+  * exactly in DuckDB SQL (pure integer/md5/arithmetic constructions).
+  *
+  * Scale notes: langId's only exchange is the per-(doc, lang) count —
+  * the marker table broadcasts; quality/token metrics are per-row
+  * projections with no shuffle at all; fingerprints are per-row md5
+  * loops over word shingles (bounded by doc length).
+  */
+object TextAnalysisOps {
+
+  /** Tiny per-language stopword marker sets (top function words). A
+    * real pipeline would use a trained n-gram model; the operator shape
+    * (broadcast marker join + argmax) is what matters at scale.
+    */
+  val Markers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "to", "en" -> "a",
+    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "les", "fr" -> "des",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "los", "es" -> "y",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "das", "de" -> "ein")
+
+  /** Predicted language per doc: argmax of marker-token hits
+    * (occurrence-weighted), ties broken alphabetically, zero hits →
+    * "und" (ISO 639 undetermined). Output: (doc_id, lang_pred, hits).
+    */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val markers = Markers.toDF("lang", "word")
+    val toks = docs.select(col("doc_id"),
+      explode(DedupOps.words(col(textCol))).as("word"))
+    val hits = toks.join(broadcast(markers), "word")
+      .groupBy("doc_id", "lang").agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("lang").asc)
+    val best = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("doc_id", "lang", "hits")
+    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lang"), lit("und")).as("lang_pred"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  /** Quality features + a deterministic composite score in [0,1]:
+    * length saturation, punctuation penalty, stopword prior. Pure
+    * arithmetic (no exp/log) so every engine agrees bit-for-bit.
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val nChars = length(col(textCol))
+    val toks = DedupOps.words(col(textCol))
+    val nToks = size(toks)
+    val punct = nChars - length(regexp_replace(col(textCol), "[^a-z0-9 ]", ""))
+    val stops = size(filter(toks, t => t.isin("the", "a", "of", "to", "and")))
+    docs.select(
+      col("doc_id"),
+      nToks.cast("long").as("n_tokens"),
+      (punct.cast("double") / greatest(nChars, lit(1))).as("punct_ratio"),
+      (stops.cast("double") / greatest(nToks, lit(1))).as("stop_ratio"))
+      .withColumn("score",
+        least(col("n_tokens").cast("double") / 64.0, lit(1.0)) * 0.5
+          + (lit(1.0) - col("punct_ratio")) * 0.3
+          + least(col("stop_ratio") * 4.0, lit(1.0)) * 0.2)
+  }
+
+  /** Token accounting per doc: whitespace tokens, BPE-ish regex tokens
+    * (letter runs / digit runs / single non-space symbols — a cheap
+    * proxy for subword segmentation), and chars-per-regex-token.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = size(split(trim(col(textCol)), "\\s+"))
+    val bpe = size(regexp_extract_all(lower(col(textCol)),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    docs.select(col("doc_id"),
+      ws.cast("long").as("ws_tokens"),
+      bpe.cast("long").as("bpe_tokens"),
+      (length(col(textCol)).cast("double") / greatest(bpe, lit(1))).as("chars_per_token"))
+  }
+
+  /** Winnowing-style document fingerprint: the minimum 60-bit
+    * md5-derived hash over the doc's word 4-gram shingles (plus the
+    * shingle count). Identical docs share fingerprints; near-dups
+    * collide with high probability. Engine-portable (md5 + hex→int).
+    */
+  def fingerprints(docs: DataFrame, nGram: Int = 4, textCol: String = "text"): DataFrame =
+    DedupOps.shingled(docs, nGram, textCol)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("h", conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10).cast("long"))
+      .groupBy("doc_id")
+      .agg(min(col("h")).as("fingerprint"), count(lit(1)).as("n_shingles"))
+}

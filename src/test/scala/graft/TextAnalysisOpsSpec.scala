@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{DedupOps, TextAnalysisOps}
+
+class TextAnalysisOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the max-marker language with deterministic ties") {
+    val docs = Seq(
+      (1L, "the cat and the dog of the house"),   // en x5
+      (2L, "le chat et la maison des gens"),      // fr x4
+      (3L, "xyzzy qwerty plugh"),                 // no markers -> und
+      (4L, "la la")).toDF("doc_id", "text")       // es/fr tie on 'la' -> es (alphabetical)
+    val got = TextAnalysisOps.langId(docs)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ("en", 5L))
+    assert(got(2L) == ("fr", 4L))
+    assert(got(3L) == ("und", 0L))
+    assert(got(4L) == ("es", 2L))
+  }
+
+  test("qualityScore is bounded and penalizes punctuation soup") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs to a tree"),
+      (2L, "!!! ??? *** %%% $$$ @@@")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.qualityScore(docs)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(got.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(got(1L) > got(2L))
+  }
+
+  test("tokenCounts: BPE-ish regex splits runs and symbols") {
+    val docs = Seq((1L, "hello world42 x-1!")).toDF("doc_id", "text")
+    // runs: hello, world, 42, x, -, 1, ! -> 7; ws tokens: 3
+    val got = TextAnalysisOps.tokenCounts(docs)
+      .as[(Long, Long, Long, Double)].head()
+    assert(got._2 == 3L && got._3 == 7L)
+  }
+
+  test("fingerprints: exact duplicates share, distinct texts differ") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val fp = TextAnalysisOps.fingerprints(docs)
+      .select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("near-dup docs in the corpus tend to share fingerprints") {
+    val docs = Tables.documents(spark, sf0)
+    val fp = TextAnalysisOps.fingerprints(docs)
+      .select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
+    val pairs = DedupOps.verifiedNearDups(docs, minJac = 0.8)
+      .select("da", "db").as[(Long, Long)].collect()
+    val share = pairs.count { case (a, b) => fp(a) == fp(b) }
+    assert(pairs.nonEmpty && share * 2 >= pairs.length,
+      s"only $share/${pairs.length} near-dup pairs share fingerprints")
+  }
+}
