@@ -68,10 +68,16 @@ object SparkEntry {
     // dim + hash agg). M = label<5 slice, N = transposed label>=5 slice;
     // vec_id bounded so the oracle output stays O(10^4) at every sf.
     "q_matmul" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 100)
-      val m = MatrixOps.embeddingsToCoo(emb.filter(col("label") < 5))
-      val n = MatrixOps.embeddingsToCoo(emb.filter(col("label") >= 5))
-        .select(col("j"), col("i").as("k"), col("v"))
+      // One parquet scan for both operands: explode to COO once, then
+      // split by label in memory (the naive two-branch form scans and
+      // explodes the embeddings twice).
+      val coo = Tables.embeddings(s, dir).filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos").cast("long").as("j"),
+          col("col").cast("double").as("v"))
+        .persist()
+      val m = coo.filter(col("label") < 5).select(col("vec_id").as("i"), col("j"), col("v"))
+      val n = coo.filter(col("label") >= 5).select(col("j"), col("vec_id").as("k"), col("v"))
       MatrixOps.multiply(m, n)
         .select(col("i"), col("k"), round(col("v"), 6).as("v"))
         .orderBy("i", "k")

@@ -8,11 +8,13 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
-/** MinHash signature of a string-array column as a native Catalyst
-  * expression: sig[i] = min over elements e of (h1(e) + i·h2(e)), the
-  * standard double-hashing construction of k hash functions from two
+/** MinHash signature of a string- or long-array column as a native
+  * Catalyst expression: sig[i] = min over elements e of (h1(e) + i·h2(e)),
+  * the standard double-hashing construction of k hash functions from two
   * xxHash64 evaluations per element (cf. Broder's minwise hashing and
-  * the Kirsch–Mitzenmacher double-hashing argument).
+  * the Kirsch–Mitzenmacher double-hashing argument). Long input is the
+  * pre-hashed-shingle fast path ([[graft.operators.DedupOps.hashedShingled]]):
+  * hashing 8 fixed bytes instead of a multi-word string.
   *
   * Why an Expression and not `transform(sequence(0,k-1), s ->
   * array_min(transform(set, e -> xxhash64(e, s))))`: nested
@@ -33,13 +35,16 @@ case class MinHashSignature(child: Expression, k: Int)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     child.dataType match {
-      case ArrayType(StringType, _) =>
+      case ArrayType(StringType, _) | ArrayType(LongType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"minhash_sig expects array<string>, got $other")
+          s"minhash_sig expects array<string> or array<long>, got $other")
     }
   }
+
+  private lazy val elemIsLong: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -48,9 +53,17 @@ case class MinHashSignature(child: Expression, k: Int)
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 77L)
+        var h1 = 0L
+        var h2 = 0L
+        if (elemIsLong) {
+          val v = arr.getLong(i)
+          h1 = XXH64.hashLong(v, 42L)
+          h2 = XXH64.hashLong(v, 77L)
+        } else {
+          val s = arr.getUTF8String(i)
+          h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+          h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 77L)
+        }
         var j = 0
         var h = h1
         while (j < k) {

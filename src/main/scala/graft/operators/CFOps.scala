@@ -45,11 +45,15 @@ object CFOps {
     * ≥ minUsersPerItem raters first, then users with ≥ minItemsPerUser
     * items among the surviving set (a3_p2.py:26,31).
     */
-  def supportFiltered(ratings: DataFrame, p: Params = Params()): DataFrame = {
+  def supportFiltered(ratings0: DataFrame, p: Params = Params()): DataFrame = {
+    // Each support round reads its input twice (count side + join side);
+    // without persists the upstream dedup window would run 4×.
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ratings = ratings0.persist(mad)
     val okItems = ratings.groupBy("item_id")
       .agg(countDistinct("user_id").as("nu"))
       .filter(col("nu") >= p.minUsersPerItem).select("item_id")
-    val r1 = ratings.join(okItems, "item_id")
+    val r1 = ratings.join(okItems, "item_id").persist(mad)
     val okUsers = r1.groupBy("user_id")
       .agg(countDistinct("item_id").as("ni"))
       .filter(col("ni") >= p.minItemsPerUser).select("user_id")
@@ -66,8 +70,12 @@ object CFOps {
     * each item's FULL vector (a3_p2.py:44-48). Emits (t_item, item_id,
     * sim, n_common) for pairs with ≥ minCommonUsers and sim > 0.
     */
-  def itemSimilarities(centered: DataFrame, targets: Seq[Long],
+  def itemSimilarities(centered0: DataFrame, targets: Seq[Long],
       p: Params = Params()): DataFrame = {
+    // `centered` feeds three branches (norms, target slice, dot join);
+    // its lineage includes the dedup window + both support joins —
+    // persist so that chain runs once instead of three times.
+    val centered = centered0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = centered.groupBy("item_id")
       .agg(sqrt(decSum(col("rc") * col("rc"))).as("nrm"))
     val tvec = centered.filter(col("item_id").isin(targets: _*))
@@ -104,7 +112,10 @@ object CFOps {
     */
   def recommend(ratings: DataFrame, targets: Seq[Long],
       p: Params = Params()): DataFrame = {
+    // Reused by centering, the neighbor-weighted candidate join and the
+    // pass-through branch — one materialization instead of three.
     val filtered = supportFiltered(ratings, p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nbrs = topNeighbors(itemSimilarities(meanCentered(filtered), targets, p), p)
       .select("t_item", "item_id", "sim")
     val cand = filtered.join(nbrs, "item_id")

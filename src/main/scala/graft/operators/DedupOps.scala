@@ -44,16 +44,42 @@ object DedupOps {
         i => array_join(slice(ws, i + lit(1), lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
 
-  /** (doc_id, shingles) for docs with at least one shingle. The
-    * repartition spreads CPU-heavy downstream work (hashing) across all
-    * cores even when the input is a single small parquet split — on a
-    * real multi-file lake the exchange is cheap relative to the hashing
-    * it parallelizes.
+  /** Ensure the CPU-heavy per-row work downstream runs with at least
+    * the session's default parallelism. A plain `repartition` is NOT
+    * enough: Catalyst pushes deterministic projects/filters below the
+    * exchange, so the tokenize→shingle→hash tree lands back in the scan
+    * stage — which on a single-row-group parquet file is ONE task
+    * (measured: all of `shingled` serialized on one core). The
+    * DataFrame→RDD→DataFrame round-trip is an optimizer barrier that
+    * pins the exchange below the compute. No-op (no shuffle at all)
+    * when the scan already has enough splits — i.e. on any real
+    * multi-file lake; only the local single-file case pays the (tiny,
+    * pre-pruned) text shuffle.
     */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else spark.createDataFrame(df.repartition(target).rdd, df.schema)
+  }
+
+  /** (doc_id, shingles) for docs with at least one shingle. */
   def shingled(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
-    docs.repartition(col("doc_id"))
+    spread(docs.select(col("doc_id"), col(textCol)))
       .select(col("doc_id"), shingles(words(col(textCol)), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
+
+  /** [[shingled]] with each shingle collapsed to its xxHash64 — the
+    * form every downstream dedup op actually consumes. Joining,
+    * minhashing and intersecting 8-byte longs beats doing the same on
+    * multi-word strings (smaller shuffle payload, cheaper compares);
+    * a 64-bit collision inside one candidate pair's union is a ~1e-15
+    * event and only perturbs the third decimal of a Jaccard estimate,
+    * so results are exact in practice.
+    */
+  def hashedShingled(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
+    shingled(docs, n, textCol)
+      .select(col("doc_id"), transform(col("shingles"), s => xxhash64(s)).as("hs"))
 
   /** Exact dedup: one representative (min doc_id) per distinct text,
     * with its multiplicity. Keep-list semantics: `n_copies = 1` rows
@@ -72,8 +98,8 @@ object DedupOps {
     * slower in interpreted eval (see the expression's scaladoc).
     * Pure per-row compute, no shuffle.
     */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
-    sh.withColumn("sig", graft.functions.MinHashSignature(col("shingles"), k))
+  def minhashSignatures(sh: DataFrame, k: Int, inputCol: String = "shingles"): DataFrame =
+    sh.withColumn("sig", graft.functions.MinHashSignature(col(inputCol), k))
 
   /** LSH banding: (doc_id, band, bucket) with bucket = hash of the
     * band's signature slice (r values per band).
@@ -107,10 +133,15 @@ object DedupOps {
   def verifiedNearDups(docs: DataFrame, nGram: Int = 3, sigLen: Int = 128,
       r: Int = 4, bands: Int = 32, minJac: Double = 0.8,
       textCol: String = "text"): DataFrame = {
-    val sh = shingled(docs, nGram, textCol)
-    val cand = lshCandidates(minhashSignatures(sh, sigLen), r, bands)
-    val sa = sh.select(col("doc_id").as("da"), col("shingles").as("sha"))
-    val sb = sh.select(col("doc_id").as("db"), col("shingles").as("shb"))
+    // The shingle+signature base feeds three plan branches (banding,
+    // left verify, right verify); persist so the CPU-heavy tokenize →
+    // shingle → hash → minhash work runs once. MEMORY_AND_DISK: at
+    // cluster scale the base (~1 KB/doc) spills rather than OOMs.
+    val base = minhashSignatures(hashedShingled(docs, nGram, textCol), sigLen, "hs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidates(base.select("doc_id", "sig"), r, bands)
+    val sa = base.select(col("doc_id").as("da"), col("hs").as("sha"))
+    val sb = base.select(col("doc_id").as("db"), col("hs").as("shb"))
     cand.join(sa, "da").join(sb, "db")
       .withColumn("jac", jaccard(col("sha"), col("shb")))
       .filter(col("jac") >= minJac)
@@ -123,20 +154,25 @@ object DedupOps {
     */
   def ngramJaccardPairs(docs: DataFrame, nGram: Int = 3, minJac: Double = 0.5,
       maxShingleDf: Option[Long] = None, textCol: String = "text"): DataFrame = {
-    val sh0 = shingled(docs, nGram, textCol)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-    val sh = maxShingleDf match {
-      case Some(m) =>
-        val rare = sh0.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= m).select("s")
-        sh0.join(rare, "s")
-      case None => sh0
-    }
-    val sizes = sh0.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val co = sh.select(col("s"), col("doc_id").as("da"))
-      .join(sh.select(col("s"), col("doc_id").as("db")), "s")
-      .filter(col("da") < col("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-    co.join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+    // Posting-list formulation: one shuffle keyed by shingle hash builds
+    // the inverted index, then co-occurring pairs are generated inside
+    // each posting row (d·(d−1)/2 per posting) — no self-join, so the
+    // expensive tokenize→shingle scan runs once and the only wide
+    // exchanges are (shingle → posting) and (pair → count). A shingle
+    // shared by df docs still costs O(df²) pairs — that's the problem's
+    // output size, not a plan artifact; `maxShingleDf` drops
+    // uninformative hot shingles to bound it (and the per-row skew).
+    val sh = hashedShingled(docs, nGram, textCol)
+    val posts = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy("h").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val capped = maxShingleDf.fold(posts)(m => posts.filter(size(col("ds")) <= m))
+    val pairs = capped.select(explode(expr(
+      "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), y -> struct(x AS da, y AS db))))")).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
+    val inter = pairs.groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+    inter.join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= minJac)

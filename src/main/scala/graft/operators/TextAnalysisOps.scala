@@ -87,9 +87,14 @@ object TextAnalysisOps {
     * collide with high probability. Engine-portable (md5 + hex→int).
     */
   def fingerprints(docs: DataFrame, nGram: Int = 4, textCol: String = "text"): DataFrame =
+    // Entirely per-row: the min over a doc's shingle hashes needs no
+    // explode and no groupBy — zero shuffles beyond the parallelizing
+    // repartition inside `shingled`. The exploded formulation shuffled
+    // every (doc, shingle) row just to re-group by doc.
     DedupOps.shingled(docs, nGram, textCol)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .withColumn("h", conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10).cast("long"))
-      .groupBy("doc_id")
-      .agg(min(col("h")).as("fingerprint"), count(lit(1)).as("n_shingles"))
+      .select(col("doc_id"),
+        array_min(transform(col("shingles"), s =>
+          conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")))
+          .as("fingerprint"),
+        size(col("shingles")).cast("long").as("n_shingles"))
 }
