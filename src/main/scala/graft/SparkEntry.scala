@@ -169,11 +169,79 @@ object SparkEntry {
         .orderBy("doc_id")),
     // Winnowing-style min-hash fingerprint over word 4-gram shingles.
     "q_fingerprint" -> ((s, dir) =>
-      TextAnalysisOps.fingerprints(Tables.documents(s, dir)).orderBy("doc_id"))
+      TextAnalysisOps.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
+    // Multimodal: metadata-only resize plan over binary media rows.
+    "q_mm_resize" -> ((s, dir) =>
+      MultimodalOps.resizePlan(MultimodalOps.asMedia(Tables.documents(s, dir)), 128)
+        .orderBy("media_id")),
+    // Multimodal: every-7th-frame sampling for video rows.
+    "q_mm_frames" -> ((s, dir) =>
+      MultimodalOps.sampleFrames(MultimodalOps.asMedia(Tables.documents(s, dir)), 7)
+        .orderBy("media_id", "frame_no")),
+    // Multimodal: batched binary decode (deterministic stub kernel)
+    // through real Dataset.mapPartitions plumbing, exploded per dim.
+    "q_mm_decode" -> ((s, dir) =>
+      MultimodalOps.decodeFeatures(MultimodalOps.asMedia(Tables.documents(s, dir)), 8)
+        .toDF()
+        .select(col("media_id"), col("n_bytes"), posexplode(col("features")))
+        .select(col("media_id"), col("n_bytes"), col("pos").as("d"),
+          round(col("col").cast("double"), 6).as("f"))
+        .orderBy("media_id", "d")),
+    // Structured Streaming: the one-pass sampler + running stats run as
+    // a REAL stream (AvailableNow over the parquet source, memory sink)
+    // with the same DuckDB oracle as the batch plan — streaming parity
+    // is part of the correctness gate, not just a unit test.
+    "q_stream_welford" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val sampled = RelationalOps.hashBucketSample(stream, "user_id", 16, 3)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          decMean(col("value")).as("mean_value"),
+          round(stddev_pop(col("value")), 4).as("std_value"))
+      val qn = s"graft_stream_welford_${StreamSeq.incrementAndGet()}"
+      val q = sampled.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).orderBy("event_type")
+    }),
+    // Momentum gradient descent (Part_2.pdf p.2 Q2): driver loop over
+    // one distributed gradient agg per iteration; standardized inputs.
+    // No SQL oracle (iterative) — pinned by MomentumGDSpec vs Breeze.
+    "q_momentum_gd" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir).select(
+        col("l_quantity").cast("double").as("x1"),
+        col("l_discount").cast("double").as("x2"),
+        col("l_extendedprice").cast("double").as("y"))
+      val st = li.agg(
+        avg("x1").as("m1"), stddev_pop("x1").as("s1"),
+        avg("x2").as("m2"), stddev_pop("x2").as("s2"),
+        avg("y").as("my"), stddev_pop("y").as("sy")).head()
+      // spread: the gram aggregation's partial side is decimal-heavy;
+      // without the barrier it runs inside the single-split scan task.
+      val z = PlanUtils.spread(li.select(
+        ((col("x1") - st.getDouble(0)) / st.getDouble(1)).as("x1"),
+        ((col("x2") - st.getDouble(2)) / st.getDouble(3)).as("x2"),
+        ((col("y") - st.getDouble(4)) / st.getDouble(5)).as("y")))
+      val fit = graft.functions.MomentumGD.fit(z, Seq("x1", "x2"), "y",
+        iters = 100, lr = 0.05, gamma = 0.9)
+      Seq(("beta_x1", fit.beta(0)), ("beta_x2", fit.beta(1)),
+        ("intercept", fit.intercept))
+        .toDF("coef", "value")
+        .select(col("coef"), round(col("value"), 6).as("value"))
+    })
   )
 
   /** CF query items (exist with ≥25 raters at every sf — FIXTURES.md). */
   private val CfTargets = Seq(3L, 7L)
+
+  /** Collision-free memory-sink names if a streaming query reruns in
+    * one session (no RNG/clock — determinism policy).
+    */
+  private val StreamSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   /** Order-insensitive mean: exact decimal sum, then one double divide.
     * Plain `round(avg(double),4)` can flip the last digit between Spark
@@ -360,6 +428,34 @@ object SparkEntry {
          |                               ORDER BY sim DESC, nn_id) AS rank
          |  FROM sims) x
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_mm_resize" ->
+      s"""WITH $MediaCte
+         |SELECT media_id, kind, width, height,
+         |       CASE WHEN greatest(width, height) > 128
+         |            THEN CAST(floor(width * 128.0 / greatest(width, height)) AS INTEGER)
+         |            ELSE width END AS out_w,
+         |       CASE WHEN greatest(width, height) > 128
+         |            THEN CAST(floor(height * 128.0 / greatest(width, height)) AS INTEGER)
+         |            ELSE height END AS out_h
+         |FROM media ORDER BY media_id""".stripMargin,
+    "q_mm_frames" ->
+      s"""WITH $MediaCte
+         |SELECT media_id, n_frames, CAST(f AS INTEGER) AS frame_no
+         |FROM media CROSS JOIN unnest(range(0, CAST(n_frames AS BIGINT), 7)) AS t(f)
+         |WHERE kind = 'video'
+         |ORDER BY media_id, frame_no""".stripMargin,
+    "q_mm_decode" ->
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        |       CAST(d AS INTEGER) AS d,
+        |       round(CAST(('0x' || substring(md5(text || ':' || CAST(d AS VARCHAR)), 1, 6)) AS BIGINT)
+        |             / 16777216.0, 6) AS f
+        |FROM documents CROSS JOIN range(8) t(d)
+        |ORDER BY media_id, d""".stripMargin,
+    "q_stream_welford" ->
+      s"""SELECT event_type, count(*) AS n, ${decMeanSql("value")} AS mean_value,
+         |       round(stddev_pop(value), 4) AS std_value
+         |FROM events WHERE (user_id * 2654435761) % 16 = 3
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_cosine_neardup" ->
       s"""WITH $CosineCte,
          |dots AS (
@@ -434,6 +530,17 @@ object SparkEntry {
         |       count(*) AS n_shingles
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
+
+  /** DuckDB CTE mirroring [[MultimodalOps.asMedia]]'s metadata. */
+  private val MediaCte: String =
+    """media AS (
+      |  SELECT doc_id AS media_id,
+      |         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+      |         CAST(16 + n_chars % 241 AS INTEGER) AS width,
+      |         CAST(16 + (n_chars * 7) % 241 AS INTEGER) AS height,
+      |         CAST(1 + (doc_id * 13) % 120 AS INTEGER) AS n_frames
+      |  FROM documents
+      |)""".stripMargin
 
   /** Exact decimal dot product between two aliased `v` rows (DuckDB). */
   private def DotSql(a: String, b: String): String =

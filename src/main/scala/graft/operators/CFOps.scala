@@ -60,10 +60,19 @@ object CFOps {
     r1.join(okUsers, "user_id").select("user_id", "item_id", "rating")
   }
 
-  /** Ratings mean-centered within item (a3_p2.py:42-43,70-71). */
-  def meanCentered(filtered: DataFrame): DataFrame =
-    filtered.withColumn("rc",
-      col("rating") - avg(col("rating")).over(Window.partitionBy("item_id")))
+  /** Ratings mean-centered within item (a3_p2.py:42-43,70-71).
+    * Hash-agg the per-item means and join back rather than a window
+    * `avg over (partition by item)`: the agg partial-aggregates map-side
+    * and its output (one row per item) is small enough that AQE turns
+    * the join-back into a broadcast — no full-data sort, and the big
+    * side is never range-shuffled just to compute a group mean.
+    */
+  def meanCentered(filtered: DataFrame): DataFrame = {
+    val means = filtered.groupBy("item_id").agg(avg("rating").as("__mean"))
+    filtered.join(means, "item_id")
+      .withColumn("rc", col("rating") - col("__mean"))
+      .drop("__mean")
+  }
 
   /** Cosine similarity of every item against each target item over the
     * mean-centered matrix: numerator on common users only, norms over

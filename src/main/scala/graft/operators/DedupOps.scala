@@ -44,28 +44,12 @@ object DedupOps {
         i => array_join(slice(ws, i + lit(1), lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
 
-  /** Ensure the CPU-heavy per-row work downstream runs with at least
-    * the session's default parallelism. A plain `repartition` is NOT
-    * enough: Catalyst pushes deterministic projects/filters below the
-    * exchange, so the tokenize→shingle→hash tree lands back in the scan
-    * stage — which on a single-row-group parquet file is ONE task
-    * (measured: all of `shingled` serialized on one core). The
-    * DataFrame→RDD→DataFrame round-trip is an optimizer barrier that
-    * pins the exchange below the compute. No-op (no shuffle at all)
-    * when the scan already has enough splits — i.e. on any real
-    * multi-file lake; only the local single-file case pays the (tiny,
-    * pre-pruned) text shuffle.
+  /** (doc_id, shingles) for docs with at least one shingle. The
+    * [[graft.PlanUtils.spread]] barrier keeps the tokenize→shingle
+    * tree above an exchange so it parallelizes on single-split input.
     */
-  private[operators] def spread(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
-    else spark.createDataFrame(df.repartition(target).rdd, df.schema)
-  }
-
-  /** (doc_id, shingles) for docs with at least one shingle. */
   def shingled(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
-    spread(docs.select(col("doc_id"), col(textCol)))
+    graft.PlanUtils.spread(docs.select(col("doc_id"), col(textCol)))
       .select(col("doc_id"), shingles(words(col(textCol)), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
 

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational building blocks mirroring the reference's hand-rolled
@@ -64,16 +63,23 @@ object RelationalOps {
 
   /** Keep the last row per key group under an explicit ordering — the
     * deterministic version of the reference's `reduceByKey(lambda a,b: b)`
-    * (a3_p2.py:22, whose "last" was partition-order-dependent). Window
-    * row_number over (keys / order desc): one shuffle on the group keys,
-    * no driver state. At 100 TB the shuffle is unavoidable for this
-    * semantic; AQE handles skewed keys.
+    * (a3_p2.py:22, whose "last" was partition-order-dependent).
+    *
+    * Planned as `max_by(values, order)` — a hash aggregation, NOT a
+    * window: the aggregate gets map-side partial reduction (each input
+    * partition keeps one candidate row per key before the shuffle),
+    * whereas `row_number over (partition by …)` must shuffle and sort
+    * EVERY input row. Same "last" semantics: the order struct compares
+    * lexicographically like ORDER BY on `orderCols` descending; rows
+    * tying on the full order struct must be identical in the value
+    * columns for the result to be well-defined (callers include a
+    * total-order tie-break).
     */
   def dedupLast(df: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(_.desc): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val valueCols = df.columns.filterNot(keys.contains)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(valueCols.map(col): _*), struct(orderCols: _*)).as("__v"))
+      .select(keys.map(col) ++ valueCols.map(c => col(s"__v.$c").as(c)): _*)
   }
 
   /** Groups of `groupCol` supported by at least `minDistinct` distinct

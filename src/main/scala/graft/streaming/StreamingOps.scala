@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface — the reference's only streaming
+  * semantics is the ONE-PASS constraint of the stream sampler
+  * (`Assignment 1/sampler_v02.py:63-87`, SURVEY.md §2.10): no second
+  * scan, no driver-resident id set, state bounded by the aggregate.
+  * Here that becomes `readStream → hash-bucket filter → streaming agg`:
+  * Spark's incremental HashAggregate maintains exactly the (n, mean,
+  * M2)-equivalent state per key, updated once per micro-batch.
+  *
+  * [[welfordByKey]] is the explicit `flatMapGroupsWithState` mirror of
+  * the reference's Welford recurrence — same update algebra
+  * (`new_mean = mean + (x−mean)/n; M2 += (x−new_mean)·(x−mean)`), kept
+  * as typed per-key state, for when the built-in agg's semantics are
+  * not enough (custom state, custom emission policy).
+  *
+  * Scale notes: both paths shuffle once, keyed by the group column;
+  * state lives in the state store (RocksDB-able), sized by distinct
+  * keys, not by input rows — the 100 TB properties the reference's
+  * one-pass rules are really about.
+  */
+object StreamingOps {
+
+  /** One-pass stream sampler + running mean/std: keep rows whose
+    * `pmod(hash(keyCol), buckets) == chosen` (the reference's
+    * user-bucket sample, P5) and maintain count/mean/stddev_pop per
+    * `groupCol` incrementally. Works on any streaming OR batch
+    * DataFrame with the same plan — the single-scan shape is identical.
+    */
+  def sampledRunningStats(events: DataFrame, keyCol: String, buckets: Int,
+      chosen: Int, groupCol: String, valueCol: String): DataFrame =
+    events
+      .filter(pmod(hash(col(keyCol)), lit(buckets)) === lit(chosen))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        avg(col(valueCol)).as("mean_value"),
+        stddev_pop(col(valueCol)).as("std_value"))
+
+  /** Per-key Welford state: the exact triple the reference carries. */
+  case class WelfordState(n: Long, mean: Double, m2: Double)
+
+  /** One emitted row per key per micro-batch. */
+  case class WelfordRow(key: String, n: Long, mean: Double, std: Double)
+
+  /** Explicit Welford recurrence over a stream of (key, value) pairs
+    * via flatMapGroupsWithState — update-mode output, one row per
+    * updated key per micro-batch. State per key is 3 doubles,
+    * independent of stream length (the one-pass rule).
+    */
+  def welfordByKey(pairs: Dataset[(String, Double)]): Dataset[WelfordRow] = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.groupByKey(_._1)
+      .flatMapGroupsWithState[WelfordState, WelfordRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[WelfordState]) =>
+          var s = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+          rows.foreach { case (_, x) =>
+            val n = s.n + 1
+            val newMean = s.mean + (x - s.mean) / n
+            val m2 = s.m2 + (x - newMean) * (x - s.mean)
+            s = WelfordState(n, newMean, m2)
+          }
+          state.update(s)
+          Iterator.single(
+            WelfordRow(key, s.n, s.mean, math.sqrt(s.m2 / s.n)))
+      }
+  }
+
+  /** Watermarked tumbling-window event counts + mean value — the
+    * standard event-time aggregation shape (absent from the reference,
+    * SURVEY.md §2.10 non-goal; included because any 100 TB event
+    * pipeline needs it). Late rows beyond `watermark` are dropped and
+    * their window state evicted — bounded state.
+    */
+  def windowedStats(events: DataFrame, tsCol: String, valueCol: String,
+      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_))
+      .agg(count(lit(1)).as("n"), avg(col(valueCol)).as("mean_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("n"), col("mean_value"))
+}

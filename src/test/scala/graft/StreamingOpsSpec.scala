@@ -1,0 +1,86 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming sampled stats equal the batch plan on the same data (one-pass parity)") {
+    val batch = Tables.events(spark, sf0)
+    val expect = StreamingOps.sampledRunningStats(batch, "user_id", 16, 3,
+      "event_type", "value")
+      .orderBy("event_type").collect()
+
+    val schema = spark.read.parquet(s"$sf0/events.parquet").schema
+    // file-stream source wants a directory; glob down to the one table
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf0)
+    val q = StreamingOps.sampledRunningStats(stream, "user_id", 16, 3,
+      "event_type", "value")
+      .writeStream.format("memory").queryName("stream_stats_test")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("stream_stats_test").orderBy("event_type").collect()
+
+    assert(got.length == expect.length && got.nonEmpty)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g.getString(0) == e.getString(0))
+      assert(g.getLong(1) == e.getLong(1))
+      assert(math.abs(g.getDouble(2) - e.getDouble(2)) < 1e-9)
+      assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-9)
+    }
+  }
+
+  test("welfordByKey over a MemoryStream matches exact mean/std, state carried across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, Double)]
+    val q = StreamingOps.welfordByKey(source.toDS())
+      .writeStream.format("memory").queryName("welford_stream_test")
+      .outputMode("update").start()
+    // two micro-batches for the same key: state must carry over
+    source.addData("a" -> 1.0, "a" -> 2.0, "b" -> 10.0)
+    q.processAllAvailable()
+    source.addData("a" -> 3.0, "a" -> 4.0)
+    q.processAllAvailable()
+    val rows = spark.table("welford_stream_test")
+      .groupBy("key").agg(max(struct($"n", $"mean", $"std")).as("s"))
+      .select($"key", $"s.n", $"s.mean", $"s.std")
+      .as[(String, Long, Double, Double)].collect()
+      .map { case (k, n, m, s) => k -> ((n, m, s)) }.toMap
+    q.stop()
+    val (an, am, as_) = rows("a")
+    assert(an == 4L && math.abs(am - 2.5) < 1e-12)
+    // population std of {1,2,3,4} = sqrt(1.25)
+    assert(math.abs(as_ - math.sqrt(1.25)) < 1e-12)
+    val (bn, bm, _) = rows("b")
+    assert(bn == 1L && math.abs(bm - 10.0) < 1e-12)
+  }
+
+  test("windowedStats drops late rows beyond the watermark (bounded state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(java.sql.Timestamp, Double)]
+    val df = source.toDS().toDF("ts", "value")
+    val q = StreamingOps.windowedStats(df, "ts", "value",
+      window_ = "10 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("windowed_stats_test")
+      .outputMode("append").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    source.addData(t(0) -> 1.0, t(5) -> 3.0) // window [10:00,10:10)
+    q.processAllAvailable()
+    source.addData(t(40) -> 7.0) // advances watermark to 10:30 → first window closes
+    q.processAllAvailable()
+    source.addData(t(1) -> 100.0) // LATE: before watermark, must be dropped
+    q.processAllAvailable()
+    source.addData(t(55) -> 9.0) // close the 10:40 window too
+    q.processAllAvailable()
+    val out = spark.table("windowed_stats_test").orderBy("w_start").collect()
+    q.stop()
+    assert(out.nonEmpty)
+    val first = out.head
+    assert(first.getLong(2) == 2L) // the late 100.0 never joined this window
+    assert(math.abs(first.getDouble(3) - 2.0) < 1e-12)
+  }
+}
