@@ -44,18 +44,24 @@ object CFOps {
   /** Sequential support filters, as in the reference: items with
     * ≥ minUsersPerItem raters first, then users with ≥ minItemsPerUser
     * items among the surviving set (a3_p2.py:26,31).
+    *
+    * PRECONDITION: `ratings0` holds one row per (user, item) — the
+    * [[Ratings.deduped]] contract. That makes `count(*)` equal to the
+    * spec's `count(DISTINCT …)` while planning as ONE hash aggregation
+    * with map-side combine instead of count-distinct's two-phase
+    * expand — one shuffle saved per support round.
     */
   def supportFiltered(ratings0: DataFrame, p: Params = Params()): DataFrame = {
     // Each support round reads its input twice (count side + join side);
-    // without persists the upstream dedup window would run 4×.
+    // without persists the upstream dedup chain would run 4×.
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ratings = ratings0.persist(mad)
     val okItems = ratings.groupBy("item_id")
-      .agg(countDistinct("user_id").as("nu"))
+      .agg(count(lit(1)).as("nu"))
       .filter(col("nu") >= p.minUsersPerItem).select("item_id")
     val r1 = ratings.join(okItems, "item_id").persist(mad)
     val okUsers = r1.groupBy("user_id")
-      .agg(countDistinct("item_id").as("ni"))
+      .agg(count(lit(1)).as("ni"))
       .filter(col("ni") >= p.minItemsPerUser).select("user_id")
     r1.join(okUsers, "user_id").select("user_id", "item_id", "rating")
   }

@@ -41,11 +41,19 @@ object Ratings {
     * rating). The testdata contains duplicate (ord, ln) pairs, so the
     * rating itself is the final tie-break — ties beyond that produce
     * identical output rows, keeping the result well-defined.
+    *
+    * Fast path over the generic [[RelationalOps.dedupLast]]: the order
+    * triple bit-packs into one LONG (ln ≤ 7 < 2^8, rating ≤ 5 < 2^8,
+    * ord ≪ 2^47 — packing is order-preserving), so `max_by(long, long)`
+    * has an all-primitive buffer and plans as a real HashAggregate with
+    * map-side combine; the struct-buffer form falls back to
+    * SortAggregate (sorts every input row map-side).
     */
   def deduped(spark: SparkSession, dir: String): DataFrame =
-    RelationalOps.dedupLast(apply(spark, dir), Seq("user_id", "item_id"),
-      Seq(col("ord"), col("ln"), col("rating")))
-      .select("user_id", "item_id", "rating")
+    apply(spark, dir)
+      .groupBy("user_id", "item_id")
+      .agg(max_by(col("rating"),
+        col("ord") * 65536L + col("ln") * 256L + col("rating")).as("rating"))
 
   val OracleDedupCte: String =
     OracleCte +
