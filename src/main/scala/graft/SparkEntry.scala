@@ -150,6 +150,13 @@ object SparkEntry {
       SimilarityOps.annTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 10)
         .select(col("q_id"), col("nn_id"), round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy("q_id", "rank")),
+    // ANN via IVF (MLlib KMeans coarse quantizer, nProbe cells/query);
+    // recall pinned in SimilarityOpsSpec (rows-only here — k-means cells
+    // are model output, not SQL).
+    "q_ann_ivf" -> ((s, dir) =>
+      SimilarityOps.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 10)
+        .select(col("q_id"), col("nn_id"), round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy("q_id", "rank")),
     // Text analysis: marker-based language ID (argmax + und fallback).
     "q_lang_id" -> ((s, dir) =>
       TextAnalysisOps.langId(Tables.documents(s, dir)).orderBy("doc_id")),

@@ -91,6 +91,63 @@ object SimilarityOps {
       .select("q_id", "nn_id", "sim", "rank")
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: MLlib
+    * KMeans partitions the corpus into `nCells` Voronoi cells; each
+    * query probes only its `nProbe` nearest cells, so the exact-cosine
+    * work is (queries × corpus/nCells × nProbe) instead of queries ×
+    * corpus. Complements [[annTopK]]'s LSH: IVF adapts to the data's
+    * density (cells follow the distribution), LSH is oblivious but
+    * fit-free.
+    *
+    *  - Fit runs on a deterministic 1-in-`fitSampleMod` slice (seeded
+    *    k-means||), a few passes over a sample — at 100 TB the model
+    *    fits on a sketch, never the corpus.
+    *  - Cell assignment = one pass (transform); the centroid table
+    *    (nCells × dim) broadcasts to the query side.
+    *  - Output shape matches [[bruteForceTopK]]; recall is pinned vs
+    *    brute force in SimilarityOpsSpec.
+    */
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, fitSampleMod: Long = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("fv"))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(8)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(vecs.filter(pmod(col("vec_id"), lit(fitSampleMod)) === 0))
+    val assigned = model.transform(vecs).select(col("vec_id"), col("cell"))
+    val cents = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toDF("cell", "centroid")
+    // query → nProbe nearest cells by (negated) squared L2 distance:
+    // |q−c|² = |q|² − 2·q·c + |c|²; |q|² is rank-constant, dropped
+    val queries = embeddings.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("emb_q"),
+        norm(col("embedding")).as("nrm_q"))
+    val pw = Window.partitionBy("q_id")
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("cdist",
+        dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("emb_q"), col("centroid")))
+      .withColumn("crank", row_number().over(pw))
+      .filter(col("crank") <= nProbe)
+      .select(col("q_id"), col("emb_q"), col("nrm_q"), col("cell"))
+    val cand = probes.join(assigned, "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("emb_q"), col("nrm_q"), col("vec_id").as("nn_id"))
+    val sims = cand.join(
+      embeddings.select(col("vec_id").as("nn_id"), col("embedding").as("emb_n"),
+        norm(col("embedding")).as("nrm_n")), "nn_id")
+      .withColumn("sim", dot(col("emb_q"), col("emb_n")) / (col("nrm_q") * col("nrm_n")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nn_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "nn_id", "sim", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs above `minSim` among a
     * bounded id range — brute force (quadratic in the bounded slice;
     * the LSH path is the scale variant).

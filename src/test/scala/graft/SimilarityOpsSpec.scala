@@ -55,4 +55,21 @@ class SimilarityOpsSpec extends SparkSpec {
     val n = codes.groupBy("vec_id").count().select("count").distinct().as[Long].collect()
     assert(n.toSeq == Seq(8L))              // 8 tables per vector
   }
+
+  test("IVF (KMeans-cell) ANN: recall@10 vs brute force, probed cells only") {
+    val emb = Tables.embeddings(spark, sf0)
+    val brute = SimilarityOps.bruteForceTopK(emb, col("vec_id") < 10, 10)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityOps.ivfTopK(emb, col("vec_id") < 10, 10,
+      nCells = 8, nProbe = 3)
+    val got = ivf.select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    info(f"IVF recall@10 = $recall%.3f (pairs ${got.size})")
+    // near-orthogonal synthetic data is IVF's hardest case too; the
+    // probe fraction (3/8) lower-bounds expected recall
+    assert(recall >= 0.2, f"recall $recall%.3f")
+    // every result ranks properly: k per query at most
+    val counts = ivf.groupBy("q_id").count().select("count").as[Long].collect()
+    assert(counts.forall(_ <= 10))
+  }
 }
