@@ -127,18 +127,20 @@ object CFOps {
     */
   def recommend(ratings: DataFrame, targets: Seq[Long],
       p: Params = Params()): DataFrame = {
-    // Reused by centering, the neighbor-weighted candidate join and the
-    // pass-through branch — one materialization instead of three.
-    val filtered = supportFiltered(ratings, p)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nbrs = topNeighbors(itemSimilarities(meanCentered(filtered), targets, p), p)
+    // `centered` keeps the RAW rating next to the centered one, so the
+    // similarity branch, the neighbor-weighted candidate join and the
+    // pass-through branch all read the ONE persisted frame (the persist
+    // happens inside itemSimilarities) — no separate `filtered`
+    // materialization.
+    val centered = meanCentered(supportFiltered(ratings, p))
+    val nbrs = topNeighbors(itemSimilarities(centered, targets, p), p)
       .select("t_item", "item_id", "sim")
-    val cand = filtered.join(nbrs, "item_id")
+    val cand = centered.join(nbrs, "item_id")
       .groupBy("user_id", "t_item")
       .agg((decSum(col("rating") * col("sim")) / decSum(col("sim"))).as("wavg"),
         count(lit(1)).as("n_nbrs"))
       .filter(col("n_nbrs") >= p.minCommonUsers)
-    val own = filtered.filter(col("item_id").isin(targets: _*))
+    val own = centered.filter(col("item_id").isin(targets: _*))
       .select(col("user_id"), col("item_id").as("t_item"), col("rating").as("own_rating"))
     cand.join(own, Seq("user_id", "t_item"), "left")
       .withColumn("pred", coalesce(col("own_rating").cast("double"), col("wavg")))
