@@ -177,6 +177,35 @@ object SparkEntry {
     // Winnowing-style min-hash fingerprint over word 4-gram shingles.
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysisOps.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
+    // §2.7 set ops beyond EXCEPT: INTERSECT (custkeys with orders AND
+    // high balance).
+    "q_intersect" -> ((s, dir) =>
+      Tables.orders(s, dir).select(col("o_custkey").as("custkey"))
+        .intersect(Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("custkey")))
+        .orderBy("custkey")),
+    // Beyond the reference: hierarchical aggregation (ROLLUP) — the
+    // partial-agg tree Catalyst plans for grouping sets.
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(28,12)")).cast("double").as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          round(col("sum_qty"), 4).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    // Beyond the reference: ordered analytic window — per-user running
+    // event count and running value sum by event time.
+    "q_window_running" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir).filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          row_number().over(w).as("event_seq"),
+          round(sum(col("value").cast("decimal(28,12)")).over(w).cast("double"), 4)
+            .as("running_value"))
+        .orderBy("user_id", "event_seq")
+    }),
     // Multimodal: metadata-only resize plan over binary media rows.
     "q_mm_resize" -> ((s, dir) =>
       MultimodalOps.resizePlan(MultimodalOps.asMedia(Tables.documents(s, dir)), 128)
@@ -435,6 +464,24 @@ object SparkEntry {
          |                               ORDER BY sim DESC, nn_id) AS rank
          |  FROM sims) x
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_intersect" ->
+      """SELECT custkey FROM (
+        |  (SELECT DISTINCT o_custkey AS custkey FROM orders)
+        |  INTERSECT
+        |  (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+        |) t ORDER BY custkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE), 4) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        |       row_number() OVER w AS event_seq,
+        |       round(CAST(sum(CAST(value AS DECIMAL(28,12))) OVER w AS DOUBLE), 4) AS running_value
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_seq""".stripMargin,
     "q_mm_resize" ->
       s"""WITH $MediaCte
          |SELECT media_id, kind, width, height,
