@@ -243,26 +243,19 @@ object SparkEntry {
       q.awaitTermination()
       s.table(qn).orderBy("event_type")
     }),
-    // Momentum gradient descent (Part_2.pdf p.2 Q2): driver loop over
-    // one distributed gradient agg per iteration; standardized inputs.
-    // No SQL oracle (iterative) — pinned by MomentumGDSpec vs Breeze.
+    // Momentum gradient descent (Part_2.pdf p.2 Q2): standardized-space
+    // optimization from ONE pass over the data (raw-moment algebra);
+    // every iteration is driver-side O(p²). No SQL oracle (iterative) —
+    // pinned by MomentumGDSpec vs Breeze.
     "q_momentum_gd" -> ((s, dir) => {
       import s.implicits._
-      val li = Tables.lineitem(s, dir).select(
+      // spread: the moment aggregation's partial side is decimal-heavy;
+      // without the barrier it runs inside the single-split scan task.
+      val li = PlanUtils.spread(Tables.lineitem(s, dir).select(
         col("l_quantity").cast("double").as("x1"),
         col("l_discount").cast("double").as("x2"),
-        col("l_extendedprice").cast("double").as("y"))
-      val st = li.agg(
-        avg("x1").as("m1"), stddev_pop("x1").as("s1"),
-        avg("x2").as("m2"), stddev_pop("x2").as("s2"),
-        avg("y").as("my"), stddev_pop("y").as("sy")).head()
-      // spread: the gram aggregation's partial side is decimal-heavy;
-      // without the barrier it runs inside the single-split scan task.
-      val z = PlanUtils.spread(li.select(
-        ((col("x1") - st.getDouble(0)) / st.getDouble(1)).as("x1"),
-        ((col("x2") - st.getDouble(2)) / st.getDouble(3)).as("x2"),
-        ((col("y") - st.getDouble(4)) / st.getDouble(5)).as("y")))
-      val fit = graft.functions.MomentumGD.fit(z, Seq("x1", "x2"), "y",
+        col("l_extendedprice").cast("double").as("y")))
+      val fit = graft.functions.MomentumGD.fitStandardized(li, Seq("x1", "x2"), "y",
         iters = 100, lr = 0.05, gamma = 0.9)
       Seq(("beta_x1", fit.beta(0)), ("beta_x2", fit.beta(1)),
         ("intercept", fit.intercept))

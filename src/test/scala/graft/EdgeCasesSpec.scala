@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Degenerate-input behavior: empty relations, null/empty text, and
+  * groups that fail every filter must yield empty/safe results, never
+  * exceptions — at 100 TB some partition somewhere WILL be degenerate.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def docsOf(rows: Seq[(Long, String)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2))),
+      docSchema)
+
+  test("empty documents: every text/dedup operator returns empty, no crash") {
+    val empty = docsOf(Seq.empty)
+    assert(DedupOps.exactDedup(empty).isEmpty)
+    assert(DedupOps.ngramJaccardPairs(empty).isEmpty)
+    assert(DedupOps.verifiedNearDups(empty).isEmpty)
+    assert(DedupOps.simhash(empty).isEmpty)
+    assert(TextAnalysisOps.fingerprints(empty).isEmpty)
+    assert(TextOps.topKWords(empty, 10).isEmpty)
+  }
+
+  test("null and empty text rows are dropped or scored, never throw") {
+    val docs = docsOf(Seq(1L -> null, 2L -> "", 3L -> "   ", 4L -> "real text here we go"))
+    // shingling drops null/too-short docs
+    val sh = DedupOps.shingled(docs, 3).select("doc_id").as[Long].collect()
+    assert(sh.toSeq == Seq(4L))
+    // language id labels null/empty as "und" rather than dropping
+    val langs = TextAnalysisOps.langId(docs)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(langs.keySet == Set(1L, 2L, 3L, 4L))
+    assert(langs(1L) == "und" && langs(2L) == "und")
+    // token counting survives null text (null-safe lengths)
+    val toks = TextAnalysisOps.tokenCounts(docs).where($"doc_id" === 2L)
+      .select("bpe_tokens").as[Long].collect()
+    assert(toks.toSeq == Seq(0L))
+  }
+
+  test("CF on ratings where nothing passes support filters is empty, not an error") {
+    val tiny = Seq((1L, 1L, 5L), (2L, 1L, 3L), (1L, 2L, 4L))
+      .toDF("user_id", "item_id", "rating")
+    assert(CFOps.supportFiltered(tiny).isEmpty)
+    assert(CFOps.recommend(tiny, Seq(1L)).isEmpty)
+  }
+
+  test("similarity search with an empty query set is empty") {
+    val emb = Tables.embeddings(spark, sf0)
+    assert(SimilarityOps.bruteForceTopK(emb, lit(false), 5).isEmpty)
+    assert(SimilarityOps.annTopK(emb, lit(false), 5).isEmpty)
+  }
+
+  test("dedupLast on a single-row group and on all-identical keys") {
+    val df = Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "c", 5L))
+      .toDF("k", "v", "ord")
+    val out = RelationalOps.dedupLast(df, Seq("k"), Seq(col("ord")))
+      .orderBy("k").as[(Long, String, Long)].collect()
+    assert(out.toSeq == Seq((1L, "b", 20L), (2L, "c", 5L)))
+  }
+}

@@ -28,6 +28,28 @@ class MomentumGDSpec extends SparkSpec {
     assert(math.abs(fit.intercept - beta(2)) < 1e-4)
   }
 
+  test("fitStandardized (one pass) equals explicit standardize-then-fit") {
+    val rows = (0 until 500).map { i =>
+      val x1 = 100.0 + (i % 23)          // deliberately badly scaled
+      val x2 = 0.001 * ((i * 11) % 17)
+      (x1, x2, 5.0 * x1 - 2000.0 * x2 + 3.0 + ((i * 13) % 9 - 4) / 50.0)
+    }
+    val df = rows.toDF("x1", "x2", "y")
+    val onePass = MomentumGD.fitStandardized(df, Seq("x1", "x2"), "y", iters = 300)
+    // explicit two-pass standardization + plain fit
+    val st = df.agg(avg("x1"), stddev_pop("x1"), avg("x2"), stddev_pop("x2"),
+      avg("y"), stddev_pop("y")).head()
+    val z = df.select(
+      ((col("x1") - st.getDouble(0)) / st.getDouble(1)).as("x1"),
+      ((col("x2") - st.getDouble(2)) / st.getDouble(3)).as("x2"),
+      ((col("y") - st.getDouble(4)) / st.getDouble(5)).as("y"))
+    val twoPass = MomentumGD.fit(z, Seq("x1", "x2"), "y", iters = 300)
+    assert(math.abs(onePass.beta(0) - twoPass.beta(0)) < 1e-9)
+    assert(math.abs(onePass.beta(1) - twoPass.beta(1)) < 1e-9)
+    assert(math.abs(onePass.intercept) < 1e-9) // exactly 0 in standardized space
+    assert(math.abs(twoPass.intercept) < 1e-6)
+  }
+
   test("trajectory is deterministic across repartitionings (decimal gradient sums)") {
     val df = (0 until 300).map { i =>
       val x = (i % 17 - 8) / 8.0
