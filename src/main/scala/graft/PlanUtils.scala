@@ -1,9 +1,31 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Plan-shaping helpers shared across operators. */
 object PlanUtils {
+
+  /** Skew-safe equi-join of a big, possibly skewed fact side against a
+    * smaller dimension side: every big row gets a deterministic salt in
+    * [0, salts) derived from hashing `saltFrom` (any column that varies
+    * within a hot key — a row id, a payload column); the dim side is
+    * replicated `salts`× via explode. The shuffle then keys on
+    * (key, salt), splitting each hot key across `salts` reducers.
+    *
+    * Use when ONE key owns a large fraction of the rows and AQE's
+    * skew-join splitting can't help (e.g. the skew emerges after other
+    * operators, or the build side must shuffle too). Costs a `salts`×
+    * dim replication — keep the dim side narrow. Row-identical to the
+    * plain inner equi-join.
+    */
+  def saltedJoin(big: DataFrame, dim: DataFrame, key: String,
+      saltFrom: Column, salts: Int): DataFrame = {
+    val b = big.withColumn("__salt", pmod(xxhash64(saltFrom), lit(salts.toLong)))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    b.join(d, Seq(key, "__salt")).drop("__salt")
+  }
 
   /** Ensure CPU-heavy per-row work downstream runs with at least the
     * session's default parallelism. A plain `repartition` is NOT

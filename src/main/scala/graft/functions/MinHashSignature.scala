@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -29,7 +29,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * Null elements are skipped; a null input array yields null.
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -76,6 +76,46 @@ case class MinHashSignature(child: Expression, k: Int)
     }
     new GenericArrayData(sig)
   }
+
+  /** Whole-stage-codegen body: the same double-hashing loop emitted as
+    * straight-line Java (no per-row boxing, no interpreted eval) so the
+    * signature computation stays inside the generated stage.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val xxh = classOf[XXH64].getName
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
+      val hashes =
+        if (elemIsLong)
+          s"""long $h1 = $xxh.hashLong($c.getLong($i), 42L);
+             |long $h2 = $xxh.hashLong($c.getLong($i), 77L);""".stripMargin
+        else {
+          val s = ctx.freshName("s")
+          s"""org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($i);
+             |long $h1 = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+             |long $h2 = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 77L);""".stripMargin
+        }
+      s"""long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |int $n = $c.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    $hashes
+         |    long $h = $h1;
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      if ($h < $sig[$j]) $sig[$j] = $h;
+         |      $h += $h2;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);""".stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class PlanUtilsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin is row-identical to the plain join on skewed data") {
+    // 90% of fact rows share one hot key
+    val big = (0 until 2000).map { i =>
+      val k = if (i % 10 == 0) (i % 7) + 1L else 0L
+      (i.toLong, k, i * 1.5)
+    }.toDF("row_id", "k", "v")
+    val dim = (0L to 7L).map(k => (k, s"name_$k")).toDF("k", "name")
+
+    val plain = big.join(dim, "k")
+      .select("row_id", "k", "v", "name")
+    val salted = PlanUtils.saltedJoin(big, dim, "k", col("row_id"), salts = 8)
+      .select("row_id", "k", "v", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("saltedJoin spreads a hot key across salt partitions") {
+    val big = (0 until 1000).map(i => (i.toLong, 0L, 1.0)).toDF("row_id", "k", "v")
+    val salts = big.withColumn("__salt", pmod(xxhash64(col("row_id")), lit(8L)))
+      .select("__salt").distinct().count()
+    assert(salts >= 6) // a single hot key hashes into (nearly) all 8 buckets
+  }
+
+  test("spread is a no-op on well-partitioned input") {
+    val df = Tables.events(spark, sf0).repartition(16)
+    assert(PlanUtils.spread(df).rdd.getNumPartitions == 16)
+  }
+
+  test("approx_count_distinct tracks exact distinct within 5% (the 100 TB upgrade)") {
+    val ev = Tables.events(spark, sf0)
+    val exact = ev.select("user_id").distinct().count().toDouble
+    val approx = ev.agg(approx_count_distinct("user_id").as("a")).head().getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+}
