@@ -34,6 +34,27 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("stream-static join enriches a stream with a dimension table (batch parity)") {
+    val dim = Tables.customer(spark, sf0)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    val batch = Tables.events(spark, sf0).join(dim, "user_id")
+      .groupBy("c_mktsegment").count()
+      .orderBy("c_mktsegment").as[(String, Long)].collect().toSeq
+
+    val schema = spark.read.parquet(s"$sf0/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf0)
+    val q = stream.join(dim, "user_id") // static side re-read per micro-batch
+      .groupBy("c_mktsegment").count()
+      .writeStream.format("memory").queryName("stream_static_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("stream_static_test")
+      .orderBy("c_mktsegment").as[(String, Long)].collect().toSeq
+    assert(got == batch)
+  }
+
   test("welfordByKey over a MemoryStream matches exact mean/std, state carried across batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(String, Double)]
