@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * embeddings); null arrays yield null.
   */
 case class ArrayDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -50,6 +50,29 @@ case class ArrayDot(left: Expression, right: Expression)
     }
     sum + c
   }
+
+  /** Same Neumaier loop emitted as straight-line Java for whole-stage
+    * codegen (no boxing, no interpreted eval in the cosine hot paths).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val comp = ctx.freshName("comp")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val t = ctx.freshName("t")
+      s"""int $n = Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |double $comp = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $p = ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  double $t = $sum + $p;
+         |  $comp += (Math.abs($sum) >= Math.abs($p)) ? ($sum - $t) + $p : ($p - $t) + $sum;
+         |  $sum = $t;
+         |}
+         |${ev.value} = $sum + $comp;""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
     copy(left = l, right = r)

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * than as interpreted nested higher-order functions.
   */
 case class SrpCodes(child: Expression, tables: Int, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -53,6 +53,36 @@ case class SrpCodes(child: Expression, tables: Int, bits: Int)
     }
     new GenericArrayData(codes)
   }
+
+  /** Whole-stage-codegen body: same triple loop as straight-line Java. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val xxh = classOf[XXH64].getName
+      val dim = ctx.freshName("dim")
+      val codes = ctx.freshName("codes")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val code = ctx.freshName("code")
+      val plane = ctx.freshName("plane")
+      val dot = ctx.freshName("dot")
+      s"""int $dim = $c.numElements();
+         |long[] $codes = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $code = 0L;
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    long $plane = (long) ($t * $bits + $j);
+         |    double $dot = 0.0;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      $dot += (($xxh.hashLong(($plane << 32) | $d, 42L) & 1L) == 1L)
+         |        ? (double) $c.getFloat($d) : -((double) $c.getFloat($d));
+         |    }
+         |    if ($dot > 0) $code |= (1L << $j);
+         |  }
+         |  $codes[$t] = $code;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);""".stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SrpCodes =
     copy(child = newChild)
