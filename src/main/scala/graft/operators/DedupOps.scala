@@ -146,7 +146,9 @@ object DedupOps {
     // shared by df docs still costs O(df²) pairs — that's the problem's
     // output size, not a plan artifact; `maxShingleDf` drops
     // uninformative hot shingles to bound it (and the per-row skew).
+    // two consumers (posting build + set sizes) → persist one tokenize
     val sh = hashedShingled(docs, nGram, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posts = sh.select(col("doc_id"), explode(col("hs")).as("h"))
       .groupBy("h").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
