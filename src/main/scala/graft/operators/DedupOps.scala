@@ -153,9 +153,9 @@ object DedupOps {
       .groupBy("h").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
     val capped = maxShingleDf.fold(posts)(m => posts.filter(size(col("ds")) <= m))
-    val pairs = capped.select(explode(expr(
-      "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), y -> struct(x AS da, y AS db))))")).as("p"))
-      .select(col("p.da").as("da"), col("p.db").as("db"))
+    // native Generator: streams d(d−1)/2 (da, db) rows per posting with
+    // no interpreted closure tree (see PostingPairs scaladoc)
+    val pairs = capped.select(graft.functions.PostingPairs(col("ds")))
     val inter = pairs.groupBy("da", "db").agg(count(lit(1)).as("inter"))
     val sizes = sh.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
     inter.join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
