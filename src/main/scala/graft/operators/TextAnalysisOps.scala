@@ -89,12 +89,11 @@ object TextAnalysisOps {
   def fingerprints(docs: DataFrame, nGram: Int = 4, textCol: String = "text"): DataFrame =
     // Entirely per-row: the min over a doc's shingle hashes needs no
     // explode and no groupBy — zero shuffles beyond the parallelizing
-    // repartition inside `shingled`. The exploded formulation shuffled
-    // every (doc, shingle) row just to re-group by doc.
+    // spread inside `shingled`; the md5-min kernel is the native
+    // Md5MinShingle expression (one loop per doc, not one interpreted
+    // expression tree per shingle).
     DedupOps.shingled(docs, nGram, textCol)
       .select(col("doc_id"),
-        array_min(transform(col("shingles"), s =>
-          conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")))
-          .as("fingerprint"),
+        graft.functions.Md5MinShingle(col("shingles")).as("fingerprint"),
         size(col("shingles")).cast("long").as("n_shingles"))
 }
