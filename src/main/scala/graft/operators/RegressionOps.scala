@@ -60,10 +60,13 @@ object RegressionOps {
   def denseWordObservations(docs: DataFrame, k: Int,
       outcome: Column, control: Column,
       textCol: String = "text"): DataFrame = {
+    // three consumers (doc lengths, term frequencies, top-k) → tokenize
+    // once and persist the token stream
     val toks = TextOps.tokenize(docs, "doc_id", textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("total"))
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-    val top = TextOps.topKWords(docs, k, textCol).select("word")
+    val top = TextOps.topKFromTokens(toks, k).select("word")
     docs.select(col("doc_id"), outcome.cast(DoubleType).as("y"),
         control.cast(DoubleType).as("c"))
       .join(docLen, "doc_id")

@@ -47,8 +47,14 @@ object TextOps {
     * dependent; we pin it).
     */
   def topKWords(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
-    docs.select(explode(tokens(col(textCol))).as("word"))
-      .groupBy("word")
+    topKFromTokens(tokenize(docs, textCol = textCol), k)
+
+  /** [[topKWords]] over an already-tokenized (…, word) frame — lets
+    * callers that also need the token stream elsewhere (e.g. the dense
+    * regression expansion) tokenize ONCE and share the frame.
+    */
+  def topKFromTokens(toks: DataFrame, k: Int): DataFrame =
+    toks.groupBy("word")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(k)
