@@ -177,6 +177,26 @@ object SparkEntry {
     // Winnowing-style min-hash fingerprint over word 4-gram shingles.
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysisOps.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
+    // Flagship training-data curation pipeline: exact-dedup to group
+    // representatives → drop the higher id of every verified near-dup
+    // pair → quality-score floor → language tag. One composed plan of
+    // the dedup/quality/language operators, oracle-checked end to end.
+    "q_curation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val reps = DedupOps.exactDedup(docs).select(col("rep_doc_id").as("doc_id"))
+      val nd = DedupOps.verifiedNearDups(docs)
+        .select(col("db").as("doc_id")).distinct()
+      val q = TextAnalysisOps.qualityScore(docs)
+        .select(col("doc_id"), col("score"))
+      val l = TextAnalysisOps.langId(docs).select("doc_id", "lang_pred")
+      docs.select("doc_id")
+        .join(reps, "doc_id")
+        .join(nd, Seq("doc_id"), "left_anti")
+        .join(q, "doc_id").filter(col("score") >= 0.5)
+        .join(l, "doc_id")
+        .select(col("doc_id"), round(col("score"), 6).as("score"), col("lang_pred"))
+        .orderBy("doc_id")
+    }),
     // §2.7 set ops beyond EXCEPT: INTERSECT (custkeys with orders AND
     // high balance).
     "q_intersect" -> ((s, dir) =>
@@ -457,6 +477,25 @@ object SparkEntry {
          |                               ORDER BY sim DESC, nn_id) AS rank
          |  FROM sims) x
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_curation" ->
+      s"""WITH ${ShingleCte("documents")},
+         |nd AS (
+         |  SELECT DISTINCT co.db AS doc_id
+         |  FROM co JOIN sz x ON x.doc_id = co.da JOIN sz y ON y.doc_id = co.db
+         |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+         |), reps AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         |), $QualityCte,
+         |$LangCtes
+         |SELECT d.doc_id, round(qf.score, 6) AS score,
+         |       coalesce(b.lang, 'und') AS lang_pred
+         |FROM documents d
+         |JOIN reps USING (doc_id)
+         |LEFT JOIN nd ON nd.doc_id = d.doc_id
+         |JOIN qf ON qf.doc_id = d.doc_id
+         |LEFT JOIN best b ON b.doc_id = d.doc_id
+         |WHERE nd.doc_id IS NULL AND qf.score >= 0.5
+         |ORDER BY d.doc_id""".stripMargin,
     "q_intersect" ->
       """SELECT custkey FROM (
         |  (SELECT DISTINCT o_custkey AS custkey FROM orders)
@@ -517,46 +556,60 @@ object SparkEntry {
          |ORDER BY d.va, d.vb""".stripMargin
   )
 
+  /** DuckDB CTE chain for marker-based language ID: markers/toks/hits/
+    * best(doc_id, lang, hits). Shared by q_lang_id and q_curation.
+    */
+  private val LangCtes: String =
+    """markers(lang, word) AS (VALUES
+      |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','a'),
+      |  ('fr','le'),('fr','la'),('fr','et'),('fr','les'),('fr','des'),
+      |  ('es','el'),('es','la'),('es','de'),('es','los'),('es','y'),
+      |  ('de','der'),('de','die'),('de','und'),('de','das'),('de','ein')
+      |), ltoks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |  FROM documents
+      |), hits AS (
+      |  SELECT doc_id, lang, count(*) AS hits
+      |  FROM ltoks JOIN markers USING (word) GROUP BY doc_id, lang
+      |), best AS (
+      |  SELECT doc_id, lang, hits FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                                 ORDER BY hits DESC, lang) AS rn
+      |    FROM hits) x WHERE rn = 1
+      |)""".stripMargin
+
+  /** DuckDB CTE for quality features: qf(doc_id, n_tokens, punct_ratio,
+    * stop_ratio, score). Shared by q_quality and q_curation.
+    */
+  private val QualityCte: String =
+    """qf AS (
+      |  SELECT doc_id, n_tokens, punct_ratio, stop_ratio,
+      |         least(n_tokens / 64.0, 1.0) * 0.5
+      |           + (1.0 - punct_ratio) * 0.3
+      |           + least(stop_ratio * 4.0, 1.0) * 0.2 AS score
+      |  FROM (
+      |    SELECT doc_id,
+      |           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+      |           CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |             / greatest(length(text), 1) AS punct_ratio,
+      |           CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |                                t -> t IN ('the','a','of','to','and'))) AS DOUBLE)
+      |             / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS stop_ratio
+      |    FROM documents) f
+      |)""".stripMargin
+
   private val oracleSqlTextAnalysis: Map[String, String] = Map(
     "q_lang_id" ->
-      """WITH markers(lang, word) AS (VALUES
-        |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','a'),
-        |  ('fr','le'),('fr','la'),('fr','et'),('fr','les'),('fr','des'),
-        |  ('es','el'),('es','la'),('es','de'),('es','los'),('es','y'),
-        |  ('de','der'),('de','die'),('de','und'),('de','das'),('de','ein')
-        |), toks AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
-        |  FROM documents
-        |), hits AS (
-        |  SELECT doc_id, lang, count(*) AS hits
-        |  FROM toks JOIN markers USING (word) GROUP BY doc_id, lang
-        |), best AS (
-        |  SELECT doc_id, lang, hits FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY doc_id
-        |                                 ORDER BY hits DESC, lang) AS rn
-        |    FROM hits) x WHERE rn = 1
-        |)
-        |SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred,
-        |       coalesce(b.hits, 0) AS hits
-        |FROM documents d LEFT JOIN best b USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH $LangCtes
+         |SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred,
+         |       coalesce(b.hits, 0) AS hits
+         |FROM documents d LEFT JOIN best b USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q_quality" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
-        |         CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
-        |           / greatest(length(text), 1) AS punct_ratio,
-        |         CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
-        |                              t -> t IN ('the','a','of','to','and'))) AS DOUBLE)
-        |           / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS stop_ratio
-        |  FROM documents
-        |)
-        |SELECT doc_id, n_tokens, round(punct_ratio, 6) AS punct_ratio,
-        |       round(stop_ratio, 6) AS stop_ratio,
-        |       round(least(n_tokens / 64.0, 1.0) * 0.5
-        |             + (1.0 - punct_ratio) * 0.3
-        |             + least(stop_ratio * 4.0, 1.0) * 0.2, 6) AS score
-        |FROM f ORDER BY doc_id""".stripMargin,
+      s"""WITH $QualityCte
+         |SELECT doc_id, n_tokens, round(punct_ratio, 6) AS punct_ratio,
+         |       round(stop_ratio, 6) AS stop_ratio, round(score, 6) AS score
+         |FROM qf ORDER BY doc_id""".stripMargin,
     "q_token_counts" ->
       """SELECT doc_id,
         |       len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
