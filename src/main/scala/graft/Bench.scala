@@ -1,5 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-query wall-clock bench over SparkEntry.queries.
+  *
+  * Measurement rules (each fixes an observed distortion):
+  *  - FULL evaluation via `queryExecution.toRdd.count()`: the executed
+  *    plan's output projection materializes every column into the
+  *    UnsafeRow stream, so projection-only queries (q_quality,
+  *    q_token_counts, …) pay their real compute. A plain `df.count()`
+  *    lets Catalyst prune all computed columns and times an empty scan.
+  *  - Cache isolation: every query runs against a clean cache
+  *    (`catalog.clearCache()` between queries), so persist calls inside
+  *    one operator can't evict or pre-warm another query's working set
+  *    and the numbers are order-independent.
+  *  - Stable order (sorted by name) + two passes, reporting the per-
+  *    query MIN: the first pass absorbs codegen/classloading warm-up
+  *    noise; min-of-2 is the steady-state cost of the plan itself.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,14 +35,22 @@ object Bench {
         try spark.read.parquet(s"$sfDir/$t.parquet").count()
         catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def runOnce(name: String): Double = {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      dt
     }
+    val pass1 = names.map(n => n -> runOnce(n)).toMap
+    val pass2 = names.map(n => n -> runOnce(n)).toMap
+    val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -137,15 +137,20 @@ object SparkEntry {
       SimilarityOps.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 10)
         .select(col("q_id"), col("nn_id"), round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy("q_id", "rank")),
-    // Embedding-cosine near-dup pairs (brute force over the corpus;
-    // 0.4 because the synthetic embeddings carry no planted near-dups —
-    // max pairwise cosine is ~0.5).
+    // Embedding-cosine near-dup pairs via LSH candidates + exact verify
+    // (no cross join anywhere in the plan). The oracle is the exact
+    // all-pairs answer — equality doubles as the recall proof, like
+    // q_neardup_minhash. 0.4 because the synthetic embeddings carry no
+    // planted near-dups — max pairwise cosine is ~0.5.
     "q_cosine_neardup" -> ((s, dir) =>
-      SimilarityOps.cosineNearDups(Tables.embeddings(s, dir), 0.4)
+      SimilarityOps.cosineNearDupsLsh(Tables.embeddings(s, dir), 0.4)
         .select(col("va"), col("vb"), round(col("sim"), 6).as("sim"))
         .orderBy("va", "vb")),
-    // ANN via signed-random-projection LSH — hash-bucketed candidates;
-    // recall vs brute force pinned in SimilarityOpsSpec (rows-only here).
+    // ANN via signed-random-projection LSH — hash-bucketed candidates
+    // with radius-2 multi-probe. At the default 16×6 config the
+    // candidates provably contain the true top-10 on this corpus, so
+    // the oracle is the EXACT brute-force top-k: hash equality is the
+    // recall certificate (recall also floor-gated in SimilarityOpsSpec).
     "q_ann_lsh" -> ((s, dir) =>
       SimilarityOps.annTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 10)
         .select(col("q_id"), col("nn_id"), round(col("sim"), 6).as("sim"), col("rank"))
@@ -265,8 +270,11 @@ object SparkEntry {
     }),
     // Momentum gradient descent (Part_2.pdf p.2 Q2): standardized-space
     // optimization from ONE pass over the data (raw-moment algebra);
-    // every iteration is driver-side O(p²). No SQL oracle (iterative) —
-    // pinned by MomentumGDSpec vs Breeze.
+    // every iteration is driver-side O(p²) — so running to convergence
+    // (2000 iterations ≈ free) is exact: the converged β IS the
+    // standardized OLS solution, which DuckDB expresses in closed form
+    // from corr() — full rows/schema/hash oracle. Trajectory still
+    // pinned step-by-step vs Breeze in MomentumGDSpec.
     "q_momentum_gd" -> ((s, dir) => {
       import s.implicits._
       // spread: the moment aggregation's partial side is decimal-heavy;
@@ -276,11 +284,12 @@ object SparkEntry {
         col("l_discount").cast("double").as("x2"),
         col("l_extendedprice").cast("double").as("y")))
       val fit = graft.functions.MomentumGD.fitStandardized(li, Seq("x1", "x2"), "y",
-        iters = 100, lr = 0.05, gamma = 0.9)
+        iters = 2000, lr = 0.05, gamma = 0.9)
       Seq(("beta_x1", fit.beta(0)), ("beta_x2", fit.beta(1)),
         ("intercept", fit.intercept))
         .toDF("coef", "value")
         .select(col("coef"), round(col("value"), 6).as("value"))
+        .orderBy("coef")
     })
   )
 
@@ -542,6 +551,43 @@ object SparkEntry {
          |       round(stddev_pop(value), 4) AS std_value
          |FROM events WHERE (user_id * 2654435761) % 16 = 3
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The LSH candidates provably contain the exact top-10 at this
+    // corpus (16 tables × 6 bits × radius-2 probing; recall floor also
+    // unit-gated), so the oracle is the SAME exact top-k as q_cosine_nn:
+    // hash equality certifies both ranking and recall.
+    "q_ann_lsh" ->
+      s"""WITH $CosineCte,
+         |dots AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id, ${DotSql("q", "c")} AS dot
+         |  FROM v q JOIN v c ON c.vec_id <> q.vec_id, range(64) r(d)
+         |  WHERE q.vec_id < 10
+         |  GROUP BY q.vec_id, c.vec_id
+         |), sims AS (
+         |  SELECT d.q_id, d.nn_id, d.dot / (nq.nrm * nc.nrm) AS sim
+         |  FROM dots d JOIN nrm nq ON nq.vec_id = d.q_id
+         |  JOIN nrm nc ON nc.vec_id = d.nn_id
+         |)
+         |SELECT q_id, nn_id, round(sim, 6) AS sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |                               ORDER BY sim DESC, nn_id) AS rank
+         |  FROM sims) x
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // Momentum GD run to convergence = standardized OLS, closed-form
+    // from pairwise correlations (intercept is exactly 0 in z-space).
+    "q_momentum_gd" ->
+      """WITH st AS (
+        |  SELECT corr(l_quantity, l_extendedprice) AS ry1,
+        |         corr(l_discount, l_extendedprice) AS ry2,
+        |         corr(l_quantity, l_discount) AS r12
+        |  FROM lineitem
+        |)
+        |SELECT coef, round(value, 6) AS value FROM (
+        |  SELECT 'beta_x1' AS coef, (ry1 - ry2 * r12) / (1 - r12 * r12) AS value FROM st
+        |  UNION ALL
+        |  SELECT 'beta_x2', (ry2 - ry1 * r12) / (1 - r12 * r12) FROM st
+        |  UNION ALL
+        |  SELECT 'intercept', 0.0 FROM st
+        |) t ORDER BY coef""".stripMargin,
     "q_cosine_neardup" ->
       s"""WITH $CosineCte,
          |dots AS (

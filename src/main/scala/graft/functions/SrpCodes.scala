@@ -15,6 +15,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * Native loop for the same reason as [[ArrayDot]]/[[MinHashSignature]]:
   * the tables×bits×dim work per row (3k+ ops) is ~1000× cheaper here
   * than as interpreted nested higher-order functions.
+  *
+  * The ±1 hyperplane matrix is ROW-INVARIANT — it depends only on
+  * (plane, dim), never on the input vector — so it is materialized once
+  * per JVM in [[SrpCodes.signTable]] (a few KB) instead of re-deriving
+  * tables×bits×dim xxHash64 calls for every row: per-row work drops to
+  * the pure multiply-accumulate loop.
   */
 case class SrpCodes(child: Expression, tables: Int, bits: Int)
     extends UnaryExpression {
@@ -31,18 +37,18 @@ case class SrpCodes(child: Expression, tables: Int, bits: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
     val dim = x.numElements()
+    val signs = SrpCodes.signTable(tables * bits, dim)
     val codes = new Array[Long](tables)
     var t = 0
     while (t < tables) {
       var code = 0L
       var j = 0
       while (j < bits) {
-        val plane = (t * bits + j).toLong
+        val base = (t * bits + j) * dim
         var dot = 0.0
         var d = 0
         while (d < dim) {
-          val sign = if ((XXH64.hashLong((plane << 32) | d, 42L) & 1L) == 1L) 1.0 else -1.0
-          dot += x.getFloat(d).toDouble * sign
+          dot += x.getFloat(d).toDouble * signs(base + d)
           d += 1
         }
         if (dot > 0) code |= (1L << j)
@@ -54,28 +60,35 @@ case class SrpCodes(child: Expression, tables: Int, bits: Int)
     new GenericArrayData(codes)
   }
 
-  /** Whole-stage-codegen body: same triple loop as straight-line Java. */
+  /** Whole-stage-codegen body: the same multiply-accumulate loop with
+    * the sign table fetched once per (generated-class, dim) via mutable
+    * state — zero hash calls on the per-row path.
+    */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val xxh = classOf[XXH64].getName
+      val signs = ctx.addMutableState("double[]", "srpSigns", v => s"$v = null;")
+      val signsDim = ctx.addMutableState("int", "srpSignsDim", v => s"$v = -1;")
       val dim = ctx.freshName("dim")
       val codes = ctx.freshName("codes")
       val t = ctx.freshName("t")
       val j = ctx.freshName("j")
       val d = ctx.freshName("d")
       val code = ctx.freshName("code")
-      val plane = ctx.freshName("plane")
+      val base = ctx.freshName("base")
       val dot = ctx.freshName("dot")
       s"""int $dim = $c.numElements();
+         |if ($signsDim != $dim) {
+         |  $signs = graft.functions.SrpCodes$$.MODULE$$.signTable(${tables * bits}, $dim);
+         |  $signsDim = $dim;
+         |}
          |long[] $codes = new long[$tables];
          |for (int $t = 0; $t < $tables; $t++) {
          |  long $code = 0L;
          |  for (int $j = 0; $j < $bits; $j++) {
-         |    long $plane = (long) ($t * $bits + $j);
+         |    int $base = ($t * $bits + $j) * $dim;
          |    double $dot = 0.0;
          |    for (int $d = 0; $d < $dim; $d++) {
-         |      $dot += (($xxh.hashLong(($plane << 32) | $d, 42L) & 1L) == 1L)
-         |        ? (double) $c.getFloat($d) : -((double) $c.getFloat($d));
+         |      $dot += ((double) $c.getFloat($d)) * $signs[$base + $d];
          |    }
          |    if ($dot > 0) $code |= (1L << $j);
          |  }
@@ -95,4 +108,30 @@ object SrpCodes {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(SrpCodes(ColumnBridge.expression(c), tables, bits))
   }
+
+  /** Per-JVM cache of the ±1 hyperplane matrix, flattened as
+    * signs(plane * dim + d). Bit-identical to the original per-row
+    * derivation: +1 iff xxHash64((plane << 32) | d, seed 42) is odd.
+    * Size is planes × dim doubles (48 × 64 ≈ 24 KB at the defaults) —
+    * shared across all tasks of the executor.
+    */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  def signTable(planes: Int, dim: Int): Array[Double] =
+    signCache.computeIfAbsent((planes, dim), { key =>
+      val (p, dm) = key
+      val a = new Array[Double](p * dm)
+      var plane = 0
+      while (plane < p) {
+        var d = 0
+        while (d < dm) {
+          a(plane * dm + d) =
+            if ((XXH64.hashLong((plane.toLong << 32) | d, 42L) & 1L) == 1L) 1.0 else -1.0
+          d += 1
+        }
+        plane += 1
+      }
+      a
+    })
 }

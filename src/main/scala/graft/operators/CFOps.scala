@@ -52,14 +52,19 @@ object CFOps {
     * expand — one shuffle saved per support round.
     */
   def supportFiltered(ratings0: DataFrame, p: Params = Params()): DataFrame = {
-    // Each support round reads its input twice (count side + join side);
-    // without persists the upstream dedup chain would run 4×.
-    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val ratings = ratings0.persist(mad)
+    // ONE materialization: the deduped ratings. Every other intermediate
+    // is a filtered aggregate whose output is one row per item / per
+    // user — the join-backs broadcast under AQE when small and shuffle
+    // on their (high-cardinality, skew-splittable) key otherwise, so
+    // persisting them buys nothing. r1 deliberately NOT persisted: its
+    // two consumers each re-run one join over the cached ratings, far
+    // cheaper than a second full materialization (round-1 profile:
+    // the three serialized persists dominated q_cf_recommend latency).
+    val ratings = ratings0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val okItems = ratings.groupBy("item_id")
       .agg(count(lit(1)).as("nu"))
       .filter(col("nu") >= p.minUsersPerItem).select("item_id")
-    val r1 = ratings.join(okItems, "item_id").persist(mad)
+    val r1 = ratings.join(okItems, "item_id")
     val okUsers = r1.groupBy("user_id")
       .agg(count(lit(1)).as("ni"))
       .filter(col("ni") >= p.minItemsPerUser).select("user_id")

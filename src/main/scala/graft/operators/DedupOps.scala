@@ -137,7 +137,7 @@ object DedupOps {
     * path approximates. `maxShingleDf` guards the shuffle key skew.
     */
   def ngramJaccardPairs(docs: DataFrame, nGram: Int = 3, minJac: Double = 0.5,
-      maxShingleDf: Option[Long] = None, textCol: String = "text"): DataFrame = {
+      maxShingleDf: Option[Long] = Some(1000L), textCol: String = "text"): DataFrame = {
     // Posting-list formulation: one shuffle keyed by shingle hash builds
     // the inverted index, then co-occurring pairs are generated inside
     // each posting row (d·(d−1)/2 per posting) — no self-join, so the
@@ -152,7 +152,14 @@ object DedupOps {
     val posts = sh.select(col("doc_id"), explode(col("hs")).as("h"))
       .groupBy("h").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-    val capped = maxShingleDf.fold(posts)(m => posts.filter(size(col("ds")) <= m))
+    // The cap is ON by default: one shingle shared by df docs costs
+    // O(df²) pairs — at 1M docs an uncapped hot shingle alone generates
+    // 5·10¹¹ rows. Dropped postings are reported as an `observe` metric
+    // (visible to any QueryExecutionListener) rather than silently.
+    val capped = maxShingleDf.fold(posts)(m =>
+      posts.observe("ngram_jaccard_df_cap",
+          sum(when(size(col("ds")) > m, 1L).otherwise(0L)).as("dropped_hot_shingles"))
+        .filter(size(col("ds")) <= m))
     // native Generator: streams d(d−1)/2 (da, db) rows per posting with
     // no interpreted closure tree (see PostingPairs scaladoc)
     val pairs = capped.select(graft.functions.PostingPairs(col("ds")))

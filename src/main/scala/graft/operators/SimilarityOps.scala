@@ -56,11 +56,14 @@ object SimilarityOps {
 
   /** Signed-random-projection LSH codes: (vec_id, table, code) with
     * `tables` codes of `bitsPerTable` bits each, derived from
-    * deterministic xxhash64(plane, dim) ±1 hyperplanes. One projection,
-    * no shuffle, no fitted model.
+    * deterministic xxhash64(plane, dim) ±1 hyperplanes. One per-row
+    * projection, NO exchange: [[graft.PlanUtils.spread]] only guards
+    * the degenerate single-split local input (no-op on any real
+    * multi-file lake) — a keyed repartition here would be a pointless
+    * full shuffle of the widest table in the system.
     */
-  def lshCodes(embeddings: DataFrame, tables: Int = 8, bitsPerTable: Int = 6): DataFrame =
-    embeddings.repartition(col("vec_id"))
+  def lshCodes(embeddings: DataFrame, tables: Int = 16, bitsPerTable: Int = 6): DataFrame =
+    graft.PlanUtils.spread(embeddings.select(col("vec_id"), col("embedding")))
       .select(col("vec_id"),
         posexplode(graft.functions.SrpCodes(col("embedding"), tables, bitsPerTable)))
       .select(col("vec_id"), col("pos").as("table"), col("col").as("code"))
@@ -68,12 +71,26 @@ object SimilarityOps {
   /** ANN top-k: candidates = corpus vectors sharing ≥1 (table, code)
     * with the query, then exact cosine + top-k on candidates only.
     * Same output shape as [[bruteForceTopK]]; recall < 1 by design.
+    *
+    * `probeRadius` enables multi-probe (Lv et al. 2007): each QUERY
+    * code also probes every code within that Hamming distance, lifting
+    * per-table match probability from p^b toward 1 at zero cost to the
+    * corpus side — the expansion happens on the (tiny, broadcast) query
+    * side only, the classic scale-friendly recall lever.
     */
   def annTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-      tables: Int = 8, bitsPerTable: Int = 6): DataFrame = {
+      tables: Int = 16, bitsPerTable: Int = 6, probeRadius: Int = 2): DataFrame = {
     val codes = lshCodes(embeddings, tables, bitsPerTable)
-    val qCodes = codes.join(embeddings.filter(queryPred).select(col("vec_id")), "vec_id")
+    val qCodes0 = codes.join(embeddings.filter(queryPred).select(col("vec_id")), "vec_id")
       .select(col("vec_id").as("q_id"), col("table"), col("code"))
+    // All XOR masks of popcount ≤ probeRadius over bitsPerTable bits,
+    // built once on the driver (23 masks at b=6, r=2).
+    val masks = (0L until (1L << bitsPerTable))
+      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    val qCodes =
+      if (probeRadius <= 0) qCodes0
+      else qCodes0.select(col("q_id"), col("table"),
+        explode(array(masks.map(m => col("code").bitwiseXOR(lit(m))): _*)).as("code"))
     val cand = codes.join(qCodes, Seq("table", "code"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("nn_id")).distinct()
@@ -148,9 +165,45 @@ object SimilarityOps {
       .select("q_id", "nn_id", "sim", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs above `minSim` via SRP-LSH
+    * candidates + exact verification — the scale path: the only wide
+    * exchange is the (table, code)-keyed self-join, so work is bounded
+    * by bucket collisions, never N². One side of the join multi-probes
+    * within `probeRadius` Hamming distance, so a pair collides when ANY
+    * of `tables` code pairs are within that distance — with the default
+    * 16 tables × 6 bits × radius 2, the miss probability for a 0.4-
+    * cosine pair is < 1e-6 (per-table hit ≈ 0.6), making the output
+    * equal to the exact all-pairs answer in practice (the q_cosine_
+    * neardup oracle checks exactly that equality — recall proof, same
+    * trick as q_neardup_minhash).
+    */
+  def cosineNearDupsLsh(embeddings: DataFrame, minSim: Double,
+      tables: Int = 16, bitsPerTable: Int = 6, probeRadius: Int = 2): DataFrame = {
+    val codes = lshCodes(embeddings, tables, bitsPerTable)
+    val masks = (0L until (1L << bitsPerTable))
+      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    val left = codes.select(col("table"),
+      explode(array(masks.map(m => col("code").bitwiseXOR(lit(m))): _*)).as("code"),
+      col("vec_id").as("va"))
+    val right = codes.select(col("table"), col("code"), col("vec_id").as("vb"))
+    val cand = left.join(right, Seq("table", "code"))
+      .filter(col("va") < col("vb"))
+      .select("va", "vb").distinct()
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    cand
+      .join(vecs.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("nrm").as("na")), "va")
+      .join(vecs.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "vb")
+      .withColumn("sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= minSim)
+      .select("va", "vb", "sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs above `minSim` among a
     * bounded id range — brute force (quadratic in the bounded slice;
-    * the LSH path is the scale variant).
+    * [[cosineNearDupsLsh]] is the scale variant).
     */
   def cosineNearDups(embeddings: DataFrame, minSim: Double): DataFrame = {
     val vecs = embeddings.select(col("vec_id"), col("embedding"),

@@ -43,9 +43,11 @@ class SimilarityOpsSpec extends SparkSpec {
     val recall = (brute & ann).size.toDouble / brute.size
     info(f"ANN recall@10 = $recall%.3f (candidates ${ann.size})")
     // synthetic embeddings are near-orthogonal (max cosine ~0.5) — the
-    // hardest case for hyperplane LSH; deterministic hashes make this a
-    // fixed number, floor it well below the measured value
-    assert(recall >= 0.2, f"recall $recall%.3f")
+    // hardest case for hyperplane LSH. 16 tables × 6 bits with radius-1
+    // multi-probe clear 0.8 on this corpus; deterministic hashes make
+    // the number fixed, so this is a real similarity-search bar, not a
+    // smoke check.
+    assert(recall >= 0.8, f"recall $recall%.3f")
   }
 
   test("lshCodes are deterministic and bounded") {
@@ -53,7 +55,7 @@ class SimilarityOpsSpec extends SparkSpec {
     val mx = codes.agg(max("code"), min("code")).as[(Long, Long)].head()
     assert(mx._1 < 64 && mx._2 >= 0)       // 6-bit codes
     val n = codes.groupBy("vec_id").count().select("count").distinct().as[Long].collect()
-    assert(n.toSeq == Seq(8L))              // 8 tables per vector
+    assert(n.toSeq == Seq(16L))             // 16 tables per vector
   }
 
   test("IVF (KMeans-cell) ANN: recall@10 vs brute force, probed cells only") {
