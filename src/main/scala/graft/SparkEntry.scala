@@ -46,6 +46,19 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_tx"), decMean(col("value")).as("mean_value"))
         .orderBy("user_id")),
+    // §2.6 T5: seeded exact-size-k uniform sample — the reference's
+    // shuffle-and-take-prefix sampler as a distributed top-k by
+    // engine-portable hash order (TakeOrderedAndProject, no full sort).
+    "q_uniform_sample" -> ((s, dir) =>
+      RelationalOps.uniformSampleExact(Tables.events(s, dir), col("event_id"), 1000, "graft")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_id")),
+    // §2.6 T5 (fraction form): seeded ~1% scan-local uniform sample +
+    // running stats — the one-pass stream-sampler shape.
+    "q_sample_frac" -> ((s, dir) =>
+      RelationalOps.uniformSampleFraction(Tables.events(s, dir), col("event_id"), 0.01, "graft")
+        .agg(count(lit(1)).as("n"), decMean(col("value")).as("mean_value"))),
     // §2.4 A5: deterministic last-rating-wins dedup.
     "q_dedup_last" -> ((s, dir) => Ratings.deduped(s, dir).orderBy("user_id", "item_id")),
     // §2.2 P3 + §2.4 A8: support filter (items with ≥25 distinct raters).
@@ -365,6 +378,16 @@ object SparkEntry {
          |FROM events WHERE user_id IN (
          |  SELECT DISTINCT user_id FROM events WHERE (user_id * 2654435761) % 16 = 3)
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_uniform_sample" ->
+      """SELECT event_id, user_id, event_type, round(value, 4) AS value FROM (
+        |  SELECT * FROM events
+        |  ORDER BY md5(CAST(event_id AS VARCHAR) || '|graft') LIMIT 1000
+        |) t ORDER BY event_id""".stripMargin,
+    "q_sample_frac" ->
+      s"""SELECT count(*) AS n, ${decMeanSql("value")} AS mean_value
+         |FROM events
+         |WHERE ('0x' || substring(md5(CAST(event_id AS VARCHAR) || '|graft'), 1, 6))::BIGINT
+         |      / 16777216.0 < 0.01""".stripMargin,
     "q_dedup_last" ->
       s"""WITH ${Ratings.OracleDedupCte}
          |SELECT user_id, item_id, rating FROM ratings

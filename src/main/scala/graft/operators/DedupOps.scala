@@ -177,19 +177,17 @@ object DedupOps {
     * Σ_tokens tf·(±1) where the ±1 is bit i of a 60-bit md5-derived
     * token hash. Near-dup docs differ in few bits (Charikar 2002).
     * Engine-portable by construction (md5 + integer bit ops only).
+    *
+    * The whole signature is the native [[graft.functions.Md5SimHash]]
+    * kernel — one shuffle-free projection per doc (the earlier
+    * formulation exploded 60× and shuffled twice). Docs with no tokens
+    * are dropped, matching the explode-based semantics.
     */
-  def simhash(docs: DataFrame, bits: Int = 60, textCol: String = "text"): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), explode(words(col(textCol))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10).cast("long"))
-    toks
-      .withColumn("i", explode(sequence(lit(0), lit(bits - 1))))
-      .withColumn("pm", when(expr("(h >> i) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
-      .groupBy("doc_id", "i").agg(sum(col("pm")).as("w"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("w") > 0, expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(lit(0L))).as("sig"))
-  }
+  def simhash(docs: DataFrame, bits: Int = 60, textCol: String = "text"): DataFrame =
+    graft.PlanUtils.spread(docs.select(col("doc_id"), col(textCol)))
+      .select(col("doc_id"), words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .select(col("doc_id"), graft.functions.Md5SimHash(col("__ws"), bits).as("sig"))
 
   /** Hamming distance between two simhash signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

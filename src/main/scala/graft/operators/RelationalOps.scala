@@ -82,6 +82,41 @@ object RelationalOps {
       .select(keys.map(col) ++ valueCols.map(c => col(s"__v.$c").as(c)): _*)
   }
 
+  /** Uniform [0, 1) value derived from md5(key || "|" || seed) — the
+    * engine-portable RNG used by the seeded samplers: deterministic,
+    * partition-order-independent, and reproducible bit-for-bit in any
+    * engine with md5 (the DuckDB oracle recomputes it exactly). 24 bits
+    * of mantissa — plenty for sampling decisions.
+    */
+  def hashUniform(key: Column, seed: String): Column =
+    conv(substring(md5(concat_ws("|", key.cast("string"), lit(seed)).cast("binary")), 1, 6),
+      16, 10).cast("double") / lit(16777216.0)
+
+  /** Seeded uniform FRACTION sample (sampler_v02.py:43-44's
+    * `random.shuffle` semantics, made deterministic): keep rows whose
+    * hash-uniform draw on `key` falls below `fraction`. A scan-local
+    * filter — no shuffle, no state, no driver round-trip — so it
+    * composes with pushdown and scales linearly. For maximum throughput
+    * when engine portability doesn't matter, `df.sample(fraction, seed)`
+    * (Spark's native XORShift per-partition RNG) is the alternative;
+    * this variant is the one an oracle can replay.
+    */
+  def uniformSampleFraction(df: DataFrame, key: Column, fraction: Double,
+      seed: String): DataFrame =
+    df.filter(hashUniform(key, seed) < lit(fraction))
+
+  /** Seeded EXACT-SIZE-k uniform sample: the k rows with the smallest
+    * md5(key || seed) — the distributed equivalent of the reference's
+    * driver-side `random.shuffle(rows); rows[:k]` (sampler_v02.py:43-44)
+    * without materializing anything on the driver. Plans as
+    * TakeOrderedAndProject: each partition keeps its local top-k, only
+    * k rows per partition reach the driver-side merge — no full sort,
+    * no full shuffle, scale-safe for any k that fits one machine.
+    */
+  def uniformSampleExact(df: DataFrame, key: Column, k: Int, seed: String): DataFrame =
+    df.orderBy(md5(concat_ws("|", key.cast("string"), lit(seed)).cast("binary")))
+      .limit(k)
+
   /** Groups of `groupCol` supported by at least `minDistinct` distinct
     * `byCol` values (a3_p2.py:26,31's ≥25-raters / ≥5-items filters).
     * Partial-aggregated count-distinct (exact); swap in

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDot, MinHashSignature, SrpCodes}
+import graft.functions.{ArrayDot, Md5SimHash, MinHashSignature, SrpCodes}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
@@ -44,6 +44,27 @@ class CodegenParitySpec extends SparkSpec {
       .select(MinHashSignature($"a", 8).as("s")).head()
       .getSeq[Long](0)
     assert(interpL == viaDfL.toSeq)
+  }
+
+  test("Md5SimHash: interpreted equals codegen, and equals the SQL bit construction") {
+    val toks = Seq("the", "quick", "brown", "fox", "the", "the")
+    val tokLit = Literal.create(toks, ArrayType(StringType, containsNull = false))
+    val interp = Md5SimHash(tokLit, 60).eval(null).asInstanceOf[Long]
+    val viaDf = Seq(toks).toDF("a").repartition(1)
+      .select(Md5SimHash($"a", 60).as("s")).head().getLong(0)
+    assert(interp == viaDf)
+    // portable-SQL reference: tf-weighted per-bit vote over
+    // conv(substring(md5(token),1,15),16,10), as the DuckDB oracle does
+    val sqlRef = Seq(toks).toDF("a").repartition(1)
+      .select(explode($"a").as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", conv(substring(md5($"t".cast("binary")), 1, 15), 16, 10).cast("long"))
+      .withColumn("i", explode(sequence(lit(0), lit(59))))
+      .withColumn("pm", when(expr("(h >> i) & 1") === 1, $"cnt").otherwise(-$"cnt"))
+      .groupBy("i").agg(sum($"pm").as("w"))
+      .agg(sum(when($"w" > 0, expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(lit(0L))).as("sig"))
+      .head().getLong(0)
+    assert(interp == sqlRef)
   }
 
   test("SrpCodes: interpreted equals codegen on testdata vectors") {

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression gates: each assertion pins a plan property
+  * a refactor could silently lose while every value-level test stayed
+  * green — the shape IS the 100 TB contract (a TakeOrdered that
+  * becomes a global sort, or a projection that grows an Exchange, is a
+  * scale regression long before it is a wrong answer).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+
+  private def planString(df: DataFrame): String = planOf(df).toString
+
+  private def countShuffles(df: DataFrame): Int = {
+    def walk(p: SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeExec => 1
+        case a: AdaptiveSparkPlanExec => return walk(a.executedPlan)
+        case _ => 0
+      }
+      self + p.children.map(walk).sum
+    }
+    walk(planOf(df))
+  }
+
+  test("q_topk_words plans TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("q_topk_words")(spark, sf0)
+    assert(planString(df).contains("TakeOrderedAndProject"))
+  }
+
+  test("uniformSampleExact plans TakeOrderedAndProject (partition-local top-k)") {
+    val df = graft.operators.RelationalOps.uniformSampleExact(
+      Tables.events(spark, sf0), col("event_id"), 100, "graft")
+    assert(planString(df).contains("TakeOrderedAndProject"))
+  }
+
+  test("CF mean-centering has no Window sort (hash-agg + join-back)") {
+    val centered = graft.operators.CFOps.meanCentered(
+      graft.operators.CFOps.supportFiltered(graft.operators.Ratings.deduped(spark, sf0)))
+    assert(!planString(centered).contains("Window"))
+  }
+
+  test("lshCodes is exchange-free above the scan (pure projection)") {
+    // spread() is a no-op on multi-split input, so pre-partitioned
+    // embeddings must code without ANY shuffle
+    val emb = Tables.embeddings(spark, sf0).repartition(16)
+      .select("vec_id", "embedding")
+    val codes = graft.operators.SimilarityOps.lshCodes(emb)
+    assert(countShuffles(codes) <= 1) // only the explicit repartition above
+  }
+
+  test("simhash is exchange-free above the scan (native kernel)") {
+    val docs = Tables.documents(spark, sf0).repartition(16)
+      .select("doc_id", "text")
+    val sigs = graft.operators.DedupOps.simhash(docs)
+    assert(countShuffles(sigs) <= 1) // only the explicit repartition above
+  }
+
+  test("hashBucketSample filter reaches the parquet scan (pushdown)") {
+    val df = graft.operators.RelationalOps.hashBucketSample(
+      Tables.events(spark, sf0), "user_id", 16, 3)
+    // the deterministic bucket predicate must sit in the scan stage —
+    // no exchange at all in a pure filter query
+    assert(countShuffles(df) == 0)
+  }
+}
