@@ -45,6 +45,17 @@ object RegressionOps {
 
   private val tSf2Udf = udf((t: Double, df: Long) => tSf2(t, df))
 
+  /** Bonferroni multiplier as a COLUMN: explicit k when given, else
+    * `count(*) over ()` on the aggregated (k-row) stats frame — inside
+    * the plan, so omitting the parameter no longer hides a driver-
+    * blocking `stats.count()` action in plan construction. The
+    * unpartitioned window touches k aggregated rows, not N.
+    */
+  private def bonfK(explicit: Option[Long]): Column =
+    explicit.map(k => lit(k.toDouble)).getOrElse(
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy())
+        .cast(DoubleType))
+
   /** Dense per-(word ∈ top-k, doc) observations — the reference's
     * "emit a triple for EVERY top word per review, zero frequency
     * included" join (`a3_p1.py:49-59`, J1 in SURVEY.md §2.3):
@@ -84,11 +95,10 @@ object RegressionOps {
   def simpleRegression(obs: DataFrame, bonferroniK: Option[Long] = None): DataFrame = {
     val stats = obs.groupBy("word").agg(
       count(lit(1)).as("n"), corr(col("x"), col("y")).as("beta"))
-    val k = bonferroniK.getOrElse(stats.count())
     stats
       .withColumn("t", col("beta") * sqrt((col("n") - 2) / (lit(1.0) - col("beta") * col("beta"))))
       .withColumn("p", tSf2Udf(col("t"), col("n") - 2))
-      .withColumn("p_bonf", least(col("p") * lit(k.toDouble), lit(1.0)))
+      .withColumn("p_bonf", least(col("p") * bonfK(bonferroniK), lit(1.0)))
   }
 
   /** Per-word two-predictor standardized OLS of y on (x, c):
@@ -100,7 +110,6 @@ object RegressionOps {
       corr(col("x"), col("y")).as("ry1"),
       corr(col("c"), col("y")).as("ry2"),
       corr(col("x"), col("c")).as("r12"))
-    val k = bonferroniK.getOrElse(stats.count())
     val denom = lit(1.0) - col("r12") * col("r12")
     val r2 = (col("ry1") * col("ry1") + col("ry2") * col("ry2")
       - lit(2.0) * col("ry1") * col("ry2") * col("r12")) / denom
@@ -109,7 +118,7 @@ object RegressionOps {
       .withColumn("beta2", (col("ry2") - col("ry1") * col("r12")) / denom)
       .withColumn("t1", col("beta1") * sqrt((col("n") - 3) * denom / (lit(1.0) - r2)))
       .withColumn("p1", tSf2Udf(col("t1"), col("n") - 3))
-      .withColumn("p1_bonf", least(col("p1") * lit(k.toDouble), lit(1.0)))
+      .withColumn("p1_bonf", least(col("p1") * bonfK(bonferroniK), lit(1.0)))
       .select("word", "n", "beta1", "beta2", "t1", "p1", "p1_bonf")
   }
 }

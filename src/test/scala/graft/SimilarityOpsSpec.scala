@@ -67,9 +67,11 @@ class SimilarityOpsSpec extends SparkSpec {
     val got = ivf.select("q_id", "nn_id").as[(Long, Long)].collect().toSet
     val recall = (brute & got).size.toDouble / brute.size
     info(f"IVF recall@10 = $recall%.3f (pairs ${got.size})")
-    // near-orthogonal synthetic data is IVF's hardest case too; the
-    // probe fraction (3/8) lower-bounds expected recall
-    assert(recall >= 0.2, f"recall $recall%.3f")
+    // near-orthogonal synthetic data is IVF's hardest case: an
+    // oblivious 3-of-8-cell probe would land ~0.375 recall; the
+    // measured 0.75 (deterministic seed) shows the quantizer adapting
+    // to the data. Gate at 0.7 so a broken fit/probe path fails loudly.
+    assert(recall >= 0.7, f"recall $recall%.3f")
     // every result ranks properly: k per query at most
     val counts = ivf.groupBy("q_id").count().select("count").as[Long].collect()
     assert(counts.forall(_ <= 10))
