@@ -3,11 +3,12 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{ArrayDot, MinHashSignature, SrpCodes}
+import graft.functions.{ArrayDot, Md5MinShingle, Md5SimHash, MinHashSignature, SrpCodes}
 
 /** SQL surface for graft's native expressions: register `array_dot`,
-  * `minhash_sig` and `srp_codes` so pure-SQL users (spark.sql, JDBC,
-  * SQL files) get the same codegen'd kernels the DataFrame API uses.
+  * `minhash_sig`, `srp_codes`, `md5_simhash` and `md5_min_shingle` so
+  * pure-SQL users (spark.sql, JDBC, SQL files) get the same codegen'd
+  * kernels the DataFrame API uses.
   *
   * Two entry points:
   *  - `--conf spark.sql.extensions=graft.GraftExtensions` at session
@@ -45,7 +46,13 @@ object GraftExtensions {
     (FunctionIdentifier("srp_codes"),
       new ExpressionInfo(classOf[SrpCodes].getName, "srp_codes"),
       (args: Seq[Expression]) =>
-        SrpCodes(args(0), intArg(args(1), "tables"), intArg(args(2), "bitsPerTable"))))
+        SrpCodes(args(0), intArg(args(1), "tables"), intArg(args(2), "bitsPerTable"))),
+    (FunctionIdentifier("md5_simhash"),
+      new ExpressionInfo(classOf[Md5SimHash].getName, "md5_simhash"),
+      (args: Seq[Expression]) => Md5SimHash(args(0), intArg(args(1), "bits"))),
+    (FunctionIdentifier("md5_min_shingle"),
+      new ExpressionInfo(classOf[Md5MinShingle].getName, "md5_min_shingle"),
+      (args: Seq[Expression]) => Md5MinShingle(args(0))))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

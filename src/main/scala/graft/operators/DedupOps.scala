@@ -113,15 +113,33 @@ object DedupOps {
     * exact-Jaccard verification at `minJac`. With the default banding
     * the result equals the exact all-pairs answer (miss prob ≈ 5e−8 at
     * 0.8) at a fraction of the cost. Output: (da, db, jac).
+    *
+    * `rowPrefixMod = Some(m)` enables the MMDS §3.3.6 row-prefix
+    * speedup (`Part_2.pdf` p.7 Q4c): signatures are minhashed over only
+    * the ~1/m of shingles whose hash ≡ 0 (mod m) — a deterministic
+    * sample of the characteristic matrix's rows — cutting signature
+    * compute m×. Docs whose sampled set is empty drop out of banding
+    * (the "∞ column" case). VERIFICATION still uses the full shingle
+    * sets, so emitted pairs are exact; only candidate recall pays, and
+    * only by the sampling noise on the Jaccard S-curve.
     */
   def verifiedNearDups(docs: DataFrame, nGram: Int = 3, sigLen: Int = 128,
       r: Int = 4, bands: Int = 32, minJac: Double = 0.8,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", rowPrefixMod: Option[Long] = None): DataFrame = {
     // The shingle+signature base feeds three plan branches (banding,
     // left verify, right verify); persist so the CPU-heavy tokenize →
     // shingle → hash → minhash work runs once. MEMORY_AND_DISK: at
     // cluster scale the base (~1 KB/doc) spills rather than OOMs.
-    val base = minhashSignatures(hashedShingled(docs, nGram, textCol), sigLen, "hs")
+    val hashed = hashedShingled(docs, nGram, textCol)
+    val withSig = rowPrefixMod match {
+      case None => minhashSignatures(hashed, sigLen, "hs")
+      case Some(m) =>
+        minhashSignatures(
+          hashed.withColumn("hs_sig", filter(col("hs"), h => pmod(h, lit(m)) === 0))
+            .filter(size(col("hs_sig")) > 0),
+          sigLen, "hs_sig").drop("hs_sig")
+    }
+    val base = withSig
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(base.select("doc_id", "sig"), r, bands)
     val sa = base.select(col("doc_id").as("da"), col("hs").as("sha"))

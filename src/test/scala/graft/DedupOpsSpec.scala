@@ -54,6 +54,18 @@ class DedupOpsSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("row-prefix minhash speedup (MMDS 3.3.6) keeps exact output at mod 4") {
+    val docs = Tables.documents(spark, sf0)
+    val full = DedupOps.verifiedNearDups(docs).select("da", "db")
+      .as[(Long, Long)].collect().toSet
+    // signatures over a deterministic quarter of the shingle rows;
+    // verification over full sets — output must still be the exact set
+    val sampled = DedupOps.verifiedNearDups(docs, rowPrefixMod = Some(4L))
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(sampled == full)
+    assert(sampled.nonEmpty)
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val docs = Tables.documents(spark, sf0)
     val sig = DedupOps.simhash(docs)

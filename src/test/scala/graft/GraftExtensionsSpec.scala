@@ -27,6 +27,13 @@ class GraftExtensionsSpec extends SparkSpec {
     val codes = spark.sql("SELECT srp_codes(a, 4, 6) AS c FROM g_vecs")
       .selectExpr("size(c)").head().getInt(0)
     assert(codes == 4)
+
+    val sh = spark.sql("SELECT md5_simhash(toks, 60) AS s, md5_min_shingle(toks) AS m FROM g_toks")
+      .head()
+    val shDf = Seq(Seq("alpha", "beta", "gamma")).toDF("toks")
+      .select(graft.functions.Md5SimHash($"toks", 60).as("s"),
+        graft.functions.Md5MinShingle($"toks").as("m")).head()
+    assert(sh == shDf)
   }
 
   test("non-literal structural arguments are rejected with a clear error") {
