@@ -71,6 +71,22 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup for a document stream — the incremental
+    * form of [[graft.operators.DedupOps.exactDedup]]: the first row per
+    * content digest passes, later copies are dropped.
+    * `dropDuplicatesWithinWatermark` keys the state store by the 16-byte
+    * digest (never the text) and EVICTS entries older than `watermark`
+    * — bounded state, the property that separates a 100 TB streaming
+    * dedup from an OOM: exact within the watermark horizon, while
+    * cross-horizon dups are left to the batch compaction pass.
+    */
+  def streamingExactDedup(docs: DataFrame, tsCol: String, watermark: String,
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Watermarked tumbling-window event counts + mean value — the
     * standard event-time aggregation shape (absent from the reference,
     * SURVEY.md §2.10 non-goal; included because any 100 TB event

@@ -80,6 +80,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(bn == 1L && math.abs(bm - 10.0) < 1e-12)
   }
 
+  test("streamingExactDedup passes first copy, drops in-horizon dups, evicts state") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = source.toDS().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.streamingExactDedup(df, "ts", "10 minutes")
+      .select("doc_id", "text")
+      .writeStream.format("memory").queryName("stream_dedup_test")
+      .outputMode("append").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    source.addData((1L, t(0), "alpha"), (2L, t(1), "alpha"), (3L, t(2), "beta"))
+    q.processAllAvailable()
+    // same batch + later batch dups within the horizon are dropped
+    source.addData((4L, t(3), "alpha"))
+    q.processAllAvailable()
+    // advance event time far past the watermark: "alpha" state evicted,
+    // so a far-future copy passes again (exact within horizon only)
+    source.addData((5L, t(40), "gamma"))
+    q.processAllAvailable()
+    source.addData((6L, t(41), "alpha"))
+    q.processAllAvailable()
+    val out = spark.table("stream_dedup_test").select("doc_id").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(out.contains(1L) && out.contains(3L) && out.contains(5L))
+    assert(!out.contains(2L) && !out.contains(4L))
+    assert(out.contains(6L)) // state evicted past the horizon — documented semantics
+  }
+
   test("windowedStats drops late rows beyond the watermark (bounded state)") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(java.sql.Timestamp, Double)]
