@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.RelationalOps
+import org.apache.spark.sql.functions._
+
+/** Properties behind the seeded samplers' oracle story: the sample is a
+  * pure function of (key, seed) — independent of partitioning, task
+  * order, or engine — and statistically uniform.
+  */
+class SamplerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("uniformSampleExact returns exactly k rows, stable across partitionings") {
+    val ev = Tables.events(spark, sf0)
+    val a = RelationalOps.uniformSampleExact(ev, col("event_id"), 200, "s1")
+      .select("event_id").as[Long].collect().toSet
+    assert(a.size == 200)
+    val b = RelationalOps.uniformSampleExact(ev.repartition(7), col("event_id"), 200, "s1")
+      .select("event_id").as[Long].collect().toSet
+    val c = RelationalOps.uniformSampleExact(ev.coalesce(1), col("event_id"), 200, "s1")
+      .select("event_id").as[Long].collect().toSet
+    assert(a == b && a == c)
+  }
+
+  test("different seeds draw (almost entirely) different samples") {
+    val ev = Tables.events(spark, sf0)
+    val n = ev.count()
+    val a = RelationalOps.uniformSampleExact(ev, col("event_id"), 200, "s1")
+      .select("event_id").as[Long].collect().toSet
+    val d = RelationalOps.uniformSampleExact(ev, col("event_id"), 200, "s2")
+      .select("event_id").as[Long].collect().toSet
+    // expected overlap is hypergeometric: 200·(200/n); allow 5× slack
+    val expected = 200.0 * 200.0 / n
+    assert((a & d).size <= math.max(5 * expected, 20))
+  }
+
+  test("uniformSampleFraction hits the target rate within binomial noise") {
+    val ev = Tables.events(spark, sf0)
+    val n = ev.count().toDouble
+    for (f <- Seq(0.01, 0.1, 0.5)) {
+      val k = RelationalOps.uniformSampleFraction(ev, col("event_id"), f, "s1").count()
+      val sd = math.sqrt(n * f * (1 - f))
+      assert(math.abs(k - n * f) <= 5 * sd, s"f=$f k=$k expected ${n * f} ± ${5 * sd}")
+    }
+  }
+
+  test("hashUniform draws are uniform across deciles (chi-square sanity)") {
+    val ev = Tables.events(spark, sf0)
+    val n = ev.count().toDouble
+    val counts = ev.select(floor(RelationalOps.hashUniform(col("event_id"), "s1") * 10).as("d"))
+      .groupBy("d").count().orderBy("d").as[(Long, Long)].collect()
+    assert(counts.length == 10)
+    val expected = n / 10
+    val chi2 = counts.map { case (_, c) => (c - expected) * (c - expected) / expected }.sum
+    // df = 9; P(chi2 > 27.9) ≈ 0.001 — deterministic hash, fixed number
+    assert(chi2 < 27.9, s"chi2 $chi2")
+  }
+}
