@@ -36,21 +36,27 @@ object Bench {
         catch { case _: Throwable => () }
       }
     val names = SparkEntry.queries.keys.toSeq.sorted
-    def runOnce(name: String): Double = {
+    // (seconds, succeeded) — a crashing query must never masquerade as
+    // a fast timing (it would read as a speedup in round comparisons)
+    def runOnce(name: String): (Double, Boolean) = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).queryExecution.toRdd.count()
-      catch { case _: Throwable => () }
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      dt
+      (dt, ok)
     }
     val pass1 = names.map(n => n -> runOnce(n)).toMap
     val pass2 = names.map(n => n -> runOnce(n)).toMap
-    val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
+    val results = names.map { n =>
+      val ((t1, ok1), (t2, ok2)) = (pass1(n), pass2(n))
+      n -> (if (ok1 && ok2) math.min(t1, t2) else -1.0)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

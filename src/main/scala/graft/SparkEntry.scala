@@ -107,8 +107,9 @@ object SparkEntry {
         .select(col("word"), col("n"), round(col("beta1"), 6).as("beta1"),
           round(col("beta2"), 6).as("beta2"), round(col("t1"), 6).as("t1"))
         .orderBy(col("beta1").desc, col("word"))),
-    // p-values (Student-t sf via commons-math): no SQL oracle — pinned
-    // instead by RegressionOpsSpec against a Breeze pinv solve.
+    // p-values (Student-t sf via commons-math), oracle-checked against
+    // the exact elementary t-CDF series evaluated by a DuckDB recursive
+    // CTE (see oracleSql) and Breeze-pinned in RegressionOpsSpec.
     "q_reg_pvalues" -> ((s, dir) =>
       RegressionOps.multiRegression(regObs(s, dir), Some(RegK))
         .select(col("word"), round(col("t1"), 6).as("t1"),

@@ -112,8 +112,8 @@ object SrpCodes {
   /** Per-JVM cache of the ±1 hyperplane matrix, flattened as
     * signs(plane * dim + d). Bit-identical to the original per-row
     * derivation: +1 iff xxHash64((plane << 32) | d, seed 42) is odd.
-    * Size is planes × dim doubles (48 × 64 ≈ 24 KB at the defaults) —
-    * shared across all tasks of the executor.
+    * Size is planes × dim doubles (96 × 64 ≈ 48 KB at the 16-table ×
+    * 6-bit defaults) — shared across all tasks of the executor.
     */
   private val signCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()

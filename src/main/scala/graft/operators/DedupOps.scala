@@ -152,7 +152,16 @@ object DedupOps {
 
   /** Exact n-gram Jaccard pairs via inverted-index join — the
     * brute-force (but still N·df-bounded, never N²) baseline the LSH
-    * path approximates. `maxShingleDf` guards the shuffle key skew.
+    * path approximates.
+    *
+    * EXACT up to the default `maxShingleDf` skew guard: shingles shared
+    * by more docs than the cap are dropped from the INTERSECTION counts
+    * (set sizes stay full), so a capped hot shingle biases affected
+    * pairs' jac downward — by design, since a shingle in >1000 docs
+    * carries no dedup signal but O(df²) join cost. Pass `None` for the
+    * strictly exact answer (what the test corpora exercise: their max
+    * df is far below the cap, so results are identical and the DuckDB
+    * oracle — which never caps — hash-matches).
     */
   def ngramJaccardPairs(docs: DataFrame, nGram: Int = 3, minJac: Double = 0.5,
       maxShingleDf: Option[Long] = Some(1000L), textCol: String = "text"): DataFrame = {

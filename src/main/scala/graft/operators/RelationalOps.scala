@@ -87,6 +87,12 @@ object RelationalOps {
     * partition-order-independent, and reproducible bit-for-bit in any
     * engine with md5 (the DuckDB oracle recomputes it exactly). 24 bits
     * of mantissa — plenty for sampling decisions.
+    *
+    * CONTRACT: `key` must be a NON-NULL unique row identifier. Rows
+    * sharing a key share one draw (kept/dropped together — sometimes
+    * wanted, e.g. by-user sampling; never uniform-by-row), and NULL
+    * keys all collapse onto the hash of the bare seed (engines also
+    * disagree on null-concat semantics, breaking oracle portability).
     */
   def hashUniform(key: Column, seed: String): Column =
     conv(substring(md5(concat_ws("|", key.cast("string"), lit(seed)).cast("binary")), 1, 6),
@@ -112,6 +118,8 @@ object RelationalOps {
     * TakeOrderedAndProject: each partition keeps its local top-k, only
     * k rows per partition reach the driver-side merge — no full sort,
     * no full shuffle, scale-safe for any k that fits one machine.
+    * Same key contract as [[hashUniform]]: non-null and unique, else
+    * rows tying on the hash are picked arbitrarily among duplicates.
     */
   def uniformSampleExact(df: DataFrame, key: Column, k: Int, seed: String): DataFrame =
     df.orderBy(md5(concat_ws("|", key.cast("string"), lit(seed)).cast("binary")))

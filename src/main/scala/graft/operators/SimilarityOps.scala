@@ -16,13 +16,14 @@ import org.apache.spark.sql.functions._
   * Scale design:
   *  - Brute force is queries × corpus: right for a small query set or
   *    as the verifier; the join broadcasts the query side.
-  *  - The LSH path computes, per row, 48 signed-random-projection dots
-  *    (deterministic ±1 weights from xxhash64(plane, dim)) grouped into
-  *    `tables` 12-bit codes — all inside one projection, NO shuffle —
-  *    then joins query codes to corpus codes per (table, code). Bucket
-  *    collisions, not N², bound the work; recall is tunable via number
-  *    of tables (multi-probe) and measured against brute force in
-  *    `SimilarityOpsSpec`.
+  *  - The LSH path computes, per row, tables×bits signed-random-
+  *    projection dots (96 at the 16×6 defaults; deterministic ±1
+  *    weights from xxhash64(plane, dim)) grouped into `tables` 6-bit
+  *    codes — all inside one projection, NO shuffle — then joins query
+  *    codes to corpus codes per (table, code). Bucket collisions, not
+  *    N², bound the work; recall is tunable via tables and multi-probe
+  *    radius and measured against brute force in `SimilarityOpsSpec`
+  *    (exact-equality certificates in `AnnExactRecallSpec`).
   */
 object SimilarityOps {
 
@@ -83,14 +84,10 @@ object SimilarityOps {
     val codes = lshCodes(embeddings, tables, bitsPerTable)
     val qCodes0 = codes.join(embeddings.filter(queryPred).select(col("vec_id")), "vec_id")
       .select(col("vec_id").as("q_id"), col("table"), col("code"))
-    // All XOR masks of popcount ≤ probeRadius over bitsPerTable bits,
-    // built once on the driver (23 masks at b=6, r=2).
-    val masks = (0L until (1L << bitsPerTable))
-      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
     val qCodes =
       if (probeRadius <= 0) qCodes0
       else qCodes0.select(col("q_id"), col("table"),
-        explode(array(masks.map(m => col("code").bitwiseXOR(lit(m))): _*)).as("code"))
+        probeExplode(col("code"), bitsPerTable, probeRadius).as("code"))
     val cand = codes.join(qCodes, Seq("table", "code"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("nn_id")).distinct()
@@ -165,6 +162,18 @@ object SimilarityOps {
       .select("q_id", "nn_id", "sim", "rank")
   }
 
+  /** Explode a code column into every code within `probeRadius` Hamming
+    * distance: XOR masks of popcount ≤ radius over `bits` bits, built
+    * once on the driver (22 masks at b=6, r=2 — C(6,0)+C(6,1)+C(6,2)).
+    * Shared by [[annTopK]] (query side) and [[cosineNearDupsLsh]] (one
+    * join side) so the two probing paths can never desynchronize.
+    */
+  private def probeExplode(code: Column, bits: Int, probeRadius: Int): Column = {
+    val masks = (0L until (1L << bits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    explode(array(masks.map(m => code.bitwiseXOR(lit(m))): _*))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `minSim` via SRP-LSH
     * candidates + exact verification — the scale path: the only wide
     * exchange is the (table, code)-keyed self-join, so work is bounded
@@ -180,10 +189,8 @@ object SimilarityOps {
   def cosineNearDupsLsh(embeddings: DataFrame, minSim: Double,
       tables: Int = 16, bitsPerTable: Int = 6, probeRadius: Int = 2): DataFrame = {
     val codes = lshCodes(embeddings, tables, bitsPerTable)
-    val masks = (0L until (1L << bitsPerTable))
-      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
     val left = codes.select(col("table"),
-      explode(array(masks.map(m => col("code").bitwiseXOR(lit(m))): _*)).as("code"),
+      probeExplode(col("code"), bitsPerTable, probeRadius).as("code"),
       col("vec_id").as("va"))
     val right = codes.select(col("table"), col("code"), col("vec_id").as("vb"))
     val cand = left.join(right, Seq("table", "code"))

@@ -83,7 +83,9 @@ object StreamingOps {
   def streamingExactDedup(docs: DataFrame, tsCol: String, watermark: String,
       textCol: String = "text"): DataFrame =
     docs
-      .withColumn("text_hash", md5(col(textCol).cast("binary")))
+      // unhex → BINARY: state keys on the true 16-byte digest, not the
+      // 32-char hex string (half the state-store footprint per doc)
+      .withColumn("text_hash", unhex(md5(col(textCol).cast("binary"))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 

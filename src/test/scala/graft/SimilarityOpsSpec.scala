@@ -43,10 +43,10 @@ class SimilarityOpsSpec extends SparkSpec {
     val recall = (brute & ann).size.toDouble / brute.size
     info(f"ANN recall@10 = $recall%.3f (candidates ${ann.size})")
     // synthetic embeddings are near-orthogonal (max cosine ~0.5) — the
-    // hardest case for hyperplane LSH. 16 tables × 6 bits with radius-1
-    // multi-probe clear 0.8 on this corpus; deterministic hashes make
-    // the number fixed, so this is a real similarity-search bar, not a
-    // smoke check.
+    // hardest case for hyperplane LSH. 16 tables × 6 bits with the
+    // default radius-2 multi-probe reach recall 1.0 here; deterministic
+    // hashes make the number fixed, so this is a real similarity-search
+    // bar, not a smoke check.
     assert(recall >= 0.8, f"recall $recall%.3f")
   }
 
