@@ -233,6 +233,47 @@ object SparkEntry {
         .select(col("l_returnflag"), col("l_linestatus"), col("n"),
           round(col("sum_qty"), 4).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    // Beyond the reference: CUBE — all grouping-set combinations from
+    // one expand + one exchange (completes the grouping-set family
+    // next to q_rollup).
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(28,12)")).cast("double").as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          round(col("sum_qty"), 4).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    // Beyond the reference: exact percentiles (sort-based, interpolated
+    // — matches DuckDB quantile_cont bit-for-bit after rounding).
+    "q_percentiles" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(expr("percentile(value, array(0.5D, 0.9D))").as("q"))
+        .select(col("event_type"), round(col("q")(0), 4).as("med_value"),
+          round(col("q")(1), 4).as("p90_value"))
+        .orderBy("event_type")),
+    // Beyond the reference: AS-OF join — point-in-time-correct lookup
+    // of each purchase's latest preceding view per user. Sort-based
+    // rewrite (one keyed exchange, no inequality-join pair explosion);
+    // oracle = DuckDB's native ASOF LEFT JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      // deterministic representative per (user, ts) — the asOfJoin tie
+      // contract; max_by/arg_max match across engines
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as("v_value"),
+          max(col("event_id")).as("v_event"))
+      TemporalOps.asOfJoin(purchases, views, Seq("user_id"), "ts",
+        Seq("v_event", "v_value"))
+        .select(col("user_id"), col("event_id").as("p_event"),
+          unix_micros(col("ts")).as("p_ts_us"),
+          col("asof_v_event").as("v_event"),
+          round(col("asof_v_value"), 4).as("v_value"))
+        .orderBy("user_id", "p_event")
+    }),
     // Beyond the reference: ordered analytic window — per-user running
     // event count and running value sum by event time.
     "q_window_running" -> ((s, dir) => {
@@ -540,6 +581,28 @@ object SparkEntry {
         |       round(CAST(sum(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE), 4) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE), 4) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS med_value,
+        |       round(quantile_cont(value, 0.9), 4) AS p90_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS v_value,
+        |         max(event_id) AS v_event
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+        |)
+        |SELECT p.user_id, p.event_id AS p_event, epoch_us(p.ts) AS p_ts_us,
+        |       v.v_event, round(v.v_value, 4) AS v_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.user_id, p_event""".stripMargin,
     "q_window_running" ->
       """SELECT user_id, event_id,
         |       row_number() OVER w AS event_seq,

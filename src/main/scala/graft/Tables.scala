@@ -25,8 +25,12 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // `div`, not `/`: Spark's `/` is DOUBLE division, and at epoch-nano
+    // magnitude (~1.7e18) the rounded quotient can land one micro HIGH
+    // before the cast truncates — integer division matches the parquet
+    // reader's (and DuckDB's) exact truncation.
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators Spark lacks as primitives, composed from
+  * existing relational ops (the preference order of SURVEY.md §5: no
+  * custom plan node where a declarative composition already scales).
+  *
+  * The headline is the AS-OF join — "for each left row, the most recent
+  * right row at or before its timestamp" — the canonical
+  * point-in-time-correct feature lookup of every event/feature-store
+  * pipeline. A naive formulation is an inequality join (range explosion,
+  * O(|L|·|R|) worst case); this one is the scale-safe sort-based
+  * rewrite:
+  *
+  *   union(left ∪ right) → window last(value, ignoreNulls) over
+  *   (partition by key, order by ts, side) → keep left rows
+  *
+  * ONE exchange keyed by the join key and one per-partition sort — the
+  * same cost as a sort-merge join, with no pair blow-up for any data
+  * distribution. DuckDB's native `ASOF JOIN` replays the semantics
+  * exactly, so the operator is oracle-checkable (q_asof_join).
+  */
+object TemporalOps {
+
+  /** As-of (backward) join. For each `left` row, appends
+    * `asof_<c>` for every `c` in `valueCols`: the value from the last
+    * `right` row with equal `keys` and `right.tsCol <= left.tsCol`
+    * (null when no such row — left-join semantics).
+    *
+    * CONTRACT: `right` must carry at most one row per (keys, ts) —
+    * pre-aggregate otherwise (ties at the same timestamp are
+    * resolution-order-dependent in every engine's ASOF; fixing a
+    * deterministic representative first makes results portable).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, valueCols: Seq[String]): DataFrame = {
+    // side 0 = right, 1 = left: at equal ts the right row sorts FIRST,
+    // so a right row timestamped exactly at a left row's ts is visible
+    // to it (the `<=` in the contract).
+    val lNorm = left.withColumn("__side", lit(1))
+    val rNorm = right.select(
+      (keys.map(col) :+ col(tsCol)) ++ valueCols.map(c => col(c).as(s"__r_$c")): _*)
+      .withColumn("__side", lit(0))
+    val u = lNorm.unionByName(rNorm, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(u) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.TemporalOps
+import org.apache.spark.sql.functions._
+
+class TemporalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOfJoin picks the latest right row at or before each left ts, per key") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2"),
+      (2L, ts("2024-01-01 09:00:00"), "p3")) // no prior right row → null
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 10.0),
+      (1L, ts("2024-01-01 10:00:00"), 20.0), // equal ts: visible to p1
+      (1L, ts("2024-01-01 11:59:00"), 30.0),
+      (2L, ts("2024-01-01 09:30:00"), 99.0)) // after p3: not visible
+      .toDF("user_id", "ts", "v")
+    val got = TemporalOps.asOfJoin(left, right, Seq("user_id"), "ts", Seq("v"))
+      .select("tag", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(got("p1").contains(20.0)) // the <= tie, not the 09:30 row
+    assert(got("p2").contains(30.0))
+    assert(got("p3").isEmpty)
+  }
+
+  test("asOfJoin keeps every left row exactly once (left-join cardinality)") {
+    val ev = Tables.events(spark, sf0)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max(col("value")).as("v"))
+    val joined = TemporalOps.asOfJoin(purchases, views, Seq("user_id"), "ts", Seq("v"))
+    assert(joined.count() == purchases.count())
+  }
+}
