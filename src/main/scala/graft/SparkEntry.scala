@@ -274,6 +274,25 @@ object SparkEntry {
           round(col("asof_v_value"), 4).as("v_value"))
         .orderBy("user_id", "p_event")
     }),
+    // Beyond the reference: range (interval-containment) join — events
+    // against 20 OVERLAPPING 48h maintenance windows on a 36h stride,
+    // via the bucketized equi-join rewrite (no nested-loop product).
+    // Aggregated per window so the oracle output stays small.
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val hourUs = 3600L * 1000000L
+      val baseUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+      val windows = (0L until 20L).map { w =>
+        (w, baseUs + w * 36 * hourUs, baseUs + w * 36 * hourUs + 48 * hourUs)
+      }.toDF("w_id", "w_start_us", "w_end_us")
+        .select(col("w_id"), timestamp_micros(col("w_start_us")).as("w_start"),
+          timestamp_micros(col("w_end_us")).as("w_end"))
+      val ev = Tables.events(s, dir).select("ts", "value")
+      TemporalOps.rangeJoinPoints(ev, "ts", windows, "w_start", "w_end", 48 * hourUs)
+        .groupBy("w_id")
+        .agg(count(lit(1)).as("n"), decMean(col("value")).as("mean_value"))
+        .orderBy("w_id")
+    }),
     // Beyond the reference: ordered analytic window — per-user running
     // event count and running value sum by event time.
     "q_window_running" -> ((s, dir) => {
@@ -603,6 +622,16 @@ object SparkEntry {
         |       v.v_event, round(v.v_value, 4) AS v_value
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
         |ORDER BY p.user_id, p_event""".stripMargin,
+    "q_range_join" ->
+      s"""WITH w AS (
+         |  SELECT i AS w_id,
+         |         TIMESTAMP '2024-01-01 00:00:00' + to_hours(36 * i) AS w_start,
+         |         TIMESTAMP '2024-01-01 00:00:00' + to_hours(36 * i + 48) AS w_end
+         |  FROM range(20) t(i)
+         |)
+         |SELECT w.w_id, count(*) AS n, ${decMeanSql("e.value")} AS mean_value
+         |FROM events e JOIN w ON e.ts >= w.w_start AND e.ts <= w.w_end
+         |GROUP BY w.w_id ORDER BY w.w_id""".stripMargin,
     "q_window_running" ->
       """SELECT user_id, event_id,
         |       row_number() OVER w AS event_seq,

@@ -54,4 +54,32 @@ object TemporalOps {
     filled.filter(col("__side") === 1)
       .select(left.columns.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
   }
+
+  /** Range (interval-containment) join: every (point, interval) pair
+    * with `start <= point.ts <= end` — the other join Spark lacks as a
+    * primitive. A naive inequality join plans as BroadcastNestedLoop
+    * (fine for a handful of intervals, O(|P|·|I|) when both sides are
+    * big); this is the bucketized rewrite: both sides key on coarse
+    * time buckets of `bucketWidthUs` micros (each interval explodes
+    * onto the buckets it covers), the join is a plain EQUI-join on the
+    * bucket, and the exact containment predicate filters inside. Work
+    * is |P| + Σ interval-bucket-spans + true matches — never a cross
+    * product; hot buckets are ordinary AQE-splittable join skew.
+    *
+    * Pick `bucketWidthUs` ≈ the typical interval length: each interval
+    * then lands on ~2 buckets (cost factor), and each point meets only
+    * the intervals overlapping its bucket (selectivity).
+    */
+  def rangeJoinPoints(points: DataFrame, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidthUs: Long): DataFrame = {
+    val p = points.withColumn("__b",
+      floor(unix_micros(col(tsCol)) / bucketWidthUs))
+    val iv = intervals.withColumn("__b", explode(sequence(
+      floor(unix_micros(col(startCol)) / bucketWidthUs),
+      floor(unix_micros(col(endCol)) / bucketWidthUs))))
+    p.join(iv, "__b")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__b")
+  }
 }

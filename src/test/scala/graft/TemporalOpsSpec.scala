@@ -27,6 +27,29 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got("p3").isEmpty)
   }
 
+  test("rangeJoinPoints equals the naive inequality join, without a nested loop") {
+    val ev = Tables.events(spark, sf0).select("event_id", "ts")
+    val hourUs = 3600L * 1000000L
+    val baseUs = 1704067200000000L
+    val windows = (0L until 10L).map { w =>
+      (w, baseUs + w * 36 * hourUs, baseUs + w * 36 * hourUs + 48 * hourUs)
+    }.toDF("w_id", "su", "eu")
+      .select(col("w_id"), timestamp_micros(col("su")).as("w_start"),
+        timestamp_micros(col("eu")).as("w_end"))
+    val bucketed = TemporalOps.rangeJoinPoints(ev, "ts", windows, "w_start", "w_end", 48 * hourUs)
+      .select("event_id", "w_id").as[(Long, Long)].collect().toSet
+    val naive = ev.join(windows, col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+      .select("event_id", "w_id").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive)
+    assert(bucketed.nonEmpty)
+    // overlapping windows really overlap: some event is in 2 windows
+    assert(bucketed.groupBy(_._1).exists(_._2.size >= 2))
+    // and the plan is an equi-join on the bucket, not a nested loop
+    val plan = TemporalOps.rangeJoinPoints(ev, "ts", windows, "w_start", "w_end", 48 * hourUs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("asOfJoin keeps every left row exactly once (left-join cardinality)") {
     val ev = Tables.events(spark, sf0)
     val purchases = ev.filter(col("event_type") === "purchase")
