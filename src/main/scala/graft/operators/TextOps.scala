@@ -59,6 +59,41 @@ object TextOps {
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(k)
 
+  /** Heavy hitters via Count-Min Sketch (Cormode & Muthukrishnan 2005),
+    * the mergeable-sketch scale path for frequency queries: ONE
+    * distributed aggregation folds the whole token stream into a
+    * width×depth counter grid (`count_min_sketch`, partial-aggregated
+    * and merged like any sum — a few KB of state regardless of corpus
+    * size), then the `k` candidate words are estimated driver-side
+    * against the sketch (k lookups on an aggregated value, the same
+    * O(small) driver pattern as the momentum-GD solve).
+    *
+    * At 100 TB the exact count table may be too hot to keep (billions
+    * of distinct tokens); the sketch is fixed-size with an ε·N
+    * overestimate bound. On the test corpora the sketch is far wider
+    * than the vocabulary, so estimates equal exact counts — the
+    * q_heavy_hitters oracle (exact SQL counts) hash-matches, and that
+    * equality IS the accuracy certificate, same trick as the LSH
+    * queries.
+    */
+  def heavyHitters(docs: DataFrame, k: Int, eps: Double = 1e-4,
+      confidence: Double = 0.999, seed: Int = 42,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = tokenize(docs, textCol = textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = topKFromTokens(toks, k).select("word").as[String].collect()
+    val bytes = toks.agg(
+      expr(s"count_min_sketch(word, ${eps}d, ${confidence}d, $seed)").as("s"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    toks.unpersist()
+    candidates.toSeq.map(w => (w, cms.estimateCount(w)))
+      .toDF("word", "est_cnt")
+  }
+
   /** Per-letter mean and population std-dev of per-document counts,
     * dense over the a–z alphabet (absent letters count 0 for every doc,
     * mirroring `MRSystemSimulator2020.py:221-228`'s explicit zero
