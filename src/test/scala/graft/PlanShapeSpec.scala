@@ -18,14 +18,19 @@ class PlanShapeSpec extends SparkSpec {
 
   private def planString(df: DataFrame): String = planOf(df).toString
 
+  /** Shuffle count of the FINAL adaptive plan: the query is executed
+    * first so AQE's runtime decisions (broadcast conversion, exchange
+    * reuse) are what gets counted — the static plan pessimistically
+    * carries sort-merge exchanges AQE will never run.
+    */
   private def countShuffles(df: DataFrame): Int = {
-    def walk(p: SparkPlan): Int = {
-      val self = p match {
-        case _: ShuffleExchangeExec => 1
-        case a: AdaptiveSparkPlanExec => return walk(a.executedPlan)
-        case _ => 0
-      }
-      self + p.children.map(walk).sum
+    df.queryExecution.toRdd.count()
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case s: ShuffleExchangeExec => 1 + s.children.map(walk).sum
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => 0 // runs once
+      case _ => p.children.map(walk).sum
     }
     walk(planOf(df))
   }
@@ -61,6 +66,18 @@ class PlanShapeSpec extends SparkSpec {
       .select("doc_id", "text")
     val sigs = graft.operators.DedupOps.simhash(docs)
     assert(countShuffles(sigs) <= 1) // only the explicit repartition above
+  }
+
+  test("dedupedByItem's support chain reuses one item partitioning (2 shuffles, not 3)") {
+    // HashPartitioning(item_id) satisfies the (user, item) grouping AND
+    // the item-support aggregation, so only the explicit repartition and
+    // the user-support aggregation exchange remain
+    val byItem = graft.operators.CFOps.supportFiltered(
+      graft.operators.Ratings.dedupedByItem(spark, sf0))
+    assert(countShuffles(byItem) <= 2, s"got ${countShuffles(byItem)}")
+    val plain = graft.operators.CFOps.supportFiltered(
+      graft.operators.Ratings.deduped(spark, sf0))
+    assert(countShuffles(plain) >= 3) // the baseline it improves on
   }
 
   test("hashBucketSample filter reaches the parquet scan (pushdown)") {
