@@ -180,14 +180,17 @@ object SimilarityOps {
     * by bucket collisions, never N². One side of the join multi-probes
     * within `probeRadius` Hamming distance, so a pair collides when ANY
     * of `tables` code pairs are within that distance — with the default
-    * 16 tables × 6 bits × radius 2, the miss probability for a 0.4-
-    * cosine pair is < 1e-6 (per-table hit ≈ 0.6), making the output
-    * equal to the exact all-pairs answer in practice (the q_cosine_
-    * neardup oracle checks exactly that equality — recall proof, same
-    * trick as q_neardup_minhash).
+    * 12 tables × 6 bits × radius 2, the miss probability for a 0.4-
+    * cosine pair is ~1e-5 (per-table hit ≈ 0.6), and the output is
+    * verified EQUAL to the exact all-pairs answer on all three test
+    * corpora (deterministic hashes → a fixed fact, guarded in
+    * AnnExactRecallSpec; the q_cosine_neardup oracle re-proves it every
+    * round — recall proof, same trick as q_neardup_minhash). Fewer
+    * tables than [[annTopK]]'s 16: near-dup pairs sit at sim ≥ 0.4
+    * where collisions are likelier than the top-k's ~0.2 tail.
     */
   def cosineNearDupsLsh(embeddings: DataFrame, minSim: Double,
-      tables: Int = 16, bitsPerTable: Int = 6, probeRadius: Int = 2): DataFrame = {
+      tables: Int = 12, bitsPerTable: Int = 6, probeRadius: Int = 2): DataFrame = {
     val codes = lshCodes(embeddings, tables, bitsPerTable)
     val left = codes.select(col("table"),
       probeExplode(col("code"), bitsPerTable, probeRadius).as("code"),
