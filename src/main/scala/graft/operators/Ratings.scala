@@ -49,11 +49,17 @@ object Ratings {
     * map-side combine; the struct-buffer form falls back to
     * SortAggregate (sorts every input row map-side).
     */
-  def deduped(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir)
-      .groupBy("user_id", "item_id")
+  /** The one shared "last rating wins" aggregation — both dedup
+    * variants MUST pick the same survivor or q_dedup_last and the CF
+    * queries would silently disagree.
+    */
+  private def dedupAgg(raw: DataFrame): DataFrame =
+    raw.groupBy("user_id", "item_id")
       .agg(max_by(col("rating"),
         col("ord") * 65536L + col("ln") * 256L + col("rating")).as("rating"))
+
+  def deduped(spark: SparkSession, dir: String): DataFrame =
+    dedupAgg(apply(spark, dir))
 
   /** [[deduped]] pre-partitioned by ITEM: `HashPartitioning(item_id)`
     * satisfies the (user, item) grouping's ClusteredDistribution (same
@@ -68,10 +74,7 @@ object Ratings {
     * chain (which aggregates by item anyway), not as a generic default.
     */
   def dedupedByItem(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir).repartition(col("item_id"))
-      .groupBy("user_id", "item_id")
-      .agg(max_by(col("rating"),
-        col("ord") * 65536L + col("ln") * 256L + col("rating")).as("rating"))
+    dedupAgg(apply(spark, dir).repartition(col("item_id")))
 
   val OracleDedupCte: String =
     OracleCte +

@@ -30,7 +30,9 @@ object TemporalOps {
     * `right` row with equal `keys` and `right.tsCol <= left.tsCol`
     * (null when no such row — left-join semantics).
     *
-    * CONTRACT: `right` must carry at most one row per (keys, ts) —
+    * CONTRACT: `keys` must be non-null (SQL equality-join semantics —
+    * a null key matches nothing; here null keys would group together)
+    * and `right` must carry at most one row per (keys, ts) —
     * pre-aggregate otherwise (ties at the same timestamp are
     * resolution-order-dependent in every engine's ASOF; fixing a
     * deterministic representative first makes results portable).
@@ -41,18 +43,23 @@ object TemporalOps {
     // so a right row timestamped exactly at a left row's ts is visible
     // to it (the `<=` in the contract).
     val lNorm = left.withColumn("__side", lit(1))
+    // ONE wrapper struct per right row, never null AS A WHOLE even when
+    // every value field is null: last(ignoreNulls) then skips exactly
+    // the interleaved left-row placeholders — a matched right row whose
+    // value IS null correctly yields null (not a stale earlier value),
+    // and all valueCols come from the SAME right row (no tearing).
     val rNorm = right.select(
-      (keys.map(col) :+ col(tsCol)) ++ valueCols.map(c => col(c).as(s"__r_$c")): _*)
+      (keys.map(col) :+ col(tsCol)) :+
+        struct(valueCols.map(col): _*).as("__r"): _*)
       .withColumn("__side", lit(0))
     val u = lNorm.unionByName(rNorm, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(u) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = u.withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+      .select(left.columns.map(col) ++
+        valueCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
   /** Range (interval-containment) join: every (point, interval) pair

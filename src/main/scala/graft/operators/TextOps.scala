@@ -59,38 +59,58 @@ object TextOps {
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(k)
 
-  /** Heavy hitters via Count-Min Sketch (Cormode & Muthukrishnan 2005),
-    * the mergeable-sketch scale path for frequency queries: ONE
-    * distributed aggregation folds the whole token stream into a
-    * width×depth counter grid (`count_min_sketch`, partial-aggregated
-    * and merged like any sum — a few KB of state regardless of corpus
-    * size), then the `k` candidate words are estimated driver-side
-    * against the sketch (k lookups on an aggregated value, the same
-    * O(small) driver pattern as the momentum-GD solve).
+  /** Heavy hitters — every token with relative frequency ≥ `minFreq` —
+    * via Count-Min Sketch (Cormode & Muthukrishnan 2005), the
+    * mergeable-sketch scale path for frequency queries. Two passes,
+    * neither of which ever aggregates the full distinct-token table:
     *
-    * At 100 TB the exact count table may be too hot to keep (billions
-    * of distinct tokens); the sketch is fixed-size with an ε·N
-    * overestimate bound. On the test corpora the sketch is far wider
-    * than the vocabulary, so estimates equal exact counts — the
-    * q_heavy_hitters oracle (exact SQL counts) hash-matches, and that
+    *  1. CANDIDATES from a `sampleRate` hash-sample of token
+    *     OCCURRENCES (seeded, engine-portable draw on (doc, position)):
+    *     a true heavy hitter has ≥ minFreq·sampleTotal expected sample
+    *     occurrences, so keeping sampled words above HALF that bound
+    *     catches it with margin while the candidate aggregation shrinks
+    *     1/sampleRate× (at 100 TB, sampleRate ~ polylog/(minFreq²·N) —
+    *     a fixed absolute sample; the fully-bounded alternative is a
+    *     per-partition SpaceSaving heap, not needed at this error bar).
+    *  2. COUNTS from ONE aggregation folding the full stream into
+    *     (count(*), count_min_sketch) — a few KB of partial-aggregated,
+    *     mergeable state regardless of corpus size. The |candidates|
+    *     (≤ ~2/minFreq) estimates + the final ≥ minFreq·N filter run
+    *     driver-side, the same O(small) pattern as the momentum-GD
+    *     solve.
+    *
+    * On the test corpora the sketch is far wider than the vocabulary,
+    * so estimates equal exact counts and the q_heavy_hitters oracle
+    * (exact SQL counts with the same threshold) hash-matches — the
     * equality IS the accuracy certificate, same trick as the LSH
     * queries.
     */
-  def heavyHitters(docs: DataFrame, k: Int, eps: Double = 1e-4,
+  def heavyHitters(docs: DataFrame, minFreq: Double = 0.02,
+      sampleRate: Double = 0.1, eps: Double = 1e-4,
       confidence: Double = 0.999, seed: Int = 42,
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = tokenize(docs, textCol = textCol)
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col(textCol))))
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = topKFromTokens(toks, k).select("word").as[String].collect()
-    val bytes = toks.agg(
-      expr(s"count_min_sketch(word, ${eps}d, ${confidence}d, $seed)").as("s"))
-      .head().getAs[Array[Byte]](0)
+    val sampled = toks.filter(
+      RelationalOps.hashUniform(concat_ws("#", col("doc_id"), col("pos")), s"hh$seed")
+        < lit(sampleRate))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sampleTotal = sampled.count()
+    val candidates = sampled.groupBy("word").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= lit(0.5 * minFreq * sampleTotal))
+      .select("word").as[String].collect()
+    val agg = toks.agg(count(lit(1)).as("n"),
+      expr(s"count_min_sketch(word, ${eps}d, ${confidence}d, $seed)").as("s")).head()
+    val total = agg.getLong(0)
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(bytes))
-    toks.unpersist()
+      new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]](1)))
+    toks.unpersist(); sampled.unpersist()
     candidates.toSeq.map(w => (w, cms.estimateCount(w)))
+      .filter(_._2 >= minFreq * total)
       .toDF("word", "est_cnt")
   }
 

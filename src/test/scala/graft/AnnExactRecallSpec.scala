@@ -24,7 +24,7 @@ class AnnExactRecallSpec extends SparkSpec {
 
   test("cosineNearDupsLsh equals brute-force all-pairs at sf0.01 and sf0.001") {
     // sf0.001 is the corpus that caught a miss at 8 tables — keep both
-    for (dir <- Seq(sf001, "/root/testdata/sf0.001")) {
+    for (dir <- Seq(sf001, sf0)) {
       val emb = Tables.embeddings(spark, dir)
       val brute = SimilarityOps.cosineNearDups(emb, 0.4)
         .select("va", "vb").as[(Long, Long)].collect().toSet

@@ -72,12 +72,12 @@ class PlanShapeSpec extends SparkSpec {
     // HashPartitioning(item_id) satisfies the (user, item) grouping AND
     // the item-support aggregation, so only the explicit repartition and
     // the user-support aggregation exchange remain
-    val byItem = graft.operators.CFOps.supportFiltered(
-      graft.operators.Ratings.dedupedByItem(spark, sf0))
-    assert(countShuffles(byItem) <= 2, s"got ${countShuffles(byItem)}")
-    val plain = graft.operators.CFOps.supportFiltered(
-      graft.operators.Ratings.deduped(spark, sf0))
-    assert(countShuffles(plain) >= 3) // the baseline it improves on
+    val nByItem = countShuffles(graft.operators.CFOps.supportFiltered(
+      graft.operators.Ratings.dedupedByItem(spark, sf0)))
+    assert(nByItem <= 2, s"got $nByItem")
+    val nPlain = countShuffles(graft.operators.CFOps.supportFiltered(
+      graft.operators.Ratings.deduped(spark, sf0)))
+    assert(nPlain >= 3, s"baseline got $nPlain") // what byItem improves on
   }
 
   test("hashBucketSample filter reaches the parquet scan (pushdown)") {

@@ -27,6 +27,17 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got("p3").isEmpty)
   }
 
+  test("asOfJoin: a matched right row whose value IS null yields null, not a stale value") {
+    val left = Seq((1L, ts("2024-01-01 11:00:00"), "p1")).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(5.0)),
+      (1L, ts("2024-01-01 10:00:00"), None)) // the as-of match, value null
+      .toDF("user_id", "ts", "v")
+    val got = TemporalOps.asOfJoin(left, right, Seq("user_id"), "ts", Seq("v"))
+      .select("asof_v").as[Option[Double]].head()
+    assert(got.isEmpty) // NOT the stale 5.0 — matches DuckDB ASOF semantics
+  }
+
   test("rangeJoinPoints equals the naive inequality join, without a nested loop") {
     val ev = Tables.events(spark, sf0).select("event_id", "ts")
     val hourUs = 3600L * 1000000L
