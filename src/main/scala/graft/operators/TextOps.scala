@@ -106,9 +106,14 @@ object TextOps {
     val agg = toks.agg(count(lit(1)).as("n"),
       expr(s"count_min_sketch(word, ${eps}d, ${confidence}d, $seed)").as("s")).head()
     val total = agg.getLong(0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]](1)))
+    // an empty token stream aggregates to a NULL sketch — empty result,
+    // not an NPE
+    val sketchBytes = agg.getAs[Array[Byte]](1)
     toks.unpersist(); sampled.unpersist()
+    if (total == 0L || sketchBytes == null || candidates.isEmpty)
+      return Seq.empty[(String, Long)].toDF("word", "est_cnt")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
     candidates.toSeq.map(w => (w, cms.estimateCount(w)))
       .filter(_._2 >= minFreq * total)
       .toDF("word", "est_cnt")

@@ -27,6 +27,23 @@ class EdgeCasesSpec extends SparkSpec {
     assert(DedupOps.simhash(empty).isEmpty)
     assert(TextAnalysisOps.fingerprints(empty).isEmpty)
     assert(TextOps.topKWords(empty, 10).isEmpty)
+    assert(TextOps.heavyHitters(empty).isEmpty) // NULL sketch path, no NPE
+  }
+
+  test("temporal ops on empty sides are empty or all-null, never throw") {
+    import spark.implicits._
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
+      .toDF("k", "ts", "x")
+    val emptyRight = left.filter(org.apache.spark.sql.functions.lit(false))
+      .select(org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("x").as("v"))
+    val j = graft.operators.TemporalOps.asOfJoin(left, emptyRight, Seq("k"), "ts", Seq("v"))
+    assert(j.count() == 1 && j.select("asof_v").head().isNullAt(0))
+    val emptyIv = Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .toDF("w_id", "w_start", "w_end")
+    assert(graft.operators.TemporalOps
+      .rangeJoinPoints(left, "ts", emptyIv, "w_start", "w_end", 3600L * 1000000L).isEmpty)
   }
 
   test("null and empty text rows are dropped or scored, never throw") {
