@@ -20,10 +20,14 @@ import graft.functions.{ArrayDot, Md5MinShingle, Md5SimHash, MinHashSignature, S
   * not per-row data.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (id, info, builder) =>
       ext.injectFunction((id, info, builder))
     }
+    // whole-plan rewrite surface: naive interval joins → bucketized
+    // equi-joins, gated behind spark.graft.rangeJoin.bucketWidthUs
+    ext.injectOptimizerRule(graft.plans.RewriteRangeJoin)
+  }
 }
 
 object GraftExtensions {

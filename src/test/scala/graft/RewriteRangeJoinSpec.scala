@@ -1,0 +1,72 @@
+package graft
+
+import graft.plans.RewriteRangeJoin
+import org.apache.spark.sql.functions._
+
+class RewriteRangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def fixtures = {
+    val points = Seq(
+      (1L, ts("2024-01-01 10:30:00")),
+      (2L, ts("2024-01-01 11:30:00")),
+      (3L, ts("2024-01-02 09:00:00"))).toDF("p_id", "ts")
+    val intervals = Seq(
+      (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      (11L, ts("2024-01-01 11:00:00"), ts("2024-01-01 13:00:00")), // overlaps 10
+      (12L, ts("2024-01-03 00:00:00"), ts("2024-01-03 01:00:00"))) // matches nothing
+      .toDF("w_id", "lo", "hi")
+    (points, intervals)
+  }
+
+  private def naive = {
+    val (p, iv) = fixtures
+    p.join(iv, col("ts") >= col("lo") && col("ts") <= col("hi"))
+  }
+
+  test("without the conf, the naive interval join stays a nested loop (baseline)") {
+    val plan = naive.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("rule rewrites the band join to a bucket equi-join with identical results") {
+    val expected = naive.select("p_id", "w_id").as[(Long, Long)].collect().toSet
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RewriteRangeJoin(spark)
+    spark.conf.set("spark.graft.rangeJoin.bucketWidthUs", (3600L * 1000000L).toString)
+    try {
+      val got = naive
+      val plan = got.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(got.columns.toSeq == Seq("p_id", "ts", "w_id", "lo", "hi")) // schema unchanged
+      assert(got.select("p_id", "w_id").as[(Long, Long)].collect().toSet == expected)
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidthUs")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[RewriteRangeJoin])
+    }
+  }
+
+  test("rule leaves non-band joins and equi-joins untouched") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RewriteRangeJoin(spark)
+    spark.conf.set("spark.graft.rangeJoin.bucketWidthUs", (3600L * 1000000L).toString)
+    try {
+      val (p, iv) = fixtures
+      // equi-join: must not be rewritten (no Generate/Sequence in plan)
+      val eq = p.join(iv, p("p_id") === iv("w_id"))
+      assert(!eq.queryExecution.optimizedPlan.toString.contains("__graft_b"))
+      // one-sided bound: not a band, untouched
+      val half = p.join(iv, col("ts") >= col("lo"))
+      assert(!half.queryExecution.optimizedPlan.toString.contains("__graft_b"))
+      // p1 clears 1 lo bound, p2 and p3 clear 2 each → 5 pairs
+      assert(half.count() == 5) // sanity: semantics intact
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidthUs")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[RewriteRangeJoin])
+    }
+  }
+}
