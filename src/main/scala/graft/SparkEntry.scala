@@ -282,6 +282,13 @@ object SparkEntry {
           round(col("asof_v_value"), 4).as("v_value"))
         .orderBy("user_id", "p_event")
     }),
+    // Beyond the reference: sessionization — 30-minute-gap session
+    // windows per user (merging session agg; streaming-capable).
+    "q_sessionize" -> ((s, dir) =>
+      TemporalOps.sessionize(Tables.events(s, dir), Seq("user_id"), "ts", "30 minutes")
+        .select(col("user_id"), unix_micros(col("s_start")).as("start_us"),
+          unix_micros(col("s_end")).as("end_us"), col("n_events"))
+        .orderBy("user_id", "start_us")),
     // Beyond the reference: range (interval-containment) join — events
     // against 20 OVERLAPPING 48h maintenance windows on a 36h stride,
     // via the bucketized equi-join rewrite (no nested-loop product).
@@ -639,6 +646,24 @@ object SparkEntry {
         |       v.v_event, round(v.v_value, 4) AS v_value
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
         |ORDER BY p.user_id, p_event""".stripMargin,
+    "q_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |              WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+        |              ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m
+        |)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
     "q_range_join" ->
       s"""WITH w AS (
          |  SELECT i AS w_id,

@@ -62,6 +62,29 @@ object TemporalOps {
         valueCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
+  /** Sessionization: merge each key's events into sessions separated by
+    * inactivity gaps ≥ `gap`, via Spark's `session_window` (merging
+    * session aggregation — one exchange keyed on (keys, overlapping
+    * windows), state bounded per open session, and the SAME call works
+    * under Structured Streaming with a watermark). Output: keys +
+    * (n_events, s_start, s_end) where start/end are the first/last
+    * EVENT timestamps (engine-neutral — `session_window.end` pads the
+    * trailing gap, so it is not published).
+    *
+    * Gap semantics (pinned in TemporalOpsSpec): an event at EXACTLY
+    * `gap` after the previous event still merges (session_window spans
+    * are end-inclusive on the padded gap); only a strictly larger gap
+    * starts a new session — the gaps-and-islands SQL mirror is
+    * `lag diff > gap`.
+    */
+  def sessionize(events: DataFrame, keys: Seq[String], tsCol: String,
+      gap: String): DataFrame =
+    events
+      .groupBy(keys.map(col) :+ session_window(col(tsCol), gap): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("s_start"), max(col(tsCol)).as("s_end"))
+      .drop("session_window")
+
   /** Range (interval-containment) join: every (point, interval) pair
     * with `start <= point.ts <= end` — the other join Spark lacks as a
     * primitive. A naive inequality join plans as BroadcastNestedLoop

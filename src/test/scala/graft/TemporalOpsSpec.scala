@@ -61,6 +61,20 @@ class TemporalOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("sessionize: within-gap merges, exact-gap splits (strictness pinned)") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:29:59")), // < 30 min after previous → same session
+      (1L, ts("2024-01-01 10:59:59")), // chains: < 30 min after 10:29:59
+      (1L, ts("2024-01-01 11:29:59")), // EXACTLY 30 min after → still merges
+      (1L, ts("2024-01-01 12:00:00")), // 30:01 after → NEW session
+      (2L, ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "ts")
+    val got = TemporalOps.sessionize(ev, Seq("user_id"), "ts", "30 minutes")
+      .select("user_id", "n_events").as[(Long, Long)].collect().sorted
+    assert(got.toSeq == Seq((1L, 1L), (1L, 4L), (2L, 1L)))
+  }
+
   test("asOfJoin keeps every left row exactly once (left-join cardinality)") {
     val ev = Tables.events(spark, sf0)
     val purchases = ev.filter(col("event_type") === "purchase")
