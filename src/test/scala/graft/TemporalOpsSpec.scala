@@ -75,6 +75,45 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L), (1L, 4L), (2L, 1L)))
   }
 
+  test("sessionize under Structured Streaming matches the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val source = MemoryStream[(Long, java.sql.Timestamp)]
+    val sdf = source.toDS().toDF("user_id", "ts")
+    val q = TemporalOps.sessionize(sdf.withWatermark("ts", "1 hour"),
+        Seq("user_id"), "ts", "30 minutes")
+      .writeStream.format("memory").queryName("sessionize_stream_test")
+      .outputMode("append").start()
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:20:00")),
+      (1L, ts("2024-01-01 11:30:00")), (2L, ts("2024-01-01 10:05:00")))
+    source.addData(rows: _*)
+    q.processAllAvailable()
+    // advance the watermark far enough to close and emit all sessions
+    source.addData((99L, ts("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    val streamed = spark.table("sessionize_stream_test")
+      .filter(col("user_id") =!= 99L)
+      .select("user_id", "n_events").as[(Long, Long)].collect().sorted
+    q.stop()
+    val batch = TemporalOps.sessionize(rows.toDF("user_id", "ts"),
+        Seq("user_id"), "ts", "30 minutes")
+      .select("user_id", "n_events").as[(Long, Long)].collect().sorted
+    assert(streamed.toSeq == batch.toSeq)
+    assert(batch.toSeq == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("asOfJoin with a composite key never matches across key boundaries") {
+    val left = Seq((1L, "a", ts("2024-01-01 12:00:00"), "p1"),
+      (1L, "b", ts("2024-01-01 12:00:00"), "p2"))
+      .toDF("k1", "k2", "ts", "tag")
+    val right = Seq((1L, "a", ts("2024-01-01 11:00:00"), 7.0))
+      .toDF("k1", "k2", "ts", "v")
+    val got = TemporalOps.asOfJoin(left, right, Seq("k1", "k2"), "ts", Seq("v"))
+      .select("tag", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(got("p1").contains(7.0) && got("p2").isEmpty)
+  }
+
   test("asOfJoin keeps every left row exactly once (left-join cardinality)") {
     val ev = Tables.events(spark, sf0)
     val purchases = ev.filter(col("event_type") === "purchase")
