@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-plan rewrite surface: naive interval joins → bucketized
     // equi-joins, gated behind spark.graft.rangeJoin.bucketWidthUs
     ext.injectOptimizerRule(graft.plans.RewriteRangeJoin)
+    // whole-operator surface: TopKPerKey logical node → bounded-heap
+    // partial/final physical operator (no-op unless the node is used)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
 

@@ -114,14 +114,15 @@ object CFOps {
   }
 
   /** Top-`neighborCap` neighbors per target (spec's 50-neighbor rule;
-    * deterministic tie-break on item id).
+    * deterministic tie-break on item id). Planned via the native
+    * [[graft.plans.TopKPerKey]] operator — bounded per-key heaps with a
+    * map-side partial, so the exchange carries ≤ cap rows per (target,
+    * partition) and nothing is ever fully sorted (a `row_number` window
+    * sorts EVERY similarity row per target).
     */
-  def topNeighbors(sims: DataFrame, p: Params = Params()): DataFrame = {
-    val w = Window.partitionBy("t_item").orderBy(col("sim").desc, col("item_id"))
-    sims.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= p.neighborCap)
-      .drop("rn")
-  }
+  def topNeighbors(sims: DataFrame, p: Params = Params()): DataFrame =
+    graft.plans.TopKOps.topKPerKey(sims, Seq("t_item"),
+      Seq(col("sim").desc, col("item_id").asc), p.neighborCap)
 
   /** End-to-end recommendation: predicted rating of each target item
     * for every user who rated ≥ minCommonUsers neighbor items.

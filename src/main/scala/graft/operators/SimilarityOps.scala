@@ -49,9 +49,22 @@ object SimilarityOps {
     val sims = corpus.crossJoin(broadcast(queries))
       .filter(col("q_id") =!= col("nn_id"))
       .withColumn("sim", dot(col("emb_q"), col("emb_n")) / (col("nrm_q") * col("nrm_n")))
+    rankTopK(sims, k)
+  }
+
+  /** (q_id, nn_id, sim) → exact top-`k` per query with a dense `rank`:
+    * the native [[graft.plans.TopKPerKey]] bounded-heap operator prunes
+    * to k rows per query FIRST (map-side partial, ≤ k rows per
+    * partition cross the exchange, no full sort), then the rank window
+    * runs over only queries×k rows. The row_number-over-everything
+    * formulation sorts the entire similarity table per query.
+    */
+  private def rankTopK(sims: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.TopKOps.topKPerKey(
+      sims.select("q_id", "nn_id", "sim"), Seq("q_id"),
+      Seq(col("sim").desc, col("nn_id").asc), k)
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nn_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    top.withColumn("rank", row_number().over(w))
       .select("q_id", "nn_id", "sim", "rank")
   }
 
@@ -99,10 +112,7 @@ object SimilarityOps {
       .join(vecs.select(col("vec_id").as("nn_id"), col("embedding").as("emb_n"),
         col("nrm").as("nrm_n")), "nn_id")
       .withColumn("sim", dot(col("emb_q"), col("emb_n")) / (col("nrm_q") * col("nrm_n")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nn_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "nn_id", "sim", "rank")
+    rankTopK(sims, k)
   }
 
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path: MLlib
@@ -156,10 +166,7 @@ object SimilarityOps {
       embeddings.select(col("vec_id").as("nn_id"), col("embedding").as("emb_n"),
         norm(col("embedding")).as("nrm_n")), "nn_id")
       .withColumn("sim", dot(col("emb_q"), col("emb_n")) / (col("nrm_q") * col("nrm_n")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nn_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "nn_id", "sim", "rank")
+    rankTopK(sims, k)
   }
 
   /** Explode a code column into every code within `probeRadius` Hamming
