@@ -28,6 +28,14 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * and no sort anywhere. At 100 TB with millions of rows per hot key,
   * the shuffle carries k rows per map task instead of all of them.
   *
+  * STATE BOUND (the honest caveat): the per-partition heap map is
+  * O(distinct keys in that partition × k) rows with NO spill path —
+  * right for ranking tables whose key side is bounded (query sets,
+  * target items, per-group candidates: exactly this library's uses),
+  * wrong for unbounded key cardinality where (keys/partition)·k rows
+  * exceed executor memory; use the spilling window form there, or
+  * pre-partition by key so each task sees few keys.
+  *
   * Results are deterministic iff `order` is a TOTAL order (callers
   * append a unique tiebreak column, as with every ranking operator in
   * this library).
