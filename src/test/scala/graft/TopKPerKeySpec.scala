@@ -37,6 +37,19 @@ class TopKPerKeySpec extends SparkSpec {
     assert(plan.contains("Exchange hashpartitioning"))
   }
 
+  test("null order values rank exactly as the window form (NULLS LAST under desc)") {
+    val df = Seq((1L, 10L, Some(5.0)), (1L, 11L, None), (1L, 12L, Some(1.0)))
+      .toDF("user_id", "event_id", "value")
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select("event_id").as[Long].collect().toSet
+    val viaTopK = TopKOps.topKPerKey(df, Seq("user_id"),
+      Seq(col("value").desc, col("event_id").asc), 2)
+      .select("event_id").as[Long].collect().toSet
+    assert(viaTopK == viaWindow)
+    assert(viaTopK == Set(10L, 12L)) // null sorts last under desc, excluded at k=2
+  }
+
   test("keys with fewer than k rows pass through whole; k=1 picks the max") {
     val df = Seq((1L, 10L, 5.0), (1L, 11L, 7.0), (2L, 20L, 1.0))
       .toDF("user_id", "event_id", "value")
