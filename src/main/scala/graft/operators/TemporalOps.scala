@@ -105,9 +105,13 @@ object TemporalOps {
       bucketWidthUs: Long): DataFrame = {
     val p = points.withColumn("__b",
       floor(unix_micros(col(tsCol)) / bucketWidthUs))
-    val iv = intervals.withColumn("__b", explode(sequence(
-      floor(unix_micros(col(startCol)) / bucketWidthUs),
-      floor(unix_micros(col(endCol)) / bucketWidthUs))))
+    // degenerate intervals (start > end — `sequence` would throw on the
+    // inverted range — or a null bound) can never satisfy the
+    // containment predicate; dropping them preserves semantics exactly
+    val iv = intervals.filter(col(startCol) <= col(endCol))
+      .withColumn("__b", explode(sequence(
+        floor(unix_micros(col(startCol)) / bucketWidthUs),
+        floor(unix_micros(col(endCol)) / bucketWidthUs))))
     p.join(iv, "__b")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__b")

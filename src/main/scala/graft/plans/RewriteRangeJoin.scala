@@ -74,9 +74,13 @@ case class RewriteRangeJoin(session: org.apache.spark.sql.SparkSession)
             val rBucketAttr = AttributeReference("__graft_b", LongType)()
             val gen = Explode(tzFix(new Sequence(
               bucketOf(lo, width), bucketOf(hi, width), Literal(1L))))
+            // degenerate intervals (lo > hi — the step-1 Sequence would
+            // THROW on an inverted range — or null bounds) can never
+            // satisfy the band; filtering them is semantics-preserving
+            val validIntervals = Filter(LessThanOrEqual(lo, hi), r)
             val newRight = Generate(gen, unrequiredChildIndex = Nil,
               outer = false, qualifier = None,
-              generatorOutput = Seq(rBucketAttr), child = r)
+              generatorOutput = Seq(rBucketAttr), child = validIntervals)
             val eq = EqualTo(lBucket.toAttribute, rBucketAttr)
             val joined = Join(newLeft, newRight, Inner, Some(eq), hint)
             // original band predicate re-applied exactly; helper bucket

@@ -49,6 +49,27 @@ class RewriteRangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("inverted and null-bounded intervals are dropped, not crashed on") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RewriteRangeJoin(spark)
+    spark.conf.set("spark.graft.rangeJoin.bucketWidthUs", (3600L * 1000000L).toString)
+    try {
+      val (p, _) = fixtures
+      val bad = Seq(
+        (20L, Some(ts("2024-01-01 12:00:00")), Some(ts("2024-01-01 10:00:00"))), // inverted
+        (21L, None, Some(ts("2024-01-01 12:00:00"))),                             // null lo
+        (22L, Some(ts("2024-01-01 10:00:00")), Some(ts("2024-01-01 12:00:00")))) // valid
+        .toDF("w_id", "lo", "hi")
+      val got = p.join(bad, col("ts") >= col("lo") && col("ts") <= col("hi"))
+        .select("p_id", "w_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 22L), (2L, 22L))) // only the valid window matches
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidthUs")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[RewriteRangeJoin])
+    }
+  }
+
   test("rule leaves non-band joins and equi-joins untouched") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ RewriteRangeJoin(spark)

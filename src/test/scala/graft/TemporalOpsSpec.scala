@@ -61,6 +61,18 @@ class TemporalOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("rangeJoinPoints drops inverted and null-bounded intervals instead of crashing") {
+    val p = Seq((1L, ts("2024-01-01 10:30:00"))).toDF("p_id", "ts")
+    val iv = Seq(
+      (10L, Some(ts("2024-01-01 12:00:00")), Some(ts("2024-01-01 10:00:00"))), // inverted
+      (11L, None, Some(ts("2024-01-01 12:00:00"))),                             // null lo
+      (12L, Some(ts("2024-01-01 10:00:00")), Some(ts("2024-01-01 12:00:00")))) // valid
+      .toDF("w_id", "w_start", "w_end")
+    val got = TemporalOps.rangeJoinPoints(p, "ts", iv, "w_start", "w_end", 3600L * 1000000L)
+      .select("w_id").as[Long].collect().toSeq
+    assert(got == Seq(12L))
+  }
+
   test("sessionize: within-gap merges, exact-gap splits (strictness pinned)") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")),
