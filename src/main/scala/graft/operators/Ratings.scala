@@ -37,7 +37,11 @@ object Ratings {
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |)""".stripMargin
 
-  /** One deterministic rating per (user, item): last under (ord, ln,
+  /** The one shared "last rating wins" aggregation — both dedup
+    * variants MUST pick the same survivor or q_dedup_last and the CF
+    * queries would silently disagree.
+    *
+    * One deterministic rating per (user, item): last under (ord, ln,
     * rating). The testdata contains duplicate (ord, ln) pairs, so the
     * rating itself is the final tie-break — ties beyond that produce
     * identical output rows, keeping the result well-defined.
@@ -49,15 +53,14 @@ object Ratings {
     * map-side combine; the struct-buffer form falls back to
     * SortAggregate (sorts every input row map-side).
     */
-  /** The one shared "last rating wins" aggregation — both dedup
-    * variants MUST pick the same survivor or q_dedup_last and the CF
-    * queries would silently disagree.
-    */
   private def dedupAgg(raw: DataFrame): DataFrame =
     raw.groupBy("user_id", "item_id")
       .agg(max_by(col("rating"),
         col("ord") * 65536L + col("ln") * 256L + col("rating")).as("rating"))
 
+  /** [[dedupAgg]] over the raw view — the generic (full-key-partitioned)
+    * dedup used by q_dedup_last / q_support_items.
+    */
   def deduped(spark: SparkSession, dir: String): DataFrame =
     dedupAgg(apply(spark, dir))
 

@@ -48,7 +48,10 @@ object TemporalOps {
     // the interleaved left-row placeholders — a matched right row whose
     // value IS null correctly yields null (not a stale earlier value),
     // and all valueCols come from the SAME right row (no tearing).
-    val rNorm = right.select(
+    // Null-ts right rows are dropped: SQL's `r.ts <= l.ts` never holds
+    // for null (the window's nulls-first ordering would otherwise make
+    // them match EVERY left row).
+    val rNorm = right.filter(col(tsCol).isNotNull).select(
       (keys.map(col) :+ col(tsCol)) :+
         struct(valueCols.map(col): _*).as("__r"): _*)
       .withColumn("__side", lit(0))

@@ -95,28 +95,42 @@ object TextOps {
       .select(col("doc_id"), posexplode(tokens(col(textCol))))
       .select(col("doc_id"), col("pos"), col("col").as("word"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sampled = toks.filter(
-      RelationalOps.hashUniform(concat_ws("#", col("doc_id"), col("pos")), s"hh$seed")
-        < lit(sampleRate))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sampleTotal = sampled.count()
-    val candidates = sampled.groupBy("word").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= lit(0.5 * minFreq * sampleTotal))
-      .select("word").as[String].collect()
-    val agg = toks.agg(count(lit(1)).as("n"),
-      expr(s"count_min_sketch(word, ${eps}d, ${confidence}d, $seed)").as("s")).head()
-    val total = agg.getLong(0)
-    // an empty token stream aggregates to a NULL sketch — empty result,
-    // not an NPE
-    val sketchBytes = agg.getAs[Array[Byte]](1)
-    toks.unpersist(); sampled.unpersist()
-    if (total == 0L || sketchBytes == null || candidates.isEmpty)
-      return Seq.empty[(String, Long)].toDF("word", "est_cnt")
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(sketchBytes))
-    candidates.toSeq.map(w => (w, cms.estimateCount(w)))
-      .filter(_._2 >= minFreq * total)
-      .toDF("word", "est_cnt")
+    try {
+      // the (count, sketch) pass runs first so `total` can size both
+      // the sampling decision and the candidate thresholds
+      val agg = toks.agg(count(lit(1)).as("n"),
+        expr(s"count_min_sketch(word, ${eps}d, ${confidence}d, $seed)").as("s")).head()
+      val total = agg.getLong(0)
+      // an empty token stream aggregates to a NULL sketch — empty
+      // result, not an NPE
+      val sketchBytes = agg.getAs[Array[Byte]](1)
+      if (total == 0L || sketchBytes == null)
+        return Seq.empty[(String, Long)].toDF("word", "est_cnt")
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(sketchBytes))
+      // Candidate discovery: the occurrence-sampled aggregation only
+      // concentrates when the expected sample is big enough; on a small
+      // corpus (or tiny sampleRate) fall back to exact counts — which
+      // are cheap precisely because the corpus is small. Without the
+      // fallback, a corpus whose every (doc,pos) hash lands above
+      // sampleRate returns NOTHING while the oracle returns rows.
+      val candidates: Array[String] =
+        if (total * sampleRate >= 1000.0) {
+          toks.filter(
+            RelationalOps.hashUniform(concat_ws("#", col("doc_id"), col("pos")), s"hh$seed")
+              < lit(sampleRate))
+            .groupBy("word").agg(count(lit(1)).as("c"))
+            .filter(col("c") >= lit(0.5 * minFreq * sampleRate * total))
+            .select("word").as[String].collect()
+        } else {
+          toks.groupBy("word").agg(count(lit(1)).as("c"))
+            .filter(col("c") >= lit(minFreq * total))
+            .select("word").as[String].collect()
+        }
+      candidates.toSeq.map(w => (w, cms.estimateCount(w)))
+        .filter(_._2 >= minFreq * total)
+        .toDF("word", "est_cnt")
+    } finally toks.unpersist()
   }
 
   /** Per-letter mean and population std-dev of per-document counts,

@@ -54,8 +54,15 @@ case class RewriteRangeJoin(session: org.apache.spark.sql.SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val widthStr = session.conf.get(ConfKey, "")
     if (widthStr.isEmpty) return plan
-    val width = widthStr.toLong
-    require(width > 0, s"$ConfKey must be a positive microsecond width")
+    // the rule runs on EVERY plan of the session — a malformed or
+    // non-positive conf value must make the rule inert, never make
+    // unrelated queries throw from inside the optimizer
+    val width = scala.util.Try(widthStr.trim.toLong).toOption.filter(_ > 0) match {
+      case Some(w) => w
+      case None =>
+        logWarning(s"$ConfKey='$widthStr' is not a positive long; range-join rewrite disabled")
+        return plan
+    }
     plan.transformUp {
       case j @ Join(l, r, Inner, Some(cond), hint) =>
         matchBand(cond, l, r) match {

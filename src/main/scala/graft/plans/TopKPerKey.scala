@@ -124,9 +124,19 @@ object TopKOps {
       .collectFirst { case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s }
       .getOrElse(throw new IllegalStateException("analyzer produced no Sort node"))
     val child = sortNode.child
-    val keyExprs: Seq[Expression] = keyCols.map(n =>
-      child.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"no column $n in ${child.output.map(_.name)}")))
+    // resolve keys with the session's resolver (case-insensitive by
+    // default, like every other Spark API) and refuse ambiguity instead
+    // of silently binding the first duplicate name
+    val resolver = spark.sessionState.conf.resolver
+    val keyExprs: Seq[Expression] = keyCols.map { n =>
+      child.output.filter(a => resolver(a.name, n)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"no column $n in ${child.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"ambiguous column $n: matches ${many.mkString(", ")}")
+      }
+    }
     ColumnBridge.ofRows(spark, TopKPerKey(keyExprs, sortNode.order, k, child))
   }
 

@@ -61,6 +61,15 @@ class TemporalOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("asOfJoin: null-timestamp right rows never match (SQL <= semantics)") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "p1")).toDF("k", "ts", "tag")
+    val right = Seq((1L, None: Option[java.sql.Timestamp], 9.0))
+      .toDF("k", "ts", "v")
+    val got = TemporalOps.asOfJoin(left, right, Seq("k"), "ts", Seq("v"))
+      .select("asof_v").as[Option[Double]].head()
+    assert(got.isEmpty) // null ts sorts first in the window but must not match
+  }
+
   test("rangeJoinPoints drops inverted and null-bounded intervals instead of crashing") {
     val p = Seq((1L, ts("2024-01-01 10:30:00"))).toDF("p_id", "ts")
     val iv = Seq(
