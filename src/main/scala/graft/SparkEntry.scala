@@ -224,6 +224,14 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 6).as("score"), col("lang_pred"))
         .orderBy("doc_id")
     }),
+    // Curation pipeline capstone #2: the training-set DRAW — a seeded,
+    // engine-portable exact-size sample of the curation survivors
+    // (every real pipeline ends with "give me k curated docs").
+    "q_curation_sample" -> ((s, dir) => {
+      val survivors = queries("q_curation")(s, dir).select("doc_id", "score", "lang_pred")
+      RelationalOps.uniformSampleExact(survivors, col("doc_id"), 100, "train")
+        .orderBy("doc_id")
+    }),
     // §2.7 set ops beyond EXCEPT: INTERSECT (custkeys with orders AND
     // high balance).
     "q_intersect" -> ((s, dir) =>
@@ -613,6 +621,30 @@ object SparkEntry {
          |LEFT JOIN best b ON b.doc_id = d.doc_id
          |WHERE nd.doc_id IS NULL AND qf.score >= 0.5
          |ORDER BY d.doc_id""".stripMargin,
+    "q_curation_sample" ->
+      s"""WITH ${ShingleCte("documents")},
+         |nd AS (
+         |  SELECT DISTINCT co.db AS doc_id
+         |  FROM co JOIN sz x ON x.doc_id = co.da JOIN sz y ON y.doc_id = co.db
+         |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+         |), reps AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         |), $QualityCte,
+         |$LangCtes,
+         |survivors AS (
+         |  SELECT d.doc_id, round(qf.score, 6) AS score,
+         |         coalesce(b.lang, 'und') AS lang_pred
+         |  FROM documents d
+         |  JOIN reps USING (doc_id)
+         |  LEFT JOIN nd ON nd.doc_id = d.doc_id
+         |  JOIN qf ON qf.doc_id = d.doc_id
+         |  LEFT JOIN best b ON b.doc_id = d.doc_id
+         |  WHERE nd.doc_id IS NULL AND qf.score >= 0.5
+         |)
+         |SELECT doc_id, score, lang_pred FROM (
+         |  SELECT * FROM survivors
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR) || '|train') LIMIT 100
+         |) t ORDER BY doc_id""".stripMargin,
     "q_intersect" ->
       """SELECT custkey FROM (
         |  (SELECT DISTINCT o_custkey AS custkey FROM orders)
