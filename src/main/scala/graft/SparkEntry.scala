@@ -67,6 +67,17 @@ object SparkEntry {
     "q_sample_frac" -> ((s, dir) =>
       RelationalOps.uniformSampleFraction(Tables.events(s, dir), col("event_id"), 0.01, "graft")
         .agg(count(lit(1)).as("n"), decMean(col("value")).as("mean_value"))),
+    // Stratified (balanced) sampling: exactly 50 events per event_type
+    // by seeded hash order — the per-language/per-label balanced draw
+    // of training-data curation, planned via the native bounded-heap
+    // top-k-per-key operator.
+    "q_stratified_sample" -> ((s, dir) =>
+      RelationalOps.stratifiedSampleExact(
+        Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"),
+        Seq("event_type"), col("event_id"), 50, "strat")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_type", "event_id")),
     // §2.4 A5: deterministic last-rating-wins dedup.
     "q_dedup_last" -> ((s, dir) => Ratings.deduped(s, dir).orderBy("user_id", "item_id")),
     // §2.2 P3 + §2.4 A8: support filter (items with ≥25 distinct raters).
@@ -481,6 +492,12 @@ object SparkEntry {
          |FROM events
          |WHERE ('0x' || substring(md5(CAST(event_id AS VARCHAR) || '|graft'), 1, 6))::BIGINT
          |      / 16777216.0 < 0.01""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT event_id, user_id, event_type, round(value, 4) AS value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |           ORDER BY md5(CAST(event_id AS VARCHAR) || '|strat')) AS rn
+        |  FROM events) t
+        |WHERE rn <= 50 ORDER BY event_type, event_id""".stripMargin,
     "q_dedup_last" ->
       s"""WITH ${Ratings.OracleDedupCte}
          |SELECT user_id, item_id, rating FROM ratings

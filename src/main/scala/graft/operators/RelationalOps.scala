@@ -125,6 +125,23 @@ object RelationalOps {
     df.orderBy(md5(concat_ws("|", key.cast("string"), lit(seed)).cast("binary")))
       .limit(k)
 
+  /** Seeded stratified sample: exactly `k` rows (or all, if fewer) PER
+    * GROUP — the balanced-dataset draw of training-data curation (k
+    * docs per language, k examples per label). Selection is the k
+    * smallest md5(key‖seed) within each group, computed by the native
+    * [[graft.plans.TopKPerKey]] bounded-heap operator: map-side partial
+    * top-k per group, ≤ k rows per (group, partition) cross the one
+    * exchange, no sort — and the draw is engine-portable/deterministic
+    * like [[uniformSampleExact]] (same key contract: non-null, unique).
+    */
+  def stratifiedSampleExact(df: DataFrame, groupCols: Seq[String], key: Column,
+      k: Int, seed: String): DataFrame = {
+    val h = md5(concat_ws("|", key.cast("string"), lit(seed)).cast("binary"))
+    graft.plans.TopKOps.topKPerKey(
+      df.withColumn("__draw", h), groupCols, Seq(col("__draw").asc), k)
+      .drop("__draw")
+  }
+
   /** Groups of `groupCol` supported by at least `minDistinct` distinct
     * `byCol` values (a3_p2.py:26,31's ≥25-raters / ≥5-items filters).
     * Partial-aggregated count-distinct (exact); swap in

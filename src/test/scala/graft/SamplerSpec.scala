@@ -44,6 +44,18 @@ class SamplerSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSampleExact yields exactly k per group, stable across partitionings") {
+    val ev = Tables.events(spark, sf0).select("event_id", "event_type")
+    val a = RelationalOps.stratifiedSampleExact(ev, Seq("event_type"), col("event_id"), 20, "s1")
+    val counts = a.groupBy("event_type").count().select("count").as[Long].collect()
+    assert(counts.nonEmpty && counts.forall(_ == 20))
+    val setA = a.select("event_id").as[Long].collect().toSet
+    val setB = RelationalOps.stratifiedSampleExact(ev.repartition(7),
+      Seq("event_type"), col("event_id"), 20, "s1")
+      .select("event_id").as[Long].collect().toSet
+    assert(setA == setB)
+  }
+
   test("hashUniform draws are uniform across deciles (chi-square sanity)") {
     val ev = Tables.events(spark, sf0)
     val n = ev.count().toDouble
