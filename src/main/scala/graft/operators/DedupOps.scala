@@ -182,9 +182,12 @@ object DedupOps {
     // The cap is ON by default: one shingle shared by df docs costs
     // O(df²) pairs — at 1M docs an uncapped hot shingle alone generates
     // 5·10¹¹ rows. Dropped postings are reported as an `observe` metric
-    // (visible to any QueryExecutionListener) rather than silently.
+    // (visible to any QueryExecutionListener) rather than silently; the
+    // metric name is per-invocation unique so two pair sets can be
+    // unioned/joined in one plan (duplicate observed-metric names are
+    // an AnalysisException).
     val capped = maxShingleDf.fold(posts)(m =>
-      posts.observe("ngram_jaccard_df_cap",
+      posts.observe(s"ngram_jaccard_df_cap_${DedupOps.ObserveSeq.incrementAndGet()}",
           sum(when(size(col("ds")) > m, 1L).otherwise(0L)).as("dropped_hot_shingles"))
         .filter(size(col("ds")) <= m))
     // native Generator: streams d(d−1)/2 (da, db) rows per posting with
@@ -218,4 +221,9 @@ object DedupOps {
 
   /** Hamming distance between two simhash signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Uniquifies observed-metric names across invocations (no RNG/clock
+    * — determinism policy).
+    */
+  private val ObserveSeq = new java.util.concurrent.atomic.AtomicLong()
 }

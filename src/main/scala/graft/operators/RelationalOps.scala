@@ -133,9 +133,17 @@ object RelationalOps {
     * top-k per group, ≤ k rows per (group, partition) cross the one
     * exchange, no sort — and the draw is engine-portable/deterministic
     * like [[uniformSampleExact]] (same key contract: non-null, unique).
+    *
+    * Inherits [[graft.plans.TopKPerKey]]'s state bound: per-partition
+    * heap state is O(groups in that partition × k) with no spill path —
+    * right for bounded group counts (languages, labels, event types);
+    * for millions of groups per partition use the window row_number
+    * form, which spills.
     */
   def stratifiedSampleExact(df: DataFrame, groupCols: Seq[String], key: Column,
       k: Int, seed: String): DataFrame = {
+    require(!df.columns.contains("__draw"),
+      "stratifiedSampleExact reserves column __draw; rename it on the input")
     val h = md5(concat_ws("|", key.cast("string"), lit(seed)).cast("binary"))
     graft.plans.TopKOps.topKPerKey(
       df.withColumn("__draw", h), groupCols, Seq(col("__draw").asc), k)

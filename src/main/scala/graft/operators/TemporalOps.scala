@@ -39,6 +39,10 @@ object TemporalOps {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, valueCols: Seq[String]): DataFrame = {
+    // helper-column names are reserved: silently overwriting a real
+    // user column would return constants in its place
+    require(!left.columns.exists(Set("__side", "__r", "__asof")),
+      "asOfJoin reserves columns __side/__r/__asof; rename them on the left input")
     // side 0 = right, 1 = left: at equal ts the right row sorts FIRST,
     // so a right row timestamped exactly at a left row's ts is visible
     // to it (the `<=` in the contract).
@@ -106,6 +110,8 @@ object TemporalOps {
   def rangeJoinPoints(points: DataFrame, tsCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       bucketWidthUs: Long): DataFrame = {
+    require(!points.columns.contains("__b") && !intervals.columns.contains("__b"),
+      "rangeJoinPoints reserves column __b; rename it on the inputs")
     val p = points.withColumn("__b",
       floor(unix_micros(col(tsCol)) / bucketWidthUs))
     // degenerate intervals (start > end — `sequence` would throw on the

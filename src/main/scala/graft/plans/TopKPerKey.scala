@@ -114,6 +114,12 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 object TopKOps {
   def topKPerKey(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column],
       k: Int): DataFrame = {
+    // reject at the API boundary: ClusteredDistribution(Nil) would fail
+    // deep inside planning with an unrelated-looking error. Global
+    // top-k (no keys) is orderBy(...).limit(k) — already optimal as
+    // TakeOrderedAndProject.
+    require(keyCols.nonEmpty,
+      "topKPerKey needs at least one key column; for global top-k use orderBy(...).limit(k)")
     val spark = df.sparkSession
     ensureStrategy(spark)
     import org.apache.spark.sql.graft.ColumnBridge

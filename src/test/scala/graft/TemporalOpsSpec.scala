@@ -82,12 +82,12 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got == Seq(12L))
   }
 
-  test("sessionize: within-gap merges, exact-gap splits (strictness pinned)") {
+  test("sessionize: within-gap AND exact-gap merge; only beyond-gap splits") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")),
       (1L, ts("2024-01-01 10:29:59")), // < 30 min after previous → same session
-      (1L, ts("2024-01-01 10:59:59")), // chains: < 30 min after 10:29:59
-      (1L, ts("2024-01-01 11:29:59")), // EXACTLY 30 min after → still merges
+      (1L, ts("2024-01-01 10:59:59")), // EXACTLY 30:00 after 10:29:59 → still merges
+      (1L, ts("2024-01-01 11:29:59")), // EXACTLY 30:00 after → still merges
       (1L, ts("2024-01-01 12:00:00")), // 30:01 after → NEW session
       (2L, ts("2024-01-01 10:00:00")))
       .toDF("user_id", "ts")
