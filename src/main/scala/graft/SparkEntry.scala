@@ -188,11 +188,20 @@ object SparkEntry {
       SimilarityOps.annTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 10)
         .select(col("q_id"), col("nn_id"), round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy("q_id", "rank")),
-    // ANN via IVF (MLlib KMeans coarse quantizer, nProbe cells/query);
-    // recall pinned in SimilarityOpsSpec (rows-only here — k-means cells
-    // are model output, not SQL).
+    // ANN via IVF (MLlib KMeans coarse quantizer, nProbe cells/query).
+    // Certified like q_ann_lsh: at nProbe = nCells the candidate set
+    // provably contains the exact top-10 (full cell coverage), so the
+    // oracle is the EXACT brute-force top-k and hash equality certifies
+    // the whole fit→assign→probe→rank pipeline loses nothing. Full
+    // probing is the only containment point on THIS corpus — the
+    // synthetic embeddings are near-orthogonal, the adversarial case
+    // for any coarse quantizer (a measured param scan: (16,12) misses
+    // 1% at sf0.1). The pruned scale config (16 cells, 8 probes) holds
+    // a deterministic recall ≥ 0.9 at every sf — gated in
+    // SimilarityOpsSpec and trended in NOTES.md.
     "q_ann_ivf" -> ((s, dir) =>
-      SimilarityOps.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 10)
+      SimilarityOps.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 10,
+        nCells = 8, nProbe = 8)
         .select(col("q_id"), col("nn_id"), round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy("q_id", "rank")),
     // Text analysis: marker-based language ID (argmax + und fallback).
@@ -811,6 +820,29 @@ object SparkEntry {
     // unit-gated), so the oracle is the SAME exact top-k as q_cosine_nn:
     // hash equality certifies both ranking and recall.
     "q_ann_lsh" ->
+      s"""WITH $CosineCte,
+         |dots AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id, ${DotSql("q", "c")} AS dot
+         |  FROM v q JOIN v c ON c.vec_id <> q.vec_id, range(64) r(d)
+         |  WHERE q.vec_id < 10
+         |  GROUP BY q.vec_id, c.vec_id
+         |), sims AS (
+         |  SELECT d.q_id, d.nn_id, d.dot / (nq.nrm * nc.nrm) AS sim
+         |  FROM dots d JOIN nrm nq ON nq.vec_id = d.q_id
+         |  JOIN nrm nc ON nc.vec_id = d.nn_id
+         |)
+         |SELECT q_id, nn_id, round(sim, 6) AS sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |                               ORDER BY sim DESC, nn_id) AS rank
+         |  FROM sims) x
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // IVF candidates at nProbe = nCells = 8 provably contain the exact
+    // top-10 (every cell probed — the containment point on this
+    // near-orthogonal corpus), so the oracle is the SAME exact top-k as
+    // q_cosine_nn / q_ann_lsh: hash equality certifies the KMeans
+    // fit→assign→probe→rank pipeline end to end (equality also pinned
+    // in AnnExactRecallSpec at sf0.001 + sf0.01).
+    "q_ann_ivf" ->
       s"""WITH $CosineCte,
          |dots AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id, ${DotSql("q", "c")} AS dot

@@ -22,6 +22,23 @@ class AnnExactRecallSpec extends SparkSpec {
     assert(brute == ann)
   }
 
+  test("ivfTopK at nProbe = nCells equals brute-force top-10 at sf0.01 and sf0.001") {
+    // full cell coverage is the provable-containment point (the corpus
+    // is near-orthogonal — a pruned probe set cannot contain every
+    // exact neighbor; see the q_ann_ivf query comment). Equality here
+    // certifies the fit→assign→probe→rank pipeline loses nothing,
+    // which is exactly what the q_ann_ivf DuckDB oracle re-proves.
+    for (dir <- Seq(sf001, sf0)) {
+      val emb = Tables.embeddings(spark, dir)
+      val brute = SimilarityOps.bruteForceTopK(emb, col("vec_id") < 10, 10)
+        .select("q_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+      val ivf = SimilarityOps.ivfTopK(emb, col("vec_id") < 10, 10,
+        nCells = 8, nProbe = 8)
+        .select("q_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+      assert(brute == ivf, s"mismatch at $dir")
+    }
+  }
+
   test("cosineNearDupsLsh equals brute-force all-pairs at sf0.01 and sf0.001") {
     // sf0.001 is the corpus that caught a miss at 8 tables — keep both
     for (dir <- Seq(sf001, sf0)) {
