@@ -317,21 +317,59 @@ object SparkEntry {
         .select(col("user_id"), unix_micros(col("s_start")).as("start_us"),
           unix_micros(col("s_end")).as("end_us"), col("n_events"))
         .orderBy("user_id", "start_us")),
+    // The SAME sessionization run as a REAL stream: AvailableNow over
+    // the parquet source with a watermark, merging session_window state
+    // across micro-batches, memory sink — hash-matched against the
+    // same DuckDB oracle as the batch q_sessionize, so the streaming
+    // session path is part of the correctness gate end to end (the
+    // unit parity test in TemporalOpsSpec covers multi-batch merging).
+    "q_stream_sessionize" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val sessions = TemporalOps.sessionize(
+        stream.withWatermark("ts", "24 hours"), Seq("user_id"), "ts", "30 minutes")
+      val qn = s"graft_stream_sessionize_${StreamSeq.incrementAndGet()}"
+      val q = sessions.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(col("user_id"), unix_micros(col("s_start")).as("start_us"),
+          unix_micros(col("s_end")).as("end_us"), col("n_events"))
+        .orderBy("user_id", "start_us")
+    }),
     // Beyond the reference: range (interval-containment) join — events
     // against 20 OVERLAPPING 48h maintenance windows on a 36h stride,
     // via the bucketized equi-join rewrite (no nested-loop product).
     // Aggregated per window so the oracle output stays small.
     "q_range_join" -> ((s, dir) => {
-      import s.implicits._
-      val hourUs = 3600L * 1000000L
-      val baseUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
-      val windows = (0L until 20L).map { w =>
-        (w, baseUs + w * 36 * hourUs, baseUs + w * 36 * hourUs + 48 * hourUs)
-      }.toDF("w_id", "w_start_us", "w_end_us")
-        .select(col("w_id"), timestamp_micros(col("w_start_us")).as("w_start"),
-          timestamp_micros(col("w_end_us")).as("w_end"))
       val ev = Tables.events(s, dir).select("ts", "value")
-      TemporalOps.rangeJoinPoints(ev, "ts", windows, "w_start", "w_end", 48 * hourUs)
+      TemporalOps.rangeJoinPoints(ev, "ts", maintenanceWindows(s), "w_start", "w_end",
+        48 * HourUs)
+        .groupBy("w_id")
+        .agg(count(lit(1)).as("n"), decMean(col("value")).as("mean_value"))
+        .orderBy("w_id")
+    }),
+    // The SAME range join written the NAIVE way — `ts BETWEEN w_start
+    // AND w_end` as a raw inequality inner join, which Spark alone
+    // plans as BroadcastNestedLoopJoin — with the RewriteRangeJoin
+    // optimizer rule enabled: the rule rewrites it to the bucketized
+    // equi-join automatically (plan gated in PlanShapeSpec: no nested
+    // loop survives). Hash-matches q_range_join's oracle, so the
+    // rule's semantics-preservation claim is re-proven by the driver
+    // gate every round, not just in unit tests.
+    "q_range_join_rule" -> ((s, dir) => {
+      graft.plans.RewriteRangeJoin.ensure(s)
+      // the conf must outlive this builder (optimization runs lazily at
+      // action time), so it stays set on the session; the rule only
+      // matches inner joins whose condition is exactly a timestamp
+      // band, so no other registered query's plan can change
+      s.conf.set("spark.graft.rangeJoin.bucketWidthUs", (48 * HourUs).toString)
+      val ev = Tables.events(s, dir).select("ts", "value")
+      ev.join(maintenanceWindows(s),
+          col("ts") >= col("w_start") && col("ts") <= col("w_end"))
         .groupBy("w_id")
         .agg(count(lit(1)).as("n"), decMean(col("value")).as("mean_value"))
         .orderBy("w_id")
@@ -412,6 +450,23 @@ object SparkEntry {
 
   /** CF query items (exist with ≥25 raters at every sf — FIXTURES.md). */
   private val CfTargets = Seq(3L, 7L)
+
+  private val HourUs = 3600L * 1000000L
+
+  /** 20 overlapping 48 h maintenance windows on a 36 h stride from
+    * 2024-01-01 — shared by q_range_join (explicit bucketized operator)
+    * and q_range_join_rule (naive join + optimizer rule), which must
+    * stay the same query for their common oracle to hash-match.
+    */
+  private def maintenanceWindows(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val baseUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+    (0L until 20L).map { w =>
+      (w, baseUs + w * 36 * HourUs, baseUs + w * 36 * HourUs + 48 * HourUs)
+    }.toDF("w_id", "w_start_us", "w_end_us")
+      .select(col("w_id"), timestamp_micros(col("w_start_us")).as("w_start"),
+        timestamp_micros(col("w_end_us")).as("w_end"))
+  }
 
   /** Collision-free memory-sink names if a streaming query reruns in
     * one session (no RNG/clock — determinism policy).
@@ -704,34 +759,14 @@ object SparkEntry {
         |       v.v_event, round(v.v_value, 4) AS v_value
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
         |ORDER BY p.user_id, p_event""".stripMargin,
-    "q_sessionize" ->
-      """WITH m AS (
-        |  SELECT user_id, ts,
-        |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
-        |              WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
-        |              ELSE 0 END AS brk
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        |), s AS (
-        |  SELECT user_id, ts,
-        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |                        ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM m
-        |)
-        |SELECT user_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
-        |       count(*) AS n_events
-        |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, start_us""".stripMargin,
-    "q_range_join" ->
-      s"""WITH w AS (
-         |  SELECT i AS w_id,
-         |         TIMESTAMP '2024-01-01 00:00:00' + to_hours(36 * i) AS w_start,
-         |         TIMESTAMP '2024-01-01 00:00:00' + to_hours(36 * i + 48) AS w_end
-         |  FROM range(20) t(i)
-         |)
-         |SELECT w.w_id, count(*) AS n, ${decMeanSql("e.value")} AS mean_value
-         |FROM events e JOIN w ON e.ts >= w.w_start AND e.ts <= w.w_end
-         |GROUP BY w.w_id ORDER BY w.w_id""".stripMargin,
+    "q_sessionize" -> SessionizeOracle,
+    // identical semantics by construction: the streaming session run
+    // must converge to exactly the batch answer
+    "q_stream_sessionize" -> SessionizeOracle,
+    "q_range_join" -> RangeJoinOracle,
+    // identical semantics by construction — the rule-driven naive join
+    // must hash-match the explicit bucketized operator's oracle
+    "q_range_join_rule" -> RangeJoinOracle,
     "q_window_running" ->
       """SELECT user_id, event_id,
         |       row_number() OVER w AS event_seq,
@@ -963,6 +998,43 @@ object SparkEntry {
         |       count(*) AS n_shingles
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared oracle for q_sessionize / q_stream_sessionize: the
+    * gaps-and-islands mirror of `session_window` (split strictly
+    * beyond the 30-minute gap — see NOTES.md on exact-gap merging).
+    */
+  private val SessionizeOracle: String =
+    """WITH m AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |              WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+      |              ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), s AS (
+      |  SELECT user_id, ts,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                        ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m
+      |)
+      |SELECT user_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+      |       count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
+  /** Shared oracle for q_range_join / q_range_join_rule: DuckDB's own
+    * (naive) inequality join over the same 20 maintenance windows.
+    */
+  private val RangeJoinOracle: String =
+    s"""WITH w AS (
+       |  SELECT i AS w_id,
+       |         TIMESTAMP '2024-01-01 00:00:00' + to_hours(36 * i) AS w_start,
+       |         TIMESTAMP '2024-01-01 00:00:00' + to_hours(36 * i + 48) AS w_end
+       |  FROM range(20) t(i)
+       |)
+       |SELECT w.w_id, count(*) AS n, ${decMeanSql("e.value")} AS mean_value
+       |FROM events e JOIN w ON e.ts >= w.w_start AND e.ts <= w.w_end
+       |GROUP BY w.w_id ORDER BY w.w_id""".stripMargin
 
   /** DuckDB CTE mirroring [[MultimodalOps.asMedia]]'s metadata. */
   private val MediaCte: String =

@@ -37,6 +37,18 @@ import org.apache.spark.sql.types.LongType
   * `spark.experimental.extraOptimizations`; default OFF (no conf = no
   * rewrite).
   */
+object RewriteRangeJoin {
+  /** Register the rule on a live session (idempotent) — the
+    * `spark.experimental.extraOptimizations` path for sessions not
+    * built with [[graft.GraftExtensions]]. The rule stays inert until
+    * `spark.graft.rangeJoin.bucketWidthUs` is also set.
+    */
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[RewriteRangeJoin]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteRangeJoin(spark)
+}
+
 case class RewriteRangeJoin(session: org.apache.spark.sql.SparkSession)
     extends Rule[LogicalPlan] {
 

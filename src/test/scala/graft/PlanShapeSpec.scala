@@ -40,6 +40,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(planString(df).contains("TakeOrderedAndProject"))
   }
 
+  test("q_range_join_rule: no BroadcastNestedLoopJoin survives the rewrite") {
+    // the driver-gated naive band join with the optimizer rule on must
+    // plan as the bucketized EQUI-join — a surviving nested loop means
+    // the rule silently stopped matching and the query regressed to
+    // O(|events|·|windows|)
+    val df = SparkEntry.queries("q_range_join_rule")(spark, sf0)
+    val plan = planString(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("__graft_b"), plan) // the rule's bucket key joined on
+  }
+
   test("uniformSampleExact plans TakeOrderedAndProject (partition-local top-k)") {
     val df = graft.operators.RelationalOps.uniformSampleExact(
       Tables.events(spark, sf0), col("event_id"), 100, "graft")

@@ -27,6 +27,12 @@ class RewriteRangeJoinSpec extends SparkSpec {
   }
 
   test("without the conf, the naive interval join stays a nested loop (baseline)") {
+    // self-contained against session state: q_range_join_rule (run by
+    // other suites in this JVM) registers the rule and leaves the conf
+    // set — strip both so this measures the true no-rule baseline
+    spark.conf.unset("spark.graft.rangeJoin.bucketWidthUs")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[RewriteRangeJoin])
     val plan = naive.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"))
   }
