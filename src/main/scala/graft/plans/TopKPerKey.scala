@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
@@ -21,47 +21,55 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   *
   *   partial TopKPerKeyExec        ← per input partition, map-side
   *   → Exchange hash(keys)         ← shuffles ≤ k rows per (key, partition)
-  *   → final TopKPerKeyExec        ← merges the per-partition top-ks
+  *   → Sort (keys, order)          ← SPILLABLE external sort of the
+  *                                   already-pruned exchange output
+  *   → final TopKPerKeyExec        ← streams first k rows per key, O(1)
   *
   * — the same partial/final contract as an aggregate (the map-side
-  * combine the reference's MR engine hand-rolls), with O(keys·k) state
-  * and no sort anywhere. At 100 TB with millions of rows per hot key,
-  * the shuffle carries k rows per map task instead of all of them.
+  * combine the reference's MR engine hand-rolls), with no full-input
+  * sort anywhere: the one Sort runs AFTER the partial prune, over at
+  * most k rows per (key, upstream partition).
   *
-  * STATE BOUND (the honest caveat): the per-partition heap map is
-  * O(distinct keys in that partition × k) rows with NO spill path —
-  * right for ranking tables whose key side is bounded (query sets,
-  * target items, per-group candidates: exactly this library's uses),
-  * wrong for unbounded key cardinality where (keys/partition)·k rows
-  * exceed executor memory; use the spilling window form there, or
-  * pre-partition by key so each task sees few keys.
+  * STATE BOUND (spill-safe on both sides):
+  *  - The partial heap map is capped at `maxLocalRows` retained rows
+  *    (conf `spark.graft.topKPerKey.maxLocalRows`, default 2M): when an
+  *    insert exceeds the cap the operator FLUSHES — emits every current
+  *    heap row downstream and clears the map. A flush only weakens the
+  *    map-side prune (more rows cross the exchange), never correctness:
+  *    the final pass re-prunes. Million-group inputs therefore degrade
+  *    gracefully toward the plain sort shape instead of OOMing.
+  *  - The final side holds no map at all: it requires its (pruned)
+  *    input sorted by (keys, order) — Spark plans a spillable external
+  *    sort — and keeps one counter per current key group.
   *
   * Results are deterministic iff `order` is a TOTAL order (callers
   * append a unique tiebreak column, as with every ranking operator in
   * this library).
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    maxLocalRows: Long, child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
+  require(maxLocalRows > 0, s"maxLocalRows must be positive, got $maxLocalRows")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
 }
 
-/** Plans [[TopKPerKey]] as partial → (exchange via required
-  * distribution) → final.
+/** Plans [[TopKPerKey]] as partial → (exchange + sort via required
+  * distribution/ordering) → final.
   */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
-      val partialExec = TopKPerKeyExec(keys, order, k, planLater(child), partial = true)
-      TopKPerKeyExec(keys, order, k, partialExec, partial = false) :: Nil
+    case TopKPerKey(keys, order, k, maxLocalRows, child) =>
+      val partialExec =
+        TopKPerKeyExec(keys, order, k, maxLocalRows, planLater(child), partial = true)
+      TopKPerKeyExec(keys, order, k, maxLocalRows, partialExec, partial = false) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    child: SparkPlan, partial: Boolean) extends UnaryExecNode {
+    maxLocalRows: Long, child: SparkPlan, partial: Boolean) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -69,38 +77,89 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  /** The final pass streams over key groups: it needs rows clustered
+    * AND sorted — EnsureRequirements plans a spillable external sort
+    * over the exchange's (partial-pruned) output.
+    */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil) else Seq(finalOrdering)
+
   override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  /** The final output stays in its input sort order — downstream
+    * consumers (ranking windows over the pruned rows) can reuse it.
+    */
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else finalOrdering
+
+  private def finalOrdering: Seq[SortOrder] =
+    keys.map(kx => SortOrder(kx, Ascending)) ++ order
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val budget = maxLocalRows
     val childOutput = child.output
-    child.execute().mapPartitions({ rows =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      // total order over rows; heap keeps the k FIRST rows under it by
-      // evicting the current worst (heap head = largest = worst)
-      val rowOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
-        .create(sortOrder, childOutput)
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      rows.foreach { row =>
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](
-            limit + 1, rowOrd.reverse.asInstanceOf[java.util.Comparator[UnsafeRow]])
-          heaps.put(key.copy(), heap)
+    if (partial) {
+      child.execute().mapPartitions({ rows =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        // total order over rows; heap keeps the k FIRST rows under it by
+        // evicting the current worst (heap head = largest = worst)
+        val rowOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .create(sortOrder, childOutput)
+        val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+        var retained = 0L
+        // snapshot-and-clear: emit every retained row, reset the map —
+        // the overflow escape hatch AND the end-of-partition emission
+        def drain(): Iterator[InternalRow] = {
+          val buf = new scala.collection.mutable.ArrayBuffer[InternalRow](
+            math.min(retained, Int.MaxValue.toLong).toInt)
+          heaps.values.forEach { h =>
+            val it = h.iterator()
+            while (it.hasNext) buf += it.next()
+          }
+          heaps.clear()
+          retained = 0L
+          buf.iterator
         }
-        if (heap.size < limit) {
-          heap.add(row.asInstanceOf[UnsafeRow].copy())
-        } else if (rowOrd.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.asInstanceOf[UnsafeRow].copy())
+        rows.flatMap { row =>
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            heap = new java.util.PriorityQueue[UnsafeRow](
+              limit + 1, rowOrd.reverse.asInstanceOf[java.util.Comparator[UnsafeRow]])
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size < limit) {
+            heap.add(row.asInstanceOf[UnsafeRow].copy())
+            retained += 1
+          } else if (rowOrd.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.asInstanceOf[UnsafeRow].copy())
+          }
+          if (retained > budget) drain() else Iterator.empty
+        } ++ drain()
+      }, preservesPartitioning = true)
+    } else {
+      // input is clustered by keys and sorted by (keys, order): the
+      // exact top-k per key is the FIRST k rows of each key group —
+      // one projection + one counter of state, nothing retained
+      child.execute().mapPartitions({ rows =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        var curKey: UnsafeRow = null
+        var seen = 0
+        rows.filter { row =>
+          val key = keyProj(row)
+          if (curKey == null || key != curKey) {
+            curKey = key.copy()
+            seen = 0
+          }
+          seen += 1
+          seen <= limit
         }
-      }
-      import scala.jdk.CollectionConverters._
-      heaps.values.asScala.iterator.flatMap(_.iterator.asScala)
-    }, preservesPartitioning = true)
+      }, preservesPartitioning = true)
+    }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
@@ -122,6 +181,9 @@ object TopKOps {
       "topKPerKey needs at least one key column; for global top-k use orderBy(...).limit(k)")
     val spark = df.sparkSession
     ensureStrategy(spark)
+    // partial-side heap budget: flush-on-overflow bound (scaladoc above)
+    val budget = spark.conf
+      .get("spark.graft.topKPerKey.maxLocalRows", "2000000").toLong
     import org.apache.spark.sql.graft.ColumnBridge
     // Let the ANALYZER convert/resolve the sort Columns (Spark 4
     // Columns are lazy ColumnNode wrappers, not catalyst expressions):
@@ -143,7 +205,7 @@ object TopKOps {
           s"ambiguous column $n: matches ${many.mkString(", ")}")
       }
     }
-    ColumnBridge.ofRows(spark, TopKPerKey(keyExprs, sortNode.order, k, child))
+    ColumnBridge.ofRows(spark, TopKPerKey(keyExprs, sortNode.order, k, budget, child))
   }
 
   def ensureStrategy(spark: SparkSession): Unit =

@@ -24,17 +24,67 @@ class TopKPerKeySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
-  test("physical plan uses the bounded-heap operator, partial then final, no sort") {
+  test("physical plan: partial + final around one exchange, map side sort-free") {
     val df = TopKOps.topKPerKey(
       Tables.events(spark, sf0).select("user_id", "event_id", "value"),
       Seq("user_id"), Seq(col("value").desc, col("event_id").asc), 3)
     df.queryExecution.toRdd.count()
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window") && !plan.contains("+- Sort"))
+    assert(!plan.contains("Window"))
     // partial + final = two operator instances around one exchange
     // (the node renders without the Exec suffix)
     assert("TopKPerKey ".r.findAllIn(plan).size >= 2, plan)
     assert(plan.contains("Exchange hashpartitioning"))
+    // the spill-safety contract: NO sort below the exchange (the full
+    // input is never sorted); the one spillable Sort sits between the
+    // exchange and the final pass, over partial-pruned rows only
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    val nodes = walk(df.queryExecution.executedPlan)
+    val partial = nodes.collectFirst {
+      case t: graft.plans.TopKPerKeyExec if t.partial => t }.get
+    assert(walk(partial.child).forall(
+      !_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "map side must stay sort-free")
+    val fin = nodes.collectFirst {
+      case t: graft.plans.TopKPerKeyExec if !t.partial => t }.get
+    assert(walk(fin.child).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "final pass streams sorted pruned rows")
+  }
+
+  test("partial heap flush under a tiny row budget changes nothing (spill path)") {
+    // budget 7 forces constant mid-partition flushes on the real events
+    // table — the graceful-degradation path a million-group input takes
+    spark.conf.set("spark.graft.topKPerKey.maxLocalRows", "7")
+    try {
+      val expected = windowTopK(3).as[(Long, Long, Double)].collect().toSet
+      val got = TopKOps.topKPerKey(
+        Tables.events(spark, sf0).select("user_id", "event_id", "value"),
+        Seq("user_id"), Seq(col("value").desc, col("event_id").asc), 3)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected)
+    } finally spark.conf.unset("spark.graft.topKPerKey.maxLocalRows")
+  }
+
+  test("stratifiedSampleExact survives a unique-per-row group column under budget") {
+    // the trap the row budget closes: grouping by a high-cardinality
+    // column (every row its own group) used to grow one heap per key
+    // with no bound; under a small budget it must still return every
+    // row (k=2 > group size 1) without error
+    spark.conf.set("spark.graft.topKPerKey.maxLocalRows", "7")
+    try {
+      val ev = Tables.events(spark, sf0).select("event_id", "user_id", "value")
+      val n = ev.count()
+      val got = graft.operators.RelationalOps.stratifiedSampleExact(
+        ev, Seq("event_id"), col("event_id"), 2, "hc")
+      assert(got.count() == n)
+    } finally spark.conf.unset("spark.graft.topKPerKey.maxLocalRows")
   }
 
   test("null order values rank exactly as the window form (NULLS LAST under desc)") {
