@@ -1,0 +1,69 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.storage.StorageLevel
+
+/** Scoped caching for operator-internal reuse: persist a frame that
+  * feeds several branches of ONE downstream query, and release it
+  * automatically when that query finishes.
+  *
+  * Operators in this library persist intermediates (the deduped
+  * ratings, the shingle+signature base, the token stream) so a
+  * multi-branch plan materializes the expensive subtree once. The
+  * caller's action, however, runs AFTER the operator function returns
+  * — a try/finally around the persist would unpersist before anything
+  * evaluated. [[autoRelease]] closes the gap the Spark-idiomatic way: a
+  * one-shot [[QueryExecutionListener]] watches for the first query
+  * execution whose analyzed plan CONTAINS the persisted subtree
+  * (success or failure) and unpersists + unregisters itself. A library
+  * user embedding these operators in a long-lived session therefore
+  * never accumulates orphaned MEMORY_AND_DISK blocks — cache lifetime
+  * is owned by the operator, not the harness.
+  *
+  * Contract notes:
+  *  - Dataset-API actions (collect/write/count/…) fire the listener;
+  *    a raw `queryExecution.toRdd` action bypasses the listener bus —
+  *    harnesses that evaluate that way (Bench) still clearCache().
+  *  - Re-running the SAME returned frame after release just recomputes
+  *    without the cache — correctness never depends on the persist.
+  *  - If the result is never evaluated, the (lazy) persist never
+  *    materializes storage; only the idle listener remains.
+  *  - Release is asynchronous (listener bus), typically milliseconds
+  *    after the action completes.
+  */
+object CacheScope {
+
+  /** Persist `df` (MEMORY_AND_DISK) until the first consuming query
+    * execution completes, then unpersist automatically.
+    */
+  def autoRelease(df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val persisted = df.persist(level)
+    val spark = df.sparkSession
+    val target = persisted.queryExecution.analyzed
+    val released = new AtomicBoolean(false)
+    val listener: QueryExecutionListener = new QueryExecutionListener {
+      private def maybeRelease(qe: QueryExecution): Unit = {
+        // a listener must never throw into the bus — treat any plan-
+        // inspection failure as "not consumed"
+        val consumed =
+          try qe.analyzed.exists(_.sameResult(target))
+          catch { case _: Throwable => false }
+        if (consumed && released.compareAndSet(false, true)) {
+          try persisted.unpersist(blocking = false)
+          finally spark.listenerManager.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
+    persisted
+  }
+}

@@ -103,11 +103,11 @@ object SparkEntry {
       // One parquet scan for both operands: explode to COO once, then
       // split by label in memory (the naive two-branch form scans and
       // explodes the embeddings twice).
-      val coo = Tables.embeddings(s, dir).filter(col("vec_id") < 100)
-        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
-        .select(col("vec_id"), col("label"), col("pos").cast("long").as("j"),
-          col("col").cast("double").as("v"))
-        .persist()
+      val coo = CacheScope.autoRelease(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 100)
+          .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("label"), col("pos").cast("long").as("j"),
+            col("col").cast("double").as("v")))
       val m = coo.filter(col("label") < 5).select(col("vec_id").as("i"), col("j"), col("v"))
       val n = coo.filter(col("label") >= 5).select(col("j"), col("vec_id").as("k"), col("v"))
       MatrixOps.multiply(m, n)

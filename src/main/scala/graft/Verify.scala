@@ -25,8 +25,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // operators persist intermediates for intra-query reuse; drop them
-      // so 36 queries don't accumulate cache pressure across the session
+      // operator-internal caches are query-scoped (CacheScope.autoRelease
+      // releases them when the consuming query finishes); clearCache is
+      // belt-and-braces for the async release window and for any
+      // evaluation path that bypasses the listener bus
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -60,7 +60,9 @@ object CFOps {
     // two consumers each re-run one join over the cached ratings, far
     // cheaper than a second full materialization (round-1 profile:
     // the three serialized persists dominated q_cf_recommend latency).
-    val ratings = ratings0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // autoRelease: the cache lives until the consuming query finishes,
+    // then drops — no block outlives its query (CacheScope contract).
+    val ratings = graft.CacheScope.autoRelease(ratings0)
     val okItems = ratings.groupBy("item_id")
       .agg(count(lit(1)).as("nu"))
       .filter(col("nu") >= p.minUsersPerItem).select("item_id")
@@ -94,8 +96,8 @@ object CFOps {
       p: Params = Params()): DataFrame = {
     // `centered` feeds three branches (norms, target slice, dot join);
     // its lineage includes the dedup window + both support joins —
-    // persist so that chain runs once instead of three times.
-    val centered = centered0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist (query-scoped) so that chain runs once instead of three.
+    val centered = graft.CacheScope.autoRelease(centered0)
     val norms = centered.groupBy("item_id")
       .agg(sqrt(decSum(col("rc") * col("rc"))).as("nrm"))
     val tvec = centered.filter(col("item_id").isin(targets: _*))

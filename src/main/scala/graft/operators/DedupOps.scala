@@ -139,8 +139,7 @@ object DedupOps {
             .filter(size(col("hs_sig")) > 0),
           sigLen, "hs_sig").drop("hs_sig")
     }
-    val base = withSig
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = graft.CacheScope.autoRelease(withSig)
     val cand = lshCandidates(base.select("doc_id", "sig"), r, bands)
     val sa = base.select(col("doc_id").as("da"), col("hs").as("sha"))
     val sb = base.select(col("doc_id").as("db"), col("hs").as("shb"))
@@ -174,8 +173,8 @@ object DedupOps {
     // output size, not a plan artifact; `maxShingleDf` drops
     // uninformative hot shingles to bound it (and the per-row skew).
     // two consumers (posting build + set sizes) → persist one tokenize
-    val sh = hashedShingled(docs, nGram, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (query-scoped: auto-released when the consuming query finishes)
+    val sh = graft.CacheScope.autoRelease(hashedShingled(docs, nGram, textCol))
     val posts = sh.select(col("doc_id"), explode(col("hs")).as("h"))
       .groupBy("h").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)

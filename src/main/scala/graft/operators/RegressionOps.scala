@@ -72,9 +72,9 @@ object RegressionOps {
       outcome: Column, control: Column,
       textCol: String = "text"): DataFrame = {
     // three consumers (doc lengths, term frequencies, top-k) → tokenize
-    // once and persist the token stream
-    val toks = TextOps.tokenize(docs, "doc_id", textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // once and persist the token stream (query-scoped auto-release)
+    val toks = graft.CacheScope.autoRelease(
+      TextOps.tokenize(docs, "doc_id", textCol))
     val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("total"))
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
     val top = TextOps.topKFromTokens(toks, k).select("word")
