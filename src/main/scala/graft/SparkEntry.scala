@@ -386,6 +386,27 @@ object SparkEntry {
             .as("running_value"))
         .orderBy("user_id", "event_seq")
     }),
+    // Skew-safe join: events keyed by event_type (5 distinct values —
+    // key cardinality far below cluster parallelism, so an unsalted
+    // shuffle join runs on ≤ 5 reducers no matter the cluster size;
+    // AQE can split a skewed partition but never a single hot KEY).
+    // PlanUtils.saltedJoin splits every key across 8 salted reducers;
+    // the shuffle_hash hint keeps the tiny dim from broadcasting so
+    // the gated plan exercises the salted SHUFFLE path it exists for.
+    // The oracle is the plain unsalted join — hash equality proves
+    // row-identity every round (also plan-gated in PlanUtilsSpec).
+    "q_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(("click", 1.0), ("error", 0.25), ("purchase", 10.0),
+        ("signup", 5.0), ("view", 0.5)).toDF("event_type", "weight")
+      val ev = Tables.events(s, dir).select("event_type", "value").hint("shuffle_hash")
+      PlanUtils.saltedJoin(ev, dim, "event_type", col("value"), 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum((col("value") * col("weight")).cast("decimal(28,12)"))
+            .cast("double"), 4).as("weighted_value"))
+        .orderBy("event_type")
+    }),
     // Multimodal: metadata-only resize plan over binary media rows.
     "q_mm_resize" -> ((s, dir) =>
       MultimodalOps.resizePlan(MultimodalOps.asMedia(Tables.documents(s, dir)), 128)
@@ -774,6 +795,16 @@ object SparkEntry {
         |FROM events WHERE user_id < 20
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_seq""".stripMargin,
+    // plain unsalted join: equality proves saltedJoin's row-identity
+    "q_salted_join" ->
+      """WITH dim(event_type, weight) AS (VALUES
+        |  ('click', 1.0), ('error', 0.25), ('purchase', 10.0),
+        |  ('signup', 5.0), ('view', 0.5))
+        |SELECT e.event_type, count(*) AS n,
+        |       round(CAST(sum(CAST(e.value * d.weight AS DECIMAL(28,12))) AS DOUBLE), 4)
+        |         AS weighted_value
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q_mm_resize" ->
       s"""WITH $MediaCte
          |SELECT media_id, kind, width, height,

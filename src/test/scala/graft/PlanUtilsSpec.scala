@@ -28,6 +28,18 @@ class PlanUtilsSpec extends SparkSpec {
     assert(salts >= 6) // a single hot key hashes into (nearly) all 8 buckets
   }
 
+  test("q_salted_join exercises the salted SHUFFLE join, not a broadcast") {
+    // the driver-gated query must keep demonstrating the path salting
+    // exists for: a shuffled join keyed on (event_type, __salt) — a
+    // broadcast (or a lost __salt key) would make it a no-op demo
+    val df = SparkEntry.queries("q_salted_join")(spark, sf0)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("__salt"), plan)
+  }
+
   test("spread is a no-op on well-partitioned input") {
     val df = Tables.events(spark, sf0).repartition(16)
     assert(PlanUtils.spread(df).rdd.getNumPartitions == 16)
