@@ -252,6 +252,32 @@ object SparkEntry {
       RelationalOps.uniformSampleExact(survivors, col("doc_id"), 100, "train")
         .orderBy("doc_id")
     }),
+    // Training-mixture draw: WEIGHTED sample without replacement
+    // (Efraimidis–Spirakis), weights = doc length — the length-
+    // proportional / source-reweighted draw every mixture pipeline
+    // runs. Planned as TakeOrderedAndProject like q_uniform_sample.
+    "q_weighted_sample" -> ((s, dir) =>
+      RelationalOps.weightedSampleExact(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        col("doc_id"), col("n_chars"), 30, "mix")
+        .orderBy("doc_id")),
+    // Gopher-style repetition quality rules: top-token dominance +
+    // duplicated-2-gram fraction per doc, with a keep flag on the
+    // unrounded values.
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysisOps.repetitionStats(Tables.documents(s, dir)).orderBy("doc_id")),
+    // Test-set decontamination: train docs (doc_id % 7 != 0) sharing
+    // ≥ 30% of their 3-gram shingles with any doc of the eval slice
+    // (doc_id % 7 == 0). The eval posting list broadcasts — the scale
+    // shape of checking a petabyte corpus against benchmark suites.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.contaminatedPairs(
+        docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(7L)) === 0), minFrac = 0.3)
+        .select(col("train_id"), col("eval_id"), round(col("frac"), 6).as("frac"))
+        .orderBy("train_id", "eval_id")
+    }),
     // §2.7 set ops beyond EXCEPT: INTERSECT (custkeys with orders AND
     // high balance).
     "q_intersect" -> ((s, dir) =>
@@ -443,6 +469,26 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(qn).orderBy("event_type")
+    }),
+    // Watermarked tumbling-window stats as a REAL stream (AvailableNow,
+    // complete mode): the standard event-time aggregation shape, gated
+    // against the batch date_trunc oracle.
+    "q_stream_window" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = graft.streaming.StreamingOps.windowedStats(stream, "ts", "value",
+        "1 hour", "2 hours")
+      val qn = s"graft_stream_window_${StreamSeq.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(unix_micros(col("w_start")).as("start_us"), col("n"),
+          round(col("mean_value"), 4).as("mean_value"))
+        .orderBy("start_us")
     }),
     // Momentum gradient descent (Part_2.pdf p.2 Q2): standardized-space
     // optimization from ONE pass over the data (raw-moment algebra);
@@ -747,6 +793,60 @@ object SparkEntry {
          |  SELECT * FROM survivors
          |  ORDER BY md5(CAST(doc_id AS VARCHAR) || '|train') LIMIT 100
          |) t ORDER BY doc_id""".stripMargin,
+    // A-ES weighted sample: identical log-space sort key, identical
+    // open-interval uniform (hash24 + 0.5), identical rounding/tiebreak
+    "q_weighted_sample" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT * FROM documents
+        |  ORDER BY round(ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 6))::BIGINT + 0.5)
+        |                    / 16777216.0) / n_chars, 9) DESC, doc_id
+        |  LIMIT 30
+        |) t ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+        |), ok AS (
+        |  SELECT doc_id, ws FROM toks WHERE len(ws) >= 2
+        |), tc AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(ws) AS w FROM ok) x GROUP BY doc_id, w
+        |), top AS (
+        |  SELECT doc_id, max(c) AS top_c FROM tc GROUP BY doc_id
+        |), tg AS (
+        |  SELECT doc_id, any_value(len(ws)) AS n_tokens,
+        |         count(DISTINCT ws[i+1] || ' ' || ws[i+2]) AS d2
+        |  FROM ok JOIN range(2000) t(i) ON i + 2 <= len(ws)
+        |  GROUP BY doc_id
+        |)
+        |SELECT g.doc_id, g.n_tokens,
+        |       round(top_c * 1.0 / n_tokens, 6) AS top_token_frac,
+        |       round(1.0 - d2 * 1.0 / (n_tokens - 1), 6) AS dup_2gram_frac,
+        |       (top_c * 1.0 / n_tokens <= 0.12
+        |        AND 1.0 - d2 * 1.0 / (n_tokens - 1) <= 0.06) AS keep
+        |FROM tg g JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+        |  FROM toks JOIN range(2000) t(i) ON i + 3 <= len(ws)
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), co AS (
+        |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT co.train_id, co.eval_id,
+        |       round(CAST(inter AS DOUBLE) / x.n, 6) AS frac
+        |FROM co JOIN sz x ON x.doc_id = co.train_id
+        |WHERE CAST(inter AS DOUBLE) / x.n >= 0.3
+        |ORDER BY train_id, eval_id""".stripMargin,
+    "q_stream_window" ->
+      s"""SELECT epoch_us(date_trunc('hour', ts)) AS start_us, count(*) AS n,
+         |       ${decMeanSql("value")} AS mean_value
+         |FROM events GROUP BY date_trunc('hour', ts)
+         |ORDER BY start_us""".stripMargin,
     "q_intersect" ->
       """SELECT custkey FROM (
         |  (SELECT DISTINCT o_custkey AS custkey FROM orders)

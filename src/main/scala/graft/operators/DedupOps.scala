@@ -201,6 +201,40 @@ object DedupOps {
       .select("da", "db", "jac")
   }
 
+  /** Test-set decontamination: train docs sharing at least `minFrac`
+    * of their distinct n-gram shingles with ANY eval doc — the overlap
+    * check every training-data pipeline must run against its benchmark
+    * suite before training. Output: (train_id, eval_id, frac) per
+    * contaminated pair, where frac = |shingles(train) ∩ shingles(eval)|
+    * / |shingles(train)| (train-side containment: a short eval prompt
+    * embedded verbatim in a long train doc still scores high on the
+    * EVAL side — which is why the fraction is computed against the
+    * train doc's own set; flip the arguments for the other direction).
+    *
+    * Scale shape: the eval side is benchmark-sized (thousands of docs
+    * vs the corpus' billions), so its exploded posting list BROADCASTS
+    * — the train side streams through one scan with NO wide exchange
+    * until the (train, eval) intersection counts, which are bounded by
+    * true near-matches, not the corpus size. 64-bit shingle hashing as
+    * in [[hashedShingled]] (collision odds documented there).
+    */
+  def contaminatedPairs(train: DataFrame, eval: DataFrame, nGram: Int = 3,
+      minFrac: Double = 0.5, textCol: String = "text"): DataFrame = {
+    // two consumers of the train shingles (postings + sizes) → persist
+    // the tokenize→shingle→hash scan once (query-scoped auto-release)
+    val tr = graft.CacheScope.autoRelease(hashedShingled(train, nGram, textCol))
+    val ev = hashedShingled(eval, nGram, textCol)
+    val trPost = tr.select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
+    val evPost = ev.select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
+    val inter = trPost.join(broadcast(evPost), "h")
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("inter"))
+    val trSz = tr.select(col("doc_id").as("train_id"), size(col("hs")).cast("long").as("n"))
+    inter.join(trSz, "train_id")
+      .withColumn("frac", col("inter").cast("double") / col("n"))
+      .filter(col("frac") >= minFrac)
+      .select("train_id", "eval_id", "frac")
+  }
+
   /** SimHash fingerprint (60 usable bits so the BIGINT stays positive
     * in every engine): bit i of the signature is the sign of
     * Σ_tokens tf·(±1) where the ±1 is bit i of a 60-bit md5-derived

@@ -125,6 +125,35 @@ object RelationalOps {
     df.orderBy(md5(concat_ws("|", key.cast("string"), lit(seed)).cast("binary")))
       .limit(k)
 
+  /** Strictly-in-(0,1) uniform draw from md5(key‖seed): 24 hash bits
+    * offset by half a step, so `log(u)` is always finite (a raw 24-bit
+    * zero would hit ln(0) = −∞/null, and engines disagree on which).
+    * Same key contract as [[hashUniform]].
+    */
+  private def hashUniformOpen(key: Column, seed: String): Column =
+    (conv(substring(md5(concat_ws("|", key.cast("string"), lit(seed)).cast("binary")), 1, 6),
+      16, 10).cast("double") + lit(0.5)) / lit(16777216.0)
+
+  /** Seeded WEIGHTED sample without replacement: the `k` rows with the
+    * largest u^(1/w) where u = md5-uniform and w = `weight` — the
+    * Efraimidis–Spirakis (2006) A-ES scheme, the standard one-pass
+    * weighted reservoir. Realized in log space (`ln(u)/w`, an
+    * order-preserving transform) and planned exactly like
+    * [[uniformSampleExact]]: TakeOrderedAndProject, k rows per
+    * partition cross the merge, no full sort, no driver residency.
+    *
+    * This is the training-mixture draw: weight by token count for
+    * length-proportional sampling, by source quality for mixture
+    * reweighting. `weight` must be strictly positive. The sort key is
+    * rounded to 9 decimals with `key` as the tiebreak so the draw is
+    * engine-portable (ln differs by ≤1 ulp across libm builds; the
+    * rounding absorbs it and the tiebreak keeps order total).
+    */
+  def weightedSampleExact(df: DataFrame, key: Column, weight: Column, k: Int,
+      seed: String): DataFrame =
+    df.orderBy(round(log(hashUniformOpen(key, seed)) / weight, 9).desc, key.asc)
+      .limit(k)
+
   /** Seeded stratified sample: exactly `k` rows (or all, if fewer) PER
     * GROUP — the balanced-dataset draw of training-data curation (k
     * docs per language, k examples per label). Selection is the k

@@ -81,6 +81,44 @@ object TextAnalysisOps {
       (length(col(textCol)).cast("double") / greatest(bpe, lit(1))).as("chars_per_token"))
   }
 
+  /** Gopher/RefinedWeb-style repetition quality rules: per doc,
+    * the fraction of tokens taken by the single most frequent token
+    * (`top_token_frac`) and the duplicated-2-gram fraction
+    * (`dup_2gram_frac` = 1 − distinct-2-grams / total-2-grams). A doc
+    * dominated by one token or by a looping phrase is boilerplate/spam
+    * regardless of its length or punctuation — the repetition family
+    * catches what [[qualityScore]]'s surface features cannot.
+    * `keep` applies both thresholds (on the UNROUNDED values, so the
+    * flag is exact in every engine). Docs with < 2 tokens are dropped
+    * (no 2-gram denominator).
+    *
+    * Plan shape: the top-token count is explode → (doc, token) count →
+    * per-doc max — two partial-aggregated exchanges keyed by doc; the
+    * 2-gram distinct runs entirely per-row (array ops, no explode).
+    * Output: (doc_id, n_tokens, top_token_frac, dup_2gram_frac, keep).
+    */
+  def repetitionStats(docs: DataFrame, maxTopTokenFrac: Double = 0.12,
+      maxDup2GramFrac: Double = 0.06, textCol: String = "text"): DataFrame = {
+    val toks = graft.PlanUtils.spread(docs.select(col("doc_id"), col(textCol)))
+      .select(col("doc_id"), DedupOps.words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+    val top = toks.select(col("doc_id"), explode(col("__ws")).as("__w"))
+      .groupBy("doc_id", "__w").agg(count(lit(1)).as("__c"))
+      .groupBy("doc_id").agg(max(col("__c")).as("__top_c"))
+    val grams = toks.select(col("doc_id"),
+      size(col("__ws")).cast("long").as("n_tokens"),
+      size(array_distinct(transform(sequence(lit(0), size(col("__ws")) - 2),
+        i => concat_ws(" ", element_at(col("__ws"), i + lit(1)),
+          element_at(col("__ws"), i + lit(2)))))).cast("long").as("__d2"))
+    val topFrac = col("__top_c").cast("double") / col("n_tokens")
+    val dupFrac = lit(1.0) - col("__d2").cast("double") / (col("n_tokens") - 1)
+    grams.join(top, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round(topFrac, 6).as("top_token_frac"),
+        round(dupFrac, 6).as("dup_2gram_frac"),
+        (topFrac <= maxTopTokenFrac && dupFrac <= maxDup2GramFrac).as("keep"))
+  }
+
   /** Winnowing-style document fingerprint: the minimum 60-bit
     * md5-derived hash over the doc's word 4-gram shingles (plus the
     * shingle count). Identical docs share fingerprints; near-dups

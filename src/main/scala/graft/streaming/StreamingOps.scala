@@ -100,7 +100,12 @@ object StreamingOps {
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_))
-      .agg(count(lit(1)).as("n"), avg(col(valueCol)).as("mean_value"))
+      // exact decimal sum, one double divide: the mean is order-
+      // insensitive (micro-batch arrival order must not change it) and
+      // engine-portable for the oracle gate
+      .agg(count(lit(1)).as("n"),
+        (sum(col(valueCol).cast("decimal(28,12)")).cast("double") / count(lit(1)))
+          .as("mean_value"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("n"), col("mean_value"))
 }

@@ -94,4 +94,19 @@ class DedupOpsSpec extends SparkSpec {
       .select("da", "db").as[(Long, Long)].collect().toSet
     assert(got == Set((4L, 5L)))
   }
+
+  test("contaminatedPairs finds the planted eval overlap, train-side fraction") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // contains eval 10 verbatim
+      (2L, "one two three four five six seven eight nine"))  // disjoint
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // = train 1
+      (11L, "totally different benchmark prompt here"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.DedupOps.contaminatedPairs(train, eval_, minFrac = 0.5)
+      .select("train_id", "eval_id", "frac")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 10L, 1.0)))
+  }
 }

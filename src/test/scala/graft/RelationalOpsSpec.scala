@@ -45,4 +45,31 @@ class RelationalOpsSpec extends SparkSpec {
     assert(dupes == 0L)
     assert(r.count() > 0)
   }
+
+  test("weightedSampleExact overselects heavy rows and is deterministic") {
+    import graft.operators.RelationalOps
+    // 500 rows: ids 0-249 weight 1, ids 250-499 weight 20 — the heavy
+    // half should dominate a 100-row draw (A-ES inclusion scales with w)
+    val df = (0L until 500L).map(i => (i, if (i < 250) 1L else 20L))
+      .toDF("id", "w")
+    val got = RelationalOps.weightedSampleExact(df, col("id"), col("w"), 100, "s")
+      .select("id").as[Long].collect().toSet
+    assert(got.size == 100)
+    val heavy = got.count(_ >= 250)
+    assert(heavy > 75, s"heavy rows in sample: $heavy") // ~95 expected, 50 if unweighted
+    // deterministic: same seed → same draw; different seed → different
+    val again = RelationalOps.weightedSampleExact(df, col("id"), col("w"), 100, "s")
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+    val other = RelationalOps.weightedSampleExact(df, col("id"), col("w"), 100, "t")
+      .select("id").as[Long].collect().toSet
+    assert(other != got)
+  }
+
+  test("weightedSampleExact with k >= n returns everything") {
+    import graft.operators.RelationalOps
+    val df = (0L until 10L).map(i => (i, i + 1)).toDF("id", "w")
+    assert(RelationalOps.weightedSampleExact(df, col("id"), col("w"), 50, "s")
+      .count() == 10)
+  }
 }

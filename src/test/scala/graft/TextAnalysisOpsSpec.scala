@@ -58,4 +58,22 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(pairs.nonEmpty && share * 2 >= pairs.length,
       s"only $share/${pairs.length} near-dup pairs share fingerprints")
   }
+
+  test("repetitionStats flags looping docs, keeps diverse ones, drops tiny ones") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"), // one token dominates
+      (2L, "the quick brown fox jumps over a lazy dog tonight"),  // all distinct
+      (3L, "go stop go stop go stop go stop go stop"),            // 2-gram loop
+      (4L, "one"))                                                // < 2 tokens: dropped
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysisOps.repetitionStats(docs)
+      .select("doc_id", "top_token_frac", "dup_2gram_frac", "keep")
+      .as[(Long, Double, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(4L))
+    assert(got(1L)._2 == 1.0 && !got(1L)._4)      // all one token
+    assert(got(2L)._2 == 0.1 && got(2L)._3 == 0.0) // 1/10 top, no dup 2-grams
+    assert(got(2L)._4)
+    // "go stop"×5: 10 tokens, 9 2-grams but only 2 distinct → dup 7/9
+    assert(math.abs(got(3L)._3 - 7.0 / 9) < 1e-6 && !got(3L)._4)
+  }
 }
