@@ -82,4 +82,20 @@ class EdgeCasesSpec extends SparkSpec {
       .orderBy("k").as[(Long, String, Long)].collect()
     assert(out.toSeq == Seq((1L, "b", 20L), (2L, "c", 5L)))
   }
+
+  test("round-3 ops on empty or degenerate inputs never throw") {
+    import graft.operators.{DedupOps, RelationalOps, TextAnalysisOps}
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // weighted sample: empty frame and zero rows below k
+    assert(RelationalOps.weightedSampleExact(
+      emptyDocs, col("doc_id"), lit(1L), 5, "s").count() == 0)
+    // repetition stats: empty input and all-too-short docs both empty
+    assert(TextAnalysisOps.repetitionStats(emptyDocs).count() == 0)
+    assert(TextAnalysisOps.repetitionStats(
+      Seq((1L, "one")).toDF("doc_id", "text")).count() == 0)
+    // decontamination: empty eval set → no pairs; empty train → no pairs
+    assert(DedupOps.contaminatedPairs(docs, emptyDocs).count() == 0)
+    assert(DedupOps.contaminatedPairs(emptyDocs, docs).count() == 0)
+  }
 }

@@ -111,4 +111,33 @@ class TopKPerKeySpec extends SparkSpec {
       Seq(col("value").desc, col("event_id").asc), 5)
     assert(top5.count() == 3)
   }
+
+  test("property: equals the window form on seeded random data, any budget") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // scalatest↔scalacheck bridge isn't on the offline classpath; sample
+    // generators deterministically (seeded — harness forbids RNG)
+    def sample[T](gen: Gen[T], seed: Long): Option[T] =
+      gen.apply(Gen.Parameters.default, Seed(seed))
+    val rowsGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 8L),        // key: few distinct → deep groups
+      Gen.choose(0L, 20L),       // order value: deliberate ties
+      Gen.choose(0L, 1000000L))) // unique-ish tiebreak
+    for (seed <- 0L until 12L; budget <- Seq("2000000", "3")) {
+      val data = sample(rowsGen, seed).get.zipWithIndex
+        .map { case ((k, v, _), i) => (k, v, i.toLong) } // index = total-order tiebreak
+      val k = 1 + (seed % 4).toInt
+      val df = data.toDF("key", "v", "tb")
+      val w = Window.partitionBy("key").orderBy(col("v").desc, col("tb").asc)
+      val expected = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("key", "v", "tb").as[(Long, Long, Long)].collect().toSet
+      spark.conf.set("spark.graft.topKPerKey.maxLocalRows", budget)
+      try {
+        val got = TopKOps.topKPerKey(df.repartition(5), Seq("key"),
+          Seq(col("v").desc, col("tb").asc), k)
+          .select("key", "v", "tb").as[(Long, Long, Long)].collect().toSet
+        assert(got == expected, s"seed=$seed budget=$budget k=$k")
+      } finally spark.conf.unset("spark.graft.topKPerKey.maxLocalRows")
+    }
+  }
 }
