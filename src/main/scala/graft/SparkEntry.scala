@@ -165,6 +165,21 @@ object SparkEntry {
     // SimHash 60-bit fingerprints (engine-portable md5 bit construction).
     "q_simhash" -> ((s, dir) =>
       DedupOps.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+    // The SAME simhash computed through the pure-SQL surface: the
+    // md5_simhash kernel registered by GraftExtensions, called from
+    // spark.sql over a temp view — proves a SQL-only user (JDBC, SQL
+    // files) gets the identical native expression the DataFrame API
+    // uses. Hash-matches q_simhash's oracle.
+    "q_sql_simhash" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("graft_documents")
+      s.sql("""
+        SELECT doc_id,
+               md5_simhash(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 60) AS sig
+        FROM graft_documents
+        WHERE size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) > 0
+        ORDER BY doc_id""")
+    }),
     // Similarity search: brute-force cosine top-10 for queries vec_id<10.
     "q_cosine_nn" -> ((s, dir) =>
       SimilarityOps.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 10)
@@ -716,23 +731,10 @@ object SparkEntry {
          |FROM co JOIN sz x ON x.doc_id = co.da JOIN sz y ON y.doc_id = co.db
          |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5
          |ORDER BY co.da, co.db""".stripMargin,
-    "q_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, t AS token, count(*) AS cnt FROM (
-        |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
-        |    FROM documents) x
-        |  GROUP BY doc_id, t
-        |), hashed AS (
-        |  SELECT doc_id, cnt, ('0x' || substring(md5(token), 1, 15))::BIGINT AS h
-        |  FROM toks
-        |), bitw AS (
-        |  SELECT doc_id, i,
-        |         sum(CASE WHEN (h >> CAST(i AS INTEGER)) & 1 = 1 THEN cnt ELSE -cnt END) AS w
-        |  FROM hashed, range(60) r(i) GROUP BY doc_id, i
-        |)
-        |SELECT doc_id,
-        |       CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
-        |FROM bitw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_simhash" -> SimhashOracle,
+    // identical by construction: the SQL-registered kernel must agree
+    // with the DataFrame path bit for bit
+    "q_sql_simhash" -> SimhashOracle,
     "q_cosine_nn" ->
       s"""WITH $CosineCte,
          |dots AS (
@@ -1129,6 +1131,27 @@ object SparkEntry {
         |       count(*) AS n_shingles
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared oracle for q_simhash / q_sql_simhash: bit-exact md5-derived
+    * SimHash reconstruction in pure SQL.
+    */
+  private val SimhashOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, t AS token, count(*) AS cnt FROM (
+      |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      |    FROM documents) x
+      |  GROUP BY doc_id, t
+      |), hashed AS (
+      |  SELECT doc_id, cnt, ('0x' || substring(md5(token), 1, 15))::BIGINT AS h
+      |  FROM toks
+      |), bitw AS (
+      |  SELECT doc_id, i,
+      |         sum(CASE WHEN (h >> CAST(i AS INTEGER)) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+      |  FROM hashed, range(60) r(i) GROUP BY doc_id, i
+      |)
+      |SELECT doc_id,
+      |       CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
+      |FROM bitw GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Shared oracle for q_sessionize / q_stream_sessionize: the
     * gaps-and-islands mirror of `session_window` (split strictly

@@ -89,6 +89,30 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Stream-stream INTERVAL join: each left event matched with right
+    * events of the same key whose timestamp falls in
+    * [left.ts − lookback, left.ts] — "enrich each purchase with the
+    * views that led to it", the canonical two-stream correlation.
+    * Both sides carry watermarks and the join condition bounds the
+    * time range, so Spark can EVICT buffered rows once the watermark
+    * passes the range — bounded state, the property that separates a
+    * streaming join from an unbounded buffer. Column names: `tsCol`
+    * must differ between sides (rename before calling); output is the
+    * inner join of the two schemas.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, lookback: String,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val range = col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+      col(rightTs) <= col(leftTs)
+    l.join(r, keyCond && range)
+      .select((keys.map(l(_)) ++ left.columns.filterNot(keys.contains).map(l(_))
+        ++ right.columns.filterNot(keys.contains).map(r(_))): _*)
+  }
+
   /** Watermarked tumbling-window event counts + mean value — the
     * standard event-time aggregation shape (absent from the reference,
     * SURVEY.md §2.10 non-goal; included because any 100 TB event

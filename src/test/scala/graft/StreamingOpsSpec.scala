@@ -131,4 +131,34 @@ class StreamingOpsSpec extends SparkSpec {
     assert(first.getLong(2) == 2L) // the late 100.0 never joined this window
     assert(math.abs(first.getDouble(3) - 2.0) < 1e-12)
   }
+
+  test("stream-stream interval join matches the batch join (bounded-state shape)") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val purchases = Seq((1L, t(30), "p1"), (1L, t(50), "p2"), (2L, t(30), "p3"))
+    val views = Seq((1L, t(25), "v1"), (1L, t(29), "v2"), (1L, t(45), "v3"),
+      (2L, t(0), "v4")) // 30 min before p3 — outside the 20-min lookback
+    val ps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val vs = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamingOps.intervalJoin(
+      ps.toDS().toDF("user_id", "p_ts", "p_tag"),
+      vs.toDS().toDF("user_id", "v_ts", "v_tag"),
+      Seq("user_id"), "p_ts", "v_ts", "20 minutes", "1 hour")
+    val q = joined.writeStream.format("memory").queryName("interval_join_test")
+      .outputMode("append").start()
+    ps.addData(purchases: _*)
+    vs.addData(views: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("interval_join_test")
+      .select("p_tag", "v_tag").as[(String, String)].collect().toSet
+    q.stop()
+    val batch = StreamingOps.intervalJoin(
+      purchases.toDF("user_id", "p_ts", "p_tag"),
+      views.toDF("user_id", "v_ts", "v_tag"),
+      Seq("user_id"), "p_ts", "v_ts", "20 minutes", "1 hour")
+      .select("p_tag", "v_tag").as[(String, String)].collect().toSet
+    assert(streamed == batch)
+    // p1 sees v1+v2 (within 20 min), p2 sees v3, p3 sees nothing
+    assert(batch == Set(("p1", "v1"), ("p1", "v2"), ("p2", "v3")))
+  }
 }
