@@ -293,6 +293,25 @@ object SparkEntry {
         .select(col("train_id"), col("eval_id"), round(col("frac"), 6).as("frac"))
         .orderBy("train_id", "eval_id")
     }),
+    // §2.1 S2/S3 driver-gated: documents metadata round-tripped through
+    // the CSV and JSON-lines sources (write to scratch, read back with
+    // an explicit schema — the reference's file-shaped inputs). The
+    // oracle reads the parquet table directly, so a lossy or misparsed
+    // round trip hash-mismatches.
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val path = s"/tmp/graft_src_${new java.io.File(dir).getName}/docs_csv"
+      val meta = Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+      meta.write.mode("overwrite").option("header", "true").csv(path)
+      s.read.schema(meta.schema).option("header", "true").csv(path)
+        .orderBy("doc_id")
+    }),
+    "q_json_roundtrip" -> ((s, dir) => {
+      val path = s"/tmp/graft_src_${new java.io.File(dir).getName}/docs_json"
+      val meta = Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+      meta.write.mode("overwrite").json(path)
+      s.read.schema(meta.schema).json(path)
+        .orderBy("doc_id")
+    }),
     // §2.7 set ops beyond EXCEPT: INTERSECT (custkeys with orders AND
     // high balance).
     "q_intersect" -> ((s, dir) =>
@@ -849,6 +868,8 @@ object SparkEntry {
          |       ${decMeanSql("value")} AS mean_value
          |FROM events GROUP BY date_trunc('hour', ts)
          |ORDER BY start_us""".stripMargin,
+    "q_csv_roundtrip" -> DocsMetaOracle,
+    "q_json_roundtrip" -> DocsMetaOracle,
     "q_intersect" ->
       """SELECT custkey FROM (
         |  (SELECT DISTINCT o_custkey AS custkey FROM orders)
@@ -1131,6 +1152,12 @@ object SparkEntry {
         |       count(*) AS n_shingles
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared oracle for the source round-trip queries: the parquet
+    * truth the CSV/JSON copies must reproduce exactly.
+    */
+  private val DocsMetaOracle: String =
+    "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id"
 
   /** Shared oracle for q_simhash / q_sql_simhash: bit-exact md5-derived
     * SimHash reconstruction in pure SQL.
