@@ -236,6 +236,11 @@ object SparkEntry {
         .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
           round(col("chars_per_token"), 6).as("chars_per_token"))
         .orderBy("doc_id")),
+    // Document chunking: 32-token windows with 8-token overlap — the
+    // pre-embedding split; map-only, no shuffle.
+    "q_chunk" -> ((s, dir) =>
+      TextAnalysisOps.chunks(Tables.documents(s, dir), 32, 8)
+        .orderBy("doc_id", "chunk_no")),
     // Winnowing-style min-hash fingerprint over word 4-gram shingles.
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysisOps.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -1140,6 +1145,22 @@ object SparkEntry {
         |             / greatest(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')), 1), 6)
         |         AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // chunk starts step by 24 (= 32 − 8); a trailing start whose
+    // remainder fits inside the previous window (n − s <= 8) is dropped
+    "q_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+        |), ok AS (
+        |  SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) > 0
+        |), st AS (
+        |  SELECT doc_id, ws, n, s, CAST(s / 24 AS BIGINT) AS chunk_no
+        |  FROM ok JOIN range(2000) t(s) ON s % 24 = 0 AND s <= n - 1
+        |  WHERE s = 0 OR n - s > 8
+        |)
+        |SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no,
+        |       least(32, n - s) AS n_chunk_tokens,
+        |       array_to_string(ws[s+1:s+32], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_no""".stripMargin,
     "q_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents

@@ -119,6 +119,37 @@ object TextAnalysisOps {
         (topFrac <= maxTopTokenFrac && dupFrac <= maxDup2GramFrac).as("keep"))
   }
 
+  /** Document chunking: split each doc into fixed-size token windows
+    * with `overlap` tokens of context carry-over — the universal
+    * pre-embedding / pre-training step (context-window packing's front
+    * half). Chunk starts step by `chunkTokens − overlap`; a trailing
+    * start whose remaining tokens all sit inside the previous window
+    * (n − s ≤ overlap) is dropped — every token appears in ≥ 1 chunk,
+    * no chunk is a subset of another. Entirely per-row (one projection
+    * + one posexplode, no shuffle): at 100 TB chunking is a map-only
+    * pass whose output is the input token count × ~(1 + overlap/step).
+    * Output: (doc_id, chunk_no, n_chunk_tokens, chunk_text).
+    */
+  def chunks(docs: DataFrame, chunkTokens: Int = 32, overlap: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got ($chunkTokens, $overlap)")
+    val step = chunkTokens - overlap
+    val tok = graft.PlanUtils.spread(docs.select(col("doc_id"), col(textCol)))
+      .select(col("doc_id"), DedupOps.words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+    val n = size(col("__ws"))
+    val starts = filter(sequence(lit(0), greatest(n - 1, lit(0)), lit(step)),
+      s => (s === 0) || (n - s) > overlap)
+    tok.select(col("doc_id"), col("__ws"), posexplode(starts))
+      .select(col("doc_id"),
+        col("pos").as("chunk_no"),
+        least(lit(chunkTokens), size(col("__ws")) - col("col")).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("__ws"), col("col") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** Winnowing-style document fingerprint: the minimum 60-bit
     * md5-derived hash over the doc's word 4-gram shingles (plus the
     * shingle count). Identical docs share fingerprints; near-dups

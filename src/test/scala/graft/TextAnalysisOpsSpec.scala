@@ -76,4 +76,22 @@ class TextAnalysisOpsSpec extends SparkSpec {
     // "go stop"×5: 10 tokens, 9 2-grams but only 2 distinct → dup 7/9
     assert(math.abs(got(3L)._3 - 7.0 / 9) < 1e-6 && !got(3L)._4)
   }
+
+  test("chunks: full coverage, overlap carry, no subset chunks") {
+    // 10 tokens, chunk 4, overlap 2 → starts 0,2,4,6 skip 8 (10-8 <= 2)
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysisOps.chunks(docs, 4, 2)
+      .select("doc_id", "chunk_no", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Int, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 0, 4L, "a b c d"), (1L, 1, 4L, "c d e f"),
+      (1L, 2, 4L, "e f g h"), (1L, 3, 4L, "g h i j"),
+      (2L, 0, 2L, "x y")))
+    // every token of doc 1 appears in at least one chunk
+    val covered = got.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == "a b c d e f g h i j".split(" ").toSet)
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysisOps.chunks(docs, 4, 4)
+    }
+  }
 }
