@@ -281,6 +281,27 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
         col("doc_id"), col("n_chars"), 30, "mix")
         .orderBy("doc_id")),
+    // Balanced AND weighted: exactly 20 docs per language, each drawn
+    // length-proportionally (A-ES within group via the native
+    // TopKPerKey operator).
+    "q_stratified_weighted" -> ((s, dir) =>
+      RelationalOps.stratifiedWeightedSampleExact(
+        Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
+        Seq("lang"), col("doc_id"), col("n_chars"), 20, "mixstrat")
+        .orderBy("lang", "doc_id")),
+    // Embedding storage path: symmetric int8 quantization + per-vector
+    // dequantization-error certificate (bounded by scale/254).
+    "q_quantize" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qz = SimilarityOps.quantizeInt8(emb)
+      SimilarityOps.dequantError(qz, emb)
+        .join(qz.select(col("vec_id"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("sum_q")),
+          "vec_id")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"), col("sum_q"),
+          round(col("max_abs_err"), 6).as("max_abs_err"))
+        .orderBy("vec_id")
+    }),
     // Gopher-style repetition quality rules: top-token dominance +
     // duplicated-2-gram fraction per doc, with a keep flag on the
     // unrounded values.
@@ -828,6 +849,32 @@ object SparkEntry {
         |                    / 16777216.0) / n_chars, 9) DESC, doc_id
         |  LIMIT 30
         |) t ORDER BY doc_id""".stripMargin,
+    "q_stratified_weighted" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY round(ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|mixstrat'), 1, 6))::BIGINT + 0.5)
+        |                      / 16777216.0) / n_chars, 9) DESC, doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+    // floor(x + 0.5) half-up on both engines — no banker's-rounding
+    // divergence; sum cast back to BIGINT (DuckDB sums BIGINT→HUGEINT)
+    "q_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+        |el AS (
+        |  SELECT vec_id, d, CAST(embedding[d+1] AS DOUBLE) AS x
+        |  FROM v, range(64) r(d)
+        |), sc AS (
+        |  SELECT vec_id, max(abs(x)) AS scale FROM el GROUP BY vec_id
+        |), qq AS (
+        |  SELECT el.vec_id, sc.scale, x,
+        |         CASE WHEN sc.scale = 0 THEN 0
+        |              ELSE CAST(floor(x * 127.0 / sc.scale + 0.5) AS BIGINT) END AS q
+        |  FROM el JOIN sc USING (vec_id)
+        |)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |       CAST(sum(q) AS BIGINT) AS sum_q,
+        |       round(max(abs(q * scale / 127.0 - x)), 6) AS max_abs_err
+        |FROM qq GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin,
     "q_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents

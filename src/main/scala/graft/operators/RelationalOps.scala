@@ -179,6 +179,26 @@ object RelationalOps {
       .drop("__draw")
   }
 
+  /** Seeded WEIGHTED stratified sample: the `k` rows per group with the
+    * largest u^(1/w) — [[weightedSampleExact]]'s A-ES draw composed
+    * with [[stratifiedSampleExact]]'s per-group top-k plan (the native
+    * [[graft.plans.TopKPerKey]] operator: map-side partial, ≤ k rows
+    * per (group, partition) cross one exchange). The balanced-AND-
+    * weighted mixture draw: k docs per language, each picked
+    * length-proportionally. Same contracts as the parents: non-null
+    * unique `key`, strictly positive `weight`.
+    */
+  def stratifiedWeightedSampleExact(df: DataFrame, groupCols: Seq[String],
+      key: Column, weight: Column, k: Int, seed: String): DataFrame = {
+    require(!df.columns.contains("__draw"),
+      "stratifiedWeightedSampleExact reserves column __draw; rename it on the input")
+    val draw = round(log(hashUniformOpen(key, seed)) / weight, 9)
+    graft.plans.TopKOps.topKPerKey(
+      df.withColumn("__draw", draw), groupCols,
+      Seq(col("__draw").desc, key.asc), k)
+      .drop("__draw")
+  }
+
   /** Groups of `groupCol` supported by at least `minDistinct` distinct
     * `byCol` values (a3_p2.py:26,31's ≥25-raters / ≥5-items filters).
     * Partial-aggregated count-distinct (exact); swap in

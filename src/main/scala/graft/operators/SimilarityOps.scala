@@ -169,6 +169,38 @@ object SimilarityOps {
     rankTopK(sims, k)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the
+    * storage-side half of a vector pipeline (4× smaller than float32,
+    * the format IVF/LSH indexes ship at scale). Per vector:
+    * scale = max|v|; q_i = floor(v_i·127/scale + 0.5) ∈ [−127, 127]
+    * (floor(x+0.5) instead of round(): half-up on both engines with no
+    * banker's-rounding divergence). Zero vectors quantize to zeros
+    * with scale 0. Entirely per-row — no shuffle, codegen-friendly
+    * array ops. Output: (vec_id, scale, q) with q `array<int>`.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val scale = array_max(transform(col("embedding"),
+      v => abs(v.cast("double"))))
+    embeddings.select(col("vec_id"), scale.as("scale"), col("embedding"))
+      .select(col("vec_id"), col("scale"),
+        when(col("scale") === 0.0,
+          transform(col("embedding"), _ => lit(0)))
+          .otherwise(transform(col("embedding"),
+            v => floor(v.cast("double") * 127.0 / col("scale") + 0.5).cast("int")))
+          .as("q"))
+  }
+
+  /** Largest absolute dequantization error per vector — the accuracy
+    * certificate for [[quantizeInt8]]: max_i |q_i·scale/127 − v_i|,
+    * bounded by scale/254 by construction.
+    */
+  def dequantError(quantized: DataFrame, embeddings: DataFrame): DataFrame =
+    quantized.join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("scale"),
+        array_max(zip_with(col("q"), col("embedding"),
+          (qi, vi) => abs(qi.cast("double") * col("scale") / 127.0
+            - vi.cast("double")))).as("max_abs_err"))
+
   /** Explode a code column into every code within `probeRadius` Hamming
     * distance: XOR masks of popcount ≤ radius over `bits` bits, built
     * once on the driver (22 masks at b=6, r=2 — C(6,0)+C(6,1)+C(6,2)).

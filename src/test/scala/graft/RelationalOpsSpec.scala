@@ -72,4 +72,17 @@ class RelationalOpsSpec extends SparkSpec {
     assert(RelationalOps.weightedSampleExact(df, col("id"), col("w"), 50, "s")
       .count() == 10)
   }
+
+  test("stratifiedWeightedSampleExact: k per group, weight-biased within group") {
+    import graft.operators.RelationalOps
+    // group A: ids 0-199 (weight 1 for id<100, 20 otherwise); group B small
+    val df = (0L until 200L).map(i => ("a", i, if (i < 100) 1L else 20L))
+      .++(Seq(("b", 900L, 1L))).toDF("g", "id", "w")
+    val got = RelationalOps.stratifiedWeightedSampleExact(
+      df, Seq("g"), col("id"), col("w"), 40, "s")
+      .select("g", "id").as[(String, Long)].collect()
+    assert(got.count(_._1 == "a") == 40 && got.count(_._1 == "b") == 1)
+    val heavy = got.count { case (g, id) => g == "a" && id >= 100 }
+    assert(heavy > 30, s"heavy in-group rows drawn: $heavy") // ~20 if unweighted
+  }
 }

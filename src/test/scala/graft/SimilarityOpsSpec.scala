@@ -93,4 +93,20 @@ class SimilarityOpsSpec extends SparkSpec {
     info(f"IVF(16,8) recall@10 = $recall%.3f")
     assert(recall >= 0.9, f"recall $recall%.3f")
   }
+
+  test("int8 quantization: error bounded by scale/254, zero vectors safe") {
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val qz = SimilarityOps.quantizeInt8(df)
+    val err = SimilarityOps.dequantError(qz, df)
+      .select("vec_id", "scale", "max_abs_err")
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(err(1L)._1 == 1.0 && err(1L)._2 <= 1.0 / 254 + 1e-12)
+    assert(err(2L)._1 == 0.0 && err(2L)._2 == 0.0)
+    val q1 = qz.filter(col("vec_id") === 1).select("q")
+      .as[Seq[Int]].head()
+    assert(q1 == Seq(127, -63, 32)) // -0.5*127 = -63.5 → floor(-63) half-up
+  }
 }
