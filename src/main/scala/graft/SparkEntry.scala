@@ -241,6 +241,14 @@ object SparkEntry {
     "q_chunk" -> ((s, dir) =>
       TextAnalysisOps.chunks(Tables.documents(s, dir), 32, 8)
         .orderBy("doc_id", "chunk_no")),
+    // PII redaction over an inline corpus with planted identifiers (the
+    // synthetic docs carry no PII; the literal table is the reference's
+    // S4 source shape). Redacted text + per-kind counts, both oracled.
+    "q_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysisOps.redactPii(PiiRows.toDF("doc_id", "text"))
+        .orderBy("doc_id")
+    }),
     // Winnowing-style min-hash fingerprint over word 4-gram shingles.
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysisOps.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -1208,6 +1216,22 @@ object SparkEntry {
         |       least(32, n - s) AS n_chunk_tokens,
         |       array_to_string(ws[s+1:s+32], ' ') AS chunk_text
         |FROM st ORDER BY doc_id, chunk_no""".stripMargin,
+    "q_pii_redact" ->
+      """WITH pii(doc_id, text) AS (VALUES
+        |  (1, 'contact me at alice@example.com or 555-123-4567'),
+        |  (2, 'server at 192.168.0.1 responded to 10.0.0.255 fine'),
+        |  (3, 'no identifiers in this row at all'),
+        |  (4, 'bob@test.org cc carol.smith@mail.example.co same ip 8.8.8.8'),
+        |  (5, 'call 555-000-1111 then 555-000-2222 about alice@example.com'))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean_text,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+        |  len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips
+        |FROM pii ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
@@ -1220,6 +1244,14 @@ object SparkEntry {
         |       count(*) AS n_shingles
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
+
+  /** Planted-PII corpus for q_pii_redact (inline on both sides). */
+  private val PiiRows: Seq[(Long, String)] = Seq(
+    (1L, "contact me at alice@example.com or 555-123-4567"),
+    (2L, "server at 192.168.0.1 responded to 10.0.0.255 fine"),
+    (3L, "no identifiers in this row at all"),
+    (4L, "bob@test.org cc carol.smith@mail.example.co same ip 8.8.8.8"),
+    (5L, "call 555-000-1111 then 555-000-2222 about alice@example.com"))
 
   /** Shared oracle for the source round-trip queries: the parquet
     * truth the CSV/JSON copies must reproduce exactly.

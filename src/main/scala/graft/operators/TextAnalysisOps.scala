@@ -150,6 +150,30 @@ object TextAnalysisOps {
           .as("chunk_text"))
   }
 
+  /** PII redaction — the scrub step of every public-corpus curation
+    * pipeline: emails, dashed phone numbers, and IPv4 literals replaced
+    * with typed placeholders, with per-kind match counts (on the
+    * ORIGINAL text) for redaction-rate monitoring. Pure per-row
+    * projections — no shuffle, scales as a map-only pass. The patterns
+    * are deliberately conservative RE2-compatible literals so every
+    * engine (and the DuckDB oracle) matches identically; a production
+    * deployment would swap in its compliance team's pattern set.
+    * Output: original columns − text + (clean_text, n_emails, n_phones,
+    * n_ips).
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val cleaned = regexp_replace(regexp_replace(regexp_replace(col(textCol),
+      email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>")
+    docs.select(
+      docs.columns.filterNot(_ == textCol).map(col) :+ cleaned.as("clean_text") :+
+        regexp_count(col(textCol), lit(email)).as("n_emails") :+
+        regexp_count(col(textCol), lit(phone)).as("n_phones") :+
+        regexp_count(col(textCol), lit(ip)).as("n_ips"): _*)
+  }
+
   /** Winnowing-style document fingerprint: the minimum 60-bit
     * md5-derived hash over the doc's word 4-gram shingles (plus the
     * shingle count). Identical docs share fingerprints; near-dups

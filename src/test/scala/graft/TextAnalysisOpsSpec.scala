@@ -94,4 +94,14 @@ class TextAnalysisOpsSpec extends SparkSpec {
       graft.operators.TextAnalysisOps.chunks(docs, 4, 4)
     }
   }
+
+  test("redactPii scrubs emails, phones, IPs and counts them on the original") {
+    val docs = Seq((1L, "mail a@b.co then 555-123-4567 from 1.2.3.4 twice 1.2.3.4"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysisOps.redactPii(docs)
+      .select("clean_text", "n_emails", "n_phones", "n_ips")
+      .as[(String, Int, Int, Int)].head()
+    assert(got._1 == "mail <EMAIL> then <PHONE> from <IP> twice <IP>")
+    assert((got._2, got._3, got._4) == (1, 1, 2))
+  }
 }
