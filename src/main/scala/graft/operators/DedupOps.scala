@@ -219,14 +219,19 @@ object DedupOps {
     * in [[hashedShingled]] (collision odds documented there).
     */
   def contaminatedPairs(train: DataFrame, eval: DataFrame, nGram: Int = 3,
-      minFrac: Double = 0.5, textCol: String = "text"): DataFrame = {
+      minFrac: Double = 0.5, textCol: String = "text",
+      broadcastEval: Boolean = true): DataFrame = {
     // two consumers of the train shingles (postings + sizes) → persist
     // the tokenize→shingle→hash scan once (query-scoped auto-release)
     val tr = graft.CacheScope.autoRelease(hashedShingled(train, nGram, textCol))
     val ev = hashedShingled(eval, nGram, textCol)
     val trPost = tr.select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
-    val evPost = ev.select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
-    val inter = trPost.join(broadcast(evPost), "h")
+    val evPost0 = ev.select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
+    // benchmark-sized eval sets broadcast (the default); pass false for
+    // an eval side too big to ship whole — the join then shuffles both
+    // sides on the shingle key like ngramJaccardPairs
+    val evPost = if (broadcastEval) broadcast(evPost0) else evPost0
+    val inter = trPost.join(evPost, "h")
       .groupBy("train_id", "eval_id").agg(count(lit(1)).as("inter"))
     val trSz = tr.select(col("doc_id").as("train_id"), size(col("hs")).cast("long").as("n"))
     inter.join(trSz, "train_id")

@@ -151,8 +151,18 @@ object RelationalOps {
     */
   def weightedSampleExact(df: DataFrame, key: Column, weight: Column, k: Int,
       seed: String): DataFrame =
-    df.orderBy(round(log(hashUniformOpen(key, seed)) / weight, 9).desc, key.asc)
-      .limit(k)
+    df.orderBy(aesKey(key, weight, seed).desc, key.asc).limit(k)
+
+  /** A-ES sort key `round(ln(u)/w, 9)`, failing FAST on a non-positive
+    * weight: w = 0 yields ±∞ and w < 0 silently inverts the draw's
+    * bias — both are caller bugs that would otherwise ship a wrong
+    * sample without a trace.
+    */
+  private def aesKey(key: Column, weight: Column, seed: String): Column =
+    when(weight > 0, round(log(hashUniformOpen(key, seed)) / weight, 9))
+      .otherwise(raise_error(concat(
+        lit("weighted sample: weight must be strictly positive, got "),
+        weight.cast("string"))).cast("double"))
 
   /** Seeded stratified sample: exactly `k` rows (or all, if fewer) PER
     * GROUP — the balanced-dataset draw of training-data curation (k
@@ -192,7 +202,7 @@ object RelationalOps {
       key: Column, weight: Column, k: Int, seed: String): DataFrame = {
     require(!df.columns.contains("__draw"),
       "stratifiedWeightedSampleExact reserves column __draw; rename it on the input")
-    val draw = round(log(hashUniformOpen(key, seed)) / weight, 9)
+    val draw = aesKey(key, weight, seed)
     graft.plans.TopKOps.topKPerKey(
       df.withColumn("__draw", draw), groupCols,
       Seq(col("__draw").desc, key.asc), k)

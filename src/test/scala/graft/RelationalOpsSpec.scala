@@ -85,4 +85,15 @@ class RelationalOpsSpec extends SparkSpec {
     val heavy = got.count { case (g, id) => g == "a" && id >= 100 }
     assert(heavy > 30, s"heavy in-group rows drawn: $heavy") // ~20 if unweighted
   }
+
+  test("weighted samplers fail fast on non-positive weights") {
+    import graft.operators.RelationalOps
+    val df = Seq((1L, 0L), (2L, 5L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      RelationalOps.weightedSampleExact(df, col("id"), col("w"), 1, "s").collect()
+    }
+    assert(e.getMessage.contains("strictly positive")
+      || e.getCause != null && e.getCause.getMessage.contains("strictly positive"),
+      e.getMessage)
+  }
 }
