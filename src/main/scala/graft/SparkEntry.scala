@@ -353,6 +353,32 @@ object SparkEntry {
         .intersect(Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
           .select(col("c_custkey").as("custkey")))
         .orderBy("custkey")),
+    // Beyond the reference: the TPC-H Q5 shape — a 6-way star join
+    // (region→nation→supplier ⋈ customer→orders→lineitem with the
+    // local-supplier correlation) declared relationally and left to
+    // Catalyst: the dim chain broadcasts, filters push into the scans,
+    // and the fact side shuffles only on its join keys. Exercises the
+    // four otherwise-dim-only tables (region/nation/supplier/part are
+    // the star schema's lookup side at 100 TB).
+    "q_star_join" -> ((s, dir) => {
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val su = Tables.supplier(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey")
+          && c("c_nationkey") === su("s_nationkey"))
+        .join(n, su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(n("n_name").as("n_name"))
+        .agg(round(sum((l("l_extendedprice") * (lit(1) - l("l_discount")))
+          .cast("decimal(28,12)")).cast("double"), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
     // Beyond the reference: hierarchical aggregation (ROLLUP) — the
     // partial-agg tree Catalyst plans for grouping sets.
     "q_rollup" -> ((s, dir) =>
@@ -936,6 +962,16 @@ object SparkEntry {
         |  INTERSECT
         |  (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
         |) t ORDER BY custkey""".stripMargin,
+    "q_star_join" ->
+      """SELECT n_name,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,12))) AS DOUBLE), 4) AS revenue,
+        |       count(*) AS n_items
+        |FROM region, nation, customer, orders, lineitem, supplier
+        |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+        |  AND s_nationkey = n_nationkey AND c_nationkey = s_nationkey
+        |  AND o_custkey = c_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       round(CAST(sum(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE), 4) AS sum_qty

@@ -51,6 +51,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("__graft_b"), plan) // the rule's bucket key joined on
   }
 
+  test("q_star_join: dims broadcast, no cartesian product") {
+    // the 6-way star must resolve to broadcast joins on the lookup side
+    // — a CartesianProduct or a shuffle of every dim is the star-schema
+    // anti-plan
+    val df = SparkEntry.queries("q_star_join")(spark, sf0)
+    df.queryExecution.toRdd.count()
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("uniformSampleExact plans TakeOrderedAndProject (partition-local top-k)") {
     val df = graft.operators.RelationalOps.uniformSampleExact(
       Tables.events(spark, sf0), col("event_id"), 100, "graft")
