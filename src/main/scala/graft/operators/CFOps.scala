@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   * (tiny) filtered slice of the centered matrix, so "similarity of
   * every item to every target" is an equi-join on user_id — Catalyst
   * broadcasts the target slice and nothing ever lands on the driver.
-  * At 100 TB the shuffles are: dedup (user,item), the two support
-  * aggregations, the centering window (item), and the dot-product join
-  * (user) — each keyed on a high-cardinality column, AQE-splittable.
+  * At 100 TB the wide ops are: the dedup exchange (item), the user
+  * support window (user), the centering window (item), and the
+  * dot-product join (user) — each keyed on a high-cardinality column,
+  * AQE-splittable. The support→center chain is one linear lineage
+  * (window counts, no agg+join-back), so exactly ONE persist — the
+  * centered matrix, which feeds five branches — pins the whole fact
+  * chain to a single materialization.
   *
   * Numerics: dot products, norms and weighted sums accumulate via
   * exact DECIMAL sums (order-insensitive, engine-portable) — see
@@ -46,46 +50,44 @@ object CFOps {
     * items among the surviving set (a3_p2.py:26,31).
     *
     * PRECONDITION: `ratings0` holds one row per (user, item) — the
-    * [[Ratings.deduped]] contract. That makes `count(*)` equal to the
-    * spec's `count(DISTINCT …)` while planning as ONE hash aggregation
-    * with map-side combine instead of count-distinct's two-phase
-    * expand — one shuffle saved per support round.
+    * [[Ratings.deduped]] contract. That makes `count(*)` over a window
+    * equal to the spec's `count(DISTINCT …)`.
+    *
+    * Shape: each sequential filter is a partition-frame window count,
+    * NOT an aggregate + join-back. The round-3 join-back form read the
+    * ratings subtree three times (okItems build, okUsers probe, final
+    * join probe), which forced a persist of the deduped ratings to pin
+    * one materialization — and the cache write cost more than it saved
+    * (round-4 profile at sf0.1: dropping it was −20%, windows −37%).
+    * The window form is a single LINEAR lineage: no self-joins, no
+    * duplicated subtree, nothing upstream to persist. Exchanges: zero
+    * on item when the input already carries HashPartitioning(item_id)
+    * ([[Ratings.dedupedByItem]]), then exactly one on user_id — both
+    * keyed on high-cardinality, AQE-splittable columns. The per-window
+    * within-partition sort touches only (user,item,rating) rows that
+    * survived the previous filter.
     */
   def supportFiltered(ratings0: DataFrame, p: Params = Params()): DataFrame = {
-    // ONE materialization: the deduped ratings. Every other intermediate
-    // is a filtered aggregate whose output is one row per item / per
-    // user — the join-backs broadcast under AQE when small and shuffle
-    // on their (high-cardinality, skew-splittable) key otherwise, so
-    // persisting them buys nothing. r1 deliberately NOT persisted: its
-    // two consumers each re-run one join over the cached ratings, far
-    // cheaper than a second full materialization (round-1 profile:
-    // the three serialized persists dominated q_cf_recommend latency).
-    // autoRelease: the cache lives until the consuming query finishes,
-    // then drops — no block outlives its query (CacheScope contract).
-    val ratings = graft.CacheScope.autoRelease(ratings0)
-    val okItems = ratings.groupBy("item_id")
-      .agg(count(lit(1)).as("nu"))
-      .filter(col("nu") >= p.minUsersPerItem).select("item_id")
-    val r1 = ratings.join(okItems, "item_id")
-    val okUsers = r1.groupBy("user_id")
-      .agg(count(lit(1)).as("ni"))
-      .filter(col("ni") >= p.minItemsPerUser).select("user_id")
-    r1.join(okUsers, "user_id").select("user_id", "item_id", "rating")
+    val wItem = Window.partitionBy("item_id")
+    val wUser = Window.partitionBy("user_id")
+    ratings0
+      .withColumn("nu", count(lit(1)).over(wItem))
+      .filter(col("nu") >= p.minUsersPerItem)
+      .withColumn("ni", count(lit(1)).over(wUser))
+      .filter(col("ni") >= p.minItemsPerUser)
+      .select("user_id", "item_id", "rating")
   }
 
-  /** Ratings mean-centered within item (a3_p2.py:42-43,70-71).
-    * Hash-agg the per-item means and join back rather than a window
-    * `avg over (partition by item)`: the agg partial-aggregates map-side
-    * and its output (one row per item) is small enough that AQE turns
-    * the join-back into a broadcast — no full-data sort, and the big
-    * side is never range-shuffled just to compute a group mean.
+  /** Ratings mean-centered within item (a3_p2.py:42-43,70-71), again as
+    * a partition-frame window so the support→center chain stays one
+    * linear plan (see [[supportFiltered]]). The mean is exact and
+    * order-insensitive: ratings are integers ≤ 5, so the double sum is
+    * an exact integer for any group size < 2^50 — bit-identical to the
+    * round-3 agg+join form and to the DuckDB oracle's avg().
     */
-  def meanCentered(filtered: DataFrame): DataFrame = {
-    val means = filtered.groupBy("item_id").agg(avg("rating").as("__mean"))
-    filtered.join(means, "item_id")
-      .withColumn("rc", col("rating") - col("__mean"))
-      .drop("__mean")
-  }
+  def meanCentered(filtered: DataFrame): DataFrame =
+    filtered.withColumn("rc",
+      col("rating") - avg("rating").over(Window.partitionBy("item_id")))
 
   /** Cosine similarity of every item against each target item over the
     * mean-centered matrix: numerator on common users only, norms over
@@ -138,8 +140,9 @@ object CFOps {
     // `centered` keeps the RAW rating next to the centered one, so the
     // similarity branch, the neighbor-weighted candidate join and the
     // pass-through branch all read the ONE persisted frame (the persist
-    // happens inside itemSimilarities) — no separate `filtered`
-    // materialization.
+    // happens inside itemSimilarities; these references hit it through
+    // CacheManager plan-matching) — no other materialization anywhere
+    // in the pipeline.
     val centered = meanCentered(supportFiltered(ratings, p))
     val nbrs = topNeighbors(itemSimilarities(centered, targets, p), p)
       .select("t_item", "item_id", "sim")

@@ -68,10 +68,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(planString(df).contains("TakeOrderedAndProject"))
   }
 
-  test("CF mean-centering has no Window sort (hash-agg + join-back)") {
+  test("CF support→center chain is linear: no self-joins above the ratings build") {
+    // The round-3 agg+join-back form read the ratings subtree three
+    // times, forcing a persist to pin one materialization. The window
+    // form must keep the ONLY join in the whole centered plan the
+    // orders⋈lineitem build inside Ratings — a second join appearing
+    // here means the linear lineage (and the no-upstream-persist
+    // guarantee) regressed.
     val centered = graft.operators.CFOps.meanCentered(
       graft.operators.CFOps.supportFiltered(graft.operators.Ratings.deduped(spark, sf0)))
-    assert(!planString(centered).contains("Window"))
+    val plan = planString(centered)
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected exactly the ratings-build join, got $joins:\n$plan")
+    assert(plan.contains("Window"), plan) // the linear form IS windows
   }
 
   test("lshCodes is exchange-free above the scan (pure projection)") {
@@ -92,8 +102,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("dedupedByItem's support chain reuses one item partitioning (2 shuffles, not 3)") {
     // HashPartitioning(item_id) satisfies the (user, item) grouping AND
-    // the item-support aggregation, so only the explicit repartition and
-    // the user-support aggregation exchange remain
+    // the item-support window, so only the explicit repartition and
+    // the user-support window exchange remain
     val nByItem = countShuffles(graft.operators.CFOps.supportFiltered(
       graft.operators.Ratings.dedupedByItem(spark, sf0)))
     assert(nByItem <= 2, s"got $nByItem")
