@@ -13,14 +13,22 @@ import org.apache.spark.sql.SparkSession
   *    (`catalog.clearCache()` between queries), so persist calls inside
   *    one operator can't evict or pre-warm another query's working set
   *    and the numbers are order-independent.
-  *  - Stable order (sorted by name) + two passes, reporting the per-
-  *    query MIN: the first pass absorbs codegen/classloading warm-up
-  *    noise; min-of-2 is the steady-state cost of the plan itself.
+  *  - Stable order (sorted by name) + REPEATS full passes, reporting the
+  *    per-query MEDIAN (pass 1 absorbs codegen/classloading warm-up;
+  *    the median of the remaining distribution is robust to the one-off
+  *    scheduler/GC excursions that min-of-2 could not distinguish from
+  *    real regressions — two consecutive rounds showed ±50% per-query
+  *    drift on unchanged map-only plans).
+  *  - Per-query spread (min/max/stddev over all repeats) is emitted in
+  *    the JSON so a cross-round delta can be judged against the measured
+  *    noise band instead of guessed at, plus the OS 1-min load average
+  *    at start/end to flag a noisy-neighbor machine state.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,6 +36,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg
     // Warm the JVM (codegen, parquet reader classes) and the OS page
     // cache so per-query numbers measure the plans, not cold start.
     Seq("documents", "embeddings", "lineitem", "events", "orders", "customer")
@@ -48,20 +59,35 @@ object Bench {
       spark.catalog.clearCache()
       (dt, ok)
     }
-    val pass1 = names.map(n => n -> runOnce(n)).toMap
-    val pass2 = names.map(n => n -> runOnce(n)).toMap
-    val results = names.map { n =>
-      val ((t1, ok1), (t2, ok2)) = (pass1(n), pass2(n))
-      n -> (if (ok1 && ok2) math.min(t1, t2) else -1.0)
+    // Full sorted passes (not per-query bursts): consecutive runs of the
+    // same query would share a hot cache state the driver run wouldn't.
+    val passes = (1 to repeats).map(_ => names.map(n => n -> runOnce(n)).toMap)
+    def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    case class Stat(median: Double, min: Double, max: Double, stddev: Double, ok: Boolean)
+    val stats = names.map { n =>
+      val runs = passes.map(_(n))
+      val ok = runs.forall(_._2)
+      val ts = runs.map(_._1).sorted
+      val median =
+        if (ts.size % 2 == 1) ts(ts.size / 2)
+        else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+      val mean = ts.sum / ts.size
+      val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.size)
+      n -> Stat(median, ts.head, ts.last, sd, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = stats.map { case (n, s) => n -> (if (s.ok) s.median else -1.0) }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val spread = stats.map { case (k, s) =>
+      s"\"" + k + "\":{\"min\":" + fmt(s.min) + ",\"max\":" + fmt(s.max) +
+        ",\"stddev\":" + fmt(s.stddev) + "}"
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     // any failure invalidates the headline number — a crashed query
     // must never read as a smaller (better) total
     val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
     val failedJson = failed.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"queries":$qs,"spread":$spread,"failed":$failedJson,"load_avg":{"start":${fmt(loadStart)},"end":${fmt(loadAvg)}},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
