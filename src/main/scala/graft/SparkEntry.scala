@@ -585,6 +585,17 @@ object SparkEntry {
         .select(col("media_id"), col("n_bytes"), col("pos").as("d"),
           round(col("col").cast("double"), 6).as("f"))
         .orderBy("media_id", "d")),
+    // Multimodal: the REAL codec path — deterministic pixel patterns
+    // rendered and encoded to genuine PNG bytes, decoded back through
+    // javax.imageio, reduced to exact per-channel pixel sums. The
+    // oracle recomputes the sums from the pixel formula with no codec
+    // anywhere, so a green row proves the engine's encode→decode round
+    // trip is bit-lossless through a real image format.
+    "q_mm_decode_real" -> ((s, dir) =>
+      MultimodalOps.decodePngStats(MultimodalOps.encodePng(
+          MultimodalOps.syntheticImageMeta(Tables.documents(s, dir))))
+        .toDF()
+        .orderBy("media_id")),
     // Structured Streaming: the one-pass sampler + running stats run as
     // a REAL stream (AvailableNow over the parquet source, memory sink)
     // with the same DuckDB oracle as the batch plan — streaming parity
@@ -1100,6 +1111,22 @@ object SparkEntry {
         |             / 16777216.0, 6) AS f
         |FROM documents CROSS JOIN range(8) t(d)
         |ORDER BY media_id, d""".stripMargin,
+    // codec-free recomputation of the decoded per-channel sums straight
+    // from the deterministic pixel formula (MultimodalOps.pixelChannels)
+    "q_mm_decode_real" ->
+      """WITH meta AS (
+        |  SELECT doc_id AS media_id,
+        |         8 + (doc_id % 25) AS w, 8 + ((doc_id * 7) % 25) AS h
+        |  FROM documents
+        |)
+        |SELECT media_id, CAST(w * h AS BIGINT) AS n_px,
+        |       CAST(sum((7*x + 3*y + (media_id % 256)) % 256) AS BIGINT) AS r_sum,
+        |       CAST(sum((5*x + 11*y + 2*(media_id % 256)) % 256) AS BIGINT) AS g_sum,
+        |       CAST(sum((13*x + 17*y + 3*(media_id % 256)) % 256) AS BIGINT) AS b_sum
+        |FROM meta CROSS JOIN range(33) xs(x) CROSS JOIN range(33) ys(y)
+        |WHERE x < w AND y < h
+        |GROUP BY media_id, w, h
+        |ORDER BY media_id""".stripMargin,
     "q_stream_welford" ->
       s"""SELECT event_type, count(*) AS n, ${decMeanSql("value")} AS mean_value,
          |       round(stddev_pop(value), 4) AS std_value

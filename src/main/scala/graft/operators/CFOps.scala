@@ -17,8 +17,21 @@ import org.apache.spark.sql.functions._
   * broadcasts the target slice and nothing ever lands on the driver.
   * At 100 TB the wide ops are: the dedup exchange (item), the user
   * support window (user), the centering window (item), and the
-  * dot-product join (user) — each keyed on a high-cardinality column,
-  * AQE-splittable. The support→center chain is one linear lineage
+  * dot-product join (user) — each keyed on a high-cardinality column.
+  * Skew honesty: only the JOIN exchange is AQE-skew-splittable.
+  * `WindowExec` has no map-side partial and AQE's skew handling covers
+  * joins and aggregates, not window exchanges — so a hot key's FULL
+  * partition frame (every rating of the hottest item / busiest user)
+  * lands in one task. That tail is bounded: a row here is ~24 bytes,
+  * per-item cardinality caps at the user count, and the agg+join-back
+  * alternative shuffles the same rows on the same key (it moves the
+  * count, not the skew) while costing a persist — measured worse in
+  * round 4. On Zipfian popularity the straggler task IS the hottest
+  * item; if that ever dominates, the escape hatch is a two-level count
+  * (salted partial agg + broadcast-back), which trades the linear
+  * lineage for bounded tasks. Behavior pinned by CFOpsSpec
+  * ("window support chain under one dominant item").
+  * The support→center chain is one linear lineage
   * (window counts, no agg+join-back), so exactly ONE persist — the
   * centered matrix, which feeds five branches — pins the whole fact
   * chain to a single materialization.
@@ -63,9 +76,11 @@ object CFOps {
     * duplicated subtree, nothing upstream to persist. Exchanges: zero
     * on item when the input already carries HashPartitioning(item_id)
     * ([[Ratings.dedupedByItem]]), then exactly one on user_id — both
-    * keyed on high-cardinality, AQE-splittable columns. The per-window
-    * within-partition sort touches only (user,item,rating) rows that
-    * survived the previous filter.
+    * keyed on high-cardinality columns. Skew caveat: window exchanges
+    * are NOT AQE-skew-splittable (see the object scaladoc) — the
+    * hottest item's whole rating vector is one task's frame. The
+    * per-window within-partition sort touches only (user,item,rating)
+    * rows that survived the previous filter.
     */
   def supportFiltered(ratings0: DataFrame, p: Params = Params()): DataFrame = {
     val wItem = Window.partitionBy("item_id")

@@ -11,12 +11,18 @@ import org.apache.spark.sql.types._
   * frame-sampling are metadata-plan operations that never touch the
   * payload bytes.
   *
-  * The real image/audio codecs are NOT in this container, so the decode
-  * kernel is a clearly-marked deterministic STUB (md5-based — see
-  * [[stubDecodeFeature]]); everything around it — the schema, the
-  * `Dataset[MediaRow]` encoder, the mapPartitions batch shape, the
-  * partitioning and the downstream feature plumbing — is real and is
-  * what a production decoder would drop into.
+  * Decode kernels come in two tiers:
+  *  - a REAL PNG codec path ([[encodePng]]/[[decodePngStats]]) through
+  *    `javax.imageio` (in the JDK — no external codec needed): images
+  *    are encoded to genuine PNG bytes and decoded back, with exact
+  *    per-channel pixel sums proving the round trip lossless;
+  *  - a deterministic md5 STUB ([[stubDecodeFeature]]) standing in for
+  *    the codecs that are NOT in this container (JPEG-via-libjpeg,
+  *    audio, video). Everything around it — the schema, the
+  *    `Dataset[MediaRow]` encoder, the mapPartitions batch shape, the
+  *    partitioning and the downstream feature plumbing — is real and is
+  *    what a production decoder would drop into (exactly as the PNG
+  *    tier demonstrates).
   *
   * Scale notes:
   *  - Payloads never pass through a wide operator here: decode is a
@@ -88,6 +94,97 @@ object MultimodalOps {
           MediaFeatures(r.media_id, r.payload.length.toLong, feats)
         }
       }
+  }
+
+  // -------------------------------------------------------------------
+  // Real codec path: PNG through javax.imageio (JDK-bundled).
+
+  /** One image crossing the real-codec boundary: genuine PNG bytes. */
+  case class EncodedImage(media_id: Long, width: Int, height: Int, png: Array[Byte])
+
+  /** Exact per-channel pixel sums of one decoded image. */
+  case class ImageStats(media_id: Long, n_px: Long, r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** Deterministic pixel content: channel values are fixed integer
+    * functions of (media_id, x, y), so an oracle can recompute the
+    * decoded stats WITHOUT any codec — which is what makes the real
+    * encode→decode round trip gateable (the engine path goes formula →
+    * PNG encode → `ImageIO.read` → sums; the oracle goes formula →
+    * sums; PNG being lossless, they must agree exactly).
+    */
+  def pixelChannels(mediaId: Long, x: Int, y: Int): (Int, Int, Int) = {
+    val m = (mediaId % 256).toInt
+    ((7 * x + 3 * y + m) % 256,
+     (5 * x + 11 * y + 2 * m) % 256,
+     (13 * x + 17 * y + 3 * m) % 256)
+  }
+
+  /** Image metadata plan: small deterministic dimensions (8–32 px per
+    * side) keyed off doc ids. Small because the gate proves codec
+    * FIDELITY, not throughput — the per-pixel loops are O(w·h) per row
+    * and scan-parallel regardless of size.
+    */
+  def syntheticImageMeta(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      (lit(8) + pmod(col("doc_id"), lit(25L))).cast("int").as("width"),
+      (lit(8) + pmod(col("doc_id") * 7L, lit(25L))).cast("int").as("height"))
+
+  /** ENCODE through the real codec: renders each row's deterministic
+    * pixel pattern into a `BufferedImage` and writes genuine PNG bytes
+    * with `javax.imageio`. Narrow mapPartitions — CPU-bound,
+    * scan-parallel, no shuffle.
+    */
+  def encodePng(meta: DataFrame): Dataset[EncodedImage] = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta.select("media_id", "width", "height").as[(Long, Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, w, h) =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val (r, g, b) = pixelChannels(id, x, y)
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          EncodedImage(id, w, h, bos.toByteArray)
+        }
+      }
+  }
+
+  /** DECODE through the real codec: `ImageIO.read` on the PNG bytes,
+    * then exact integer per-channel sums over every pixel — the
+    * feature-extraction shape (decode once, reduce per row) a real
+    * pipeline uses, with integer sums so no float parity questions.
+    */
+  def decodePngStats(imgs: Dataset[EncodedImage]): Dataset[ImageStats] = {
+    val spark = imgs.sparkSession
+    import spark.implicits._
+    imgs.mapPartitions { rows =>
+      rows.map { e =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(e.png))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageStats(e.media_id, w.toLong * h, rs, gs, bs)
+      }
+    }
   }
 
   /** Resize plan: metadata-only. Scales (width, height) to fit inside

@@ -22,14 +22,28 @@ object TextOps {
   /** The reference's tokenizer regex, verbatim (`a3_p1.py:19-22`; spec
     * fixes it in `Assignment 3 Description.htm`): words (with optional
     * #/@ prefix and trailing 'xxx apostrophe suffix) plus 6 punctuation
-    * tokens. Case-folded before matching, as in the reference.
-    * Correctness-critical constant — Java regex and DuckDB's RE2 both
-    * accept this subset verbatim.
+    * tokens. Correctness-critical constant — Java regex and DuckDB's
+    * RE2 both accept this subset verbatim.
     */
   val TokenPattern: String =
     """((?:[\.,!?;"])|(?:(?:\#|\@)?[A-Za-z0-9_\-]+(?:'[a-z]{1,3})?))"""
 
-  /** `text` column → array<string> of lower-cased tokens. */
+  /** `text` column → array<string> of lower-cased tokens.
+    *
+    * DELIBERATE divergence from the reference, pinned here and in
+    * TextOpsSpec ("case-fold order"): we lowercase BEFORE matching;
+    * the reference matches the RAW text and lowercases each token
+    * afterwards (`a3_p1.py:19-22`). The orders differ only where the
+    * pattern is case-asymmetric — the `'[a-z]{1,3}` apostrophe suffix:
+    * raw `DON'T` fails the lowercase-only suffix and splits into
+    * `don`,`t` under the reference, while fold-first yields the single
+    * token `don't` (likewise any upper-case suffix, `IT'S`, `O'BRIEN`).
+    * Fold-first is the better-behaved semantics (case never changes
+    * token BOUNDARIES) and is what every gated query's oracle SQL
+    * mirrors (`lower(text)` inside `regexp_extract_all`), so engine and
+    * oracle agree by construction; flipping to reference order would
+    * require changing both sides together.
+    */
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit(TokenPattern), lit(1))
 

@@ -54,6 +54,30 @@ class CFOpsSpec extends SparkSpec {
     assert(counts.nonEmpty)
   }
 
+  test("window support chain under one dominant item") {
+    // Zipf head: item 1 holds 80% of all ratings (2000 of ~2500), so its
+    // entire partition frame lands in ONE WindowExec task (window
+    // exchanges are not AQE-skew-splittable — CFOps scaladoc). This pins
+    // that the chain stays CORRECT under that skew and documents the
+    // cost model: the hot key is a single task, bounded by #users.
+    val hot = (1L to 2000L).map(u => (u, 1L, (u % 5) + 1))
+    val cold = (1L to 100L).flatMap(u => Seq((u, 2L, 3L), (u, 3L, (u % 2) + 3)))
+    val tiny = Seq((1L, 4L, 5L)) // below minUsersPerItem -> filtered
+    val r = mkRatings(hot ++ cold ++ tiny: _*).repartition(8)
+    val p = CFOps.Params(minUsersPerItem = 25, minItemsPerUser = 1)
+    val centered = CFOps.meanCentered(CFOps.supportFiltered(r, p))
+    // survivors: items 1,2,3 only; every row of item 1 present exactly once
+    val byItem = centered.groupBy("item_id").count().as[(Long, Long)].collect().toMap
+    assert(byItem == Map(1L -> 2000L, 2L -> 100L, 3L -> 100L))
+    // centering on the hot item matches a groupBy-computed mean exactly
+    val hotMean = hot.map(_._3.toDouble).sum / hot.size
+    val rc = centered.filter($"item_id" === 1L && $"user_id" === 7L)
+      .select("rc").as[Double].head()
+    assert(rc == (7 % 5) + 1 - hotMean)
+    // and the filter threshold applied: item 4 gone
+    assert(!byItem.contains(4L))
+  }
+
   test("support filters are sequential (users counted on surviving items)") {
     val r = mkRatings(
       (1L, 1L, 3L), (2L, 1L, 3L),            // item 1: 2 users -> survives

@@ -47,6 +47,30 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("real PNG codec path: genuine PNG bytes, lossless decode, formula-exact stats") {
+    val meta = MultimodalOps.syntheticImageMeta(docs.limit(20))
+    val encoded = MultimodalOps.encodePng(meta).collect()
+    assert(encoded.length == 20)
+    // the payloads are REAL PNG files (magic bytes), not a stand-in
+    encoded.foreach { e =>
+      assert(e.png.take(8).sameElements(
+        Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)))
+    }
+    val stats = MultimodalOps.decodePngStats(
+      MultimodalOps.encodePng(meta)).collect().map(s => s.media_id -> s).toMap
+    // decoded sums equal the pixel formula recomputed with no codec
+    encoded.foreach { e =>
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (y <- 0 until e.height; x <- 0 until e.width) {
+        val (r, g, b) = MultimodalOps.pixelChannels(e.media_id, x, y)
+        rs += r; gs += g; bs += b
+      }
+      val s = stats(e.media_id)
+      assert(s.n_px == e.width.toLong * e.height)
+      assert(s.r_sum == rs && s.g_sum == gs && s.b_sum == bs)
+    }
+  }
+
   test("resizePlan caps the longest side and preserves aspect ratio order") {
     val out = MultimodalOps.resizePlan(MultimodalOps.asMedia(docs), maxSide = 128).collect()
     out.foreach { r =>

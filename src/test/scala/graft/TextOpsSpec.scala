@@ -15,6 +15,25 @@ class TextOpsSpec extends SparkSpec {
       "it's", "-a", "x_1", "\"", "q", "\""))
   }
 
+  test("case-fold order: fold-first keeps DON'T one token (pinned divergence)") {
+    // The reference matches raw text then lowercases, which would split
+    // DON'T into don,t (the '[a-z]{1,3} suffix is lowercase-only); our
+    // fold-first semantics — documented on TextOps.tokens — yields the
+    // single token don't regardless of input case. This test pins the
+    // chosen behavior so a silent reordering of lower() vs match fails.
+    val toks = Seq((1L, """DON'T SHOUT IT'S O'BRIEN"""))
+      .toDF("doc_id", "text")
+      .select(TextOps.tokens($"text").as("toks")).as[Seq[String]].head()
+    // reference order would split every apostrophe instead:
+    // don / t / shout / it / s / o / brien
+    assert(toks == Seq("don't", "shout", "it's", "o'bri", "en"))
+    // and case never changes token boundaries
+    val lower = Seq((1L, """don't shout it's o'brien"""))
+      .toDF("doc_id", "text")
+      .select(TextOps.tokens($"text").as("toks")).as[Seq[String]].head()
+    assert(toks == lower)
+  }
+
   test("topKWords counts and orders deterministically") {
     val docs = Seq((1L, "b a a"), (2L, "a b c")).toDF("doc_id", "text")
     val got = TextOps.topKWords(docs, 2).as[(String, Long)].collect().toSeq
