@@ -4,11 +4,13 @@ import org.apache.spark.sql.SparkSession
 /** Per-query wall-clock bench over SparkEntry.queries.
   *
   * Measurement rules (each fixes an observed distortion):
-  *  - FULL evaluation via `queryExecution.toRdd.count()`: the executed
-  *    plan's output projection materializes every column into the
-  *    UnsafeRow stream, so projection-only queries (q_quality,
-  *    q_token_counts, …) pay their real compute. A plain `df.count()`
-  *    lets Catalyst prune all computed columns and times an empty scan.
+  *  - FULL evaluation via [[CacheScope.fullEval]] (`toRdd.count()`
+  *    under a named execution id): the executed plan's output
+  *    projection materializes every column into the UnsafeRow stream,
+  *    so projection-only queries (q_quality, q_token_counts, …) pay
+  *    their real compute. A plain `df.count()` lets Catalyst prune all
+  *    computed columns and times an empty scan. The execution id also
+  *    lets operator-scoped caches release themselves between queries.
   *  - Cache isolation: every query runs against a clean cache
   *    (`catalog.clearCache()` between queries), so persist calls inside
   *    one operator can't evict or pre-warm another query's working set
@@ -53,7 +55,7 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        try { CacheScope.fullEval(fn(spark, sfDir)); true }
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()

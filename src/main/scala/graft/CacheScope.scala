@@ -25,9 +25,12 @@ import org.apache.spark.storage.StorageLevel
   * is owned by the operator, not the harness.
   *
   * Contract notes:
-  *  - Dataset-API actions (collect/write/count/…) fire the listener;
-  *    a raw `queryExecution.toRdd` action bypasses the listener bus —
-  *    harnesses that evaluate that way (Bench) still clearCache().
+  *  - Dataset-API actions (collect/write/count/…) fire the listener.
+  *    A raw `queryExecution.toRdd` action has no SQL execution id, so
+  *    no SQLExecutionEnd event reaches the listener bus; [[fullEval]]
+  *    closes that path by running the toRdd action under a named
+  *    execution id — harnesses that need full-plan evaluation (Bench)
+  *    use it (and keep clearCache() as belt-and-braces only).
   *  - Re-running the SAME returned frame after release just recomputes
   *    without the cache — correctness never depends on the persist.
   *  - If the result is never evaluated, the (lazy) persist never
@@ -65,5 +68,19 @@ object CacheScope {
     }
     spark.listenerManager.register(listener)
     persisted
+  }
+
+  /** FULL evaluation of a frame — every output column materialized into
+    * the executed plan's UnsafeRow stream (`toRdd.count()`; a plain
+    * `df.count()` lets Catalyst prune all computed columns) — run under
+    * a named SQL execution id so the action is visible to
+    * QueryExecutionListeners and [[autoRelease]]'s scoped caches
+    * release exactly as they do for Dataset-API actions. Returns the
+    * row count.
+    */
+  def fullEval(df: DataFrame): Long = {
+    val qe = df.queryExecution
+    org.apache.spark.sql.graft.ColumnBridge.withNamedExecution(qe, "graft.fullEval")(
+      qe.toRdd.count())
   }
 }

@@ -31,13 +31,28 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * most k rows per (key, upstream partition).
   *
   * STATE BOUND (spill-safe on both sides):
-  *  - The partial heap map is capped at `maxLocalRows` retained rows
-  *    (conf `spark.graft.topKPerKey.maxLocalRows`, default 2M): when an
-  *    insert exceeds the cap the operator FLUSHES — emits every current
-  *    heap row downstream and clears the map. A flush only weakens the
-  *    map-side prune (more rows cross the exchange), never correctness:
-  *    the final pass re-prunes. Million-group inputs therefore degrade
-  *    gracefully toward the plain sort shape instead of OOMing.
+  *  - The partial heap map budgets its retained bytes through the
+  *    task's [[org.apache.spark.memory.TaskMemoryManager]], exactly
+  *    like Spark's own stateful operators: every net-new key and
+  *    retained row RESERVES its estimated footprint via a
+  *    [[TopKHeapConsumer]]; when the pool denies an acquisition (real
+  *    executor memory pressure, competing consumers included) the
+  *    operator FLUSHES — emits every current heap row downstream,
+  *    releases the reservation, and starts over. A flush only weakens
+  *    the map-side prune (more rows cross the exchange), never
+  *    correctness: the final pass re-prunes. Million-group inputs
+  *    therefore degrade gracefully toward the plain sort shape instead
+  *    of OOMing, and a memory-starved executor flushes earlier —
+  *    adaptively — rather than at a fixed row count.
+  *  - `spark.graft.topKPerKey.maxLocalBytes` (default unlimited)
+  *    additionally caps the reservation — the deterministic override
+  *    specs use to force the flush path on a test session whose pool
+  *    would otherwise never deny, and an operator-level guard rail for
+  *    shared-executor deployments.
+  *  - The consumer cannot spill asynchronously (rows can only be
+  *    emitted inline, from the task's own iterator), so its `spill()`
+  *    reports 0 to OTHER consumers' pressure; this operator reacts to
+  *    pressure at its own next acquisition instead.
   *  - The final side holds no map at all: it requires its (pruned)
   *    input sorted by (keys, order) — Spark plans a spillable external
   *    sort — and keeps one counter per current key group.
@@ -47,9 +62,9 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * this library).
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    maxLocalRows: Long, child: LogicalPlan) extends UnaryNode {
+    maxLocalBytes: Long, child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
-  require(maxLocalRows > 0, s"maxLocalRows must be positive, got $maxLocalRows")
+  require(maxLocalBytes > 0, s"maxLocalBytes must be positive, got $maxLocalBytes")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
@@ -60,16 +75,43 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
   */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, maxLocalRows, child) =>
+    case TopKPerKey(keys, order, k, maxLocalBytes, child) =>
       val partialExec =
-        TopKPerKeyExec(keys, order, k, maxLocalRows, planLater(child), partial = true)
-      TopKPerKeyExec(keys, order, k, maxLocalRows, partialExec, partial = false) :: Nil
+        TopKPerKeyExec(keys, order, k, maxLocalBytes, planLater(child), partial = true)
+      TopKPerKeyExec(keys, order, k, maxLocalBytes, partialExec, partial = false) :: Nil
     case _ => Nil
   }
 }
 
+/** Task-memory accounting for the partial heap map. Reservations go
+  * through the real executor pool (so competing operators see and
+  * squeeze this one), with an optional hard byte cap on top.
+  * `spill()` returns 0: heap rows can only leave through the task's own
+  * iterator (see the operator scaladoc), so other consumers' pressure
+  * is answered at this operator's next `reserve` instead.
+  */
+class TopKHeapConsumer(tmm: org.apache.spark.memory.TaskMemoryManager,
+    byteCap: Long)
+    extends org.apache.spark.memory.MemoryConsumer(
+      tmm, org.apache.spark.memory.MemoryMode.ON_HEAP) {
+
+  override def spill(size: Long, trigger: org.apache.spark.memory.MemoryConsumer): Long = 0L
+
+  /** Try to reserve `bytes` more; false = flush now. Partial grants are
+    * returned immediately so accounting stays exact.
+    */
+  def reserve(bytes: Long): Boolean =
+    if (getUsed + bytes > byteCap) false
+    else {
+      val granted = acquireMemory(bytes)
+      if (granted < bytes) { freeMemory(granted); false } else true
+    }
+
+  def releaseAll(): Unit = freeMemory(getUsed)
+}
+
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    maxLocalRows: Long, child: SparkPlan, partial: Boolean) extends UnaryExecNode {
+    maxLocalBytes: Long, child: SparkPlan, partial: Boolean) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -99,7 +141,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val keyExprs = keys
     val sortOrder = order
     val limit = k
-    val budget = maxLocalRows
+    val byteCap = maxLocalBytes
     val childOutput = child.output
     if (partial) {
       child.execute().mapPartitions({ rows =>
@@ -108,10 +150,31 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
         // evicting the current worst (heap head = largest = worst)
         val rowOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
           .create(sortOrder, childOutput)
+        // real task-pool accounting (null only outside a task, e.g.
+        // driver-local unit probes — then only byteCap governs)
+        val tc = org.apache.spark.TaskContext.get()
+        val consumer =
+          if (tc == null) null
+          else new TopKHeapConsumer(
+            org.apache.spark.graft.MemoryBridge.taskMemoryManager(tc), byteCap)
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => consumer.releaseAll())
+        var untracked = 0L // byteCap fallback accounting when consumer == null
+        def tryReserve(bytes: Long): Boolean =
+          if (consumer != null) consumer.reserve(bytes)
+          else if (untracked + bytes > byteCap) false
+          else { untracked += bytes; true }
+        def releaseAll(): Unit =
+          if (consumer != null) consumer.releaseAll() else untracked = 0L
+        // per-entry estimates: UnsafeRow payload + object/queue-node
+        // overhead; keys also pay their HashMap entry. Evictions swap a
+        // row for a same-schema row — size-neutral, nothing re-reserved.
+        def rowCost(r: UnsafeRow): Long = r.getSizeInBytes + 64L
+        def keyCost(kr: UnsafeRow): Long = kr.getSizeInBytes + 96L
         val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
         var retained = 0L
-        // snapshot-and-clear: emit every retained row, reset the map —
-        // the overflow escape hatch AND the end-of-partition emission
+        // snapshot-and-clear: emit every retained row, reset the map and
+        // release its reservation — the memory-pressure escape hatch AND
+        // the end-of-partition emission
         def drain(): Iterator[InternalRow] = {
           val buf = new scala.collection.mutable.ArrayBuffer[InternalRow](
             math.min(retained, Int.MaxValue.toLong).toInt)
@@ -121,24 +184,40 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
           }
           heaps.clear()
           retained = 0L
+          releaseAll()
           buf.iterator
         }
         rows.flatMap { row =>
           val key = keyProj(row)
           var heap = heaps.get(key)
+          var cost = 0L
+          if (heap == null) cost += keyCost(key)
+          val unsafe = row.asInstanceOf[UnsafeRow]
+          val grows = heap == null || heap.size < limit
+          if (grows) cost += rowCost(unsafe)
+          // deny → flush + retry; a second denial (pathologically tiny
+          // pool) proceeds untracked — the heap then holds this one
+          // entry and the next denial flushes it straight through
+          val flushed =
+            if (cost > 0 && !tryReserve(cost)) {
+              val out = drain()
+              tryReserve(cost)
+              out
+            } else Iterator.empty
+          heap = heaps.get(key)
           if (heap == null) {
             heap = new java.util.PriorityQueue[UnsafeRow](
               limit + 1, rowOrd.reverse.asInstanceOf[java.util.Comparator[UnsafeRow]])
             heaps.put(key.copy(), heap)
           }
           if (heap.size < limit) {
-            heap.add(row.asInstanceOf[UnsafeRow].copy())
+            heap.add(unsafe.copy())
             retained += 1
           } else if (rowOrd.compare(row, heap.peek()) < 0) {
             heap.poll()
-            heap.add(row.asInstanceOf[UnsafeRow].copy())
+            heap.add(unsafe.copy())
           }
-          if (retained > budget) drain() else Iterator.empty
+          flushed
         } ++ drain()
       }, preservesPartitioning = true)
     } else {
@@ -181,9 +260,11 @@ object TopKOps {
       "topKPerKey needs at least one key column; for global top-k use orderBy(...).limit(k)")
     val spark = df.sparkSession
     ensureStrategy(spark)
-    // partial-side heap budget: flush-on-overflow bound (scaladoc above)
+    // partial-side heap budget: the task memory pool governs by
+    // default; this conf adds a deterministic hard cap on top
+    // (scaladoc above)
     val budget = spark.conf
-      .get("spark.graft.topKPerKey.maxLocalRows", "2000000").toLong
+      .get("spark.graft.topKPerKey.maxLocalBytes", Long.MaxValue.toString).toLong
     import org.apache.spark.sql.graft.ColumnBridge
     // Let the ANALYZER convert/resolve the sort Columns (Spark 4
     // Columns are lazy ColumnNode wrappers, not catalyst expressions):

@@ -27,4 +27,16 @@ object ColumnBridge {
   def analyzedPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Run `body` under a NAMED SQL execution id
+    * (`SQLExecution.withNewExecutionId` is `private[sql]`). The name
+    * matters: `ExecutionListenerBus` relays a SQLExecutionEnd event to
+    * `QueryExecutionListener`s only when the event carries an execution
+    * name — which is how raw `toRdd` actions (no Dataset API, no
+    * execution id of their own) become visible to listener-driven
+    * machinery like [[graft.CacheScope]].
+    */
+  def withNamedExecution[T](qe: org.apache.spark.sql.execution.QueryExecution,
+      name: String)(body: => T): T =
+    org.apache.spark.sql.execution.SQLExecution.withNewExecutionId(qe, Some(name))(body)
 }

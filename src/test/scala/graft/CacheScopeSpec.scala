@@ -38,6 +38,19 @@ class CacheScopeSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("fullEval (toRdd path) releases the scoped cache too") {
+    // a bare queryExecution.toRdd.count() has no SQL execution id, so
+    // the release listener never hears about it; fullEval runs the same
+    // action under a named execution id and must release like any
+    // Dataset action — no surviving cached RDD, no clearCache help
+    spark.catalog.clearCache()
+    val base = CacheScope.autoRelease(
+      Seq(1, 2, 3, 4).toDF("x").select(col("x"), (col("x") * 3).as("y")))
+    val consumer = base.filter(col("y") > 3).union(base.filter(col("x") === 1))
+    assert(CacheScope.fullEval(consumer) == 4L)
+    assert(awaitNoCachedRdds(), "cache block outlived a toRdd-only query")
+  }
+
   test("CF and dedup pipelines leave no cache behind without clearCache") {
     spark.catalog.clearCache()
     // the two heaviest internal-persist users, run as a user would —

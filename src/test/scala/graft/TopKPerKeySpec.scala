@@ -58,10 +58,10 @@ class TopKPerKeySpec extends SparkSpec {
       "final pass streams sorted pruned rows")
   }
 
-  test("partial heap flush under a tiny row budget changes nothing (spill path)") {
-    // budget 7 forces constant mid-partition flushes on the real events
-    // table — the graceful-degradation path a million-group input takes
-    spark.conf.set("spark.graft.topKPerKey.maxLocalRows", "7")
+  test("partial heap flush under a tiny byte budget changes nothing (flush path)") {
+    // a 700-byte cap forces constant mid-partition flushes on the real
+    // events table — the degradation path memory pressure triggers
+    spark.conf.set("spark.graft.topKPerKey.maxLocalBytes", "700")
     try {
       val expected = windowTopK(3).as[(Long, Long, Double)].collect().toSet
       val got = TopKOps.topKPerKey(
@@ -69,7 +69,7 @@ class TopKPerKeySpec extends SparkSpec {
         Seq("user_id"), Seq(col("value").desc, col("event_id").asc), 3)
         .as[(Long, Long, Double)].collect().toSet
       assert(got == expected)
-    } finally spark.conf.unset("spark.graft.topKPerKey.maxLocalRows")
+    } finally spark.conf.unset("spark.graft.topKPerKey.maxLocalBytes")
   }
 
   test("stratifiedSampleExact survives a unique-per-row group column under budget") {
@@ -77,14 +77,40 @@ class TopKPerKeySpec extends SparkSpec {
     // column (every row its own group) used to grow one heap per key
     // with no bound; under a small budget it must still return every
     // row (k=2 > group size 1) without error
-    spark.conf.set("spark.graft.topKPerKey.maxLocalRows", "7")
+    spark.conf.set("spark.graft.topKPerKey.maxLocalBytes", "700")
     try {
       val ev = Tables.events(spark, sf0).select("event_id", "user_id", "value")
       val n = ev.count()
       val got = graft.operators.RelationalOps.stratifiedSampleExact(
         ev, Seq("event_id"), col("event_id"), 2, "hc")
       assert(got.count() == n)
-    } finally spark.conf.unset("spark.graft.topKPerKey.maxLocalRows")
+    } finally spark.conf.unset("spark.graft.topKPerKey.maxLocalBytes")
+  }
+
+  test("memory consumer: a tiny task pool denies, release recovers (real TMM)") {
+    // The shared test session's pool is gigabytes — it can never deny a
+    // few-KB reservation, which is why the flush tests above use the
+    // byteCap override. This proves the OTHER trigger with a real
+    // TaskMemoryManager over a 1 MiB pool: acquisition eventually
+    // denies, reserve() reports it (the operator's flush signal), and
+    // releaseAll() returns the pool to a grantable state.
+    val tmm = org.apache.spark.graft.MemoryBridge.standaloneTaskMemoryManager(1L << 20)
+    val c = new graft.plans.TopKHeapConsumer(tmm, Long.MaxValue)
+    assert(c.reserve(64L * 1024), "first 64 KiB must fit in a 1 MiB pool")
+    var denied = false
+    var rounds = 0
+    while (!denied && rounds < 64) { denied = !c.reserve(64L * 1024); rounds += 1 }
+    assert(denied, "the pool must eventually deny")
+    assert(c.getUsed > 0)
+    c.releaseAll()
+    assert(c.getUsed == 0, "denial must not leak a partial grant")
+    assert(c.reserve(64L * 1024), "after release the same reservation fits again")
+    c.releaseAll()
+    // and the byte cap denies even when the pool would grant
+    val capped = new graft.plans.TopKHeapConsumer(tmm, byteCap = 100L)
+    assert(!capped.reserve(101L))
+    assert(capped.reserve(50L) && !capped.reserve(51L))
+    capped.releaseAll()
   }
 
   test("null order values rank exactly as the window form (NULLS LAST under desc)") {
@@ -123,7 +149,7 @@ class TopKPerKeySpec extends SparkSpec {
       Gen.choose(0L, 8L),        // key: few distinct → deep groups
       Gen.choose(0L, 20L),       // order value: deliberate ties
       Gen.choose(0L, 1000000L))) // unique-ish tiebreak
-    for (seed <- 0L until 12L; budget <- Seq("2000000", "3")) {
+    for (seed <- 0L until 12L; budget <- Seq("1000000000", "300")) {
       val data = sample(rowsGen, seed).get.zipWithIndex
         .map { case ((k, v, _), i) => (k, v, i.toLong) } // index = total-order tiebreak
       val k = 1 + (seed % 4).toInt
@@ -131,13 +157,13 @@ class TopKPerKeySpec extends SparkSpec {
       val w = Window.partitionBy("key").orderBy(col("v").desc, col("tb").asc)
       val expected = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
         .select("key", "v", "tb").as[(Long, Long, Long)].collect().toSet
-      spark.conf.set("spark.graft.topKPerKey.maxLocalRows", budget)
+      spark.conf.set("spark.graft.topKPerKey.maxLocalBytes", budget)
       try {
         val got = TopKOps.topKPerKey(df.repartition(5), Seq("key"),
           Seq(col("v").desc, col("tb").asc), k)
           .select("key", "v", "tb").as[(Long, Long, Long)].collect().toSet
         assert(got == expected, s"seed=$seed budget=$budget k=$k")
-      } finally spark.conf.unset("spark.graft.topKPerKey.maxLocalRows")
+      } finally spark.conf.unset("spark.graft.topKPerKey.maxLocalBytes")
     }
   }
 }
