@@ -387,6 +387,26 @@ object SparkEntry {
       s.read.schema(meta.schema).json(path)
         .orderBy("doc_id")
     }),
+    // ORC — the second columnar format bundled with Spark (typed,
+    // striped, predicate-pushdown-capable like parquet); a 100 TB lake
+    // is rarely single-format, so the engine gates both.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val path = s"/tmp/graft_src_${new java.io.File(dir).getName}/docs_orc"
+      val meta = Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+      meta.write.mode("overwrite").orc(path)
+      s.read.schema(meta.schema).orc(path)
+        .orderBy("doc_id")
+    }),
+    // Parquet re-write under zstd — the compression codec current
+    // training-data pipelines standardize on (better ratio than snappy
+    // at comparable read speed); gates the codec path end to end.
+    "q_parquet_zstd" -> ((s, dir) => {
+      val path = s"/tmp/graft_src_${new java.io.File(dir).getName}/docs_pq_zstd"
+      val meta = Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+      meta.write.mode("overwrite").option("compression", "zstd").parquet(path)
+      s.read.parquet(path)
+        .orderBy("doc_id")
+    }),
     // §2.7 set ops beyond EXCEPT: INTERSECT (custkeys with orders AND
     // high balance).
     "q_intersect" -> ((s, dir) =>
@@ -636,6 +656,76 @@ object SparkEntry {
           round(col("mean_value"), 4).as("mean_value"))
         .orderBy("start_us")
     }),
+    // Streaming exact dedup: first copy per content digest passes, later
+    // copies drop (dropDuplicatesWithinWatermark — state keyed by the
+    // 16-byte digest, evicted past the horizon). Event time is a
+    // deterministic function of doc_id; the corpus span (≤ ~84 min at
+    // sf0.1) sits far inside the 30-day horizon, so the stream's answer
+    // must equal batch DISTINCT exactly — which doc survives is arrival-
+    // order-dependent, so the gate compares the digest SET, not ids.
+    "q_stream_dedup" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        // +1 day: an event time of EXACTLY epoch 0 (doc_id 0) equals the
+        // stream's initial watermark and is dropped as late — boundary
+        // artifact of the synthetic clock, not of the operator
+        .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
+      val deduped = graft.streaming.StreamingOps.streamingExactDedup(
+        stream, "ts", "30 days")
+      val qn = s"graft_stream_dedup_${StreamSeq.incrementAndGet()}"
+      val q = deduped.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(lower(hex(col("text_hash"))).as("text_hash"))
+        .orderBy("text_hash")
+    }),
+    // Stream-stream interval join: each purchase enriched with the same
+    // user's views from the preceding 30 minutes — both sides REAL
+    // streams with watermarks bounding the buffered state. Inner-join
+    // emission is watermark-independent, so the AvailableNow run must
+    // produce exactly the batch inequality-join answer.
+    "q_stream_interval_join" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def ev = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_event"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("v_event"),
+          col("value").as("v_value"))
+      val joined = graft.streaming.StreamingOps.intervalJoin(
+        purchases, views, Seq("user_id"), "p_ts", "v_ts", "30 minutes", "24 hours")
+      val qn = s"graft_stream_ijoin_${StreamSeq.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(col("user_id"), col("p_event"), unix_micros(col("p_ts")).as("p_ts_us"),
+          col("v_event"), round(col("v_value"), 4).as("v_value"))
+        .orderBy("user_id", "p_event", "v_event")
+    }),
+    // Per-label embedding centroids through the vector-mean UDAF: one
+    // label-keyed exchange shipping (n, 64 decimal sums) buffers — no
+    // posexplode row amplification (64× on a 100 TB embedding table),
+    // exact order-insensitive decimal sums (see VectorMeanAgg). The
+    // float→decimal step rides Spark's own cast chain in the plan.
+    "q_centroids" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"),
+          expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12)))")
+            .as("emb_dec"))
+        .groupBy("label")
+        .agg(graft.functions.VectorMeanAgg.vectorMean(col("emb_dec")).as("centroid"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("n"), posexplode(col("centroid")))
+        .select(col("label"), col("n"), col("pos").as("d"),
+          round(col("col"), 6).as("c"))
+        .orderBy("label", "d")),
     // Momentum gradient descent (Part_2.pdf p.2 Q2): standardized-space
     // optimization from ONE pass over the data (raw-moment algebra);
     // every iteration is driver-side O(p²) — so running to convergence
@@ -1020,6 +1110,8 @@ object SparkEntry {
     // gzip codec path: same truth — only the file format differs
     "q_csv_gz" -> DocsMetaOracle,
     "q_json_gz" -> DocsMetaOracle,
+    "q_orc_roundtrip" -> DocsMetaOracle,
+    "q_parquet_zstd" -> DocsMetaOracle,
     "q_intersect" ->
       """SELECT custkey FROM (
         |  (SELECT DISTINCT o_custkey AS custkey FROM orders)
@@ -1132,6 +1224,33 @@ object SparkEntry {
          |       round(stddev_pop(value), 4) AS std_value
          |FROM events WHERE (user_id * 2654435761) % 16 = 3
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the streamed dedup must converge to batch DISTINCT on digests
+    "q_stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS text_hash FROM documents
+        |ORDER BY text_hash""".stripMargin,
+    // batch inequality-join truth for the stream-stream interval join
+    "q_stream_interval_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts AS p_ts, event_id AS p_event
+        |  FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT user_id, ts AS v_ts, event_id AS v_event, value AS v_value
+        |  FROM events WHERE event_type = 'view'
+        |)
+        |SELECT p.user_id, p.p_event, epoch_us(p.p_ts) AS p_ts_us,
+        |       v.v_event, round(v.v_value, 4) AS v_value
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.v_ts <= p.p_ts
+        |  AND v.v_ts >= p.p_ts - INTERVAL 30 MINUTE
+        |ORDER BY p.user_id, p.p_event, v.v_event""".stripMargin,
+    // codec-free elementwise recomputation over the 64 dims
+    "q_centroids" ->
+      """SELECT label, count(*) AS n, CAST(d AS INTEGER) AS d,
+        |       round(CAST(sum(CAST(CAST(embedding[d+1] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |             / count(*), 6) AS c
+        |FROM embeddings CROSS JOIN range(64) r(d)
+        |GROUP BY label, d
+        |ORDER BY label, d""".stripMargin,
     // Student-t two-sided p-values, fully SQL: for INTEGER df the t-CDF
     // is an elementary finite sum (Abramowitz & Stegun 26.7.3/4), so a
     // recursive CTE evaluates it EXACTLY — same quantity commons-math

@@ -139,21 +139,32 @@ object MultimodalOps {
     import spark.implicits._
     meta.select("media_id", "width", "height").as[(Long, Int, Int)]
       .mapPartitions { rows =>
+        // per-PARTITION codec state (the batch-shape contract): one PNG
+        // writer reused row by row — per-image writer lookup + stream
+        // scaffolding is the dominant cost at thumbnail sizes
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
         rows.map { case (id, w, h) =>
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // bulk raster fill (one array store per pixel, one setRGB call
+          // per image instead of w·h synchronized ones)
+          val px = new Array[Int](w * h)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
               val (r, g, b) = pixelChannels(id, x, y)
-              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              px(y * w + x) = (r << 16) | (g << 8) | b
               x += 1
             }
             y += 1
           }
+          img.setRGB(0, 0, w, h, px, 0, w)
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.close()
           EncodedImage(id, w, h, bos.toByteArray)
         }
       }
@@ -168,19 +179,23 @@ object MultimodalOps {
     val spark = imgs.sparkSession
     import spark.implicits._
     imgs.mapPartitions { rows =>
+      // one PNG reader per partition, reused (same rationale as encode)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
       rows.map { e =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(e.png))
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(e.png))
+        reader.setInput(iis)
+        val img = reader.read(0)
+        iis.close()
         val (w, h) = (img.getWidth, img.getHeight)
+        // bulk raster read: one getRGB call per image
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         var rs = 0L; var gs = 0L; var bs = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+          i += 1
         }
         ImageStats(e.media_id, w.toLong * h, rs, gs, bs)
       }
