@@ -176,6 +176,15 @@ object SparkEntry {
           sigLen = 504, r = 18, bands = 28, minJac = 0.92)
         .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
         .orderBy("da", "db")),
+    // Near-dup CLUSTERS: connected components over the verified pair
+    // graph — transitive closure into (doc, cluster-representative)
+    // rows, the form a dedup pipeline actually consumes. The oracle
+    // recomputes components from the exact all-pairs graph with a
+    // recursive CTE, so both the pair recall AND the closure must match.
+    "q_neardup_clusters" -> ((s, dir) =>
+      DedupOps.nearDupClusters(
+          DedupOps.verifiedNearDups(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
     // Exact n-gram Jaccard pairs (inverted index) — the brute-force
     // baseline the LSH path approximates.
     "q_ngram_jaccard" -> ((s, dir) =>
@@ -945,6 +954,25 @@ object SparkEntry {
          |FROM co JOIN sz x ON x.doc_id = co.da JOIN sz y ON y.doc_id = co.db
          |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
          |ORDER BY co.da, co.db""".stripMargin,
+    // transitive closure of the exact ≥0.8 pair graph via recursive CTE
+    // (min reachable id per node = component representative)
+    "q_neardup_clusters" ->
+      s"""WITH RECURSIVE ${ShingleCte("documents")},
+         |pr AS (
+         |  SELECT co.da, co.db
+         |  FROM co JOIN sz x ON x.doc_id = co.da JOIN sz y ON y.doc_id = co.db
+         |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+         |), ed AS (
+         |  SELECT da AS src, db AS dst FROM pr
+         |  UNION ALL
+         |  SELECT db, da FROM pr
+         |), reach(node, label) AS (
+         |  SELECT src, src FROM ed
+         |  UNION
+         |  SELECT e.src, r.label FROM ed e JOIN reach r ON r.node = e.dst
+         |)
+         |SELECT node AS doc_id, min(label) AS cluster
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     // exact all-pairs at the q_neardup_ref threshold — recall gate for
     // the published r=18/b=28 banding
     "q_neardup_ref" ->

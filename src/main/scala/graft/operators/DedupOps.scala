@@ -260,6 +260,60 @@ object DedupOps {
   /** Hamming distance between two simhash signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over a near-dup PAIR graph — the step that
+    * turns pairwise `(da, db)` output ([[verifiedNearDups]],
+    * [[ngramJaccardPairs]]) into what a dedup pipeline actually ships:
+    * one cluster id (= min doc_id of the component) per involved doc,
+    * so "keep the representative, drop the rest" is a single filter.
+    * Transitivity matters: A≈B and B≈C must collapse to ONE group even
+    * when (A, C) never passed the similarity bar.
+    *
+    * Algorithm: iterative min-label propagation. Every node starts as
+    * its own label; each round takes the min of its own and its
+    * neighbors' labels — one shuffle join + one aggregate per round,
+    * converging in O(component diameter) rounds. Near-dup graphs are
+    * overwhelmingly tiny cliques (diameter ≤ ~3), so rounds stay in
+    * single digits at any corpus size; each round's exchanges are keyed
+    * by node id — no driver state, nothing quadratic. The driver-side
+    * loop holds ONE scalar per round (the label-sum fixpoint check:
+    * labels only ever decrease, so an unchanged sum IS convergence).
+    * Per-round persists are released as soon as the next round
+    * materializes (the standard iterative-caching pattern).
+    *
+    * Fail-fast: refuses (IllegalStateException) if `maxIter` rounds
+    * don't converge rather than returning half-merged clusters.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist()
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("label"))
+        .union(labels)
+        .groupBy("node").agg(min("label").as("label"))
+        .persist()
+      val nextSum = next.agg(sum("label")).head().getLong(0)
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxIter rounds")
+    // the converged labels stay materialized for the caller's action,
+    // then release query-scoped like every operator-internal cache
+    graft.CacheScope.autoRelease(labels)
+      .select(col("node").as("doc_id"), col("label").as("cluster"))
+  }
+
   /** Uniquifies observed-metric names across invocations (no RNG/clock
     * — determinism policy).
     */

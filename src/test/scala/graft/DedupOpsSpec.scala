@@ -95,6 +95,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(got == Set((4L, 5L)))
   }
 
+  test("nearDupClusters merges transitively and handles multi-hop chains") {
+    // components: {1,2,3} via 1-2, 2-3 (A≈C never paired); {10,11};
+    // chain 20-21-22-23-24 (diameter 4 → several propagation rounds)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L))
+      .toDF("da", "db").withColumn("jac", lit(0.9))
+    val got = DedupOps.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
+    // keep-list semantics: drop everything whose id != cluster
+    val drops = got.collect { case (d, c) if d != c => d }.toSet
+    assert(drops == Set(2L, 3L, 11L, 21L, 22L, 23L, 24L))
+  }
+
+  test("nearDupClusters fails fast when rounds are exhausted") {
+    val chain = (0L until 6L).map(i => (i, i + 1)).toDF("da", "db")
+    val ex = intercept[IllegalStateException] {
+      DedupOps.nearDupClusters(chain, maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("converge"))
+  }
+
   test("contaminatedPairs finds the planted eval overlap, train-side fraction") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"), // contains eval 10 verbatim
