@@ -26,6 +26,20 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.6 T1 + §2.4 A1/A2 + §2.8 F1/F2: tokenize → count → top-k.
     "q_topk_words" -> ((s, dir) => TextOps.topKWords(Tables.documents(s, dir), 100)),
+    // Text relevance scoring — TF-IDF and Okapi BM25 top-3 terms per
+    // doc. Both ride the native TopKPerKey operator for the per-doc
+    // ranking; ranking keys are rounded to 9 decimals so ln()'s libm
+    // ulp can never decide membership cross-engine.
+    "q_tfidf" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(Tables.documents(s, dir), 3)
+        .select(col("doc_id"), col("word"), col("tf"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "word")),
+    "q_bm25" -> ((s, dir) =>
+      TextOps.bm25TopTerms(Tables.documents(s, dir), 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("dl"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "word")),
     // Beyond the reference: Count-Min-Sketch heavy hitters (relative
     // frequency ≥ 2%) — sampled candidate discovery + one mergeable
     // fixed-size sketch aggregation; estimates equal exact counts on
@@ -818,6 +832,58 @@ object SparkEntry {
         |  FROM documents
         |) t GROUP BY word
         |ORDER BY cnt DESC, word ASC LIMIT 100""".stripMargin,
+    // tf/df/N recomputed relationally; rank key round(s,9)+word mirrors
+    // the engine's TopKPerKey ordering; constants written as the same
+    // double EXPRESSIONS ((1.2+1.0), (1.0-0.75)) the Scala side
+    // computes, so both engines derive identical IEEE values
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '((?:[\.,!?;"])|(?:(?:\#|\@)?[A-Za-z0-9_\-]+(?:''[a-z]{1,3})?))', 1)) AS word
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+        |), dfq AS (
+        |  SELECT word, count(*) AS df FROM tf GROUP BY word
+        |), n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.word, t.tf,
+        |         t.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df) AS s
+        |  FROM tf t JOIN dfq USING (word) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT doc_id, word, tf, s,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY round(s, 9) DESC, word) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id, word, tf, round(s, 6) AS tfidf
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, word""".stripMargin,
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '((?:[\.,!?;"])|(?:(?:\#|\@)?[A-Za-z0-9_\-]+(?:''[a-z]{1,3})?))', 1)) AS word
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+        |), dl AS (
+        |  -- sum(BIGINT) is HUGEINT in DuckDB; the engine emits BIGINT
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+        |), dfq AS (
+        |  SELECT word, count(*) AS df FROM tf GROUP BY word
+        |), st AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+        |), scored AS (
+        |  SELECT t.doc_id, t.word, t.tf, d.dl,
+        |         ln((st.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+        |           * t.tf * (1.2 + 1.0)
+        |           / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * d.dl / st.avgdl)) AS s
+        |  FROM tf t JOIN dfq q USING (word) JOIN dl d USING (doc_id) CROSS JOIN st
+        |), ranked AS (
+        |  SELECT doc_id, word, tf, dl, s,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY round(s, 9) DESC, word) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id, word, tf, dl, round(s, 6) AS score
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, word""".stripMargin,
     "q_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_extract_all(lower(text), '((?:[\.,!?;"])|(?:(?:\#|\@)?[A-Za-z0-9_\-]+(?:''[a-z]{1,3})?))', 1)) AS word

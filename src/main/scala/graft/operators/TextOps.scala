@@ -73,6 +73,65 @@ object TextOps {
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(k)
 
+  /** TF-IDF scored terms, top `k` per document — the classic relevance
+    * weighting: `tf(d,t) · ln(N / df(t))` with N = total corpus docs.
+    *
+    * Plan shape: one (doc, word) aggregate builds tf (persisted
+    * query-scoped — it feeds the df aggregate AND the scoring join);
+    * df is a word-keyed aggregate OF tf (already one row per (doc,
+    * word), so `count(*)` IS document frequency); N rides a broadcast
+    * single-row cross join — the corpus size never touches the driver.
+    * Per-doc top-k runs on the native [[graft.plans.TopKPerKey]]
+    * (bounded heaps + map-side prune, no full sort). Ranking key is
+    * `round(tfidf, 9)` with a word tiebreak: the ln() libm ulp must
+    * never decide membership (engine-portability rule).
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    val tf = graft.CacheScope.autoRelease(
+      tokenize(docs, textCol = textCol)
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+    graft.plans.TopKOps.topKPerKey(scored, Seq("doc_id"),
+      Seq(round(col("tfidf"), 9).desc, col("word").asc), k)
+      .select("doc_id", "word", "tf", "tfidf")
+  }
+
+  /** Okapi BM25 scored terms, top `k` per document (Robertson et al.,
+    * TREC-3): `idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with
+    * `idf = ln((N − df + ½)/(df + ½) + 1)`. N and avgdl are defined
+    * over docs with ≥ 1 token (zero-length docs can't score and would
+    * only shift avgdl).
+    *
+    * Same plan skeleton as [[tfidfTopTerms]] plus a per-doc length
+    * aggregate; the (n_docs, avgdl) pair is a broadcast single-row
+    * cross join. All score inputs are exact integers (tf, df, dl, N),
+    * so both engines derive bit-identical doubles up to ln()'s ulp —
+    * which the `round(score, 9)` ranking key absorbs.
+    */
+  def bm25TopTerms(docs: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text"): DataFrame = {
+    val tf = graft.CacheScope.autoRelease(
+      tokenize(docs, textCol = textCol)
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val denom = col("tf") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    val scored = tf.join(dfreq, "word").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", idf * col("tf") * lit(k1 + 1.0) / denom)
+    graft.plans.TopKOps.topKPerKey(scored, Seq("doc_id"),
+      Seq(round(col("score"), 9).desc, col("word").asc), k)
+      .select("doc_id", "word", "tf", "dl", "score")
+  }
+
   /** Heavy hitters — every token with relative frequency ≥ `minFreq` —
     * via Count-Min Sketch (Cormode & Muthukrishnan 2005), the
     * mergeable-sketch scale path for frequency queries. Two passes,

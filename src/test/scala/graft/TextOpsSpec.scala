@@ -40,6 +40,27 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq(("a", 3L), ("b", 2L)))
   }
 
+  test("tfidf and bm25 match hand-computed scores on a two-doc corpus") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // N=2; df: a=2, b=1, c=1 → idf(a)=ln(1)=0, idf(b)=idf(c)=ln(2)
+    val tfidf = TextOps.tfidfTopTerms(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(tfidf((1L, "a")) == 0.0)
+    assert(math.abs(tfidf((1L, "b")) - math.log(2.0)) < 1e-12)
+    assert(math.abs(tfidf((2L, "c")) - math.log(2.0)) < 1e-12)
+    // bm25: dl(1)=3, dl(2)=2, avgdl=2.5; idf_bm25(b)=ln((0.5+0.5)/1.5+1)...
+    // for b: ln((2-1+0.5)/(1+0.5)+1)=ln(2); denom(1,b)=1+1.2*(0.25+0.75*3/2.5)
+    val bm25 = TextOps.bm25TopTerms(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    val expB = math.log(2.0) * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 3 / 2.5))
+    assert(math.abs(bm25((1L, "b")) - expB) < 1e-12)
+    // the ubiquitous term scores ln(1.2)-scaled, still positive (BM25+1 form)
+    assert(bm25((1L, "a")) > 0 && bm25((2L, "a")) > 0)
+    // rarer term outranks the ubiquitous one within each doc
+    assert(bm25((1L, "b")) > bm25((1L, "a")))
+    assert(bm25((2L, "c")) > bm25((2L, "a")))
+  }
+
   test("charHistogram reproduces the reference's worked example (population std-dev)") {
     // Spec example (Assignment 1 Description.htm): docs ['a bacd a','cda','bcd'];
     // char 'a' appears 3,1,0 times -> mean 4/3, population std sqrt(14/9).
