@@ -284,6 +284,13 @@ object SparkEntry {
     "q_chunk" -> ((s, dir) =>
       TextAnalysisOps.chunks(Tables.documents(s, dir), 32, 8)
         .orderBy("doc_id", "chunk_no")),
+    // Sequence packing: the corpus as ONE virtual token stream split
+    // into 256-token training sequences, one row per (sequence,
+    // doc-span). The distributed two-phase prefix sum must reproduce
+    // the oracle's single global window cumsum exactly.
+    "q_pack_sequences" -> ((s, dir) =>
+      TextAnalysisOps.packSequences(Tables.documents(s, dir), 256)
+        .orderBy("chunk_id", "doc_id")),
     // PII redaction over an inline corpus with planted identifiers (the
     // synthetic docs carry no PII; the literal table is the reference's
     // S4 source shape). Redacted text + per-kind counts, both oracled.
@@ -1531,6 +1538,29 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // chunk starts step by 24 (= 32 − 8); a trailing start whose
     // remainder fits inside the previous window (n − s <= 8) is dropped
+    // single global-window cumsum (fine at oracle scale; the ENGINE
+    // must never plan one — that's the two-phase scan's whole point);
+    // range(8192) bounds chunks at tested scales (~1600 at sf0.1)
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+        |), offs AS (
+        |  SELECT doc_id, dl,
+        |         CAST(sum(dl) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+        |  FROM t
+        |), spans AS (
+        |  SELECT doc_id, e - dl AS s, e FROM offs
+        |), ch AS (
+        |  SELECT doc_id, s, e, c FROM spans CROSS JOIN range(8192) r(c)
+        |  WHERE c >= s // 256 AND c <= (e - 1) // 256
+        |)
+        |SELECT c AS chunk_id, doc_id,
+        |       greatest(s, c * 256) - c * 256 AS start_in_chunk,
+        |       least(e, (c + 1) * 256) - greatest(s, c * 256) AS n_toks
+        |FROM ch ORDER BY chunk_id, doc_id""".stripMargin,
     "q_chunk" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents

@@ -150,6 +150,70 @@ object TextAnalysisOps {
           .as("chunk_text"))
   }
 
+  /** Sequence PACKING — the training-batch construction step: the
+    * corpus is laid out as one virtual token stream (docs concatenated
+    * in doc_id order) and split into fixed `chunkLen`-token training
+    * sequences, emitting one row per (sequence, document-span) so
+    * attention-mask / provenance construction knows exactly which doc
+    * occupies which positions. Concatenate-and-chunk packing — zero
+    * padding waste, deterministic layout.
+    *
+    * Scale shape — the global prefix sum is the crux. A naive
+    * `sum() OVER (ORDER BY doc_id)` is a SINGLE-partition window (the
+    * whole corpus through one task — scale-killer), so this runs the
+    * classic two-phase distributed scan instead:
+    *   1. per-doc token counts, bucketed by monotone doc_id ranges;
+    *      local prefix sums WITHIN each bucket (parallel windows);
+    *   2. per-bucket totals (≤ `nBuckets` rows) come to the driver,
+    *      their running prefix goes back as a broadcast join — the
+    *      same O(parallelism)-driver-state pattern as every
+    *      multi-pass scalar in this library (never O(corpus)).
+    * Chunk spans then derive arithmetically per row and explode into
+    * ≤ 1 + dl/chunkLen rows per doc. Output: (chunk_id, doc_id,
+    * start_in_chunk, n_toks), totally ordered and engine-recomputable.
+    */
+  def packSequences(docs: DataFrame, chunkLen: Int = 256, nBuckets: Int = 32,
+      textCol: String = "text"): DataFrame = {
+    require(chunkLen > 0 && nBuckets > 0, "chunkLen and nBuckets must be positive")
+    val spark = docs.sparkSession
+    val counts = graft.PlanUtils.spread(docs.select(col("doc_id"), col(textCol)))
+      .select(col("doc_id"), size(DedupOps.words(col(textCol))).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+    // monotone doc_id → bucket mapping keeps bucket-local order global
+    val maxRow = counts.agg(max("doc_id")).head()
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val width = math.max(1L, maxId / nBuckets + 1)
+    val bucketed = graft.CacheScope.autoRelease(
+      counts.withColumn("bucket", (col("doc_id") / width).cast("long")))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val local = bucketed.withColumn("local_end", sum("dl").over(localW))
+    // bucket totals: ≤ nBuckets rows to the driver, prefix back as a
+    // broadcast join (deterministic, bounded by parallelism not data)
+    val totals = bucketed.groupBy("bucket").agg(sum("dl").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val prefixes =
+      if (totals.isEmpty) Seq.empty[(Long, Long)]
+      else totals.scanLeft((Long.MinValue, 0L)) {
+        case ((_, acc), (b, t)) => (b, acc + t)
+      }.sliding(2).map { case Array((_, p), (b, _)) => (b, p) }.toSeq
+    import spark.implicits._
+    val prefixDf = broadcast(prefixes.toDF("bucket", "prefix"))
+    val spans = local.join(prefixDf, "bucket")
+      .withColumn("end", col("prefix") + col("local_end"))
+      .withColumn("start", col("end") - col("dl"))
+    // explode each doc onto every chunk its [start, end) span overlaps
+    spans.select(col("doc_id"), col("start"), col("end"),
+        explode(sequence(floor(col("start") / chunkLen),
+          floor((col("end") - 1) / chunkLen))).as("chunk_id"))
+      .withColumn("c0", col("chunk_id") * chunkLen)
+      .select(col("chunk_id"), col("doc_id"),
+        (greatest(col("start"), col("c0")) - col("c0")).as("start_in_chunk"),
+        (least(col("end"), col("c0") + chunkLen) - greatest(col("start"), col("c0")))
+          .as("n_toks"))
+  }
+
   /** PII redaction — the scrub step of every public-corpus curation
     * pipeline: emails, dashed phone numbers, and IPv4 literals replaced
     * with typed placeholders, with per-kind match counts (on the

@@ -77,6 +77,36 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(math.abs(got(3L)._3 - 7.0 / 9) < 1e-6 && !got(3L)._4)
   }
 
+  test("packSequences: lossless layout, full chunks, bucket count irrelevant") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0)
+    val packed = TextAnalysisOps.packSequences(docs, chunkLen = 256).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // per-doc spans sum to the doc's token count (nothing lost/padded)
+    val byDoc = packed.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val dl = docs.select(col("doc_id"),
+        size(DedupOps.words(col("text"))).cast("long").as("dl"))
+      .filter(col("dl") > 0).as[(Long, Long)].collect().toMap
+    assert(byDoc == dl)
+    // every chunk except the last is exactly full, spans are contiguous
+    val byChunk = packed.groupBy(_._1)
+    val lastChunk = byChunk.keys.max
+    byChunk.foreach { case (cid, rows) =>
+      val total = rows.map(_._4).sum
+      if (cid != lastChunk) assert(total == 256L, s"chunk $cid not full: $total")
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3, s"gap in chunk $cid")
+        case _ =>
+      }
+    }
+    // the bucket count is an execution knob, never a semantic one
+    val other = TextAnalysisOps.packSequences(docs, chunkLen = 256, nBuckets = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(other.toSet == packed.toSet)
+  }
+
   test("chunks: full coverage, overlap carry, no subset chunks") {
     // 10 tokens, chunk 4, overlap 2 → starts 0,2,4,6 skip 8 (10-8 <= 2)
     val docs = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
