@@ -437,6 +437,32 @@ object SparkEntry {
       s.read.parquet(path)
         .orderBy("doc_id")
     }),
+    // Relational completeness: FULL OUTER reconciliation — custkeys
+    // with orders vs high-balance customers; genuine nulls on BOTH
+    // sides (ordering customers below the balance bar, rich customers
+    // who never ordered), collapsed to sentinels so the gate is
+    // null-representation-proof across engines.
+    "q_full_outer" -> ((s, dir) => {
+      val withOrders = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      val rich = Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("custkey"), col("c_acctbal"))
+      withOrders.join(rich, Seq("custkey"), "full_outer")
+        .select(col("custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          round(coalesce(col("c_acctbal"), lit(-1.0)), 2).as("acctbal"))
+        .orderBy("custkey")
+    }),
+    // Relational completeness: PIVOT — per-source doc counts spread
+    // across the five language columns (explicit value list, so the
+    // plan is ONE aggregate pass — no per-language scans).
+    "q_pivot" -> ((s, dir) =>
+      Tables.documents(s, dir).groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh")).count()
+        .select(col("source") +: Seq("de", "en", "es", "fr", "zh")
+          .map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+        .orderBy("source")),
     // §2.7 set ops beyond EXCEPT: INTERSECT (custkeys with orders AND
     // high balance).
     "q_intersect" -> ((s, dir) =>
@@ -1213,6 +1239,25 @@ object SparkEntry {
     "q_json_gz" -> DocsMetaOracle,
     "q_orc_roundtrip" -> DocsMetaOracle,
     "q_parquet_zstd" -> DocsMetaOracle,
+    "q_full_outer" ->
+      """WITH wo AS (
+        |  SELECT o_custkey AS custkey, count(*) AS n_orders FROM orders GROUP BY 1
+        |), rich AS (
+        |  SELECT c_custkey AS custkey, c_acctbal FROM customer WHERE c_acctbal > 9000
+        |)
+        |SELECT coalesce(wo.custkey, rich.custkey) AS custkey,
+        |       coalesce(wo.n_orders, 0) AS n_orders,
+        |       round(coalesce(rich.c_acctbal, -1.0), 2) AS acctbal
+        |FROM wo FULL OUTER JOIN rich ON wo.custkey = rich.custkey
+        |ORDER BY custkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT source,
+        |       count(CASE WHEN lang = 'de' THEN 1 END) AS de,
+        |       count(CASE WHEN lang = 'en' THEN 1 END) AS en,
+        |       count(CASE WHEN lang = 'es' THEN 1 END) AS es,
+        |       count(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+        |       count(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_intersect" ->
       """SELECT custkey FROM (
         |  (SELECT DISTINCT o_custkey AS custkey FROM orders)
