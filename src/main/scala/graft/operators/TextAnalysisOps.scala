@@ -203,10 +203,13 @@ object TextAnalysisOps {
     val spans = local.join(prefixDf, "bucket")
       .withColumn("end", col("prefix") + col("local_end"))
       .withColumn("start", col("end") - col("dl"))
-    // explode each doc onto every chunk its [start, end) span overlaps
+    // explode each doc onto every chunk its [start, end) span overlaps.
+    // `div` (integer), not `/` (double): double division is only exact
+    // for power-of-two divisors — at 10^13-token stream offsets a
+    // non-power-of-two chunkLen could misround the chunk id by one.
     spans.select(col("doc_id"), col("start"), col("end"),
-        explode(sequence(floor(col("start") / chunkLen),
-          floor((col("end") - 1) / chunkLen))).as("chunk_id"))
+        explode(sequence(expr(s"start div $chunkLen"),
+          expr(s"(end - 1) div $chunkLen"))).as("chunk_id"))
       .withColumn("c0", col("chunk_id") * chunkLen)
       .select(col("chunk_id"), col("doc_id"),
         (greatest(col("start"), col("c0")) - col("c0")).as("start_in_chunk"),
