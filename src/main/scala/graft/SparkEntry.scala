@@ -692,6 +692,30 @@ object SparkEntry {
       q.awaitTermination()
       s.table(qn).orderBy("event_type")
     }),
+    // The CUSTOM-STATE streaming path: welfordByKey's explicit
+    // flatMapGroupsWithState recurrence (update mode — one cumulative
+    // row per key per micro-batch) run as a real stream and gated
+    // against the SAME oracle as the batch q_welford UDAF. If
+    // AvailableNow splits into several micro-batches, the final state
+    // is the row with the largest n per key (n strictly grows).
+    "q_stream_welford_state" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      import s.implicits._
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("event_type"), col("value")).as[(String, Double)]
+      val stats = graft.streaming.StreamingOps.welfordByKey(stream)
+      val qn = s"graft_stream_welford_state_${StreamSeq.incrementAndGet()}"
+      val q = stats.toDF().writeStream.format("memory").queryName(qn)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).groupBy(col("key").as("event_type"))
+        .agg(max(col("n")).as("n"),
+          max_by(round(col("mean"), 4), col("n")).as("mean_value"),
+          max_by(round(col("std"), 4), col("n")).as("std_value"))
+        .orderBy("event_type")
+    }),
     // Watermarked tumbling-window stats as a REAL stream (AvailableNow,
     // complete mode): the standard event-time aggregation shape, gated
     // against the batch date_trunc oracle.
@@ -985,10 +1009,10 @@ object SparkEntry {
          |ORDER BY item_id""".stripMargin,
     "q_distinct_users" ->
       "SELECT DISTINCT user_id FROM events ORDER BY user_id",
-    "q_welford" ->
-      """SELECT event_type, count(value) AS n, round(avg(value), 4) AS mean_value,
-        |       round(stddev_pop(value), 4) AS std_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_welford" -> WelfordOracle,
+    // identical semantics by construction: the custom-state streaming
+    // run must converge to the batch Welford answer
+    "q_stream_welford_state" -> WelfordOracle,
     "q_matmul" ->
       """WITH m AS (
         |  SELECT vec_id AS i, t.j, CAST(embedding[t.j + 1] AS DOUBLE) AS v
@@ -1662,6 +1686,15 @@ object SparkEntry {
     */
   private val DocsMetaOracle: String =
     "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id"
+
+  /** Shared oracle for q_welford (batch UDAF) and q_stream_welford_state
+    * (the flatMapGroupsWithState custom-state mirror): both must land on
+    * the same per-type count/mean/population-std.
+    */
+  private val WelfordOracle: String =
+    """SELECT event_type, count(value) AS n, round(avg(value), 4) AS mean_value,
+      |       round(stddev_pop(value), 4) AS std_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Shared oracle for q_simhash / q_sql_simhash: bit-exact md5-derived
     * SimHash reconstruction in pure SQL.
