@@ -122,12 +122,17 @@ object MultimodalOps {
   /** Image metadata plan: small deterministic dimensions (8–32 px per
     * side) keyed off doc ids. Small because the gate proves codec
     * FIDELITY, not throughput — the per-pixel loops are O(w·h) per row
-    * and scan-parallel regardless of size.
+    * and scan-parallel regardless of size. [[graft.PlanUtils.spread]]
+    * pins an exchange below the codec chain: the single-split test
+    * parquet would otherwise feed the CPU-bound encode/decode to ONE
+    * core (measured 7.0 → 0.7 s at sf0.1 on 32; a real multi-split
+    * lake makes it a no-op).
     */
   def syntheticImageMeta(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id").as("media_id"),
-      (lit(8) + pmod(col("doc_id"), lit(25L))).cast("int").as("width"),
-      (lit(8) + pmod(col("doc_id") * 7L, lit(25L))).cast("int").as("height"))
+    graft.PlanUtils.spread(
+      docs.select(col("doc_id").as("media_id"),
+        (lit(8) + pmod(col("doc_id"), lit(25L))).cast("int").as("width"),
+        (lit(8) + pmod(col("doc_id") * 7L, lit(25L))).cast("int").as("height")))
 
   /** ENCODE through the real codec: renders each row's deterministic
     * pixel pattern into a `BufferedImage` and writes genuine PNG bytes
@@ -141,7 +146,10 @@ object MultimodalOps {
       .mapPartitions { rows =>
         // per-PARTITION codec state (the batch-shape contract): one PNG
         // writer reused row by row — per-image writer lookup + stream
-        // scaffolding is the dominant cost at thumbnail sizes
+        // scaffolding is the dominant cost at thumbnail sizes. Disk
+        // cache OFF: createImageOutputStream would otherwise back every
+        // image with its own temp FILE.
+        javax.imageio.ImageIO.setUseCache(false)
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
         rows.map { case (id, w, h) =>
           val img = new java.awt.image.BufferedImage(
@@ -179,7 +187,10 @@ object MultimodalOps {
     val spark = imgs.sparkSession
     import spark.implicits._
     imgs.mapPartitions { rows =>
-      // one PNG reader per partition, reused (same rationale as encode)
+      // one PNG reader per partition, reused; disk cache OFF (a
+      // file-backed ImageInputStream per image dominated the decode
+      // cost — temp-file create/delete per row)
+      javax.imageio.ImageIO.setUseCache(false)
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
       rows.map { e =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -188,14 +199,26 @@ object MultimodalOps {
         val img = reader.read(0)
         iis.close()
         val (w, h) = (img.getWidth, img.getHeight)
-        // bulk raster read: one getRGB call per image
-        val px = img.getRGB(0, 0, w, h, null, 0, w)
         var rs = 0L; var gs = 0L; var bs = 0L
-        var i = 0
-        while (i < px.length) {
-          val p = px(i)
-          rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
-          i += 1
+        img.getRaster.getDataBuffer match {
+          // PNG truecolor decodes to TYPE_3BYTE_BGR: read the backing
+          // byte array directly — no per-pixel ColorModel conversion
+          case db: java.awt.image.DataBufferByte
+              if img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR =>
+            val data = db.getData
+            var i = 0
+            while (i < data.length) {
+              bs += data(i) & 0xff; gs += data(i + 1) & 0xff; rs += data(i + 2) & 0xff
+              i += 3
+            }
+          case _ => // any other layout: bulk sRGB conversion path
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+              i += 1
+            }
         }
         ImageStats(e.media_id, w.toLong * h, rs, gs, bs)
       }
