@@ -377,6 +377,21 @@ object SparkEntry {
         .select(col("train_id"), col("eval_id"), round(col("frac"), 6).as("frac"))
         .orderBy("train_id", "eval_id")
     }),
+    // Decontamination again, through the Bloom-prefilter scale shape
+    // (eval side modeled as too big to broadcast: one distributed bloom
+    // build, map-side prefilter, shuffled confirm join). Different
+    // slice (mod-5) and threshold than q_decontaminate so the two gates
+    // are independent; EXACT output — bloom has no false negatives and
+    // the confirm join removes the false positives — so the same
+    // oracle construction applies unchanged.
+    "q_bloom_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.bloomContaminatedPairs(
+        docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(5L)) === 0), minFrac = 0.25)
+        .select(col("train_id"), col("eval_id"), round(col("frac"), 6).as("frac"))
+        .orderBy("train_id", "eval_id")
+    }),
     // §2.1 S2/S3 driver-gated: documents metadata round-tripped through
     // the CSV and JSON-lines sources (write to scratch, read back with
     // an explicit schema — the reference's file-shaped inputs). The
@@ -670,6 +685,16 @@ object SparkEntry {
     "q_mm_decode_real" -> ((s, dir) =>
       MultimodalOps.decodePngStats(MultimodalOps.encodePng(
           MultimodalOps.syntheticImageMeta(Tables.documents(s, dir))))
+        .toDF()
+        .orderBy("media_id")),
+    // Multimodal: the REAL audio codec path — deterministic 16-bit PCM
+    // stereo samples encoded to genuine WAV files and decoded back
+    // through javax.sound.sampled, reduced to exact per-channel sample
+    // sums. Oracle recomputes the sums from the sample formula with no
+    // codec anywhere (same gate construction as q_mm_decode_real).
+    "q_mm_audio_real" -> ((s, dir) =>
+      MultimodalOps.decodeWavStats(MultimodalOps.encodeWav(
+          MultimodalOps.syntheticAudioMeta(Tables.documents(s, dir))))
         .toDF()
         .orderBy("media_id")),
     // Structured Streaming: the one-pass sampler + running stats run as
@@ -1251,6 +1276,27 @@ object SparkEntry {
         |FROM co JOIN sz x ON x.doc_id = co.train_id
         |WHERE CAST(inter AS DOUBLE) / x.n >= 0.3
         |ORDER BY train_id, eval_id""".stripMargin,
+    // identical construction to q_decontaminate (the bloom prefilter is
+    // exact by design, so the oracle is the plain containment query) on
+    // the mod-5 slice at threshold 0.25
+    "q_bloom_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+        |  FROM toks JOIN range(2000) t(i) ON i + 3 <= len(ws)
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), co AS (
+        |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT co.train_id, co.eval_id,
+        |       round(CAST(inter AS DOUBLE) / x.n, 6) AS frac
+        |FROM co JOIN sz x ON x.doc_id = co.train_id
+        |WHERE CAST(inter AS DOUBLE) / x.n >= 0.25
+        |ORDER BY train_id, eval_id""".stripMargin,
     "q_stream_window" ->
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS start_us, count(*) AS n,
          |       ${decMeanSql("value")} AS mean_value
@@ -1388,6 +1434,19 @@ object SparkEntry {
         |FROM meta CROSS JOIN range(33) xs(x) CROSS JOIN range(33) ys(y)
         |WHERE x < w AND y < h
         |GROUP BY media_id, w, h
+        |ORDER BY media_id""".stripMargin,
+    // codec-free recomputation of the decoded per-channel sample sums
+    // straight from the PCM formula (MultimodalOps.sampleValue)
+    "q_mm_audio_real" ->
+      """WITH meta AS (
+        |  SELECT doc_id AS media_id, 64 + (doc_id % 441) AS n FROM documents
+        |)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_frames,
+        |       CAST(sum(((31*i + (media_id % 65536)) % 65536) - 32768) AS BIGINT) AS l_sum,
+        |       CAST(sum(((31*i + 7 + (media_id % 65536)) % 65536) - 32768) AS BIGINT) AS r_sum
+        |FROM meta CROSS JOIN range(504) t(i)
+        |WHERE i < n
+        |GROUP BY media_id, n
         |ORDER BY media_id""".stripMargin,
     "q_stream_welford" ->
       s"""SELECT event_type, count(*) AS n, ${decMeanSql("value")} AS mean_value,

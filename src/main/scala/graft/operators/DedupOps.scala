@@ -240,6 +240,62 @@ object DedupOps {
       .select("train_id", "eval_id", "frac")
   }
 
+  /** [[contaminatedPairs]] with a Bloom-filter prefilter — the shape for
+    * an eval/blocklist side too big to BROADCAST as a join table but
+    * whose BLOOM fits comfortably (at fpp 1% a Bloom costs ~9.6 bits
+    * per distinct shingle vs 128+ bits for the (hash, doc_id) posting
+    * row, a ~13× reduction; an eval suite of 10⁹ shingles is a ~1.2 GB
+    * broadcast as a Bloom vs ~16 GB as postings). The filter is built
+    * in ONE distributed aggregation (`stat.bloomFilter`), broadcast,
+    * and applied map-side to the train posting stream BEFORE the
+    * shuffled confirm join — so the wide exchange carries only true
+    * matches plus the fpp fraction of the corpus, not every shingle of
+    * every train doc.
+    *
+    * EXACT by construction, not approximate: a Bloom has no false
+    * negatives, so the prefilter only drops postings that cannot match,
+    * and the confirm join (exact hash equality) eliminates the false
+    * positives. Output ≡ [[contaminatedPairs]] row for row — which is
+    * exactly how the driver gate proves it.
+    *
+    * The membership probe is a Scala UDF (the one public API to a
+    * broadcast `util.sketch.BloomFilter`); it sits on a narrow
+    * already-exploded stream where the codegen break costs a method
+    * call per posting — the native-Expression upgrade path exists but
+    * buys nothing measurable here.
+    */
+  def bloomContaminatedPairs(train: DataFrame, eval: DataFrame, nGram: Int = 3,
+      minFrac: Double = 0.5, textCol: String = "text", fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    val tr = graft.CacheScope.autoRelease(hashedShingled(train, nGram, textCol))
+    // The eval postings are scanned three times (sizing count, bloom
+    // build, confirm join) and deliberately NOT cached: CacheScope
+    // releases on the FIRST consuming execution (the count here — the
+    // confirm join would recompute anyway), and three passes over the
+    // benchmark-sized side is the honest cost of building the filter.
+    // At real scale the sizing count comes from blocklist metadata, not
+    // a scan.
+    val ev = hashedShingled(eval, nGram, textCol)
+      .select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
+    // total postings as expectedNumItems: an upper bound on distinct
+    // shingles (over-sizing only lowers the realized fpp)
+    val bf = ev.stat.bloomFilter("h", math.max(ev.count(), 1L), fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    val trPost = tr.select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
+      .filter(mightContain(col("h")))
+    // confirm join deliberately UNHINTED (the eval side is modeled as
+    // too big to broadcast): both sides shuffle on the shingle key, but
+    // the train side arrives pre-thinned by the Bloom
+    val inter = trPost.join(ev, "h")
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("inter"))
+    val trSz = tr.select(col("doc_id").as("train_id"), size(col("hs")).cast("long").as("n"))
+    inter.join(trSz, "train_id")
+      .withColumn("frac", col("inter").cast("double") / col("n"))
+      .filter(col("frac") >= minFrac)
+      .select("train_id", "eval_id", "frac")
+  }
+
   /** SimHash fingerprint (60 usable bits so the BIGINT stays positive
     * in every engine): bit i of the signature is the sign of
     * Σ_tokens tf·(±1) where the ±1 is bit i of a 60-bit md5-derived

@@ -16,9 +16,13 @@ import org.apache.spark.sql.types._
   *    `javax.imageio` (in the JDK — no external codec needed): images
   *    are encoded to genuine PNG bytes and decoded back, with exact
   *    per-channel pixel sums proving the round trip lossless;
+  *  - a REAL WAV/PCM audio path ([[encodeWav]]/[[decodeWavStats]])
+  *    through `javax.sound.sampled` (also JDK-bundled), same
+  *    construction: exact per-channel sample sums prove the encode →
+  *    decode round trip bit-lossless through a real audio container;
   *  - a deterministic md5 STUB ([[stubDecodeFeature]]) standing in for
   *    the codecs that are NOT in this container (JPEG-via-libjpeg,
-  *    audio, video). Everything around it — the schema, the
+  *    compressed audio, video). Everything around it — the schema, the
   *    `Dataset[MediaRow]` encoder, the mapPartitions batch shape, the
   *    partitioning and the downstream feature plumbing — is real and is
   *    what a production decoder would drop into (exactly as the PNG
@@ -221,6 +225,112 @@ object MultimodalOps {
             }
         }
         ImageStats(e.media_id, w.toLong * h, rs, gs, bs)
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Real codec path #2: WAV/PCM audio through javax.sound.sampled
+  // (JDK-bundled, like imageio — file-format I/O needs no audio device,
+  // so it runs headless). Same gate construction as the PNG tier:
+  // deterministic sample formula → real encode → real decode → exact
+  // integer reductions, with the oracle recomputing the reductions
+  // codec-free so a green row proves the round trip bit-lossless.
+
+  /** One audio clip crossing the real-codec boundary: genuine WAV bytes
+    * (RIFF header + 16-bit signed little-endian stereo PCM).
+    */
+  case class EncodedAudio(media_id: Long, n_frames: Int, wav: Array[Byte])
+
+  /** Exact per-channel sample sums of one decoded clip. */
+  case class AudioStats(media_id: Long, n_frames: Long, l_sum: Long, r_sum: Long)
+
+  /** Deterministic sample content: the 16-bit signed sample of frame i,
+    * channel ch (0 = left, 1 = right) of clip `mediaId`. Integer-only —
+    * all addends non-negative before the mod, so `%` agrees across
+    * engines — and it sweeps the full 16-bit range as i grows (31 is
+    * coprime to 65536), so the codec sees every byte pattern class.
+    */
+  def sampleValue(mediaId: Long, i: Int, ch: Int): Int =
+    ((31L * i + 7L * ch + (mediaId % 65536L)) % 65536L).toInt - 32768
+
+  /** Audio metadata plan: small deterministic frame counts (64–504
+    * stereo frames) keyed off doc ids — fidelity-gate sizing, same
+    * rationale (and same [[graft.PlanUtils.spread]] barrier) as
+    * [[syntheticImageMeta]].
+    */
+  def syntheticAudioMeta(docs: DataFrame): DataFrame =
+    graft.PlanUtils.spread(
+      docs.select(col("doc_id").as("media_id"),
+        (lit(64) + pmod(col("doc_id"), lit(441L))).cast("int").as("n_frames")))
+
+  private val wavFormat = new javax.sound.sampled.AudioFormat(
+    /* sampleRate */ 8000f, /* bits */ 16, /* channels */ 2,
+    /* signed */ true, /* bigEndian */ false)
+
+  /** ENCODE through the real codec: renders each row's deterministic
+    * PCM samples and writes a genuine WAV file with
+    * `javax.sound.sampled.AudioSystem`. Narrow mapPartitions — CPU-bound,
+    * scan-parallel, no shuffle (the multimodal decode contract).
+    */
+  def encodeWav(meta: DataFrame): Dataset[EncodedAudio] = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta.select("media_id", "n_frames").as[(Long, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, n) =>
+          // 2 channels × 2 bytes, little-endian, frame-interleaved
+          val pcm = new Array[Byte](n * 4)
+          var i = 0
+          while (i < n) {
+            var ch = 0
+            while (ch < 2) {
+              val v = sampleValue(id, i, ch)
+              pcm(i * 4 + ch * 2) = (v & 0xff).toByte
+              pcm(i * 4 + ch * 2 + 1) = ((v >> 8) & 0xff).toByte
+              ch += 1
+            }
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), wavFormat, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          EncodedAudio(id, n, bos.toByteArray)
+        }
+      }
+  }
+
+  /** DECODE through the real codec: `AudioSystem.getAudioInputStream`
+    * parses the WAV container (RIFF chunks, format negotiation) and
+    * hands back raw PCM; exact per-channel integer sums over every
+    * frame prove fidelity. The decoded format is asserted, not assumed
+    * — a codec that silently resampled or widened would fail loudly
+    * here rather than hash-mismatch downstream.
+    */
+  def decodeWavStats(clips: Dataset[EncodedAudio]): Dataset[AudioStats] = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.mapPartitions { rows =>
+      rows.map { e =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(e.wav))
+        val f = ais.getFormat
+        require(f.getSampleSizeInBits == 16 && f.getChannels == 2 && !f.isBigEndian &&
+          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"decoded format diverged: $f")
+        val pcm = ais.readAllBytes()
+        ais.close()
+        val nFrames = pcm.length / 4
+        var ls = 0L; var rs = 0L
+        var i = 0
+        while (i < nFrames) {
+          ls += ((pcm(i * 4 + 1) << 8) | (pcm(i * 4) & 0xff)).toShort
+          rs += ((pcm(i * 4 + 3) << 8) | (pcm(i * 4 + 2) & 0xff)).toShort
+          i += 1
+        }
+        AudioStats(e.media_id, nFrames.toLong, ls, rs)
       }
     }
   }

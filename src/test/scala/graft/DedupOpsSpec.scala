@@ -132,4 +132,25 @@ class DedupOpsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(got == Set((1L, 10L, 1.0)))
   }
+
+  test("bloomContaminatedPairs ≡ contaminatedPairs (bloom prefilter is exact)") {
+    // real corpus slice so the bloom sees enough distinct shingles to
+    // make false positives plausible (and the confirm join provably
+    // removes them); mod-5 split mirrors the q_bloom_decontaminate gate
+    val docs = Tables.documents(spark, sf0)
+    val train = docs.filter(pmod($"doc_id", lit(5L)) =!= 0)
+    val eval_ = docs.filter(pmod($"doc_id", lit(5L)) === 0)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"train_id", $"eval_id", round($"frac", 9).as("frac"))
+        .as[(Long, Long, Double)].collect().toSet
+    val exact = norm(graft.operators.DedupOps.contaminatedPairs(train, eval_, minFrac = 0.25))
+    val bloom = norm(graft.operators.DedupOps.bloomContaminatedPairs(train, eval_, minFrac = 0.25))
+    assert(bloom == exact)
+    assert(exact.nonEmpty) // the equality must not be vacuous
+    // a coarse filter (high fpp) must change nothing either — false
+    // positives die in the confirm join
+    val sloppy = norm(graft.operators.DedupOps.bloomContaminatedPairs(
+      train, eval_, minFrac = 0.25, fpp = 0.5))
+    assert(sloppy == exact)
+  }
 }
