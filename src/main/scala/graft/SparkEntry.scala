@@ -22,6 +22,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_reg_multi")(spark, "/root/testdata/sf0.001")
 
+  /** Fixed target mixture for the data-mixing gates: domain srcN gets
+    * mass fraction (1 + N % 4) / 50 — deliberately skewed vs the
+    * corpus' near-uniform actual distribution so weights land on both
+    * sides of 1.0 (down- AND up-sampling paths exercised). Σ over the
+    * 20 sources = 50/50 = 1. The oracle recomputes the same fractions
+    * from the domain name.
+    */
+  private val mixTargets: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (1.0 + i % 4) / 50.0).toMap
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.6 T1 + §2.4 A1/A2 + §2.8 F1/F2: tokenize → count → top-k.
@@ -377,6 +387,22 @@ object SparkEntry {
         .select(col("train_id"), col("eval_id"), round(col("frac"), 6).as("frac"))
         .orderBy("train_id", "eval_id")
     }),
+    // Data mixing: per-domain sampling weights against a fixed target
+    // mixture (the skewed-by-construction mixTargets map), then the
+    // deterministic hash-thresholded resample that realizes it. The
+    // oracle recomputes the same weights/copy counts from the same
+    // integer formulas, so the gate proves the whole chain — mass agg,
+    // window total, weight arithmetic, per-doc copy realization.
+    "q_mixture_weights" -> ((s, dir) =>
+      MixtureOps.mixtureWeights(Tables.documents(s, dir), mixTargets)
+        .select(col("domain"), col("n_docs"), col("mass"),
+          round(col("actual_frac"), 6).as("actual_frac"),
+          round(col("target_frac"), 6).as("target_frac"),
+          round(col("weight"), 6).as("weight"))
+        .orderBy("domain")),
+    "q_mixture_resample" -> ((s, dir) =>
+      MixtureOps.mixtureResample(Tables.documents(s, dir), mixTargets)
+        .orderBy("doc_id", "copy_no")),
     // Decontamination again, through the Bloom-prefilter scale shape
     // (eval side modeled as too big to broadcast: one distributed bloom
     // build, map-side prefilter, shuffled confirm join). Different
@@ -1276,6 +1302,47 @@ object SparkEntry {
         |FROM co JOIN sz x ON x.doc_id = co.train_id
         |WHERE CAST(inter AS DOUBLE) / x.n >= 0.3
         |ORDER BY train_id, eval_id""".stripMargin,
+    // data mixing: targets recomputed from the domain name ((1 + N%4)/50
+    // for srcN, N < 20 — mirrors SparkEntry.mixTargets), weights with the
+    // same left-to-right association as the engine, and the resample's
+    // copy counts from the same Knuth hash threshold
+    "q_mixture_weights" ->
+      """WITH pd AS (
+        |  SELECT source AS domain, count(*) AS n_docs, sum(n_chars) AS mass
+        |  FROM documents GROUP BY source
+        |), t AS (
+        |  SELECT domain, n_docs, mass, sum(mass) OVER () AS total FROM pd
+        |)
+        |SELECT domain, n_docs, CAST(mass AS BIGINT) AS mass,
+        |       round(CAST(mass AS DOUBLE) / total, 6) AS actual_frac,
+        |       round(CASE WHEN CAST(substring(domain, 4) AS INTEGER) < 20
+        |                  THEN (1.0 + (CAST(substring(domain, 4) AS INTEGER) % 4)) / 50.0
+        |                  ELSE 0.0 END, 6) AS target_frac,
+        |       round(CASE WHEN CAST(substring(domain, 4) AS INTEGER) < 20
+        |                  THEN (1.0 + (CAST(substring(domain, 4) AS INTEGER) % 4)) / 50.0
+        |                  ELSE 0.0 END * total / mass, 6) AS weight
+        |FROM t ORDER BY domain""".stripMargin,
+    "q_mixture_resample" ->
+      """WITH pd AS (
+        |  SELECT source AS domain, sum(n_chars) AS mass FROM documents GROUP BY source
+        |), t AS (
+        |  SELECT domain, mass, sum(mass) OVER () AS total FROM pd
+        |), w AS (
+        |  SELECT domain,
+        |         CASE WHEN CAST(substring(domain, 4) AS INTEGER) < 20
+        |              THEN (1.0 + (CAST(substring(domain, 4) AS INTEGER) % 4)) / 50.0
+        |              ELSE 0.0 END * total / mass AS weight
+        |  FROM t
+        |), d AS (
+        |  SELECT doc_id, w.domain,
+        |         CAST(floor(weight) AS BIGINT) +
+        |         (CASE WHEN (doc_id * 2654435761) % 4294967296 / 4294967296.0
+        |                    < weight - floor(weight) THEN 1 ELSE 0 END) AS n_copies
+        |  FROM documents JOIN w ON w.domain = documents.source
+        |)
+        |SELECT doc_id, domain, c + 1 AS copy_no
+        |FROM d JOIN range(8) t(c) ON c < n_copies
+        |ORDER BY doc_id, copy_no""".stripMargin,
     // identical construction to q_decontaminate (the bloom prefilter is
     // exact by design, so the oracle is the plain containment query) on
     // the mod-5 slice at threshold 0.25

@@ -269,15 +269,29 @@ object MultimodalOps {
     /* signed */ true, /* bigEndian */ false)
 
   /** ENCODE through the real codec: renders each row's deterministic
-    * PCM samples and writes a genuine WAV file with
-    * `javax.sound.sampled.AudioSystem`. Narrow mapPartitions — CPU-bound,
-    * scan-parallel, no shuffle (the multimodal decode contract).
+    * PCM samples and writes a genuine WAV file through the platform
+    * `javax.sound.sampled` WAVE provider. Narrow mapPartitions —
+    * CPU-bound, scan-parallel, no shuffle (the multimodal decode
+    * contract).
+    *
+    * Per-PARTITION provider resolution (the PNG lesson, audio edition):
+    * `AudioSystem.write` re-resolves the SPI provider list on EVERY
+    * call (the JDK's sound services are not cached), which dominates
+    * the cost at clip sizes of a few KB. The public
+    * `javax.sound.sampled.spi.AudioFileWriter` SPI lets us resolve the
+    * WAVE writer once per partition and call it directly — identical
+    * bytes, none of the per-row registry scan.
     */
   def encodeWav(meta: DataFrame): Dataset[EncodedAudio] = {
     val spark = meta.sparkSession
     import spark.implicits._
     meta.select("media_id", "n_frames").as[(Long, Int)]
       .mapPartitions { rows =>
+        import scala.jdk.CollectionConverters._
+        val writer = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala
+          .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+          .getOrElse(throw new IllegalStateException("no WAVE AudioFileWriter provider"))
         rows.map { case (id, n) =>
           // 2 channels × 2 bytes, little-endian, frame-interleaved
           val pcm = new Array[Byte](n * 4)
@@ -295,27 +309,47 @@ object MultimodalOps {
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(pcm), wavFormat, n.toLong)
           val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(
-            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
           EncodedAudio(id, n, bos.toByteArray)
         }
       }
   }
 
-  /** DECODE through the real codec: `AudioSystem.getAudioInputStream`
-    * parses the WAV container (RIFF chunks, format negotiation) and
-    * hands back raw PCM; exact per-channel integer sums over every
-    * frame prove fidelity. The decoded format is asserted, not assumed
-    * — a codec that silently resampled or widened would fail loudly
-    * here rather than hash-mismatch downstream.
+  /** DECODE through the real codec: the WAV container (RIFF chunks,
+    * format negotiation) is parsed by the platform
+    * `javax.sound.sampled.spi.AudioFileReader` provider, which hands
+    * back raw PCM; exact per-channel integer sums over every frame
+    * prove fidelity. The decoded format is asserted, not assumed — a
+    * codec that silently resampled or widened would fail loudly here
+    * rather than hash-mismatch downstream.
+    *
+    * Provider resolution happens ONCE per partition, lazily: the SPI
+    * has no "supports this format" query (`AudioSystem` probes readers
+    * by exception per call), so the first clip elects the reader that
+    * accepts WAV and the rest of the partition reuses it.
     */
   def decodeWavStats(clips: Dataset[EncodedAudio]): Dataset[AudioStats] = {
     val spark = clips.sparkSession
     import spark.implicits._
     clips.mapPartitions { rows =>
+      import scala.jdk.CollectionConverters._
+      lazy val readers = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toList
+      var elected: javax.sound.sampled.spi.AudioFileReader = null
+      def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+        val in = new java.io.ByteArrayInputStream(bytes)
+        if (elected != null) elected.getAudioInputStream(in)
+        else {
+          val (r, ais) = readers.view.flatMap { r =>
+            try Some(r -> r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+          }.headOption.getOrElse(throw new IllegalStateException("no WAV AudioFileReader provider"))
+          elected = r
+          ais
+        }
+      }
       rows.map { e =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(e.wav))
+        val ais = open(e.wav)
         val f = ais.getFormat
         require(f.getSampleSizeInBits == 16 && f.getChannels == 2 && !f.isBigEndian &&
           f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
