@@ -387,6 +387,15 @@ object SparkEntry {
         .select(col("train_id"), col("eval_id"), round(col("frac"), 6).as("frac"))
         .orderBy("train_id", "eval_id")
     }),
+    // Corpus-statistics quality: fraction of each doc's distinct
+    // bigrams that are corpus-rare (df ≤ 2) — the count-based
+    // perplexity-filter analogue; exact integer semantics so the
+    // oracle gates it fully (keep flag decided on the unrounded ratio).
+    "q_rare_bigrams" -> ((s, dir) =>
+      TextAnalysisOps.rareBigramStats(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+          round(col("rare_frac"), 6).as("rare_frac"), col("keep"))
+        .orderBy("doc_id")),
     // Data mixing: per-domain sampling weights against a fixed target
     // mixture (the skewed-by-construction mixTargets map), then the
     // deterministic hash-thresholded resample that realizes it. The
@@ -786,6 +795,29 @@ object SparkEntry {
         .select(unix_micros(col("w_start")).as("start_us"), col("n"),
           round(col("mean_value"), 4).as("mean_value"))
         .orderBy("start_us")
+    }),
+    // Stream–static enrichment: every streamed event picks up its
+    // user's dimension attributes (customer stands in for the user
+    // table). Stateless append-mode join, static side broadcast per
+    // micro-batch; the batch-join oracle proves row-level parity —
+    // nothing dropped, nothing duplicated, no state needed.
+    "q_stream_static_join" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"), col("c_acctbal"))
+      val enriched = graft.streaming.StreamingOps
+        .enrichWithStatic(stream, dim, Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("segment"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+      val qn = s"graft_stream_static_${StreamSeq.incrementAndGet()}"
+      val q = enriched.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).orderBy("event_id")
     }),
     // Streaming exact dedup: first copy per content digest passes, later
     // copies drop (dropDuplicatesWithinWatermark — state keyed by the
@@ -1302,6 +1334,26 @@ object SparkEntry {
         |FROM co JOIN sz x ON x.doc_id = co.train_id
         |WHERE CAST(inter AS DOUBLE) / x.n >= 0.3
         |ORDER BY train_id, eval_id""".stripMargin,
+    // same tokenize+shingle construction as the dedup oracles at n=2;
+    // df over distinct per-doc bigrams, rarity decided on exact ints
+    "q_rare_bigrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] AS s
+        |  FROM toks JOIN range(2000) t(i) ON i + 2 <= len(ws)
+        |), dfreq AS (
+        |  SELECT s, count(*) AS df FROM sh GROUP BY s
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |       round(CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS rare_frac,
+        |       (CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*)) <= 0.4 AS keep
+        |FROM sh JOIN dfreq USING (s)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     // data mixing: targets recomputed from the domain name ((1 + N%4)/50
     // for srcN, N < 20 — mirrors SparkEntry.mixTargets), weights with the
     // same left-to-right association as the engine, and the resample's
@@ -1369,6 +1421,12 @@ object SparkEntry {
          |       ${decMeanSql("value")} AS mean_value
          |FROM events GROUP BY date_trunc('hour', ts)
          |ORDER BY start_us""".stripMargin,
+    // the batch join IS the truth for a stateless stream-static join
+    "q_stream_static_join" ->
+      """SELECT event_id, user_id, c_mktsegment AS segment,
+        |       round(c_acctbal, 2) AS acctbal
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
     "q_csv_roundtrip" -> DocsMetaOracle,
     "q_json_roundtrip" -> DocsMetaOracle,
     // gzip codec path: same truth — only the file format differs

@@ -256,4 +256,34 @@ object TextAnalysisOps {
       .select(col("doc_id"),
         graft.functions.Md5MinShingle(col("shingles")).as("fingerprint"),
         size(col("shingles")).cast("long").as("n_shingles"))
+
+  /** Corpus-statistics quality filter: the fraction of a doc's distinct
+    * word bigrams that are RARE in the corpus (document frequency ≤
+    * `rareMax`). Gibberish, OCR noise, and heavy boilerplate-mangling
+    * score high (their n-grams appear nowhere else); clean prose scores
+    * low — the count-based cousin of an n-gram-LM perplexity filter,
+    * with exact integer semantics instead of ln() float parity
+    * questions. `keep` = rare_frac ≤ `keepMax`, decided on the
+    * UNROUNDED exact ratio.
+    *
+    * Scale shape — the inverted-index pattern, not a broadcast: the
+    * bigram df table is corpus-sized (it cannot broadcast at 100 TB),
+    * so postings and df shuffle on the 64-bit bigram hash; both aggs
+    * partial-combine map-side, and the df join adds no row
+    * amplification (|postings| rows in, |postings| rows out). The
+    * shingle scan is persisted query-scoped — it feeds both the df
+    * aggregate and the posting side of the join.
+    */
+  def rareBigramStats(docs: DataFrame, rareMax: Long = 2, keepMax: Double = 0.4,
+      textCol: String = "text"): DataFrame = {
+    val sh = graft.CacheScope.autoRelease(DedupOps.hashedShingled(docs, 2, textCol))
+    val post = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfreq = post.groupBy("h").agg(count(lit(1)).as("df"))
+    post.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_frac", col("n_rare").cast("double") / col("n_bigrams"))
+      .withColumn("keep", col("rare_frac") <= keepMax)
+  }
 }

@@ -132,4 +132,18 @@ object StreamingOps {
           .as("mean_value"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("n"), col("mean_value"))
+
+  /** Stream–static enrichment join: each streaming row picks up the
+    * matching static dimension attributes — the standard streaming
+    * lookup/enrichment shape (events × user table, impressions ×
+    * campaign table). STATELESS: a stream–static equi-join needs no
+    * watermark and holds no join state — the static side is planned as
+    * a broadcast per micro-batch (dims are small by definition; a dim
+    * too big to broadcast belongs in a stream–stream join with
+    * watermarks instead, see [[intervalJoin]]). Append-mode safe:
+    * every input row emits at most once, immediately.
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, "inner")
 }

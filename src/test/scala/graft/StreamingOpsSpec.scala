@@ -44,7 +44,7 @@ class StreamingOpsSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$sf0/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sf0)
-    val q = stream.join(dim, "user_id") // static side re-read per micro-batch
+    val q = StreamingOps.enrichWithStatic(stream, dim, Seq("user_id"))
       .groupBy("c_mktsegment").count()
       .writeStream.format("memory").queryName("stream_static_test")
       .outputMode("complete")
@@ -53,6 +53,27 @@ class StreamingOpsSpec extends SparkSpec {
     val got = spark.table("stream_static_test")
       .orderBy("c_mktsegment").as[(String, Long)].collect().toSeq
     assert(got == batch)
+  }
+
+  test("enrichWithStatic is append-mode safe: exact row-level parity, no state") {
+    val dim = Tables.customer(spark, sf0)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    val expect = Tables.events(spark, sf0).join(dim, "user_id")
+      .select($"event_id", $"c_mktsegment")
+      .as[(Long, String)].collect().sorted.toSeq
+
+    val schema = spark.read.parquet(s"$sf0/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf0)
+    val q = StreamingOps.enrichWithStatic(stream, dim, Seq("user_id"))
+      .select($"event_id", $"c_mktsegment")
+      .writeStream.format("memory").queryName("stream_enrich_append_test")
+      .outputMode("append") // stateless: append must emit every row exactly once
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("stream_enrich_append_test")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got == expect)
   }
 
   test("welfordByKey over a MemoryStream matches exact mean/std, state carried across batches") {

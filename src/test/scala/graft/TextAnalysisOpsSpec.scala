@@ -134,4 +134,35 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(got._1 == "mail <EMAIL> then <PHONE> from <IP> twice <IP>")
     assert((got._2, got._3, got._4) == (1, 1, 2))
   }
+
+  test("rareBigramStats: shared bigrams are common, gibberish is rare, keep flag exact") {
+    // docs 1-3 share every bigram (df=3); doc 9 is pure gibberish (df=1)
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox"),
+      (3L, "the quick brown fox"),
+      (9L, "zxq wvut plonk fizz"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysisOps.rareBigramStats(docs, rareMax = 2, keepMax = 0.4)
+      .select("doc_id", "n_bigrams", "n_rare", "rare_frac", "keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // shared docs: 3 bigrams each, df=3 > rareMax → zero rare, kept
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(got(id) == ((id, 3L, 0L, 0.0, true)))
+    }
+    // gibberish doc: all 3 bigrams have df=1 ≤ 2 → rare_frac 1.0, dropped
+    assert(got(9L) == ((9L, 3L, 3L, 1.0, false)))
+    // boundary: keep decides on the exact unrounded ratio
+    val edge = Seq(
+      (1L, "a b c d e f"), // 5 bigrams, all unique in this corpus... df=1 → frac 1.0
+      (2L, "a b x"), (3L, "a b y"), (4L, "a b z"))
+      .toDF("doc_id", "text")
+    // "a b" appears in 4 docs (df=4, not rare at rareMax=2); doc 1's other
+    // 4 bigrams are df=1 → rare_frac = 4/5 = 0.8 exactly
+    val e1 = graft.operators.TextAnalysisOps.rareBigramStats(edge, rareMax = 2, keepMax = 0.8)
+      .filter($"doc_id" === 1L)
+      .select("rare_frac", "keep").as[(Double, Boolean)].head()
+    assert(e1 == ((0.8, true))) // 0.8 ≤ 0.8 — boundary included, exact
+  }
 }
