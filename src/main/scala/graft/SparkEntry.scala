@@ -487,6 +487,27 @@ object SparkEntry {
       s.read.parquet(path)
         .orderBy("doc_id")
     }),
+    // Schema evolution across parquet batches — the data-lake reality
+    // that ingest batches gain columns over time. Even doc ids land in
+    // an old-schema batch (doc_id, lang), odd ids in the widened one
+    // (+ source, n_chars); `mergeSchema` reconciles on read and the
+    // old batch's missing columns surface as nulls (coalesced to
+    // sentinels so the oracle's CASE mirrors them exactly).
+    "q_schema_evolution" -> ((s, dir) => {
+      val path = s"/tmp/graft_src_${new java.io.File(dir).getName}/docs_evo"
+      val meta = Tables.documents(s, dir)
+      meta.filter(pmod(col("doc_id"), lit(2L)) === 0)
+        .select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$path/v1")
+      meta.filter(pmod(col("doc_id"), lit(2L)) === 1)
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$path/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("source"), lit("_absent")).as("source"),
+          coalesce(col("n_chars"), lit(-1L)).as("n_chars"))
+        .orderBy("doc_id")
+    }),
     // Relational completeness: FULL OUTER reconciliation — custkeys
     // with orders vs high-balance customers; genuine nulls on BOTH
     // sides (ordering customers below the balance bar, rich customers
@@ -1434,6 +1455,13 @@ object SparkEntry {
     "q_json_gz" -> DocsMetaOracle,
     "q_orc_roundtrip" -> DocsMetaOracle,
     "q_parquet_zstd" -> DocsMetaOracle,
+    // the old-schema batch (even ids) lost source/n_chars on write; the
+    // merged read must resurface exactly those rows with the sentinels
+    "q_schema_evolution" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN doc_id % 2 = 0 THEN '_absent' ELSE source END AS source,
+        |       CASE WHEN doc_id % 2 = 0 THEN -1 ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_full_outer" ->
       """WITH wo AS (
         |  SELECT o_custkey AS custkey, count(*) AS n_orders FROM orders GROUP BY 1

@@ -49,4 +49,20 @@ class SourcesSpec extends SparkSpec {
     val joined = docs.join(back.select($"doc_id", $"text".as("t2")), "doc_id")
     assert(joined.filter($"text" =!= $"t2").isEmpty)
   }
+
+  test("mergeSchema reconciles parquet batches written under different schemas") {
+    val base = s"/tmp/graft_sources_spec_evo_${System.nanoTime()}"
+    val docs = Tables.documents(spark, sf0)
+    docs.filter($"doc_id" < 100).select("doc_id", "lang")
+      .write.mode("overwrite").parquet(s"$base/v1")
+    docs.filter($"doc_id" >= 100).select("doc_id", "lang", "source")
+      .write.mode("overwrite").parquet(s"$base/v2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/v1", s"$base/v2")
+    assert(merged.columns.toSet == Set("doc_id", "lang", "source"))
+    assert(merged.count() == docs.count())
+    // the old batch's missing column is null exactly there
+    assert(merged.filter($"source".isNull).agg(max($"doc_id")).head().getLong(0) < 100)
+    assert(merged.filter($"doc_id" >= 100 && $"source".isNull).isEmpty)
+  }
 }
