@@ -387,6 +387,14 @@ object SparkEntry {
         .select(col("train_id"), col("eval_id"), round(col("frac"), 6).as("frac"))
         .orderBy("train_id", "eval_id")
     }),
+    // Exact-substring duplication: 32-char windows at stride 16 —
+    // verbatim cross-doc text (boilerplate, licenses) that token-level
+    // similarity smooths over. Inverted-index shape, exact integers.
+    "q_substring_dups" -> ((s, dir) =>
+      DedupOps.sharedSubstringStats(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_windows"), col("n_shared"),
+          round(col("shared_frac"), 6).as("shared_frac"))
+        .orderBy("doc_id")),
     // Corpus-statistics quality: fraction of each doc's distinct
     // bigrams that are corpus-rare (df ≤ 2) — the count-based
     // perplexity-filter analogue; exact integer semantics so the
@@ -1355,6 +1363,24 @@ object SparkEntry {
         |FROM co JOIN sz x ON x.doc_id = co.train_id
         |WHERE CAST(inter AS DOUBLE) / x.n >= 0.3
         |ORDER BY train_id, eval_id""".stripMargin,
+    // string-side recomputation of the window postings: i*16+32 ≤ len
+    // selects exactly the engine's positions 0..⌊(len−32)/16⌋
+    "q_substring_dups" ->
+      """WITH el AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 32
+        |), win AS (
+        |  SELECT DISTINCT doc_id, substring(text, 1 + 16*i, 32) AS s
+        |  FROM el JOIN range(64) t(i) ON 16*i + 32 <= length(text)
+        |), dfreq AS (
+        |  SELECT s, count(*) AS df FROM win GROUP BY s
+        |)
+        |SELECT doc_id, count(*) AS n_windows,
+        |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |       round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS shared_frac
+        |FROM win JOIN dfreq USING (s)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     // same tokenize+shingle construction as the dedup oracles at n=2;
     // df over distinct per-doc bigrams, rarity decided on exact ints
     "q_rare_bigrams" ->

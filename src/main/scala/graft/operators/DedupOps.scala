@@ -296,6 +296,45 @@ object DedupOps {
       .select("train_id", "eval_id", "frac")
   }
 
+  /** Exact-substring duplication stats — the character-window method
+    * (cf. Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": repeated ≥ k-char substrings, approximated here by
+    * fixed windows on a stride instead of a suffix array, which is the
+    * standard distributed relaxation). Each doc's distinct
+    * `window`-char substrings at `stride` offsets are hashed; a window
+    * appearing in ≥ 2 docs marks VERBATIM cross-doc duplication —
+    * boilerplate, licenses, syndicated text — that token-level
+    * n-gram Jaccard smooths over. Output per doc: n_windows, n_shared
+    * (windows also present in another doc), shared_frac.
+    *
+    * Scale shape: identical to the inverted-index pattern of
+    * [[TextAnalysisOps.rareBigramStats]] — window scan persisted
+    * query-scoped for its two consumers, window-frequency aggregate
+    * partial-combined, join on the 64-bit hash with no amplification.
+    * Postings are distinct-per-doc, so the frequency IS document
+    * frequency. 64-bit hash collisions (odds documented at
+    * [[hashedShingled]]) could merge two distinct windows; the driver
+    * gate's string-side oracle bounds the realized risk.
+    */
+  def sharedSubstringStats(docs: DataFrame, window: Int = 32, stride: Int = 16,
+      textCol: String = "text"): DataFrame = {
+    val eligible = docs.filter(length(col(textCol)) >= window)
+    val wins = graft.CacheScope.autoRelease(
+      graft.PlanUtils.spread(eligible.select(col("doc_id"), col(textCol)))
+        .select(col("doc_id"),
+          array_distinct(transform(
+            sequence(lit(0),
+              floor((length(col(textCol)) - window) / lit(stride)).cast("int")),
+            i => xxhash64(col(textCol).substr(i * stride + 1, lit(window))))).as("hs")))
+    val post = wins.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfreq = post.groupBy("h").agg(count(lit(1)).as("df"))
+    post.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("df") >= 2L, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac", col("n_shared").cast("double") / col("n_windows"))
+  }
+
   /** SimHash fingerprint (60 usable bits so the BIGINT stays positive
     * in every engine): bit i of the signature is the sign of
     * Σ_tokens tf·(±1) where the ±1 is bit i of a 60-bit md5-derived

@@ -133,6 +133,26 @@ class DedupOpsSpec extends SparkSpec {
     assert(got == Set((1L, 10L, 1.0)))
   }
 
+  test("sharedSubstringStats flags verbatim cross-doc windows, ignores unique text") {
+    val boiler = "COPYRIGHT NOTICE ALL RIGHTS RESERVED HEREIN FOREVER " // 52 chars
+    val docs = Seq(
+      (1L, boiler + "alpha beta gamma delta epsilon zeta"),
+      (2L, boiler + "one two three four five six seven"),
+      (3L, "completely original text with no shared windows at all here"),
+      (4L, "short")) // < 32 chars: no windows, absent from output
+      .toDF("doc_id", "text")
+    val got = DedupOps.sharedSubstringStats(docs)
+      .select("doc_id", "n_windows", "n_shared", "shared_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(4L))
+    // the boilerplate prefix shares windows at positions 0 and 16
+    // (both fully inside the 52-char common prefix) between docs 1-2
+    assert(got(1L)._3 >= 2 && got(2L)._3 >= 2)
+    assert(got(3L)._3 == 0 && got(3L)._4 == 0.0)
+    // stride/window accounting: len 59 → positions 0 and 16 → 2 windows
+    assert(got(3L)._2 == 2)
+  }
+
   test("bloomContaminatedPairs ≡ contaminatedPairs (bloom prefilter is exact)") {
     // real corpus slice so the bloom sees enough distinct shingles to
     // make false positives plausible (and the confirm join provably
