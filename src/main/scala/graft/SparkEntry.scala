@@ -387,6 +387,12 @@ object SparkEntry {
         .select(col("train_id"), col("eval_id"), round(col("frac"), 6).as("frac"))
         .orderBy("train_id", "eval_id")
     }),
+    // BPE tokenizer-training primitive: corpus-wide adjacent-char-pair
+    // counts (the quantity each merge iteration maximizes), aggregated
+    // over DISTINCT words first so the explode touches vocabulary, not
+    // occurrences. Top-50, ties on the pair.
+    "q_bpe_pairs" -> ((s, dir) =>
+      TextOps.bpePairCounts(Tables.documents(s, dir), 50)),
     // Exact-substring duplication: 32-char windows at stride 16 —
     // verbatim cross-doc text (boilerplate, licenses) that token-level
     // similarity smooths over. Inverted-index shape, exact integers.
@@ -1001,6 +1007,23 @@ object SparkEntry {
         |  FROM documents
         |) t GROUP BY word
         |ORDER BY cnt DESC, word ASC LIMIT 100""".stripMargin,
+    // BPE primitive: same tokenizer, word-frequency table first, then
+    // pairs of distinct words weighted by freq — mirrors the engine's
+    // aggregate-before-explode plan
+    "q_bpe_pairs" ->
+      """WITH wf AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '((?:[\.,!?;"])|(?:(?:\#|\@)?[A-Za-z0-9_\-]+(?:''[a-z]{1,3})?))', 1)) AS word
+        |    FROM documents
+        |  ) t GROUP BY word
+        |), p AS (
+        |  SELECT substring(word, i + 1, 2) AS pair, freq
+        |  FROM wf JOIN range(64) r(i) ON i + 2 <= length(word)
+        |  WHERE length(word) >= 2
+        |)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        |FROM p GROUP BY pair
+        |ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
     // tf/df/N recomputed relationally; rank key round(s,9)+word mirrors
     // the engine's TopKPerKey ordering; constants written as the same
     // double EXPRESSIONS ((1.2+1.0), (1.0-0.75)) the Scala side

@@ -73,6 +73,34 @@ object TextOps {
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(k)
 
+  /** The distributed primitive of BPE tokenizer training: corpus-wide
+    * counts of adjacent character pairs inside words (Sennrich et al.
+    * 2016 — each merge iteration picks the most frequent pair). Top-k
+    * pairs by total occurrence count, ties broken on the pair string.
+    *
+    * Scale shape — aggregate BEFORE exploding: the token stream first
+    * collapses to (word, freq) — vocabulary-sized, orders of magnitude
+    * smaller than the occurrence stream at any corpus size — and only
+    * DISTINCT words explode into their pairs, each weighted by the
+    * word's frequency. Σ freq over pair occurrences ≡ counting pairs
+    * from every occurrence, at a fraction of the explode and shuffle
+    * volume. Two word/pair-keyed exchanges, both partial-combined, then
+    * TakeOrderedAndProject. A full BPE trainer iterates this with a
+    * merge applied between rounds; the per-iteration plan is exactly
+    * this one.
+    */
+  def bpePairCounts(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    tokenize(docs, textCol = textCol)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .filter(length(col("word")) >= 2) // 1-char words have no pairs
+      .select(explode(transform(
+          sequence(lit(0), (length(col("word")) - 2).cast("int")),
+          i => col("word").substr(i + 1, lit(2)))).as("pair"),
+        col("freq"))
+      .groupBy("pair").agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+
   /** TF-IDF scored terms, top `k` per document — the classic relevance
     * weighting: `tf(d,t) · ln(N / df(t))` with N = total corpus docs.
     *

@@ -79,4 +79,18 @@ class TextOpsSpec extends SparkSpec {
     val df = SparkEntry.queries("q_topk_words")(spark, sf0)
     assert(df.count() > 0)
   }
+
+  test("bpePairCounts: occurrence-weighted pair counts, 1-char words pairless") {
+    // "abab" ×3 occurrences → pairs ab(×2 per word), ba(×1); "ab" ×2 → ab
+    // ⇒ ab: 3·2 + 2·1 = 8, ba: 3·1 = 3; "a" and "." contribute nothing
+    val docs = Seq((1L, "abab abab ab a ."), (2L, "abab ab")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.bpePairCounts(docs, 10)
+      .as[(String, Long)].collect().toList
+    assert(got.head == (("ab", 8L)))
+    assert(got.contains(("ba", 3L)))
+    assert(!got.exists(_._1.length != 2))
+    // equal counts tie-break on the pair string
+    val sorted = got.sortBy { case (p, n) => (-n, p) }
+    assert(got == sorted)
+  }
 }
