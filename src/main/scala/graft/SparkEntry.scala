@@ -387,6 +387,12 @@ object SparkEntry {
         .select(col("train_id"), col("eval_id"), round(col("frac"), 6).as("frac"))
         .orderBy("train_id", "eval_id")
     }),
+    // Time-series densification: per-user 6-hour bucket counts with
+    // zero-filled gaps between each user's first and last event — the
+    // explode runs on the per-key span table, never the event stream.
+    "q_fill_gaps" -> ((s, dir) =>
+      TemporalOps.fillGaps(Tables.events(s, dir), Seq("user_id"), "ts")
+        .orderBy("user_id", "bucket_us")),
     // BPE tokenizer-training primitive: corpus-wide adjacent-char-pair
     // counts (the quantity each merge iteration maximizes), aggregated
     // over DISTINCT words first so the explode touches vocabulary, not
@@ -1007,6 +1013,21 @@ object SparkEntry {
         |  FROM documents
         |) t GROUP BY word
         |ORDER BY cnt DESC, word ASC LIMIT 100""".stripMargin,
+    // dense bucket axis per user via generate-series over the span;
+    // integer // on epoch micros matches the engine's div exactly
+    "q_fill_gaps" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) // 21600000000 AS bucket, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), s AS (
+        |  SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM c GROUP BY 1
+        |), dense AS (
+        |  SELECT user_id, b0 + i AS bucket FROM s JOIN range(200) t(i) ON i <= b1 - b0
+        |)
+        |SELECT d.user_id, d.bucket * 21600000000 AS bucket_us,
+        |       coalesce(n, 0) AS n
+        |FROM dense d LEFT JOIN c ON c.user_id = d.user_id AND c.bucket = d.bucket
+        |ORDER BY d.user_id, bucket_us""".stripMargin,
     // BPE primitive: same tokenizer, word-frequency table first, then
     // pairs of distinct words weighted by freq — mirrors the engine's
     // aggregate-before-explode plan

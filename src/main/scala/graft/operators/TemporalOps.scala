@@ -125,4 +125,38 @@ object TemporalOps {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__b")
   }
+
+  /** Time-series gap filling: per-key fixed-width bucket counts with
+    * ZERO rows materialized for empty buckets between each key's first
+    * and last event — the densification step before any window/trend
+    * model (a rolling mean over sparse buckets silently skips gaps;
+    * over filled buckets it sees them). Output: (keys…, bucket_us —
+    * bucket start in epoch micros, n).
+    *
+    * Scale shape: one bucketed count aggregate over the events (the
+    * only corpus-sized exchange, map-side combined, persisted
+    * query-scoped for its two consumers), then per-key spans — ONE row
+    * per key — explode into the dense bucket axis and LEFT-join the
+    * counts back on (key, bucket). The explode runs on the key-sized
+    * table, never the event stream; total output is bounded by
+    * Σ per-key span, which the caller controls via `bucketSeconds`.
+    *
+    * Bucketing uses integer `div` on epoch micros (the Tables.events
+    * lesson: double division at epoch magnitude rounds across bucket
+    * boundaries; `div` truncates exactly like the oracle's `//`).
+    */
+  def fillGaps(events: DataFrame, keys: Seq[String], tsCol: String,
+      bucketSeconds: Long = 21600): DataFrame = {
+    val w = bucketSeconds * 1000000L
+    val counted = graft.CacheScope.autoRelease(
+      events.groupBy(keys.map(col) :+
+          expr(s"unix_micros($tsCol) div ${w}L").as("bucket"): _*)
+        .agg(count(lit(1)).as("n")))
+    val dense = counted.groupBy(keys.map(col): _*)
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(keys.map(col) :+ explode(sequence(col("b0"), col("b1"))).as("bucket"): _*)
+    dense.join(counted, keys :+ "bucket", "left")
+      .select(keys.map(col) :+ (col("bucket") * w).as("bucket_us") :+
+        coalesce(col("n"), lit(0L)).as("n"): _*)
+  }
 }

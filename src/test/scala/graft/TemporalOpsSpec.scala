@@ -144,4 +144,23 @@ class TemporalOpsSpec extends SparkSpec {
     val joined = TemporalOps.asOfJoin(purchases, views, Seq("user_id"), "ts", Seq("v"))
     assert(joined.count() == purchases.count())
   }
+
+  test("fillGaps densifies per-key bucket counts with zeros, span per key") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:10:00")), // bucket 0 (6h buckets)
+      (1L, ts("2024-01-01 01:20:00")), // bucket 0
+      (1L, ts("2024-01-01 19:00:00")), // bucket 3 → gaps at 1, 2
+      (2L, ts("2024-01-01 07:00:00"))) // single bucket, no gaps
+      .toDF("user_id", "ts")
+    val got = TemporalOps.fillGaps(events, Seq("user_id"), "ts")
+      .orderBy("user_id", "bucket_us")
+      .as[(Long, Long, Long)].collect().toList
+    val h6 = 21600000000L
+    val day = ts("2024-01-01 00:00:00").getTime / 1000 * 1000000L // local-midnight epoch micros
+    val b0 = day / h6
+    assert(got == List(
+      (1L, b0 * h6, 2L), (1L, (b0 + 1) * h6, 0L),
+      (1L, (b0 + 2) * h6, 0L), (1L, (b0 + 3) * h6, 1L),
+      (2L, (b0 + 1) * h6, 1L)))
+  }
 }
