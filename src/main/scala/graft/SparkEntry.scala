@@ -32,6 +32,11 @@ object SparkEntry {
   private val mixTargets: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> (1.0 + i % 4) / 50.0).toMap
 
+  /** q_lm_nll keep threshold (on the published 6-dp avg_nll) — sized so
+    * the synthetic corpus lands docs on BOTH sides of the filter.
+    */
+  private val LmKeepBelow: Double = 6.0
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.6 T1 + §2.4 A1/A2 + §2.8 F1/F2: tokenize → count → top-k.
@@ -416,6 +421,46 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
           round(col("rare_frac"), 6).as("rare_frac"), col("keep"))
         .orderBy("doc_id")),
+    // CCNet-style perplexity filter core: add-one-smoothed bigram LM
+    // trained ON the corpus, each doc scored by average bigram NLL. Terms
+    // rounded at 9 dp (libm rule), decimal-summed, published at 6 dp;
+    // keep decided on the published value so the flag is engine-exact.
+    "q_lm_nll" -> ((s, dir) =>
+      TextOps.bigramNll(Tables.documents(s, dir), keepBelow = LmKeepBelow)
+        .orderBy("doc_id")),
+    // Link-graph centrality (web-crawl quality prior): PageRank with
+    // damping 0.85 over a deterministic synthetic crawl graph (dense
+    // doc ids, fixed out-degree 3, skewed in-degrees). Scaled-INTEGER
+    // rank keeps every loop iteration BIGINT-exact — rank_scaled gates
+    // the whole 5-round scatter/gather bit-for-bit; the double `rank`
+    // is one final exact-int division.
+    "q_pagerank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1 // dense ids
+      val nodes = docs.select(col("doc_id").as("node"))
+      GraphOps.pageRank(nodes, GraphOps.syntheticEdges(nodes, n),
+          outDeg = 3, iters = 5, nNodes = n)
+        .select(col("node").as("doc_id"), col("rank_scaled"), col("rank"))
+        .orderBy("doc_id")
+    }),
+    // Embedding conditioning: per-dimension z-score normalization
+    // (stats over ALL 64 dims — one partial-aggregated dims-row
+    // exchange — published slice bounded to dims < 8). z derives from
+    // the PUBLISHED rounded mean/std, so every engine agrees exactly.
+    "q_embed_zscore" -> ((s, dir) =>
+      SimilarityOps.dimensionZScore(Tables.embeddings(s, dir), outDims = 8)
+        .orderBy("vec_id", "dim")),
+    // Rolling z-score anomaly detection: each event scored against the
+    // mean/std of its 6 predecessors (frame excludes self; cold-start
+    // and zero-variance rows null out). One exchange + one WindowExec.
+    "q_ts_anomaly" -> ((s, dir) =>
+      TemporalOps.rollingAnomaly(
+          Tables.events(s, dir).filter(col("user_id") < 30),
+          Seq("user_id"), "ts", "value", "event_id")
+        .select(col("user_id"), col("event_id"), col("seq"), col("value"),
+          col("n_prior"), col("base_mean"), col("base_std"), col("z"),
+          col("is_anomaly"))
+        .orderBy("user_id", "seq")),
     // Data mixing: per-domain sampling weights against a fixed target
     // mixture (the skewed-by-construction mixTargets map), then the
     // deterministic hash-thresholded resample that realizes it. The
@@ -1445,6 +1490,102 @@ object SparkEntry {
         |FROM sh JOIN dfreq USING (s)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // bigram LM: same tokenizer as the dedup family; unigram counts
+    // over ALL positions, V = distinct vocab, add-one smoothing. NLL
+    // term = ln((c1+V)/(c2+1)) rounded 9, decimal-summed, avg at 6 dp;
+    // keep on the published value (mirrors TextOps.bigramNll exactly)
+    "q_lm_nll" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+         |  FROM documents
+         |), big AS (
+         |  SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+         |  FROM toks JOIN range(2000) t(i) ON i + 2 <= len(ws)
+         |), uni AS (
+         |  SELECT unnest(ws) AS w FROM toks
+         |), c2 AS (
+         |  SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2
+         |), c1 AS (
+         |  SELECT w AS w1, count(*) AS c1 FROM uni GROUP BY w
+         |), v AS (SELECT count(DISTINCT w) AS v FROM uni),
+         |terms AS (
+         |  SELECT doc_id,
+         |         round(ln(CAST(c1.c1 + v.v AS DOUBLE) / (c2.c2 + 1)), 9) AS nll
+         |  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+         |)
+         |SELECT doc_id, n_bigrams, avg_nll, avg_nll <= $LmKeepBelow AS keep FROM (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |         round(CAST(sum(CAST(nll AS DECIMAL(28,12))) AS DOUBLE)
+         |               / count(*), 6) AS avg_nll
+         |  FROM terms GROUP BY doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // PageRank, 5 unrolled scatter/gather rounds in scaled-integer
+    // arithmetic: R_{k+1} = 9*60^k + 17*sum(in-edge R_k), R_0 = 1 —
+    // rank = R_5 / (N * 60^5). Same synthetic fixed-outdeg-3 graph as
+    // GraphOps.syntheticEdges; every value BIGINT until the last divide
+    "q_pagerank" ->
+      """WITH p AS (SELECT count(*) AS n FROM documents),
+        |e AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % n AS dst FROM documents, p
+        |  UNION ALL SELECT doc_id, (doc_id * 2 + 3) % n FROM documents, p
+        |  UNION ALL SELECT doc_id, (doc_id * doc_id + 5) % n FROM documents, p
+        |),
+        |r0 AS (SELECT doc_id AS node, CAST(1 AS BIGINT) AS r FROM documents),
+        |s1 AS (SELECT e.dst AS node, sum(r.r) AS s FROM e JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+        |r1 AS (SELECT r0.node, CAST(9 + 17 * coalesce(s1.s, 0) AS BIGINT) AS r FROM r0 LEFT JOIN s1 USING (node)),
+        |s2 AS (SELECT e.dst AS node, sum(r.r) AS s FROM e JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+        |r2 AS (SELECT r1.node, CAST(540 + 17 * coalesce(s2.s, 0) AS BIGINT) AS r FROM r1 LEFT JOIN s2 USING (node)),
+        |s3 AS (SELECT e.dst AS node, sum(r.r) AS s FROM e JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+        |r3 AS (SELECT r2.node, CAST(32400 + 17 * coalesce(s3.s, 0) AS BIGINT) AS r FROM r2 LEFT JOIN s3 USING (node)),
+        |s4 AS (SELECT e.dst AS node, sum(r.r) AS s FROM e JOIN r3 r ON r.node = e.src GROUP BY e.dst),
+        |r4 AS (SELECT r3.node, CAST(1944000 + 17 * coalesce(s4.s, 0) AS BIGINT) AS r FROM r3 LEFT JOIN s4 USING (node)),
+        |s5 AS (SELECT e.dst AS node, sum(r.r) AS s FROM e JOIN r4 r ON r.node = e.src GROUP BY e.dst),
+        |r5 AS (SELECT r4.node, CAST(116640000 + 17 * coalesce(s5.s, 0) AS BIGINT) AS r FROM r4 LEFT JOIN s5 USING (node))
+        |SELECT r5.node AS doc_id, r5.r AS rank_scaled,
+        |       round(CAST(r5.r AS DOUBLE) / (p.n * 777600000.0), 9) AS rank
+        |FROM r5, p ORDER BY doc_id""".stripMargin,
+    // per-dim z-score: stats over all 64 dims (decMean + rounded
+    // stddev_pop), z from the PUBLISHED rounded pair, slice dim < 8
+    "q_embed_zscore" ->
+      """WITH ex AS (
+        |  SELECT vec_id, d AS dim, CAST(embedding[d+1] AS DOUBLE) AS x
+        |  FROM embeddings, range(64) r(d)
+        |), st AS (
+        |  SELECT dim,
+        |         round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+        |               / count(*), 6) AS mean,
+        |         round(stddev_pop(x), 6) AS std
+        |  FROM ex GROUP BY dim
+        |)
+        |SELECT ex.vec_id, ex.dim, ex.x,
+        |       CASE WHEN st.std > 0
+        |            THEN round((ex.x - st.mean) / st.std, 4) END AS z
+        |FROM ex JOIN st USING (dim) WHERE ex.dim < 8
+        |ORDER BY vec_id, dim""".stripMargin,
+    // rolling anomaly: decimal-exact frame mean + rounded frame stddev
+    // (6 PRECEDING..1 PRECEDING, total order), z from the published
+    // pair, null under cold start (n_prior < 4) or zero variance
+    "q_ts_anomaly" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER wo AS seq,
+        |         count(*) OVER wf AS n_prior,
+        |         round(CAST(sum(CAST(value AS DECIMAL(28,12))) OVER wf AS DOUBLE)
+        |               / count(*) OVER wf, 6) AS base_mean,
+        |         round(stddev_pop(value) OVER wf, 6) AS base_std
+        |  FROM events WHERE user_id < 30
+        |  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |         wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+        |), c AS (
+        |  SELECT user_id, event_id, seq, value, n_prior, base_mean, base_std,
+        |         CASE WHEN n_prior >= 4 AND base_std > 0
+        |              THEN round((value - base_mean) / base_std, 4) END AS z
+        |  FROM b
+        |)
+        |SELECT user_id, event_id, seq, value, n_prior, base_mean, base_std, z,
+        |       coalesce(abs(z) > 3.0, FALSE) AS is_anomaly
+        |FROM c ORDER BY user_id, seq""".stripMargin,
     // data mixing: targets recomputed from the domain name ((1 + N%4)/50
     // for srcN, N < 20 — mirrors SparkEntry.mixTargets), weights with the
     // same left-to-right association as the engine, and the resample's

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality for web-corpus curation. A crawled corpus
+  * carries a link graph, and PageRank over it is the classic quality
+  * prior (seed lists, crawl frontier ordering, doc-level quality
+  * features for training-data filters). The engine piece is the
+  * iterative computation itself: scatter rank mass along edges, gather
+  * per target node, repeat — a Pregel round expressed as join + agg.
+  *
+  * Exactness: floats accumulated across shuffles are order-sensitive,
+  * so the gated form uses a scaled-INTEGER rank. With a uniform
+  * out-degree `d` and damping 17/20 (= 0.85), define
+  * `R_k = rank_k * N * (20d)^k`. Then
+  *
+  *   R_{k+1}(v) = 3d * (20d)^k  +  17 * sum over in-edges (u,v) of R_k(u)
+  *
+  * keeps every value a BIGINT — no float ever enters the loop, so the
+  * result is bit-identical in any engine and any shuffle order. The
+  * published `rank` column is the single final division
+  * R_iters / (N * (20d)^iters), one exact-integer-to-double op.
+  *
+  * Scale notes: each round is one shuffle join (edges x ranks, keyed
+  * by src) plus one partial-aggregated exchange keyed by dst — the
+  * standard distributed PageRank plan; nothing corpus-sized touches
+  * the driver. Per-round DataFrames are persisted and released
+  * exactly like [[DedupOps.nearDupClusters]] so round k+1 reads round
+  * k's cache, not the whole re-derived lineage. The BIGINT scaling is
+  * an oracle-exactness device: (20d)^k overflows int64 past ~10
+  * rounds x trillion-node graphs, where a production run would switch
+  * the rank column to DOUBLE and accept last-ulp nondeterminism.
+  */
+object GraphOps {
+
+  /** PageRank with damping 0.85 over `edges` (`src`, `dst` BIGINT;
+    * parallel edges allowed and counted with multiplicity). Every node
+    * in `nodes` (column `node`) MUST have out-degree exactly `outDeg`
+    * in `edges` — the uniform out-degree is what keeps the scaled rank
+    * integral (callers with organic graphs pad with self-edges or use
+    * the double-rank variant a real deployment would).
+    *
+    * Output: (node, rank_scaled BIGINT, rank DOUBLE rounded 9).
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, outDeg: Int,
+      iters: Int, nNodes: Long): DataFrame = {
+    require(iters >= 1 && outDeg >= 1, "iters and outDeg must be >= 1")
+    val scalePerIter = 20L * outDeg
+    // pin the edge list for the loop's lifetime (same reasoning as
+    // nearDupClusters: every round joins against it) — PRE-PARTITIONED
+    // on the join key: InMemoryRelation preserves its child's
+    // outputPartitioning, so every round's join reuses this one
+    // edge shuffle and only the (node-sized) rank table moves. At
+    // graph scale the edge list is the dominant table; shuffling it
+    // once instead of once per round is the classic Pregel partitioning.
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    try {
+      var ranks = nodes.select(col("node"), lit(1L).as("r")).persist()
+      var k = 0
+      while (k < iters) {
+        val base = 3L * outDeg * pow60(scalePerIter, k)
+        val contrib = e.join(ranks, e("src") === ranks("node"))
+          .groupBy(e("dst").as("node"))
+          .agg(sum(col("r")).as("in_r"))
+        val next = nodes.select(col("node"))
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + lit(17L) * coalesce(col("in_r"), lit(0L))).as("r"))
+          .persist()
+        next.count() // materialize so the old round can be released
+        ranks.unpersist(blocking = false)
+        ranks = next
+        k += 1
+      }
+      val denom = nNodes.toDouble * pow60(scalePerIter, iters).toDouble
+      graft.CacheScope.autoRelease(ranks)
+        .select(col("node"), col("r").as("rank_scaled"),
+          round(col("r").cast("double") / denom, 9).as("rank"))
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** Deterministic synthetic link graph over dense ids 0..n-1: node i
+    * links to (i+1), (2i+3), (i²+5) mod n — fixed out-degree 3 with a
+    * skewed in-degree profile for EVERY n > 3: the quadratic map is
+    * never a bijection (i and n−i collide), so some nodes collect extra
+    * in-edges and others none — ranks are genuinely non-uniform and a
+    * symmetric-bug implementation cannot pass by accident. (Affine maps
+    * alone would be permutations mod a prime → uniform in-degree →
+    * uniform PageRank.) Self-edges and parallel edges are possible and
+    * deliberately kept — [[pageRank]] counts multiplicity. Test-fixture
+    * scale only: i² needs ids below ~3e9 to stay in int64.
+    */
+  def syntheticEdges(nodes: DataFrame, n: Long): DataFrame = {
+    def m(c: Column): Column = c % lit(n)
+    nodes.select(col("node").as("src"),
+      explode(array(m(col("node") + 1), m(col("node") * 2 + 3),
+        m(col("node") * col("node") + 5))).as("dst"))
+  }
+
+  private def pow60(base: Long, k: Int): Long = {
+    var r = 1L
+    var i = 0
+    while (i < k) { r *= base; i += 1 }
+    r
+  }
+}

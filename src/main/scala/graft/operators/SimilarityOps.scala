@@ -250,6 +250,50 @@ object SimilarityOps {
       .select("va", "vb", "sim")
   }
 
+  /** Per-dimension z-score normalization of an embedding column — the
+    * standard pre-index / pre-clustering conditioning step (whitening's
+    * cheap diagonal cousin): every dimension is centered on its corpus
+    * mean and scaled by its corpus stddev so no dimension dominates the
+    * metric. Output is one row per (vec_id, dim < `outDims`): `x` (the
+    * raw component), `z` (normalized) — exploded rather than
+    * re-assembled so the gate hashes scalars, with `outDims` bounding
+    * the published slice (the stats still cover ALL dimensions). A
+    * zero-variance dimension publishes z = null (explicit guard —
+    * engines disagree on x/0.0: SQL null vs IEEE inf).
+    *
+    * Numerics: the per-dim mean rides the decMean policy — decimal(28,12)
+    * sum (the float→decimal cast rounds identically in both engines for
+    * components that don't sit exactly on the 1e-12 grid, which
+    * real-valued embeddings never do), one double divide; stddev is the
+    * one genuinely order-sensitive reduction, so both mean and std are
+    * PUBLISHED rounded (6 dp) and `z` is computed FROM the rounded
+    * stats — identical doubles on any engine, same policy as the
+    * momentum/regression pipelines.
+    *
+    * Plan shape: one posexplode (map-only) → per-dim aggregate whose
+    * partial step collapses each task to `dims` rows (the exchange
+    * carries dims×tasks rows, not rows×dims — this is why the groupBy
+    * key is the dimension); the dims-row stats table broadcasts back
+    * onto the exploded stream. At 100 TB: one scan, one tiny exchange,
+    * one broadcast — no corpus-sized state anywhere.
+    */
+  def dimensionZScore(embeddings: DataFrame, outDims: Int = 8): DataFrame = {
+    val ex = embeddings.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("dim", "x")))
+    val stats = ex.groupBy("dim").agg(
+      round(sum(col("x").cast("decimal(28,12)")).cast("double")
+        / count(lit(1)), 6).as("mean"),
+      round(stddev_pop(col("x").cast("double")), 6).as("std"))
+    ex.filter(col("dim") < outDims)
+      .join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"), col("x").cast("double").as("x"),
+        // explicit zero-variance null: engines disagree on x/0.0 (SQL
+        // null vs IEEE inf), so a constant dimension must never divide
+        when(col("std") > 0.0,
+          round((col("x").cast("double") - col("mean")) / col("std"), 4))
+          .as("z"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `minSim` among a
     * bounded id range — brute force (quadratic in the bounded slice;
     * [[cosineNearDupsLsh]] is the scale variant).

@@ -159,4 +159,53 @@ object TemporalOps {
       .select(keys.map(col) :+ (col("bucket") * w).as("bucket_us") :+
         coalesce(col("n"), lit(0L)).as("n"): _*)
   }
+
+  /** Rolling z-score anomaly detection: each event is scored against
+    * the mean/stddev of the `lookback` events immediately BEFORE it
+    * (frame excludes the current row — an outlier must not dilute its
+    * own baseline) within its key, ordered by (ts, tiebreak). Rows with
+    * fewer than `minPrior` predecessors get a null score (cold start);
+    * a zero-variance baseline likewise yields null (any deviation from
+    * a constant stream is trivially anomalous — callers pick the
+    * policy; null keeps the gate engine-exact). `is_anomaly` fires on
+    * |z| > `threshold` and is false (never null) on unscorable rows.
+    *
+    * Numerics: the rolling mean is a decimal(28,12)-exact frame sum ÷
+    * exact count; the rolling stddev is order-sensitive within its
+    * ≤ lookback-row frame, so mean and std are PUBLISHED rounded
+    * (6 dp) and `z` derives from the rounded pair — identical doubles
+    * everywhere, the [[SimilarityOps.dimensionZScore]] policy on a
+    * window instead of a group.
+    *
+    * Plan shape: one hash exchange on the key, one in-partition sort,
+    * one WindowExec computing all three frame aggregates — no joins,
+    * no second shuffle. Hot-key caveat (same as the CF windows): a
+    * key's whole history lands in one task; keys here are
+    * data-cardinality (users), far above cluster parallelism at scale.
+    */
+  def rollingAnomaly(events: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, tiebreak: String, lookback: Int = 6,
+      minPrior: Int = 4, threshold: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreak))
+      .rowsBetween(-lookback, -1)
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreak))
+    val nPrior = count(lit(1)).over(w)
+    val mean = round(sum(col(valueCol).cast("decimal(28,12)")).over(w)
+      .cast("double") / nPrior, 6)
+    val std = round(stddev_pop(col(valueCol).cast("double")).over(w), 6)
+    val z = round((col("value") - col("base_mean")) / col("base_std"), 4)
+    events
+      .select(keys.map(col) :+ col(tsCol) :+ col(tiebreak) :+
+        col(valueCol).cast("double").as("value") :+
+        row_number().over(ord).as("seq") :+ nPrior.as("n_prior") :+
+        mean.as("base_mean") :+ std.as("base_std"): _*)
+      .withColumn("z",
+        when(col("n_prior") >= minPrior && col("base_std") > 0.0, z))
+      // non-null flag: an unscorable row is "not flagged", not unknown —
+      // keeps the column a plain boolean in every engine's null model
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > threshold, lit(false)))
+  }
 }

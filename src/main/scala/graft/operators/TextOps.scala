@@ -101,6 +101,62 @@ object TextOps {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
 
+  /** Bigram language-model scoring — the count-based core of a
+    * CCNet-style perplexity quality filter: train an add-one-smoothed
+    * bigram LM on the corpus itself, then score every document by its
+    * average per-bigram negative log-likelihood. High `avg_nll` marks
+    * text the corpus' own statistics find surprising (gibberish, OCR
+    * noise, foreign fragments); a real pipeline thresholds on it
+    * exactly like `keep` here. Uses the language-agnostic
+    * [[DedupOps.words]] tokenizer (same as the dedup/rare-bigram
+    * family). Docs with < 2 tokens have no bigrams and are dropped.
+    *
+    * Model: p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V), with c(w1) the
+    * corpus occurrence count of w1 over ALL positions (the standard
+    * simplification — no end-of-text discount) and V the distinct
+    * vocabulary size. Each NLL term is ln((c1+V)/(c2+1)) — exact
+    * integers → one double divide → one ln — rounded to 9 dp so the
+    * libm ulp can never flip a digit (engine-portability rule), then
+    * decimal-summed (shuffle-order-insensitive) and published at 6 dp.
+    * `keep` is decided on the published 6-dp value, so the flag is
+    * identical in any engine by construction.
+    *
+    * Plan shape: tokenize ONCE (token-array frame persisted
+    * query-scoped — it feeds the bigram stream twice plus the unigram
+    * counts); bigram and unigram counts are vocabulary-keyed
+    * partial-aggregated shuffles; the scoring joins key on the bigram /
+    * first word — at 100 TB the LM tables scale with vocabulary, NOT
+    * corpus size, but can still exceed broadcast limits, so the plan
+    * uses shuffle joins and never assumes a broadcast; V rides a
+    * broadcast single-row cross join; the per-doc mean
+    * partial-aggregates. Nothing corpus-sized touches the driver.
+    */
+  def bigramNll(docs: DataFrame, keepBelow: Double = 6.0,
+      textCol: String = "text"): DataFrame = {
+    val ws = graft.CacheScope.autoRelease(
+      graft.PlanUtils.spread(docs.select(col("doc_id"), col(textCol)))
+        .select(col("doc_id"), DedupOps.words(col(textCol)).as("__ws")))
+    def bigrams: DataFrame = ws.filter(size(col("__ws")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__ws")) - 1),
+        i => struct(element_at(col("__ws"), i).as("w1"),
+          element_at(col("__ws"), i + 1).as("w2")))).as("__bg"))
+      .select(col("doc_id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val uni = ws.select(explode(col("__ws")).as("w"))
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+    val c1 = uni.groupBy("w").agg(count(lit(1)).as("__c1"))
+      .withColumnRenamed("w", "w1")
+    val v = uni.agg(count_distinct(col("w")).as("__v"))
+    val nll = round(log((col("__c1") + col("__v")).cast("double")
+      / (col("__c2") + lit(1L))), 9)
+    val avg = sum(nll.cast("decimal(28,12)")).cast("double") / count(lit(1))
+    bigrams.join(c2, Seq("w1", "w2")).join(c1, "w1")
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg, 6).as("avg_nll"))
+      .withColumn("keep", col("avg_nll") <= keepBelow)
+  }
+
   /** TF-IDF scored terms, top `k` per document — the classic relevance
     * weighting: `tf(d,t) · ln(N / df(t))` with N = total corpus docs.
     *

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("syntheticEdges: fixed out-degree 3, all endpoints in range") {
+    val nodes = spark.range(0, 11).select(col("id").as("node"))
+    val e = GraphOps.syntheticEdges(nodes, 11L)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(min("d"), max("d")).as[(Long, Long)].head()
+    assert(deg == ((3L, 3L)))
+    assert(e.filter(col("dst") < 0 || col("dst") >= 11).count() == 0)
+  }
+
+  test("pageRank conserves total mass: sum(rank_scaled) == N * 60^iters") {
+    val n = 11L
+    val nodes = spark.range(0, n).select(col("id").as("node"))
+    val pr = GraphOps.pageRank(nodes, GraphOps.syntheticEdges(nodes, n),
+      outDeg = 3, iters = 5, nNodes = n)
+    val total = pr.agg(sum("rank_scaled")).head().getLong(0)
+    assert(total == n * 777600000L)
+    // the affine edge maps skew in-degrees: ranks must NOT be uniform
+    assert(pr.select("rank_scaled").distinct().count() > 1)
+  }
+
+  test("pageRank matches an independent double-arithmetic reference") {
+    val n = 11
+    val nodes = spark.range(0, n).select(col("id").as("node"))
+    val got = GraphOps.pageRank(nodes,
+        GraphOps.syntheticEdges(nodes, n.toLong), 3, 5, n.toLong)
+      .orderBy("node").select("rank").as[Double].collect()
+    // plain textbook double PageRank, same graph, same 5 iterations
+    val edges = (0 until n).flatMap(i =>
+      Seq(i -> ((i + 1) % n), i -> ((2 * i + 3) % n), i -> ((i * i + 5) % n)))
+    var r = Array.fill(n)(1.0 / n)
+    for (_ <- 0 until 5) {
+      val next = Array.fill(n)(0.15 / n)
+      edges.foreach { case (s, d) => next(d) += 0.85 * r(s) / 3.0 }
+      r = next
+    }
+    got.zip(r).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9) }
+  }
+
+  test("pageRank on sf0.001 documents graph: mass exact, skew present") {
+    val docs = Tables.documents(spark, sf0)
+    val n = docs.count()
+    val nodes = docs.select(col("doc_id").as("node"))
+    val pr = GraphOps.pageRank(nodes, GraphOps.syntheticEdges(nodes, n),
+      3, 5, n)
+    assert(pr.agg(sum("rank_scaled")).head().getLong(0) == n * 777600000L)
+    val mm = pr.agg(min("rank"), max("rank")).as[(Double, Double)].head()
+    assert(mm._2 > mm._1) // non-uniform stationary mass
+  }
+}

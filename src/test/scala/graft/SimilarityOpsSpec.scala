@@ -109,4 +109,20 @@ class SimilarityOpsSpec extends SparkSpec {
       .as[Seq[Int]].head()
     assert(q1 == Seq(127, -63, 32)) // -0.5*127 = -63.5 → floor(-63) half-up
   }
+
+  test("dimensionZScore: stats over all dims, z from the published pair") {
+    // dim0: {1, 3} → mean 2, std_pop 1 → z = ±1; dim1: {2, 2} → std 0 →
+    // z null (explicit zero-variance guard — engines disagree on x/0.0);
+    // dim2 contributes to stats but is excluded from output by outDims=2
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 9.0f)),
+      (2L, Seq(3.0f, 2.0f, -9.0f))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.dimensionZScore(df, outDims = 2)
+      .orderBy("vec_id", "dim")
+      .select("vec_id", "dim", "x", "z")
+      .as[(Long, Int, Double, Option[Double])].collect().toList
+    assert(got == List(
+      (1L, 0, 1.0, Some(-1.0)), (1L, 1, 2.0, None),
+      (2L, 0, 3.0, Some(1.0)), (2L, 1, 2.0, None)))
+  }
 }

@@ -163,4 +163,29 @@ class TemporalOpsSpec extends SparkSpec {
       (1L, (b0 + 2) * h6, 0L), (1L, (b0 + 3) * h6, 1L),
       (2L, (b0 + 1) * h6, 1L)))
   }
+
+  test("rollingAnomaly: cold start nulls, zero-variance nulls, spike fires") {
+    // key 1: 1,2,3,4,5,100 — row 6 baseline mean 3, std_pop sqrt(2),
+    //   z = (100-3)/1.414214 ≈ 68.59 → anomaly; rows 1-4 cold (n_prior<4);
+    //   row 5 has n_prior=4, mean 2.5, std_pop of {1,2,3,4} ≈ 1.118034
+    // key 2: constant 7s — zero variance → z null forever
+    val rows =
+      (1 to 6).map(i => (1L, i.toLong, if (i == 6) 100.0 else i.toDouble)) ++
+        (1 to 5).map(i => (2L, i.toLong, 7.0))
+    val events = rows.toDF("user_id", "event_id", "v")
+      .withColumn("ts", expr("timestamp_micros(event_id * 1000000)"))
+    val got = TemporalOps.rollingAnomaly(events, Seq("user_id"), "ts", "v",
+        "event_id")
+      .orderBy("user_id", "seq")
+      .select("user_id", "seq", "n_prior", "z", "is_anomaly")
+      .as[(Long, Int, Long, Option[Double], Boolean)]
+      .collect().toList
+    val k1 = got.filter(_._1 == 1L)
+    assert(k1.take(4).forall(r => r._4.isEmpty && !r._5)) // cold start
+    val r5 = k1(4)
+    assert(r5._3 == 4L && r5._4.contains(2.2361) && !r5._5)
+    val r6 = k1(5)
+    assert(r6._3 == 5L && r6._4.exists(_ > 60) && r6._5)
+    assert(got.filter(_._1 == 2L).forall(r => r._4.isEmpty && !r._5)) // zero variance
+  }
 }

@@ -93,4 +93,23 @@ class TextOpsSpec extends SparkSpec {
     val sorted = got.sortBy { case (p, n) => (-n, p) }
     assert(got == sorted)
   }
+
+  test("bigramNll: hand-checked add-one bigram LM averages") {
+    // corpus: doc1 = a b a b, doc2 = a a, doc3 = x (no bigrams → dropped)
+    // V = 3 {a,b,x}; c1: a=4, b=2, x=1
+    // doc1 bigrams (a,b)(b,a)(a,b): c2(a,b)=2, c2(b,a)=1
+    //   terms: ln((4+3)/(2+1)), ln((2+3)/(1+1)), ln(7/3)
+    // doc2 bigram (a,a): c2(a,a)=1 → ln((4+3)/(1+1))
+    val docs = Seq((1L, "a b a b"), (2L, "a a"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.bigramNll(docs, keepBelow = 1.0)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Boolean)].collect().toList
+    def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = r6((r9(math.log(7.0 / 3)) * 2 + r9(math.log(5.0 / 2))) / 3)
+    val d2 = r6(math.log(7.0 / 2))
+    assert(got == List((1L, 3L, d1, d1 <= 1.0), (2L, 1L, d2, d2 <= 1.0)))
+    assert(got.head._4 && !got(1)._4) // threshold splits the corpus
+  }
 }
