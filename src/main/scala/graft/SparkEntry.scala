@@ -461,6 +461,41 @@ object SparkEntry {
           col("n_prior"), col("base_mean"), col("base_std"), col("z"),
           col("is_anomaly"))
         .orderBy("user_id", "seq")),
+    // Trigram LM with stupid backoff (Brants et al. 2007) on a held-out
+    // split: train on doc_id%5!=0, score doc_id%5==0 — unseen eval
+    // trigrams genuinely walk the backoff chain (per-branch counts are
+    // part of the gate). The distributed-LM scoring shape: vocab-keyed
+    // count tables + four shuffle joins.
+    "q_lm_backoff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.trigramBackoffNll(
+        docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(5L)) === 0))
+        .orderBy("doc_id")
+    }),
+    // Streaming mirror of q_ts_anomaly through flatMapGroupsWithState
+    // (ring-buffer state, ≤ 6 doubles + a counter per key) — gated by
+    // THE SAME oracle as the batch window form: streaming/batch parity.
+    "q_stream_anomaly" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      import s.implicits._
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .filter(col("user_id") < 30)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      val scored = graft.streaming.StreamingOps.rollingAnomalyByKey(stream)
+      val qn = s"graft_stream_anomaly_${StreamSeq.incrementAndGet()}"
+      val q = scored.toDF().writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+        .select("user_id", "event_id", "seq", "value", "n_prior",
+          "base_mean", "base_std", "z", "is_anomaly")
+        .orderBy("user_id", "seq")
+    }),
     // Data mixing: per-domain sampling weights against a fixed target
     // mixture (the skewed-by-construction mixTargets map), then the
     // deterministic hash-thresholded resample that realizes it. The
@@ -1519,6 +1554,60 @@ object SparkEntry {
          |               / count(*), 6) AS avg_nll
          |  FROM terms GROUP BY doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // stupid-backoff trigram LM on the mod-5 held-out split; branch
+    // selection on exact integers, NLL literal shape mirrored from
+    // TextOps.trigramBackoffNll term for term (0.4 parses to the same
+    // double in both engines; left-to-right association preserved)
+    "q_lm_backoff" ->
+      """WITH tr AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |), ev AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), c3 AS (
+        |  SELECT ws[i+1] AS w1, ws[i+2] AS w2, ws[i+3] AS w3, count(*) AS c3
+        |  FROM tr JOIN range(2000) t(i) ON i + 3 <= len(ws)
+        |  GROUP BY 1, 2, 3
+        |), c2 AS (
+        |  SELECT ws[i+1] AS wa, ws[i+2] AS wb, count(*) AS c2
+        |  FROM tr JOIN range(2000) t(i) ON i + 2 <= len(ws)
+        |  GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w, count(*) AS c1 FROM (SELECT unnest(ws) AS w FROM tr)
+        |  GROUP BY w
+        |), tv AS (
+        |  SELECT count(*) AS t, count(DISTINCT w) AS v
+        |  FROM (SELECT unnest(ws) AS w FROM tr)
+        |), tri AS (
+        |  SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2, ws[i+3] AS w3
+        |  FROM ev JOIN range(2000) t(i) ON i + 3 <= len(ws)
+        |), scored AS (
+        |  SELECT tri.doc_id,
+        |         CASE WHEN coalesce(c3.c3, 0) > 0 AND coalesce(h.c2, 0) > 0 THEN 3
+        |              WHEN coalesce(b.c2, 0) > 0 AND coalesce(u2.c1, 0) > 0 THEN 2
+        |              ELSE 1 END AS branch,
+        |         CASE WHEN coalesce(c3.c3, 0) > 0 AND coalesce(h.c2, 0) > 0
+        |              THEN round(-ln(CAST(c3.c3 AS DOUBLE) / h.c2), 9)
+        |              WHEN coalesce(b.c2, 0) > 0 AND coalesce(u2.c1, 0) > 0
+        |              THEN round(-ln(0.4 * b.c2 / u2.c1), 9)
+        |              ELSE round(-ln(0.4 * 0.4 * (coalesce(u3.c1, 0) + 1)
+        |                            / (tv.t + tv.v)), 9) END AS nll
+        |  FROM tri
+        |  LEFT JOIN c3 ON c3.w1 = tri.w1 AND c3.w2 = tri.w2 AND c3.w3 = tri.w3
+        |  LEFT JOIN c2 h ON h.wa = tri.w1 AND h.wb = tri.w2
+        |  LEFT JOIN c2 b ON b.wa = tri.w2 AND b.wb = tri.w3
+        |  LEFT JOIN c1 u2 ON u2.w = tri.w2
+        |  LEFT JOIN c1 u3 ON u3.w = tri.w3
+        |  CROSS JOIN tv
+        |)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |       CAST(sum(CASE WHEN branch = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hits,
+        |       CAST(sum(CASE WHEN branch = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi_hits,
+        |       CAST(sum(CASE WHEN branch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_hits,
+        |       round(CAST(sum(CAST(nll AS DECIMAL(28,12))) AS DOUBLE)
+        |             / count(*), 6) AS avg_nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // PageRank, 5 unrolled scatter/gather rounds in scaled-integer
     // arithmetic: R_{k+1} = 9*60^k + 17*sum(in-edge R_k), R_0 = 1 —
     // rank = R_5 / (N * 60^5). Same synthetic fixed-outdeg-3 graph as
@@ -1565,27 +1654,9 @@ object SparkEntry {
     // rolling anomaly: decimal-exact frame mean + rounded frame stddev
     // (6 PRECEDING..1 PRECEDING, total order), z from the published
     // pair, null under cold start (n_prior < 4) or zero variance
-    "q_ts_anomaly" ->
-      """WITH b AS (
-        |  SELECT user_id, event_id, value,
-        |         row_number() OVER wo AS seq,
-        |         count(*) OVER wf AS n_prior,
-        |         round(CAST(sum(CAST(value AS DECIMAL(28,12))) OVER wf AS DOUBLE)
-        |               / count(*) OVER wf, 6) AS base_mean,
-        |         round(stddev_pop(value) OVER wf, 6) AS base_std
-        |  FROM events WHERE user_id < 30
-        |  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
-        |         wf AS (PARTITION BY user_id ORDER BY ts, event_id
-        |                ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
-        |), c AS (
-        |  SELECT user_id, event_id, seq, value, n_prior, base_mean, base_std,
-        |         CASE WHEN n_prior >= 4 AND base_std > 0
-        |              THEN round((value - base_mean) / base_std, 4) END AS z
-        |  FROM b
-        |)
-        |SELECT user_id, event_id, seq, value, n_prior, base_mean, base_std, z,
-        |       coalesce(abs(z) > 3.0, FALSE) AS is_anomaly
-        |FROM c ORDER BY user_id, seq""".stripMargin,
+    "q_ts_anomaly" -> TsAnomalyOracle,
+    // same oracle: streaming-vs-batch parity is the tested property
+    "q_stream_anomaly" -> TsAnomalyOracle,
     // data mixing: targets recomputed from the domain name ((1 + N%4)/50
     // for srcN, N < 20 — mirrors SparkEntry.mixTargets), weights with the
     // same left-to-right association as the engine, and the resample's
@@ -2114,6 +2185,32 @@ object SparkEntry {
     * (the flatMapGroupsWithState custom-state mirror): both must land on
     * the same per-type count/mean/population-std.
     */
+  /** Rolling-anomaly oracle — shared verbatim by the batch
+    * (q_ts_anomaly) and streaming (q_stream_anomaly) gates, so the two
+    * engines' parity is checked against one ANSI definition.
+    */
+  private val TsAnomalyOracle: String =
+    """WITH b AS (
+      |  SELECT user_id, event_id, value,
+      |         row_number() OVER wo AS seq,
+      |         count(*) OVER wf AS n_prior,
+      |         round(CAST(sum(CAST(value AS DECIMAL(28,12))) OVER wf AS DOUBLE)
+      |               / count(*) OVER wf, 6) AS base_mean,
+      |         round(stddev_pop(value) OVER wf, 6) AS base_std
+      |  FROM events WHERE user_id < 30
+      |  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |         wf AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+      |), c AS (
+      |  SELECT user_id, event_id, seq, value, n_prior, base_mean, base_std,
+      |         CASE WHEN n_prior >= 4 AND base_std > 0
+      |              THEN round((value - base_mean) / base_std, 4) END AS z
+      |  FROM b
+      |)
+      |SELECT user_id, event_id, seq, value, n_prior, base_mean, base_std, z,
+      |       coalesce(abs(z) > 3.0, FALSE) AS is_anomaly
+      |FROM c ORDER BY user_id, seq""".stripMargin
+
   private val WelfordOracle: String =
     """SELECT event_type, count(value) AS n, round(avg(value), 4) AS mean_value,
       |       round(stddev_pop(value), 4) AS std_value

@@ -157,6 +157,92 @@ object TextOps {
       .withColumn("keep", col("avg_nll") <= keepBelow)
   }
 
+  /** Trigram LM scoring with stupid backoff (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the backoff designed FOR
+    * distributed count tables: no discounting to renormalize, just
+    * count ratios scaled by α per backoff level). The LM trains on
+    * `train` and scores `eval` — a held-out split, so unseen trigrams
+    * genuinely exercise the backoff chain (scoring a corpus with its
+    * own LM never backs off: every trigram counts itself).
+    *
+    * Per eval-doc trigram (w1 w2 w3):
+    *   S(w3|w1 w2) = c3(w1w2w3)/c2(w1w2)                 if c3 > 0
+    *               = α · c2(w2w3)/c1(w2)                  elif c2(w2w3) > 0
+    *               = α² · (c1(w3)+1)/(T+V)                otherwise
+    * (the last level add-one floors OOV words — α²·0 would make NLL
+    * infinite; T = train token occurrences, V = train vocab). Branches
+    * resolve on exact integers, each NLL term = round(−ln(S), 9) with
+    * the SAME literal expression shape both engines (IEEE-identical),
+    * decimal-summed per doc, published at 6 dp with per-branch counts.
+    *
+    * Plan shape: one cached tokenize per side; c3/c2/c1 are vocabulary-
+    * keyed partial-aggregated shuffles over the TRAIN stream; scoring
+    * is four shuffle joins against the count tables — the bigram table
+    * joins twice (as history (w1,w2) and as backoff (w2,w3)), the
+    * unigram table twice ((w2) and (w3)) — plus one broadcast (T,V)
+    * row. Count tables scale with vocabulary, not corpus; at 100 TB
+    * none of them broadcasts but all partial-aggregate. This is the
+    * shuffle-join rendering of Brants' distributed LM server lookups.
+    */
+  def trigramBackoffNll(train: DataFrame, eval: DataFrame,
+      alpha: Double = 0.4, textCol: String = "text"): DataFrame = {
+    val trainWs = graft.CacheScope.autoRelease(
+      graft.PlanUtils.spread(train.select(col("doc_id"), col(textCol)))
+        .select(col("doc_id"), DedupOps.words(col(textCol)).as("__ws")))
+    def ngrams(ws: DataFrame, n: Int, names: Seq[String]): DataFrame =
+      ws.filter(size(col("__ws")) >= n)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("__ws")) - (n - 1)),
+            i => struct(names.zipWithIndex.map { case (nm, j) =>
+              element_at(col("__ws"), i + j).as(nm) }: _*))).as("__g"))
+        .select(col("doc_id") +: names.map(nm => col(s"__g.$nm").as(nm)): _*)
+    val c3 = ngrams(trainWs, 3, Seq("w1", "w2", "w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val c2 = graft.CacheScope.autoRelease(
+      ngrams(trainWs, 2, Seq("wa", "wb"))
+        .groupBy("wa", "wb").agg(count(lit(1)).as("c2")))
+    val c1 = graft.CacheScope.autoRelease(
+      trainWs.select(explode(col("__ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1")))
+    val tv = trainWs.select(explode(col("__ws")).as("w"))
+      .agg(count(lit(1)).as("t"), count_distinct(col("w")).as("v"))
+    val evalWs = graft.PlanUtils.spread(eval.select(col("doc_id"), col(textCol)))
+      .select(col("doc_id"), DedupOps.words(col(textCol)).as("__ws"))
+    val tri = ngrams(evalWs, 3, Seq("w1", "w2", "w3"))
+    val scored = tri
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2.select(col("wa").as("w1"), col("wb").as("w2"),
+        col("c2").as("c2h")), Seq("w1", "w2"), "left")
+      .join(c2.select(col("wa").as("w2"), col("wb").as("w3"),
+        col("c2").as("c2b")), Seq("w2", "w3"), "left")
+      .join(c1.select(col("w").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
+      .join(c1.select(col("w").as("w3"), col("c1").as("c1w3")), Seq("w3"), "left")
+      .crossJoin(broadcast(tv))
+      .select(col("doc_id"),
+        when(coalesce(col("c3"), lit(0L)) > 0 && coalesce(col("c2h"), lit(0L)) > 0, lit(3))
+          .when(coalesce(col("c2b"), lit(0L)) > 0 && coalesce(col("c1w2"), lit(0L)) > 0, lit(2))
+          .otherwise(lit(1)).as("branch"),
+        col("c3"), col("c2h"), col("c2b"), col("c1w2"), col("c1w3"),
+        col("t"), col("v"))
+    val nll =
+      when(col("branch") === 3,
+        round(-log(col("c3").cast("double") / col("c2h")), 9))
+        .when(col("branch") === 2,
+          round(-log(lit(alpha) * col("c2b") / col("c1w2")), 9))
+        .otherwise(
+          round(-log(lit(alpha) * lit(alpha)
+            * (coalesce(col("c1w3"), lit(0L)) + lit(1L))
+            / (col("t") + col("v"))), 9))
+    scored
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("branch") === 3, 1L).otherwise(0L)).as("n_tri_hits"),
+        sum(when(col("branch") === 2, 1L).otherwise(0L)).as("n_bi_hits"),
+        sum(when(col("branch") === 1, 1L).otherwise(0L)).as("n_uni_hits"),
+        round(sum(nll.cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("avg_nll"))
+  }
+
   /** TF-IDF scored terms, top `k` per document — the classic relevance
     * weighting: `tf(d,t) · ln(N / df(t))` with N = total corpus docs.
     *

@@ -146,4 +146,86 @@ object StreamingOps {
   def enrichWithStatic(stream: DataFrame, dim: DataFrame,
       keys: Seq[String]): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, "inner")
+
+  /** Per-key rolling-anomaly state: position counter + the last
+    * `lookback` values in event order — bytes per key are CONSTANT in
+    * stream length (the bounded-state rule).
+    */
+  case class RingState(seq: Long, ring: List[Double])
+
+  /** One row per scored event (append mode — each input emits once). */
+  case class AnomalyRow(user_id: Long, event_id: Long, seq: Long,
+      value: Double, n_prior: Long, base_mean: Option[Double],
+      base_std: Option[Double], z: Option[Double], is_anomaly: Boolean)
+
+  /** Streaming mirror of [[graft.operators.TemporalOps.rollingAnomaly]]
+    * via flatMapGroupsWithState: each event is z-scored against the
+    * mean/std of the `lookback` events before it within its key. The
+    * state per key is a ring of ≤ lookback doubles + one counter —
+    * independent of stream length — and every arithmetic step mirrors
+    * the batch operator's published-rounded semantics bit-for-bit:
+    * mean = scale-12 decimal ring sum (exactly Spark's double→decimal
+    * cast) → one double divide → round 6; std = the Welford/central-
+    * moment recurrence in ring order (the same update Spark's windowed
+    * stddev_pop runs over the frame) → round 6; z from the published
+    * pair → round 4. The q_stream_anomaly gate runs THE SAME DuckDB
+    * oracle as the batch q_ts_anomaly — streaming-vs-batch parity is
+    * the tested property, like q_stream_welford.
+    *
+    * Ordering: rows are sorted by (ts, event_id) WITHIN each
+    * micro-batch group iterator (Spark does not guarantee iterator
+    * order). Cross-batch order relies on source batches being
+    * event-time-monotone per key — true for AvailableNow over a sorted
+    * file, and the standard upstream contract (watermark + ordered
+    * ingestion) for a production deployment.
+    */
+  def rollingAnomalyByKey(events: Dataset[(Long, Long, Long, Double)],
+      lookback: Int = 6, minPrior: Int = 4,
+      threshold: Double = 3.0): Dataset[AnomalyRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def r(v: Double, s: Int): Double =
+      BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[RingState, AnomalyRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Double)],
+            state: GroupState[RingState]) =>
+          var s = state.getOption.getOrElse(RingState(0L, Nil))
+          val out = rows.toSeq.sortBy(e => (e._2, e._3)).map {
+            case (_, _, eventId, v) =>
+              val n = s.ring.size
+              val (mOpt, sdOpt) =
+                if (n == 0) (None, None)
+                else {
+                  val sum = s.ring.map(x =>
+                    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+                  // Welford in ring (frame) order, with Spark's exact
+                  // CentralMomentAgg operation order (delta*(delta-deltaN),
+                  // not delta*(x-newMean): one rounding fewer) so the
+                  // streamed std is bit-identical to windowed stddev_pop
+                  var mean = 0.0; var m2 = 0.0; var i = 0
+                  s.ring.foreach { x =>
+                    i += 1
+                    val delta = x - mean
+                    val deltaN = delta / i
+                    mean += deltaN
+                    m2 += delta * (delta - deltaN)
+                  }
+                  (Some(r(sum.toDouble / n, 6)), Some(r(math.sqrt(m2 / n), 6)))
+                }
+              val z = (mOpt, sdOpt) match {
+                case (Some(m), Some(sd)) if n >= minPrior && sd > 0.0 =>
+                  Some(r((v - m) / sd, 4))
+                case _ => None
+              }
+              val seq = s.seq + 1
+              s = RingState(seq, (s.ring :+ v).takeRight(lookback))
+              AnomalyRow(key, eventId, seq, v, n.toLong, mOpt, sdOpt, z,
+                z.exists(math.abs(_) > threshold))
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
 }

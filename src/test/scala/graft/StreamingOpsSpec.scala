@@ -182,4 +182,47 @@ class StreamingOpsSpec extends SparkSpec {
     // p1 sees v1+v2 (within 20 min), p2 sees v3, p3 sees nothing
     assert(batch == Set(("p1", "v1"), ("p1", "v2"), ("p2", "v3")))
   }
+
+  test("rollingAnomalyByKey matches the batch window operator row for row") {
+    // batch reference on real sf0.001 events (the q_ts_anomaly engine)
+    val batch = graft.operators.TemporalOps.rollingAnomaly(
+        Tables.events(spark, sf0).filter(col("user_id") < 30),
+        Seq("user_id"), "ts", "value", "event_id")
+      .select("user_id", "event_id", "seq", "value", "n_prior",
+        "base_mean", "base_std", "z", "is_anomaly")
+      .orderBy("user_id", "seq")
+      .collect().toList
+
+    val schema = spark.read.parquet(s"$sf0/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf0)
+      .filter(col("user_id") < 30)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+    val q = StreamingOps.rollingAnomalyByKey(stream).toDF()
+      .writeStream.format("memory").queryName("rolling_anomaly_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("rolling_anomaly_test")
+      .select("user_id", "event_id", "seq", "value", "n_prior",
+        "base_mean", "base_std", "z", "is_anomaly")
+      .orderBy("user_id", "seq")
+      .collect().toList
+
+    assert(got.nonEmpty && got.length == batch.length)
+    got.zip(batch).foreach { case (g, b) =>
+      assert(g.getLong(0) == b.getLong(0) && g.getLong(1) == b.getLong(1))
+      assert(g.getLong(2) == b.getInt(2).toLong) // seq: long vs row_number int
+      assert(g.getDouble(3) == b.getDouble(3))
+      assert(g.getLong(4) == b.getLong(4))
+      // published-rounded stats and flags must agree EXACTLY (same
+      // decimal-sum mean, same Welford recurrence, same round scales)
+      Seq(5, 6, 7).foreach { i =>
+        assert(g.isNullAt(i) == b.isNullAt(i), s"nullability col $i: $g vs $b")
+        if (!g.isNullAt(i)) assert(g.getDouble(i) == b.getDouble(i), s"col $i: $g vs $b")
+      }
+      assert(g.getBoolean(8) == b.getBoolean(8))
+    }
+  }
 }

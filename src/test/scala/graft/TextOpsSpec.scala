@@ -112,4 +112,24 @@ class TextOpsSpec extends SparkSpec {
     assert(got == List((1L, 3L, d1, d1 <= 1.0), (2L, 1L, d2, d2 <= 1.0)))
     assert(got.head._4 && !got(1)._4) // threshold splits the corpus
   }
+
+  test("trigramBackoffNll: all three backoff branches, hand-checked") {
+    // train: c3(a,b,c)=1 c3(b,c,a)=2 c3(c,a,b)=1 c3(a,b,d)=1;
+    //        c2: ab=2 bc=2 ca=2 bd=1; c1: a=3 b=3 c=2 d=1; T=9 V=4
+    val train = Seq((1L, "a b c a b d"), (2L, "b c a")).toDF("doc_id", "text")
+    // doc 0: (d,b,c) → trigram+history unseen, (b,c) seen → BIGRAM branch
+    //        (b,c,x) → (c,x) unseen, x OOV → UNIGRAM floor branch
+    // doc 5: (a,b,c) c3=1/ab=2, (b,c,a) c3=2/bc=2 → TRIGRAM branch twice
+    val eval = Seq((0L, "d b c x"), (5L, "a b c a")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.trigramBackoffNll(train, eval)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toList
+    def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d0 = r6((r9(-math.log(0.4 * 2 / 3.0)) + r9(-math.log(0.4 * 0.4 * 1 / 13.0))) / 2)
+    val d5 = r6((r9(-math.log(1 / 2.0)) + r9(-math.log(2 / 2.0))) / 2)
+    assert(got == List(
+      (0L, 2L, 0L, 1L, 1L, d0),
+      (5L, 2L, 2L, 0L, 0L, d5)))
+  }
 }
