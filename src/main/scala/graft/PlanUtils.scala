@@ -45,4 +45,23 @@ object PlanUtils {
     if (df.rdd.getNumPartitions >= target) df
     else spark.createDataFrame(df.repartition(target).rdd, df.schema)
   }
+
+  /** Z-order (Morton) value of two non-negative integer columns:
+    * interleaves the low `bits` bits of each (`a` on even positions,
+    * `b` on odd) — the multi-dimensional data-layout curve behind
+    * lakehouse OPTIMIZE ZORDER. Rows sorted/partitioned by z-value
+    * cluster BOTH dimensions at once: any aligned z-range maps to a
+    * bounded rectangle in (a, b), so min/max column stats prune scans
+    * on either predicate — the property a single-column sort cannot
+    * give. Pure integer bit arithmetic (codegen-friendly, exactly
+    * mirrorable in ANSI SQL); callers range-partition or sort by the
+    * result before writing.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { d =>
+      shiftleft(shiftright(a, d).bitwiseAND(lit(1L)), 2 * d) +
+        shiftleft(shiftright(b, d).bitwiseAND(lit(1L)), 2 * d + 1)
+    }.reduce(_ + _)
+  }
 }

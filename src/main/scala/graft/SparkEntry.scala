@@ -461,6 +461,28 @@ object SparkEntry {
           col("n_prior"), col("base_mean"), col("base_std"), col("z"),
           col("is_anomaly"))
         .orderBy("user_id", "seq")),
+    // Per-doc unigram entropy — the information-theoretic quality
+    // feature (low = dominated by one token). One (doc,word) aggregate,
+    // then one doc-keyed exchange shared by the total window and the
+    // final aggregate. Normalized form derives from the published value.
+    "q_token_entropy" -> ((s, dir) =>
+      TextAnalysisOps.tokenEntropy(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+    // Z-order (Morton) layout: interleave (user_id, event_id%2^16) and
+    // bucket by the high z-bits — the gate proves every bucket covers a
+    // bounded RECTANGLE in both dims (min/max per bucket), i.e. the
+    // locality property that makes lakehouse ZORDER prune scans.
+    "q_zorder" -> ((s, dir) => {
+      val pts = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        pmod(col("event_id"), lit(65536L)).as("e16"))
+      pts.withColumn("z",
+          graft.PlanUtils.zValue(col("user_id"), col("e16"), 16))
+        .groupBy(shiftright(col("z"), 16).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("user_id").as("u_min"), max("user_id").as("u_max"),
+          min("e16").as("e_min"), max("e16").as("e_max"))
+        .orderBy("bucket")
+    }),
     // Trigram LM with stupid backoff (Brants et al. 2007) on a held-out
     // split: train on doc_id%5!=0, score doc_id%5==0 — unseen eval
     // trigrams genuinely walk the backoff chain (per-branch counts are
@@ -1554,6 +1576,47 @@ object SparkEntry {
          |               / count(*), 6) AS avg_nll
          |  FROM terms GROUP BY doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // unigram entropy: same tokenizer, (c/n)·ln(n/c) terms rounded 9,
+    // decimal-summed; normalized form from the published entropy
+    "q_token_entropy" ->
+      """WITH counts AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id,
+        |               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |        FROM documents)
+        |  GROUP BY doc_id, w
+        |), t AS (
+        |  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM counts
+        |), terms AS (
+        |  SELECT doc_id, n,
+        |         round(CAST(c AS DOUBLE) / n * ln(CAST(n AS DOUBLE) / c), 9) AS term
+        |  FROM t
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_types, CAST(max(n) AS BIGINT) AS n_tokens,
+        |         round(CAST(sum(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
+        |  FROM terms GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_types, n_tokens, entropy,
+        |       CASE WHEN n_types > 1
+        |            THEN round(entropy / ln(CAST(n_types AS DOUBLE)), 6)
+        |       END AS entropy_norm
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // Morton interleave mirrored bit by bit (sum over range(16) of the
+    // even/odd-position bit contributions), then the same bucket aggs
+    "q_zorder" ->
+      """WITH pts AS (
+        |  SELECT event_id, user_id, event_id % 65536 AS e16 FROM events
+        |), zz AS (
+        |  SELECT user_id, e16,
+        |         CAST(sum((((user_id >> d) & 1) << (2*d))
+        |                  + (((e16 >> d) & 1) << (2*d+1))) AS BIGINT) AS z
+        |  FROM pts, range(16) r(d)
+        |  GROUP BY event_id, user_id, e16
+        |)
+        |SELECT z >> 16 AS bucket, count(*) AS n,
+        |       min(user_id) AS u_min, max(user_id) AS u_max,
+        |       min(e16) AS e_min, max(e16) AS e_max
+        |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin,
     // stupid-backoff trigram LM on the mod-5 held-out split; branch
     // selection on exact integers, NLL literal shape mirrored from
     // TextOps.trigramBackoffNll term for term (0.4 parses to the same

@@ -119,6 +119,46 @@ object TextAnalysisOps {
         (topFrac <= maxTopTokenFrac && dupFrac <= maxDup2GramFrac).as("keep"))
   }
 
+  /** Per-doc unigram entropy — the information-theoretic quality
+    * feature the repetition rules approximate: H = −Σ p·ln p over the
+    * doc's own token distribution (p = c/n). Low H = one token
+    * dominates (spam/boilerplate), H near ln(n_distinct) = flat
+    * distribution. Published alongside the normalized form
+    * H/ln(n_distinct) ∈ [0,1] (null for single-token-type docs, where
+    * the normalizer is ln 1 = 0).
+    *
+    * Numerics: each term is exact-int c/n ratios → (c/n)·ln(n/c) with
+    * the literal shape mirrored in the oracle; terms rounded 9 dp,
+    * decimal-summed per doc, entropy published at 6 dp and the
+    * normalized form derived from the PUBLISHED rounded entropy.
+    * Single-occurrence terms (c = n) contribute round(1·ln 1) = 0
+    * exactly — no special case needed.
+    *
+    * Plan shape: one (doc, word) hash aggregate (partial-combined),
+    * then one doc-keyed exchange feeding BOTH the total-count window
+    * and the final per-doc aggregate (the window's doc partitioning
+    * satisfies the groupBy, so no third shuffle).
+    */
+  def tokenEntropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = graft.PlanUtils.spread(docs.select(col("doc_id"), col(textCol)))
+      .select(col("doc_id"), explode(DedupOps.words(col(textCol))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val n = sum(col("c")).over(Window.partitionBy("doc_id"))
+    val term = round(col("c").cast("double") / col("n")
+      * log(col("n").cast("double") / col("c")), 9)
+    counts
+      .withColumn("n", n)
+      .select(col("doc_id"), col("c"), col("n"), term.as("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_types"),
+        max(col("n")).as("n_tokens"),
+        round(sum(col("term").cast("decimal(28,12)")).cast("double"), 6)
+          .as("entropy"))
+      .withColumn("entropy_norm",
+        when(col("n_types") > 1,
+          round(col("entropy") / log(col("n_types").cast("double")), 6)))
+  }
+
   /** Document chunking: split each doc into fixed-size token windows
     * with `overlap` tokens of context carry-over — the universal
     * pre-embedding / pre-training step (context-window packing's front

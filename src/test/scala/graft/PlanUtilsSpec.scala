@@ -51,4 +51,26 @@ class PlanUtilsSpec extends SparkSpec {
     val approx = ev.agg(approx_count_distinct("user_id").as("a")).head().getLong(0).toDouble
     assert(math.abs(approx - exact) / exact < 0.05)
   }
+
+  test("zValue: Morton interleave on hand bits; z-buckets bound both dims") {
+    import spark.implicits._
+    // a bits land even, b bits odd: z(1,0)=1, z(0,1)=2, z(3,5)=
+    //   a=011 → 1+4; b=101 → 2+32  ⇒ 39
+    val got = Seq((1L, 0L), (0L, 1L), (3L, 5L), (0L, 0L))
+      .toDF("a", "b")
+      .select(PlanUtils.zValue($"a", $"b", 16).as("z"))
+      .as[Long].collect().toList
+    assert(got == List(1L, 2L, 39L, 0L))
+    // locality on real data: any aligned z >> 16 bucket is a 256×256
+    // tile — min/max stats per bucket must bound BOTH dimensions
+    val ev = Tables.events(spark, sf0)
+      .select($"user_id", pmod($"event_id", lit(65536L)).as("e16"))
+      .withColumn("z", PlanUtils.zValue($"user_id", $"e16", 16))
+    val bad = ev.groupBy(shiftright($"z", 16).as("bucket"))
+      .agg((max("user_id") - min("user_id")).as("du"),
+        (max("e16") - min("e16")).as("de"))
+      .filter($"du" > 255 || $"de" > 255)
+      .count()
+    assert(bad == 0)
+  }
 }

@@ -165,4 +165,19 @@ class TextAnalysisOpsSpec extends SparkSpec {
       .select("rare_frac", "keep").as[(Double, Boolean)].head()
     assert(e1 == ((0.8, true))) // 0.8 ≤ 0.8 — boundary included, exact
   }
+
+  test("tokenEntropy: hand-checked H, zero for single-type docs, norm null") {
+    // doc 1 "a a b": H = 2/3·ln(3/2) + 1/3·ln 3; doc 2 "x x": H = 0 (ln 1)
+    val docs = Seq((1L, "a a b"), (2L, "x x")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysisOps.tokenEntropy(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Option[Double])].collect().toList
+    def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val h1 = r6(r9(2.0 / 3 * math.log(3.0 / 2)) + r9(1.0 / 3 * math.log(3.0)))
+    val n1 = r6(h1 / math.log(2.0))
+    assert(got == List(
+      (1L, 2L, 3L, h1, Some(n1)),
+      (2L, 1L, 2L, 0.0, None)))
+  }
 }
