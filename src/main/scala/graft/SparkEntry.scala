@@ -461,6 +461,28 @@ object SparkEntry {
           col("n_prior"), col("base_mean"), col("base_std"), col("z"),
           col("is_anomaly"))
         .orderBy("user_id", "seq")),
+    // Semi-structured extraction: the events.props JSON column parsed
+    // with a real JSON reader (from_json + schema) and aggregated on
+    // the extracted field — the metadata-filtering shape every curation
+    // pipeline needs (provenance tags, crawl headers). Map-only parse,
+    // one partial-aggregated exchange on the (tiny) type key.
+    "q_json_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), "k BIGINT", Map.empty[String, String])
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          count_distinct(col("k")).as("n_distinct_k"))
+        .orderBy("event_type")),
+    // Ordered funnel (view → click-after-view → purchase-after-click):
+    // per-user first-resolution timestamps, strict step order, stage =
+    // resolved prefix length. Exact epoch-micros outputs.
+    "q_funnel" -> ((s, dir) =>
+      TemporalOps.funnel(Tables.events(s, dir), Seq("user_id"), "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
     // Per-doc unigram entropy — the information-theoretic quality
     // feature (low = dominated by one token). One (doc,word) aggregate,
     // then one doc-keyed exchange shared by the total window and the
@@ -1576,6 +1598,32 @@ object SparkEntry {
          |               / count(*), 6) AS avg_nll
          |  FROM terms GROUP BY doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // JSON field extraction via DuckDB's ->> operator; exact ints
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k,
+        |       count(DISTINCT k) AS n_distinct_k
+        |FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // strict-order funnel: each step's first occurrence at-or-after the
+    // previous step's resolution, left-chained; stage = resolved prefix
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS step1_us FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.us) AS step2_us
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND e.us >= s1.step1_us
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.us) AS step3_us
+        |       FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND e.us >= s2.step2_us
+        |       GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.step1_us, s2.step2_us, s3.step3_us,
+        |       1 + CASE WHEN s2.step2_us IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN s3.step3_us IS NULL THEN 0 ELSE 1 END AS stage
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin,
     // unigram entropy: same tokenizer, (c/n)·ln(n/c) terms rounded 9,
     // decimal-summed; normalized form from the published entropy
     "q_token_entropy" ->

@@ -160,6 +160,49 @@ object TemporalOps {
         coalesce(col("n"), lit(0L)).as("n"): _*)
   }
 
+  /** Ordered-funnel analysis — the classic event-sequence question:
+    * who VIEWED, then CLICKED at-or-after the first view, then
+    * PURCHASED at-or-after that click? Per key: the first `steps.head`
+    * timestamp, then for each later step the first occurrence at or
+    * after the previous step's resolved time; a step only resolves if
+    * every earlier one did (strict funnel order). `stage` = number of
+    * resolved steps. Timestamps are published as epoch micros (exact
+    * integers — no timestamp rendering parity surface).
+    *
+    * Plan shape: one conditional aggregate per step, each keyed by the
+    * key columns — step k's aggregate consumes events joined to the
+    * step-(k−1) resolution (a key-keyed shuffle join against a
+    * key-cardinality table). Passes = `steps.size` scans; each pass
+    * filters to ONE event type before its aggregate, so the joined
+    * volume shrinks step over step. No windows, no driver state; at
+    * 100 TB each pass is a filtered scan + partial-aggregated exchange
+    * on the key — the funnel length, not the corpus, bounds the pass
+    * count (3-5 in practice).
+    */
+  def funnel(events: DataFrame, keys: Seq[String], tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ts = unix_micros(col(tsCol))
+    val kCols = keys.map(col)
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(kCols: _*).agg(min(ts).as("step1_us"))
+    val resolved = steps.zipWithIndex.tail.foldLeft(first) {
+      case (prev, (step, i)) =>
+        val prevCol = s"step${i}_us"
+        val stepCol = s"step${i + 1}_us"
+        val nxt = events.filter(col(typeCol) === step)
+          .select(kCols :+ ts.as("__ts"): _*)
+          .join(prev.select(kCols :+ col(prevCol): _*), keys)
+          .filter(col("__ts") >= col(prevCol))
+          .groupBy(kCols: _*).agg(min(col("__ts")).as(stepCol))
+        prev.join(nxt, keys, "left")
+    }
+    resolved.withColumn("stage",
+      steps.indices.map(i =>
+        when(col(s"step${i + 1}_us").isNotNull, 1).otherwise(0))
+        .reduce(_ + _))
+  }
+
   /** Rolling z-score anomaly detection: each event is scored against
     * the mean/stddev of the `lookback` events immediately BEFORE it
     * (frame excludes the current row — an outlier must not dilute its

@@ -164,6 +164,33 @@ class TemporalOpsSpec extends SparkSpec {
       (2L, (b0 + 1) * h6, 1L)))
   }
 
+  test("funnel: strict step order, stage = resolved prefix") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, t(10), "view"), (1L, t(20), "click"), (1L, t(30), "purchase"),
+      // user 2: click BEFORE the first view — step 2 never resolves,
+      // and the later purchase must NOT resolve either (strict order)
+      (2L, t(10), "click"), (2L, t(20), "view"), (2L, t(30), "purchase"),
+      // user 3: view only
+      (3L, t(5), "view"),
+      // user 4: no view at all — absent from the funnel
+      (4L, t(1), "purchase"),
+      // user 5: click at the SAME instant as the view counts (>=)
+      (5L, t(7), "view"), (5L, t(7), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = TemporalOps.funnel(ev, Seq("user_id"), "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+      .as[(Long, Long, Option[Long], Option[Long], Int)].collect().toList
+    def us(sec: Long) = sec * 1000000L
+    assert(got == List(
+      (1L, us(10), Some(us(20)), Some(us(30)), 3),
+      (2L, us(20), None, None, 1),
+      (3L, us(5), None, None, 1),
+      (5L, us(7), Some(us(7)), None, 2)))
+  }
+
   test("rollingAnomaly: cold start nulls, zero-variance nulls, spike fires") {
     // key 1: 1,2,3,4,5,100 — row 6 baseline mean 3, std_pop sqrt(2),
     //   z = (100-3)/1.414214 ≈ 68.59 → anomaly; rows 1-4 cold (n_prior<4);
