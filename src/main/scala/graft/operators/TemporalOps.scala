@@ -170,14 +170,20 @@ object TemporalOps {
     * integers — no timestamp rendering parity surface).
     *
     * Plan shape: one conditional aggregate per step, each keyed by the
-    * key columns — step k's aggregate consumes events joined to the
-    * step-(k−1) resolution (a key-keyed shuffle join against a
-    * key-cardinality table). Passes = `steps.size` scans; each pass
-    * filters to ONE event type before its aggregate, so the joined
-    * volume shrinks step over step. No windows, no driver state; at
-    * 100 TB each pass is a filtered scan + partial-aggregated exchange
-    * on the key — the funnel length, not the corpus, bounds the pass
-    * count (3-5 in practice).
+    * key columns — step k's aggregate consumes events (filtered to ONE
+    * event type, so the probe volume shrinks step over step) joined to
+    * the step-(k−1) resolution on the key. Every resolution except the
+    * last is consumed TWICE (by the next step's join and by the final
+    * assembly), so each is a query-scoped [[graft.CacheScope]] persist
+    * of its minimal (keys, step_us) projection — key-cardinality, two
+    * columns, already hash-partitioned on the key by its aggregate.
+    * Without the persist the dependency chain would re-derive every
+    * earlier step inside each later one (2^k−1 scans for a k-step
+    * funnel — measured, not hypothetical); with it the event log is
+    * scanned exactly `steps.size` times and the assembly joins consume
+    * cached key-partitioned tables with no extra exchange. No windows,
+    * no driver state; the funnel length, not the corpus, bounds the
+    * pass count (3-5 in practice).
     */
   def funnel(events: DataFrame, keys: Seq[String], tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
@@ -186,16 +192,25 @@ object TemporalOps {
     val kCols = keys.map(col)
     val first = events.filter(col(typeCol) === steps.head)
       .groupBy(kCols: _*).agg(min(ts).as("step1_us"))
-    val resolved = steps.zipWithIndex.tail.foldLeft(first) {
-      case (prev, (step, i)) =>
-        val prevCol = s"step${i}_us"
-        val stepCol = s"step${i + 1}_us"
-        val nxt = events.filter(col(typeCol) === step)
-          .select(kCols :+ ts.as("__ts"): _*)
-          .join(prev.select(kCols :+ col(prevCol): _*), keys)
-          .filter(col("__ts") >= col(prevCol))
-          .groupBy(kCols: _*).agg(min(col("__ts")).as(stepCol))
-        prev.join(nxt, keys, "left")
+    // resolutions[i] = (keys, step{i+1}_us): first occurrence of step
+    // i+1 at-or-after the step-i resolution, only for keys that
+    // resolved every earlier step. Each is built from the PERSISTED
+    // previous resolution, so lineage stays linear.
+    val resolutions = steps.zipWithIndex.tail
+      .foldLeft(List(graft.CacheScope.autoRelease(first))) {
+        case (prev :: done, (step, i)) =>
+          val prevCol = s"step${i}_us"
+          val stepCol = s"step${i + 1}_us"
+          val nxt = events.filter(col(typeCol) === step)
+            .select(kCols :+ ts.as("__ts"): _*)
+            .join(prev, keys)
+            .filter(col("__ts") >= col(prevCol))
+            .groupBy(kCols: _*).agg(min(col("__ts")).as(stepCol))
+          graft.CacheScope.autoRelease(nxt) :: prev :: done
+        case (Nil, _) => Nil // unreachable: seeded non-empty
+      }.reverse
+    val resolved = resolutions.tail.foldLeft(resolutions.head) {
+      (acc, s) => acc.join(s, keys, "left")
     }
     resolved.withColumn("stage",
       steps.indices.map(i =>
