@@ -483,6 +483,86 @@ object SparkEntry {
       TemporalOps.funnel(Tables.events(s, dir), Seq("user_id"), "ts",
           "event_type", Seq("view", "click", "purchase"))
         .orderBy("user_id")),
+    // Cohort retention: 7-day epoch-anchored cohorts of first activity,
+    // per-offset distinct-user comeback counts. Integer-exact period
+    // arithmetic on both engines; offset 0 = cohort_size self-check.
+    "q_cohort_retention" -> ((s, dir) =>
+      TemporalOps.cohortRetention(Tables.events(s, dir), "user_id", "ts", 7)
+        .orderBy("cohort", "offset")),
+    // Sketch tier, distinct counts: HLL++ next to the exact distinct,
+    // certificate = relative error within 3x the requested rsd. Oracle
+    // emits literal TRUE -> hash equality proves the bound.
+    "q_approx_distinct" -> ((s, dir) =>
+      SketchOps.distinctCountCertificate(Tables.events(s, dir),
+          Seq("event_type"), "user_id", rsd = 0.05, errBound = 0.15)
+        .orderBy("event_type")),
+    // Sketch tier, quantiles: percentile_approx rank-error certificate
+    // (returned element's rank interval must hit q*n +/- n/accuracy).
+    "q_approx_quantile" -> ((s, dir) =>
+      SketchOps.quantileCertificate(Tables.events(s, dir),
+          Seq("event_type"), "value", Seq(0.5, 0.9, 0.99), accuracy = 1000)
+        .orderBy("event_type", "q_idx")),
+    // Record linkage: PASS-JOIN segment-blocked edit-distance pairs on
+    // a 16-char prefix key, dist <= 3. Oracle is UNBLOCKED all-pairs
+    // Levenshtein -- equality proves the pigeonhole blocking misses
+    // nothing.
+    "q_editdist_pairs" -> ((s, dir) =>
+      DedupOps.editDistancePairs(Tables.documents(s, dir), maxDist = 3,
+          keyLen = 16)
+        .orderBy("id_a", "id_b")),
+    // Arbitrary GROUPING SETS (dimension marginals -- not a rollup/cube
+    // prefix chain): per-type, per-user-bucket, and grand-total rows in
+    // one pass; aggregated-out dims coalesce to sentinels.
+    "q_grouping_sets" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ub", pmod(col("user_id"), lit(4L)))
+      ev.groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("ub")), Seq.empty),
+          col("event_type"), col("ub"))
+        .agg(count(lit(1)).as("n"), decMean(col("value")).as("mean_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("dim_type"),
+          coalesce(col("ub"), lit(-1L)).as("dim_bucket"),
+          col("n"), col("mean_value"))
+        .orderBy("dim_type", "dim_bucket")
+    }),
+    // Winsorized per-group stats: exact p05/p95 clip, raw vs clipped
+    // decimal-summed means, clip counts. The exact-percentile tier for
+    // bounded group cardinality (the sketch tier covers the rest).
+    "q_winsorize" -> ((s, dir) =>
+      RelationalOps.winsorizedStats(Tables.events(s, dir), "event_type",
+          "value", lo = 0.05, hi = 0.95, mean = decMean)
+        .orderBy("event_type")),
+    // Robust per-row outlier score (modified z, median/MAD, 3.5 rule);
+    // flag derives from the published rounded score.
+    "q_robust_z" -> ((s, dir) =>
+      RelationalOps.robustZScores(Tables.events(s, dir), "event_type",
+          "value")
+        .select(col("event_id"), col("event_type"), col("z"),
+          col("is_outlier"))
+        .orderBy("event_id")),
+    // Top principal component by 5-round power iteration; every
+    // cross-row sum is decimal-protected, round(,6) absorbs the
+    // engines' decimal-cast tie divergence (PageRank's unrolled-
+    // recurrence oracle pattern, applied to a covariance matvec).
+    "q_pca_top" -> ((s, dir) =>
+      SimilarityOps.powerIterationPC(Tables.embeddings(s, dir))
+        .orderBy("dim")),
+    // Leakage-free 80/10/10 split by user: per-split sizes plus a
+    // computed (not literal) group-integrity certificate.
+    "q_group_split" -> ((s, dir) => {
+      val sp = RelationalOps.groupSplit(Tables.events(s, dir), "user_id",
+        Seq(0.8, 0.1, 0.1), "split5")
+      val leak = sp.groupBy("user_id")
+        .agg(count_distinct(col("split")).as("ns"))
+        .agg(max(col("ns")).as("mx"))
+      sp.groupBy("split")
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("user_id")).as("n_users"))
+        .crossJoin(broadcast(leak))
+        .select(col("split"), col("n_rows"), col("n_users"),
+          (col("mx") === 1L).as("leak_free"))
+        .orderBy("split")
+    }),
     // Per-doc unigram entropy — the information-theoretic quality
     // feature (low = dominated by one token). One (doc,word) aggregate,
     // then one doc-keyed exchange shared by the total window and the
@@ -1109,6 +1189,45 @@ object SparkEntry {
     * and DuckDB because partial-sum order differs; the decimal sum is
     * exact in both engines so the quotient is bit-identical.
     */
+  /** DuckDB replay of [[SimilarityOps.powerIterationPC]]: the same
+    * recurrence unrolled as chained CTEs (the q_pagerank oracle
+    * pattern). Every CTE is MATERIALIZED — DuckDB inlines plain CTEs,
+    * and each round references the previous one ~4×, so un-hinted the
+    * replay re-evaluates the chain 4^iters times (measured: a hang at
+    * sf0.001; 0.1 s materialized). Cross-row sums cast products to
+    * DECIMAL(38,12) like the engine; the final round(…, 6) absorbs the
+    * engines' scale-12 cast-tie divergence (see the operator scaladoc).
+    */
+  private def pcaOracleSql(dims: Int, iters: Int): String = {
+    val its = (1 to iters).map { t =>
+      val pv = s"v${t - 1}"
+      s"""dot$t AS MATERIALIZED (SELECT id, CAST(sum(CAST(x.e * v.w AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |  FROM x JOIN $pv v USING (dim) GROUP BY id),
+         |s$t AS MATERIALIZED (SELECT x.dim, CAST(sum(CAST(x.e * dot$t.dot AS DECIMAL(38,12))) AS DOUBLE) AS s
+         |  FROM x JOIN dot$t USING (id) GROUP BY x.dim),
+         |mv$t AS MATERIALIZED (SELECT CAST(sum(CAST(mu.mu * v.w AS DECIMAL(38,12))) AS DOUBLE) AS dm
+         |  FROM mu JOIN $pv v USING (dim)),
+         |w$t AS MATERIALIZED (SELECT s$t.dim,
+         |    s$t.s - (SELECT n FROM nn) * mu.mu * (SELECT dm FROM mv$t) AS w
+         |  FROM s$t JOIN mu USING (dim)),
+         |v$t AS MATERIALIZED (SELECT dim, w / (SELECT max(abs(w)) FROM w$t) AS w FROM w$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT vec_id AS id, d AS dim, CAST(embedding[d+1] AS DOUBLE) AS e
+       |  FROM embeddings, range($dims) r(d)),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
+       |mu AS MATERIALIZED (SELECT dim, CAST(sum(CAST(e AS DECIMAL(38,12))) AS DOUBLE)
+       |              / (SELECT n FROM nn) AS mu FROM x GROUP BY dim),
+       |v0 AS MATERIALIZED (SELECT d AS dim, CAST(1.0 AS DOUBLE) AS w FROM range($dims) r(d)),
+       |$its,
+       |nrm AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+       |        FROM v$iters)
+       |SELECT CAST(dim AS INTEGER) AS dim,
+       |       round(w / (SELECT nrm FROM nrm), 6) AS loading
+       |FROM v$iters ORDER BY dim""".stripMargin
+  }
+
   private def decMean(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(sum(c.cast("decimal(28,12)")).cast("double") / count(lit(1)), 4)
 
@@ -1624,6 +1743,100 @@ object SparkEntry {
         |         + CASE WHEN s3.step3_us IS NULL THEN 0 ELSE 1 END AS stage
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY s1.user_id""".stripMargin,
+    // 7-day epoch-anchored cohorts; integer period arithmetic (// = div)
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p FROM events),
+        |f AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, p FROM e),
+        |r AS (SELECT f.cohort, a.p - f.cohort AS "offset", count(*) AS n_active
+        |      FROM f JOIN a USING (user_id) GROUP BY 1, 2),
+        |cs AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY cohort)
+        |SELECT r.cohort, r."offset", cs.cohort_size, r.n_active
+        |FROM r JOIN cs USING (cohort) ORDER BY 1, 2""".stripMargin,
+    // sketch certificates: the oracle contributes the exact side and a
+    // literal TRUE -- hash equality proves the published error bound
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_n,
+        |       TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_approx_quantile" ->
+      """WITH g AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+        |SELECT g.event_type, q.q_idx, g.n, TRUE AS within_bound
+        |FROM g CROSS JOIN (VALUES (0), (1), (2)) AS q(q_idx)
+        |ORDER BY event_type, q_idx""".stripMargin,
+    // UNBLOCKED all-pairs Levenshtein: equality = blocking completeness
+    "q_editdist_pairs" ->
+      """WITH k AS (SELECT doc_id, substr(text, 1, 16) AS k FROM documents)
+        |SELECT least(a.doc_id, b.doc_id) AS id_a,
+        |       greatest(a.doc_id, b.doc_id) AS id_b,
+        |       CAST(levenshtein(a.k, b.k) AS INTEGER) AS dist
+        |FROM k a JOIN k b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.k, b.k) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // dimension marginals via GROUPING SETS; sentinels for rolled-up dims
+    "q_grouping_sets" ->
+      s"""SELECT coalesce(event_type, 'ALL') AS dim_type,
+         |       coalesce(ub, -1) AS dim_bucket, count(*) AS n,
+         |       ${decMeanSql("value")} AS mean_value
+         |FROM (SELECT event_type, user_id % 4 AS ub, value FROM events)
+         |GROUP BY GROUPING SETS ((event_type), (ub), ())
+         |ORDER BY dim_type, dim_bucket""".stripMargin,
+    // exact p05/p95 winsorized stats; quantile_cont = Spark percentile
+    "q_winsorize" ->
+      s"""WITH b AS (SELECT event_type,
+         |             quantile_cont(value, 0.05) AS lo,
+         |             quantile_cont(value, 0.95) AS hi
+         |           FROM events GROUP BY event_type)
+         |SELECT e.event_type, count(*) AS n,
+         |       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+         |       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+         |       ${decMeanSql("value")} AS raw_mean,
+         |       ${decMeanSql("least(greatest(value, lo), hi)")} AS wins_mean
+         |FROM events e JOIN b USING (event_type)
+         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // modified z (LOWER median/MAD — exact elements, so the whole chain
+    // is deterministic IEEE arithmetic and the score publishes RAW:
+    // round()ing is what diverges here — quantized inputs put the exact
+    // ratio ON x.xxxx5 boundaries where the engines' rounding paths
+    // disagree); flag from the published score vs the exact 3.5
+    "q_robust_z" ->
+      """WITH r AS (SELECT event_type, value,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS n
+        |           FROM events),
+        |m AS (SELECT event_type, value AS med FROM r WHERE rn = (n + 1) // 2),
+        |r2 AS (SELECT e.event_type, abs(e.value - m.med) AS dev,
+        |         row_number() OVER (PARTITION BY e.event_type
+        |                            ORDER BY abs(e.value - m.med)) AS rn,
+        |         count(*) OVER (PARTITION BY e.event_type) AS n
+        |       FROM events e JOIN m USING (event_type)),
+        |d0 AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2),
+        |d AS (SELECT m.event_type, m.med, d0.mad FROM m JOIN d0 USING (event_type))
+        |SELECT e.event_id, e.event_type,
+        |       0.6745 * (e.value - d.med)
+        |         / CASE WHEN d.mad > 0 THEN d.mad END AS z,
+        |       abs(0.6745 * (e.value - d.med)
+        |         / CASE WHEN d.mad > 0 THEN d.mad END) > 3.5 AS is_outlier
+        |FROM events e JOIN d USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+    // power-iteration PCA replayed as unrolled CTEs; full-double compare
+    "q_pca_top" -> pcaOracleSql(dims = 64, iters = 5),
+    // group-integrity split: same md5 draw, IEEE-identical thresholds
+    // (bounds written as unfolded sums), computed leak certificate
+    "q_group_split" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    CASE WHEN u < 0.8 THEN 0
+        |         WHEN u < (0.8 + 0.1) THEN 1 ELSE 2 END AS split
+        |  FROM (SELECT user_id,
+        |          ('0x' || substring(md5(CAST(user_id AS VARCHAR) || '|split5'), 1, 6))::BIGINT
+        |          / 16777216.0 AS u
+        |        FROM events) t),
+        |leak AS (SELECT max(ns) AS mx FROM (
+        |  SELECT user_id, count(DISTINCT split) AS ns FROM s GROUP BY user_id) q)
+        |SELECT split, count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+        |       (SELECT mx FROM leak) = 1 AS leak_free
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
     // unigram entropy: same tokenizer, (c/n)·ln(n/c) terms rounded 9,
     // decimal-summed; normalized form from the published entropy
     "q_token_entropy" ->

@@ -335,6 +335,100 @@ object DedupOps {
       .withColumn("shared_frac", col("n_shared").cast("double") / col("n_windows"))
   }
 
+  /** Edit-distance near-dup pairs over a bounded prefix key — the
+    * record-linkage member of the dedup family (titles, URLs, product
+    * names: strings that differ by a few character edits rather than
+    * by token-level shingles). Compares the first `keyLen` chars of
+    * `textCol` (bounding the O(len²) Levenshtein DP per candidate) and
+    * returns every unordered pair with distance ≤ `maxDist`.
+    *
+    * Blocking is the partition scheme of PASS-JOIN (Li, Deng, Feng —
+    * ICDE 2011, public): split the SHORTER side of a candidate pair
+    * into `maxDist+1` segments; ≤ maxDist edits cannot touch every
+    * segment, so at least one survives VERBATIM in the longer string,
+    * displaced by at most maxDist positions. The index side emits its
+    * d+1 segments keyed (len, segIdx, segment); the probe side emits
+    * every substring that could be such a surviving segment — a
+    * bounded ≤ (d+1)²·(2d+1) fan-out per row. Candidates share an
+    * exact segment string, so blocks are CONTENT-diverse: unlike
+    * naive length-banding (which collapses to one giant block when a
+    * prefix key truncates most strings to equal length), hot-block
+    * size is bounded by segment-value frequency, and the threshold
+    * Levenshtein (early-exit DP) runs only on segment-sharing pairs.
+    * Strings shorter than d+1 chars can't donate d+1 segments and go
+    * through a dedicated tiny-side branch (partner length ≤ 2d by the
+    * length filter, so that cross join is bounded by the count of
+    * near-empty keys). The gated query's oracle computes UNBLOCKED
+    * all-pairs distances — equality is a completeness proof for the
+    * pigeonhole blocking, same as the ANN recall gates.
+    */
+  def editDistancePairs(docs: DataFrame, maxDist: Int, keyLen: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxDist >= 0 && keyLen > 0, "need maxDist >= 0 and keyLen > 0")
+    val d = maxDist
+    val nSeg = d + 1
+    val keyed = docs.select(col(idCol).as("__id"),
+        substring(col(textCol), 1, keyLen).as("__k"))
+      .withColumn("__len", length(col("__k")))
+    val long = graft.CacheScope.autoRelease(
+      keyed.filter(col("__len") >= nSeg))
+    // Even partition of a length-LB key into nSeg segments: the first
+    // nSeg−rem get base chars, the last rem get base+1 (deterministic;
+    // any fixed scheme works — both sides must just agree on it).
+    def segLen(lb: String, i: String) =
+      s"(($lb div $nSeg) + if($i >= ($nSeg - ($lb % $nSeg)), 1, 0))"
+    def segStart(lb: String, i: String) =
+      s"($i * ($lb div $nSeg) + greatest(0, $i - ($nSeg - ($lb % $nSeg))))"
+    val idx = long.select(col("__id").as("id_b"), col("__k").as("__kb"),
+      explode(expr(
+        s"""transform(sequence(0, $d), i -> named_struct(
+           |  'lb', __len, 'seg', i,
+           |  's', substring(__k, ${segStart("__len", "i")} + 1,
+           |                 ${segLen("__len", "i")})))""".stripMargin))
+        .as("e"))
+      .select(col("id_b"), col("__kb"), col("e.*"))
+    // Probe: for each candidate shorter-length lb and segment i, every
+    // substring of this key with the segment's length, within ±d of
+    // the segment's home position (the pigeonhole displacement bound).
+    // Both window bounds are ≥ the lower one by construction (lb ≤ la),
+    // so sequence() never flips descending.
+    val prb = long.select(col("__id").as("id_a"), col("__k").as("__ka"),
+      col("__len").as("__la"),
+      explode(expr(
+        s"""flatten(transform(sequence(greatest($nSeg, __len - $d), __len),
+           |  lb -> flatten(transform(sequence(0, $d), i ->
+           |    transform(
+           |      sequence(greatest(0, ${segStart("lb", "i")} - $d),
+           |               least(__len - ${segLen("lb", "i")},
+           |                     ${segStart("lb", "i")} + $d)),
+           |      p -> named_struct('lb', lb, 'seg', i,
+           |        's', substring(__k, p + 1, ${segLen("lb", "i")})))))))"""
+          .stripMargin)).as("e"))
+      .select(col("id_a"), col("__ka"), col("__la"), col("e.*"))
+    val longPairs = prb.join(idx, Seq("lb", "seg", "s"))
+      .filter(col("lb") < col("__la") ||
+        (col("lb") === col("__la") && col("id_b") < col("id_a")))
+      .select(col("id_a"), col("id_b"), col("__ka"), col("__kb"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("__ka"), col("__kb"), d))
+      .filter(col("dist") >= 0)
+    // Keys too short to partition: their partners are within d of a
+    // ≤ d-char string, i.e. ≤ 2d chars — both sides tiny by length.
+    val shortA = keyed.filter(col("__len") < nSeg)
+    val shortB = keyed.filter(col("__len") <= 2 * d)
+    val shortPairs = shortA.alias("a")
+      .join(shortB.alias("b"),
+        col("a.__len") < col("b.__len") ||
+          (col("a.__len") === col("b.__len") && col("a.__id") < col("b.__id")))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__k").as("__ka"), col("b.__k").as("__kb"))
+      .withColumn("dist", levenshtein(col("__ka"), col("__kb"), d))
+      .filter(col("dist") >= 0)
+    longPairs.unionByName(shortPairs)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+  }
+
   /** SimHash fingerprint (60 usable bits so the BIGINT stays positive
     * in every engine): bit i of the signature is the sign of
     * Σ_tokens tf·(±1) where the ±1 is bit i of a 60-bit md5-derived

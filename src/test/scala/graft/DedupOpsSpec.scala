@@ -173,4 +173,49 @@ class DedupOpsSpec extends SparkSpec {
       train, eval_, minFrac = 0.25, fpp = 0.5))
     assert(sloppy == exact)
   }
+
+  test("editDistancePairs: blocked join finds exactly the <=dist pairs, once each") {
+    val docs = Seq(
+      (1L, "kitten"), (2L, "sitting"),  // dist 3
+      (3L, "kitted"),                   // 1 vs kitten; 4 vs sitting (out)
+      (4L, "abcdefgh"),                 // far from everything
+      (5L, "kitten"),                   // exact dup of 1 -> dist 0
+      (6L, "xyzzy")).toDF("doc_id", "text")
+    val got = DedupOps.editDistancePairs(docs, maxDist = 3, keyLen = 16)
+      .as[(Long, Long, Int)].collect().toList
+    // each unordered pair exactly once (the equal-length branch must
+    // not double-emit the (1,5) and (1,3) same-length pairs)
+    assert(got.size == got.map(t => (t._1, t._2)).distinct.size)
+    assert(got.toSet == Set(
+      (1L, 2L, 3), (1L, 3L, 1), (1L, 5L, 0),
+      (3L, 5L, 1), (2L, 5L, 3)))
+  }
+
+  test("editDistancePairs: pigeonhole blocking across unequal lengths + short branch") {
+    val docs = Seq(
+      (1L, "aaaabbbbcccc"),   // 12 chars
+      (2L, "aaaabbbbcc"),     // 10 chars: 2 deletions from 1
+      (3L, "aaaaXbbbcccc"),   // 1 sub vs 1; sub + 2 ins vs 2
+      (4L, "zzzzzzzzzzzz"),   // far from everything
+      (5L, "ab"),             // short branch (len <= maxDist)
+      (6L, "abc"),            // short branch
+      (7L, "abcdef"))         // len 6 = 2*maxDist: partner of 6 via short branch
+      .toDF("doc_id", "text")
+    val got = DedupOps.editDistancePairs(docs, maxDist = 3, keyLen = 16)
+      .as[(Long, Long, Int)].collect().toList
+    assert(got.size == got.map(t => (t._1, t._2)).distinct.size)
+    assert(got.toSet == Set(
+      (1L, 2L, 2), (1L, 3L, 1), (2L, 3L, 3),
+      (5L, 6L, 1), (6L, 7L, 3)))
+  }
+
+  test("editDistancePairs: keyLen truncation bounds the comparison") {
+    // identical 4-char prefixes, divergent tails: with keyLen=4 they
+    // are dist-0 dups; with a longer key they fall outside maxDist
+    val docs = Seq((1L, "abcdXXXXXX"), (2L, "abcdYYYYYY")).toDF("doc_id", "text")
+    assert(DedupOps.editDistancePairs(docs, maxDist = 1, keyLen = 4)
+      .as[(Long, Long, Int)].collect().toList == List((1L, 2L, 0)))
+    assert(DedupOps.editDistancePairs(docs, maxDist = 1, keyLen = 10)
+      .count() == 0L)
+  }
 }

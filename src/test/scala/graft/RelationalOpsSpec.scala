@@ -96,4 +96,48 @@ class RelationalOpsSpec extends SparkSpec {
       || e.getCause != null && e.getCause.getMessage.contains("strictly positive"),
       e.getMessage)
   }
+
+  test("groupSplit: partitions cover all rows, keys never straddle splits") {
+    val df = (1 to 200).flatMap(u => (1 to 3).map(r => (u.toLong, r)))
+      .toDF("user_id", "row")
+    val sp = RelationalOps.groupSplit(df, "user_id", Seq(0.8, 0.1, 0.1), "s")
+    assert(sp.count() == 600L)
+    // every key entirely inside one split
+    assert(sp.groupBy("user_id")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count() == 0L)
+    // all three splits occupied and ordered roughly by fraction
+    val sizes = sp.groupBy("split").count().orderBy("split")
+      .as[(Int, Long)].collect().toList
+    assert(sizes.map(_._1) == List(0, 1, 2))
+    assert(sizes.head._2 > sizes(1)._2 && sizes.head._2 > sizes(2)._2)
+  }
+
+  test("winsorizedStats: clip counts at interpolated bounds, means rounded") {
+    val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val got = RelationalOps.winsorizedStats(df, "g", "v", 0.05, 0.95,
+        c => round(avg(c), 4))
+      .as[(String, Long, Long, Long, Double, Double)].head()
+    // p05 = 1.95, p95 = 19.05 -> exactly {1} and {20} clip; the
+    // symmetric clip keeps the mean at 10.5 on this uniform ramp
+    assert(got == (("g", 20L, 1L, 1L, 10.5, 10.5)))
+  }
+
+  test("robustZScores: median/MAD scoring, zero-MAD gives null not infinity") {
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0).zipWithIndex
+      .map { case (v, i) => ("a", i, v) } ++
+      Seq(("c", 10, 7.0), ("c", 11, 7.0), ("c", 12, 7.0)))
+      .toDF("g", "id", "v")
+    val got = RelationalOps.robustZScores(df, "g", "v")
+      .select(col("g"), col("id"), col("z"), col("is_outlier"))
+      .as[(String, Int, Option[Double], Option[Boolean])]
+      .collect().map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    // LOWER median (rank (6+1) div 2 = 3) = 3; deviations sorted
+    // 0,1,1,2,2,97 -> MAD = 1; scores publish RAW (same IEEE chain as
+    // the engine, bit-equal)
+    assert(got(("a", 5)) == ((Some(0.6745 * (100.0 - 3.0) / 1.0), Some(true))))
+    assert(got(("a", 0)) == ((Some(0.6745 * (1.0 - 3.0) / 1.0), Some(false))))
+    // constant group: MAD 0 -> null score and null flag
+    assert(got(("c", 10)) == ((None, None)))
+  }
 }

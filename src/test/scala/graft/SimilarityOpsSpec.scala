@@ -125,4 +125,31 @@ class SimilarityOpsSpec extends SparkSpec {
       (1L, 0, 1.0, Some(-1.0)), (1L, 1, 2.0, None),
       (2L, 0, 3.0, Some(1.0)), (2L, 1, 2.0, None)))
   }
+
+  test("powerIterationPC: unit top component on the dominant axis, shift-invariant") {
+    def mk(rows: Seq[(Long, Array[Float])]) = rows.toDF("vec_id", "embedding")
+    val rows = (1 to 40).map { i =>
+      val main = (if (i % 2 == 0) 5.0 else -5.0) + i * 0.01
+      (i.toLong, Array(main.toFloat, ((i % 7) * 0.1).toFloat,
+        ((i % 3) * 0.05).toFloat))
+    }
+    def pc(df: org.apache.spark.sql.DataFrame): Array[Double] =
+      SimilarityOps.powerIterationPC(df)
+        .orderBy("dim").as[(Int, Double)].collect().map(_._2)
+    val p = pc(mk(rows))
+    // unit norm (to rounding scale), dominated by dim 0 (variance ~25
+    // vs ~0.1)
+    assert(math.abs(p.map(x => x * x).sum - 1.0) < 1e-4)
+    assert(math.abs(p(0)) > 0.99, p.toList.toString)
+    assert(math.abs(p(1)) < 0.12 && math.abs(p(2)) < 0.12)
+    // covariance is shift-invariant: adding a constant per dim must not
+    // move the component (implicit centering works); tolerance = float
+    // input noise + the round-6 publication grid
+    val shifted = rows.map { case (id, a) =>
+      (id, a.zipWithIndex.map { case (x, j) => x + 10f * (j + 1) })
+    }
+    val p2 = pc(mk(shifted))
+    assert(p.zip(p2).forall { case (a, b) => math.abs(a - b) < 5e-6 },
+      p.zip(p2).toList.toString)
+  }
 }

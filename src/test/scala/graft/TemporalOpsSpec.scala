@@ -191,6 +191,24 @@ class TemporalOpsSpec extends SparkSpec {
       (5L, us(7), Some(us(7)), None, 2)))
   }
 
+  test("cohortRetention: epoch-anchored periods, offset-0 self-check") {
+    def t(day: Long) = new java.sql.Timestamp(day * 86400 * 1000)
+    val ev = Seq(
+      // u1: cohort period 0 (day 0), back in periods 1 and 3
+      (1L, t(0)), (1L, t(8)), (1L, t(21)),
+      // u2: cohort period 0 (day 3), never back
+      (2L, t(3)),
+      // u3: cohort period 1 (day 9), twice in-period, back in period 2
+      (3L, t(9)), (3L, t(10)), (3L, t(16)))
+      .toDF("user_id", "ts")
+    val got = TemporalOps.cohortRetention(ev, "user_id", "ts", 7)
+      .orderBy("cohort", "offset")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (0L, 0L, 2L, 2L), (0L, 1L, 2L, 1L), (0L, 3L, 2L, 1L),
+      (1L, 0L, 1L, 1L), (1L, 1L, 1L, 1L)))
+  }
+
   test("rollingAnomaly: cold start nulls, zero-variance nulls, spike fires") {
     // key 1: 1,2,3,4,5,100 — row 6 baseline mean 3, std_pop sqrt(2),
     //   z = (100-3)/1.414214 ≈ 68.59 → anomaly; rows 1-4 cold (n_prior<4);
