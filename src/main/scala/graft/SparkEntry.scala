@@ -967,6 +967,15 @@ object SparkEntry {
           MultimodalOps.syntheticImageMeta(Tables.documents(s, dir))))
         .toDF()
         .orderBy("media_id")),
+    // Multimodal: the LOSSY codec tier — real JPEG encode (explicit
+    // quality) + decode, certified by |decoded mean - exact mean| <=
+    // tol per channel; published sums are the exact (oracle-
+    // recomputable) ones, the boolean carries the fidelity proof.
+    "q_mm_jpeg" -> ((s, dir) =>
+      MultimodalOps.jpegFidelityStats(MultimodalOps.encodeJpeg(
+          MultimodalOps.syntheticImageMeta(Tables.documents(s, dir))))
+        .toDF()
+        .orderBy("media_id")),
     // Multimodal: the REAL audio codec path — deterministic 16-bit PCM
     // stereo samples encoded to genuine WAV files and decoded back
     // through javax.sound.sampled, reduced to exact per-channel sample
@@ -2190,6 +2199,23 @@ object SparkEntry {
         |       CAST(sum((7*x + 3*y + (media_id % 256)) % 256) AS BIGINT) AS r_sum,
         |       CAST(sum((5*x + 11*y + 2*(media_id % 256)) % 256) AS BIGINT) AS g_sum,
         |       CAST(sum((13*x + 17*y + 3*(media_id % 256)) % 256) AS BIGINT) AS b_sum
+        |FROM meta CROSS JOIN range(33) xs(x) CROSS JOIN range(33) ys(y)
+        |WHERE x < w AND y < h
+        |GROUP BY media_id, w, h
+        |ORDER BY media_id""".stripMargin,
+    // lossy tier: exact sums recomputed codec-free; TRUE = the decoded
+    // means sat within tolerance (the certificate gate construction)
+    "q_mm_jpeg" ->
+      """WITH meta AS (
+        |  SELECT doc_id AS media_id,
+        |         8 + (doc_id % 25) AS w, 8 + ((doc_id * 7) % 25) AS h
+        |  FROM documents
+        |)
+        |SELECT media_id, CAST(w * h AS BIGINT) AS n_px,
+        |       CAST(sum((7*x + 3*y + (media_id % 256)) % 256) AS BIGINT) AS r_sum,
+        |       CAST(sum((5*x + 11*y + 2*(media_id % 256)) % 256) AS BIGINT) AS g_sum,
+        |       CAST(sum((13*x + 17*y + 3*(media_id % 256)) % 256) AS BIGINT) AS b_sum,
+        |       TRUE AS within_tol
         |FROM meta CROSS JOIN range(33) xs(x) CROSS JOIN range(33) ys(y)
         |WHERE x < w AND y < h
         |GROUP BY media_id, w, h

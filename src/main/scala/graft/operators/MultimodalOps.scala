@@ -230,6 +230,139 @@ object MultimodalOps {
   }
 
   // -------------------------------------------------------------------
+  // Real codec path #1b: JPEG — the LOSSY tier. PNG/WAV prove
+  // bit-lossless round trips; a production corpus's dominant image
+  // format is JPEG, where exact-sum equality is impossible by design.
+  // The gate becomes an ERROR CERTIFICATE (the SketchOps construction):
+  // the engine runs formula → real JPEG encode (explicit quality) →
+  // real decode → per-channel means, asserts |decoded mean − exact
+  // mean| ≤ tol per channel, and publishes the EXACT sums plus the
+  // boolean; the oracle recomputes the exact sums codec-free and emits
+  // TRUE — hash equality proves the decoded image is a faithful
+  // rendition without demanding byte equality of a lossy codec.
+
+  /** One image crossing the lossy-codec boundary: genuine baseline
+    * JPEG bytes at an explicit quality factor.
+    */
+  case class EncodedJpeg(media_id: Long, width: Int, height: Int, jpg: Array[Byte])
+
+  /** [[ImageStats]] plus the decoded-vs-exact certificate. */
+  case class JpegFidelity(media_id: Long, n_px: Long, r_sum: Long,
+    g_sum: Long, b_sum: Long, within_tol: Boolean)
+
+  /** ENCODE through the real lossy codec: the same deterministic pixel
+    * pattern as the PNG tier, written as baseline JPEG via the
+    * JDK-bundled writer with MODE_EXPLICIT quality (deterministic —
+    * pure software, no platform codec). Narrow mapPartitions, one
+    * writer per partition, disk cache off — the PNG tier's batch-shape
+    * contract unchanged.
+    */
+  def encodeJpeg(meta: DataFrame, quality: Float = 0.9f): Dataset[EncodedJpeg] = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta.select("media_id", "width", "height").as[(Long, Int, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(quality)
+        rows.map { case (id, w, h) =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val (r, g, b) = pixelChannels(id, x, y)
+              px(y * w + x) = (r << 16) | (g << 8) | b
+              x += 1
+            }
+            y += 1
+          }
+          img.setRGB(0, 0, w, h, px, 0, w)
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+          ios.close()
+          EncodedJpeg(id, w, h, bos.toByteArray)
+        }
+      }
+  }
+
+  /** DECODE the lossy bytes and certify fidelity: per-channel decoded
+    * sums vs the EXACT formula sums (recomputed in the same pass —
+    * integer loops, no second scan), certificate = every channel's
+    * |decoded mean − exact mean| ≤ `tol` (on the 0-255 scale). The
+    * PUBLISHED sums are the exact ones — engine-recomputable by the
+    * oracle — so the hash gate stays integer-exact while the boolean
+    * carries the codec-fidelity proof.
+    *
+    * Default tol: the worst image over the ENTIRE (dims × pattern)
+    * cycle of [[syntheticImageMeta]] (6400 ids — every combination any
+    * scale factor can produce) measures 4.22 at quality 0.9, on an 8×8
+    * thumbnail where block-DCT edge effects dominate; 6.0 keeps a
+    * 1.4× margin. Spec-pinned at the known worst id.
+    */
+  def jpegFidelityStats(imgs: Dataset[EncodedJpeg],
+      tol: Double = 6.0): Dataset[JpegFidelity] = {
+    val spark = imgs.sparkSession
+    import spark.implicits._
+    imgs.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+      rows.map { e =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(e.jpg))
+        reader.setInput(iis)
+        val img = reader.read(0)
+        iis.close()
+        val (w, h) = (img.getWidth, img.getHeight)
+        var rs = 0L; var gs = 0L; var bs = 0L
+        img.getRaster.getDataBuffer match {
+          case db: java.awt.image.DataBufferByte
+              if img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR =>
+            val data = db.getData
+            var i = 0
+            while (i < data.length) {
+              bs += data(i) & 0xff; gs += data(i + 1) & 0xff; rs += data(i + 2) & 0xff
+              i += 3
+            }
+          case _ =>
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+              i += 1
+            }
+        }
+        // exact sums straight from the formula — same integers the
+        // oracle recomputes
+        var er = 0L; var eg = 0L; var eb = 0L
+        var y = 0
+        while (y < e.height) {
+          var x = 0
+          while (x < e.width) {
+            val (r, g, b) = pixelChannels(e.media_id, x, y)
+            er += r; eg += g; eb += b
+            x += 1
+          }
+          y += 1
+        }
+        val n = e.width.toLong * e.height
+        val ok = w == e.width && h == e.height &&
+          math.abs(rs.toDouble / n - er.toDouble / n) <= tol &&
+          math.abs(gs.toDouble / n - eg.toDouble / n) <= tol &&
+          math.abs(bs.toDouble / n - eb.toDouble / n) <= tol
+        JpegFidelity(e.media_id, n, er, eg, eb, ok)
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------
   // Real codec path #2: WAV/PCM audio through javax.sound.sampled
   // (JDK-bundled, like imageio — file-format I/O needs no audio device,
   // so it runs headless). Same gate construction as the PNG tier:

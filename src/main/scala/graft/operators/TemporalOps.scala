@@ -235,17 +235,20 @@ object TemporalOps {
     * partitioned both sides), then the final (cohort, offset) aggregate
     * whose output is period² — tiny. Cohort sizes ride the same
     * cohort-keyed reduction via a window-free second aggregate and a
-    * broadcast join on the (period-cardinality) cohort table. Nothing
-    * driver-side, nothing proportional to the corpus after the two
-    * keyed exchanges.
+    * broadcast join on the (period-cardinality) cohort table. The
+    * first-period table feeds BOTH the join and the size aggregate, so
+    * it is a query-scoped [[graft.CacheScope]] persist — without it the
+    * per-key min (and the event scan under it) is computed twice.
+    * Nothing driver-side, nothing proportional to the corpus after the
+    * two keyed exchanges.
     */
   def cohortRetention(events: DataFrame, keyCol: String, tsCol: String,
       periodDays: Int): DataFrame = {
     require(periodDays > 0, "periodDays must be positive")
     val usPerPeriod = periodDays * 86400000000L
     val period = expr(s"unix_micros($tsCol) div $usPerPeriod")
-    val firstPeriod = events.groupBy(col(keyCol))
-      .agg(min(period).as("cohort"))
+    val firstPeriod = graft.CacheScope.autoRelease(
+      events.groupBy(col(keyCol)).agg(min(period).as("cohort")))
     val active = events.select(col(keyCol), period.as("p")).distinct()
     val cohortSizes = firstPeriod.groupBy(col("cohort"))
       .agg(count(lit(1)).as("cohort_size"))

@@ -71,6 +71,64 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("lossy JPEG codec path: genuine JFIF bytes, certified mean fidelity with margin") {
+    val meta = MultimodalOps.syntheticImageMeta(docs.limit(20))
+    val encoded = MultimodalOps.encodeJpeg(meta).collect()
+    assert(encoded.length == 20)
+    // real JPEG files: SOI marker FF D8 FF
+    encoded.foreach { e =>
+      assert((e.jpg(0) & 0xff) == 0xff && (e.jpg(1) & 0xff) == 0xd8 &&
+        (e.jpg(2) & 0xff) == 0xff)
+    }
+    val stats = MultimodalOps.jpegFidelityStats(
+      MultimodalOps.encodeJpeg(meta)).collect()
+    assert(stats.length == 20)
+    // every certificate true, published sums are the EXACT formula sums
+    stats.foreach { s =>
+      assert(s.within_tol, s.toString)
+      var rs = 0L; var gs = 0L; var bs = 0L
+      val (w, h) = {
+        val e = encoded.find(_.media_id == s.media_id).get
+        (e.width, e.height)
+      }
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = MultimodalOps.pixelChannels(s.media_id, x, y)
+        rs += r; gs += g; bs += b
+      }
+      assert(s.r_sum == rs && s.g_sum == gs && s.b_sum == bs)
+    }
+    // margin audit: measure the true per-channel mean deviation on the
+    // driver (decode the same bytes, no Spark) and demand the gate
+    // tolerance keep real headroom over the worst image
+    val maxDev = encoded.map { e =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(e.jpg))
+      var rs = 0L; var gs = 0L; var bs = 0L
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until e.height; x <- 0 until e.width) {
+        val p = img.getRGB(x, y)
+        rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+        val (r, g, b) = MultimodalOps.pixelChannels(e.media_id, x, y)
+        er += r; eg += g; eb += b
+      }
+      val n = e.width.toDouble * e.height
+      math.max(math.abs(rs / n - er / n),
+        math.max(math.abs(gs / n - eg / n), math.abs(bs / n - eb / n)))
+    }.max
+    assert(maxDev < 1.4, s"max channel-mean deviation $maxDev on this sample")
+    // the known WORST image over the full 6400-id (dims x pattern)
+    // cycle — measured 4.22 — must still certify under the default tol
+    // with its measured deviation intact (if the encoder ever changes,
+    // this is the canary)
+    val worstMeta = MultimodalOps.syntheticImageMeta(
+      Seq(3050L).toDF("doc_id"))
+    val worst = MultimodalOps.jpegFidelityStats(
+      MultimodalOps.encodeJpeg(worstMeta)).collect()
+    assert(worst.length == 1 && worst.head.within_tol, worst.mkString(","))
+    assert(!MultimodalOps.jpegFidelityStats(
+      MultimodalOps.encodeJpeg(worstMeta), tol = 3.0).head().within_tol,
+      "worst-case image unexpectedly within 3.0 — encoder changed?")
+  }
+
   test("real WAV codec path: genuine RIFF/WAVE bytes, lossless decode, formula-exact sums") {
     val meta = MultimodalOps.syntheticAudioMeta(docs.limit(20))
     val encoded = MultimodalOps.encodeWav(meta).collect()

@@ -119,4 +119,49 @@ class PlanShapeSpec extends SparkSpec {
     // no exchange at all in a pure filter query
     assert(countShuffles(df) == 0)
   }
+
+  test("funnel: exactly one event scan per step (linear lineage, not 2^k)") {
+    // the round-5 lineage fix: per-step resolutions are persisted, so a
+    // k-step funnel reads the event log exactly k times — the unfixed
+    // fold re-derived earlier steps inside later ones (7 scans for 3
+    // steps, 31 for 5). Count DISTINCT scan nodes: InMemoryTableScan
+    // printouts repeat the cached plan, so dedupe by node id.
+    val df = graft.operators.TemporalOps.funnel(Tables.events(spark, sf0),
+      Seq("user_id"), "ts", "event_type", Seq("view", "click", "purchase"))
+    df.queryExecution.toRdd.count()
+    def scans(p: SparkPlan): Set[Int] = {
+      val here: Set[Int] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Set(f.id)
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          scans(im.relation.cachedPlan)
+        case _ => Set.empty
+      }
+      here ++ p.children.flatMap(scans)
+    }
+    val n = scans(planOf(df)).size
+    assert(n == 3, s"expected 3 distinct event scans for a 3-step funnel, got $n")
+  }
+
+  test("editDistancePairs: no cartesian/nested-loop on the main branch") {
+    // PASS-JOIN candidates must come from the segment equi-join; the
+    // only nested loop allowed is the tiny-key short branch (absent on
+    // this corpus: every prefix key is >= maxDist+1 chars)
+    val df = graft.operators.DedupOps.editDistancePairs(
+      Tables.documents(spark, sf0), maxDist = 3, keyLen = 16)
+    df.queryExecution.toRdd.count()
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("cohortRetention: two corpus-keyed exchanges, sizes broadcast back") {
+    val df = graft.operators.TemporalOps.cohortRetention(
+      Tables.events(spark, sf0), "user_id", "ts", 7)
+    // user-keyed first-period agg + distinct (user, period) + the tiny
+    // (cohort, offset) agg; the cohort-size join must broadcast (no
+    // fourth exchange for it)
+    assert(countShuffles(df) <= 4, planString(df).take(2000))
+    assert(planString(df).contains("BroadcastHashJoin"))
+  }
 }
