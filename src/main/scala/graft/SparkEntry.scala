@@ -398,6 +398,60 @@ object SparkEntry {
     "q_fill_gaps" -> ((s, dir) =>
       TemporalOps.fillGaps(Tables.events(s, dir), Seq("user_id"), "ts")
         .orderBy("user_id", "bucket_us")),
+    // Hopping-window aggregation: 6-hour windows every 3 hours — each
+    // event lands in exactly window/slide = 2 windows, generated INLINE
+    // at the scan (no join, no window-axis table); one window-keyed
+    // partial-combined exchange. fillGaps' tumbling buckets are the
+    // slide == window degenerate case.
+    "q_hop_window" -> ((s, dir) =>
+      TemporalOps.hopWindowStats(Tables.events(s, dir), "ts", "value")
+        .orderBy("win_start_us")),
+    // Triangle counting over the synthetic crawl graph: undirected
+    // simple projection (normalize + distinct), wedge join + closing-
+    // edge join — three keyed exchanges, one shared edge persist.
+    // Counted once per triangle at its lowest vertex.
+    "q_triangles" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1 // dense ids
+      val nodes = docs.select(col("doc_id").as("node"))
+      GraphOps.triangleCounts(GraphOps.syntheticEdges(nodes, n))
+        .orderBy("node")
+    }),
+    // Pareto-frontier (skyline) curation filter: per-user engagement
+    // stats (n_events, max value), keep users no other user dominates
+    // on both axes. Engine runs the bucket-pruned exact plan; the
+    // oracle is the O(n²) NOT EXISTS quantifier over the same stats —
+    // equality proves the pruning dropped nothing.
+    "q_skyline" -> ((s, dir) => {
+      val stats = Tables.events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), max("value").as("max_value"))
+      RelationalOps.skyline2D(stats, "n_events", "max_value",
+          bucketWidth = 8)
+        .orderBy("user_id")
+    }),
+    // Bucketed-table co-located join: lineitem and orders rewritten as
+    // 8-bucket tables hashed on the order key, then joined through the
+    // catalog — the ingest-time layout that removes BOTH join-side
+    // exchanges for every downstream join on the key (BucketingSpec
+    // pins the zero-exchange plan). Gate covers writer → catalog →
+    // bucket-aware scan → join → agg end to end.
+    "q_bucketed_join" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/tmp/graft_bucketed_$tag"
+      val l = graft.sources.Bucketing.writeBucketed(
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        s"graft_bl_$tag", s"$base/lineitem", "l_orderkey", 8)
+      val o = graft.sources.Bucketing.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        s"graft_bo_$tag", s"$base/orders", "o_orderkey", 8)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(28,12)")).cast("double"), 4).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
     // BPE tokenizer-training primitive: corpus-wide adjacent-char-pair
     // counts (the quantity each merge iteration maximizes), aggregated
     // over DISTINCT words first so the explode touches vocabulary, not
@@ -1966,6 +2020,54 @@ object SparkEntry {
         |SELECT r5.node AS doc_id, r5.r AS rank_scaled,
         |       round(CAST(r5.r AS DOUBLE) / (p.n * 777600000.0), 9) AS rank
         |FROM r5, p ORDER BY doc_id""".stripMargin,
+    // hopping windows: win = 2·slide, so each event belongs to exactly
+    // the two slide-aligned starts (t div slide − j)·slide, j ∈ {0,1}
+    "q_hop_window" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS t, value FROM events),
+        |h AS (
+        |  SELECT ((t // 10800000000) - j) * 10800000000 AS win_start_us, value
+        |  FROM ev CROSS JOIN range(2) r(j)
+        |)
+        |SELECT win_start_us, count(*) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE), 4) AS sum_value
+        |FROM h GROUP BY win_start_us ORDER BY win_start_us""".stripMargin,
+    // triangles: same synthetic edge formula as q_pagerank, normalized
+    // to undirected simple edges; x<y<z is structural after least/
+    // greatest normalization, so each triangle appears exactly once
+    "q_triangles" ->
+      """WITH p AS (SELECT count(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % n AS dst FROM documents, p
+        |  UNION ALL SELECT doc_id, (doc_id * 2 + 3) % n FROM documents, p
+        |  UNION ALL SELECT doc_id, (doc_id * doc_id + 5) % n FROM documents, p
+        |),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM raw WHERE src <> dst)
+        |SELECT e1.a AS node, count(*) AS n_triangles
+        |FROM e e1
+        |JOIN e e2 ON e2.a = e1.b
+        |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |GROUP BY e1.a ORDER BY node""".stripMargin,
+    // skyline: the unpruned dominance quantifier — equality against the
+    // engine's bucket-pruned plan is a completeness proof
+    "q_skyline" ->
+      """WITH st AS (
+        |  SELECT user_id, count(*) AS n_events, max(value) AS max_value
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT user_id, n_events, max_value FROM st s
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM st q
+        |  WHERE q.n_events >= s.n_events AND q.max_value >= s.max_value
+        |    AND (q.n_events > s.n_events OR q.max_value > s.max_value))
+        |ORDER BY user_id""".stripMargin,
+    // bucketed join: plain join over the raw tables — the bucketed
+    // layout must change the plan, never the answer
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,12))) AS DOUBLE), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // per-dim z-score: stats over all 64 dims (decMean + rounded
     // stddev_pop), z from the PUBLISHED rounded pair, slice dim < 8
     "q_embed_zscore" ->

@@ -321,4 +321,64 @@ object RelationalOps {
     df.groupBy(groupCol)
       .agg(countDistinct(col(byCol)).as("n_support"))
       .filter(col("n_support") >= lit(minDistinct))
+
+  /** Exact 2-D skyline (Pareto frontier, maximize both dimensions): the
+    * rows no other row dominates, where q dominates p iff q.x ≥ p.x ∧
+    * q.y ≥ p.y with at least one strict. The multi-objective curation
+    * filter — "keep documents not beaten on BOTH quality axes at once"
+    * — that no single ORDER BY can express. Duplicate (x, y) points are
+    * mutually non-dominating and all survive (set semantics on rows,
+    * not coordinates).
+    *
+    * The naive formulation is a NOT EXISTS over all pairs — O(n²) and
+    * the oracle's job, not the engine's. The scale-safe plan exploits
+    * the 1-D structure: a dominator has strictly greater x OR equal x,
+    * so split by x-bucket (`x div bucketWidth`, integer x required):
+    *
+    *  1. per-bucket max(y) — a tiny bucket-cardinality aggregate;
+    *  2. suffix max over strictly-HIGHER buckets (single-partition
+    *     window over the TINY table — bucket count rows, bounded by
+    *     x-range/bucketWidth, never the corpus) broadcast back: any
+    *     point with y ≤ that suffix max is dominated by something with
+    *     structurally greater x and dies without a comparison;
+    *  3. within its own bucket, ONE bucket-partitioned x-desc-ordered
+    *     WindowExec computes BOTH remaining maxes: over strictly
+    *     greater x (integer RANGE offset −1 — ties excluded exactly)
+    *     and over the exact-x peer group (zero-width RANGE frame),
+    *     the latter catching same-x dominators.
+    *
+    * Every corpus-sized exchange is keyed on bucket — data cardinality
+    * — and each survives-iff condition is a strict inequality against
+    * an exact max, so ties behave identically in the oracle's
+    * quantifier form. The input feeds both the bucket-max aggregate
+    * and the main filter, so it is a query-scoped [[graft.CacheScope]]
+    * persist (without it the upstream lineage — often an aggregation
+    * itself — runs twice).
+    */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String,
+      bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val pts = graft.CacheScope.autoRelease(
+      df.withColumn("__bkt", expr(s"$xCol div ${bucketWidth}L")))
+    val bucketMax = pts.groupBy(col("__bkt"))
+      .agg(max(col(yCol)).as("__bmax"))
+    // suffix max over strictly higher buckets: the table is bucket-
+    // cardinality (x-range / bucketWidth rows), so the single-partition
+    // window is a few rows on one core, then broadcast back out
+    val suffix = bucketMax.select(col("__bkt"),
+      max(col("__bmax")).over(Window.orderBy(col("__bkt").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)).as("__above"))
+    val inBucketOrd = Window.partitionBy(col("__bkt"))
+      .orderBy(col(xCol).desc)
+    pts.join(broadcast(suffix), "__bkt")
+      .withColumn("__gtx", max(col(yCol)).over(
+        inBucketOrd.rangeBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__xmax", max(col(yCol)).over(
+        inBucketOrd.rangeBetween(Window.currentRow, Window.currentRow)))
+      .filter((col("__above").isNull || col(yCol) > col("__above")) &&
+        (col("__gtx").isNull || col(yCol) > col("__gtx")) &&
+        col(yCol) === col("__xmax"))
+      .drop("__bkt", "__above", "__gtx", "__xmax")
+  }
 }

@@ -160,6 +160,36 @@ object TemporalOps {
         coalesce(col("n"), lit(0L)).as("n"): _*)
   }
 
+  /** Hopping (sliding) window aggregation: fixed-length windows of
+    * `windowSeconds` advancing every `slideSeconds` — the smoothing
+    * window family ([[fillGaps]]' tumbling buckets are the degenerate
+    * slide == window case). Each event lands in window/slide windows;
+    * Spark's `window()` generator emits those assignments INLINE at the
+    * scan (a per-row explode of a bounded literal count — no join, no
+    * window-axis table), and one partial-combined exchange on the
+    * window start aggregates them. Epoch-anchored alignment (Spark's
+    * default `startTime` 0), published as exact epoch-micro starts.
+    *
+    * Scale shape: the only exchange is keyed on the window start —
+    * time-cardinality, uniform by construction (every window holds a
+    * bounded time slice); the map side pre-aggregates the window/slide
+    * replication factor away, so the shuffle moves one row per
+    * (window, map partition), not per event copy.
+    */
+  def hopWindowStats(events: DataFrame, tsCol: String, valueCol: String,
+      windowSeconds: Long = 21600, slideSeconds: Long = 10800): DataFrame = {
+    require(windowSeconds % slideSeconds == 0,
+      "window must be a multiple of slide (Spark window() requirement)")
+    events
+      .groupBy(window(col(tsCol), s"$windowSeconds seconds",
+        s"$slideSeconds seconds"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(valueCol).cast("decimal(28,12)")).cast("double"), 4)
+          .as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("n"), col("sum_value"))
+  }
+
   /** Ordered-funnel analysis — the classic event-sequence question:
     * who VIEWED, then CLICKED at-or-after the first view, then
     * PURCHASED at-or-after that click? Per key: the first `steps.head`

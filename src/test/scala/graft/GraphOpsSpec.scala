@@ -54,4 +54,39 @@ class GraphOpsSpec extends SparkSpec {
     val mm = pr.agg(min("rank"), max("rank")).as[(Double, Double)].head()
     assert(mm._2 > mm._1) // non-uniform stationary mass
   }
+
+  test("triangleCounts: known graph, self-loops/parallel/reversed edges normalized") {
+    // K4 on {0,1,2,3} (4 triangles) plus a pendant 3-4, noise: a
+    // self-loop, a duplicate, and a reversed duplicate
+    val dirty = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L),
+      (2L, 2L), // self-loop: dropped
+      (0L, 1L), // parallel: deduped
+      (3L, 1L)  // reversed duplicate of (1,3): deduped
+    ).toDF("src", "dst")
+    val got = GraphOps.triangleCounts(dirty)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // triangles: 012 013 023 (lowest 0), 123 (lowest 1)
+    assert(got == Seq((0L, 3L), (1L, 1L)))
+  }
+
+  test("triangleCounts on the synthetic graph matches a brute-force replay") {
+    val n = 200L
+    val nodes = spark.range(n).select(col("id").as("node"))
+    val got = GraphOps.triangleCounts(GraphOps.syntheticEdges(nodes, n))
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    val edges = (0L until n).flatMap(i =>
+        Seq((i + 1) % n, (i * 2 + 3) % n, (i * i + 5) % n).map(d => (i, d)))
+      .filter { case (s, d) => s != d }
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }
+      .toSet
+    // NB: iterate a Seq throughout — collect on the Set would dedupe
+    // triangles sharing a base edge
+    val edgeSeq = edges.toSeq
+    val expected = edgeSeq.flatMap { case (x, y) =>
+      edgeSeq.collect { case (`y`, z) if edges.contains((x, z)) => x }
+    }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    assert(got == expected && got.values.sum > 0)
+  }
 }

@@ -140,4 +140,43 @@ class RelationalOpsSpec extends SparkSpec {
     // constant group: MAD 0 -> null score and null flag
     assert(got(("c", 10)) == ((None, None)))
   }
+
+  test("skyline2D matches brute-force dominance on ties, duplicates, equal axes") {
+    // hand-picked pathologies: duplicate points (both survive), same-x
+    // pairs (higher y kills lower), same-y pairs (higher x kills
+    // lower), a clean frontier diagonal
+    val pts = Seq(
+      (1L, 10L, 5.0), (2L, 10L, 7.0),  // same x: only id 2 can live
+      (3L, 20L, 7.0),                  // same y as 2, higher x: kills 2
+      (4L, 30L, 3.0), (5L, 30L, 3.0),  // duplicates: both live or both die
+      (6L, 40L, 1.0),                  // frontier corner (max x)
+      (7L, 5L, 9.0),                   // frontier corner (max y)
+      (8L, 19L, 6.9)                   // strictly inside: dies
+    ).toDF("id", "x", "y")
+    def brute(rows: Seq[(Long, Long, Double)]): Set[Long] =
+      rows.filter { p =>
+        !rows.exists(q => q._2 >= p._2 && q._3 >= p._3 &&
+          (q._2 > p._2 || q._3 > p._3))
+      }.map(_._1).toSet
+    val all = pts.as[(Long, Long, Double)].collect().toSeq
+    for (width <- Seq(1L, 7L, 100L)) { // one bucket per x / mixed / single bucket
+      val got = RelationalOps.skyline2D(pts, "x", "y", width)
+        .select("id").as[Long].collect().toSet
+      assert(got == brute(all), s"bucketWidth=$width")
+    }
+  }
+
+  test("skyline2D randomized parity against brute force") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 300L).map(i =>
+      (i, rnd.nextInt(40).toLong, (rnd.nextInt(25) / 3.0)))
+    val pts = rows.toDF("id", "x", "y")
+    val brute = rows.filter { p =>
+      !rows.exists(q => q._2 >= p._2 && q._3 >= p._3 &&
+        (q._2 > p._2 || q._3 > p._3))
+    }.map(_._1).toSet
+    val got = RelationalOps.skyline2D(pts, "x", "y", 8L)
+      .select("id").as[Long].collect().toSet
+    assert(got == brute && got.nonEmpty)
+  }
 }

@@ -233,4 +233,25 @@ class TemporalOpsSpec extends SparkSpec {
     assert(r6._3 == 5L && r6._4.exists(_ > 60) && r6._5)
     assert(got.filter(_._1 == 2L).forall(r => r._4.isEmpty && !r._5)) // zero variance
   }
+
+  test("hopWindowStats: every event in exactly window/slide windows, epoch-aligned") {
+    // window 10s / slide 5s: event at t belongs to starts 5·(t div 5)
+    // and 5·(t div 5 − 1); boundary event t=10 exercises exact-start
+    val events = Seq(
+      (1L, ts("1970-01-01 00:00:03"), 1.0),
+      (2L, ts("1970-01-01 00:00:10"), 2.0),
+      (3L, ts("1970-01-01 00:00:12"), 4.0)
+    ).toDF("id", "t", "v")
+    val got = TemporalOps.hopWindowStats(events, "t", "v",
+        windowSeconds = 10, slideSeconds = 5)
+      .orderBy("win_start_us")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (-5000000L, 1L, 1.0),          // [-5, 5): t=3
+      (0L, 1L, 1.0),                 // [0, 10): t=3 (t=10 excluded!)
+      (5000000L, 2L, 6.0),           // [5, 15): t=10, t=12
+      (10000000L, 2L, 6.0)))         // [10, 20): t=10, t=12
+    // total assignments = 2 per event
+    assert(got.map(_._2).sum == 6)
+  }
 }
