@@ -429,6 +429,42 @@ object SparkEntry {
           bucketWidth = 8)
         .orderBy("user_id")
     }),
+    // Streaming hopping windows: the same 6h/3h windows as q_hop_window
+    // through a real AvailableNow stream with watermarked state — the
+    // overlapping-window member the streaming family was missing.
+    // Gated by the SAME oracle as the batch form.
+    "q_stream_hop" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = graft.streaming.StreamingOps.hoppingStats(stream, "ts",
+        "value", "21600 seconds", "10800 seconds", "12 hours")
+      val qn = s"graft_stream_hop_${StreamSeq.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(unix_micros(col("w_start")).as("win_start_us"), col("n"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("win_start_us")
+    }),
+    // Event-sequence transition matrix: P(next type | type) per user
+    // timeline — one user-keyed window exchange, then type²-sized aggs.
+    "q_transitions" -> ((s, dir) =>
+      TemporalOps.transitionMatrix(Tables.events(s, dir), Seq("user_id"),
+          "ts", "event_type", "event_id")
+        .orderBy("from_type", "to_type")),
+    // Distributed K-means (Lloyd's): full-corpus assignment passes with
+    // k×dims driver state only; decimal-exact centroid updates make
+    // every iteration's literals bit-identical in any engine, so the
+    // oracle replays 2 full iterations as chained CTEs and gates every
+    // row's final cluster + distance.
+    "q_kmeans" -> ((s, dir) =>
+      ClusterOps.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
+          dims = 8, k = 4, iters = 2)
+        .orderBy("vec_id")),
     // Bucketed-table co-located join: lineitem and orders rewritten as
     // 8-bucket tables hashed on the order key, then joined through the
     // catalog — the ingest-time layout that removes BOTH join-side
@@ -1291,6 +1327,49 @@ object SparkEntry {
        |FROM v$iters ORDER BY dim""".stripMargin
   }
 
+  /** q_kmeans oracle: `iters` Lloyd iterations unrolled as chained
+    * MATERIALIZED CTEs (the pcaOracleSql pattern). Each iteration: a
+    * one-row centroid CTE (k×dims columns), distances as left-assoc
+    * `+` chains in dimension order (the engine's fold association),
+    * lowest-index argmin via the same strict `<=` cascade, centroid
+    * update as conditional DECIMAL(38,12) sums over one scan. Init =
+    * the vectors of vec_id 0..k−1 (ids are dense from 0 at every SF).
+    */
+  private def kmeansOracleSql(dims: Int, k: Int, iters: Int): String = {
+    val xCols = (0 until dims)
+      .map(d => s"CAST(embedding[${d + 1}] AS DOUBLE) AS x$d").mkString(", ")
+    val cent0 = (0 until k).flatMap(j => (0 until dims).map(d =>
+      s"max(CASE WHEN vec_id = $j THEN x$d END) AS c${j}_$d")).mkString(", ")
+    def distCols = (0 until k).map(j =>
+      (0 until dims).map(d => s"(x$d - c${j}_$d) * (x$d - c${j}_$d)")
+        .mkString(" + ") + s" AS d$j").mkString(", ")
+    val argmin = {
+      val cases = (0 until k - 1).map { j =>
+        val conds = ((j + 1) until k).map(i => s"d$j <= d$i").mkString(" AND ")
+        s"WHEN $conds THEN $j"
+      }.mkString(" ")
+      s"CASE $cases ELSE ${k - 1} END"
+    }
+    val steps = (1 to iters).map { t =>
+      val upd = (0 until k).flatMap(j => (0 until dims).map(d =>
+        s"CAST(sum(CASE WHEN cl = $j THEN CAST(x$d AS DECIMAL(38,12)) END) AS DOUBLE)" +
+          s" / count(CASE WHEN cl = $j THEN 1 END) AS c${j}_$d")).mkString(", ")
+      s"""a$t AS MATERIALIZED (
+         |  SELECT *, $argmin AS cl
+         |  FROM (SELECT x.*, $distCols FROM x CROSS JOIN cent${t - 1}) s$t
+         |),
+         |cent$t AS MATERIALIZED (SELECT $upd FROM a$t),""".stripMargin
+    }.mkString("\n")
+    val leastArgs = (0 until k).map(j => s"d$j").mkString(", ")
+    s"""WITH x AS MATERIALIZED (SELECT vec_id, $xCols FROM embeddings),
+       |cent0 AS MATERIALIZED (SELECT $cent0 FROM x WHERE vec_id < $k),
+       |$steps
+       |f AS (SELECT vec_id, $distCols FROM x CROSS JOIN cent$iters)
+       |SELECT vec_id, $argmin AS cluster,
+       |       round(least($leastArgs), 6) AS dist2
+       |FROM f ORDER BY vec_id""".stripMargin
+  }
+
   private def decMean(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(sum(c.cast("decimal(28,12)")).cast("double") / count(lit(1)), 4)
 
@@ -2031,6 +2110,31 @@ object SparkEntry {
         |SELECT win_start_us, count(*) AS n,
         |       round(CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE), 4) AS sum_value
         |FROM h GROUP BY win_start_us ORDER BY win_start_us""".stripMargin,
+    // streaming hopping windows: identical truth to the batch form —
+    // AvailableNow + complete mode must converge to the batch answer
+    "q_stream_hop" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS t, value FROM events),
+        |h AS (
+        |  SELECT ((t // 10800000000) - j) * 10800000000 AS win_start_us, value
+        |  FROM ev CROSS JOIN range(2) r(j)
+        |)
+        |SELECT win_start_us, count(*) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE), 4) AS sum_value
+        |FROM h GROUP BY win_start_us ORDER BY win_start_us""".stripMargin,
+    // transition matrix: lead() under the same total order (ts,
+    // event_id); row-conditional p from exact BIGINT counts
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM seq
+        |      WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q_kmeans" -> kmeansOracleSql(dims = 8, k = 4, iters = 2),
     // triangles: same synthetic edge formula as q_pagerank, normalized
     // to undirected simple edges; x<y<z is structural after least/
     // greatest normalization, so each triangle appears exactly once

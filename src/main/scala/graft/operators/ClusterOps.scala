@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed K-means (Lloyd's algorithm) over an embedding column —
+  * the clustering primitive of every corpus-organization pipeline
+  * (topic bucketing, dedup-cluster seeding, IVF coarse quantizers;
+  * [[SimilarityOps]]' IVF uses MLlib's fit on a sample, THIS is the
+  * full-corpus engine form with oracle-exact arithmetic).
+  *
+  * The "fit small, transform distributed" split: per iteration the
+  * corpus-sized work is ONE map-only assignment pass (squared L2 to k
+  * broadcast-literal centroids, argmin) feeding one k-keyed
+  * partial-combined aggregate of per-dimension decimal sums; the only
+  * driver state ever materialized is the k × dims centroid matrix —
+  * bytes, not corpus. Iterations are fixed, so the oracle replays the
+  * recurrence as chained conditional-aggregation CTEs (the PageRank /
+  * PCA gate pattern).
+  *
+  * Arithmetic is engine-portable by construction:
+  *  - init = the vectors of the k smallest ids (deterministic, no RNG);
+  *  - distances fold squared diffs left-to-right in dimension order
+  *    (`aggregate` over `zip_with`) — the same association an unrolled
+  *    SQL `+` chain produces, and IEEE addition starting from +0.0 is
+  *    exact on the first term;
+  *  - argmin ties break to the LOWEST centroid index via a strict
+  *    `<=`-chain (a `when` cascade both engines express identically);
+  *  - centroid updates are DECIMAL(38,12) sums divided by exact counts,
+  *    one double divide per (cluster, dim) — shuffle-order-independent,
+  *    so the next iteration's literals are bit-identical everywhere.
+  *
+  * Empty clusters would keep their previous centroid; with
+  * deterministic far-apart init this does not occur on the gated
+  * corpus (the spec asserts all k stay populated at every SF).
+  */
+object ClusterOps {
+
+  /** Squared L2 distance from the dims-array column to a literal
+    * centroid, folded in dimension order.
+    */
+  private def dist2(x: Column, c: Array[Double]): Column =
+    aggregate(
+      zip_with(x, array(c.map(lit).toIndexedSeq: _*),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, e) => acc + e)
+
+  /** Lowest-index argmin over the distance columns via a strict
+    * when-cascade: index j wins iff d_j <= d_i for every i > j.
+    */
+  private def argmin(ds: Seq[Column]): Column =
+    ds.init.zipWithIndex.foldRight(lit(ds.size - 1)) { case ((d, j), rest) =>
+      when(ds.drop(j + 1).map(d <= _).reduce(_ && _), j).otherwise(rest)
+    }
+
+  /** Run `iters` Lloyd iterations with k clusters over the first `dims`
+    * dimensions of `vecCol` (float32 → double cast is exact), then
+    * publish each row's final assignment under the FINAL centroids:
+    * (idCol, cluster, dist2 rounded 6).
+    */
+  def kmeans(embeddings: DataFrame, idCol: String, vecCol: String,
+      dims: Int, k: Int, iters: Int): DataFrame = {
+    require(k >= 2 && dims >= 1 && iters >= 1, "k>=2, dims>=1, iters>=1")
+    // manual persist, NOT CacheScope at creation: the per-iteration
+    // collects below would consume a one-shot release listener; instead
+    // the cache is re-armed for auto-release on the RETURNED frame (the
+    // pageRank lifecycle), and dropped eagerly only on failure
+    val x = embeddings.select(col(idCol),
+      expr(s"transform(slice($vecCol, 1, $dims), e -> CAST(e AS DOUBLE))")
+        .as("__x"))
+      .persist()
+    try {
+      // init: the k smallest ids' vectors — k rows to the driver
+      var cents: Array[Array[Double]] = x.orderBy(col(idCol)).limit(k)
+        .select(col("__x")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      var it = 0
+      while (it < iters) {
+        val assigned = x.withColumn("__cl",
+          argmin(cents.toIndexedSeq.map(c => dist2(col("__x"), c))))
+        // per-(cluster, dim) decimal means + counts: k×dims doubles to
+        // the driver — the entire mutable state of the algorithm
+        val sums = assigned.groupBy(col("__cl"))
+          .agg(count(lit(1)).as("__n"),
+            (0 until dims).map(d =>
+              (sum(element_at(col("__x"), d + 1).cast("decimal(38,12)"))
+                .cast("double") / count(lit(1))).as(s"__m$d")): _*)
+          .collect()
+        val next = cents.clone()
+        sums.foreach { r =>
+          val cl = r.getInt(0)
+          next(cl) = (0 until dims).map(d => r.getDouble(2 + d)).toArray
+        }
+        cents = next
+        it += 1
+      }
+      val finalDs = cents.toIndexedSeq.map(c => dist2(col("__x"), c))
+      graft.CacheScope.autoRelease(x)
+        .select(col(idCol), argmin(finalDs).as("cluster"),
+          round(least(finalDs: _*), 6).as("dist2"))
+    } catch {
+      case t: Throwable => x.unpersist(blocking = false); throw t
+    }
+  }
+}

@@ -248,6 +248,37 @@ object TemporalOps {
         .reduce(_ + _))
   }
 
+  /** First-order Markov transition matrix over per-key event sequences:
+    * how often does event type A immediately precede event type B
+    * within the same key's timeline? The event-sequence summary behind
+    * session modeling, anomaly priors, and next-action prediction —
+    * [[funnel]] asks about one fixed path, this measures ALL observed
+    * adjacent pairs. `p` is the row-conditional probability
+    * P(to | from) = n / Σ_to' n, one exact BIGINT-over-BIGINT double
+    * divide, rounded.
+    *
+    * Plan shape: one key-keyed exchange + sort feeding a lead() window
+    * (each key's timeline must be contiguous to pair neighbors — the
+    * same hot-key caveat as every per-key window), then the (from, to)
+    * count aggregate collapses the corpus to ≤ |types|² rows; the
+    * row-sum window runs on that tiny table. Total order inside a key
+    * comes from (ts, tiebreak) — without the tiebreak, equal
+    * timestamps would make `lead` nondeterministic across engines.
+    */
+  def transitionMatrix(events: DataFrame, keys: Seq[String], tsCol: String,
+      typeCol: String, tiebreak: String): DataFrame = {
+    val seqW = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreak))
+    val counts = events
+      .withColumn("__to", lead(col(typeCol), 1).over(seqW))
+      .filter(col("__to").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("p",
+      round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
+  }
+
   /** Cohort retention — the companion question to [[funnel]]: of the
     * keys whose FIRST event fell in cohort period `c`, how many came
     * back in period `c + k`? Periods are `periodDays`-day buckets of

@@ -133,6 +133,24 @@ object StreamingOps {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("n"), col("mean_value"))
 
+  /** Watermarked HOPPING-window stats — [[windowedStats]] with a slide
+    * shorter than the window, so each event updates window/slide
+    * overlapping windows. State stays bounded the same way (windows
+    * older than the watermark are evicted); the per-event replication
+    * factor is the bounded window/slide constant, folded into the
+    * partial aggregate before any exchange. Decimal sum keeps the
+    * published value independent of micro-batch arrival order.
+    */
+  def hoppingStats(events: DataFrame, tsCol: String, valueCol: String,
+      window_ : String, slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_, slide))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(28,12)")).cast("double")
+          .as("sum_value"))
+      .select(col("window.start").as("w_start"), col("n"), col("sum_value"))
+
   /** Stream–static enrichment join: each streaming row picks up the
     * matching static dimension attributes — the standard streaming
     * lookup/enrichment shape (events × user table, impressions ×

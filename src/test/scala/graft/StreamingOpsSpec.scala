@@ -153,6 +153,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(math.abs(first.getDouble(3) - 2.0) < 1e-12)
   }
 
+  test("hoppingStats: overlapping windows, each event counted window/slide times") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(java.sql.Timestamp, Double)]
+    val df = source.toDS().toDF("ts", "value")
+    val q = StreamingOps.hoppingStats(df, "ts", "value",
+      window_ = "10 minutes", slide = "5 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("hopping_stats_test")
+      .outputMode("complete").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    source.addData(t(2) -> 1.0, t(7) -> 3.0, t(11) -> 5.0)
+    q.processAllAvailable()
+    val out = spark.table("hopping_stats_test")
+      .orderBy("w_start").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+    q.stop()
+    assert(out.toSeq == Seq(
+      ("2026-01-01 09:55:00.0", 1L, 1.0),  // [9:55,10:05): t2
+      ("2026-01-01 10:00:00.0", 2L, 4.0),  // [10:00,10:10): t2, t7
+      ("2026-01-01 10:05:00.0", 2L, 8.0),  // [10:05,10:15): t7, t11
+      ("2026-01-01 10:10:00.0", 1L, 5.0))) // [10:10,10:20): t11
+    // every event contributes to exactly window/slide = 2 windows
+    assert(out.map(_._2).sum == 6)
+  }
+
   test("stream-stream interval join matches the batch join (bounded-state shape)") {
     implicit val sqlCtx = spark.sqlContext
     def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")

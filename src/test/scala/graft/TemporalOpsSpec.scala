@@ -254,4 +254,21 @@ class TemporalOpsSpec extends SparkSpec {
     // total assignments = 2 per event
     assert(got.map(_._2).sum == 6)
   }
+
+  test("transitionMatrix: tiebreak-ordered lead pairs, row-conditional p") {
+    // user 1: A→B→A (with B,A sharing a timestamp — event_id breaks the
+    // tie); user 2: A→B only; last events emit no pair
+    val events = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "A", 1L),
+      (1L, ts("2026-01-01 10:01:00"), "B", 2L),
+      (1L, ts("2026-01-01 10:01:00"), "A", 3L), // same ts as B: id orders it after
+      (2L, ts("2026-01-01 09:00:00"), "A", 4L),
+      (2L, ts("2026-01-01 09:05:00"), "B", 5L)
+    ).toDF("user_id", "t", "typ", "event_id")
+    val got = TemporalOps.transitionMatrix(events, Seq("user_id"), "t",
+        "typ", "event_id")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("A", "B", 2L, 1.0), ("B", "A", 1L, 1.0)))
+  }
 }
