@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{ArrayDot, Md5MinShingle, Md5SimHash, MinHashSignature, SrpCodes}
+import graft.functions.{ArrayDot, Md5MinShingle, Md5SimHash, MinHashSignature, NfcNormalize, SrpCodes}
 
 /** SQL surface for graft's native expressions: register `array_dot`,
   * `minhash_sig`, `srp_codes`, `md5_simhash` and `md5_min_shingle` so
@@ -59,7 +59,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => Md5SimHash(args(0), intArg(args(1), "bits"))),
     (FunctionIdentifier("md5_min_shingle"),
       new ExpressionInfo(classOf[Md5MinShingle].getName, "md5_min_shingle"),
-      (args: Seq[Expression]) => Md5MinShingle(args(0))))
+      (args: Seq[Expression]) => Md5MinShingle(args(0))),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -238,6 +238,22 @@ object SparkEntry {
         WHERE size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) > 0
         ORDER BY doc_id""")
     }),
+    // Unicode canonicalization (native NfcNormalize kernel): every
+    // doc's text with a deliberately DECOMPOSED suffix (e + U+0301)
+    // and a singleton compat point (U+212B → U+00C5) pushed through
+    // NFC; md5 of the normalized bytes gates exact byte equality, the
+    // octet counts prove bytes really moved (n_norm < n_raw). Map-only.
+    "q_normalize_text" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" cafe\u0301 \u212B")).as("raw"))
+        .select(col("doc_id"),
+          octet_length(col("raw")).as("n_raw_bytes"),
+          octet_length(graft.functions.NfcNormalize(col("raw")))
+            .as("n_norm_bytes"),
+          md5(graft.functions.NfcNormalize(col("raw")).cast("binary"))
+            .as("norm_md5"))
+        .orderBy("doc_id")),
     // Similarity search: brute-force cosine top-10 for queries vec_id<10.
     "q_cosine_nn" -> ((s, dir) =>
       SimilarityOps.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 10)
@@ -1657,6 +1673,19 @@ object SparkEntry {
     // identical by construction: the SQL-registered kernel must agree
     // with the DataFrame path bit for bit
     "q_sql_simhash" -> SimhashOracle,
+    // NFC parity: DuckDB's nfc_normalize replays the JDK normalizer;
+    // byte counts via strlen (bytes on both engines — character-length
+    // functions disagree on combining sequences)
+    "q_normalize_text" ->
+      """WITH t AS (
+        |  SELECT doc_id, text || ' cafe' || chr(769) || ' ' || chr(8491) AS raw
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       strlen(raw) AS n_raw_bytes,
+        |       strlen(nfc_normalize(raw)) AS n_norm_bytes,
+        |       md5(nfc_normalize(raw)) AS norm_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_cosine_nn" ->
       s"""WITH $CosineCte,
          |dots AS (

@@ -36,6 +36,31 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sh == shDf)
   }
 
+  test("nfc_normalize: composes sequences, maps singletons, identity on normalized text") {
+    GraftExtensions.register(spark)
+    Seq(
+      ("cafe\u0301", "caf\u00E9"),          // combining acute composes
+      ("\u212B", "\u00C5"),                  // ANGSTROM SIGN singleton
+      ("plain ascii", "plain ascii"),        // fast path: untouched
+      ("caf\u00E9", "caf\u00E9")             // already composed: identity
+    ).toDF("raw", "expected").createOrReplaceTempView("g_nfc")
+    val rows = spark.sql(
+      "SELECT nfc_normalize(raw) = expected, octet_length(nfc_normalize(raw)), octet_length(raw) FROM g_nfc")
+      .collect()
+    assert(rows.forall(_.getBoolean(0)), rows.mkString(","))
+    // the decomposed input really shrank (6 -> 5 bytes)
+    assert(rows.head.getInt(1) == 5 && rows.head.getInt(2) == 6)
+    // Column-API form agrees with the SQL form
+    val viaCol = spark.table("g_nfc")
+      .select(graft.functions.NfcNormalize(org.apache.spark.sql.functions.col("raw")))
+      .as[String].collect().toSeq
+    val viaSql = spark.sql("SELECT nfc_normalize(raw) FROM g_nfc")
+      .as[String].collect().toSeq
+    assert(viaCol == viaSql)
+    // null propagates, not crashes
+    assert(spark.sql("SELECT nfc_normalize(CAST(NULL AS STRING))").head().isNullAt(0))
+  }
+
   test("non-literal structural arguments are rejected with a clear error") {
     GraftExtensions.register(spark)
     Seq((1L, Seq("x"))).toDF("id", "toks").createOrReplaceTempView("g_toks2")
