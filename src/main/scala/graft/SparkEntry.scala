@@ -433,6 +433,25 @@ object SparkEntry {
       GraphOps.triangleCounts(GraphOps.syntheticEdges(nodes, n))
         .orderBy("node")
     }),
+    // Bounded-horizon EWMA smoothing: 6-lag truncation, α = ½ — every
+    // weight a power of two, so scaling is EXACT and the published
+    // smoothed value needs no rounding: bit-identical in any engine.
+    "q_ewma" -> ((s, dir) =>
+      TemporalOps.ewma(Tables.events(s, dir).filter(col("user_id") < 30),
+          Seq("user_id"), "ts", "value", "event_id")
+        .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
+        .orderBy("user_id", "event_id")),
+    // HITS hubs/authorities over the same synthetic crawl graph as
+    // q_pagerank: 2 unnormalized scatter/gather rounds, BIGINT-exact
+    // (normalization is a per-round positive scalar — ratios gate).
+    "q_hits" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1 // dense ids
+      val nodes = docs.select(col("doc_id").as("node"))
+      GraphOps.hits(nodes, GraphOps.syntheticEdges(nodes, n), rounds = 2)
+        .select(col("node").as("doc_id"), col("hub"), col("auth"))
+        .orderBy("doc_id")
+    }),
     // Pareto-frontier (skyline) curation filter: per-user engagement
     // stats (n_events, max value), keep users no other user dominates
     // on both axes. Engine runs the bucket-pruned exact plan; the
@@ -2181,6 +2200,59 @@ object SparkEntry {
         |JOIN e e2 ON e2.a = e1.b
         |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
         |GROUP BY e1.a ORDER BY node""".stripMargin,
+    // EWMA: the same 6 unrolled lag terms under the same total order;
+    // power-of-two weights make every product exact, the +-chain
+    // associates left like the engine's fold — raw doubles hash-match
+    "q_ewma" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+        |         lag(CAST(value AS DOUBLE), 1) OVER w AS l1,
+        |         lag(CAST(value AS DOUBLE), 2) OVER w AS l2,
+        |         lag(CAST(value AS DOUBLE), 3) OVER w AS l3,
+        |         lag(CAST(value AS DOUBLE), 4) OVER w AS l4,
+        |         lag(CAST(value AS DOUBLE), 5) OVER w AS l5,
+        |         lag(CAST(value AS DOUBLE), 6) OVER w AS l6
+        |  FROM events WHERE user_id < 30
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, event_id, v AS value,
+        |       (COALESCE(v * 1.0, 0.0) + COALESCE(l1 * 0.5, 0.0)
+        |        + COALESCE(l2 * 0.25, 0.0) + COALESCE(l3 * 0.125, 0.0)
+        |        + COALESCE(l4 * 0.0625, 0.0) + COALESCE(l5 * 0.03125, 0.0)
+        |        + COALESCE(l6 * 0.015625, 0.0))
+        |       /
+        |       (COALESCE(CASE WHEN v IS NOT NULL THEN 1.0 END, 0.0)
+        |        + COALESCE(CASE WHEN l1 IS NOT NULL THEN 0.5 END, 0.0)
+        |        + COALESCE(CASE WHEN l2 IS NOT NULL THEN 0.25 END, 0.0)
+        |        + COALESCE(CASE WHEN l3 IS NOT NULL THEN 0.125 END, 0.0)
+        |        + COALESCE(CASE WHEN l4 IS NOT NULL THEN 0.0625 END, 0.0)
+        |        + COALESCE(CASE WHEN l5 IS NOT NULL THEN 0.03125 END, 0.0)
+        |        + COALESCE(CASE WHEN l6 IS NOT NULL THEN 0.015625 END, 0.0)) AS ewma
+        |FROM seq ORDER BY user_id, event_id""".stripMargin,
+    // HITS: 2 rounds unrolled — scatter (sum h over in-edges) then
+    // gather (sum a over out-edges), isolated-node zeros via LEFT JOIN
+    "q_hits" ->
+      """WITH p AS (SELECT count(*) AS n FROM documents),
+        |e AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % n AS dst FROM documents, p
+        |  UNION ALL SELECT doc_id, (doc_id * 2 + 3) % n FROM documents, p
+        |  UNION ALL SELECT doc_id, (doc_id * doc_id + 5) % n FROM documents, p
+        |),
+        |h0 AS (SELECT doc_id AS node, CAST(1 AS BIGINT) AS h FROM documents),
+        |a1 AS (SELECT h0.node, CAST(coalesce(x.s, 0) AS BIGINT) AS a FROM h0
+        |       LEFT JOIN (SELECT e.dst AS node, sum(h.h) AS s FROM e
+        |                  JOIN h0 h ON h.node = e.src GROUP BY e.dst) x USING (node)),
+        |h1 AS (SELECT a1.node, CAST(coalesce(x.s, 0) AS BIGINT) AS h FROM a1
+        |       LEFT JOIN (SELECT e.src AS node, sum(a.a) AS s FROM e
+        |                  JOIN a1 a ON a.node = e.dst GROUP BY e.src) x USING (node)),
+        |a2 AS (SELECT h1.node, CAST(coalesce(x.s, 0) AS BIGINT) AS a FROM h1
+        |       LEFT JOIN (SELECT e.dst AS node, sum(h.h) AS s FROM e
+        |                  JOIN h1 h ON h.node = e.src GROUP BY e.dst) x USING (node)),
+        |h2 AS (SELECT a2.node, CAST(coalesce(x.s, 0) AS BIGINT) AS h FROM a2
+        |       LEFT JOIN (SELECT e.src AS node, sum(a.a) AS s FROM e
+        |                  JOIN a2 a ON a.node = e.dst GROUP BY e.src) x USING (node))
+        |SELECT h2.node AS doc_id, h2.h AS hub, a2.a AS auth
+        |FROM h2 JOIN a2 USING (node) ORDER BY doc_id""".stripMargin,
     // skyline: the unpruned dominance quantifier — equality against the
     // engine's bucket-pruned plan is a completeness proof
     "q_skyline" ->

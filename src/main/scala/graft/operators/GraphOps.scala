@@ -99,6 +99,74 @@ object GraphOps {
         m(col("node") * col("node") + 5))).as("dst"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) — PageRank's companion
+    * centrality: an AUTHORITY is pointed to by good hubs, a HUB points
+    * to good authorities. Two coupled scatter/gather passes per round:
+    *
+    *   a_{k+1}(v) = Σ over in-edges (u,v) of h_k(u)
+    *   h_{k+1}(u) = Σ over out-edges (u,v) of a_{k+1}(v)
+    *
+    * Same Pregel plan as [[pageRank]] (edge list shuffled ONCE onto its
+    * join key and persisted; only node-sized score tables move per
+    * round), but each round joins the edges TWICE — once keyed by src
+    * (scatter hubs), once by dst-gathered authorities back through src.
+    *
+    * Exactness: the textbook algorithm L2-normalizes each round —
+    * irrational scale factors no cross-engine gate can hash. This form
+    * keeps the UNNORMALIZED integer recursion (the score RATIOS are
+    * identical — normalization is a per-round positive scalar), which
+    * stays BIGINT-exact in any shuffle order. Magnitudes grow by
+    * ~(max-degree)² per round, so `rounds` must stay small enough that
+    * Σdeg·max(h)·max(a) fits int64 — the gate uses 2 rounds on an
+    * out-degree-3 graph (score ceiling ~degree⁴ ≈ 10³ per unit mass);
+    * a production run at depth would switch to doubles + periodic
+    * normalization and accept last-ulp nondeterminism, exactly the
+    * pageRank trade.
+    */
+  def hits(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    // TWO pinned copies of the edge list, one per join key: the
+    // scatter-to-authorities leg joins on src, the gather-to-hubs leg
+    // on dst — a single copy would re-shuffle the (dominant) edge
+    // table every round on whichever key it isn't partitioned by
+    val eSrc = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    val eDst = edges.select(col("src"), col("dst"))
+      .repartition(col("dst")).persist()
+    try {
+      var hubs = nodes.select(col("node"), lit(1L).as("h")).persist()
+      var auths: DataFrame = null
+      var k = 0
+      while (k < rounds) {
+        val a = nodes.select(col("node"))
+          .join(eSrc.join(hubs, eSrc("src") === hubs("node"))
+            .groupBy(eSrc("dst").as("node")).agg(sum(col("h")).as("s")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("s"), lit(0L)).as("a"))
+          .persist()
+        a.count()
+        val h = nodes.select(col("node"))
+          .join(eDst.join(a, eDst("dst") === a("node"))
+            .groupBy(eDst("src").as("node")).agg(sum(col("a")).as("s")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("s"), lit(0L)).as("h"))
+          .persist()
+        h.count()
+        hubs.unpersist(blocking = false)
+        if (auths != null) auths.unpersist(blocking = false)
+        hubs = h
+        auths = a
+        k += 1
+      }
+      graft.CacheScope.autoRelease(hubs)
+        .join(graft.CacheScope.autoRelease(auths), "node")
+        .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+    } finally {
+      eSrc.unpersist(blocking = false)
+      eDst.unpersist(blocking = false)
+    }
+  }
+
   /** Per-vertex triangle counts over a directed edge list, reported at
     * each triangle's LOWEST vertex (each triangle counted exactly once).
     *

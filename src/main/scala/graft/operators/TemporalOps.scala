@@ -248,6 +248,48 @@ object TemporalOps {
         .reduce(_ + _))
   }
 
+  /** Bounded-horizon exponentially weighted moving average per key —
+    * the time-series smoothing primitive. True EWMA is an infinite
+    * recursion (state per key, one row at a time — a streaming shape);
+    * the batch-scale form truncates the horizon at `lookback` rows,
+    * which at α ≤ ½ bounds the dropped tail below α^(lookback+1) of
+    * total weight, and becomes a pure WINDOW expression: one key-keyed
+    * exchange, one sort, `lookback` lag() columns folded in a fixed
+    * order.
+    *
+    * Exactness device: α is REQUIRED to be a negative power of two
+    * (½, ¼, …). Multiplying an IEEE double by 2^-j is exact (exponent
+    * arithmetic, mantissa untouched), and the numerator/denominator
+    * fold left-to-right in lag order on both engines — so the
+    * published smoothed value needs NO rounding at all: it is
+    * bit-identical in any engine, the strongest gate this family can
+    * have. Missing lags (row earlier than `lookback` predecessors)
+    * drop out of numerator AND denominator via the same null guard.
+    */
+  def ewma(events: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, tiebreak: String, alpha: Double = 0.5,
+      lookback: Int = 6): DataFrame = {
+    require(alpha > 0 && alpha < 1 &&
+      (java.lang.Double.doubleToLongBits(alpha) & ((1L << 52) - 1)) == 0L,
+      s"alpha must be a negative power of two for exact arithmetic, got $alpha")
+    require(lookback >= 1, "lookback must be >= 1")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreak))
+    val v = col(valueCol).cast("double")
+    // term j: alpha^j * lag_j (exact: power-of-two scaling); fold from
+    // j = 0 upward so both engines associate identically
+    val terms = (0 to lookback).map { j =>
+      val weight = math.pow(alpha, j) // exact for alpha = 2^-k
+      val lagged = if (j == 0) v else lag(v, j).over(w)
+      (when(lagged.isNotNull, lagged * weight), // null → drops from num
+        when(lagged.isNotNull, lit(weight)))    //        and from denom
+    }
+    val num = terms.map(t => coalesce(t._1, lit(0.0))).reduce(_ + _)
+    val den = terms.map(t => coalesce(t._2, lit(0.0))).reduce(_ + _)
+    events.select(keys.map(col) :+ col(tsCol) :+ col(tiebreak) :+
+      v.as("value") :+ (num / den).as("ewma"): _*)
+  }
+
   /** First-order Markov transition matrix over per-key event sequences:
     * how often does event type A immediately precede event type B
     * within the same key's timeline? The event-sequence summary behind

@@ -255,6 +255,47 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got.map(_._2).sum == 6)
   }
 
+  test("ewma: truncated exponential smoothing matches a hand fold; short history renormalizes") {
+    // user 1: values 1,2,4,8 — alpha=1/2, lookback=6 (covers all rows).
+    // Row k's ewma = Σ_{j<=k} 2^-j v_{k-j} / Σ_{j<=k} 2^-j, fully exact.
+    val events = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1.0, 1L),
+      (1L, ts("2026-01-01 10:01:00"), 2.0, 2L),
+      (1L, ts("2026-01-01 10:02:00"), 4.0, 3L),
+      (1L, ts("2026-01-01 10:03:00"), 8.0, 4L)
+    ).toDF("user_id", "t", "value", "event_id")
+    val got = TemporalOps.ewma(events, Seq("user_id"), "t", "value", "event_id")
+      .orderBy("event_id").select("ewma").as[Double].collect().toSeq
+    assert(got == Seq(
+      1.0,
+      (2.0 + 0.5 * 1.0) / 1.5,
+      (4.0 + 0.5 * 2.0 + 0.25 * 1.0) / 1.75,
+      (8.0 + 0.5 * 4.0 + 0.25 * 2.0 + 0.125 * 1.0) / 1.875))
+    // bit-exactness claim: terms are power-of-two scalings, so the first
+    // row IS the raw value with no rounding residue at all
+    assert(got.head == 1.0)
+  }
+
+  test("ewma: horizon truncation drops lags beyond lookback; ties broken by tiebreak col") {
+    // 4 rows, lookback=2: row 4 sees only rows 2,3 — row 1's value (1000)
+    // must NOT leak in. Rows 2,3 share a ts; event_id orders them.
+    val events = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1000.0, 1L),
+      (1L, ts("2026-01-01 10:01:00"), 2.0, 2L),
+      (1L, ts("2026-01-01 10:01:00"), 4.0, 3L), // same ts: id orders after
+      (1L, ts("2026-01-01 10:02:00"), 8.0, 4L)
+    ).toDF("user_id", "t", "value", "event_id")
+    val got = TemporalOps.ewma(events, Seq("user_id"), "t", "value", "event_id",
+        alpha = 0.5, lookback = 2)
+      .orderBy("event_id").select("ewma").as[Double].collect().toSeq
+    assert(got.last == (8.0 + 0.5 * 4.0 + 0.25 * 2.0) / 1.75)
+    // non-power-of-two alpha is rejected (exactness contract)
+    intercept[IllegalArgumentException] {
+      TemporalOps.ewma(events, Seq("user_id"), "t", "value", "event_id",
+        alpha = 0.3)
+    }
+  }
+
   test("transitionMatrix: tiebreak-ordered lead pairs, row-conditional p") {
     // user 1: A→B→A (with B,A sharing a timestamp — event_id breaks the
     // tie); user 2: A→B only; last events emit no pair
