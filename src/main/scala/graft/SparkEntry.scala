@@ -452,6 +452,44 @@ object SparkEntry {
         .select(col("node").as("doc_id"), col("hub"), col("auth"))
         .orderBy("doc_id")
     }),
+    // Market-basket association rules at the pair tier: parts that
+    // co-occur in the same order, with support / confidence / lift.
+    // Engine generates pairs INSIDE each basket row (no corpus
+    // self-join); the oracle IS the naive self-join — equality proves
+    // the in-row generation complete.
+    "q_item_assoc" -> ((s, dir) =>
+      RelationalOps.assocRules(Tables.lineitem(s, dir), "l_orderkey",
+          "l_partkey", minSupport = 2)
+        .orderBy("item_a", "item_b")),
+    // SCD type-2 dimension build: per-user event_type timelines
+    // compressed to validity intervals (gaps-and-islands + lead).
+    "q_scd2" -> ((s, dir) =>
+      TemporalOps.scd2(Tables.events(s, dir).filter(col("user_id") < 40),
+          Seq("user_id"), "ts", "event_id", "event_type")
+        .orderBy("user_id", "version")),
+    // Unpivot/melt — the inverse reshape of q_pivot: lineitem's four
+    // metric columns to (metric, value) long form, values pass-through
+    // exact. Plans as a single Expand projection — no shuffle at all.
+    "q_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir).filter(col("l_orderkey") % 97 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+    // Hive-style partitioned layout + partition PRUNING — the #1 scan
+    // optimization at 100 TB: the lang='en' read must touch only the
+    // en/ directory (PartitionFilters in the scan node, pinned by
+    // PlanShapeSpec), never a corpus-wide scan + filter.
+    "q_partition_prune" -> ((s, dir) => {
+      val path = s"/tmp/graft_src_${new java.io.File(dir).getName}/docs_partitioned"
+      Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").partitionBy("lang").parquet(path)
+      s.read.parquet(path).filter(col("lang") === "en")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     // Pareto-frontier (skyline) curation filter: per-user engagement
     // stats (n_events, max value), keep users no other user dominates
     // on both axes. Engine runs the bucket-pruned exact plan; the
@@ -2253,6 +2291,66 @@ object SparkEntry {
         |                  JOIN a2 a ON a.node = e.dst GROUP BY e.src) x USING (node))
         |SELECT h2.node AS doc_id, h2.h AS hub, a2.a AS auth
         |FROM h2 JOIN a2 USING (node) ORDER BY doc_id""".stripMargin,
+    // association rules: the oracle is the NAIVE basket self-join the
+    // engine refuses to run — equality proves the engine's in-row
+    // upper-triangle pair generation is complete. Metrics are single
+    // IEEE divides off BIGINT counts: published raw, bit-exact.
+    "q_item_assoc" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |nb AS (SELECT count(DISTINCT bk) AS n FROM items),
+        |pc AS (
+        |  SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_ab
+        |  FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ic AS (SELECT it, count(*) AS n FROM items GROUP BY it)
+        |SELECT item_a, item_b, n_ab, ia.n AS n_a, ib.n AS n_b,
+        |       CAST(n_ab AS DOUBLE) / ia.n AS conf_ab,
+        |       CAST(n_ab AS DOUBLE) / ib.n AS conf_ba,
+        |       (CAST(n_ab AS DOUBLE) * nb.n) /
+        |       (CAST(ia.n AS DOUBLE) * ib.n) AS lift
+        |FROM pc JOIN ic ia ON ia.it = pc.item_a
+        |        JOIN ic ib ON ib.it = pc.item_b, nb
+        |ORDER BY item_a, item_b""".stripMargin,
+    // SCD2: same gaps-and-islands (IS DISTINCT FROM = Spark's <=>
+    // negated) and the same (ts, event_id) total order in both windows
+    "q_scd2" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         (row_number() OVER w = 1 OR
+        |          lag(event_type) OVER w IS DISTINCT FROM event_type)
+        |         AS is_new
+        |  FROM events WHERE user_id < 40
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |starts AS (
+        |  SELECT user_id, event_type, ts, event_id FROM marked WHERE is_new)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |       event_id AS first_event_id,
+        |       lead(ts) OVER w AS valid_to,
+        |       row_number() OVER w AS version
+        |FROM starts
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    // unpivot: the UNION ALL long form — values pass through untouched
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |       l_quantity AS value
+        |FROM lineitem WHERE l_orderkey % 97 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem WHERE l_orderkey % 97 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem WHERE l_orderkey % 97 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |FROM lineitem WHERE l_orderkey % 97 = 0
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    // partition pruning: the layout round-trip must surface exactly the
+    // filtered slice of the source table
+    "q_partition_prune" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
     // skyline: the unpruned dominance quantifier — equality against the
     // engine's bucket-pruned plan is a completeness proof
     "q_skyline" ->

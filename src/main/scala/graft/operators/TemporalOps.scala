@@ -290,6 +290,44 @@ object TemporalOps {
       v.as("value") :+ (num / den).as("ewma"): _*)
   }
 
+  /** Slowly-changing-dimension type-2 history build: compress each
+    * key's attribute timeline into validity intervals. Consecutive
+    * rows with the SAME attribute value collapse into one interval;
+    * each change opens a new one, `valid_from` = the change's event
+    * time, `valid_to` = the next change's event time (null = current
+    * version). The warehouse-standard way to make a mutable dimension
+    * joinable as-of any point in time (pairs with [[asOfJoin]] on the
+    * consumer side).
+    *
+    * Plan: one key-keyed window exchange. Run starts are the rows
+    * where `lag(attr)` null-safe-differs from `attr` (gaps-and-islands
+    * with a NULL-safe comparison so a null attribute value forms its
+    * own runs rather than merging into neighbours); the filtered frame
+    * KEEPS the key partitioning and (ts, tiebreak) sort, so the second
+    * window (lead → valid_to, row_number → version) reuses the same
+    * exchange and sort — `.explain` shows one Exchange, one Sort. All
+    * published columns are pass-through timestamps and integers: no
+    * float anywhere, the gate is exact by construction. Standard
+    * hot-key window caveat: one key's full timeline sorts on one task.
+    */
+  def scd2(df: DataFrame, keys: Seq[String], tsCol: String,
+      tiebreak: String, attrCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreak))
+    // a key's FIRST row always opens a run — checked explicitly, because
+    // `lag(attr) <=> attr` on the first row compares null-safe against
+    // the missing-row null and would silently swallow a run whose
+    // attribute value is itself null
+    val starts = df
+      .withColumn("__new", row_number().over(w) === 1 ||
+        !(lag(col(attrCol), 1).over(w) <=> col(attrCol)))
+      .filter(col("__new"))
+    starts.select(keys.map(col) :+ col(attrCol) :+
+      col(tsCol).as("valid_from") :+ col(tiebreak).as("first_" + tiebreak) :+
+      lead(col(tsCol), 1).over(w).as("valid_to") :+
+      row_number().over(w).as("version"): _*)
+  }
+
   /** First-order Markov transition matrix over per-key event sequences:
     * how often does event type A immediately precede event type B
     * within the same key's timeline? The event-sequence summary behind

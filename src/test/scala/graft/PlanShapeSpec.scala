@@ -164,4 +164,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(countShuffles(df) <= 4, planString(df).take(2000))
     assert(planString(df).contains("BroadcastHashJoin"))
   }
+
+  test("q_partition_prune: the lang filter prunes partitions at the scan") {
+    val df = SparkEntry.queries("q_partition_prune")(spark, sf0)
+    // the filter must be a PartitionFilters entry on the scan node —
+    // a post-scan Filter over all partitions is the 100 TB anti-plan
+    val scan = planString(df)
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(lang"),
+      scan.take(2000))
+  }
+
+  test("scd2: one exchange — run detection and interval windows share it") {
+    val df = graft.operators.TemporalOps.scd2(
+      Tables.events(spark, sf0), Seq("user_id"), "ts", "event_id",
+      "event_type")
+    // both windows partition on user_id with the same (ts, event_id)
+    // order; the filter in between preserves distribution and sort, so
+    // a second Exchange (or Sort) appearing means the reuse broke
+    assert(countShuffles(df) == 1, planString(df).take(2000))
+  }
+
+  test("q_unpivot: a pure Expand projection — no shuffle before the output sort") {
+    val df = Tables.lineitem(spark, sf0)
+      .filter(col("l_orderkey") % 97 === 0)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "value")
+    assert(countShuffles(df) == 0, planString(df).take(2000))
+    assert(planString(df).contains("Expand"), planString(df).take(2000))
+  }
 }

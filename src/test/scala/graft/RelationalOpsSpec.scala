@@ -179,4 +179,40 @@ class RelationalOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(got == brute && got.nonEmpty)
   }
+
+  test("assocRules: known baskets — counts, confidence and lift by hand") {
+    // baskets: {1,2,3}, {1,2}, {2,3}, {1,2} (with an in-basket dup of 2)
+    val baskets = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L),
+      (12L, 2L), (12L, 3L),
+      (13L, 1L), (13L, 2L), (13L, 2L) // dup item: must count once
+    ).toDF("bk", "it")
+    val got = RelationalOps.assocRules(baskets, "bk", "it", minSupport = 2)
+      .orderBy("item_a", "item_b")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    // n=4 baskets; items: 1→3, 2→4, 3→2; pairs: (1,2)→3, (1,3)→1, (2,3)→2
+    assert(got == Seq(
+      (1L, 2L, 3L, 3L, 4L, 3.0 / 3.0, 3.0 / 4.0, (3.0 * 4.0) / (3.0 * 4.0)),
+      (2L, 3L, 2L, 4L, 2L, 2.0 / 4.0, 2.0 / 2.0, (2.0 * 4.0) / (4.0 * 2.0))))
+    // (1,3) support 1 < minSupport: filtered
+    assert(!got.exists(r => r._1 == 1L && r._2 == 3L))
+  }
+
+  test("assocRules: pair generation is complete vs a brute-force self-join") {
+    val li = spark.read.parquet(s"$sf0/lineitem.parquet")
+      .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+    val got = RelationalOps.assocRules(li, "bk", "it", minSupport = 1)
+      .select("item_a", "item_b", "n_ab")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => ((a, b), n) }.toMap
+    val items = li.distinct().as[(Long, Long)].collect()
+    val byBasket = items.groupBy(_._1).values
+    val expected = byBasket.toSeq.flatMap { rows =>
+      val s = rows.map(_._2).sorted
+      for (i <- s.indices; j <- (i + 1) until s.size) yield (s(i), s(j))
+    }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    assert(got == expected && got.nonEmpty)
+  }
 }

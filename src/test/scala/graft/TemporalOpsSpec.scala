@@ -255,6 +255,44 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got.map(_._2).sum == 6)
   }
 
+  test("scd2: runs collapse, intervals chain, null attr forms its own runs") {
+    // user 1: A A B A — runs A[10:00,10:02) B[10:02,10:03) A[10:03,∞);
+    // user 2: null A null — null-safe islands: three runs, null ≠ A
+    val events = Seq(
+      (1L, ts("2026-01-01 10:00:00"), Some("A"), 1L),
+      (1L, ts("2026-01-01 10:01:00"), Some("A"), 2L), // same run as #1
+      (1L, ts("2026-01-01 10:02:00"), Some("B"), 3L),
+      (1L, ts("2026-01-01 10:03:00"), Some("A"), 4L), // A again: NEW run
+      (2L, ts("2026-01-01 09:00:00"), None, 5L),
+      (2L, ts("2026-01-01 09:01:00"), Some("A"), 6L),
+      (2L, ts("2026-01-01 09:02:00"), None, 7L)
+    ).toDF("user_id", "t", "attr", "event_id")
+    val got = TemporalOps.scd2(events, Seq("user_id"), "t", "event_id", "attr")
+      .orderBy("user_id", "version")
+      .as[(Long, Option[String], java.sql.Timestamp, Long,
+        Option[java.sql.Timestamp], Int)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, Some("A"), ts("2026-01-01 10:00:00"), 1L,
+        Some(ts("2026-01-01 10:02:00")), 1),
+      (1L, Some("B"), ts("2026-01-01 10:02:00"), 3L,
+        Some(ts("2026-01-01 10:03:00")), 2),
+      (1L, Some("A"), ts("2026-01-01 10:03:00"), 4L, None, 3),
+      (2L, None, ts("2026-01-01 09:00:00"), 5L,
+        Some(ts("2026-01-01 09:01:00")), 1),
+      (2L, Some("A"), ts("2026-01-01 09:01:00"), 6L,
+        Some(ts("2026-01-01 09:02:00")), 2),
+      (2L, None, ts("2026-01-01 09:02:00"), 7L, None, 3)))
+    // intervals tile the timeline: each valid_to equals the next
+    // version's valid_from within the key
+    got.groupBy(_._1).values.foreach { runs =>
+      runs.sortBy(_._6).sliding(2).foreach {
+        case Seq(a, b) => assert(a._5.contains(b._3))
+        case _ => ()
+      }
+    }
+  }
+
   test("ewma: truncated exponential smoothing matches a hand fold; short history renormalizes") {
     // user 1: values 1,2,4,8 — alpha=1/2, lookback=6 (covers all rows).
     // Row k's ewma = Σ_{j<=k} 2^-j v_{k-j} / Σ_{j<=k} 2^-j, fully exact.
