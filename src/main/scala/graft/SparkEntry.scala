@@ -490,6 +490,38 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
+    // ANALYZE-style column profile: min/max/nulls/exact-NDV for the
+    // four lineitem metric columns in ONE scan (multi-distinct plans
+    // as a single Expand), melted to long form row-locally.
+    "q_profile" -> ((s, dir) =>
+      RelationalOps.profile(Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_name")),
+    // CDC snapshot diff: two deterministic snapshots of orders — keys
+    // missing from old (mod-11) read as inserts, keys missing from new
+    // (mod-13) as deletes, mod-7 price bumps as updates — classified by
+    // ONE full-outer key join; unchanged keys dropped.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val prev = ord.filter(col("o_orderkey") % 11 =!= 0)
+      val cur = ord.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+      RelationalOps.snapshotDiff(prev, cur, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+    // Overlapping-interval union per user: each event opens a VARIABLE
+    // half-open interval (10-30 min, deterministic in event_id — long
+    // intervals genuinely swallow later shorts, exercising the cummax);
+    // overlap-connected sets merge, exact epoch-micros spans published.
+    "q_interval_merge" -> ((s, dir) =>
+      TemporalOps.intervalMerge(Tables.events(s, dir), Seq("user_id"),
+          "event_id", unix_micros(col("ts")),
+          unix_micros(col("ts")) +
+            (lit(600L) + col("event_id") % 1200L) * 1000000L)
+        .orderBy("user_id", "start_us")),
     // Pareto-frontier (skyline) curation filter: per-user engagement
     // stats (n_events, max value), keep users no other user dominates
     // on both axes. Engine runs the bucket-pruned exact plan; the
@@ -2351,6 +2383,63 @@ object SparkEntry {
     "q_partition_prune" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    // profile: one UNION ALL branch per column — min/max are
+    // pass-through data values (exact), counts are integers
+    "q_profile" -> Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, CAST(min($c) AS DOUBLE) AS min_v,
+           |  CAST(max($c) AS DOUBLE) AS max_v,
+           |  count(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+           |  count(DISTINCT $c) AS ndv, count(*) AS n_rows
+           |FROM lineitem""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    // snapshot diff: the same two snapshot CTEs full-outer-joined;
+    // IS DISTINCT FROM mirrors the engine's null-safe struct compare
+    "q_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 11 <> 0),
+        |n AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |            WHEN n.o_orderkey IS NULL THEN 'delete'
+        |            ELSE 'update' END AS change,
+        |       o.o_orderstatus AS old_o_orderstatus,
+        |       n.o_orderstatus AS new_o_orderstatus,
+        |       o.o_totalprice AS old_o_totalprice,
+        |       n.o_totalprice AS new_o_totalprice
+        |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |ORDER BY o_orderkey""".stripMargin,
+    // interval merge: the same cummax gaps-and-islands in SQL; exact
+    // integer micros, strict-overlap islands (touching stays separate)
+    "q_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+        |         epoch_us(ts) + (600 + event_id % 1200) * 1000000 AS e_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, s_us, e_us,
+        |         CASE WHEN max(e_us) OVER wp IS NULL
+        |              OR s_us >= max(e_us) OVER wp THEN 1 ELSE 0 END AS brk
+        |  FROM iv
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY s_us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s AS (
+        |  SELECT user_id, s_us, e_us,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m)
+        |SELECT user_id, min(s_us) AS start_us, max(e_us) AS end_us,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, island
+        |ORDER BY user_id, start_us""".stripMargin,
     // skyline: the unpruned dominance quantifier — equality against the
     // engine's bucket-pruned plan is a completeness proof
     "q_skyline" ->

@@ -446,4 +446,88 @@ object RelationalOps {
         ((col("n_ab").cast("double") * lit(nBaskets.toDouble)) /
           (col("n_a").cast("double") * col("n_b"))).as("lift"))
   }
+
+  /** ANALYZE-style column profile: one row per requested numeric
+    * column with min / max / null count / exact distinct count plus
+    * the table row count — the statistics table behind cost-based
+    * join ordering, data-skipping file pruning, and data-quality
+    * monitoring.
+    *
+    * ONE aggregation pass computes every stat: Catalyst plans the
+    * multiple `count(DISTINCT …)` via a single Expand (each input row
+    * fans out once per distinct group, then two partial-combined
+    * aggregate rounds) — the scan happens exactly once however many
+    * columns are profiled. The wide single stats row is then melted
+    * to long form by an inline array-of-structs explode (row-local;
+    * no shuffle after the aggregate). Min/max cast to double for the
+    * uniform long-form schema — profile inputs are numeric columns by
+    * contract.
+    *
+    * At corpus scale exact NDV is the expensive stat (the Expand
+    * multiplies shuffled rows by the column count); swap in
+    * `approx_count_distinct` / [[SketchOps]] when estimates suffice —
+    * the published-exact form is the verifier.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("__n") +:
+      cols.flatMap { c => Seq(
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"),
+        count(when(col(c).isNull, lit(1))).as(s"__nulls_$c"),
+        count_distinct(col(c)).as(s"__ndv_$c"))
+      }
+    val entries = array(cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"__min_$c").as("min_v"),
+        col(s"__max_$c").as("max_v"), col(s"__nulls_$c").as("n_nulls"),
+        col(s"__ndv_$c").as("ndv"))
+    }: _*)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("__n"), explode(entries).as("__e"))
+      .select(col("__e.col_name").as("col_name"), col("__e.min_v").as("min_v"),
+        col("__e.max_v").as("max_v"), col("__e.n_nulls").as("n_nulls"),
+        col("__e.ndv").as("ndv"), col("__n").as("n_rows"))
+  }
+
+  /** Snapshot diff (CDC change detection): classify every key of two
+    * snapshots of the same keyed table as `insert` (new only),
+    * `delete` (old only) or `update` (present in both, any non-key
+    * column null-safe-different); unchanged keys are dropped. The
+    * incremental-refresh primitive: at 100 TB you re-derive only the
+    * changed slice downstream instead of recomputing the corpus.
+    *
+    * Publishes the keys, `change`, and `old_<c>` / `new_<c>` for every
+    * non-key column (the shared-schema requirement is checked). Plan:
+    * ONE full-outer shuffle join on the key — the change classification
+    * and the struct comparison are row-local expressions on top. Both
+    * sides at rest in a bucketed layout ([[graft.sources.Bucketing]])
+    * make even that exchange disappear. The null-safe `<=>` struct
+    * compare treats null-vs-value as a change and null-vs-null as
+    * equal — the SQL `IS DISTINCT FROM` contract.
+    *
+    * CONTRACT: `keys` non-null and unique per snapshot (it's a keyed
+    * table); pre-aggregate otherwise.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val valueCols = oldDf.columns.filterNot(keys.contains).toSeq
+    require(newDf.columns.filterNot(keys.contains).toSeq == valueCols,
+      "snapshotDiff requires identical non-key schemas")
+    // present flags must survive the outer join's nulls: a literal on
+    // each side, never null, identifies which side matched
+    val o = oldDf.select(keys.map(col) ++
+      valueCols.map(c => col(c).as(s"old_$c")) :+ lit(1).as("__in_old"): _*)
+    val n = newDf.select(keys.map(col) ++
+      valueCols.map(c => col(c).as(s"new_$c")) :+ lit(1).as("__in_new"): _*)
+    val oldStruct = struct(valueCols.map(c => col(s"old_$c")): _*)
+    val newStruct = struct(valueCols.map(c => col(s"new_$c")): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("change",
+        when(col("__in_old").isNull, "insert")
+          .when(col("__in_new").isNull, "delete")
+          .when(!(oldStruct <=> newStruct), "update"))
+      .filter(col("change").isNotNull)
+      .select((keys.map(col) :+ col("change")) ++
+        valueCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
 }

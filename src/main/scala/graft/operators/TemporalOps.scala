@@ -328,6 +328,55 @@ object TemporalOps {
       row_number().over(w).as("version"): _*)
   }
 
+  /** Merge overlapping per-key intervals: every set of half-open
+    * `[start, end)` intervals connected by GENUINE overlap (next start
+    * strictly before the running max end of everything before it;
+    * touching endpoints stay separate — the half-open reading)
+    * collapses to one row carrying its span and member count. The
+    * coverage-compaction primitive: availability windows, lease / lock
+    * spans, any time-range union.
+    *
+    * Sessionize is the point-event cousin; this one merges on interval
+    * GEOMETRY, where an early LONG interval can swallow later short
+    * ones whose immediate predecessor already ended — which is why the
+    * island test runs against the running `max` of ALL previous ends
+    * (gaps-and-islands with a 1-preceding cummax), never the previous
+    * row's end alone.
+    *
+    * Plan: ONE key-keyed exchange. Both windows (the 1-preceding
+    * cummax and the running island sum) share the same partitioning
+    * and (start, tiebreak) order, and the final per-(key, island)
+    * aggregate re-uses the key partitioning (clustering on a superset
+    * of the partition keys needs no new Exchange). Arithmetic is exact
+    * integer micros end to end. Standard hot-key window caveat: one
+    * key's full timeline sorts on one task.
+    *
+    * `startUs` / `endUs` are expressions evaluated against `events`
+    * (micros); rows with `endUs <= startUs` would be degenerate —
+    * caller's contract to exclude them.
+    */
+  def intervalMerge(events: DataFrame, keys: Seq[String],
+      tiebreak: String, startUs: Column, endUs: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__start_us"), col(tiebreak))
+    val prevMaxEnd = max(col("__end_us"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val island = sum(col("__brk"))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    events
+      .withColumn("__start_us", startUs)
+      .withColumn("__end_us", endUs)
+      .withColumn("__brk",
+        when(prevMaxEnd.isNull || col("__start_us") >= prevMaxEnd, 1L)
+          .otherwise(0L))
+      .withColumn("__island", island)
+      .groupBy(keys.map(col) :+ col("__island"): _*)
+      .agg(min(col("__start_us")).as("start_us"),
+        max(col("__end_us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .drop("__island")
+  }
+
   /** First-order Markov transition matrix over per-key event sequences:
     * how often does event type A immediately precede event type B
     * within the same key's timeline? The event-sequence summary behind

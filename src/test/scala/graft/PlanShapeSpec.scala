@@ -185,6 +185,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(countShuffles(df) == 1, planString(df).take(2000))
   }
 
+  test("q_profile: multi-distinct profiles in ONE scan via Expand") {
+    val df = graft.operators.RelationalOps.profile(
+      Tables.lineitem(spark, sf0),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    val plan = planString(df)
+    // one Expand (the multi-count-distinct rewrite), one parquet scan
+    assert(plan.contains("Expand"), plan.take(2000))
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(2000))
+  }
+
+  test("intervalMerge: one exchange — both windows and the island agg share it") {
+    val df = graft.operators.TemporalOps.intervalMerge(
+      Tables.events(spark, sf0), Seq("user_id"), "event_id",
+      unix_micros(col("ts")), unix_micros(col("ts")) + lit(1000000L))
+    // the (user_id, island) aggregate clusters on a superset of the
+    // window partition key: no second Exchange may appear
+    assert(countShuffles(df) == 1, planString(df).take(2000))
+  }
+
+  test("snapshotDiff: one full-outer join, no exchange beyond its two sides") {
+    val ord = Tables.orders(spark, sf0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val df = graft.operators.RelationalOps.snapshotDiff(
+      ord.filter(col("o_orderkey") % 11 =!= 0),
+      ord.filter(col("o_orderkey") % 13 =!= 0), Seq("o_orderkey"))
+    val plan = planString(df)
+    assert(countShuffles(df) <= 2, plan.take(2000))
+    assert(plan.contains("FullOuter"), plan.take(2000))
+  }
+
   test("q_unpivot: a pure Expand projection — no shuffle before the output sort") {
     val df = Tables.lineitem(spark, sf0)
       .filter(col("l_orderkey") % 97 === 0)

@@ -200,6 +200,41 @@ class RelationalOpsSpec extends SparkSpec {
     assert(!got.exists(r => r._1 == 1L && r._2 == 3L))
   }
 
+  test("profile: stats by hand, nulls and duplicates counted right") {
+    val df = Seq[(java.lang.Double, java.lang.Long)](
+      (1.5, 10L), (2.5, 10L), (null, 20L), (2.5, null), (4.0, 30L)
+    ).toDF("a", "b")
+    val got = RelationalOps.profile(df, Seq("a", "b"))
+      .orderBy("col_name")
+      .as[(String, Option[Double], Option[Double], Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", Some(1.5), Some(4.0), 1L, 3L, 5L),
+      ("b", Some(10.0), Some(30.0), 1L, 3L, 5L)))
+  }
+
+  test("snapshotDiff: insert/update/delete classified, unchanged dropped, null-safe") {
+    val prev = Seq[(Long, java.lang.Double, String)](
+      (1L, 1.0, "x"), (2L, 2.0, "y"), (3L, null, "z"), (4L, 4.0, "w")
+    ).toDF("k", "v", "s")
+    val cur = Seq[(Long, java.lang.Double, String)](
+      (1L, 1.0, "x"),      // unchanged -> dropped
+      (2L, 2.5, "y"),      // value update
+      (3L, 3.0, "z"),      // null -> value IS a change
+      (5L, 5.0, "q")       // insert; 4 missing -> delete
+    ).toDF("k", "v", "s")
+    val got = RelationalOps.snapshotDiff(prev, cur, Seq("k"))
+      .orderBy("k")
+      .as[(Long, String, Option[Double], Option[Double], Option[String],
+        Option[String])]
+      .collect().toSeq
+    assert(got == Seq(
+      (2L, "update", Some(2.0), Some(2.5), Some("y"), Some("y")),
+      (3L, "update", None, Some(3.0), Some("z"), Some("z")),
+      (4L, "delete", Some(4.0), None, Some("w"), None),
+      (5L, "insert", None, Some(5.0), None, Some("q"))))
+  }
+
   test("assocRules: pair generation is complete vs a brute-force self-join") {
     val li = spark.read.parquet(s"$sf0/lineitem.parquet")
       .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))

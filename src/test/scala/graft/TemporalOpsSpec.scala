@@ -293,6 +293,35 @@ class TemporalOpsSpec extends SparkSpec {
     }
   }
 
+  test("intervalMerge: overlap merges, touching stays separate, keys isolate") {
+    // user 1: [0,10) ∪ [5,15) merge; [15,25) touches 15 exactly -> NEW
+    // island (half-open); [40,50) gap -> new. user 2: single interval.
+    val iv = Seq(
+      (1L, 1L, 0L, 10L), (1L, 2L, 5L, 15L), (1L, 3L, 15L, 25L),
+      (1L, 4L, 40L, 50L), (2L, 5L, 0L, 10L)
+    ).toDF("user_id", "event_id", "s", "e")
+    val got = TemporalOps.intervalMerge(iv, Seq("user_id"), "event_id",
+        col("s"), col("e"))
+      .orderBy("user_id", "start_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 15L, 2L), (1L, 15L, 25L, 1L), (1L, 40L, 50L, 1L),
+      (2L, 0L, 10L, 1L)))
+  }
+
+  test("intervalMerge: an early long interval bridges rows a previous-end test would split") {
+    // [0,100) swallows [10,20) AND [90,95): row #3 starts after row
+    // #2's end (20), so a lag-end island test would wrongly split —
+    // only the cummax of ALL previous ends (100) keeps them together
+    val iv = Seq(
+      (1L, 1L, 0L, 100L), (1L, 2L, 10L, 20L), (1L, 3L, 90L, 95L)
+    ).toDF("user_id", "event_id", "s", "e")
+    val got = TemporalOps.intervalMerge(iv, Seq("user_id"), "event_id",
+        col("s"), col("e"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 100L, 3L)))
+  }
+
   test("ewma: truncated exponential smoothing matches a hand fold; short history renormalizes") {
     // user 1: values 1,2,4,8 — alpha=1/2, lookback=6 (covers all rows).
     // Row k's ewma = Σ_{j<=k} 2^-j v_{k-j} / Σ_{j<=k} 2^-j, fully exact.
