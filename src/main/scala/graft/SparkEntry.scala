@@ -293,6 +293,14 @@ object SparkEntry {
         nCells = 8, nProbe = 8)
         .select(col("q_id"), col("nn_id"), round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy("q_id", "rank")),
+    // ANN via product quantization (ADC shortlist + exact re-rank):
+    // the COMPRESSION tier — 8-byte codes, table-lookup scoring. Gate =
+    // exact-NN anchor (oracle-recomputed) + per-query recall@10 >= 0.5
+    // certificate (measured floors 0.7-0.9, pinned in spec).
+    "q_ann_pq" -> ((s, dir) =>
+      SimilarityOps.pqRecallCertificate(Tables.embeddings(s, dir),
+          col("vec_id") < 10, 10, minRecall = 0.5)
+        .orderBy("q_id")),
     // Text analysis: marker-based language ID (argmax + und fallback).
     "q_lang_id" -> ((s, dir) =>
       TextAnalysisOps.langId(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -2851,6 +2859,31 @@ object SparkEntry {
          |                               ORDER BY sim DESC, nn_id) AS rank
          |  FROM sims) x
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // PQ certificate: the oracle recomputes the exact L2 nearest
+    // neighbor (decimal-summed squared distance, the engine re-rank's
+    // own arithmetic) and contributes literal TRUE for the recall
+    // bound — hash equality proves the exact anchor AND the
+    // engine-measured recall@10 >= 0.5 per query
+    "q_ann_pq" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+        |d2 AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+        |         CAST(sum(CAST(
+        |           (CAST(q.embedding[d+1] AS DOUBLE) - CAST(c.embedding[d+1] AS DOUBLE)) *
+        |           (CAST(q.embedding[d+1] AS DOUBLE) - CAST(c.embedding[d+1] AS DOUBLE))
+        |           AS DECIMAL(38,12))) AS DOUBLE) AS dist2
+        |  FROM v q JOIN v c ON c.vec_id <> q.vec_id, range(64) r(d)
+        |  WHERE q.vec_id < 10
+        |  GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT q_id, nn_id, dist2,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY dist2, nn_id) AS rank
+        |  FROM d2
+        |)
+        |SELECT q_id, nn_id AS exact_nn_id, round(dist2, 6) AS exact_nn_dist2,
+        |       TRUE AS pq_ok
+        |FROM rk WHERE rank = 1 ORDER BY q_id""".stripMargin,
     // Momentum GD run to convergence = standardized OLS, closed-form
     // from pairwise correlations (intercept is exactly 0 in z-space).
     "q_momentum_gd" ->

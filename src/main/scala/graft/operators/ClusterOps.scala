@@ -39,7 +39,7 @@ object ClusterOps {
   /** Squared L2 distance from the dims-array column to a literal
     * centroid, folded in dimension order.
     */
-  private def dist2(x: Column, c: Array[Double]): Column =
+  private[operators] def dist2(x: Column, c: Array[Double]): Column =
     aggregate(
       zip_with(x, array(c.map(lit).toIndexedSeq: _*),
         (a, b) => (a - b) * (a - b)),
@@ -48,7 +48,7 @@ object ClusterOps {
   /** Lowest-index argmin over the distance columns via a strict
     * when-cascade: index j wins iff d_j <= d_i for every i > j.
     */
-  private def argmin(ds: Seq[Column]): Column =
+  private[operators] def argmin(ds: Seq[Column]): Column =
     ds.init.zipWithIndex.foldRight(lit(ds.size - 1)) { case ((d, j), rest) =>
       when(ds.drop(j + 1).map(d <= _).reduce(_ && _), j).otherwise(rest)
     }

@@ -372,6 +372,203 @@ object SimilarityOps {
     } finally { base.unpersist(blocking = false); () }
   }
 
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011) — the COMPRESSION tier of
+    * the ANN family: the 64-dim float corpus (256 B/vector) is encoded
+    * as `subspaces` 1-byte codes (8 B/vector at the defaults, 32×),
+    * and query-time candidate scoring is `subspaces` table lookups +
+    * adds per pair (asymmetric distance computation) instead of a
+    * 64-dim float kernel. LSH ([[annTopK]]) and IVF ([[ivfTopK]]) cut
+    * how many pairs are scored; PQ cuts what each pair costs — at
+    * 100 TB they compose (IVF-PQ): cells prune, codes score.
+    *
+    * Fit small / transform distributed, oracle-exact arithmetic
+    * (the [[ClusterOps]] discipline, not MLlib, so every step is
+    * deterministic and engine-portable):
+    *  - codebooks: per-subspace Lloyd with k = `codebookK`, trained on
+    *    a deterministic 1-in-`fitSampleMod` slice, ALL subspaces in one
+    *    exploded frame per iteration (one pass + one (sub, code)-keyed
+    *    decimal-mean aggregate; driver state = subspaces × codebookK ×
+    *    subDim doubles); init = the sample's `codebookK` smallest ids.
+    *  - encode: one map-only pass — per subspace an argmin when-cascade
+    *    over literal centroids (ties to the lowest code).
+    *  - ADC: each query precomputes its subspaces × codebookK distance
+    *    table (tiny, broadcast); per candidate the approx distance is
+    *    `aggregate(zip_with(codes, sequence(...)))` — `subspaces`
+    *    lookups, no float vectors touched.
+    *  - shortlist: ADC top-`shortlist` per query via the native
+    *    [[graft.plans.TopKPerKey]] bounded heap, then EXACT re-ranking
+    *    (decimal-folded squared L2 on the shortlist only) to top-`k` —
+    *    the standard prune-then-rerank production shape, so published
+    *    distances are exact and oracle-recomputable; only the RECALL is
+    *    approximate, measured and pinned in SimilarityOpsSpec /
+    *    AnnExactRecallSpec like the LSH and IVF paths.
+    *
+    * Output: (q_id, nn_id, dist2, rank) — ascending exact squared L2,
+    * ties to the lower nn_id.
+    */
+  def pqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+      subspaces: Int = 8, codebookK: Int = 16, iters: Int = 2,
+      fitSampleMod: Long = 4, shortlist: Int = 0): DataFrame = {
+    val dims = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(dims % subspaces == 0, s"dims $dims not divisible by $subspaces")
+    val d = dims / subspaces
+    // shortlist <= 0 → auto: ~1.7% of the corpus, floored at 200. On
+    // structureless (near-orthogonal random) vectors ADC's rank error
+    // is corpus-relative, so a FIXED shortlist decays with scale
+    // (measured recall@10: 200 of 60k → 0.76; 1000 of 60k → 0.99) — a
+    // fraction holds it steady and the exact re-rank cost stays
+    // queries × shortlist, tiny either way.
+    val sl =
+      if (shortlist > 0) shortlist
+      else math.max(200L, math.ceil(embeddings.count() * 0.017).toLong).toInt
+    val dec = "decimal(38,12)"
+    // PQ internals need DETERMINISM, not oracle portability (only the
+    // published exact re-rank is SQL-mirrored) — so distances fold as
+    // plain doubles inside compact array expressions (one transform
+    // over a literal centroid matrix beats a K²-comparison cascade in
+    // codegen size by ~30×), and argmin ties break to the lowest code
+    // via array_position-of-min (first match).
+    def distArr(sv: Column, cs: Array[Array[Double]]): Column =
+      transform(array(cs.map(c => array(c.map(lit).toIndexedSeq: _*))
+          .toIndexedSeq: _*),
+        c => aggregate(zip_with(sv, c, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+    def codeOf(sv: Column, cs: Array[Array[Double]]): Column = {
+      val ds = distArr(sv, cs)
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }
+    // (vec_id, sub, sv): the sample exploded to per-subspace rows
+    def subRows(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      explode(array((0 until subspaces).map(m =>
+        struct(lit(m).as("sub"),
+          expr(s"transform(slice(embedding, ${m * d + 1}, $d), e -> CAST(e AS DOUBLE))")
+            .as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    val sample = subRows(
+        embeddings.filter(pmod(col("vec_id"), lit(fitSampleMod)) === 0))
+      .persist()
+    try {
+      // init: the sample's codebookK smallest ids, split per subspace
+      var cents: Array[Array[Array[Double]]] = {
+        val ids = sample.select(col("vec_id")).distinct()
+          .orderBy(col("vec_id")).limit(codebookK)
+          .collect().map(_.getLong(0))
+        val rows = sample.filter(col("vec_id").isin(ids.toIndexedSeq: _*))
+          .collect()
+          .map(r => ((r.getLong(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+          .toMap
+        Array.tabulate(subspaces)(m => ids.map(id => rows((id, m))))
+      }
+      var it = 0
+      while (it < iters) {
+        // assignment: per row, the argmin of ITS subspace's codebook
+        val code = (0 until subspaces).foldLeft(lit(-1)) { (acc, m) =>
+          when(col("sub") === m, codeOf(col("sv"), cents(m))).otherwise(acc)
+        }
+        val sums = sample.withColumn("__code", code)
+          .groupBy(col("sub"), col("__code"))
+          .agg(count(lit(1)).as("__n"),
+            (0 until d).map(j =>
+              (sum(element_at(col("sv"), j + 1).cast(dec)).cast("double")
+                / count(lit(1))).as(s"__m$j")): _*)
+          .collect()
+        val next = cents.map(_.clone())
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) =
+            (0 until d).map(j => r.getDouble(3 + j)).toArray
+        }
+        cents = next
+        it += 1
+      }
+      // encode the corpus: subspaces argmins, one map-only projection
+      def subSlice(m: Int) =
+        expr(s"transform(slice(embedding, ${m * d + 1}, $d), e -> CAST(e AS DOUBLE))")
+      val codesCol = array((0 until subspaces).map(m =>
+        codeOf(subSlice(m), cents(m))): _*)
+      val encoded = graft.PlanUtils.spread(
+          embeddings.select(col("vec_id"), col("embedding")))
+        .select(col("vec_id"), codesCol.as("codes"))
+      // queries carry their flat ADC table: entry m*K + j = |q_m − c_mj|²
+      val dtable = flatten(array((0 until subspaces).map(m =>
+        distArr(subSlice(m), cents(m))): _*))
+      val queries = embeddings.filter(queryPred)
+        .select(col("vec_id").as("q_id"), dtable.as("dtable"))
+      val adc = encoded.crossJoin(broadcast(queries))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("approx", aggregate(
+          zip_with(col("codes"),
+            sequence(lit(0), lit(subspaces - 1)), (c, m) =>
+              element_at(col("dtable"), m * codebookK + c + 1)),
+          lit(0.0), (acc, x) => acc + x))
+      val short = graft.plans.TopKOps.topKPerKey(
+        adc.select(col("q_id"), col("vec_id").as("nn_id"), col("approx")),
+        Seq("q_id"), Seq(col("approx").asc, col("nn_id").asc), sl)
+      // exact re-rank on the shortlist: decimal-folded squared L2
+      val exactD2 = aggregate(
+        zip_with(col("emb_q"), col("emb_n"),
+          (a, b) => ((a - b) * (a - b)).cast(dec)),
+        lit(0).cast(dec), (acc, y) => (acc + y).cast(dec)).cast("double")
+      val vecs = embeddings.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val reranked = short
+        .join(vecs.select(col("vec_id").as("q_id"), col("emb").as("emb_q")), "q_id")
+        .join(vecs.select(col("vec_id").as("nn_id"), col("emb").as("emb_n")), "nn_id")
+        .withColumn("dist2", exactD2)
+      val top = graft.plans.TopKOps.topKPerKey(
+        reranked.select(col("q_id"), col("nn_id"), col("dist2")),
+        Seq("q_id"), Seq(col("dist2").asc, col("nn_id").asc), k)
+      val w = Window.partitionBy("q_id").orderBy(col("dist2").asc, col("nn_id"))
+      top.withColumn("rank", row_number().over(w))
+        .select("q_id", "nn_id", "dist2", "rank")
+    } finally { sample.unpersist(blocking = false); () }
+  }
+
+  /** The PQ gate: run [[pqTopK]] next to the exact brute-force L2
+    * top-k (the verifier — decimal-folded squared distances, the same
+    * arithmetic the re-rank publishes) and certify per query that the
+    * PQ list recovered at least `ceil(k·minRecall)` of the exact
+    * top-k. Published columns are all oracle-recomputable: the exact
+    * nearest neighbor and its distance anchor the exact side, the
+    * boolean carries the recall proof (the sketch-certificate
+    * construction — q_approx_distinct's pattern applied to ANN).
+    * Measured per-query recall floors are pinned in
+    * SimilarityOpsSpec; the bound leaves ≥ 2-hit margin below them.
+    */
+  def pqRecallCertificate(embeddings: DataFrame, queryPred: Column, k: Int,
+      minRecall: Double): DataFrame = {
+    val dec = "decimal(38,12)"
+    val pq = pqTopK(embeddings, queryPred, k)
+    val exactD2 = aggregate(
+      zip_with(col("emb_q"), col("emb_n"),
+        (a, b) => ((a - b) * (a - b)).cast(dec)),
+      lit(0).cast(dec), (acc, y) => (acc + y).cast(dec)).cast("double")
+    val queries = embeddings.filter(queryPred)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("emb_q"))
+    val corpus = embeddings.select(col("vec_id").as("nn_id"),
+      col("embedding").cast("array<double>").as("emb_n"))
+    val sims = corpus.crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("nn_id"))
+      .withColumn("dist2", exactD2)
+    val exTop = graft.plans.TopKOps.topKPerKey(
+      sims.select(col("q_id"), col("nn_id"), col("dist2")),
+      Seq("q_id"), Seq(col("dist2").asc, col("nn_id").asc), k)
+    val w = Window.partitionBy("q_id").orderBy(col("dist2").asc, col("nn_id"))
+    val exRanked = exTop.withColumn("rank", row_number().over(w))
+    val nHits = exRanked.select(col("q_id"), col("nn_id"))
+      .join(pq.select(col("q_id"), col("nn_id")), Seq("q_id", "nn_id"),
+        "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    exRanked.filter(col("rank") === 1)
+      .select(col("q_id"), col("nn_id").as("exact_nn_id"),
+        round(col("dist2"), 6).as("exact_nn_dist2"))
+      .join(nHits, Seq("q_id"), "left")
+      .select(col("q_id"), col("exact_nn_id"), col("exact_nn_dist2"),
+        (coalesce(col("n_hits"), lit(0L)) >=
+          lit(math.ceil(k * minRecall).toLong)).as("pq_ok"))
+  }
+
   def cosineNearDups(embeddings: DataFrame, minSim: Double): DataFrame = {
     val vecs = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))

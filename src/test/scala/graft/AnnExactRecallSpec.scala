@@ -50,4 +50,30 @@ class AnnExactRecallSpec extends SparkSpec {
       assert(brute == lsh, s"mismatch at $dir")
     }
   }
+
+  test("pqTopK with shortlist >= corpus equals the exact L2 top-10") {
+    // full-shortlist is PQ's provable-containment point (the IVF
+    // full-probe trick): ADC order stops mattering and the exact
+    // re-rank must reproduce brute force bit-for-bit — certifying the
+    // fit→encode→ADC→shortlist→re-rank machinery loses nothing.
+    val emb = Tables.embeddings(spark, sf0)
+    val n = emb.count().toInt
+    val pq = SimilarityOps.pqTopK(emb, col("vec_id") < 10, 10, shortlist = n)
+      .select("q_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val vecs = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val d2 = aggregate(zip_with(col("eq"), col("en"),
+      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+    val ex = vecs.select(col("vec_id").as("q_id"), col("e").as("eq"))
+      .filter(col("q_id") < 10)
+      .crossJoin(vecs.select(col("vec_id").as("nn_id"), col("e").as("en")))
+      .filter(col("q_id") =!= col("nn_id"))
+      .withColumn("d2", d2)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("d2").asc, col("nn_id").asc)))
+      .filter(col("rank") <= 10)
+      .select("q_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(pq == ex)
+  }
 }
