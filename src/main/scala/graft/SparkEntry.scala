@@ -530,6 +530,86 @@ object SparkEntry {
           unix_micros(col("ts")) +
             (lit(600L) + col("event_id") % 1200L) * 1000000L)
         .orderBy("user_id", "start_us")),
+    // MERGE INTO (SCD1 upsert): deterministic change set — mod-13
+    // deletes, mod-7 replacements, mod-97 fresh-key inserts — applied
+    // by anti-join + union; the oracle rebuilds the merged table
+    // declaratively.
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val changes = base.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("__del", lit(true))
+        .unionByName(base
+          .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            (col("o_totalprice") + lit(2.5)).as("o_totalprice"),
+            lit(false).as("__del")))
+        .unionByName(base.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+            lit("N").as("o_orderstatus"),
+            (col("o_totalprice") + lit(0.25)).as("o_totalprice"),
+            lit(false).as("__del")))
+      RelationalOps.mergeUpsert(base, changes, Seq("o_orderkey"), "__del")
+        .orderBy("o_orderkey")
+    }),
+    // Expectation-suite data-quality report: five rules (pk unique,
+    // two fk integrity, one range, one sign) — each ONE aggregate or
+    // anti-join, report constant-sized at any corpus scale.
+    "q_dq_checks" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val cust = Tables.customer(s, dir)
+      DataQualityOps.report(Seq(
+        DataQualityOps.uniqueKey(ord, "orders_pk_unique", "o_orderkey"),
+        DataQualityOps.refIntegrity(li, "lineitem_orders_fk", "l_orderkey",
+          ord, "o_orderkey"),
+        DataQualityOps.refIntegrity(ord, "orders_customer_fk", "o_custkey",
+          cust, "c_custkey"),
+        DataQualityOps.expectAll(li, "l_quantity_in_1_30",
+          col("l_quantity").between(1, 30)),
+        DataQualityOps.expectAll(ord, "o_totalprice_positive",
+          col("o_totalprice") > 0)))
+        .orderBy("rule")
+    }),
+    // Multi-source BFS over the synthetic link graph: min hops from
+    // the mod-97 seed set within 4 rounds; frontier-only joins, the
+    // oracle unrolls the same recursion.
+    "q_bfs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1 // dense ids
+      val nodes = docs.select(col("doc_id").as("node"))
+      GraphOps.bfsHops(GraphOps.syntheticEdges(nodes, n),
+          nodes.filter(col("node") % 97 === 0), rounds = 4)
+        .select(col("node").as("doc_id"), col("hop"))
+        .orderBy("doc_id")
+    }),
+    // Incremental aggregation maintenance: per-customer (count, sum)
+    // updated from the snapshot diff ONLY — group-moving updates
+    // (mod-19 custkey bump) transfer mass between groups; the oracle
+    // recomputes from scratch on the new snapshot, so equality proves
+    // maintenance ≡ recomputation.
+    "q_incr_agg" -> ((s, dir) => {
+      val dec = "decimal(38,12)"
+      val ord = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val prev = ord.filter(col("o_orderkey") % 11 =!= 0)
+      val cur = ord.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 19 === 0, col("o_custkey") + lit(1L))
+            .otherwise(col("o_custkey")))
+      val oldAgg = prev.groupBy(col("o_custkey").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).as("total"))
+      val diff = RelationalOps.snapshotDiff(prev, cur, Seq("o_orderkey"))
+      RelationalOps.applyCountSumDelta(oldAgg, diff,
+          "o_custkey", "o_totalprice")
+        .select(col("grp").as("o_custkey"), col("n"),
+          round(col("total").cast("double"), 4).as("total"))
+        .orderBy("o_custkey")
+    }),
     // Pareto-frontier (skyline) curation filter: per-user engagement
     // stats (n_events, max value), keep users no other user dominates
     // on both axes. Engine runs the bucket-pruned exact plan; the
@@ -2448,6 +2528,97 @@ object SparkEntry {
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, island
         |ORDER BY user_id, start_us""".stripMargin,
+    // MERGE: the declarative rebuild — deletes filtered, replacements
+    // CASEd in place, inserts appended; + 2.5 / + 0.25 are single IEEE
+    // adds, bit-identical on both engines
+    "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+        |SELECT o_orderkey,
+        |       CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END
+        |         AS o_orderstatus,
+        |       CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 2.5
+        |            ELSE o_totalprice END AS o_totalprice
+        |FROM base WHERE o_orderkey % 13 <> 0
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, 'N', o_totalprice + 0.25
+        |FROM base WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    // data-quality report: one UNION ALL branch per expectation
+    "q_dq_checks" ->
+      """SELECT 'orders_pk_unique' AS rule, count(*) AS n_checked,
+        |       count(*) - count(DISTINCT o_orderkey) AS n_violations
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_orders_fk', count(*),
+        |       count(CASE WHEN o.o_orderkey IS NULL THEN 1 END)
+        |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |  ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'orders_customer_fk', count(*),
+        |       count(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+        |FROM orders r LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |  ON r.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'l_quantity_in_1_30', count(*),
+        |       count(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 30,
+        |                                    FALSE) THEN 1 END)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'o_totalprice_positive', count(*),
+        |       count(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 END)
+        |FROM orders
+        |ORDER BY rule""".stripMargin,
+    // BFS: the same frontier recursion unrolled — hK = dsts of h{K-1}
+    // not yet seen; MATERIALIZED so the chain evaluates once per round
+    "q_bfs" ->
+      """WITH p AS (SELECT count(*) AS n FROM documents),
+        |e AS MATERIALIZED (
+        |  SELECT doc_id AS src, (doc_id + 1) % n AS dst FROM documents, p
+        |  UNION ALL SELECT doc_id, (doc_id * 2 + 3) % n FROM documents, p
+        |  UNION ALL SELECT doc_id, (doc_id * doc_id + 5) % n FROM documents, p
+        |),
+        |h0 AS MATERIALIZED (
+        |  SELECT doc_id AS node, 0 AS hop FROM documents WHERE doc_id % 97 = 0),
+        |h1 AS MATERIALIZED (
+        |  SELECT DISTINCT e.dst AS node, 1 AS hop FROM e
+        |  JOIN h0 ON h0.node = e.src
+        |  WHERE e.dst NOT IN (SELECT node FROM h0)),
+        |h2 AS MATERIALIZED (
+        |  SELECT DISTINCT e.dst AS node, 2 AS hop FROM e
+        |  JOIN h1 ON h1.node = e.src
+        |  WHERE e.dst NOT IN (SELECT node FROM h0)
+        |    AND e.dst NOT IN (SELECT node FROM h1)),
+        |h3 AS MATERIALIZED (
+        |  SELECT DISTINCT e.dst AS node, 3 AS hop FROM e
+        |  JOIN h2 ON h2.node = e.src
+        |  WHERE e.dst NOT IN (SELECT node FROM h0)
+        |    AND e.dst NOT IN (SELECT node FROM h1)
+        |    AND e.dst NOT IN (SELECT node FROM h2)),
+        |h4 AS MATERIALIZED (
+        |  SELECT DISTINCT e.dst AS node, 4 AS hop FROM e
+        |  JOIN h3 ON h3.node = e.src
+        |  WHERE e.dst NOT IN (SELECT node FROM h0)
+        |    AND e.dst NOT IN (SELECT node FROM h1)
+        |    AND e.dst NOT IN (SELECT node FROM h2)
+        |    AND e.dst NOT IN (SELECT node FROM h3))
+        |SELECT node AS doc_id, hop FROM (
+        |  SELECT * FROM h0 UNION ALL SELECT * FROM h1
+        |  UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3
+        |  UNION ALL SELECT * FROM h4)
+        |ORDER BY doc_id""".stripMargin,
+    // incremental agg: the from-scratch aggregate of the new snapshot —
+    // equality proves the engine's old+delta decimal algebra exact
+    "q_incr_agg" ->
+      """WITH cur AS (
+        |  SELECT CASE WHEN o_orderkey % 19 = 0 THEN o_custkey + 1
+        |              ELSE o_custkey END AS grp,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |              ELSE o_totalprice END AS v
+        |  FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT grp AS o_custkey, count(*) AS n,
+        |       round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE), 4) AS total
+        |FROM cur GROUP BY grp ORDER BY o_custkey""".stripMargin,
     // skyline: the unpruned dominance quantifier — equality against the
     // engine's bucket-pruned plan is a completeness proof
     "q_skyline" ->

@@ -202,6 +202,51 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Multi-source BFS: the minimum hop count from any seed to every
+    * reachable node within `rounds` hops over a directed edge list —
+    * the reachability / influence-radius primitive (crawl frontier
+    * depth, contamination blast radius, feature propagation depth).
+    *
+    * Frontier form of the Pregel loop: per round, ONLY the newly
+    * discovered frontier (never the visited set) joins the edge list,
+    * and candidates already visited are dropped with an anti-join —
+    * so per-round join work is frontier × out-degree, and total work
+    * is Σ|frontier_k| = |reachable|, not rounds × |V|. The edge list
+    * is shuffled ONCE onto its join key and pinned ([[pageRank]]'s
+    * layout); visited/frontier tables are node-sized and persist
+    * round-scoped (materialize-then-release, the iterate pattern).
+    *
+    * Output: (node, hop) for every node reached within `rounds` hops,
+    * hop = 0 for seeds. Unreached nodes are absent (the oracle
+    * mirrors). All integer arithmetic — exact on any engine.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    try {
+      var visited = seeds.select(col("node")).distinct()
+        .select(col("node"), lit(0).as("hop")).persist()
+      var frontier = visited
+      var k = 1
+      while (k <= rounds) {
+        val next = e.join(frontier, e("src") === frontier("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .select(col("node"), lit(k).as("hop"))
+        val nextVisited = visited.unionByName(next).persist()
+        nextVisited.count() // materialize so the old round can release
+        visited.unpersist(blocking = false)
+        // frontier is a filter OVER the new visited cache — no second
+        // materialization needed, it shares the persisted round
+        visited = nextVisited
+        frontier = nextVisited.filter(col("hop") === k)
+        k += 1
+      }
+      graft.CacheScope.autoRelease(visited).select("node", "hop")
+    } finally e.unpersist(blocking = false)
+  }
+
   private def pow60(base: Long, k: Int): Long = {
     var r = 1L
     var i = 0

@@ -530,4 +530,70 @@ object RelationalOps {
       .select((keys.map(col) :+ col("change")) ++
         valueCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
+
+  /** MERGE (SCD type-1 upsert): apply a change set to a keyed base
+    * table — rows whose key appears in `changes` with the
+    * `deleteFlag` set vanish, other change rows replace-or-insert
+    * their key, untouched base rows pass through. The warehouse MERGE
+    * INTO statement as a two-branch plan:
+    *
+    *   base LEFT ANTI changes (on keys)  ∪  changes WHERE NOT delete
+    *
+    * ONE key-keyed shuffle for the anti join (broadcast when the
+    * change set is small — the common CDC case, Catalyst picks it);
+    * the union is planless. `changes` must carry base's schema plus
+    * the boolean `deleteFlag` and at most one row per key (it's a
+    * change SET; dedupe upstream — [[dedupLast]]).
+    */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      deleteFlag: String): DataFrame = {
+    require(changes.columns.contains(deleteFlag),
+      s"changes must carry the $deleteFlag column")
+    val kept = base.join(changes.select(keys.map(col): _*), keys, "left_anti")
+    kept.unionByName(
+      changes.filter(!col(deleteFlag)).drop(deleteFlag))
+  }
+
+  /** Incremental aggregation maintenance: update a per-group
+    * (count, decimal-sum) aggregate table from a [[snapshotDiff]]
+    * change set WITHOUT rescanning the corpus — the incremental-view
+    * primitive that turns a 100 TB re-aggregation into work
+    * proportional to the day's churn.
+    *
+    * Each diff row contributes up to two delta rows: its OLD side
+    * (delete / update: −1, −old value, keyed by the old group) and its
+    * NEW side (insert / update: +1, +new value, keyed by the new
+    * group) — so group-moving updates transfer mass between groups
+    * correctly. Deltas aggregate per group (tiny — churn-sized), then
+    * ONE full-outer join folds them into the old aggregate; groups
+    * whose count reaches zero are dropped.
+    *
+    * Exactness: sums are DECIMAL(38,12) end to end, where the delta
+    * algebra is EXACT — old + Σ(new−old) is term-for-term the direct
+    * aggregate of the new snapshot, independent of order. The output
+    * (`grp`, `n`, `total` double) hash-matches a from-scratch DuckDB
+    * aggregate of the new snapshot, which is the gate's proof that
+    * maintenance ≡ recomputation.
+    */
+  def applyCountSumDelta(oldAgg: DataFrame, diff: DataFrame,
+      grpCol: String, valCol: String): DataFrame = {
+    val dec = "decimal(38,12)"
+    val deltas = diff.select(explode(array(
+        struct(col(s"old_$grpCol").as("grp"), lit(-1L).as("dn"),
+          (-col(s"old_$valCol")).cast(dec).as("ds"),
+          col("change").isInCollection(Seq("delete", "update")).as("keep")),
+        struct(col(s"new_$grpCol").as("grp"), lit(1L).as("dn"),
+          col(s"new_$valCol").cast(dec).as("ds"),
+          col("change").isInCollection(Seq("insert", "update")).as("keep"))
+      )).as("d"))
+      .filter(col("d.keep"))
+      .groupBy(col("d.grp").as("grp"))
+      .agg(sum(col("d.dn")).as("dn"), sum(col("d.ds")).as("ds"))
+    oldAgg.join(deltas, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(0).cast(dec)) +
+          coalesce(col("ds"), lit(0).cast(dec))).cast(dec).as("total"))
+      .filter(col("n") > 0)
+  }
 }

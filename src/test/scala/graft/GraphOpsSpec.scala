@@ -134,4 +134,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == (0 until m).map(i => (i.toLong, h(i), a(i))))
     assert(got.map(_._3).distinct.size > 1) // skewed in-degrees → non-uniform
   }
+
+  test("bfsHops: min hop wins, revisits never relabel, unreachable absent") {
+    // 0→1→2→3→4 chain, plus shortcut 0→3 (so 3 is hop 1, 4 is hop 2),
+    // a back-edge 2→0 (revisit must not relabel 0), and isolated 9
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L),
+      (2L, 0L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = GraphOps.bfsHops(edges, seeds, rounds = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 3L -> 1, 2L -> 2, 4L -> 2))
+  }
+
+  test("bfsHops: multi-source takes the closer seed; rounds bound the radius") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 2L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L, 10L).toDF("node")
+    val r1 = GraphOps.bfsHops(edges, seeds, rounds = 1)
+      .as[(Long, Int)].collect().toMap
+    // 2 is hop 1 via seed 10 (not hop 2 via 0); radius 1 excludes 3
+    assert(r1 == Map(0L -> 0, 10L -> 0, 1L -> 1, 2L -> 1))
+    val r2 = GraphOps.bfsHops(edges, seeds, rounds = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(r2 == Map(0L -> 0, 10L -> 0, 1L -> 1, 2L -> 1, 3L -> 2))
+  }
 }

@@ -235,6 +235,43 @@ class RelationalOpsSpec extends SparkSpec {
       (5L, "insert", None, Some(5.0), None, Some("q"))))
   }
 
+  test("mergeUpsert: delete drops, upsert replaces, insert appends, rest pass through") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a2", false), // replace
+      (2L, "x", true),   // delete (value ignored)
+      (9L, "new", false) // insert
+    ).toDF("k", "v", "del")
+    val got = RelationalOps.mergeUpsert(base, changes, Seq("k"), "del")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a2"), (3L, "c"), (9L, "new")))
+  }
+
+  test("applyCountSumDelta: updates, group moves, and drop-to-zero match a recompute") {
+    val dec = "decimal(38,12)"
+    val prev = Seq((1L, 10L, 2.0), (2L, 10L, 3.0), (3L, 20L, 5.0), (4L, 30L, 7.0))
+      .toDF("k", "g", "v")
+    val cur = Seq(
+      (1L, 10L, 2.5),  // value update in place
+      (2L, 11L, 3.0),  // group move 10 -> 11
+      (5L, 20L, 1.0)   // insert into group 20
+    ).toDF("k", "g", "v")
+    // changes: k=1 update (v), k=2 update (g), k=3 delete, k=4 delete
+    // (group 30 drops to zero and must vanish), k=5 insert
+    val oldAgg = prev.groupBy(col("g").as("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(dec)).as("total"))
+    val diff = RelationalOps.snapshotDiff(prev, cur, Seq("k"))
+    val got = RelationalOps.applyCountSumDelta(oldAgg, diff, "g", "v")
+      .select(col("grp"), col("n"), col("total").cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = cur.groupBy(col("g").as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(dec)).cast("double").as("total"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == direct)
+    assert(got == Set((10L, 1L, 2.5), (11L, 1L, 3.0), (20L, 1L, 1.0)))
+  }
+
   test("assocRules: pair generation is complete vs a brute-force self-join") {
     val li = spark.read.parquet(s"$sf0/lineitem.parquet")
       .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
