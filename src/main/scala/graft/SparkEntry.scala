@@ -214,6 +214,16 @@ object SparkEntry {
       DedupOps.nearDupClusters(
           DedupOps.verifiedNearDups(Tables.documents(s, dir)))
         .orderBy("doc_id")),
+    // Canonical-doc manifest: the dedup pipeline's KEEP step — one
+    // longest-member representative per near-dup cluster (tie: lowest
+    // doc_id), singletons keep themselves. The oracle replays the
+    // full chain: exact pairs → recursive closure → rank → union.
+    "q_canonical_docs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.canonicalDocs(docs,
+          DedupOps.nearDupClusters(DedupOps.verifiedNearDups(docs)))
+        .orderBy("doc_id")
+    }),
     // Exact n-gram Jaccard pairs (inverted index) — the brute-force
     // baseline the LSH path approximates.
     "q_ngram_jaccard" -> ((s, dir) =>
@@ -1830,6 +1840,41 @@ object SparkEntry {
          |)
          |SELECT node AS doc_id, min(label) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // canonical docs: closure + keep-longest rank + singleton union —
+    // the engine's three gated stages replayed as one oracle chain
+    "q_canonical_docs" ->
+      s"""WITH RECURSIVE ${ShingleCte("documents")},
+         |pr AS (
+         |  SELECT co.da, co.db
+         |  FROM co JOIN sz x ON x.doc_id = co.da JOIN sz y ON y.doc_id = co.db
+         |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+         |), ed AS (
+         |  SELECT da AS src, db AS dst FROM pr
+         |  UNION ALL
+         |  SELECT db, da FROM pr
+         |), reach(node, label) AS (
+         |  SELECT src, src FROM ed
+         |  UNION
+         |  SELECT e.src, r.label FROM ed e JOIN reach r ON r.node = e.dst
+         |), cl AS (
+         |  SELECT node AS doc_id, min(label) AS cluster
+         |  FROM reach GROUP BY node
+         |), tl AS (
+         |  SELECT doc_id,
+         |         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+         |  FROM documents
+         |), rk AS (
+         |  SELECT cl.doc_id, cl.cluster,
+         |         row_number() OVER (PARTITION BY cluster
+         |                            ORDER BY n_tokens DESC, cl.doc_id) AS rk,
+         |         count(*) OVER (PARTITION BY cluster) AS n_members
+         |  FROM cl JOIN tl ON tl.doc_id = cl.doc_id
+         |)
+         |SELECT doc_id, cluster, n_members FROM rk WHERE rk = 1
+         |UNION ALL
+         |SELECT d.doc_id, d.doc_id, 1 FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM cl)
+         |ORDER BY doc_id""".stripMargin,
     // exact all-pairs at the q_neardup_ref threshold — recall gate for
     // the published r=18/b=28 banding
     "q_neardup_ref" ->

@@ -513,6 +513,42 @@ object DedupOps {
     } finally edges.unpersist(blocking = false)
   }
 
+  /** Canonical-document selection — the KEEP policy that turns near-dup
+    * clusters into a deduplicated corpus manifest: every cluster
+    * contributes exactly one representative (the member with the most
+    * word tokens, ties to the lowest doc_id — "keep the longest", the
+    * standard web-dedup policy: the longest member is most often the
+    * superset page), and every unclustered doc keeps itself. Output:
+    * one row per KEPT doc — (doc_id, cluster, n_members), singletons
+    * carrying cluster = doc_id and n_members = 1, so downstream joins
+    * need no null handling.
+    *
+    * Plan: token lengths are a map-only projection; rank and size ride
+    * ONE cluster-keyed window exchange; singletons are a key-only
+    * anti-join (the membership table is cluster-node-sized, ≪ corpus,
+    * so it broadcasts). Composes [[verifiedNearDups]] →
+    * [[nearDupClusters]] → this: the full dedup pipeline, each stage
+    * oracle-gated.
+    */
+  def canonicalDocs(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+    val wRank = Window.partitionBy("cluster")
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    val ranked = clusters.join(lens, "doc_id")
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+    val reps = ranked.filter(col("__rk") === 1)
+      .select(col("doc_id"), col("cluster"), col("n_members"))
+    val singles = docs.select("doc_id")
+      .join(clusters.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster"),
+        lit(1L).as("n_members"))
+    reps.unionByName(singles)
+  }
+
   /** Uniquifies observed-metric names across invocations (no RNG/clock
     * — determinism policy).
     */

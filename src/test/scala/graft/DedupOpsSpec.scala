@@ -218,4 +218,18 @@ class DedupOpsSpec extends SparkSpec {
     assert(DedupOps.editDistancePairs(docs, maxDist = 1, keyLen = 10)
       .count() == 0L)
   }
+
+  test("canonicalDocs: longest member wins, ties to lowest id, singletons kept") {
+    val docs = Seq(
+      (1L, "aa bb"),             // cluster 1: 2 tokens
+      (2L, "aa bb cc dd"),       // cluster 1: 4 tokens -> representative
+      (3L, "aa bb cc dd"),       // cluster 1: 4 tokens, higher id loses tie
+      (7L, "zz yy xx"),          // singleton
+      (9L, "qq")                 // singleton
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster")
+    val got = DedupOps.canonicalDocs(docs, clusters)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L, 3L), (7L, 7L, 1L), (9L, 9L, 1L)))
+  }
 }

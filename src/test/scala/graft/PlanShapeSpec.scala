@@ -215,6 +215,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("FullOuter"), plan.take(2000))
   }
 
+  test("q_merge_upsert: the change set broadcasts into a LeftAnti join (no shuffle merge)") {
+    val df = SparkEntry.queries("q_merge_upsert")(spark, sf0)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin LeftAnti") ||
+      plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(2000))
+  }
+
   test("q_unpivot: a pure Expand projection — no shuffle before the output sort") {
     val df = Tables.lineitem(spark, sf0)
       .filter(col("l_orderkey") % 97 === 0)
