@@ -540,6 +540,13 @@ object SparkEntry {
           unix_micros(col("ts")) +
             (lit(600L) + col("event_id") % 1200L) * 1000000L)
         .orderBy("user_id", "start_us")),
+    // OHLC candles: first/last/min/max value per (event_type, 6 h
+    // bucket) — order-aware aggregation as ONE hash aggregate
+    // (min_by/max_by over the packed order), no window, no sort.
+    "q_ohlc" -> ((s, dir) =>
+      TemporalOps.ohlc(Tables.events(s, dir), Seq("event_type"),
+          "ts", "event_id", "value", 21600L * 1000000L)
+        .orderBy("event_type", "bucket_us")),
     // MERGE INTO (SCD1 upsert): deterministic change set — mod-13
     // deletes, mod-7 replacements, mod-97 fresh-key inserts — applied
     // by anti-join + union; the oracle rebuilds the merged table
@@ -2573,6 +2580,20 @@ object SparkEntry {
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, island
         |ORDER BY user_id, start_us""".stripMargin,
+    // OHLC: DuckDB's ordered aggregates replay the min_by/max_by pair;
+    // values pass through exact, buckets are integer micros
+    "q_ohlc" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, value, epoch_us(ts) AS t,
+        |         (epoch_us(ts) // 21600000000) * 21600000000 AS bucket_us
+        |  FROM events)
+        |SELECT event_type, bucket_us,
+        |       first(value ORDER BY t, event_id) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       last(value ORDER BY t, event_id) AS close,
+        |       count(*) AS n
+        |FROM ev GROUP BY event_type, bucket_us
+        |ORDER BY event_type, bucket_us""".stripMargin,
     // MERGE: the declarative rebuild — deletes filtered, replacements
     // CASEd in place, inserts appended; + 2.5 / + 0.25 are single IEEE
     // adds, bit-identical on both engines

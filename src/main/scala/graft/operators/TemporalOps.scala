@@ -328,6 +328,38 @@ object TemporalOps {
       row_number().over(w).as("version"): _*)
   }
 
+  /** OHLC downsampling — per (key, time bucket): the FIRST and LAST
+    * value under a total (ts, tiebreak) order plus min/max/count. The
+    * financial candlestick reduction, and more generally the
+    * order-aware aggregation member (first/last-in-group) the
+    * min/max/sum family can't express.
+    *
+    * Plans as ONE partial-combined HashAggregate — no window, no sort:
+    * open/close are `min_by`/`max_by` over the packed (ts, tiebreak)
+    * order struct, so each map task keeps one candidate per (key,
+    * bucket) and only those cross the exchange. The window
+    * formulation (row_number ASC/DESC) would shuffle and sort every
+    * input row; this one ships two (order, value) pairs per group per
+    * task. Bucketing is exact integer micros (`div`, not `/`).
+    *
+    * CONTRACT: (tsCol, tiebreak) must totally order rows within a
+    * (key, bucket) — ties would make open/close engine-dependent.
+    */
+  def ohlc(events: DataFrame, keys: Seq[String], tsCol: String,
+      tiebreak: String, valueCol: String, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val ord = struct(col(tsCol), col(tiebreak))
+    events
+      .withColumn("bucket_us",
+        expr(s"(unix_micros($tsCol) div $bucketUs) * $bucketUs"))
+      .groupBy(keys.map(col) :+ col("bucket_us"): _*)
+      .agg(min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n"))
+  }
+
   /** Merge overlapping per-key intervals: every set of half-open
     * `[start, end)` intervals connected by GENUINE overlap (next start
     * strictly before the running max end of everything before it;

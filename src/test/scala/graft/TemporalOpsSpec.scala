@@ -293,6 +293,28 @@ class TemporalOpsSpec extends SparkSpec {
     }
   }
 
+  test("ohlc: open/close follow the (ts, tiebreak) order, buckets epoch-aligned") {
+    // bucket = 1 hour. user-less key "A": two buckets; same-ts rows in
+    // bucket 1 break the tie on event_id (open = id 1, close = id 2)
+    val events = Seq(
+      ("A", ts("2026-01-01 10:10:00"), 1L, 5.0),
+      ("A", ts("2026-01-01 10:10:00"), 2L, 9.0), // same ts, higher id
+      ("A", ts("2026-01-01 10:40:00"), 3L, 1.0),
+      ("A", ts("2026-01-01 11:05:00"), 4L, 7.0),
+      ("B", ts("2026-01-01 10:30:00"), 5L, 4.0)
+    ).toDF("k", "t", "event_id", "value")
+    val got = TemporalOps.ohlc(events, Seq("k"), "t", "event_id", "value",
+        3600L * 1000000L)
+      .orderBy("k", "bucket_us")
+      .as[(String, Long, Double, Double, Double, Double, Long)]
+      .collect().toSeq
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(got == Seq(
+      ("A", us("2026-01-01 10:00:00"), 5.0, 9.0, 1.0, 1.0, 3L),
+      ("A", us("2026-01-01 11:00:00"), 7.0, 7.0, 7.0, 7.0, 1L),
+      ("B", us("2026-01-01 10:00:00"), 4.0, 4.0, 4.0, 4.0, 1L)))
+  }
+
   test("intervalMerge: overlap merges, touching stays separate, keys isolate") {
     // user 1: [0,10) ∪ [5,15) merge; [15,25) touches 15 exactly -> NEW
     // island (half-open); [40,50) gap -> new. user 2: single interval.
