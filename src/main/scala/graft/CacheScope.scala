@@ -40,33 +40,44 @@ import org.apache.spark.storage.StorageLevel
   */
 object CacheScope {
 
+  /** Run `body` once, when the FIRST query execution whose analyzed
+    * plan contains `df`'s subtree completes (success or failure), then
+    * unregister. The one-shot release trigger behind [[autoRelease]],
+    * exposed for operators that must release SEVERAL resources with
+    * one consumer (e.g. an iterative loop's intermediate levels —
+    * GraphOps.bfsHops).
+    */
+  def onConsumed(df: DataFrame)(body: => Unit): Unit = {
+    val spark = df.sparkSession
+    val target = df.queryExecution.analyzed
+    val fired = new AtomicBoolean(false)
+    val listener: QueryExecutionListener = new QueryExecutionListener {
+      private def maybeFire(qe: QueryExecution): Unit = {
+        // a listener must never throw into the bus — treat any plan-
+        // inspection failure as "not consumed"
+        val consumed =
+          try qe.analyzed.exists(_.sameResult(target))
+          catch { case _: Throwable => false }
+        if (consumed && fired.compareAndSet(false, true)) {
+          try body
+          finally spark.listenerManager.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = maybeFire(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = maybeFire(qe)
+    }
+    spark.listenerManager.register(listener)
+  }
+
   /** Persist `df` (MEMORY_AND_DISK) until the first consuming query
     * execution completes, then unpersist automatically.
     */
   def autoRelease(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val persisted = df.persist(level)
-    val spark = df.sparkSession
-    val target = persisted.queryExecution.analyzed
-    val released = new AtomicBoolean(false)
-    val listener: QueryExecutionListener = new QueryExecutionListener {
-      private def maybeRelease(qe: QueryExecution): Unit = {
-        // a listener must never throw into the bus — treat any plan-
-        // inspection failure as "not consumed"
-        val consumed =
-          try qe.analyzed.exists(_.sameResult(target))
-          catch { case _: Throwable => false }
-        if (consumed && released.compareAndSet(false, true)) {
-          try persisted.unpersist(blocking = false)
-          finally spark.listenerManager.unregister(this)
-        }
-      }
-      override def onSuccess(funcName: String, qe: QueryExecution,
-          durationNs: Long): Unit = maybeRelease(qe)
-      override def onFailure(funcName: String, qe: QueryExecution,
-          exception: Exception): Unit = maybeRelease(qe)
-    }
-    spark.listenerManager.register(listener)
+    onConsumed(persisted)(persisted.unpersist(blocking = false))
     persisted
   }
 

@@ -225,26 +225,47 @@ object GraphOps {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
     try {
+      // LAZY persist chain, no per-round action: each round's frame is
+      // marked for caching and referenced (at most twice — as the next
+      // round's frontier filter and anti-join base), but nothing runs
+      // until the CALLER's single action, which fills every level's
+      // cache exactly once bottom-up. Eager per-round count()s (the
+      // pageRank loop shape) would serialize `rounds` blocking jobs;
+      // here the rounds' stages pipeline inside one job (measured
+      // 4.0 s → 3.6 s at sf0.1 — the joins, not the job overhead,
+      // dominate). The persist marks are what keep the recursion
+      // linear — without them round k would re-derive every earlier
+      // round per reference (the 2^k funnel disease).
       var visited = seeds.select(col("node")).distinct()
         .select(col("node"), lit(0).as("hop")).persist()
-      var frontier = visited
+      val intermediates = Seq.newBuilder[DataFrame]
       var k = 1
       while (k <= rounds) {
+        val frontier = visited.filter(col("hop") === k - 1)
         val next = e.join(frontier, e("src") === frontier("node"))
           .select(col("dst").as("node")).distinct()
           .join(visited.select("node"), Seq("node"), "left_anti")
           .select(col("node"), lit(k).as("hop"))
-        val nextVisited = visited.unionByName(next).persist()
-        nextVisited.count() // materialize so the old round can release
-        visited.unpersist(blocking = false)
-        // frontier is a filter OVER the new visited cache — no second
-        // materialization needed, it shares the persisted round
-        visited = nextVisited
-        frontier = nextVisited.filter(col("hop") === k)
+        intermediates += visited
+        visited = visited.unionByName(next).persist()
         k += 1
       }
-      graft.CacheScope.autoRelease(visited).select("node", "hop")
-    } finally e.unpersist(blocking = false)
+      // intermediate levels AND the pinned edge list release once the
+      // final level materializes (their blocks already fed it); the
+      // final level itself is query-scoped. e must NOT release in a
+      // finally: with the lazy chain nothing has run yet when this
+      // function returns, and an eager unpersist would strip the
+      // edge cache before any of the `rounds` joins consume it.
+      val out = graft.CacheScope.autoRelease(visited).select("node", "hop")
+      val toRelease = intermediates.result()
+      graft.CacheScope.onConsumed(visited) {
+        toRelease.foreach(_.unpersist(blocking = false))
+        e.unpersist(blocking = false)
+      }
+      out
+    } catch {
+      case t: Throwable => e.unpersist(blocking = false); throw t
+    }
   }
 
   private def pow60(base: Long, k: Int): Long = {
