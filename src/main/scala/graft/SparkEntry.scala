@@ -515,6 +515,14 @@ object SparkEntry {
       RelationalOps.profile(Tables.lineitem(s, dir),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_name")),
+    // Distribution-shape companion to q_profile: equi-width histograms
+    // for two lineitem metrics in ONE scan — the row-local (col, bin)
+    // fan-out keeps the exchange at (cols × bins) partial rows;
+    // floor(x/w) in double is engine-exact.
+    "q_histogram" -> ((s, dir) =>
+      RelationalOps.histogram(Tables.lineitem(s, dir),
+          Seq("l_extendedprice" -> 5000.0, "l_quantity" -> 5.0))
+        .orderBy("col_name", "bin")),
     // CDC snapshot diff: two deterministic snapshots of orders — keys
     // missing from old (mod-11) read as inserts, keys missing from new
     // (mod-13) as deletes, mod-7 price bumps as updates — classified by
@@ -547,6 +555,15 @@ object SparkEntry {
       TemporalOps.ohlc(Tables.events(s, dir), Seq("event_type"),
           "ts", "event_id", "value", 21600L * 1000000L)
         .orderBy("event_type", "bucket_us")),
+    // VWAP per synthetic symbol (partkey mod 100) per calendar month:
+    // decimal-exact sums feed the published ratio, one hash aggregate.
+    // First gate exercising the l_shipdate date column (UTC calendar
+    // extraction portability).
+    "q_vwap" -> ((s, dir) =>
+      TemporalOps.vwap(Tables.lineitem(s, dir)
+            .withColumn("symbol", pmod(col("l_partkey"), lit(100L))),
+          Seq("symbol"), "l_shipdate", "l_extendedprice", "l_quantity")
+        .orderBy("symbol", "y", "m")),
     // MERGE INTO (SCD1 upsert): deterministic change set — mod-13
     // deletes, mod-7 replacements, mod-97 fresh-key inserts — applied
     // by anti-join + union; the oracle rebuilds the merged table
@@ -721,6 +738,11 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
           round(col("rare_frac"), 6).as("rare_frac"), col("keep"))
         .orderBy("doc_id")),
+    // Collocation mining: top-50 adjacent token pairs by lift over the
+    // shared tokenizer, published as integer ppm — all-count
+    // arithmetic, so ranking AND values gate exactly (no float ratio).
+    "q_colloc" -> ((s, dir) =>
+      TextOps.collocations(Tables.documents(s, dir), minCount = 5, k = 50)),
     // CCNet-style perplexity filter core: add-one-smoothed bigram LM
     // trained ON the corpus, each doc scored by average bigram NLL. Terms
     // rounded at 9 dp (libm rule), decimal-summed, published at 6 dp;
@@ -2088,6 +2110,27 @@ object SparkEntry {
         |FROM sh JOIN dfreq USING (s)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // collocations: adjacency via 1-based list indexing over
+    // generate_series (empty when a doc has <2 tokens); lift in
+    // all-BIGINT arithmetic with floor division — exact on both engines
+    "q_colloc" ->
+      """WITH toks AS (
+        |  SELECT regexp_extract_all(lower(text), '((?:[\.,!?;"])|(?:(?:\#|\@)?[A-Za-z0-9_\-]+(?:''[a-z]{1,3})?))', 1) AS t
+        |  FROM documents
+        |), flat AS (SELECT unnest(t) AS word FROM toks),
+        |uni AS (SELECT word, count(*) AS c FROM flat GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM flat),
+        |big AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS cxy
+        |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT w1, w2, cxy, (cxy * 1000000 * tot.n) // (u1.c * u2.c) AS lift_ppm
+        |FROM big CROSS JOIN tot
+        |JOIN uni u1 ON u1.word = w1
+        |JOIN uni u2 ON u2.word = w2
+        |WHERE cxy >= 5
+        |ORDER BY lift_ppm DESC, w1, w2 LIMIT 50""".stripMargin,
     // bigram LM: same tokenizer as the dedup family; unigram counts
     // over ALL positions, V = distinct vocab, add-one smoothing. NLL
     // term = ln((c1+V)/(c2+1)) rounded 9, decimal-summed, avg at 6 dp;
@@ -2533,6 +2576,14 @@ object SparkEntry {
            |  count(DISTINCT $c) AS ndv, count(*) AS n_rows
            |FROM lineitem""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    // histogram: one UNION ALL branch per (column, width); floor of an
+    // IEEE double division is bit-identical on both engines
+    "q_histogram" -> Seq("l_extendedprice" -> "5000.0", "l_quantity" -> "5.0")
+      .map { case (c, w) =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(floor($c / $w) AS BIGINT) AS bin, count(*) AS n
+           |FROM lineitem GROUP BY 2""".stripMargin }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name, bin"),
     // snapshot diff: the same two snapshot CTEs full-outer-joined;
     // IS DISTINCT FROM mirrors the engine's null-safe struct compare
     "q_snapshot_diff" ->
@@ -2594,6 +2645,22 @@ object SparkEntry {
         |       count(*) AS n
         |FROM ev GROUP BY event_type, bucket_us
         |ORDER BY event_type, bucket_us""".stripMargin,
+    // VWAP: decimal-exact sums on both sides; year/month cast to
+    // INTEGER to match Spark's int-typed calendar fields
+    "q_vwap" ->
+      """SELECT l_partkey % 100 AS symbol,
+        |       CAST(year(l_shipdate) AS INTEGER) AS y,
+        |       CAST(month(l_shipdate) AS INTEGER) AS m,
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE), 4)
+        |         AS sum_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,12))) AS DOUBLE), 4)
+        |         AS sum_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,12))) AS DOUBLE)
+        |             / CAST(sum(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE)
+        |         AS vwap
+        |FROM lineitem GROUP BY 1, 2, 3
+        |ORDER BY symbol, y, m""".stripMargin,
     // MERGE: the declarative rebuild — deletes filtered, replacements
     // CASEd in place, inserts appended; + 2.5 / + 0.25 are single IEEE
     // adds, bit-identical on both engines

@@ -489,6 +489,37 @@ object RelationalOps {
         col("__e.ndv").as("ndv"), col("__n").as("n_rows"))
   }
 
+  /** Equi-width histogram over several numeric columns in ONE scan:
+    * each row fans out to `(col_name, bin)` per profiled column via an
+    * inline array-of-structs explode (row-local, before the shuffle),
+    * then a single hash aggregate counts per (col_name, bin). The
+    * distribution-shape companion to [[profile]] — bin `i` covers
+    * `[i·w, (i+1)·w)` for that column's width `w`.
+    *
+    * Bin assignment is `floor(x / w)` in DOUBLE: one IEEE division and
+    * a floor, bit-identical on any engine — no min/max pre-pass, so the
+    * whole thing is one scan + one exchange carrying (cols × bins)
+    * partial rows, not the input. Negative values bin correctly
+    * (floor, not truncation); nulls land in a null bin, mirroring SQL
+    * GROUP BY. Output: (col_name, bin, n).
+    *
+    * Pick widths so bins are meaningful at the data's scale; a width
+    * whose reciprocal is not a power of two still divides exactly —
+    * only the PUBLISHED bin boundary `i·w` would need care, which is
+    * why this returns the integer bin id, not the boundary.
+    */
+  def histogram(df: DataFrame, cols: Seq[(String, Double)]): DataFrame = {
+    require(cols.nonEmpty, "histogram needs at least one column")
+    cols.foreach { case (_, w) => require(w > 0, "bin width must be positive") }
+    val entries = array(cols.map { case (c, w) =>
+      struct(lit(c).as("col_name"),
+        floor(col(c) / lit(w)).cast("long").as("bin"))
+    }: _*)
+    df.select(explode(entries).as("__e"))
+      .groupBy(col("__e.col_name").as("col_name"), col("__e.bin").as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Snapshot diff (CDC change detection): classify every key of two
     * snapshots of the same keyed table as `insert` (new only),
     * `delete` (old only) or `update` (present in both, any non-key

@@ -360,6 +360,36 @@ object TemporalOps {
         count(lit(1)).as("n"))
   }
 
+  /** VWAP: volume-weighted average price per (key, calendar month) —
+    * `sum(price) / sum(qty)` where the price column already carries the
+    * per-row notional (the TPC-H `l_extendedprice` convention: unit
+    * price × quantity). The trade/fill summarization primitive; [[ohlc]]
+    * is the order-aware sibling, this one is order-free.
+    *
+    * Plan: ONE hash aggregate (partial+final) on (keys, y, m) — a single
+    * exchange keyed by data-cardinality columns, no window, no sort.
+    * Sums run in DECIMAL(28,12) so the per-group totals are exact
+    * (order-independent) on any engine and any partitioning; only the
+    * published ratio and sums are rounded. Calendar fields come from
+    * the session-UTC timestamp, matching an oracle reading the same
+    * parquet values naively.
+    */
+  def vwap(trades: DataFrame, keys: Seq[String], tsCol: String,
+      priceCol: String, qtyCol: String): DataFrame = {
+    def dec(c: String): Column = sum(col(c).cast("decimal(28,12)")).cast("double")
+    trades
+      .withColumn("y", year(col(tsCol)))
+      .withColumn("m", month(col(tsCol)))
+      .groupBy(keys.map(col) :+ col("y") :+ col("m"): _*)
+      .agg(count(lit(1)).as("n"),
+        round(dec(qtyCol), 4).as("sum_qty"),
+        round(dec(priceCol), 4).as("sum_price"),
+        // published RAW: exact decimal sums → one double cast → one IEEE
+        // division — bit-identical on any engine; round()ing the ratio
+        // would re-introduce half-way ties the engines break differently
+        (dec(priceCol) / dec(qtyCol)).as("vwap"))
+  }
+
   /** Merge overlapping per-key intervals: every set of half-open
     * `[start, end)` intervals connected by GENUINE overlap (next start
     * strictly before the running max end of everything before it;

@@ -401,4 +401,53 @@ object TextOps {
       round(stddev_pop(col("n")), scale).as("std_n"))
       .orderBy("ch")
   }
+
+  /** Collocation mining: the top-k adjacent token pairs by LIFT —
+    * `P(w1,w2) / (P(w1)·P(w2))`, the phrase-mining signal behind
+    * tokenizer vocabulary curation and stop-phrase lists ("new york"
+    * scores high; "of the" scores ~1). [[graft.functions]]' BPE pair
+    * counting ranks by raw frequency; lift surfaces the RARE-but-bound
+    * pairs frequency buries.
+    *
+    * Published as `lift_ppm = ⌊cxy·10⁶·N / (cx·cy)⌋` — all-integer
+    * arithmetic (counts only), so the ranking and the value are exact
+    * on any engine; no float ratio to round. The 10⁶ scale keeps three
+    * decimal digits of lift above 1 ppm resolution. Overflow headroom:
+    * cxy·10⁶·N stays under 2⁶³ while cxy·N < 9.2·10¹² — at larger
+    * corpora widen to DECIMAL before the multiply (the ranking is
+    * unchanged).
+    *
+    * Plan: the token-array scan feeds bigram extraction (row-local
+    * `transform` over positions — no flatMap, stays in codegen) and
+    * the unigram side; N folds out of the unigram counts (no extra
+    * scan) and broadcasts as a 1-row literal. Three shuffles total
+    * (bigram agg, unigram agg, pair↔vocab join on w1/w2 — AQE
+    * broadcasts the vocab side when it's small); `minCount` prunes the
+    * pair tail BEFORE the joins. Top-k plans as TakeOrderedAndProject
+    * with a deterministic (w1, w2) tie-break.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(tokens(col(textCol)).as("t"))
+    val uni = graft.CacheScope.autoRelease(
+      toks.select(explode(col("t")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c")))
+    val nTokens = uni.agg(sum(col("c")).as("n"))
+    val bigrams = toks.filter(size(col("t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    bigrams
+      .crossJoin(broadcast(nTokens))
+      .join(uni.select(col("word").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("word").as("w2"), col("c").as("c2")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("cxy"),
+        expr("(cxy * 1000000 * n) div (c1 * c2)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }
