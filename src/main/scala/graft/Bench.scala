@@ -89,7 +89,15 @@ object Bench {
     // must never read as a smaller (better) total
     val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
     val failedJson = failed.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"queries":$qs,"spread":$spread,"failed":$failedJson,"load_avg":{"start":${fmt(loadStart)},"end":${fmt(loadAvg)}},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"queries":$qs,"spread":$spread,"failed":$failedJson,"load_avg":{"start":${fmt(loadStart)},"end":${fmt(loadAvg)}},"sf":"$sfDir"}"""
+    println(json)
+    // Durable copy: the driver captures stdout by tail and has truncated
+    // the line mid-JSON before (BENCH_r05) — the file can't be cut.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

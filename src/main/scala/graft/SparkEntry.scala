@@ -218,6 +218,14 @@ object SparkEntry {
     // longest-member representative per near-dup cluster (tie: lowest
     // doc_id), singletons keep themselves. The oracle replays the
     // full chain: exact pairs → recursive closure → rank → union.
+    // PRODUCTION SHAPE: this gate recomputes the whole LSH pipeline
+    // (minhash → banding → verify → propagation) inline because the
+    // harness requires each query be a pure function of the source
+    // tables. A real pipeline materializes the cluster assignment ONCE
+    // (write nearDupClusters' output as a keyed table / Delta snapshot)
+    // and every consumer — canonical selection, filtering, dedup joins —
+    // reads that table; at 100 TB the clustering is a run-once batch
+    // job, never a per-consumer recomputation.
     "q_canonical_docs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       DedupOps.canonicalDocs(docs,
