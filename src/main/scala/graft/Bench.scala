@@ -15,12 +15,16 @@ import org.apache.spark.sql.SparkSession
   *    (`catalog.clearCache()` between queries), so persist calls inside
   *    one operator can't evict or pre-warm another query's working set
   *    and the numbers are order-independent.
-  *  - Stable order (sorted by name) + REPEATS full passes, reporting the
-  *    per-query MEDIAN (pass 1 absorbs codegen/classloading warm-up;
-  *    the median of the remaining distribution is robust to the one-off
-  *    scheduler/GC excursions that min-of-2 could not distinguish from
-  *    real regressions — two consecutive rounds showed ±50% per-query
-  *    drift on unchanged map-only plans).
+  *  - Stable order (sorted by name) + one DISCARDED warm-up pass +
+  *    REPEATS measured passes, reporting the per-query MEDIAN. The
+  *    warm-up pass pays codegen/classloading once, outside the stats:
+  *    before it existed, the suite's alphabetically-first query
+  *    (q_ann_ivf) absorbed the whole JVM cold start into its pass-1
+  *    sample and its stddev read 4 s on a 1.4 s-median plan. The median
+  *    of the measured passes is robust to the one-off scheduler/GC
+  *    excursions that min-of-2 could not distinguish from real
+  *    regressions — two consecutive rounds showed ±50% per-query
+  *    drift on unchanged map-only plans.
   *  - Per-query spread (min/max/stddev over all repeats) is emitted in
   *    the JSON so a cross-round delta can be judged against the measured
   *    noise band instead of guessed at, plus the OS 1-min load average
@@ -48,7 +52,12 @@ object Bench {
         try spark.read.parquet(s"$sfDir/$t.parquet").count()
         catch { case _: Throwable => () }
       }
+    // Optional subset (comma-separated names): scaling studies and
+    // single-query spread checks without paying the full-suite runtime.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // (seconds, succeeded) — a crashing query must never masquerade as
     // a fast timing (it would read as a speedup in round comparisons)
     def runOnce(name: String): (Double, Boolean) = {
@@ -63,6 +72,8 @@ object Bench {
     }
     // Full sorted passes (not per-query bursts): consecutive runs of the
     // same query would share a hot cache state the driver run wouldn't.
+    // Pass 0 is warm-up — measured queries then time plans, not codegen.
+    names.foreach(runOnce)
     val passes = (1 to repeats).map(_ => names.map(n => n -> runOnce(n)).toMap)
     def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     case class Stat(median: Double, min: Double, max: Double, stddev: Double, ok: Boolean)

@@ -669,10 +669,7 @@ object SparkEntry {
     // overlapping-window member the streaming family was missing.
     // Gated by the SAME oracle as the batch form.
     "q_stream_hop" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Tables.eventsStream(s, dir)
       val agg = graft.streaming.StreamingOps.hoppingStats(stream, "ts",
         "value", "21600 seconds", "10800 seconds", "12 hours")
       val qn = s"graft_stream_hop_${StreamSeq.incrementAndGet()}"
@@ -931,12 +928,10 @@ object SparkEntry {
     // (ring-buffer state, ≤ 6 doubles + a counter per key) — gated by
     // THE SAME oracle as the batch window form: streaming/batch parity.
     "q_stream_anomaly" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
       import s.implicits._
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = Tables.eventsStream(s, dir)
         .filter(col("user_id") < 30)
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_id"), col("value"))
         .as[(Long, Long, Long, Double)]
       val scored = graft.streaming.StreamingOps.rollingAnomalyByKey(stream)
@@ -1186,10 +1181,7 @@ object SparkEntry {
     // session path is part of the correctness gate end to end (the
     // unit parity test in TemporalOpsSpec covers multi-batch merging).
     "q_stream_sessionize" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Tables.eventsStream(s, dir)
       val sessions = TemporalOps.sessionize(
         stream.withWatermark("ts", "24 hours"), Seq("user_id"), "ts", "30 minutes")
       val qn = s"graft_stream_sessionize_${StreamSeq.incrementAndGet()}"
@@ -1321,9 +1313,7 @@ object SparkEntry {
     // with the same DuckDB oracle as the batch plan — streaming parity
     // is part of the correctness gate, not just a unit test.
     "q_stream_welford" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = Tables.eventsStream(s, dir)
       val sampled = RelationalOps.hashBucketSample(stream, "user_id", 16, 3)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
@@ -1343,10 +1333,8 @@ object SparkEntry {
     // AvailableNow splits into several micro-batches, the final state
     // is the row with the largest n per key (n strictly grows).
     "q_stream_welford_state" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
       import s.implicits._
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = Tables.eventsStream(s, dir)
         .select(col("event_type"), col("value")).as[(String, Double)]
       val stats = graft.streaming.StreamingOps.welfordByKey(stream)
       val qn = s"graft_stream_welford_state_${StreamSeq.incrementAndGet()}"
@@ -1364,10 +1352,7 @@ object SparkEntry {
     // complete mode): the standard event-time aggregation shape, gated
     // against the batch date_trunc oracle.
     "q_stream_window" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Tables.eventsStream(s, dir)
       val agg = graft.streaming.StreamingOps.windowedStats(stream, "ts", "value",
         "1 hour", "2 hours")
       val qn = s"graft_stream_window_${StreamSeq.incrementAndGet()}"
@@ -1386,9 +1371,7 @@ object SparkEntry {
     // micro-batch; the batch-join oracle proves row-level parity —
     // nothing dropped, nothing duplicated, no state needed.
     "q_stream_static_join" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = Tables.eventsStream(s, dir)
       val dim = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey").as("user_id"),
           col("c_mktsegment").as("segment"), col("c_acctbal"))
@@ -1435,10 +1418,7 @@ object SparkEntry {
     // emission is watermark-independent, so the AvailableNow run must
     // produce exactly the batch inequality-join answer.
     "q_stream_interval_join" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def ev = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def ev = Tables.eventsStream(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_event"))
       val views = ev.filter(col("event_type") === "view")
@@ -2653,19 +2633,24 @@ object SparkEntry {
         |       count(*) AS n
         |FROM ev GROUP BY event_type, bucket_us
         |ORDER BY event_type, bucket_us""".stripMargin,
-    // VWAP: decimal-exact sums on both sides; year/month cast to
-    // INTEGER to match Spark's int-typed calendar fields
+    // VWAP: decimal-exact sums rounded IN DECIMAL to 4 dp, then cast —
+    // a scale-4 decimal → double conversion is correctly rounded on
+    // both engines, so the sums AND their quotient (vwap is defined
+    // from the published sums) are bit-identical; the raw scale-12
+    // quotient was not (double→decimal(28,12) casts differ at the last
+    // scale digit and the ratio surfaces the tie). year/month cast to
+    // INTEGER to match Spark's int-typed calendar fields.
     "q_vwap" ->
       """SELECT l_partkey % 100 AS symbol,
         |       CAST(year(l_shipdate) AS INTEGER) AS y,
         |       CAST(month(l_shipdate) AS INTEGER) AS m,
         |       count(*) AS n,
-        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE), 4)
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(28,12))), 4) AS DOUBLE)
         |         AS sum_qty,
-        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,12))) AS DOUBLE), 4)
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,12))), 4) AS DOUBLE)
         |         AS sum_price,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,12))) AS DOUBLE)
-        |             / CAST(sum(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE)
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,12))), 4) AS DOUBLE)
+        |             / CAST(round(sum(CAST(l_quantity AS DECIMAL(28,12))), 4) AS DOUBLE)
         |         AS vwap
         |FROM lineitem GROUP BY 1, 2, 3
         |ORDER BY symbol, y, m""".stripMargin,

@@ -53,6 +53,44 @@ object ClusterOps {
       when(ds.drop(j + 1).map(d <= _).reduce(_ && _), j).otherwise(rest)
     }
 
+  /** `iters` Lloyd iterations over a frame carrying (`idCol`, `__x`:
+    * array<double>); returns the final k × dims centroid matrix — the
+    * only driver state. Init = the vectors of the k smallest ids
+    * (deterministic, no RNG); updates are decimal-sum means (shuffle-
+    * order-independent, engine-portable); an empty cluster keeps its
+    * previous centroid. Shared by [[kmeans]] (full-corpus form) and
+    * [[graft.operators.SimilarityOps.ivfTopK]]'s sample fit — one
+    * quantizer implementation, two consumers. The caller persists `x`
+    * (each iteration re-reads it).
+    */
+  private[operators] def lloyd(x: DataFrame, idCol: String,
+      k: Int, dims: Int, iters: Int): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = x.orderBy(col(idCol)).limit(k)
+      .select(col("__x")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = x.withColumn("__cl",
+        argmin(cents.toIndexedSeq.map(c => dist2(col("__x"), c))))
+      // per-(cluster, dim) decimal means + counts: k×dims doubles to
+      // the driver — the entire mutable state of the algorithm
+      val sums = assigned.groupBy(col("__cl"))
+        .agg(count(lit(1)).as("__n"),
+          (0 until dims).map(d =>
+            (sum(element_at(col("__x"), d + 1).cast("decimal(38,12)"))
+              .cast("double") / count(lit(1))).as(s"__m$d")): _*)
+        .collect()
+      val next = cents.clone()
+      sums.foreach { r =>
+        val cl = r.getInt(0)
+        next(cl) = (0 until dims).map(d => r.getDouble(2 + d)).toArray
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
   /** Run `iters` Lloyd iterations with k clusters over the first `dims`
     * dimensions of `vecCol` (float32 → double cast is exact), then
     * publish each row's final assignment under the FINAL centroids:
@@ -70,30 +108,7 @@ object ClusterOps {
         .as("__x"))
       .persist()
     try {
-      // init: the k smallest ids' vectors — k rows to the driver
-      var cents: Array[Array[Double]] = x.orderBy(col(idCol)).limit(k)
-        .select(col("__x")).collect()
-        .map(_.getSeq[Double](0).toArray)
-      var it = 0
-      while (it < iters) {
-        val assigned = x.withColumn("__cl",
-          argmin(cents.toIndexedSeq.map(c => dist2(col("__x"), c))))
-        // per-(cluster, dim) decimal means + counts: k×dims doubles to
-        // the driver — the entire mutable state of the algorithm
-        val sums = assigned.groupBy(col("__cl"))
-          .agg(count(lit(1)).as("__n"),
-            (0 until dims).map(d =>
-              (sum(element_at(col("__x"), d + 1).cast("decimal(38,12)"))
-                .cast("double") / count(lit(1))).as(s"__m$d")): _*)
-          .collect()
-        val next = cents.clone()
-        sums.foreach { r =>
-          val cl = r.getInt(0)
-          next(cl) = (0 until dims).map(d => r.getDouble(2 + d)).toArray
-        }
-        cents = next
-        it += 1
-      }
+      val cents = lloyd(x, idCol, k, dims, iters)
       val finalDs = cents.toIndexedSeq.map(c => dist2(col("__x"), c))
       graft.CacheScope.autoRelease(x)
         .select(col(idCol), argmin(finalDs).as("cluster"),

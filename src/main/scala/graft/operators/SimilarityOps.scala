@@ -115,36 +115,61 @@ object SimilarityOps {
     rankTopK(sims, k)
   }
 
-  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: MLlib
-    * KMeans partitions the corpus into `nCells` Voronoi cells; each
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: Lloyd
+    * k-means partitions the corpus into `nCells` Voronoi cells; each
     * query probes only its `nProbe` nearest cells, so the exact-cosine
     * work is (queries × corpus/nCells × nProbe) instead of queries ×
     * corpus. Complements [[annTopK]]'s LSH: IVF adapts to the data's
     * density (cells follow the distribution), LSH is oblivious but
     * fit-free.
     *
-    *  - Fit runs on a deterministic 1-in-`fitSampleMod` slice (seeded
-    *    k-means||), a few passes over a sample — at 100 TB the model
-    *    fits on a sketch, never the corpus.
-    *  - Cell assignment = one pass (transform); the centroid table
-    *    (nCells × dim) broadcasts to the query side.
+    *  - Fit is the Faiss coarse-quantizer training recipe: a
+    *    deterministic 1-in-`fitSampleMod` slice, hard-capped at
+    *    `maxFitSample` vectors by smallest id (TakeOrdered — no full
+    *    sort), collected and Lloyd-iterated ON THE DRIVER. Driver state
+    *    is O(maxFitSample × dims) — 16 MB at the 65536 × 64-float
+    *    default, a CONSTANT independent of corpus size; at 100 TB the
+    *    model still fits on this sketch, never the corpus. The fit runs
+    *    zero Spark jobs (one TakeOrdered collect feeds it), so its cost
+    *    is a fixed deterministic JVM loop — the earlier MLlib k-means||
+    *    fit produced identical gated results but JVM-state-dependent
+    *    job costs (bench spread 0.9–3.6 s at sf0.1), and a distributed
+    *    per-iteration Lloyd pays ~16 tiny-job latencies to fit what is
+    *    by construction sketch-sized.
+    *  - Cell assignment = one map-only pass: argmin over nCells of
+    *    |c|² − 2·x·c (|x|² is rank-constant) with the native codegen'd
+    *    [[graft.functions.ArrayDot]] against literal centroids.
+    *  - The centroid table (nCells × dim) broadcasts to the query side.
     *  - Output shape matches [[bruteForceTopK]]; recall is pinned vs
-    *    brute force in SimilarityOpsSpec.
+    *    brute force in SimilarityOpsSpec; full-probe equality vs brute
+    *    force in AnnExactRecallSpec.
     */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, fitSampleMod: Long = 10): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      nCells: Int = 16, nProbe: Int = 4, fitSampleMod: Long = 10,
+      fitIters: Int = 8, maxFitSample: Int = 65536): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val vecs = embeddings.select(col("vec_id"), col("embedding"),
-      array_to_vector(col("embedding")).as("fv"))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(8)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(vecs.filter(pmod(col("vec_id"), lit(fitSampleMod)) === 0))
-    val assigned = model.transform(vecs).select(col("vec_id"), col("cell"))
-    val cents = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    val sample: Array[Array[Double]] = vecs
+      .filter(pmod(col("vec_id"), lit(fitSampleMod)) === 0)
+      .orderBy(col("vec_id")).limit(maxFitSample)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centArrs = localLloyd(sample, nCells, fitIters)
+    val centsF: IndexedSeq[Array[Float]] =
+      centArrs.map(_.map(_.toFloat)).toIndexedSeq
+    def centLit(c: Array[Float]): Column =
+      array(c.map(lit).toIndexedSeq: _*).cast("array<float>")
+    // argmin by |c|² − 2·x·c; |c|² from the float-rounded centroid so
+    // driver and executor score the same literal values
+    val cellScores = centsF.map { c =>
+      val cc = c.foldLeft(0.0)((s, v) => s + v.toDouble * v.toDouble)
+      lit(cc) - lit(2.0) * dot(col("embedding"), centLit(c))
+    }
+    val assigned = vecs.select(col("vec_id"),
+      ClusterOps.argmin(cellScores).as("cell"))
+    val cents = centsF.zipWithIndex
+      .map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
     // query → nProbe nearest cells by (negated) squared L2 distance:
     // |q−c|² = |q|² − 2·q·c + |c|²; |q|² is rank-constant, dropped
@@ -200,6 +225,45 @@ object SimilarityOps {
         array_max(zip_with(col("q"), col("embedding"),
           (qi, vi) => abs(qi.cast("double") * col("scale") / 127.0
             - vi.cast("double")))).as("max_abs_err"))
+
+  /** Sequential Lloyd iterations on the (bounded, driver-resident) fit
+    * sample — deterministic by construction: init = the sample's first
+    * `k` vectors (the smallest ids, matching [[ClusterOps.lloyd]]'s
+    * rule), argmin ties break to the lowest centroid index, centroid
+    * means accumulate in fixed sample order, and an empty cluster keeps
+    * its previous centroid. No RNG anywhere, so repeated fits are
+    * bit-identical — the property the q_ann_ivf hash gate rides on.
+    */
+  private def localLloyd(pts: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(pts.length >= k, s"fit sample ${pts.length} < k=$k")
+    val dims = pts(0).length
+    var cents: Array[Array[Double]] = pts.take(k).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Long](k)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dims) { val e = p(i) - cents(c)(i); d += e * e; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dims) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dims)(i => sums(c)(i) / counts(c))
+      }
+      it += 1
+    }
+    cents
+  }
 
   /** Explode a code column into every code within `probeRadius` Hamming
     * distance: XOR masks of popcount ≤ radius over `bits` bits, built

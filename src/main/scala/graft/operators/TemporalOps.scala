@@ -376,18 +376,29 @@ object TemporalOps {
     */
   def vwap(trades: DataFrame, keys: Seq[String], tsCol: String,
       priceCol: String, qtyCol: String): DataFrame = {
-    def dec(c: String): Column = sum(col(c).cast("decimal(28,12)")).cast("double")
+    // Round IN DECIMAL (exact half-up at scale 4), THEN cast: a
+    // scale-4 decimal of this magnitude converts to double correctly
+    // rounded on every engine (integer significand < 2^53, one IEEE
+    // divide by 1e4). The scale-12 sums themselves are NOT cross-engine
+    // bit-portable — double→decimal(28,12) casts differ at the last
+    // scale digit (Spark rounds the shortest-repr digits, DuckDB the
+    // exact binary expansion), which a raw sum-over-sum quotient
+    // surfaces whenever one group lands on a tie.
+    def dec4(c: String): Column =
+      round(sum(col(c).cast("decimal(28,12)")), 4).cast("double")
     trades
       .withColumn("y", year(col(tsCol)))
       .withColumn("m", month(col(tsCol)))
       .groupBy(keys.map(col) :+ col("y") :+ col("m"): _*)
       .agg(count(lit(1)).as("n"),
-        round(dec(qtyCol), 4).as("sum_qty"),
-        round(dec(priceCol), 4).as("sum_price"),
-        // published RAW: exact decimal sums → one double cast → one IEEE
-        // division — bit-identical on any engine; round()ing the ratio
-        // would re-introduce half-way ties the engines break differently
-        (dec(priceCol) / dec(qtyCol)).as("vwap"))
+        dec4(qtyCol).as("sum_qty"),
+        dec4(priceCol).as("sum_price"),
+        // vwap is DEFINED from the published 4-dp sums: every output
+        // digit reproduces from the output itself, and the quotient of
+        // two cross-engine-identical doubles is one IEEE division —
+        // bit-identical without rounding the ratio (which would
+        // re-introduce half-way ties the engines break differently).
+        (dec4(priceCol) / dec4(qtyCol)).as("vwap"))
   }
 
   /** Merge overlapping per-key intervals: every set of half-open

@@ -217,11 +217,9 @@ class StreamingOpsSpec extends SparkSpec {
       .orderBy("user_id", "seq")
       .collect().toList
 
-    val schema = spark.read.parquet(s"$sf0/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf0)
+    val stream = Tables.eventsStream(spark, sf0)
       .filter(col("user_id") < 30)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("value"))
       .as[(Long, Long, Long, Double)]
     val q = StreamingOps.rollingAnomalyByKey(stream).toDF()
