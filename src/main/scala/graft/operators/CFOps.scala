@@ -27,10 +27,18 @@ import org.apache.spark.sql.functions._
   * alternative shuffles the same rows on the same key (it moves the
   * count, not the skew) while costing a persist — measured worse in
   * round 4. On Zipfian popularity the straggler task IS the hottest
-  * item; if that ever dominates, the escape hatch is a two-level count
-  * (salted partial agg + broadcast-back), which trades the linear
-  * lineage for bounded tasks. Behavior pinned by CFOpsSpec
-  * ("window support chain under one dominant item").
+  * item; if that ever dominates, the escape hatch is IMPLEMENTED
+  * behind [[Params.saltedSupport]]: two-level salted partial counts
+  * (group by (item, hash(user) % salts) first, so no single task ever
+  * receives a hot item's full vector, then combine the ≤ salts partials
+  * per item) joined back onto the ratings — the join-back exchange IS
+  * AQE-skew-splittable (or broadcast when the surviving key set is
+  * small), unlike a window frame. It trades the window form's linear
+  * lineage for bounded per-task input; default stays the window form,
+  * which is faster whenever the head item fits a task. Both behaviors
+  * pinned: CFOpsSpec ("window support chain under one dominant item"),
+  * EdgeCasesSpec (salted form = window form bit-for-bit under an
+  * 80%-hot key, with measured per-task shuffle reads bounded).
   * The support→center chain is one linear lineage
   * (window counts, no agg+join-back), so exactly ONE persist — the
   * centered matrix, which feeds five branches — pins the whole fact
@@ -47,12 +55,22 @@ import org.apache.spark.sql.functions._
   */
 object CFOps {
 
-  /** Tuning knobs; defaults mirror the reference spec. */
+  /** Tuning knobs; defaults mirror the reference spec.
+    *
+    * `saltedSupport` switches the support/centering chain from
+    * partition-frame windows (fastest; hot key = one task) to
+    * two-level salted aggregates + join-back (bounded tasks under a
+    * dominant key — the Zipf-head escape hatch; see object scaladoc).
+    * `supportSalts` is the fan-out of the salted first level: a hot
+    * item's rows cross the first exchange in `supportSalts` slices.
+    */
   case class Params(
       minUsersPerItem: Long = 25,
       minItemsPerUser: Long = 5,
       neighborCap: Int = 50,
-      minCommonUsers: Long = 2)
+      minCommonUsers: Long = 2,
+      saltedSupport: Boolean = false,
+      supportSalts: Int = 16)
 
   /** Exact, order-insensitive sum of a double expression. */
   private def decSum(c: Column): Column =
@@ -82,16 +100,40 @@ object CFOps {
     * per-window within-partition sort touches only (user,item,rating)
     * rows that survived the previous filter.
     */
-  def supportFiltered(ratings0: DataFrame, p: Params = Params()): DataFrame = {
-    val wItem = Window.partitionBy("item_id")
-    val wUser = Window.partitionBy("user_id")
-    ratings0
-      .withColumn("nu", count(lit(1)).over(wItem))
-      .filter(col("nu") >= p.minUsersPerItem)
-      .withColumn("ni", count(lit(1)).over(wUser))
-      .filter(col("ni") >= p.minItemsPerUser)
-      .select("user_id", "item_id", "rating")
-  }
+  def supportFiltered(ratings0: DataFrame, p: Params = Params()): DataFrame =
+    if (!p.saltedSupport) {
+      val wItem = Window.partitionBy("item_id")
+      val wUser = Window.partitionBy("user_id")
+      ratings0
+        .withColumn("nu", count(lit(1)).over(wItem))
+        .filter(col("nu") >= p.minUsersPerItem)
+        .withColumn("ni", count(lit(1)).over(wUser))
+        .filter(col("ni") >= p.minItemsPerUser)
+        .select("user_id", "item_id", "rating")
+    } else {
+      // Escape-hatch form (object scaladoc): the same sequential
+      // semantics with every exchange bounded under a dominant key.
+      val okItems = saltedCount(ratings0, "item_id", "user_id", p.supportSalts)
+        .filter(col("__n") >= p.minUsersPerItem).select("item_id")
+      val afterItem = ratings0.join(okItems, "item_id")
+      val okUsers = saltedCount(afterItem, "user_id", "item_id", p.supportSalts)
+        .filter(col("__n") >= p.minItemsPerUser).select("user_id")
+      afterItem.join(okUsers, "user_id")
+        .select("user_id", "item_id", "rating")
+    }
+
+  /** Two-level salted count per `key`: level 1 groups by (key,
+    * hash(saltFrom) % salts) so a hot key's rows cross the first
+    * exchange in `salts` slices — no task ever materializes the full
+    * hot-key group even if the planner dropped the map-side partial;
+    * level 2 combines the ≤ `salts` partials per key. Output:
+    * (key, __n).
+    */
+  private def saltedCount(df: DataFrame, key: String, saltFrom: String,
+      salts: Int): DataFrame =
+    df.groupBy(col(key), pmod(hash(col(saltFrom)), lit(salts)).as("__salt"))
+      .agg(count(lit(1)).as("__pn"))
+      .groupBy(col(key)).agg(sum(col("__pn")).as("__n"))
 
   /** Ratings mean-centered within item (a3_p2.py:42-43,70-71), again as
     * a partition-frame window so the support→center chain stays one
@@ -100,9 +142,25 @@ object CFOps {
     * an exact integer for any group size < 2^50 — bit-identical to the
     * round-3 agg+join form and to the DuckDB oracle's avg().
     */
-  def meanCentered(filtered: DataFrame): DataFrame =
-    filtered.withColumn("rc",
-      col("rating") - avg("rating").over(Window.partitionBy("item_id")))
+  def meanCentered(filtered: DataFrame, p: Params = Params()): DataFrame =
+    if (!p.saltedSupport)
+      filtered.withColumn("rc",
+        col("rating") - avg("rating").over(Window.partitionBy("item_id")))
+    else {
+      // Salted two-level sum+count → mean, joined back: same bounded-
+      // exchange argument as [[saltedCount]]. Integer ratings make both
+      // the window avg and this sum/count mean exact, so the flag
+      // changes the PLAN, never a bit of output (EdgeCasesSpec).
+      val means = filtered
+        .groupBy(col("item_id"),
+          pmod(hash(col("user_id")), lit(p.supportSalts)).as("__salt"))
+        .agg(sum(col("rating")).as("__ps"), count(lit(1)).as("__pn"))
+        .groupBy(col("item_id"))
+        .agg((sum(col("__ps")) / sum(col("__pn"))).as("__mean"))
+      filtered.join(means, "item_id")
+        .withColumn("rc", col("rating") - col("__mean"))
+        .drop("__mean")
+    }
 
   /** Cosine similarity of every item against each target item over the
     * mean-centered matrix: numerator on common users only, norms over
@@ -158,7 +216,7 @@ object CFOps {
     // happens inside itemSimilarities; these references hit it through
     // CacheManager plan-matching) — no other materialization anywhere
     // in the pipeline.
-    val centered = meanCentered(supportFiltered(ratings, p))
+    val centered = meanCentered(supportFiltered(ratings, p), p)
     val nbrs = topNeighbors(itemSimilarities(centered, targets, p), p)
       .select("t_item", "item_id", "sim")
     val cand = centered.join(nbrs, "item_id")

@@ -83,6 +83,67 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "b", 20L), (2L, "c", 5L)))
   }
 
+  test("salted CF support hatch: bit-identical to window form, bounded per-task reads under an 80%-hot key") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // Zipf head: item 1 holds 80% of all ratings (the CFOpsSpec
+    // dominant-key corpus). Window form puts its whole frame in one
+    // task; the saltedSupport hatch must (a) reproduce the window
+    // form's output exactly and (b) keep every post-exchange task's
+    // shuffle read far below the hot key's cardinality.
+    val hot = (1L to 2000L).map(u => (u, 1L, (u % 5) + 1))
+    val cold = (1L to 100L).flatMap(u => Seq((u, 2L, 3L), (u, 3L, (u % 2) + 3)))
+    val tiny = Seq((1L, 4L, 5L))
+    val r = (hot ++ cold ++ tiny).toDF("user_id", "item_id", "rating")
+      .repartition(8)
+    val base = CFOps.Params(minUsersPerItem = 25, minItemsPerUser = 1)
+    val salted = base.copy(saltedSupport = true, supportSalts = 8)
+
+    def run(p: CFOps.Params): (Set[(Long, Long, Long, Double)], Long) = {
+      val maxRead = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          val rec = te.taskMetrics.shuffleReadMetrics.recordsRead
+          maxRead.getAndUpdate(m => math.max(m, rec))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      // AQE's small-partition coalescing folds this tiny corpus's whole
+      // shuffle output into ONE task, which would read as a hot-key
+      // frame; disable it so per-task reads measure KEY placement (the
+      // thing the hatch changes), not tiny-data packing
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val prev = spark.conf.getOption(coalesceKey)
+      spark.conf.set(coalesceKey, "false")
+      try {
+        val rows = CFOps.meanCentered(CFOps.supportFiltered(r, p), p)
+          .select("user_id", "item_id", "rating", "rc")
+          .as[(Long, Long, Long, Double)].collect().toSet
+        // the listener bus is async with no public flush — give the
+        // tail TaskEnd events a moment to drain before reading the max
+        Thread.sleep(1500)
+        (rows, maxRead.get)
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(coalesceKey, v)
+          case None => spark.conf.unset(coalesceKey)
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    }
+
+    val (winRows, winMax) = run(base)
+    val (saltRows, saltMax) = run(salted)
+    // (a) the flag changes the plan, never a bit of output (integer
+    // ratings → both mean forms exact)
+    assert(saltRows == winRows && winRows.nonEmpty)
+    // (b) window form shuffles the hot item's full 2000-row frame into
+    // one task; under the hatch no task ever shuffle-reads more than
+    // the salted partials + the (broadcast or skew-splittable)
+    // join-back probe side — far below the hot-key cardinality
+    assert(winMax >= 2000L, s"window-form max per-task read $winMax")
+    assert(saltMax < 1000L, s"salted-form max per-task read $saltMax")
+  }
+
   test("round-3 ops on empty or degenerate inputs never throw") {
     import graft.operators.{DedupOps, RelationalOps, TextAnalysisOps}
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
