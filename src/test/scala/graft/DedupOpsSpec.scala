@@ -110,6 +110,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(drops == Set(2L, 3L, 11L, 21L, 22L, 23L, 24L))
   }
 
+  test("nearDupClusters closes a path component far longer than maxIter (pointer jumping)") {
+    // a 120-node duplicate CHAIN (template-spam shape): diameter 119 ≫
+    // the default maxIter=30, so plain per-round propagation would
+    // fail fast here — the pointer-jump step must close it in
+    // O(log diameter) ≈ 7-9 rounds
+    val chain = (1L until 120L).map(i => (i, i + 1)).toDF("da", "db")
+    val got = DedupOps.nearDupClusters(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 120 && got.values.forall(_ == 1L))
+    // and well under the default budget: 9 rounds must already suffice
+    val tight = DedupOps.nearDupClusters(chain, maxIter = 9)
+      .as[(Long, Long)].collect().toMap
+    assert(tight == got)
+  }
+
   test("nearDupClusters fails fast when rounds are exhausted") {
     val chain = (0L until 6L).map(i => (i, i + 1)).toDF("da", "db")
     val ex = intercept[IllegalStateException] {
