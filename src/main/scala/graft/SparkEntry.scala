@@ -1265,13 +1265,20 @@ object SparkEntry {
     "q_mm_resize" -> ((s, dir) =>
       MultimodalOps.resizePlan(MultimodalOps.asMedia(Tables.documents(s, dir)), 128)
         .orderBy("media_id")),
-    // Multimodal: every-7th-frame sampling for video rows.
+    // Multimodal: every-7th-frame sampling for video rows — a
+    // METADATA-ONLY plan by design (the scale posture: a video pipeline
+    // samples frame indices first and decodes only those; the real
+    // decode counterpart is q_mm_video_real).
     "q_mm_frames" -> ((s, dir) =>
       MultimodalOps.sampleFrames(MultimodalOps.asMedia(Tables.documents(s, dir)), 7)
         .orderBy("media_id", "frame_no")),
-    // Multimodal: batched binary decode (deterministic stub kernel)
-    // through real Dataset.mapPartitions plumbing, exploded per dim.
-    "q_mm_decode" -> ((s, dir) =>
+    // Multimodal STUB tier (named as such): batched binary decode with
+    // the deterministic md5 placeholder kernel through real
+    // Dataset.mapPartitions plumbing, exploded per dim. Gates the BATCH
+    // SHAPE a drop-in production decoder inherits; the real-codec gates
+    // (q_mm_decode_real / q_mm_jpeg / q_mm_audio_real / q_mm_video_real)
+    // gate actual codecs.
+    "q_mm_decode_stub" -> ((s, dir) =>
       MultimodalOps.decodeFeatures(MultimodalOps.asMedia(Tables.documents(s, dir)), 8)
         .toDF()
         .select(col("media_id"), col("n_bytes"), posexplode(col("features")))
@@ -1308,6 +1315,18 @@ object SparkEntry {
           MultimodalOps.syntheticAudioMeta(Tables.documents(s, dir))))
         .toDF()
         .orderBy("media_id")),
+    // Multimodal: the REAL video codec path — deterministic per-frame
+    // pixel patterns encoded as genuine multi-frame animated GIFs
+    // (fixed gray palette → lossless) and decoded frame by frame
+    // through javax.imageio's sequence reader, reduced to exact
+    // per-frame luminance sums. Oracle recomputes every frame's sum
+    // from the formula with no codec anywhere — one row per (clip,
+    // frame), so a dropped or duplicated frame hash-mismatches.
+    "q_mm_video_real" -> ((s, dir) =>
+      MultimodalOps.decodeGifFrameStats(MultimodalOps.encodeGif(
+          MultimodalOps.syntheticVideoMeta(Tables.documents(s, dir))))
+        .toDF()
+        .orderBy("media_id", "frame_no")),
     // Structured Streaming: the one-pass sampler + running stats run as
     // a REAL stream (AvailableNow over the parquet source, memory sink)
     // with the same DuckDB oracle as the batch plan — streaming parity
@@ -2979,13 +2998,30 @@ object SparkEntry {
          |FROM media CROSS JOIN unnest(range(0, CAST(n_frames AS BIGINT), 7)) AS t(f)
          |WHERE kind = 'video'
          |ORDER BY media_id, frame_no""".stripMargin,
-    "q_mm_decode" ->
+    "q_mm_decode_stub" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
         |       CAST(d AS INTEGER) AS d,
         |       round(CAST(('0x' || substring(md5(text || ':' || CAST(d AS VARCHAR)), 1, 6)) AS BIGINT)
         |             / 16777216.0, 6) AS f
         |FROM documents CROSS JOIN range(8) t(d)
         |ORDER BY media_id, d""".stripMargin,
+    // codec-free recomputation of every decoded FRAME's luminance sum
+    // straight from the per-frame formula (MultimodalOps.framePixel)
+    "q_mm_video_real" ->
+      """WITH meta AS (
+        |  SELECT doc_id AS media_id,
+        |         8 + (doc_id % 17) AS w, 8 + ((doc_id * 7) % 17) AS h,
+        |         2 + ((doc_id * 13) % 5) AS nf
+        |  FROM documents
+        |)
+        |SELECT media_id, CAST(f AS INTEGER) AS frame_no,
+        |       CAST(w * h AS BIGINT) AS n_px,
+        |       CAST(sum((7*x + 3*y + 11*f + (media_id % 256)) % 256) AS BIGINT) AS lum_sum
+        |FROM meta CROSS JOIN range(7) fs(f)
+        |  CROSS JOIN range(25) xs(x) CROSS JOIN range(25) ys(y)
+        |WHERE f < nf AND x < w AND y < h
+        |GROUP BY media_id, f, w, h
+        |ORDER BY media_id, frame_no""".stripMargin,
     // codec-free recomputation of the decoded per-channel sums straight
     // from the deterministic pixel formula (MultimodalOps.pixelChannels)
     "q_mm_decode_real" ->

@@ -521,13 +521,22 @@ object DedupOps {
         // value is a node id present in `prop`)
         val jumping = i >= JumpAfter
         val prop = if (jumping) prop0.persist() else prop0
+        // localCheckpoint, not persist: every round's plan references
+        // the previous round's frame TWICE (edge join + union; the jump
+        // join twice again), so without lineage truncation the LOGICAL
+        // plan doubles per round — 2^rounds nodes whose execution-id
+        // explain string OOMs the driver long before the (node-sized)
+        // data is any problem. The checkpoint caches the same blocks a
+        // persist would; intermediate rounds' blocks free when their
+        // RDDs are GC'd (only the final round stays reachable through
+        // the returned frame).
         val next =
           (if (!jumping) prop
            else prop
              .join(prop.select(col("node").as("__ln"), col("label").as("__ll")),
                col("label") === col("__ln"))
              .select(col("node"), col("__ll").as("label")))
-            .persist()
+            .localCheckpoint(false)
         val nextSum = next.agg(sum("label")).head().getLong(0)
         if (jumping) prop.unpersist(blocking = false)
         labels.unpersist(blocking = false)

@@ -11,22 +11,27 @@ import org.apache.spark.sql.types._
   * frame-sampling are metadata-plan operations that never touch the
   * payload bytes.
   *
-  * Decode kernels come in two tiers:
+  * Decode kernels:
   *  - a REAL PNG codec path ([[encodePng]]/[[decodePngStats]]) through
   *    `javax.imageio` (in the JDK — no external codec needed): images
   *    are encoded to genuine PNG bytes and decoded back, with exact
   *    per-channel pixel sums proving the round trip lossless;
+  *  - a REAL lossy JPEG path ([[encodeJpeg]]/[[jpegFidelityStats]]) —
+  *    exact sums plus a mean-fidelity certificate (lossy by design);
   *  - a REAL WAV/PCM audio path ([[encodeWav]]/[[decodeWavStats]])
   *    through `javax.sound.sampled` (also JDK-bundled), same
   *    construction: exact per-channel sample sums prove the encode →
   *    decode round trip bit-lossless through a real audio container;
-  *  - a deterministic md5 STUB ([[stubDecodeFeature]]) standing in for
-  *    the codecs that are NOT in this container (JPEG-via-libjpeg,
-  *    compressed audio, video). Everything around it — the schema, the
-  *    `Dataset[MediaRow]` encoder, the mapPartitions batch shape, the
-  *    partitioning and the downstream feature plumbing — is real and is
-  *    what a production decoder would drop into (exactly as the PNG
-  *    tier demonstrates).
+  *  - a REAL VIDEO path ([[encodeGif]]/[[decodeGifFrameStats]]):
+  *    multi-frame animated GIF through `javax.imageio`'s sequence API,
+  *    per-frame exact luminance sums proving every frame of the
+  *    animation round-trips losslessly;
+  *  - a deterministic md5 STUB ([[stubDecodeFeature]]), clearly named,
+  *    standing in for external codecs not in this container (libjpeg-
+  *    turbo, ffmpeg, …). It gates the BATCH SHAPE — the schema, the
+  *    `Dataset[MediaRow]` encoder, the mapPartitions state reuse, the
+  *    partitioning and the downstream feature plumbing a production
+  *    decoder drops into (exactly as the four real tiers demonstrate).
   *
   * Scale notes:
   *  - Payloads never pass through a wide operator here: decode is a
@@ -498,6 +503,155 @@ object MultimodalOps {
           i += 1
         }
         AudioStats(e.media_id, nFrames.toLong, ls, rs)
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Real codec path #3: VIDEO as multi-frame animated GIF through
+  // javax.imageio (the JDK's GIF plugin reads AND writes image
+  // sequences). Same gate construction as the PNG tier, one level up:
+  // deterministic per-frame pixel patterns → real multi-frame encode →
+  // real per-frame decode → exact integer sums PER FRAME, with the
+  // oracle recomputing every frame's sum codec-free. GIF stores
+  // 8-bit-indexed pixels losslessly, so rendering through a fixed
+  // 256-entry grayscale palette makes the whole animation round-trip
+  // bit-exact — the decoded frame index IS the luminance.
+
+  /** One clip crossing the real-codec boundary: a genuine animated GIF
+    * (every frame full-size, fixed 256-gray global palette).
+    */
+  case class EncodedVideo(media_id: Long, width: Int, height: Int,
+      n_frames: Int, gif: Array[Byte])
+
+  /** Exact luminance sum of ONE decoded frame. */
+  case class FrameStats(media_id: Long, frame_no: Int, n_px: Long, lum_sum: Long)
+
+  /** Deterministic frame content: the 8-bit luminance of pixel (x, y)
+    * in frame `frame` of clip `mediaId`. All addends non-negative
+    * before the mod, so `%` agrees across engines; the frame term makes
+    * every frame distinct, so a decoder that returned frame 0 for every
+    * index would fail the gate.
+    */
+  def framePixel(mediaId: Long, x: Int, y: Int, frame: Int): Int =
+    ((7L * x + 3L * y + 11L * frame + (mediaId % 256L)) % 256L).toInt
+
+  /** Video metadata plan: small deterministic dimensions (8–24 px per
+    * side) and frame counts (2–6) keyed off doc ids — fidelity-gate
+    * sizing, same rationale (and same [[graft.PlanUtils.spread]]
+    * barrier) as [[syntheticImageMeta]].
+    */
+  def syntheticVideoMeta(docs: DataFrame): DataFrame =
+    graft.PlanUtils.spread(
+      docs.select(col("doc_id").as("media_id"),
+        (lit(8) + pmod(col("doc_id"), lit(17L))).cast("int").as("width"),
+        (lit(8) + pmod(col("doc_id") * 7L, lit(17L))).cast("int").as("height"),
+        (lit(2) + pmod(col("doc_id") * 13L, lit(5L))).cast("int").as("n_frames")))
+
+  /** 256-entry grayscale palette: index i ↦ (i, i, i). Shared by encode
+    * (render target) and the oracle argument (decoded RGB channel ==
+    * stored index == formula value).
+    */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val v = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, v, v, v)
+  }
+
+  /** ENCODE through the real codec: renders each clip's frames into
+    * indexed-gray `BufferedImage`s and writes ONE genuine animated GIF
+    * via the JDK writer's sequence API (`prepareWriteSequence` /
+    * `writeToSequence`). Narrow mapPartitions, one writer per
+    * partition, disk cache off — the PNG tier's batch-shape contract.
+    */
+  def encodeGif(meta: DataFrame): Dataset[EncodedVideo] = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta.select("media_id", "width", "height", "n_frames")
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val icm = grayPalette
+        rows.map { case (id, w, h, nf) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+            val data = img.getRaster.getDataBuffer
+              .asInstanceOf[java.awt.image.DataBufferByte].getData
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                data(y * w + x) = framePixel(id, x, y, f).toByte
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          EncodedVideo(id, w, h, nf, bos.toByteArray)
+        }
+      }
+  }
+
+  /** DECODE through the real codec: the GIF reader walks the frame
+    * sequence (`getNumImages` / `read(i)`) and each frame reduces to
+    * its exact integer luminance sum — one output row PER FRAME (the
+    * frame-extraction shape of a video pipeline). Frame count and
+    * dimensions are asserted against the clip's metadata, so a reader
+    * that dropped or merged frames fails loudly rather than
+    * hash-mismatching downstream.
+    */
+  def decodeGifFrameStats(clips: Dataset[EncodedVideo]): Dataset[FrameStats] = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      rows.flatMap { e =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(e.gif))
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        require(n == e.n_frames,
+          s"decoded frame count $n != encoded ${e.n_frames} (media ${e.media_id})")
+        val out = (0 until n).map { f =>
+          val img = reader.read(f)
+          require(img.getWidth == e.width && img.getHeight == e.height,
+            s"decoded frame $f dims diverged (media ${e.media_id})")
+          var lum = 0L
+          (img.getRaster.getDataBuffer, img.getColorModel) match {
+            // indexed GIF decodes to a byte raster of palette indices;
+            // map each index through the DECODED frame's own palette
+            // (gray ⇒ red == luminance) — color-true even if the codec
+            // reordered the color table
+            case (db: java.awt.image.DataBufferByte,
+                icm: java.awt.image.IndexColorModel)
+                if icm.getPixelSize == 8 =>
+              val lut = new Array[Int](icm.getMapSize)
+              var j = 0
+              while (j < lut.length) { lut(j) = icm.getRed(j); j += 1 }
+              val data = db.getData
+              var i = 0
+              while (i < data.length) { lum += lut(data(i) & 0xff); i += 1 }
+            case _ => // any other layout: bulk sRGB path, gray ⇒ b channel
+              val px = img.getRGB(0, 0, e.width, e.height, null, 0, e.width)
+              var i = 0
+              while (i < px.length) { lum += px(i) & 0xff; i += 1 }
+          }
+          FrameStats(e.media_id, f, e.width.toLong * e.height, lum)
+        }
+        iis.close()
+        out
       }
     }
   }

