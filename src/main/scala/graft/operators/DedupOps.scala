@@ -265,7 +265,8 @@ object DedupOps {
     * buys nothing measurable here.
     */
   def bloomContaminatedPairs(train: DataFrame, eval: DataFrame, nGram: Int = 3,
-      minFrac: Double = 0.5, textCol: String = "text", fpp: Double = 0.01): DataFrame = {
+      minFrac: Double = 0.5, textCol: String = "text", fpp: Double = 0.01,
+      evalDfCap: Long = 0L): DataFrame = {
     val spark = train.sparkSession
     val tr = graft.CacheScope.autoRelease(hashedShingled(train, nGram, textCol))
     // The eval postings are scanned three times (sizing count, bloom
@@ -275,8 +276,29 @@ object DedupOps {
     // benchmark-sized side is the honest cost of building the filter.
     // At real scale the sizing count comes from blocklist metadata, not
     // a scan.
-    val ev = hashedShingled(eval, nGram, textCol)
+    val ev0 = hashedShingled(eval, nGram, textCol)
       .select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
+    // evalDfCap > 0 engages STOP-SHINGLE removal: shingles present in
+    // more than `evalDfCap` eval docs are dropped from BOTH sides
+    // before the confirm join. A shingle shared by every doc certifies
+    // nothing about contamination but contributes |train|·df join rows;
+    // on a corpus whose shingle space saturates (bounded vocabulary —
+    // template spam, log lines, the synthetic scaling corpus) the exact
+    // join's OUTPUT grows quadratically with corpus size and the cap is
+    // the standard mitigation (measured 58 → 5 s at the scaling
+    // study's sf1, SCALE.md). `frac` then counts only informative
+    // shingles — a LOWER bound on true overlap, so capped results stay
+    // conservative for keep/drop decisions. Default 0 = off: the gated
+    // query is exact and the driver oracle proves it.
+    val ev =
+      if (evalDfCap <= 0) ev0
+      else {
+        val hot = ev0.groupBy("h").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > evalDfCap).select("h")
+        // the hot set is tiny by Zipf (and ≤ shingle-space-sized even
+        // degenerate) → broadcast anti-join, map-side on the big stream
+        ev0.join(broadcast(hot), Seq("h"), "left_anti")
+      }
     // total postings as expectedNumItems: an upper bound on distinct
     // shingles (over-sizing only lowers the realized fpp)
     val bf = ev.stat.bloomFilter("h", math.max(ev.count(), 1L), fpp)

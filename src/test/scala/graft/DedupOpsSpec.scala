@@ -133,6 +133,43 @@ class DedupOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("converge"))
   }
 
+  test("bloomContaminatedPairs evalDfCap: generous cap is exact, tight cap drops only universal shingles") {
+    // 3 train docs sharing the universal shingle "a b c"; eval doc 10
+    // carries it plus a rare tail shared only with train doc 1
+    val train = Seq(
+      (1L, "a b c x y z p q"), (2L, "a b c m n o r s"), (3L, "a b c u v w t k"))
+      .toDF("doc_id", "text")
+    val eval = Seq((10L, "a b c x y z p q")).toDF("doc_id", "text")
+    def run(cap: Long) = DedupOps.bloomContaminatedPairs(
+        train, eval, minFrac = 0.1, evalDfCap = cap)
+      .select("train_id", "eval_id", "frac")
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = DedupOps.contaminatedPairs(train, eval, minFrac = 0.1)
+      .select("train_id", "eval_id", "frac")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(run(0L) == exact && run(100L) == exact) // off / generous ≡ exact
+    val capped = run(0L).map { case (t, e, f) => (t, e) } // shape only
+    // every eval shingle has df 1 here except none >1 — craft a cap that
+    // bites requires df>1 on the EVAL side; with one eval doc all dfs
+    // are 1, so even cap=1 stays exact:
+    assert(run(1L) == exact)
+    // two eval docs sharing "a b c" → df 2 > cap 1 → that shingle stops
+    // certifying, frac drops but pairs stay a (conservative) subset
+    val eval2 = Seq((10L, "a b c x y z p q"), (11L, "a b c j j j j j"))
+      .toDF("doc_id", "text")
+    val un = DedupOps.bloomContaminatedPairs(train, eval2, minFrac = 0.0)
+      .select("train_id", "eval_id", "frac").as[(Long, Long, Double)]
+      .collect().map { case (t, e, f) => (t, e) -> f }.toMap
+    val cp = DedupOps.bloomContaminatedPairs(train, eval2, minFrac = 0.0,
+        evalDfCap = 1L)
+      .select("train_id", "eval_id", "frac").as[(Long, Long, Double)]
+      .collect().map { case (t, e, f) => (t, e) -> f }.toMap
+    assert(cp.keySet.subsetOf(un.keySet))
+    assert(cp.forall { case (k, f) => f <= un(k) + 1e-12 })
+    // and the capped run dropped the universal shingle's contribution
+    assert(cp.getOrElse((2L, 10L), 0.0) < un((2L, 10L)))
+  }
+
   test("contaminatedPairs finds the planted eval overlap, train-side fraction") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"), // contains eval 10 verbatim

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Scaling-study data generator (test-scope tooling, not shipped).
+  *
+  * Reproduces the driver testdata's SCHEMA and distribution SHAPE
+  * (TESTDATA.md; ratios measured across sf0.001/0.01/0.1: lineitem =
+  * 6M·sf rows, parts = li/30, orders = li/4, customers = orders/10,
+  * events = li/6, users = events/66, docs = max(500, 50k·sf),
+  * embeddings = max(500, 20k·sf)) at ARBITRARY scale factors, so the
+  * bench can measure one extra decade (sf1) that the driver does not
+  * provide. Every value is a pure function of the row id (per-row
+  * seeded PRNG) — deterministic under any partitioning, regenerable
+  * bit-identically, no driver-side data.
+  *
+  * Usage: GenScale <sf> <outDir>
+  */
+object GenScale {
+
+  private val Vocab: Array[String] = Array(
+    "join", "hash", "row", "batch", "scan", "column", "customer",
+    "filter", "key", "agg", "slow", "fast", "table", "value", "part",
+    "a", "the", "merge", "window", "spark", "order", "data", "small",
+    "line", "query", "sort", "group", "index", "shuffle", "cache", "disk")
+
+  /** Write as ONE parquet FILE named like the driver's layout
+    * (`<out>/<name>.parquet` is a file, not a directory — the streaming
+    * readers' `pathGlobFilter` depends on that). repartition(1) keeps
+    * generation parallel; only the write is single-threaded.
+    */
+  private def writeSingle(df: org.apache.spark.sql.DataFrame, out: String,
+      name: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val tmp = s"$out/__tmp_$name"
+    df.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+      .find(p => p.endsWith(".parquet") && p.contains("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+    Files.createDirectories(Paths.get(out))
+    Files.move(Paths.get(part), Paths.get(s"$out/$name.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the scaffold dir
+    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf = args(0).toDouble
+    val out = args(1)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nLi = (6000000L * sf).toLong
+    val nOrders = nLi / 4
+    val nCust = nOrders / 10
+    val nParts = nLi / 30
+    val nSupp = math.max(10L, nLi / 600)
+    val nEvents = nLi / 6
+    val nUsers = math.max(15L, nEvents / 66)
+    val nDocs = math.max(500L, (50000 * sf).toLong)
+    val nEmb = math.max(500L, (20000 * sf).toLong)
+    val parts = math.max(8, math.min(256, (nLi / 50000L).toInt))
+
+    def rng(id: Long, salt: Long) = new java.util.Random(id * 6364136223846793005L + salt)
+
+    // documents: Zipf-ish draws over the fixed vocab; every 10th doc is
+    // a near-duplicate of its predecessor (same seed, 3 extra words) so
+    // the dedup pipeline has real work at every scale
+    spark.range(0, nDocs, 1, parts).as[Long].map { id =>
+      val seed = if (id % 10 == 9) id - 1 else id
+      val r = rng(seed, 17L)
+      val n = 8 + r.nextInt(83)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < n) {
+        if (i > 0) sb.append(' ')
+        // Zipf-ish: square the uniform so low ranks dominate
+        val u = r.nextDouble()
+        sb.append(Vocab((u * u * Vocab.length).toInt.min(Vocab.length - 1)))
+        i += 1
+      }
+      if (id % 10 == 9) {
+        val r2 = rng(id, 19L)
+        var j = 0
+        while (j < 3) { sb.append(' ').append(Vocab(r2.nextInt(Vocab.length))); j += 1 }
+      }
+      val text = sb.toString
+      val rl = rng(id, 23L)
+      val lang = { val u = rl.nextDouble()
+        if (u < 0.44) "en" else if (u < 0.58) "zh"
+        else if (u < 0.72) "es" else if (u < 0.86) "de" else "fr" }
+      (id, text, lang, s"src${id % 20}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .transform { df => writeSingle(df, out, "documents"); df }
+
+    // embeddings: 10 Gaussian clusters in 64-d (center scale 0.2, noise
+    // 0.1) mirroring the driver corpus's label structure
+    spark.range(0, nEmb, 1, parts).as[Long].map { id =>
+      val label = (id % 10).toInt
+      val rc = rng(label.toLong, 29L)
+      val center = Array.fill(64)(rc.nextGaussian() * 0.2)
+      val rn = rng(id, 31L)
+      val vec = center.map(c => (c + rn.nextGaussian() * 0.1).toFloat)
+      (id, vec, label)
+    }.toDF("vec_id", "embedding", "label")
+      .transform { df => writeSingle(df, out, "embeddings"); df }
+
+    // events: ~30 days of traffic, sequential timestamps with jitter
+    val spanUs = 30L * 86400L * 1000000L
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    spark.range(0, nEvents, 1, parts).as[Long].map { id =>
+      val r = rng(id, 37L)
+      val ts = t0 + id * (spanUs / math.max(nEvents, 1L)) + (r.nextDouble() * 6e7).toLong
+      val types = Array("click", "view", "purchase", "signup", "error")
+      val value = BigDecimal(math.min(500.0, math.exp(r.nextGaussian() * 1.0 + 3.54)))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, new java.sql.Timestamp(ts / 1000L), r.nextInt(nUsers.toInt).toLong,
+        types(r.nextInt(types.length)), value, s"""{"k": ${r.nextInt(100)}}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .transform { df => writeSingle(df, out, "events"); df }
+
+    // orders + lineitem: TPC-H-ish keys and magnitudes
+    spark.range(0, nOrders, 1, parts).as[Long].map { id =>
+      val r = rng(id, 41L)
+      val statuses = Array("P", "O", "F")
+      val prios = Array("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val price = BigDecimal(1000.0 + r.nextDouble() * 450000.0)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val day = r.nextInt(2500)
+      (id, r.nextInt(nCust.toInt).toLong, statuses(r.nextInt(3)), price,
+        java.sql.Timestamp.valueOf(java.time.LocalDate.of(1992, 1, 1)
+          .plusDays(day).atStartOfDay()),
+        prios(r.nextInt(5)))
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .transform { df => writeSingle(df, out, "orders"); df }
+
+    spark.range(0, nLi, 1, parts).as[Long].map { id =>
+      val r = rng(id, 43L)
+      val qty = (1 + r.nextInt(50)).toDouble
+      val price = BigDecimal(qty * (900.0 + r.nextDouble() * 1000.0))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r.nextInt(nOrders.toInt).toLong, r.nextInt(nParts.toInt).toLong,
+        r.nextInt(nSupp.toInt).toLong, 1 + r.nextInt(7), qty, price,
+        BigDecimal(r.nextDouble() * 0.1).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(r.nextDouble() * 0.08).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        Seq("A", "N", "R")(r.nextInt(3)), Seq("O", "F")(r.nextInt(2)),
+        java.sql.Timestamp.valueOf(java.time.LocalDate.of(1992, 1, 1)
+          .plusDays(r.nextInt(2500)).atStartOfDay()))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .transform { df => writeSingle(df, out, "lineitem"); df }
+
+    spark.range(0, nCust, 1, parts).as[Long].map { id =>
+      val r = rng(id, 47L)
+      val segs = Array("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      (id, s"Customer#$id", r.nextInt(25),
+        BigDecimal(-999.0 + r.nextDouble() * 10000.0)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        segs(r.nextInt(5)))
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .transform { df => writeSingle(df, out, "customer"); df }
+
+    println(s"generated sf=$sf at $out: li=$nLi orders=$nOrders events=$nEvents docs=$nDocs emb=$nEmb")
+    spark.stop()
+  }
+}
