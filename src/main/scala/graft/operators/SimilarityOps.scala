@@ -473,7 +473,8 @@ object SimilarityOps {
     */
   def pqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
       subspaces: Int = 8, codebookK: Int = 16, iters: Int = 2,
-      fitSampleMod: Long = 4, shortlist: Int = 0): DataFrame = {
+      fitSampleMod: Long = 4, shortlist: Int = 0,
+      maxFitSample: Int = 65536): DataFrame = {
     val dims = embeddings.select(size(col("embedding"))).head().getInt(0)
     require(dims % subspaces == 0, s"dims $dims not divisible by $subspaces")
     val d = dims / subspaces
@@ -487,75 +488,61 @@ object SimilarityOps {
       if (shortlist > 0) shortlist
       else math.max(200L, math.ceil(embeddings.count() * 0.017).toLong).toInt
     val dec = "decimal(38,12)"
-    // PQ internals need DETERMINISM, not oracle portability (only the
-    // published exact re-rank is SQL-mirrored) — so distances fold as
-    // plain doubles inside compact array expressions (one transform
-    // over a literal centroid matrix beats a K²-comparison cascade in
-    // codegen size by ~30×), and argmin ties break to the lowest code
-    // via array_position-of-min (first match).
-    def distArr(sv: Column, cs: Array[Array[Double]]): Column =
-      transform(array(cs.map(c => array(c.map(lit).toIndexedSeq: _*))
-          .toIndexedSeq: _*),
-        c => aggregate(zip_with(sv, c, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
-    def codeOf(sv: Column, cs: Array[Array[Double]]): Column = {
-      val ds = distArr(sv, cs)
-      (array_position(ds, array_min(ds)) - 1).cast("int")
-    }
-    // (vec_id, sub, sv): the sample exploded to per-subspace rows
-    def subRows(df: DataFrame): DataFrame = df.select(col("vec_id"),
-      explode(array((0 until subspaces).map(m =>
-        struct(lit(m).as("sub"),
-          expr(s"transform(slice(embedding, ${m * d + 1}, $d), e -> CAST(e AS DOUBLE))")
-            .as("sv"))): _*)).as("e"))
-      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
-    val sample = subRows(
-        embeddings.filter(pmod(col("vec_id"), lit(fitSampleMod)) === 0))
-      .persist()
-    try {
-      // init: the sample's codebookK smallest ids, split per subspace
-      var cents: Array[Array[Array[Double]]] = {
-        val ids = sample.select(col("vec_id")).distinct()
-          .orderBy(col("vec_id")).limit(codebookK)
-          .collect().map(_.getLong(0))
-        val rows = sample.filter(col("vec_id").isin(ids.toIndexedSeq: _*))
-          .collect()
-          .map(r => ((r.getLong(0), r.getInt(1)), r.getSeq[Double](2).toArray))
-          .toMap
-        Array.tabulate(subspaces)(m => ids.map(id => rows((id, m))))
+    // Codebook fit = the same Faiss recipe as [[ivfTopK]]: bounded
+    // deterministic sample by smallest id (TakeOrdered), ONE collect
+    // (≤ maxFitSample × dims floats — constant in corpus size), then
+    // per-subspace sequential Lloyd on the driver via [[localLloyd]]
+    // (init = the first codebookK subvectors, ties to lowest index,
+    // empty cells keep their centroid — the exact init rule the old
+    // distributed fit used). Zero fit jobs, zero RNG, bit-identical
+    // refits; PQ internals need DETERMINISM, not oracle portability
+    // (only the published exact re-rank / verifier is SQL-mirrored).
+    val sampleVecs: Array[Array[Float]] = embeddings
+      .filter(pmod(col("vec_id"), lit(fitSampleMod)) === 0)
+      .orderBy(col("vec_id")).limit(maxFitSample)
+      .select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val cents: Array[Array[Array[Double]]] = Array.tabulate(subspaces) { m =>
+      val pts = sampleVecs.map { v =>
+        val a = new Array[Double](d)
+        var j = 0
+        while (j < d) { a(j) = v(m * d + j).toDouble; j += 1 }
+        a
       }
-      var it = 0
-      while (it < iters) {
-        // assignment: per row, the argmin of ITS subspace's codebook
-        val code = (0 until subspaces).foldLeft(lit(-1)) { (acc, m) =>
-          when(col("sub") === m, codeOf(col("sv"), cents(m))).otherwise(acc)
-        }
-        val sums = sample.withColumn("__code", code)
-          .groupBy(col("sub"), col("__code"))
-          .agg(count(lit(1)).as("__n"),
-            (0 until d).map(j =>
-              (sum(element_at(col("sv"), j + 1).cast(dec)).cast("double")
-                / count(lit(1))).as(s"__m$j")): _*)
-          .collect()
-        val next = cents.map(_.clone())
-        sums.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) =
-            (0 until d).map(j => r.getDouble(3 + j)).toArray
-        }
-        cents = next
-        it += 1
+      localLloyd(pts, codebookK, iters)
+    }
+    locally {
+      // Scoring is RANK-equivalent, codegen-native: |sv − c|² =
+      // |sv|² − 2·sv·c + |c|², and |sv|² is constant across the
+      // codebook (and, summed over subspaces, constant per query in the
+      // ADC table), so argmin and shortlist ranking only need
+      // score = |c|² − 2·sv·c — one native [[graft.functions.ArrayDot]]
+      // per centroid on the FLOAT subspace slice (no per-element
+      // interpreted lambda, the old transform/zip_with form's cost).
+      // Ties break to the lowest code via array_position-of-min
+      // (first match), as before.
+      def scoreArr(svF: Column, cs: Array[Array[Double]]): Column =
+        array(cs.map { c =>
+          val cF = c.map(_.toFloat)
+          val cc = cF.foldLeft(0.0)((s, v) => s + v.toDouble * v.toDouble)
+          lit(cc) - lit(2.0) * dot(svF, array(cF.map(lit).toIndexedSeq: _*))
+        }.toIndexedSeq: _*)
+      def codeOf(svF: Column, cs: Array[Array[Double]]): Column = {
+        val ds = scoreArr(svF, cs)
+        (array_position(ds, array_min(ds)) - 1).cast("int")
       }
       // encode the corpus: subspaces argmins, one map-only projection
-      def subSlice(m: Int) =
-        expr(s"transform(slice(embedding, ${m * d + 1}, $d), e -> CAST(e AS DOUBLE))")
+      def subSlice(m: Int) = slice(col("embedding"), m * d + 1, d)
       val codesCol = array((0 until subspaces).map(m =>
         codeOf(subSlice(m), cents(m))): _*)
       val encoded = graft.PlanUtils.spread(
           embeddings.select(col("vec_id"), col("embedding")))
         .select(col("vec_id"), codesCol.as("codes"))
-      // queries carry their flat ADC table: entry m*K + j = |q_m − c_mj|²
+      // queries carry their flat ADC table: entry m*K + j =
+      // |c_mj|² − 2·q_m·c_mj (rank-equivalent to |q_m − c_mj|² — the
+      // dropped Σ|q_m|² is constant per query)
       val dtable = flatten(array((0 until subspaces).map(m =>
-        distArr(subSlice(m), cents(m))): _*))
+        scoreArr(subSlice(m), cents(m))): _*))
       val queries = embeddings.filter(queryPred)
         .select(col("vec_id").as("q_id"), dtable.as("dtable"))
       val adc = encoded.crossJoin(broadcast(queries))
@@ -585,36 +572,41 @@ object SimilarityOps {
       val w = Window.partitionBy("q_id").orderBy(col("dist2").asc, col("nn_id"))
       top.withColumn("rank", row_number().over(w))
         .select("q_id", "nn_id", "dist2", "rank")
-    } finally { sample.unpersist(blocking = false); () }
+    }
   }
 
   /** The PQ gate: run [[pqTopK]] next to the exact brute-force L2
-    * top-k (the verifier — decimal-folded squared distances, the same
-    * arithmetic the re-rank publishes) and certify per query that the
-    * PQ list recovered at least `ceil(k·minRecall)` of the exact
-    * top-k. Published columns are all oracle-recomputable: the exact
-    * nearest neighbor and its distance anchor the exact side, the
-    * boolean carries the recall proof (the sketch-certificate
-    * construction — q_approx_distinct's pattern applied to ANN).
-    * Measured per-query recall floors are pinned in
-    * SimilarityOpsSpec; the bound leaves ≥ 2-hit margin below them.
+    * top-k (the verifier) and certify per query that the PQ list
+    * recovered at least `ceil(k·minRecall)` of the exact top-k.
+    * Published columns are all oracle-recomputable: the exact nearest
+    * neighbor and its distance anchor the exact side, the boolean
+    * carries the recall proof (the sketch-certificate construction —
+    * q_approx_distinct's pattern applied to ANN). Measured per-query
+    * recall floors are pinned in SimilarityOpsSpec; the bound leaves
+    * ≥ 2-hit margin below them.
+    *
+    * The verifier's distance runs through the native compensated
+    * [[graft.functions.ArrayDot]] via |q−n|² = q·q − 2·q·n + n·n
+    * (each dot within 1 ulp of exact; the published round(…,6) absorbs
+    * that against the oracle's decimal accumulation — the same
+    * precedent every cosine gate rides). The old per-element
+    * decimal-cast fold was the single most expensive stage of the gate
+    * at scale (corpus × queries × dims interpreted casts: ~6 s of
+    * q_ann_pq's sf1 cost).
     */
   def pqRecallCertificate(embeddings: DataFrame, queryPred: Column, k: Int,
       minRecall: Double): DataFrame = {
-    val dec = "decimal(38,12)"
     val pq = pqTopK(embeddings, queryPred, k)
-    val exactD2 = aggregate(
-      zip_with(col("emb_q"), col("emb_n"),
-        (a, b) => ((a - b) * (a - b)).cast(dec)),
-      lit(0).cast(dec), (acc, y) => (acc + y).cast(dec)).cast("double")
     val queries = embeddings.filter(queryPred)
-      .select(col("vec_id").as("q_id"),
-        col("embedding").cast("array<double>").as("emb_q"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("emb_q"),
+        dot(col("embedding"), col("embedding")).as("qq"))
     val corpus = embeddings.select(col("vec_id").as("nn_id"),
-      col("embedding").cast("array<double>").as("emb_n"))
+      col("embedding").as("emb_n"),
+      dot(col("embedding"), col("embedding")).as("nn"))
     val sims = corpus.crossJoin(broadcast(queries))
       .filter(col("q_id") =!= col("nn_id"))
-      .withColumn("dist2", exactD2)
+      .withColumn("dist2",
+        col("qq") - lit(2.0) * dot(col("emb_q"), col("emb_n")) + col("nn"))
     val exTop = graft.plans.TopKOps.topKPerKey(
       sims.select(col("q_id"), col("nn_id"), col("dist2")),
       Seq("q_id"), Seq(col("dist2").asc, col("nn_id").asc), k)
