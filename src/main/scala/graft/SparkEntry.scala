@@ -171,6 +171,22 @@ object SparkEntry {
         .select(col("t_item"), col("item_id"), round(col("sim"), 6).as("sim"),
           col("n_common"))
         .orderBy("t_item", "item_id")),
+    // The SAME similarity pipeline through the Zipf-head escape hatch
+    // (Params.saltedSupport: two-level salted counts + join-back
+    // instead of partition-frame windows — bounded tasks under a
+    // dominant key, CFOps scaladoc). Output is bit-identical to the
+    // window form, so it shares q_cf_sims' ORACLE: the driver proves
+    // plan-form equivalence end to end, not just the EdgeCasesSpec
+    // corpus.
+    "q_cf_sims_salted" -> ((s, dir) => {
+      val p = CFOps.Params(saltedSupport = true)
+      CFOps.topNeighbors(CFOps.itemSimilarities(
+        CFOps.meanCentered(CFOps.supportFiltered(Ratings.dedupedByItem(s, dir), p), p),
+        CfTargets, p), p)
+        .select(col("t_item"), col("item_id"), round(col("sim"), 6).as("sim"),
+          col("n_common"))
+        .orderBy("t_item", "item_id")
+    }),
     // §2.4 A12: weighted-average predictions with pass-through.
     "q_cf_recommend" -> ((s, dir) =>
       CFOps.recommend(Ratings.dedupedByItem(s, dir), CfTargets)
@@ -973,6 +989,24 @@ object SparkEntry {
       DedupOps.bloomContaminatedPairs(
         docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(5L)) === 0), minFrac = 0.25)
+        .select(col("train_id"), col("eval_id"), round(col("frac"), 6).as("frac"))
+        .orderBy("train_id", "eval_id")
+    }),
+    // The stop-shingle-capped variant (evalDfCap — SCALE.md's fix for
+    // the one superlinear decade reading): shingles in more than ONE
+    // eval doc stop certifying; frac counts only informative shingles
+    // over the FULL train size, a conservative lower bound. The cap is
+    // SQL-expressible, so this path gets its own oracle (an eval-df
+    // CTE + join filter) — the scale mitigation is driver-gated, not
+    // just spec-gated. cap=1 + minFrac=0.1 VISIBLY bites at sf0.01
+    // (2 pairs dropped, 15 fracs lowered vs uncapped), so the gate
+    // certifies the cap arithmetic, not a no-op.
+    "q_decontam_capped" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.bloomContaminatedPairs(
+        docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(5L)) === 0), minFrac = 0.1,
+        evalDfCap = 1L)
         .select(col("train_id"), col("eval_id"), round(col("frac"), 6).as("frac"))
         .orderBy("train_id", "eval_id")
     }),
@@ -1826,6 +1860,13 @@ object SparkEntry {
          |                    / (1 - (ry1*ry1 + ry2*ry2 - 2*ry1*ry2*r12) / (1 - r12*r12))), 6) AS t1
          |FROM st ORDER BY beta1 DESC, word""".stripMargin,
     "q_cf_sims" ->
+      s"""WITH ${Ratings.OracleDedupCte},
+         |$CfCte
+         |SELECT t_item, item_id, round(sim, 6) AS sim, n_common
+         |FROM nbrs ORDER BY t_item, item_id""".stripMargin,
+    // the salted plan form is output-identical by construction — the
+    // SAME oracle gates both (hash equality across plan forms)
+    "q_cf_sims_salted" ->
       s"""WITH ${Ratings.OracleDedupCte},
          |$CfCte
          |SELECT t_item, item_id, round(sim, 6) AS sim, n_common
@@ -2869,6 +2910,30 @@ object SparkEntry {
         |       round(CAST(inter AS DOUBLE) / x.n, 6) AS frac
         |FROM co JOIN sz x ON x.doc_id = co.train_id
         |WHERE CAST(inter AS DOUBLE) / x.n >= 0.25
+        |ORDER BY train_id, eval_id""".stripMargin,
+    // capped variant: the eval-df CTE drops stop shingles (df > 1 on
+    // the EVAL side) from the intersection; sizes stay full — frac is
+    // the conservative lower bound the engine publishes
+    "q_decontam_capped" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+        |  FROM toks JOIN range(2000) t(i) ON i + 3 <= len(ws)
+        |), keep AS (
+        |  SELECT s FROM sh WHERE doc_id % 5 = 0 GROUP BY s HAVING count(*) <= 1
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), co AS (
+        |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+        |  JOIN keep k ON k.s = a.s
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT co.train_id, co.eval_id,
+        |       round(CAST(inter AS DOUBLE) / x.n, 6) AS frac
+        |FROM co JOIN sz x ON x.doc_id = co.train_id
+        |WHERE CAST(inter AS DOUBLE) / x.n >= 0.1
         |ORDER BY train_id, eval_id""".stripMargin,
     "q_stream_window" ->
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS start_us, count(*) AS n,
