@@ -84,6 +84,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Window"), plan) // the linear form IS windows
   }
 
+  test("salted CF support/centering plans with ZERO window operators") {
+    // The escape hatch's whole point is that no WindowExec (whose hot
+    // key would be a single unsplittable task frame) survives in the
+    // plan — support counts and the centering mean become partial-
+    // combined aggregates + joins. A Window reappearing here means the
+    // hatch silently regressed to the form it exists to escape.
+    val p = graft.operators.CFOps.Params(saltedSupport = true)
+    val centered = graft.operators.CFOps.meanCentered(
+      graft.operators.CFOps.supportFiltered(
+        graft.operators.Ratings.deduped(spark, sf0), p), p)
+    val plan = planString(centered)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial count")
+      || plan.contains("HashAggregate"), plan)
+  }
+
   test("lshCodes is exchange-free above the scan (pure projection)") {
     // spread() is a no-op on multi-split input, so pre-partitioned
     // embeddings must code without ANY shuffle
