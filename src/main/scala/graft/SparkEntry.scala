@@ -742,6 +742,13 @@ object SparkEntry {
     // occurrences. Top-50, ties on the pair.
     "q_bpe_pairs" -> ((s, dir) =>
       TextOps.bpePairCounts(Tables.documents(s, dir), 50)),
+    // Full BPE trainer: 8 merge rounds over the word-frequency table
+    // (pick most-frequent adjacent symbol pair, merge every occurrence,
+    // re-pair), then the final top-20 symbol vocabulary. Each round's
+    // pick depends on all prior merges; the vocab section pins that
+    // merges were applied, not just selected.
+    "q_bpe_merges" -> ((s, dir) =>
+      TextOps.bpeMerges(Tables.documents(s, dir), rounds = 8, vocabTopK = 20)),
     // Exact-substring duplication: 32-char windows at stride 16 —
     // verbatim cross-doc text (boilerplate, licenses) that token-level
     // similarity smooths over. Inverted-index shape, exact integers.
@@ -1643,6 +1650,48 @@ object SparkEntry {
        |FROM f ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB replay of [[TextOps.bpeMerges]] as unrolled MATERIALIZED CTEs
+    * (the kmeans/pagerank pattern — each round's wf CTE is referenced
+    * twice, so materialization is load-bearing, NOTES.md). Same ␁-wrapped
+    * symbol encoding; merge = literal `replace` (left-to-right
+    * non-overlapping in both engines = greedy BPE); ties on
+    * (n DESC, l, r) binary order.
+    */
+  private def bpeMergesOracleSql(rounds: Int, vocabTopK: Int): String = {
+    val S = "chr(1)"
+    val steps = (1 to rounds).map { t =>
+      s"""p$t AS MATERIALIZED (
+         |  SELECT syms[i+1] AS l, syms[i+2] AS r, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT str_split(trim(enc, $S), $S || $S) AS syms, freq FROM wf${t - 1}) s$t
+         |  JOIN range(128) ix$t(i) ON i + 2 <= len(syms)
+         |  GROUP BY 1, 2
+         |),
+         |t$t AS MATERIALIZED (SELECT l, r, n FROM p$t ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+         |wf$t AS MATERIALIZED (
+         |  SELECT freq, replace(enc, $S || l || $S || $S || r || $S, $S || l || r || $S) AS enc
+         |  FROM wf${t - 1}, t$t
+         |),""".stripMargin
+    }.mkString("\n")
+    val mergeRows = (1 to rounds).map(t =>
+      s"SELECT $t AS round, 'merge' AS kind, l, r, n FROM t$t").mkString("\nUNION ALL ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT unnest(regexp_extract_all(lower(text), '((?:[\\.,!?;"])|(?:(?:\\#|\\@)?[A-Za-z0-9_\\-]+(?:''[a-z]{1,3})?))', 1)) AS word
+       |  FROM documents
+       |), wf0 AS MATERIALIZED (
+       |  SELECT count(*) AS freq,
+       |         array_to_string(list_transform(str_split(word, ''), c -> $S || c || $S), '') AS enc
+       |  FROM toks GROUP BY word
+       |),
+       |$steps
+       |vocab AS MATERIALIZED (
+       |  SELECT sym, CAST(sum(freq) AS BIGINT) AS n FROM (
+       |    SELECT unnest(str_split(trim(enc, $S), $S || $S)) AS sym, freq FROM wf$rounds
+       |  ) ex GROUP BY sym ORDER BY n DESC, sym ASC LIMIT $vocabTopK
+       |)
+       |$mergeRows
+       |UNION ALL SELECT 0 AS round, 'vocab' AS kind, sym AS l, '' AS r, n FROM vocab""".stripMargin
+  }
+
   private def decMean(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(sum(c.cast("decimal(28,12)")).cast("double") / count(lit(1)), 4)
 
@@ -1703,6 +1752,9 @@ object SparkEntry {
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
         |FROM p GROUP BY pair
         |ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+    // Full BPE trainer replay: 8 unrolled merge rounds + final vocab
+    // (generator below — kmeans/pagerank MATERIALIZED-CTE pattern)
+    "q_bpe_merges" -> bpeMergesOracleSql(8, 20),
     // tf/df/N recomputed relationally; rank key round(s,9)+word mirrors
     // the engine's TopKPerKey ordering; constants written as the same
     // double EXPRESSIONS ((1.2+1.0), (1.0-0.75)) the Scala side

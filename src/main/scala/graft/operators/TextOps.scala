@@ -101,6 +101,92 @@ object TextOps {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
 
+  /** Full BPE tokenizer-training loop (Sennrich et al. 2016): iterate
+    * [[bpePairCounts]]' per-round primitive — count adjacent symbol
+    * pairs over the (vocabulary-sized) word-frequency table, pick the
+    * most frequent pair, merge every occurrence — for `rounds` rounds.
+    * Output: one row per merge (`kind='merge'`, round, the merged pair
+    * and its count at selection time) plus the final top-`vocabTopK`
+    * symbols by corpus occurrence (`kind='vocab'`, round=0) — the vocab
+    * section pins that merges were APPLIED to the word table, not just
+    * selected.
+    *
+    * Symbol-sequence encoding: each word's symbols are kept as a single
+    * string with every symbol wrapped in U+0001 sentinels
+    * (`␁s₁␁␁s₂␁…`). A merge of pair (a,b) is then a LITERAL
+    * `replace(enc, ␁a␁␁b␁ → ␁ab␁)` — left-to-right non-overlapping in
+    * both the JVM and DuckDB, which is exactly greedy BPE merge order,
+    * and the per-symbol wrapping makes cross-symbol-boundary false
+    * matches impossible (a pattern must match a WHOLE adjacent pair;
+    * U+0001 cannot appear inside a token — the tokenizer's character
+    * classes exclude it). Ties on the pair count break on (left, right)
+    * binary string order — identical memcmp semantics in both engines.
+    *
+    * Scale shape: every round touches only the distinct-word frequency
+    * table (vocabulary-sized — bounded by language, not corpus), with
+    * one pair-keyed partial-aggregated exchange and a 1-row broadcast
+    * back onto the vocab; the corpus itself is scanned exactly once
+    * (the initial word-count). The selected pair rides a broadcast
+    * cross join — never a driver collect — and each round's result is
+    * lazily `localCheckpoint`ed, truncating the otherwise-doubling
+    * iterative lineage (the funnel/CC lesson, NOTES.md). At 100 TB the
+    * only corpus-sized work is the one initial tokenize+count; N merge
+    * rounds cost N vocabulary-sized jobs.
+    *
+    * Degenerate input: if the vocabulary exhausts all adjacent pairs
+    * before `rounds` (every word fully merged), the remaining rounds
+    * select nothing and the cross join empties the word table — the
+    * oracle replay has identical semantics (its round-k CTEs go empty
+    * the same way), so the gate cannot diverge; callers train with
+    * rounds ≪ distinct-pair count, as any real tokenizer does.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = 8, vocabTopK: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    val Sep = "\u0001"
+    val sep = lit(Sep)
+    // (freq, enc): one row per distinct word, each char ␁-wrapped
+    var wf = tokenize(docs, textCol = textCol)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), concat_ws("",
+        transform(sequence(lit(1), length(col("word"))),
+          i => concat(sep, col("word").substr(i, lit(1)), sep))).as("enc"))
+      .localCheckpoint(false)
+
+    // adjacent (l, r) symbol pairs of the current vocab, freq-weighted
+    def pairCounts(v: DataFrame): DataFrame = v
+      .select(col("freq"),
+        split(trim(col("enc"), Sep), Sep + Sep).as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), expr(
+        "explode(transform(sequence(1, size(syms)-1), " +
+          "i -> struct(element_at(syms, i) AS l, element_at(syms, i+1) AS r)))").as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("n"))
+
+    var merges = Vector.empty[DataFrame]
+    var round = 1
+    while (round <= rounds) {
+      val top1 = pairCounts(wf)
+        .orderBy(col("n").desc, col("l").asc, col("r").asc).limit(1)
+        .localCheckpoint(false) // referenced twice: output row + merge join
+      merges :+= top1.select(lit(round).as("round"), lit("merge").as("kind"),
+        col("l"), col("r"), col("n"))
+      wf = wf.crossJoin(broadcast(top1.select(col("l"), col("r"))))
+        .select(col("freq"), call_function("replace", col("enc"),
+          concat(sep, col("l"), sep, sep, col("r"), sep),
+          concat(sep, col("l"), col("r"), sep)).as("enc"))
+        .localCheckpoint(false)
+      round += 1
+    }
+    val vocab = wf
+      .select(col("freq"), explode(split(trim(col("enc"), Sep), Sep + Sep)).as("sym"))
+      .groupBy("sym").agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("sym").asc).limit(vocabTopK)
+      .select(lit(0).as("round"), lit("vocab").as("kind"),
+        col("sym").as("l"), lit("").as("r"), col("n"))
+    merges.reduce(_.unionAll(_)).unionAll(vocab)
+  }
+
   /** Bigram language-model scoring — the count-based core of a
     * CCNet-style perplexity quality filter: train an add-one-smoothed
     * bigram LM on the corpus itself, then score every document by its

@@ -120,7 +120,13 @@ object GenScale {
       val types = Array("click", "view", "purchase", "signup", "error")
       val value = BigDecimal(math.min(500.0, math.exp(r.nextGaussian() * 1.0 + 3.54)))
         .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
-      (id, new java.sql.Timestamp(ts / 1000L), r.nextInt(nUsers.toInt).toLong,
+      // full microsecond fidelity: the millis constructor truncates to ms,
+      // so restore the sub-second part from the micros value via setNanos
+      // (driver testdata carries µs jitter; interval joins/sessionize are
+      // ts-distinctness-sensitive)
+      val tstamp = new java.sql.Timestamp(ts / 1000L)
+      tstamp.setNanos(((ts % 1000000L) * 1000L).toInt)
+      (id, tstamp, r.nextInt(nUsers.toInt).toLong,
         types(r.nextInt(types.length)), value, s"""{"k": ${r.nextInt(100)}}""")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .transform { df => writeSingle(df, out, "events"); df }
@@ -168,7 +174,41 @@ object GenScale {
     }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
       .transform { df => writeSingle(df, out, "customer"); df }
 
-    println(s"generated sf=$sf at $out: li=$nLi orders=$nOrders events=$nEvents docs=$nDocs emb=$nEmb")
+    // region/nation: fixed-size dimension tables (driver shape: 5 / 25 rows
+    // at every sf — names and keys mirror the driver's layout exactly)
+    val regions = Array("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+    regions.zipWithIndex.map { case (nm, i) => (i, nm) }.toSeq
+      .toDF("r_regionkey", "r_name")
+      .transform { df => writeSingle(df, out, "region"); df }
+    (0 until 25).map(i => (i, s"NATION_$i", i % 5)).toDF(
+        "n_nationkey", "n_name", "n_regionkey")
+      .transform { df => writeSingle(df, out, "nation"); df }
+
+    // part: adjective+noun names, Brand#1..25, 6 types, size 1..50,
+    // retailprice 900 + (id % 1000)/10 (driver shape)
+    val adjs = Array("small", "red", "blue", "hot", "old", "large", "green", "new")
+    val nouns = Array("ring", "widget", "bolt", "gear", "gizmo", "plate", "cog", "pin")
+    val ptypes = Array("ECONOMY", "STANDARD", "LARGE", "MEDIUM", "SMALL", "PROMO")
+    spark.range(0, nParts, 1, parts).as[Long].map { id =>
+      val r = rng(id, 53L)
+      (id, s"${adjs(r.nextInt(adjs.length))} ${nouns(r.nextInt(nouns.length))}",
+        s"Brand#${1 + r.nextInt(25)}", ptypes(r.nextInt(ptypes.length)),
+        1 + r.nextInt(50),
+        BigDecimal(900.0 + (id % 1000) / 10.0)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .transform { df => writeSingle(df, out, "part"); df }
+
+    // supplier: zero-padded names, nationkey 0..24, acctbal -1000..10000
+    spark.range(0, nSupp, 1, parts).as[Long].map { id =>
+      val r = rng(id, 59L)
+      (id, f"Supplier#$id%09d", r.nextInt(25),
+        BigDecimal(-1000.0 + r.nextDouble() * 11000.0)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .transform { df => writeSingle(df, out, "supplier"); df }
+
+    println(s"generated sf=$sf at $out: li=$nLi orders=$nOrders events=$nEvents docs=$nDocs emb=$nEmb parts=$nParts supp=$nSupp")
     spark.stop()
   }
 }

@@ -94,6 +94,32 @@ class TextOpsSpec extends SparkSpec {
     assert(got == sorted)
   }
 
+  test("bpeMerges: hand-checked merge sequence + greedy overlap + applied vocab") {
+    // corpus: "abab" ×3, "abc" ×2, "aaaa" ×1 (as three docs)
+    // round 1 pairs: (a,b): abab has 2, abc has 1 → 3·2? No — vocab-weighted:
+    //   abab freq 3 → (a,b)×2·3=6, (b,a)×1·3=3; abc freq 2 → (a,b)×2, (b,c)×2;
+    //   aaaa freq 1 → (a,a)×3
+    //   (a,b)=8 wins → merge: abab→[ab,ab], abc→[ab,c], aaaa unchanged
+    // round 2: (ab,ab)×3, (ab,c)×2, (a,a)×3 → tie 3 vs 3 → (a,a) < (ab,ab)
+    //   lexicographically on (l,r): l "a" < "ab" → (a,a) wins, n=3
+    //   greedy left-to-right on aaaa: [aa, aa] (NOT 3 overlapping merges)
+    // round 3: (ab,ab)=3 wins → abab→[abab]
+    // round 4: (aa,aa)×1, (ab,c)×2 → (ab,c) wins → abc→[abc]
+    val docs = Seq((1L, "abab abab abc"), (2L, "abab abc"), (3L, "aaaa"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(docs, rounds = 4, vocabTopK = 10)
+      .as[(Int, String, String, String, Long)].collect().toList
+    val merges = got.filter(_._2 == "merge").sortBy(_._1)
+    assert(merges == List(
+      (1, "merge", "a", "b", 8L),
+      (2, "merge", "a", "a", 3L),
+      (3, "merge", "ab", "ab", 3L),
+      (4, "merge", "ab", "c", 2L)))
+    // final vocab: abab(3), abc(2), aa(2 from [aa,aa]×1) — merges APPLIED
+    val vocab = got.filter(_._2 == "vocab").map(v => (v._3, v._5)).toSet
+    assert(vocab == Set(("abab", 3L), ("abc", 2L), ("aa", 2L)))
+  }
+
   test("bigramNll: hand-checked add-one bigram LM averages") {
     // corpus: doc1 = a b a b, doc2 = a a, doc3 = x (no bigrams → dropped)
     // V = 3 {a,b,x}; c1: a=4, b=2, x=1
