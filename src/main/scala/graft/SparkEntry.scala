@@ -1473,10 +1473,13 @@ object SparkEntry {
         .orderBy("text_hash")
     }),
     // Stream-stream interval join: each purchase enriched with the same
-    // user's views from the preceding 30 minutes — both sides REAL
+    // user's views from the preceding 24 hours — both sides REAL
     // streams with watermarks bounding the buffered state. Inner-join
     // emission is watermark-independent, so the AvailableNow run must
-    // produce exactly the batch inequality-join answer.
+    // produce exactly the batch inequality-join answer. The lookback is
+    // sized so the gate is content-bearing at EVERY test SF (80 rows at
+    // sf0.001, 8.7k at sf0.1 — a 30-minute lookback emitted 2 rows at
+    // sf0.001, testing machinery but not join content).
     "q_stream_interval_join" -> ((s, dir) => {
       def ev = Tables.eventsStream(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -1485,7 +1488,7 @@ object SparkEntry {
         .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("v_event"),
           col("value").as("v_value"))
       val joined = graft.streaming.StreamingOps.intervalJoin(
-        purchases, views, Seq("user_id"), "p_ts", "v_ts", "30 minutes", "24 hours")
+        purchases, views, Seq("user_id"), "p_ts", "v_ts", "24 hours", "24 hours")
       val qn = s"graft_stream_ijoin_${StreamSeq.incrementAndGet()}"
       val q = joined.writeStream.format("memory").queryName(qn)
         .outputMode("append")
@@ -3207,7 +3210,7 @@ object SparkEntry {
         |       v.v_event, round(v.v_value, 4) AS v_value
         |FROM p JOIN v ON p.user_id = v.user_id
         |  AND v.v_ts <= p.p_ts
-        |  AND v.v_ts >= p.p_ts - INTERVAL 30 MINUTE
+        |  AND v.v_ts >= p.p_ts - INTERVAL 24 HOUR
         |ORDER BY p.user_id, p.p_event, v.v_event""".stripMargin,
     // codec-free elementwise recomputation over the 64 dims
     "q_centroids" ->
