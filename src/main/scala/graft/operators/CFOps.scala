@@ -63,6 +63,21 @@ object CFOps {
     * dominant key — the Zipf-head escape hatch; see object scaladoc).
     * `supportSalts` is the fan-out of the salted first level: a hot
     * item's rows cross the first exchange in `supportSalts` slices.
+    *
+    * WHEN to flip `saltedSupport`: the window form puts the ENTIRE
+    * rating vector of the hottest item (and, second stage, the
+    * hottest user) into one task's window frame. Flip the hatch when
+    * the head key's row count approaches what one task comfortably
+    * holds and sorts — roughly rows-per-task at your parallelism
+    * (total rows / shuffle partitions; e.g. a 10^10-row corpus at
+    * 2000 partitions → head item ≳ 5·10^6 rows says salt). Symptoms
+    * in the window form: one straggler task per stage with shuffle-
+    * read ≈ the head key's share, or sort spills on that task. Cost
+    * of the hatch: ~1.6× wall on UNskewed data (bench: q_cf_sims
+    * 2.45 s vs q_cf_sims_salted 4.04 s at sf0.1) for per-task shuffle
+    * reads bounded by ~max(total/salts·P, second-level group count)
+    * regardless of skew — EdgeCasesSpec measures both properties
+    * under an 80%-hot key, and output is bit-identical by spec.
     */
   case class Params(
       minUsersPerItem: Long = 25,

@@ -233,10 +233,18 @@ object SimilarityOps {
     * means accumulate in fixed sample order, and an empty cluster keeps
     * its previous centroid. No RNG anywhere, so repeated fits are
     * bit-identical — the property the q_ann_ivf hash gate rides on.
+    *
+    * Degenerate input: a fit sample smaller than `k` (tiny or heavily
+    * filtered corpora) clamps the effective k to the sample size —
+    * fewer, denser cells instead of a throw, matching the MLlib fit
+    * this replaced and the EdgeCases never-throw posture. Callers see
+    * a shorter centroid array and must size downstream structures from
+    * `result.length`, not the requested k.
     */
-  private def localLloyd(pts: Array[Array[Double]], k: Int,
+  private def localLloyd(pts: Array[Array[Double]], k0: Int,
       iters: Int): Array[Array[Double]] = {
-    require(pts.length >= k, s"fit sample ${pts.length} < k=$k")
+    require(pts.nonEmpty, "empty fit sample")
+    val k = math.min(k0, pts.length)
     val dims = pts(0).length
     var cents: Array[Array[Double]] = pts.take(k).map(_.clone())
     var it = 0
@@ -545,12 +553,15 @@ object SimilarityOps {
         scoreArr(subSlice(m), cents(m))): _*))
       val queries = embeddings.filter(queryPred)
         .select(col("vec_id").as("q_id"), dtable.as("dtable"))
+      // stride by the FITTED codebook size (localLloyd clamps k to the
+      // sample on degenerate corpora — same for every subspace)
+      val kEff = cents(0).length
       val adc = encoded.crossJoin(broadcast(queries))
         .filter(col("q_id") =!= col("vec_id"))
         .withColumn("approx", aggregate(
           zip_with(col("codes"),
             sequence(lit(0), lit(subspaces - 1)), (c, m) =>
-              element_at(col("dtable"), m * codebookK + c + 1)),
+              element_at(col("dtable"), m * kEff + c + 1)),
           lit(0.0), (acc, x) => acc + x))
       val short = graft.plans.TopKOps.topKPerKey(
         adc.select(col("q_id"), col("vec_id").as("nn_id"), col("approx")),
@@ -592,7 +603,11 @@ object SimilarityOps {
     * precedent every cosine gate rides). The old per-element
     * decimal-cast fold was the single most expensive stage of the gate
     * at scale (corpus × queries × dims interpreted casts: ~6 s of
-    * q_ann_pq's sf1 cost).
+    * q_ann_pq's sf1 cost). Top-k/rank-1 MEMBERSHIP rides the unrounded
+    * double ordering, which a sub-noise distance tie could flip;
+    * AnnExactRecallSpec ("boundary margins") proves the gated corpora's
+    * rank-1→2 and k→k+1 gaps exceed twice the measured double-path
+    * error, so the ordering is provably stable where it is gated.
     */
   def pqRecallCertificate(embeddings: DataFrame, queryPred: Column, k: Int,
       minRecall: Double): DataFrame = {

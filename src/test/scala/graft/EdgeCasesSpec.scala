@@ -118,9 +118,19 @@ class EdgeCasesSpec extends SparkSpec {
         val rows = CFOps.meanCentered(CFOps.supportFiltered(r, p), p)
           .select("user_id", "item_id", "rating", "rc")
           .as[(Long, Long, Long, Double)].collect().toSet
-        // the listener bus is async with no public flush — give the
-        // tail TaskEnd events a moment to drain before reading the max
-        Thread.sleep(1500)
+        // the listener bus is async with no public flush — poll until
+        // the max is quiescent (unchanged for 250 ms, 10 s deadline)
+        // instead of a fixed sleep: race-free under CI load and ~1 s
+        // faster per run on a quiet box
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        var last = maxRead.get
+        var stableSince = System.nanoTime()
+        while (System.nanoTime() < deadline &&
+            System.nanoTime() - stableSince < 250L * 1000 * 1000) {
+          Thread.sleep(25)
+          val cur = maxRead.get
+          if (cur != last) { last = cur; stableSince = System.nanoTime() }
+        }
         (rows, maxRead.get)
       } finally {
         prev match {

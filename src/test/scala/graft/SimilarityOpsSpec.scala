@@ -25,6 +25,35 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("ivf/pq fit clamps k to a degenerate fit sample instead of throwing") {
+    // 12 vectors; ivf's mod-10 sample keeps 2 (< 16 cells), pq's mod-4
+    // sample keeps 3 (< 16 codes) — localLloyd clamps, and at the
+    // provable-containment settings (full probe / full shortlist) both
+    // indexes must still reproduce brute force exactly.
+    val r = new scala.util.Random(7)
+    val df = (0L until 12L).map(i =>
+      (i, Seq.fill(8)(r.nextFloat()))).toDF("vec_id", "embedding")
+    val brute = SimilarityOps.bruteForceTopK(df, col("vec_id") < 3, 5)
+      .select("q_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivf = SimilarityOps.ivfTopK(df, col("vec_id") < 3, 5,
+      nCells = 16, nProbe = 16)
+      .select("q_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivf == brute)
+    // pq ranks by L2, not cosine — exact L2 truth computed in-test
+    val vecs = df.as[(Long, Seq[Float])].collect().toMap
+    def d2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val exactL2 = (0L until 3L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (d2(vecs(q), vecs(n)), n)).take(5)
+        .zipWithIndex.map { case (n, i) => (q, n, i + 1) }
+    }.toSet
+    val pq = SimilarityOps.pqTopK(df, col("vec_id") < 3, 5,
+      subspaces = 2, codebookK = 16, shortlist = 12)
+      .select("q_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(pq == exactL2)
+  }
+
   test("cosineNearDups is symmetric-free (va < vb) and thresholded") {
     val df = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.001f)), (2L, Seq(0.0f, 1.0f)))
