@@ -33,6 +33,11 @@ import org.apache.spark.sql.types._
   *    partitioning and the downstream feature plumbing a production
   *    decoder drops into (exactly as the four real tiers demonstrate).
   *
+  * All five tiers cross bytes ⇄ samples through the [[MediaCodec]]
+  * trait ([[StubCodec]], [[PngCodec]], [[JpegCodec]], [[WavCodec]],
+  * [[GifCodec]]) — an external JNI codec implements that trait and
+  * passes as the `codec` argument; queries and plumbing don't change.
+  *
   * Scale notes:
   *  - Payloads never pass through a wide operator here: decode is a
   *    narrow mapPartitions (CPU-bound, scan-parallel); resize/frame
@@ -50,6 +55,76 @@ object MultimodalOps {
 
   /** Decoded features for one media item. */
   case class MediaFeatures(media_id: Long, n_bytes: Long, features: Array[Float])
+
+  // -------------------------------------------------------------------
+  // The pluggable codec boundary. Every tier (stub, PNG, JPEG, WAV,
+  // animated GIF) crosses bytes ⇄ samples through this trait, so an
+  // external codec (libjpeg-turbo / ffmpeg over JNI) drops in by
+  // implementing MediaCodec and passing it to the encode/decode
+  // functions — no query or plumbing changes (the encode*/decode*Stats
+  // signatures default to the built-in codec for each tier).
+
+  /** Codec-neutral raw media: integer sample planes plus dimensions.
+    * Images: planes = [r, g, b], each row-major `width·height`; audio:
+    * `width` = frame count, `height` = 1, planes = [left, right]
+    * (signed 16-bit values); video: one `width·height` luminance plane
+    * per frame.
+    */
+  case class RawMedia(width: Int, height: Int, planes: Array[Array[Int]])
+
+  /** One pluggable codec. The two-level shape mirrors real codec libs:
+    * the `MediaCodec` VALUE is tiny and serializable (it travels in the
+    * task closure); [[MediaCodec.Session]] holds the per-partition
+    * (per-batch) state — ImageIO writer/reader instances here, a JNI
+    * codec context in a production drop-in — allocated by `open()` once
+    * per partition and reused row by row (the batch-shape contract all
+    * five tiers demonstrate; sessions are single-threaded by design,
+    * matching Spark's one-task-per-partition execution).
+    */
+  trait MediaCodec extends Serializable {
+    def name: String
+    def open(): MediaCodec.Session
+  }
+
+  object MediaCodec {
+    trait Session {
+      def encode(raw: RawMedia): Array[Byte]
+      def decode(bytes: Array[Byte]): RawMedia
+
+      /** Feature vector from container bytes. Default: decode and take
+        * per-plane means (cycled over `nDims`) — a stand-in embedding;
+        * [[StubCodec]] overrides with its md5 formula (the gated
+        * surface), a real embedding codec overrides with the model.
+        */
+      def features(bytes: Array[Byte], nDims: Int): Array[Float] = {
+        val raw = decode(bytes)
+        Array.tabulate(nDims) { d =>
+          val p = raw.planes(d % raw.planes.length)
+          if (p.isEmpty) 0f
+          else (p.foldLeft(0L)(_ + _.toLong).toDouble / p.length).toFloat
+        }
+      }
+    }
+  }
+
+  /** The named STUB tier as a codec: no real container — encode emits
+    * the single plane's bytes, decode reads one unsigned-byte plane,
+    * and `features` is the md5 formula gated by q_mm_decode_stub. This
+    * is the documented replacement point for external codecs this
+    * container doesn't ship: implement [[MediaCodec]] over the real
+    * library and pass it to [[decodeFeatures]] — queries don't change.
+    */
+  object StubCodec extends MediaCodec {
+    val name = "stub"
+    def open(): MediaCodec.Session = new MediaCodec.Session {
+      def encode(raw: RawMedia): Array[Byte] =
+        raw.planes.headOption.getOrElse(Array.empty[Int]).map(v => (v & 0xff).toByte)
+      def decode(bytes: Array[Byte]): RawMedia =
+        RawMedia(bytes.length, 1, Array(bytes.map(b => (b & 0xff): Int)))
+      override def features(bytes: Array[Byte], nDims: Int): Array[Float] =
+        Array.tabulate(nDims)(d => stubDecodeFeature(bytes, d))
+    }
+  }
 
   /** Derive a media table from `documents`: the text bytes stand in for
     * an encoded payload; kind/width/height/n_frames are deterministic
@@ -90,17 +165,19 @@ object MultimodalOps {
     * once per PARTITION, then reused row by row). Output:
     * (media_id, n_bytes, features array<float>[nDims]).
     */
-  def decodeFeatures(media: DataFrame, nDims: Int = 8): Dataset[MediaFeatures] = {
+  def decodeFeatures(media: DataFrame, nDims: Int = 8,
+      codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "kind", "width", "height", "n_frames", "payload")
       .as[MediaRow]
       .mapPartitions { rows =>
-        // per-partition (per-batch) state — where a real decoder would
-        // initialize its codec context once
+        // per-partition (per-batch) codec state — a real decoder's
+        // context initializes once here, via the codec session
+        val s = codec.open()
         rows.map { r =>
-          val feats = Array.tabulate(nDims)(d => stubDecodeFeature(r.payload, d))
-          MediaFeatures(r.media_id, r.payload.length.toLong, feats)
+          MediaFeatures(r.media_id, r.payload.length.toLong,
+            s.features(r.payload, nDims))
         }
       }
   }
@@ -128,6 +205,105 @@ object MultimodalOps {
      (13 * x + 17 * y + 3 * m) % 256)
   }
 
+  /** Render the deterministic pixel pattern of one image id into
+    * codec-neutral RGB planes — the formula side of every image-tier
+    * gate (PNG lossless, JPEG fidelity).
+    */
+  private def renderImageRaw(id: Long, w: Int, h: Int): RawMedia = {
+    val n = w * h
+    val r = new Array[Int](n); val g = new Array[Int](n); val b = new Array[Int](n)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (rv, gv, bv) = pixelChannels(id, x, y)
+        val i = y * w + x
+        r(i) = rv; g(i) = gv; b(i) = bv
+        x += 1
+      }
+      y += 1
+    }
+    RawMedia(w, h, Array(r, g, b))
+  }
+
+  /** RGB planes → `TYPE_INT_RGB` image (bulk raster fill: one array
+    * store per pixel, one setRGB call per image instead of w·h
+    * synchronized ones). Shared by the PNG and JPEG sessions.
+    */
+  private def rgbImage(raw: RawMedia): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      raw.width, raw.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rr = raw.planes(0); val gg = raw.planes(1); val bb = raw.planes(2)
+    val px = new Array[Int](raw.width * raw.height)
+    var i = 0
+    while (i < px.length) { px(i) = (rr(i) << 16) | (gg(i) << 8) | bb(i); i += 1 }
+    img.setRGB(0, 0, raw.width, raw.height, px, 0, raw.width)
+    img
+  }
+
+  /** Decoded image → RGB planes. Truecolor PNG/JPEG decode to
+    * `TYPE_3BYTE_BGR`: read the backing byte array directly (no
+    * per-pixel ColorModel conversion); any other layout takes the bulk
+    * sRGB path. Shared by the PNG and JPEG sessions.
+    */
+  private def rgbPlanes(img: java.awt.image.BufferedImage): RawMedia = {
+    val w = img.getWidth; val h = img.getHeight
+    val n = w * h
+    val r = new Array[Int](n); val g = new Array[Int](n); val b = new Array[Int](n)
+    img.getRaster.getDataBuffer match {
+      case db: java.awt.image.DataBufferByte
+          if img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR =>
+        val data = db.getData
+        var i = 0
+        while (i < n) {
+          b(i) = data(i * 3) & 0xff
+          g(i) = data(i * 3 + 1) & 0xff
+          r(i) = data(i * 3 + 2) & 0xff
+          i += 1
+        }
+      case _ =>
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        while (i < n) {
+          val p = px(i)
+          r(i) = (p >> 16) & 0xff; g(i) = (p >> 8) & 0xff; b(i) = p & 0xff
+          i += 1
+        }
+    }
+    RawMedia(w, h, Array(r, g, b))
+  }
+
+  /** The real PNG codec (lossless) through JDK `javax.imageio`. One
+    * writer/reader per session; disk cache OFF (a file-backed image
+    * stream per row would dominate at thumbnail sizes).
+    */
+  object PngCodec extends MediaCodec {
+    val name = "png"
+    def open(): MediaCodec.Session = new MediaCodec.Session {
+      javax.imageio.ImageIO.setUseCache(false)
+      private val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      private lazy val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      def encode(raw: RawMedia): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(rgbImage(raw))
+        ios.close()
+        bos.toByteArray
+      }
+      def decode(bytes: Array[Byte]): RawMedia = {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        reader.setInput(iis)
+        val img = reader.read(0)
+        iis.close()
+        rgbPlanes(img)
+      }
+    }
+  }
+
   /** Image metadata plan: small deterministic dimensions (8–32 px per
     * side) keyed off doc ids. Small because the gate proves codec
     * FIDELITY, not throughput — the per-pixel loops are O(w·h) per row
@@ -148,88 +324,39 @@ object MultimodalOps {
     * with `javax.imageio`. Narrow mapPartitions — CPU-bound,
     * scan-parallel, no shuffle.
     */
-  def encodePng(meta: DataFrame): Dataset[EncodedImage] = {
+  def encodePng(meta: DataFrame,
+      codec: MediaCodec = PngCodec): Dataset[EncodedImage] = {
     val spark = meta.sparkSession
     import spark.implicits._
     meta.select("media_id", "width", "height").as[(Long, Int, Int)]
       .mapPartitions { rows =>
-        // per-PARTITION codec state (the batch-shape contract): one PNG
-        // writer reused row by row — per-image writer lookup + stream
-        // scaffolding is the dominant cost at thumbnail sizes. Disk
-        // cache OFF: createImageOutputStream would otherwise back every
-        // image with its own temp FILE.
-        javax.imageio.ImageIO.setUseCache(false)
-        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        val s = codec.open() // per-PARTITION codec state (batch shape)
         rows.map { case (id, w, h) =>
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          // bulk raster fill (one array store per pixel, one setRGB call
-          // per image instead of w·h synchronized ones)
-          val px = new Array[Int](w * h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val (r, g, b) = pixelChannels(id, x, y)
-              px(y * w + x) = (r << 16) | (g << 8) | b
-              x += 1
-            }
-            y += 1
-          }
-          img.setRGB(0, 0, w, h, px, 0, w)
-          val bos = new java.io.ByteArrayOutputStream()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-          writer.setOutput(ios)
-          writer.write(img)
-          ios.close()
-          EncodedImage(id, w, h, bos.toByteArray)
+          EncodedImage(id, w, h, s.encode(renderImageRaw(id, w, h)))
         }
       }
   }
 
-  /** DECODE through the real codec: `ImageIO.read` on the PNG bytes,
+  /** DECODE through the real codec: the session hands back RGB planes,
     * then exact integer per-channel sums over every pixel — the
     * feature-extraction shape (decode once, reduce per row) a real
     * pipeline uses, with integer sums so no float parity questions.
     */
-  def decodePngStats(imgs: Dataset[EncodedImage]): Dataset[ImageStats] = {
+  def decodePngStats(imgs: Dataset[EncodedImage],
+      codec: MediaCodec = PngCodec): Dataset[ImageStats] = {
     val spark = imgs.sparkSession
     import spark.implicits._
     imgs.mapPartitions { rows =>
-      // one PNG reader per partition, reused; disk cache OFF (a
-      // file-backed ImageInputStream per image dominated the decode
-      // cost — temp-file create/delete per row)
-      javax.imageio.ImageIO.setUseCache(false)
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      val s = codec.open() // one reader per partition, reused
       rows.map { e =>
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(e.png))
-        reader.setInput(iis)
-        val img = reader.read(0)
-        iis.close()
-        val (w, h) = (img.getWidth, img.getHeight)
-        var rs = 0L; var gs = 0L; var bs = 0L
-        img.getRaster.getDataBuffer match {
-          // PNG truecolor decodes to TYPE_3BYTE_BGR: read the backing
-          // byte array directly — no per-pixel ColorModel conversion
-          case db: java.awt.image.DataBufferByte
-              if img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR =>
-            val data = db.getData
-            var i = 0
-            while (i < data.length) {
-              bs += data(i) & 0xff; gs += data(i + 1) & 0xff; rs += data(i + 2) & 0xff
-              i += 3
-            }
-          case _ => // any other layout: bulk sRGB conversion path
-            val px = img.getRGB(0, 0, w, h, null, 0, w)
-            var i = 0
-            while (i < px.length) {
-              val p = px(i)
-              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
-              i += 1
-            }
+        val raw = s.decode(e.png)
+        val sums = raw.planes.map { p =>
+          var t = 0L; var i = 0
+          while (i < p.length) { t += p(i); i += 1 }
+          t
         }
-        ImageStats(e.media_id, w.toLong * h, rs, gs, bs)
+        ImageStats(e.media_id, raw.width.toLong * raw.height,
+          sums(0), sums(1), sums(2))
       }
     }
   }
@@ -262,37 +389,54 @@ object MultimodalOps {
     * writer per partition, disk cache off — the PNG tier's batch-shape
     * contract unchanged.
     */
-  def encodeJpeg(meta: DataFrame, quality: Float = 0.9f): Dataset[EncodedJpeg] = {
+  /** The real JPEG codec (LOSSY) through JDK `javax.imageio`, baseline
+    * mode at an explicit `quality` (deterministic — pure software, no
+    * platform codec). Same session shape as [[PngCodec]].
+    */
+  case class JpegCodec(quality: Float = 0.9f) extends MediaCodec {
+    val name = "jpeg"
+    def open(): MediaCodec.Session = new MediaCodec.Session {
+      javax.imageio.ImageIO.setUseCache(false)
+      private val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      private val param = {
+        val p = writer.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(quality)
+        p
+      }
+      private lazy val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+      def encode(raw: RawMedia): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(null,
+          new javax.imageio.IIOImage(rgbImage(raw), null, null), param)
+        ios.close()
+        bos.toByteArray
+      }
+      def decode(bytes: Array[Byte]): RawMedia = {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        reader.setInput(iis)
+        val img = reader.read(0)
+        iis.close()
+        rgbPlanes(img)
+      }
+    }
+  }
+
+  def encodeJpeg(meta: DataFrame, quality: Float = 0.9f,
+      codec: MediaCodec = null): Dataset[EncodedJpeg] = {
+    val c = if (codec != null) codec else JpegCodec(quality)
     val spark = meta.sparkSession
     import spark.implicits._
     meta.select("media_id", "width", "height").as[(Long, Int, Int)]
       .mapPartitions { rows =>
-        javax.imageio.ImageIO.setUseCache(false)
-        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-        val param = writer.getDefaultWriteParam
-        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-        param.setCompressionQuality(quality)
+        val s = c.open()
         rows.map { case (id, w, h) =>
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val px = new Array[Int](w * h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val (r, g, b) = pixelChannels(id, x, y)
-              px(y * w + x) = (r << 16) | (g << 8) | b
-              x += 1
-            }
-            y += 1
-          }
-          img.setRGB(0, 0, w, h, px, 0, w)
-          val bos = new java.io.ByteArrayOutputStream()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-          writer.setOutput(ios)
-          writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-          ios.close()
-          EncodedJpeg(id, w, h, bos.toByteArray)
+          EncodedJpeg(id, w, h, s.encode(renderImageRaw(id, w, h)))
         }
       }
   }
@@ -311,38 +455,18 @@ object MultimodalOps {
     * thumbnail where block-DCT edge effects dominate; 6.0 keeps a
     * 1.4× margin. Spec-pinned at the known worst id.
     */
-  def jpegFidelityStats(imgs: Dataset[EncodedJpeg],
-      tol: Double = 6.0): Dataset[JpegFidelity] = {
+  def jpegFidelityStats(imgs: Dataset[EncodedJpeg], tol: Double = 6.0,
+      codec: MediaCodec = JpegCodec()): Dataset[JpegFidelity] = {
     val spark = imgs.sparkSession
     import spark.implicits._
     imgs.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+      val s = codec.open()
       rows.map { e =>
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(e.jpg))
-        reader.setInput(iis)
-        val img = reader.read(0)
-        iis.close()
-        val (w, h) = (img.getWidth, img.getHeight)
-        var rs = 0L; var gs = 0L; var bs = 0L
-        img.getRaster.getDataBuffer match {
-          case db: java.awt.image.DataBufferByte
-              if img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR =>
-            val data = db.getData
-            var i = 0
-            while (i < data.length) {
-              bs += data(i) & 0xff; gs += data(i + 1) & 0xff; rs += data(i + 2) & 0xff
-              i += 3
-            }
-          case _ =>
-            val px = img.getRGB(0, 0, w, h, null, 0, w)
-            var i = 0
-            while (i < px.length) {
-              val p = px(i)
-              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
-              i += 1
-            }
+        val raw = s.decode(e.jpg)
+        val Array(rs, gs, bs) = raw.planes.map { p =>
+          var t = 0L; var i = 0
+          while (i < p.length) { t += p(i); i += 1 }
+          t
         }
         // exact sums straight from the formula — same integers the
         // oracle recomputes
@@ -358,7 +482,7 @@ object MultimodalOps {
           y += 1
         }
         val n = e.width.toLong * e.height
-        val ok = w == e.width && h == e.height &&
+        val ok = raw.width == e.width && raw.height == e.height &&
           math.abs(rs.toDouble / n - er.toDouble / n) <= tol &&
           math.abs(gs.toDouble / n - eg.toDouble / n) <= tol &&
           math.abs(bs.toDouble / n - eb.toDouble / n) <= tol
@@ -406,103 +530,122 @@ object MultimodalOps {
     /* sampleRate */ 8000f, /* bits */ 16, /* channels */ 2,
     /* signed */ true, /* bigEndian */ false)
 
-  /** ENCODE through the real codec: renders each row's deterministic
-    * PCM samples and writes a genuine WAV file through the platform
-    * `javax.sound.sampled` WAVE provider. Narrow mapPartitions —
-    * CPU-bound, scan-parallel, no shuffle (the multimodal decode
-    * contract).
-    *
-    * Per-PARTITION provider resolution (the PNG lesson, audio edition):
-    * `AudioSystem.write` re-resolves the SPI provider list on EVERY
-    * call (the JDK's sound services are not cached), which dominates
-    * the cost at clip sizes of a few KB. The public
-    * `javax.sound.sampled.spi.AudioFileWriter` SPI lets us resolve the
-    * WAVE writer once per partition and call it directly — identical
-    * bytes, none of the per-row registry scan.
+  /** The real WAV/PCM codec through the platform `javax.sound.sampled`
+    * SPI providers — resolved directly rather than via `AudioSystem`,
+    * which re-scans the SPI registry on EVERY write call (the JDK's
+    * sound services are not cached; the registry scan dominates at clip
+    * sizes of a few KB — the PNG lesson, audio edition). Raw layout:
+    * planes = [left, right] signed 16-bit samples, width = frame
+    * count. Provider resolution happens once per
+    * session: the WAVE writer by capability query; the reader LAZILY on
+    * the first decode (the SPI has no "supports this format" query —
+    * `AudioSystem` probes readers by exception per call — so the first
+    * clip elects the reader that accepts WAV and the rest of the
+    * session reuses it). The decoded format is asserted, not assumed —
+    * a codec that silently resampled or widened fails loudly here
+    * rather than hash-mismatching downstream.
     */
-  def encodeWav(meta: DataFrame): Dataset[EncodedAudio] = {
-    val spark = meta.sparkSession
-    import spark.implicits._
-    meta.select("media_id", "n_frames").as[(Long, Int)]
-      .mapPartitions { rows =>
-        import scala.jdk.CollectionConverters._
-        val writer = java.util.ServiceLoader
-          .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala
-          .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
-          .getOrElse(throw new IllegalStateException("no WAVE AudioFileWriter provider"))
-        rows.map { case (id, n) =>
-          // 2 channels × 2 bytes, little-endian, frame-interleaved
-          val pcm = new Array[Byte](n * 4)
-          var i = 0
-          while (i < n) {
-            var ch = 0
-            while (ch < 2) {
-              val v = sampleValue(id, i, ch)
-              pcm(i * 4 + ch * 2) = (v & 0xff).toByte
-              pcm(i * 4 + ch * 2 + 1) = ((v >> 8) & 0xff).toByte
-              ch += 1
-            }
-            i += 1
-          }
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), wavFormat, n.toLong)
-          val bos = new java.io.ByteArrayOutputStream()
-          writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-          EncodedAudio(id, n, bos.toByteArray)
-        }
-      }
-  }
-
-  /** DECODE through the real codec: the WAV container (RIFF chunks,
-    * format negotiation) is parsed by the platform
-    * `javax.sound.sampled.spi.AudioFileReader` provider, which hands
-    * back raw PCM; exact per-channel integer sums over every frame
-    * prove fidelity. The decoded format is asserted, not assumed — a
-    * codec that silently resampled or widened would fail loudly here
-    * rather than hash-mismatch downstream.
-    *
-    * Provider resolution happens ONCE per partition, lazily: the SPI
-    * has no "supports this format" query (`AudioSystem` probes readers
-    * by exception per call), so the first clip elects the reader that
-    * accepts WAV and the rest of the partition reuses it.
-    */
-  def decodeWavStats(clips: Dataset[EncodedAudio]): Dataset[AudioStats] = {
-    val spark = clips.sparkSession
-    import spark.implicits._
-    clips.mapPartitions { rows =>
+  object WavCodec extends MediaCodec {
+    val name = "wav"
+    def open(): MediaCodec.Session = new MediaCodec.Session {
       import scala.jdk.CollectionConverters._
-      lazy val readers = java.util.ServiceLoader
+      private lazy val writer = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala
+        .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        .getOrElse(throw new IllegalStateException("no WAVE AudioFileWriter provider"))
+      private lazy val readers = java.util.ServiceLoader
         .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toList
-      var elected: javax.sound.sampled.spi.AudioFileReader = null
-      def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      private var elected: javax.sound.sampled.spi.AudioFileReader = null
+      private def openStream(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
         val in = new java.io.ByteArrayInputStream(bytes)
         if (elected != null) elected.getAudioInputStream(in)
         else {
           val (r, ais) = readers.view.flatMap { r =>
             try Some(r -> r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
             catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
-          }.headOption.getOrElse(throw new IllegalStateException("no WAV AudioFileReader provider"))
+          }.headOption.getOrElse(
+            throw new IllegalStateException("no WAV AudioFileReader provider"))
           elected = r
           ais
         }
       }
-      rows.map { e =>
-        val ais = open(e.wav)
+      def encode(raw: RawMedia): Array[Byte] = {
+        val n = raw.width
+        val l = raw.planes(0); val r = raw.planes(1)
+        // 2 channels × 2 bytes, little-endian, frame-interleaved
+        val pcm = new Array[Byte](n * 4)
+        var i = 0
+        while (i < n) {
+          pcm(i * 4) = (l(i) & 0xff).toByte
+          pcm(i * 4 + 1) = ((l(i) >> 8) & 0xff).toByte
+          pcm(i * 4 + 2) = (r(i) & 0xff).toByte
+          pcm(i * 4 + 3) = ((r(i) >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), wavFormat, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      def decode(bytes: Array[Byte]): RawMedia = {
+        val ais = openStream(bytes)
         val f = ais.getFormat
         require(f.getSampleSizeInBits == 16 && f.getChannels == 2 && !f.isBigEndian &&
           f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
           s"decoded format diverged: $f")
         val pcm = ais.readAllBytes()
         ais.close()
-        val nFrames = pcm.length / 4
-        var ls = 0L; var rs = 0L
+        val n = pcm.length / 4
+        val l = new Array[Int](n); val r = new Array[Int](n)
         var i = 0
-        while (i < nFrames) {
-          ls += ((pcm(i * 4 + 1) << 8) | (pcm(i * 4) & 0xff)).toShort
-          rs += ((pcm(i * 4 + 3) << 8) | (pcm(i * 4 + 2) & 0xff)).toShort
+        while (i < n) {
+          l(i) = ((pcm(i * 4 + 1) << 8) | (pcm(i * 4) & 0xff)).toShort.toInt
+          r(i) = ((pcm(i * 4 + 3) << 8) | (pcm(i * 4 + 2) & 0xff)).toShort.toInt
           i += 1
         }
-        AudioStats(e.media_id, nFrames.toLong, ls, rs)
+        RawMedia(n, 1, Array(l, r))
+      }
+    }
+  }
+
+  def encodeWav(meta: DataFrame,
+      codec: MediaCodec = WavCodec): Dataset[EncodedAudio] = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta.select("media_id", "n_frames").as[(Long, Int)]
+      .mapPartitions { rows =>
+        val s = codec.open()
+        rows.map { case (id, n) =>
+          val l = new Array[Int](n); val r = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            l(i) = sampleValue(id, i, 0); r(i) = sampleValue(id, i, 1)
+            i += 1
+          }
+          EncodedAudio(id, n, s.encode(RawMedia(n, 1, Array(l, r))))
+        }
+      }
+  }
+
+  /** DECODE through the real codec: the session parses the WAV
+    * container (RIFF chunks, format negotiation) back to PCM planes;
+    * exact per-channel integer sums over every frame prove fidelity.
+    */
+  def decodeWavStats(clips: Dataset[EncodedAudio],
+      codec: MediaCodec = WavCodec): Dataset[AudioStats] = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.mapPartitions { rows =>
+      val s = codec.open()
+      rows.map { e =>
+        val raw = s.decode(e.wav)
+        val Array(ls, rs) = raw.planes.map { p =>
+          var t = 0L; var i = 0
+          while (i < p.length) { t += p(i); i += 1 }
+          t
+        }
+        AudioStats(e.media_id, raw.width.toLong, ls, rs)
       }
     }
   }
@@ -563,42 +706,102 @@ object MultimodalOps {
     * `writeToSequence`). Narrow mapPartitions, one writer per
     * partition, disk cache off — the PNG tier's batch-shape contract.
     */
-  def encodeGif(meta: DataFrame): Dataset[EncodedVideo] = {
+  /** The real VIDEO codec: multi-frame animated GIF through
+    * `javax.imageio`'s sequence API. Raw layout: one luminance plane
+    * per frame. Encode renders each plane as an indexed-gray frame
+    * (GIF stores 8-bit indices losslessly — the index IS the
+    * luminance); decode walks the frame sequence and maps each frame's
+    * indices through the DECODED frame's own palette (gray ⇒ red ==
+    * luminance) — color-true even if the codec reordered the color
+    * table. All decoded frames must share frame 0's dimensions (our
+    * encoder writes every frame full-size).
+    */
+  object GifCodec extends MediaCodec {
+    val name = "gif"
+    def open(): MediaCodec.Session = new MediaCodec.Session {
+      javax.imageio.ImageIO.setUseCache(false)
+      private val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      private lazy val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      private val icm = grayPalette
+      def encode(raw: RawMedia): Array[Byte] = {
+        val w = raw.width; val h = raw.height
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        raw.planes.foreach { plane =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          val data = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
+          var i = 0
+          while (i < data.length) { data(i) = plane(i).toByte; i += 1 }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+        ios.close()
+        bos.toByteArray
+      }
+      def decode(bytes: Array[Byte]): RawMedia = {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        var w = -1; var h = -1
+        val planes = Array.tabulate(n) { f =>
+          val img = reader.read(f)
+          if (f == 0) { w = img.getWidth; h = img.getHeight }
+          else require(img.getWidth == w && img.getHeight == h,
+            s"decoded frame $f dims diverged (${img.getWidth}x${img.getHeight} vs ${w}x$h)")
+          val plane = new Array[Int](w * h)
+          (img.getRaster.getDataBuffer, img.getColorModel) match {
+            // indexed GIF decodes to a byte raster of palette indices;
+            // map through the decoded frame's own palette LUT
+            case (db: java.awt.image.DataBufferByte,
+                cm: java.awt.image.IndexColorModel)
+                if cm.getPixelSize == 8 =>
+              val lut = new Array[Int](cm.getMapSize)
+              var j = 0
+              while (j < lut.length) { lut(j) = cm.getRed(j); j += 1 }
+              val data = db.getData
+              var i = 0
+              while (i < plane.length) { plane(i) = lut(data(i) & 0xff); i += 1 }
+            case _ => // any other layout: bulk sRGB path, gray ⇒ b channel
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              var i = 0
+              while (i < plane.length) { plane(i) = px(i) & 0xff; i += 1 }
+          }
+          plane
+        }
+        iis.close()
+        RawMedia(w, h, planes)
+      }
+    }
+  }
+
+  def encodeGif(meta: DataFrame,
+      codec: MediaCodec = GifCodec): Dataset[EncodedVideo] = {
     val spark = meta.sparkSession
     import spark.implicits._
     meta.select("media_id", "width", "height", "n_frames")
       .as[(Long, Int, Int, Int)]
       .mapPartitions { rows =>
-        javax.imageio.ImageIO.setUseCache(false)
-        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-        val icm = grayPalette
+        val s = codec.open()
         rows.map { case (id, w, h, nf) =>
-          val bos = new java.io.ByteArrayOutputStream()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-          writer.setOutput(ios)
-          writer.prepareWriteSequence(null)
-          var f = 0
-          while (f < nf) {
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
-            val data = img.getRaster.getDataBuffer
-              .asInstanceOf[java.awt.image.DataBufferByte].getData
+          val planes = Array.tabulate(nf) { f =>
+            val plane = new Array[Int](w * h)
             var y = 0
             while (y < h) {
               var x = 0
-              while (x < w) {
-                data(y * w + x) = framePixel(id, x, y, f).toByte
-                x += 1
-              }
+              while (x < w) { plane(y * w + x) = framePixel(id, x, y, f); x += 1 }
               y += 1
             }
-            writer.writeToSequence(
-              new javax.imageio.IIOImage(img, null, null), null)
-            f += 1
+            plane
           }
-          writer.endWriteSequence()
-          ios.close()
-          EncodedVideo(id, w, h, nf, bos.toByteArray)
+          EncodedVideo(id, w, h, nf, s.encode(RawMedia(w, h, planes)))
         }
       }
   }
@@ -611,47 +814,23 @@ object MultimodalOps {
     * that dropped or merged frames fails loudly rather than
     * hash-mismatching downstream.
     */
-  def decodeGifFrameStats(clips: Dataset[EncodedVideo]): Dataset[FrameStats] = {
+  def decodeGifFrameStats(clips: Dataset[EncodedVideo],
+      codec: MediaCodec = GifCodec): Dataset[FrameStats] = {
     val spark = clips.sparkSession
     import spark.implicits._
     clips.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val s = codec.open()
       rows.flatMap { e =>
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(e.gif))
-        reader.setInput(iis)
-        val n = reader.getNumImages(true)
-        require(n == e.n_frames,
-          s"decoded frame count $n != encoded ${e.n_frames} (media ${e.media_id})")
-        val out = (0 until n).map { f =>
-          val img = reader.read(f)
-          require(img.getWidth == e.width && img.getHeight == e.height,
-            s"decoded frame $f dims diverged (media ${e.media_id})")
-          var lum = 0L
-          (img.getRaster.getDataBuffer, img.getColorModel) match {
-            // indexed GIF decodes to a byte raster of palette indices;
-            // map each index through the DECODED frame's own palette
-            // (gray ⇒ red == luminance) — color-true even if the codec
-            // reordered the color table
-            case (db: java.awt.image.DataBufferByte,
-                icm: java.awt.image.IndexColorModel)
-                if icm.getPixelSize == 8 =>
-              val lut = new Array[Int](icm.getMapSize)
-              var j = 0
-              while (j < lut.length) { lut(j) = icm.getRed(j); j += 1 }
-              val data = db.getData
-              var i = 0
-              while (i < data.length) { lum += lut(data(i) & 0xff); i += 1 }
-            case _ => // any other layout: bulk sRGB path, gray ⇒ b channel
-              val px = img.getRGB(0, 0, e.width, e.height, null, 0, e.width)
-              var i = 0
-              while (i < px.length) { lum += px(i) & 0xff; i += 1 }
-          }
+        val raw = s.decode(e.gif)
+        require(raw.planes.length == e.n_frames,
+          s"decoded frame count ${raw.planes.length} != encoded ${e.n_frames} (media ${e.media_id})")
+        require(raw.width == e.width && raw.height == e.height,
+          s"decoded dims diverged (media ${e.media_id})")
+        raw.planes.zipWithIndex.map { case (plane, f) =>
+          var lum = 0L; var i = 0
+          while (i < plane.length) { lum += plane(i); i += 1 }
           FrameStats(e.media_id, f, e.width.toLong * e.height, lum)
         }
-        iis.close()
-        out
       }
     }
   }

@@ -20,6 +20,50 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(r == again)
   }
 
+  test("a custom MediaCodec drops into every tier with no query changes") {
+    // The pluggable boundary's contract: implement MediaCodec over any
+    // external library, pass it as the codec argument, done. This fake
+    // "external" codec stores planes in a trivial length-prefixed
+    // container — structurally what a JNI libjpeg/ffmpeg wrapper would
+    // do — and the unchanged stats pipelines must produce the same
+    // sums the real-codec tiers produce (the content formulas don't
+    // care which container carried the planes).
+    object RawContainerCodec extends MultimodalOps.MediaCodec {
+      val name = "raw-container"
+      def open(): MultimodalOps.MediaCodec.Session =
+        new MultimodalOps.MediaCodec.Session {
+          def encode(raw: MultimodalOps.RawMedia): Array[Byte] = {
+            val bb = java.nio.ByteBuffer.allocate(
+              12 + raw.planes.map(_.length * 4).sum)
+            bb.putInt(raw.width).putInt(raw.height).putInt(raw.planes.length)
+            raw.planes.foreach(_.foreach(bb.putInt))
+            bb.array()
+          }
+          def decode(bytes: Array[Byte]): MultimodalOps.RawMedia = {
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+            val w = bb.getInt; val h = bb.getInt; val np = bb.getInt
+            val n = (bytes.length - 12) / 4 / np
+            MultimodalOps.RawMedia(w, h,
+              Array.fill(np)(Array.fill(n)(bb.getInt)))
+          }
+        }
+    }
+    val meta = MultimodalOps.syntheticImageMeta(docs.limit(20))
+    val viaCustom = MultimodalOps.decodePngStats(
+      MultimodalOps.encodePng(meta, RawContainerCodec), RawContainerCodec)
+      .collect().map(s => s.media_id -> s).toMap
+    val viaPng = MultimodalOps.decodePngStats(MultimodalOps.encodePng(meta))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(viaCustom == viaPng && viaCustom.nonEmpty)
+    val audioMeta = MultimodalOps.syntheticAudioMeta(docs.limit(20))
+    val aCustom = MultimodalOps.decodeWavStats(
+      MultimodalOps.encodeWav(audioMeta, RawContainerCodec), RawContainerCodec)
+      .collect().map(s => s.media_id -> s).toMap
+    val aWav = MultimodalOps.decodeWavStats(MultimodalOps.encodeWav(audioMeta))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(aCustom == aWav && aCustom.nonEmpty)
+  }
+
   test("payload bytes round-trip the source text exactly") {
     val joined = MultimodalOps.asMedia(docs)
       .join(docs.select($"doc_id".as("media_id"), $"text"), "media_id")
