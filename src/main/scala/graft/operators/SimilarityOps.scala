@@ -299,17 +299,40 @@ object SimilarityOps {
     * round — recall proof, same trick as q_neardup_minhash). Fewer
     * tables than [[annTopK]]'s 16: near-dup pairs sit at sim ≥ 0.4
     * where collisions are likelier than the top-k's ~0.2 tail.
+    *
+    * PRUNING vs the default config: the driver corpus is
+    * near-orthogonal, so every qualifying pair sits AT the 0.4
+    * threshold and the permissive default (the price of the equality
+    * oracle there) is ≈ brute force by construction. On a corpus with
+    * real cluster structure — where near-dup detection is the actual
+    * workload — a tighter config prunes while staying exact:
+    * CosineLshPruningSpec pins `tables = 16, bitsPerTable = 16,
+    * probeRadius = 2` at EXACT equality with a measured 6.5× candidate
+    * reduction (309,894 candidates of 1,999,000 all-pairs, 2000 × 64-d,
+    * 10 clusters with a sim gap around the threshold). That is the
+    * config to start from at scale; widen bits as log₂(corpus) grows to
+    * hold per-bucket collision counts flat.
     */
-  def cosineNearDupsLsh(embeddings: DataFrame, minSim: Double,
-      tables: Int = 12, bitsPerTable: Int = 6, probeRadius: Int = 2): DataFrame = {
+  /** The candidate stage of [[cosineNearDupsLsh]], exposed so pruning
+    * can be MEASURED (CosineLshPruningSpec counts these against
+    * all-pairs): distinct (va < vb) pairs sharing any (table, code)
+    * bucket, with one side multi-probed within `probeRadius`.
+    */
+  def lshCandidatePairs(embeddings: DataFrame,
+      tables: Int, bitsPerTable: Int, probeRadius: Int): DataFrame = {
     val codes = lshCodes(embeddings, tables, bitsPerTable)
     val left = codes.select(col("table"),
       probeExplode(col("code"), bitsPerTable, probeRadius).as("code"),
       col("vec_id").as("va"))
     val right = codes.select(col("table"), col("code"), col("vec_id").as("vb"))
-    val cand = left.join(right, Seq("table", "code"))
+    left.join(right, Seq("table", "code"))
       .filter(col("va") < col("vb"))
       .select("va", "vb").distinct()
+  }
+
+  def cosineNearDupsLsh(embeddings: DataFrame, minSim: Double,
+      tables: Int = 12, bitsPerTable: Int = 6, probeRadius: Int = 2): DataFrame = {
+    val cand = lshCandidatePairs(embeddings, tables, bitsPerTable, probeRadius)
     val vecs = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
     cand
