@@ -509,15 +509,20 @@ object SimilarityOps {
     val dims = embeddings.select(size(col("embedding"))).head().getInt(0)
     require(dims % subspaces == 0, s"dims $dims not divisible by $subspaces")
     val d = dims / subspaces
-    // shortlist <= 0 → auto: ~1.7% of the corpus, floored at 200. On
+    // shortlist <= 0 → auto: 5% of the corpus, floored at 200. On
     // structureless (near-orthogonal random) vectors ADC's rank error
     // is corpus-relative, so a FIXED shortlist decays with scale
     // (measured recall@10: 200 of 60k → 0.76; 1000 of 60k → 0.99) — a
     // fraction holds it steady and the exact re-rank cost stays
-    // queries × shortlist, tiny either way.
+    // queries × shortlist, tiny either way. 5% (was 1.7%): the round-7
+    // sf1 correctness audit caught recall@10 < 0.5 on 4/10 queries at
+    // 20k vectors with the 1.7% slice (340); 1000 (5%) restores every
+    // certificate with margin (PqSf1Scratch). The driver gate scales
+    // (500/2000 vectors) sit on the 200 floor either way — their
+    // hashes are unchanged by this.
     val sl =
       if (shortlist > 0) shortlist
-      else math.max(200L, math.ceil(embeddings.count() * 0.017).toLong).toInt
+      else math.max(200L, math.ceil(embeddings.count() * 0.05).toLong).toInt
     val dec = "decimal(38,12)"
     // Codebook fit = the same Faiss recipe as [[ivfTopK]]: bounded
     // deterministic sample by smallest id (TakeOrdered), ONE collect
@@ -633,8 +638,10 @@ object SimilarityOps {
     * error, so the ordering is provably stable where it is gated.
     */
   def pqRecallCertificate(embeddings: DataFrame, queryPred: Column, k: Int,
-      minRecall: Double): DataFrame = {
-    val pq = pqTopK(embeddings, queryPred, k)
+      minRecall: Double, shortlist: Int = 0,
+      codebookK: Int = 16): DataFrame = {
+    val pq = pqTopK(embeddings, queryPred, k,
+      codebookK = codebookK, shortlist = shortlist)
     val queries = embeddings.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("emb_q"),
         dot(col("embedding"), col("embedding")).as("qq"))

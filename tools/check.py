@@ -4,7 +4,7 @@ the shipped library is pure Scala). Reads graft.Verify output (parquet per
 query + oracle_sql.json), runs each oracle SQL in DuckDB against the same
 testdata parquet, and hash-compares values with columns sorted by name.
 
-Usage: tools/check.py <sfDir> <verifyOutDir>
+Usage: tools/check.py <sfDir> <verifyOutDir> [onlyQuery[,onlyQuery...]]
 """
 import json, sys, glob, os
 import duckdb
@@ -20,13 +20,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only=None) -> int:
     con = duckdb.connect()
+    # opt-in resource caps for the large-SF audit (check_scale.py): keep
+    # N worker processes from oversubscribing the box or spilling
+    # unboundedly into cwd
+    if os.environ.get("DUCKDB_MEMORY_LIMIT"):
+        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMORY_LIMIT']}'")
+        con.execute("SET threads=4")
+        con.execute(f"SET temp_directory='.tmp/duck_{os.getpid()}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
@@ -58,6 +67,8 @@ def main(sf_dir: str, out_dir: str) -> int:
     # queries without an oracle: rows-only check
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
+        if only and name not in only:
+            continue
         if os.path.isdir(d) and name not in oracle:
             files = glob.glob(os.path.join(d, "*.parquet"))
             rows = sum(len(pd.read_parquet(f)) for f in files) if files else 0
@@ -69,4 +80,5 @@ def main(sf_dir: str, out_dir: str) -> int:
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
