@@ -2895,7 +2895,7 @@ object SparkEntry {
         |)
         |SELECT ex.vec_id, ex.dim, ex.x,
         |       CASE WHEN st.std > 0
-        |            THEN round((ex.x - st.mean) / st.std, 4) END AS z
+        |            THEN round((ex.x - st.mean) / st.std, 4) + 0.0 END AS z
         |FROM ex JOIN st USING (dim) WHERE ex.dim < 8
         |ORDER BY vec_id, dim""".stripMargin,
     // rolling anomaly: decimal-exact frame mean + rounded frame stddev
@@ -3447,8 +3447,9 @@ object SparkEntry {
         |), spans AS (
         |  SELECT doc_id, e - dl AS s, e FROM offs
         |), ch AS (
-        |  SELECT doc_id, s, e, c FROM spans CROSS JOIN range(8192) r(c)
-        |  WHERE c >= s // 256 AND c <= (e - 1) // 256
+        |  SELECT doc_id, s, e,
+        |         unnest(generate_series(s // 256, (e - 1) // 256)) AS c
+        |  FROM spans
         |)
         |SELECT c AS chunk_id, doc_id,
         |       greatest(s, c * 256) - c * 256 AS start_in_chunk,

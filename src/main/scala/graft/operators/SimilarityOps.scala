@@ -383,9 +383,13 @@ object SimilarityOps {
       .join(broadcast(stats), "dim")
       .select(col("vec_id"), col("dim"), col("x").cast("double").as("x"),
         // explicit zero-variance null: engines disagree on x/0.0 (SQL
-        // null vs IEEE inf), so a constant dimension must never divide
+        // null vs IEEE inf), so a constant dimension must never divide.
+        // + 0.0 normalizes the rounded result's NEGATIVE ZERO — Spark's
+        // round(-2e-5, 4) yields +0.0 where DuckDB keeps -0.0, and the
+        // string compare distinguishes them (caught by the round-7 sf1
+        // audit: 5 of 160k rows); IEEE -0.0 + 0.0 = +0.0 in any engine
         when(col("std") > 0.0,
-          round((col("x").cast("double") - col("mean")) / col("std"), 4))
+          round((col("x").cast("double") - col("mean")) / col("std"), 4) + 0.0)
           .as("z"))
   }
 

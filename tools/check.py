@@ -28,7 +28,9 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
     if os.environ.get("DUCKDB_MEMORY_LIMIT"):
         con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMORY_LIMIT']}'")
         con.execute("SET threads=4")
-        con.execute(f"SET temp_directory='.tmp/duck_{os.getpid()}'")
+        tmp = f".tmp/duck_{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
