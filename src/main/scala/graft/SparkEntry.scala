@@ -2016,13 +2016,25 @@ object SparkEntry {
          |FROM co JOIN sz x ON x.doc_id = co.da JOIN sz y ON y.doc_id = co.db
          |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.92
          |ORDER BY co.da, co.db""".stripMargin,
+    // mirrors the engine's df cap (maxShingleDf = 1000): shingles shared
+    // by more docs are dropped from the INTERSECTION (not the set sizes)
+    // on both sides — the cap never binds at the driver gate SFs (their
+    // corpora stay under df 1000) and binds hard on closed-vocab
+    // saturated corpora (sf1 audit: most shingles exceed it)
     "q_ngram_jaccard" ->
-      s"""WITH ${ShingleCte("documents")}
-         |SELECT co.da, co.db,
+      s"""WITH ${ShingleCte("documents")},
+         |dfc AS (
+         |  SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000
+         |), coc AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |  FROM sh a JOIN dfc USING (s) JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |)
+         |SELECT coc.da, coc.db,
          |       round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jac
-         |FROM co JOIN sz x ON x.doc_id = co.da JOIN sz y ON y.doc_id = co.db
+         |FROM coc JOIN sz x ON x.doc_id = coc.da JOIN sz y ON y.doc_id = coc.db
          |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5
-         |ORDER BY co.da, co.db""".stripMargin,
+         |ORDER BY coc.da, coc.db""".stripMargin,
     "q_simhash" -> SimhashOracle,
     // identical by construction: the SQL-registered kernel must agree
     // with the DataFrame path bit for bit
