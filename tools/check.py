@@ -31,6 +31,8 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
         tmp = f".tmp/duck_{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
         con.execute(f"SET temp_directory='{tmp}'")
+        con.execute(f"SET max_temp_directory_size="
+                    f"'{os.environ.get('DUCKDB_TEMP_LIMIT', '40GB')}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
