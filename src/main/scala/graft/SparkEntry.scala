@@ -302,6 +302,15 @@ object SparkEntry {
       SimilarityOps.cosineNearDupsLsh(Tables.embeddings(s, dir), 0.4)
         .select(col("va"), col("vb"), round(col("sim"), 6).as("sim"))
         .orderBy("va", "vb")),
+    // Semantic decontamination: eval split = vec_id % 5 == 0, train =
+    // rest; paraphrase-level leakage the n-gram overlap check misses.
+    // Equality with the exact all-pairs cross join = recall proof
+    // (same construction as q_cosine_neardup).
+    "q_semantic_decontam" -> ((s, dir) =>
+      SimilarityOps.semanticDecontam(Tables.embeddings(s, dir),
+        pmod(col("vec_id"), lit(5L)) === 0, 0.4)
+        .select(col("eval_id"), col("train_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("eval_id", "train_id")),
     // ANN via signed-random-projection LSH — hash-bucketed candidates
     // with radius-2 multi-probe. At the default 16×6 config the
     // candidates provably contain the true top-10 on this corpus, so
@@ -749,6 +758,10 @@ object SparkEntry {
     // merges were applied, not just selected.
     "q_bpe_merges" -> ((s, dir) =>
       TextOps.bpeMerges(Tables.documents(s, dir), rounds = 8, vocabTopK = 20)),
+    // Tokenizer application: merges fit on the train split (doc_id%5!=0)
+    // encode the held-out eval split; per-doc token fan-out stats.
+    "q_bpe_encode" -> ((s, dir) =>
+      TextOps.bpeEncode(Tables.documents(s, dir), rounds = 8, evalMod = 5)),
     // Exact-substring duplication: 32-char windows at stride 16 —
     // verbatim cross-doc text (boilerplate, licenses) that token-level
     // similarity smooths over. Inverted-index shape, exact integers.
@@ -1660,8 +1673,16 @@ object SparkEntry {
     * non-overlapping in both engines = greedy BPE); ties on
     * (n DESC, l, r) binary order.
     */
-  private def bpeMergesOracleSql(rounds: Int, vocabTopK: Int): String = {
-    val S = "chr(1)"
+  /** chr(1) — the BPE symbol sentinel in DuckDB. */
+  private val BpeS = "chr(1)"
+
+  /** The shared BPE training CTE chain (toks/wf0/p·t·wf per round) —
+    * replays [[operators.TextOps]]' merge loop verbatim; `where` scopes
+    * the training corpus (empty = all docs). Ends with a trailing comma
+    * so callers append their own tail CTEs.
+    */
+  private def bpeTrainCtes(rounds: Int, where: String): String = {
+    val S = BpeS
     val steps = (1 to rounds).map { t =>
       s"""p$t AS MATERIALIZED (
          |  SELECT syms[i+1] AS l, syms[i+2] AS r, CAST(sum(freq) AS BIGINT) AS n
@@ -1675,17 +1696,22 @@ object SparkEntry {
          |  FROM wf${t - 1}, t$t
          |),""".stripMargin
     }.mkString("\n")
-    val mergeRows = (1 to rounds).map(t =>
-      s"SELECT $t AS round, 'merge' AS kind, l, r, n FROM t$t").mkString("\nUNION ALL ")
-    s"""WITH toks AS MATERIALIZED (
+    s"""toks AS MATERIALIZED (
        |  SELECT unnest(regexp_extract_all(lower(text), '((?:[\\.,!?;"])|(?:(?:\\#|\\@)?[A-Za-z0-9_\\-]+(?:''[a-z]{1,3})?))', 1)) AS word
-       |  FROM documents
+       |  FROM documents $where
        |), wf0 AS MATERIALIZED (
        |  SELECT count(*) AS freq,
        |         array_to_string(list_transform(str_split(word, ''), c -> $S || c || $S), '') AS enc
        |  FROM toks GROUP BY word
        |),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def bpeMergesOracleSql(rounds: Int, vocabTopK: Int): String = {
+    val S = BpeS
+    val mergeRows = (1 to rounds).map(t =>
+      s"SELECT $t AS round, 'merge' AS kind, l, r, n FROM t$t").mkString("\nUNION ALL ")
+    s"""WITH ${bpeTrainCtes(rounds, "")}
        |vocab AS MATERIALIZED (
        |  SELECT sym, CAST(sum(freq) AS BIGINT) AS n FROM (
        |    SELECT unnest(str_split(trim(enc, $S), $S || $S)) AS sym, freq FROM wf$rounds
@@ -1693,6 +1719,43 @@ object SparkEntry {
        |)
        |$mergeRows
        |UNION ALL SELECT 0 AS round, 'vocab' AS kind, sym AS l, '' AS r, n FROM vocab""".stripMargin
+  }
+
+  /** Oracle for q_bpe_encode: replay the train loop on the train split,
+    * then apply each round's selected pair (in order) to the distinct
+    * eval vocabulary via the same literal replace, and aggregate per
+    * eval doc.
+    */
+  private def bpeEncodeOracleSql(rounds: Int, evalMod: Long): String = {
+    val S = BpeS
+    val apply = (1 to rounds).map { t =>
+      s"""evv$t AS (
+         |  SELECT word, replace(enc, $S || l || $S || $S || r || $S, $S || l || r || $S) AS enc
+         |  FROM evv${t - 1}, t$t
+         |),""".stripMargin
+    }.mkString("\n")
+    s"""WITH ${bpeTrainCtes(rounds, s"WHERE doc_id % $evalMod <> 0")}
+       |ev AS MATERIALIZED (
+       |  SELECT doc_id, word, count(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '((?:[\\.,!?;"])|(?:(?:\\#|\\@)?[A-Za-z0-9_\\-]+(?:''[a-z]{1,3})?))', 1)) AS word
+       |    FROM documents WHERE doc_id % $evalMod = 0
+       |  ) et GROUP BY 1, 2
+       |),
+       |evv0 AS MATERIALIZED (
+       |  SELECT word,
+       |         array_to_string(list_transform(str_split(word, ''), c -> $S || c || $S), '') AS enc
+       |  FROM (SELECT DISTINCT word FROM ev) dw
+       |),
+       |$apply
+       |ns AS (
+       |  SELECT word, CAST(len(str_split(trim(enc, $S), $S || $S)) AS BIGINT) AS n_syms
+       |  FROM evv$rounds
+       |)
+       |SELECT ev.doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |       CAST(sum(cnt * n_syms) AS BIGINT) AS n_tokens,
+       |       round(CAST(sum(cnt * n_syms) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS tokens_per_word
+       |FROM ev JOIN ns USING (word)
+       |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin
   }
 
   private def decMean(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -1758,6 +1821,7 @@ object SparkEntry {
     // Full BPE trainer replay: 8 unrolled merge rounds + final vocab
     // (generator below — kmeans/pagerank MATERIALIZED-CTE pattern)
     "q_bpe_merges" -> bpeMergesOracleSql(8, 20),
+    "q_bpe_encode" -> bpeEncodeOracleSql(8, 5),
     // tf/df/N recomputed relationally; rank key round(s,9)+word mirrors
     // the engine's TopKPerKey ordering; constants written as the same
     // double EXPRESSIONS ((1.2+1.0), (1.0-0.75)) the Scala side
@@ -3376,7 +3440,21 @@ object SparkEntry {
          |FROM dots d JOIN nrm na ON na.vec_id = d.va
          |JOIN nrm nb ON nb.vec_id = d.vb
          |WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
-         |ORDER BY d.va, d.vb""".stripMargin
+         |ORDER BY d.va, d.vb""".stripMargin,
+    // exact all-pairs eval×train cross join — equality proves the LSH
+    // candidate stage missed nothing (recall certificate)
+    "q_semantic_decontam" ->
+      s"""WITH $CosineCte,
+         |dots AS (
+         |  SELECT e.vec_id AS eval_id, t.vec_id AS train_id, ${DotSql("e", "t")} AS dot
+         |  FROM v e JOIN v t ON e.vec_id % 5 = 0 AND t.vec_id % 5 <> 0, range(64) r(d)
+         |  GROUP BY e.vec_id, t.vec_id
+         |)
+         |SELECT d.eval_id, d.train_id, round(d.dot / (ne.nrm * nt.nrm), 6) AS sim
+         |FROM dots d JOIN nrm ne ON ne.vec_id = d.eval_id
+         |JOIN nrm nt ON nt.vec_id = d.train_id
+         |WHERE d.dot / (ne.nrm * nt.nrm) >= 0.4
+         |ORDER BY d.eval_id, d.train_id""".stripMargin
   )
 
   /** DuckDB CTE chain for marker-based language ID: markers/toks/hits/

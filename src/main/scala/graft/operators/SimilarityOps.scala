@@ -345,6 +345,51 @@ object SimilarityOps {
       .select("va", "vb", "sim")
   }
 
+  /** SEMANTIC test-set decontamination — the embedding-space member of
+    * the decontamination family: where [[DedupOps.contaminatedPairs]]
+    * catches verbatim n-gram overlap, this catches PARAPHRASED eval
+    * leakage — a train item whose embedding sits within cosine
+    * `minSim` of an eval item. Output: one row per (eval_id, train_id)
+    * contaminated pair with its exact cosine — the removal manifest a
+    * pipeline anti-joins its train split against before training.
+    *
+    * Plan: SRP-LSH codes on BOTH splits (one pass over each; the
+    * corpus is scanned once because both splits come from the same
+    * frame), the EVAL side multi-probed within `probeRadius` Hamming
+    * distance and BROADCAST — eval suites are benchmark-sized
+    * (thousands) against a train corpus of billions, so the candidate
+    * join is a map-side broadcast probe over the train codes with NO
+    * wide exchange until the (bounded, true-near-match-sized) exact
+    * verification joins. Same recall argument as [[cosineNearDupsLsh]]:
+    * the default 12 tables × 6 bits × radius 2 misses a 0.4-cosine pair
+    * with probability ~1e-5, and the gate's equality oracle (exact
+    * all-pairs cross join in DuckDB) re-proves exactness every round.
+    */
+  def semanticDecontam(embeddings: DataFrame, evalPred: Column,
+      minSim: Double, tables: Int = 12, bitsPerTable: Int = 6,
+      probeRadius: Int = 2): DataFrame = {
+    val train = embeddings.filter(!evalPred)
+    val eval = embeddings.filter(evalPred)
+    val tCodes = lshCodes(train, tables, bitsPerTable)
+      .select(col("table"), col("code"), col("vec_id").as("train_id"))
+    val eCodes = lshCodes(eval, tables, bitsPerTable)
+      .select(col("table"),
+        probeExplode(col("code"), bitsPerTable, probeRadius).as("code"),
+        col("vec_id").as("eval_id"))
+    val cand = tCodes.join(broadcast(eCodes), Seq("table", "code"))
+      .select("eval_id", "train_id").distinct()
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    cand
+      .join(vecs.select(col("vec_id").as("eval_id"), col("embedding").as("ee"),
+        col("nrm").as("ne")), "eval_id")
+      .join(vecs.select(col("vec_id").as("train_id"), col("embedding").as("et"),
+        col("nrm").as("nt")), "train_id")
+      .withColumn("sim", dot(col("ee"), col("et")) / (col("ne") * col("nt")))
+      .filter(col("sim") >= minSim)
+      .select("eval_id", "train_id", "sim")
+  }
+
   /** Per-dimension z-score normalization of an embedding column — the
     * standard pre-index / pre-clustering conditioning step (whitening's
     * cheap diagonal cousin): every dimension is centered on its corpus

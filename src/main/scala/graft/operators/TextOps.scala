@@ -142,49 +142,149 @@ object TextOps {
     */
   def bpeMerges(docs: DataFrame, rounds: Int = 8, vocabTopK: Int = 20,
       textCol: String = "text"): DataFrame = {
-    val Sep = "\u0001"
-    val sep = lit(Sep)
-    // (freq, enc): one row per distinct word, each char ␁-wrapped
-    var wf = tokenize(docs, textCol = textCol)
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(col("freq"), concat_ws("",
-        transform(sequence(lit(1), length(col("word"))),
-          i => concat(sep, col("word").substr(i, lit(1)), sep))).as("enc"))
-      .localCheckpoint(false)
-
-    // adjacent (l, r) symbol pairs of the current vocab, freq-weighted
-    def pairCounts(v: DataFrame): DataFrame = v
-      .select(col("freq"),
-        split(trim(col("enc"), Sep), Sep + Sep).as("syms"))
-      .filter(size(col("syms")) >= 2)
-      .select(col("freq"), expr(
-        "explode(transform(sequence(1, size(syms)-1), " +
-          "i -> struct(element_at(syms, i) AS l, element_at(syms, i+1) AS r)))").as("p"))
-      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-      .agg(sum(col("freq")).as("n"))
-
-    var merges = Vector.empty[DataFrame]
-    var round = 1
-    while (round <= rounds) {
-      val top1 = pairCounts(wf)
-        .orderBy(col("n").desc, col("l").asc, col("r").asc).limit(1)
-        .localCheckpoint(false) // referenced twice: output row + merge join
-      merges :+= top1.select(lit(round).as("round"), lit("merge").as("kind"),
+    val (wf, merges) = bpeTrainLoop(bpeWordFreqs(docs, textCol), rounds)
+    val mergeRows = merges.zipWithIndex.map { case (top1, i) =>
+      top1.select(lit(i + 1).as("round"), lit("merge").as("kind"),
         col("l"), col("r"), col("n"))
-      wf = wf.crossJoin(broadcast(top1.select(col("l"), col("r"))))
-        .select(col("freq"), call_function("replace", col("enc"),
-          concat(sep, col("l"), sep, sep, col("r"), sep),
-          concat(sep, col("l"), col("r"), sep)).as("enc"))
-        .localCheckpoint(false)
-      round += 1
     }
     val vocab = wf
-      .select(col("freq"), explode(split(trim(col("enc"), Sep), Sep + Sep)).as("sym"))
+      .select(col("freq"),
+        explode(split(trim(col("enc"), BpeSep), BpeSep + BpeSep)).as("sym"))
       .groupBy("sym").agg(sum(col("freq")).as("n"))
       .orderBy(col("n").desc, col("sym").asc).limit(vocabTopK)
       .select(lit(0).as("round"), lit("vocab").as("kind"),
         col("sym").as("l"), lit("").as("r"), col("n"))
-    merges.reduce(_.unionAll(_)).unionAll(vocab)
+    mergeRows.reduce(_.unionAll(_)).unionAll(vocab)
+  }
+
+  /** U+0001 symbol sentinel shared by the BPE train/apply family —
+    * cannot appear inside a token (the tokenizer's character classes
+    * exclude control characters), so a wrapped pair pattern can only
+    * match a whole adjacent symbol pair.
+    */
+  private val BpeSep = "\u0001"
+
+  /** (freq, enc) per distinct word of `docs` — each character
+    * sentinel-wrapped (see [[bpeMerges]]). The ONE corpus-sized scan of
+    * the BPE family; everything downstream is vocabulary-sized.
+    */
+  private def bpeWordFreqs(docs: DataFrame, textCol: String): DataFrame =
+    tokenize(docs, textCol = textCol)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), bpeEncodeCol(col("word")).as("enc"))
+      .localCheckpoint(false)
+
+  /** Sentinel-wrap every character of `word` into the initial symbol
+    * string.
+    */
+  private def bpeEncodeCol(word: Column): Column = {
+    val sep = lit(BpeSep)
+    concat_ws("", transform(sequence(lit(1), length(word)),
+      i => concat(sep, word.substr(i, lit(1)), sep)))
+  }
+
+  /** Adjacent (l, r) symbol pairs of the current vocab, freq-weighted. */
+  private def bpePairCountsOf(v: DataFrame): DataFrame = v
+    .select(col("freq"),
+      split(trim(col("enc"), BpeSep), BpeSep + BpeSep).as("syms"))
+    .filter(size(col("syms")) >= 2)
+    .select(col("freq"), expr(
+      "explode(transform(sequence(1, size(syms)-1), " +
+        "i -> struct(element_at(syms, i) AS l, element_at(syms, i+1) AS r)))").as("p"))
+    .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+    .agg(sum(col("freq")).as("n"))
+
+  /** Apply one selected merge (a 1-row (l, r) frame) to a symbol-string
+    * frame: literal left-to-right replace of the wrapped pair with the
+    * wrapped merged symbol, the pair riding a 1-row broadcast cross
+    * join (never a driver collect). Passes through every column of `v`
+    * except the rewritten `enc`.
+    */
+  private def bpeApplyMerge(v: DataFrame, top1: DataFrame): DataFrame = {
+    val sep = lit(BpeSep)
+    v.crossJoin(broadcast(top1.select(col("l"), col("r"))))
+      .withColumn("enc", call_function("replace", col("enc"),
+        concat(sep, col("l"), sep, sep, col("r"), sep),
+        concat(sep, col("l"), col("r"), sep)))
+      .drop("l", "r")
+  }
+
+  /** The `rounds`-round training loop shared by [[bpeMerges]] and
+    * [[bpeEncode]]: returns the fully-merged word table and the
+    * per-round selected pairs (each a 1-row localCheckpointed (l, r, n)
+    * frame — checkpointed because each is referenced at least twice:
+    * the merge join plus the caller's output/apply chain). The word
+    * table is checkpointed per round, truncating the otherwise-doubling
+    * iterative lineage (the funnel/CC lesson, NOTES.md).
+    */
+  private def bpeTrainLoop(wf0: DataFrame,
+      rounds: Int): (DataFrame, Vector[DataFrame]) = {
+    var wf = wf0
+    var merges = Vector.empty[DataFrame]
+    var round = 1
+    while (round <= rounds) {
+      val top1 = bpePairCountsOf(wf)
+        .orderBy(col("n").desc, col("l").asc, col("r").asc).limit(1)
+        .localCheckpoint(false)
+      merges :+= top1
+      wf = bpeApplyMerge(wf, top1).select(col("freq"), col("enc"))
+        .localCheckpoint(false)
+      round += 1
+    }
+    (wf, merges)
+  }
+
+  /** BPE tokenizer APPLICATION — the other half of the tokenizer
+    * lifecycle [[bpeMerges]] trains for: fit `rounds` merges on the
+    * TRAIN split (`doc_id % evalMod != 0`), then encode the held-out
+    * eval split (`doc_id % evalMod == 0`) with them and publish
+    * per-document token statistics: `n_words` (token-occurrence count),
+    * `n_tokens` (BPE symbol count after all merges, occurrence-
+    * weighted) and their ratio — the tokens-per-word fan-out every
+    * training-data budget is denominated in, measured on text the
+    * tokenizer never saw. Merges apply in training order, each a
+    * literal sentinel-wrapped replace (greedy left-to-right, see
+    * [[bpeMerges]]) — identical semantics in any engine, so the oracle
+    * replays the train loop AND the application chain verbatim.
+    * `tokens_per_word` is one correctly-rounded double divide of two
+    * exact integers — engine-portable by construction.
+    *
+    * Scale shape: two corpus scans total (train word-count, eval
+    * word-count — the latter persisted query-scoped, it feeds the
+    * distinct vocab AND the final join); the merge loop is
+    * vocabulary-sized; application runs on the DISTINCT eval
+    * vocabulary — `rounds` chained 1-row broadcast cross joins on a
+    * vocabulary-sized frame with linear lineage (no checkpoints needed:
+    * each step references the previous exactly once, and the selected
+    * pairs are already checkpointed) — and fans back to documents
+    * through one word-keyed join, the same bounded-key shape as the LM
+    * scoring family. Nothing corpus-sized reaches the driver.
+    */
+  def bpeEncode(docs: DataFrame, rounds: Int = 8, evalMod: Long = 5,
+      textCol: String = "text"): DataFrame = {
+    val train = docs.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+    val eval = docs.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
+    val (_, merges) = bpeTrainLoop(bpeWordFreqs(train, textCol), rounds)
+
+    // per-doc word occurrence counts of the eval split (one scan)
+    val evalWords = graft.CacheScope.autoRelease(
+      tokenize(eval, textCol = textCol)
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt")))
+    // encode the distinct eval vocabulary through the trained merges
+    var enc = evalWords.select(col("word")).distinct()
+      .select(col("word"), bpeEncodeCol(col("word")).as("enc"))
+    merges.foreach(top1 => enc = bpeApplyMerge(enc, top1))
+    val nSyms = enc.select(col("word"),
+      size(split(trim(col("enc"), BpeSep), BpeSep + BpeSep)).cast("long").as("n_syms"))
+
+    evalWords.join(nSyms, "word")
+      .groupBy("doc_id").agg(
+        sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_syms")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words"), 6)
+          .as("tokens_per_word"))
+      .orderBy("doc_id")
   }
 
   /** Bigram language-model scoring — the count-based core of a

@@ -63,6 +63,40 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(got == Seq((0L, 1L)))
   }
 
+  test("semanticDecontam: thresholded eval×train pairs on a tiny corpus") {
+    // eval = even ids {0,2}, train = odd {1,3}; only vec 0 is near a
+    // train vector: cos(0,1)≈0.994, cos(0,3)≈0.999; vec 2 orthogonal
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.semanticDecontam(df,
+        pmod(col("vec_id"), lit(2L)) === 0, 0.9)
+      .select("eval_id", "train_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (0L, 3L)))
+  }
+
+  test("semanticDecontam equals exact cross-split all-pairs at sf0.001") {
+    // recall proof on the real corpus: the LSH candidate stage must
+    // surface EVERY eval×train pair at sim ≥ 0.4 (mirrors the
+    // equality-as-recall gate oracle, pinned here engine-side)
+    val emb = Tables.embeddings(spark, sf0)
+    val isEval = pmod(col("vec_id"), lit(5L)) === 0
+    val lsh = SimilarityOps.semanticDecontam(emb, isEval, 0.4)
+      .select("eval_id", "train_id").as[(Long, Long)].collect().toSet
+    val v = emb.select(col("vec_id"), col("embedding"),
+      sqrt(graft.functions.ArrayDot(col("embedding"), col("embedding"))).as("nrm"))
+    val exact = v.filter(isEval)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ee"), col("nrm").as("ne"))
+      .crossJoin(v.filter(!isEval)
+        .select(col("vec_id").as("train_id"), col("embedding").as("et"), col("nrm").as("nt")))
+      .filter(graft.functions.ArrayDot(col("ee"), col("et"))
+        / (col("ne") * col("nt")) >= 0.4)
+      .select("eval_id", "train_id").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty)
+  }
+
   test("ANN recall@10 vs brute force is usable on near-orthogonal data") {
     val emb = Tables.embeddings(spark, sf0)
     val brute = SimilarityOps.bruteForceTopK(emb, col("vec_id") < 10, 10)

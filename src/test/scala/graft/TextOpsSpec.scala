@@ -120,6 +120,21 @@ class TextOpsSpec extends SparkSpec {
     assert(vocab == Set(("abab", 3L), ("abc", 2L), ("aa", 2L)))
   }
 
+  test("bpeEncode: train-split merges applied to held-out eval docs") {
+    // evalMod=2: train = odd doc_ids {1,3}, eval = even {2}
+    // train freqs: abab×3, abc×2
+    //   round 1: (a,b) = 3·2 + 2·1 = 8 wins → abab→[ab,ab], abc→[ab,c]
+    //   round 2: (ab,ab)=3 beats (ab,c)=2 → abab→[abab]
+    // eval doc 2 = "abab abc xy ab":
+    //   abab→[abab] (1), abc→[ab,c] (2), xy→[x,y] (2 — no trained merge
+    //   applies to unseen chars), ab→[ab] (1) ⇒ 4 words, 6 tokens
+    val docs = Seq((1L, "abab abab abc"), (2L, "abab abc xy ab"),
+      (3L, "abab abc")).toDF("doc_id", "text")
+    val got = TextOps.bpeEncode(docs, rounds = 2, evalMod = 2)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got == List((2L, 4L, 6L, 1.5)))
+  }
+
   test("bigramNll: hand-checked add-one bigram LM averages") {
     // corpus: doc1 = a b a b, doc2 = a a, doc3 = x (no bigrams → dropped)
     // V = 3 {a,b,x}; c1: a=4, b=2, x=1
