@@ -254,6 +254,14 @@ object SparkEntry {
       DedupOps.ngramJaccardPairs(Tables.documents(s, dir), minJac = 0.5)
         .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
         .orderBy("da", "db")),
+    // Overlap-coefficient (containment) pairs — the dedup criterion
+    // Jaccard misses: a short doc embedded verbatim in a long one has
+    // containment 1 but Jaccard → 0. Same inverted-index plan, scored
+    // inter / min(|A|,|B|).
+    "q_overlap_pairs" -> ((s, dir) =>
+      DedupOps.overlapPairs(Tables.documents(s, dir), minOverlap = 0.8)
+        .select(col("da"), col("db"), round(col("ovl"), 6).as("ovl"))
+        .orderBy("da", "db")),
     // SimHash 60-bit fingerprints (engine-portable md5 bit construction).
     "q_simhash" -> ((s, dir) =>
       DedupOps.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -2098,6 +2106,22 @@ object SparkEntry {
          |       round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jac
          |FROM coc JOIN sz x ON x.doc_id = coc.da JOIN sz y ON y.doc_id = coc.db
          |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5
+         |ORDER BY coc.da, coc.db""".stripMargin,
+    // same inverted index, overlap-coefficient score; mirrors the
+    // engine's df cap exactly as q_ngram_jaccard does
+    "q_overlap_pairs" ->
+      s"""WITH ${ShingleCte("documents")},
+         |dfc AS (
+         |  SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000
+         |), coc AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |  FROM sh a JOIN dfc USING (s) JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |)
+         |SELECT coc.da, coc.db,
+         |       round(CAST(inter AS DOUBLE) / least(x.n, y.n), 6) AS ovl
+         |FROM coc JOIN sz x ON x.doc_id = coc.da JOIN sz y ON y.doc_id = coc.db
+         |WHERE CAST(inter AS DOUBLE) / least(x.n, y.n) >= 0.8
          |ORDER BY coc.da, coc.db""".stripMargin,
     "q_simhash" -> SimhashOracle,
     // identical by construction: the SQL-registered kernel must agree

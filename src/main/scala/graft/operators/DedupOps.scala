@@ -163,15 +163,40 @@ object DedupOps {
     * oracle — which never caps — hash-matches).
     */
   def ngramJaccardPairs(docs: DataFrame, nGram: Int = 3, minJac: Double = 0.5,
-      maxShingleDf: Option[Long] = Some(1000L), textCol: String = "text"): DataFrame = {
-    // Posting-list formulation: one shuffle keyed by shingle hash builds
-    // the inverted index, then co-occurring pairs are generated inside
-    // each posting row (d·(d−1)/2 per posting) — no self-join, so the
-    // expensive tokenize→shingle scan runs once and the only wide
-    // exchanges are (shingle → posting) and (pair → count). A shingle
-    // shared by df docs still costs O(df²) pairs — that's the problem's
-    // output size, not a plan artifact; `maxShingleDf` drops
-    // uninformative hot shingles to bound it (and the per-row skew).
+      maxShingleDf: Option[Long] = Some(1000L), textCol: String = "text"): DataFrame =
+    pairIntersections(docs, nGram, maxShingleDf, textCol)
+      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= minJac)
+      .select("da", "db", "jac")
+
+  /** Overlap-coefficient (containment) pairs: C(A,B) = |A∩B| /
+    * min(|A|,|B|). The dedup criterion Jaccard structurally MISSES:
+    * a short doc fully embedded in a long one has C = 1 but jac ≈
+    * |short|/|long| → 0, so quote-expansion / boilerplate-wrapping
+    * duplicates survive a Jaccard gate no matter the threshold.
+    * Same inverted-index plan as [[ngramJaccardPairs]] — only the
+    * final score differs; identical df-cap semantics.
+    */
+  def overlapPairs(docs: DataFrame, nGram: Int = 3, minOverlap: Double = 0.8,
+      maxShingleDf: Option[Long] = Some(1000L), textCol: String = "text"): DataFrame =
+    pairIntersections(docs, nGram, maxShingleDf, textCol)
+      .withColumn("ovl", col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("ovl") >= minOverlap)
+      .select("da", "db", "ovl")
+
+  /** Shared inverted-index core of the exact pair family: distinct
+    * n-gram shingle sets → posting lists → in-row pair generation →
+    * (da, db, inter, na, nb). One shuffle keyed by shingle hash builds
+    * the index, then co-occurring pairs are generated inside each
+    * posting row (d·(d−1)/2 per posting) — no self-join, so the
+    * expensive tokenize→shingle scan runs once and the only wide
+    * exchanges are (shingle → posting) and (pair → count). A shingle
+    * shared by df docs still costs O(df²) pairs — that's the problem's
+    * output size, not a plan artifact; `maxShingleDf` drops
+    * uninformative hot shingles to bound it (and the per-row skew).
+    */
+  private def pairIntersections(docs: DataFrame, nGram: Int,
+      maxShingleDf: Option[Long], textCol: String): DataFrame = {
     // two consumers (posting build + set sizes) → persist one tokenize
     // (query-scoped: auto-released when the consuming query finishes)
     val sh = graft.CacheScope.autoRelease(hashedShingled(docs, nGram, textCol))
@@ -196,9 +221,6 @@ object DedupOps {
     val sizes = sh.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
     inter.join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jac") >= minJac)
-      .select("da", "db", "jac")
   }
 
   /** Test-set decontamination: train docs sharing at least `minFrac`

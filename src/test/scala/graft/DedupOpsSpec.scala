@@ -85,6 +85,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(DedupOps.shingled(docs, 3).count() == 0)
   }
 
+  test("overlapPairs catches an embedded doc that Jaccard misses") {
+    // doc 2 is doc 1's first 5 words — containment 1.0, but Jaccard
+    // = 3/13 ≈ 0.23 (3 shared shingles of 13 distinct): a 0.5-Jaccard
+    // gate drops the pair, a 0.8-overlap gate keeps it
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o"),
+      (2L, "a b c d e"),
+      (3L, "p q r s t u v")).toDF("doc_id", "text")
+    val ovl = DedupOps.overlapPairs(docs, minOverlap = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(ovl.toList == List((1L, 2L, 1.0)))
+    val jac = DedupOps.ngramJaccardPairs(docs, minJac = 0.5)
+    assert(jac.count() == 0)
+  }
+
   test("maxShingleDf drops hot shingles but keeps rare ones") {
     val docs = Seq(
       (1L, "x y z a b c"), (2L, "x y z d e f"), (3L, "x y z g h i"),
