@@ -91,6 +91,15 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"),
           round(col("value"), 4).as("value"))
         .orderBy("event_id")),
+    // Deterministic epoch-shuffle training order: seeded md5 shuffle
+    // key → shard (mod 16) → per-shard dense position → round-robin
+    // interleaved global_pos. No global sort: the only wide op is the
+    // 16-way shard window.
+    "q_train_order" -> ((s, dir) =>
+      RelationalOps.trainingOrder(
+          Tables.documents(s, dir).select("doc_id"), col("doc_id"), "ep1", 16)
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"), col("global_pos"))
+        .orderBy("doc_id")),
     // §2.6 T5 (fraction form): seeded ~1% scan-local uniform sample +
     // running stats — the one-pass stream-sampler shape.
     "q_sample_frac" -> ((s, dir) =>
@@ -1932,6 +1941,25 @@ object SparkEntry {
          |FROM events
          |WHERE ('0x' || substring(md5(CAST(event_id AS VARCHAR) || '|graft'), 1, 6))::BIGINT
          |      / 16777216.0 < 0.01""".stripMargin,
+    // same md5 shuffle key + 24-bit shard draw; row_number replays the
+    // per-shard order with the key as tiebreak
+    "q_train_order" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|ep1') AS skey
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, skey,
+        |         ('0x' || substring(skey, 1, 6))::BIGINT % 16 AS shard
+        |  FROM h
+        |), p AS (
+        |  SELECT doc_id, shard,
+        |         row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) - 1
+        |           AS pos_in_shard
+        |  FROM s
+        |)
+        |SELECT doc_id, shard, pos_in_shard,
+        |       pos_in_shard * 16 + shard AS global_pos
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       """SELECT event_id, user_id, event_type, round(value, 4) AS value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY event_type

@@ -151,6 +151,44 @@ object RelationalOps {
     df.orderBy(md5(concat_ws("|", key.cast("string"), lit(seed)).cast("binary")))
       .limit(k)
 
+  /** Deterministic epoch-shuffle order for training: every row gets a
+    * seeded md5 shuffle key, a shard (24 hash bits mod `shards`), a
+    * dense position within its shard, and the round-robin interleaved
+    * `global_pos = pos_in_shard · shards + shard` — the order a
+    * sharded data loader reading shard files round-robin consumes.
+    * Reseeding (`seed` = epoch id) yields an independent permutation
+    * per epoch with zero state carried between epochs.
+    *
+    * Scale shape: NO global sort and no single-partition window — the
+    * only wide operation is the `shards`-way window (one exchange on
+    * shard, per-shard sort of corpus/shards rows). A global
+    * `row_number` over one partition would serialize the corpus
+    * through a single task; sharding is what makes a total
+    * training order distributable (and matches how the order is
+    * physically consumed: one file per shard). `global_pos` is the
+    * interleaved read order, contiguous while every shard still has
+    * rows (tail positions of uneven shards leave gaps — harmless for
+    * consumption order, documented for anyone treating it as a dense
+    * index). Same key contract as [[hashUniform]].
+    */
+  def trainingOrder(df: DataFrame, key: Column, seed: String,
+      shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards > 0, "shards must be positive")
+    val h = md5(concat_ws("|", key.cast("string"), lit(seed)).cast("binary"))
+    val withShard = df
+      .withColumn("skey", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("skey"), 1, 6), 16, 10).cast("long"),
+          lit(shards.toLong)))
+    withShard
+      .withColumn("pos_in_shard",
+        row_number().over(Window.partitionBy("shard")
+          .orderBy(col("skey"), key)).cast("long") - 1L)
+      .withColumn("global_pos",
+        col("pos_in_shard") * shards + col("shard"))
+  }
+
   /** Strictly-in-(0,1) uniform draw from md5(key‖seed): 24 hash bits
     * offset by half a step, so `log(u)` is always finite (a raw 24-bit
     * zero would hit ln(0) = −∞/null, and engines disagree on which).

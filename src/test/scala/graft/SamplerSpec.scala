@@ -56,6 +56,27 @@ class SamplerSpec extends SparkSpec {
     assert(setA == setB)
   }
 
+  test("trainingOrder: dense per-shard positions, epoch independence, partition stability") {
+    val docs = Tables.documents(spark, sf0).select("doc_id")
+    val t1 = RelationalOps.trainingOrder(docs, col("doc_id"), "ep1", 8)
+    // positions are dense 0..n_s-1 within every shard
+    val byShard = t1.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos_in_shard").as("mx"), min("pos_in_shard").as("mn"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(byShard.nonEmpty && byShard.forall { case (_, n, mx, mn) => mn == 0L && mx == n - 1 })
+    // global_pos is injective (round-robin interleave never collides)
+    assert(t1.select("global_pos").distinct().count() == docs.count())
+    // a different epoch seed yields a genuinely different permutation
+    val o1 = t1.orderBy("shard", "pos_in_shard").select("doc_id").as[Long].collect().toSeq
+    val o2 = RelationalOps.trainingOrder(docs, col("doc_id"), "ep2", 8)
+      .orderBy("shard", "pos_in_shard").select("doc_id").as[Long].collect().toSeq
+    assert(o1 != o2 && o1.toSet == o2.toSet)
+    // deterministic under repartitioning
+    val r = RelationalOps.trainingOrder(docs.repartition(13), col("doc_id"), "ep1", 8)
+      .orderBy("shard", "pos_in_shard").select("doc_id").as[Long].collect().toSeq
+    assert(r == o1)
+  }
+
   test("hashUniform draws are uniform across deciles (chi-square sanity)") {
     val ev = Tables.events(spark, sf0)
     val n = ev.count().toDouble
