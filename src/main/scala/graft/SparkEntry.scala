@@ -573,6 +573,13 @@ object SparkEntry {
       RelationalOps.histogram(Tables.lineitem(s, dir),
           Seq("l_extendedprice" -> 5000.0, "l_quantity" -> 5.0))
         .orderBy("col_name", "bin")),
+    // Exact pairwise Pearson correlations of the four lineitem metrics
+    // in ONE aggregate pass (all moments as exact decimal sums; only
+    // the closed-form corr is double). Feature-redundancy screen.
+    "q_corr_matrix" -> ((s, dir) =>
+      RelationalOps.correlationMatrix(Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")),
     // CDC snapshot diff: two deterministic snapshots of orders — keys
     // missing from old (mod-11) read as inserts, keys missing from new
     // (mod-13) as deletes, mod-7 price bumps as updates — classified by
@@ -2815,6 +2822,32 @@ object SparkEntry {
            |  CAST(floor($c / $w) AS BIGINT) AS bin, count(*) AS n
            |FROM lineitem GROUP BY 2""".stripMargin }
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name, bin"),
+    // correlation matrix: identical exact decimal moments, then the
+    // SAME double expression shape as the engine (op-for-op — IEEE
+    // equality needs matching evaluation order); `+ 0.0` folds any
+    // rounded -0.0 to +0.0 on both engines
+    "q_corr_matrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def dm(c: String) = s"CAST($c AS DECIMAL(18,2))"
+      val moments = cs.zipWithIndex.flatMap { case (c, i) => Seq(
+        s"CAST(sum(${dm(c)}) AS DOUBLE) AS s_$i",
+        s"CAST(sum(${dm(c)} * ${dm(c)}) AS DOUBLE) AS ss_$i") } ++
+        (for { i <- cs.indices; j <- cs.indices if i < j } yield
+          s"CAST(sum(${dm(cs(i))} * ${dm(cs(j))}) AS DOUBLE) AS sp_${i}_$j")
+      val branches = (for { i <- cs.indices; j <- cs.indices if i < j } yield
+        s"""SELECT '${cs(i)}' AS col_a, '${cs(j)}' AS col_b,
+           |  CASE WHEN (n*ss_$i - s_$i*s_$i) > 0 AND (n*ss_$j - s_$j*s_$j) > 0
+           |       THEN round((n*sp_${i}_$j - s_$i*s_$j)
+           |            / sqrt((n*ss_$i - s_$i*s_$i) * (n*ss_$j - s_$j*s_$j)), 6) + 0.0
+           |  END AS corr, n_rows FROM m""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH m AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS n_rows,
+         |  ${moments.mkString(",\n  ")}
+         |  FROM lineitem
+         |)
+         |$branches
+         |ORDER BY col_a, col_b""".stripMargin
+    },
     // snapshot diff: the same two snapshot CTEs full-outer-joined;
     // IS DISTINCT FROM mirrors the engine's null-safe struct compare
     "q_snapshot_diff" ->

@@ -558,6 +558,53 @@ object RelationalOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Exact pairwise Pearson correlation matrix over `cols` in ONE
+    * aggregate pass: all Σx, Σx², Σxy moments accumulate in a single
+    * partial+final hash aggregate (map-side combined; the scan happens
+    * once no matter how many pairs), then each upper-triangle pair's
+    * correlation is a row-local expression on the one stats row,
+    * melted long via inline explode. The feature-redundancy screen of
+    * dataset curation (drop one of two ~collinear features).
+    *
+    * Engine-portable exactness: inputs are cast to DECIMAL at
+    * `scale` (exact for data born at that decimal scale — prices,
+    * rates), so every moment is an order-independent exact decimal
+    * sum; only the FINAL closed-form corr is evaluated in double,
+    * from identical exact inputs, in one fixed expression shape both
+    * engines parse identically. Zero-variance columns yield null, not
+    * ±∞/NaN. At 100 TB the exchange carries one partial-moment row
+    * per task — O(cols²) values — never the data.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String],
+      scale: Int = 2): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    def d(c: String) = col(c).cast(s"decimal(18,$scale)")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = (count(lit(1)).as("__n") +:
+      cols.flatMap { c => Seq(
+        sum(d(c)).as(s"__s_$c"),
+        sum(d(c) * d(c)).as(s"__ss_$c")) }) ++
+      pairs.map { case (a, b) => sum(d(a) * d(b)).as(s"__sp_${a}__$b") }
+    val nD = col("__n").cast("double")
+    def variance(c: String) =
+      nD * col(s"__ss_$c").cast("double") -
+        col(s"__s_$c").cast("double") * col(s"__s_$c").cast("double")
+    val entries = array(pairs.map { case (a, b) =>
+      val num = nD * col(s"__sp_${a}__$b").cast("double") -
+        col(s"__s_$a").cast("double") * col(s"__s_$b").cast("double")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(variance(a) > 0 && variance(b) > 0,
+          round(num / sqrt(variance(a) * variance(b)), 6) + lit(0.0))
+          .as("corr"))
+    }: _*)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("__n").as("n_rows"), explode(entries).as("__e"))
+      .select(col("__e.col_a").as("col_a"), col("__e.col_b").as("col_b"),
+        col("__e.corr").as("corr"), col("n_rows"))
+  }
+
   /** Snapshot diff (CDC change detection): classify every key of two
     * snapshots of the same keyed table as `insert` (new only),
     * `delete` (old only) or `update` (present in both, any non-key

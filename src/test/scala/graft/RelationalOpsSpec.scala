@@ -213,6 +213,29 @@ class RelationalOpsSpec extends SparkSpec {
       ("b", Some(10.0), Some(30.0), 1L, 3L, 5L)))
   }
 
+  test("correlationMatrix matches Spark's corr; zero variance nulls; perfect corr = ±1") {
+    // y = 2x (corr 1), z = -x (corr -1 with x), c constant (null)
+    val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0), (4.0, 8.0, -4.0, 5.0))
+      .toDF("x", "y", "z", "c")
+    val got = RelationalOps.correlationMatrix(df, Seq("x", "y", "z", "c"))
+      .select("col_a", "col_b", "corr")
+      .as[(String, String, Option[Double])].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(got(("x", "y")).contains(1.0))
+    assert(got(("x", "z")).contains(-1.0))
+    assert(got(("x", "c")).isEmpty && got(("y", "c")).isEmpty)
+    // against the built-in estimator on real data (double tolerance:
+    // different but equivalent formulas)
+    val li = Tables.lineitem(spark, sf0)
+    val builtin = li.agg(corr(col("l_quantity"), col("l_extendedprice")))
+      .as[Double].head()
+    val mine = RelationalOps.correlationMatrix(li,
+        Seq("l_quantity", "l_extendedprice"))
+      .select("corr").as[Double].head()
+    assert(math.abs(builtin - mine) < 1e-6, s"$builtin vs $mine")
+  }
+
   test("snapshotDiff: insert/update/delete classified, unchanged dropped, null-safe") {
     val prev = Seq[(Long, java.lang.Double, String)](
       (1L, 1.0, "x"), (2L, 2.0, "y"), (3L, null, "z"), (4L, 4.0, "w")
