@@ -674,6 +674,18 @@ object SparkEntry {
         .select(col("node").as("doc_id"), col("hop"))
         .orderBy("doc_id")
     }),
+    // Community detection: 3 synchronous label-propagation rounds over
+    // the same synthetic link graph (neighbor-majority vote, tie →
+    // smallest label). One edges×labels join + two hash aggregates per
+    // round; oracle unrolls the recursion.
+    "q_lpa" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+      val nodes = docs.select(col("doc_id").as("node"))
+      GraphOps.labelPropagation(GraphOps.syntheticEdges(nodes, n), rounds = 3)
+        .select(col("node").as("doc_id"), col("label").as("community"))
+        .orderBy("doc_id")
+    }),
     // Incremental aggregation maintenance: per-customer (count, sum)
     // updated from the snapshot diff ONLY — group-moving updates
     // (mod-19 custkey bump) transfer mass between groups; the oracle
@@ -3009,6 +3021,41 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3
         |  UNION ALL SELECT * FROM h4)
         |ORDER BY doc_id""".stripMargin,
+    // synchronous LPA unrolled: per round, neighbor-majority vote with
+    // row_number (cnt DESC, label ASC) replaying the engine's
+    // bit-packed argmax semantics; undirected simple projection first
+    "q_lpa" -> {
+      def round(prev: String, cur: String): String =
+        s"""$cur AS MATERIALIZED (
+           |  SELECT node, label FROM (
+           |    SELECT s.node, l.label, count(*) AS cnt,
+           |           row_number() OVER (PARTITION BY s.node
+           |             ORDER BY count(*) DESC, l.label) AS rn
+           |    FROM sym s JOIN $prev l ON l.node = s.nbr
+           |    GROUP BY s.node, l.label)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH p AS (SELECT count(*) AS n FROM documents),
+         |raw AS (
+         |  SELECT doc_id AS src, (doc_id + 1) % n AS dst FROM documents, p
+         |  UNION ALL SELECT doc_id, (doc_id * 2 + 3) % n FROM documents, p
+         |  UNION ALL SELECT doc_id, (doc_id * doc_id + 5) % n FROM documents, p
+         |),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM raw WHERE src <> dst
+         |),
+         |sym AS MATERIALIZED (
+         |  SELECT a AS node, b AS nbr FROM und
+         |  UNION ALL SELECT b AS node, a AS nbr FROM und
+         |),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT node, node AS label FROM sym),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")}
+         |SELECT node AS doc_id, label AS community FROM l3
+         |ORDER BY doc_id""".stripMargin
+    },
     // incremental agg: the from-scratch aggregate of the new snapshot —
     // equality proves the engine's old+delta decimal algebra exact
     "q_incr_agg" ->

@@ -268,6 +268,67 @@ object GraphOps {
     }
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007): community
+    * detection by iterated neighbor-majority vote — init label(v) = v,
+    * then each round every node adopts the most frequent label among
+    * its neighbors (tie → smallest label). The curation use: mirror /
+    * template-farm clusters in a web link graph that near-dup CC
+    * misses because mirrors interlink without sharing text.
+    *
+    * Graph is projected to undirected SIMPLE form (self-loops dropped,
+    * parallel edges deduped) so votes are unweighted. Per round: ONE
+    * shuffle join (symmetrized edges × labels on the neighbor key) +
+    * two hash aggregates; the argmax is a bit-packed `max` over
+    * `cnt·2⁴⁰ + (2⁴⁰−1−label)` — all-primitive, so it plans as
+    * HashAggregate (a `max(struct)` would fall back to SortAggregate).
+    * The symmetrized edge list shuffles onto its join key ONCE and
+    * stays pinned; labels localCheckpoint per round (plan truncation —
+    * the CC lesson). Fixed `rounds` ⇒ deterministic output (async LPA
+    * is run-order-dependent; synchronous is the replayable variant).
+    * CONTRACT: node ids < 2⁴⁰ (packing headroom) and degrees < 2²³
+    * (cnt·2⁴⁰ must stay in int64) — both hold for any corpus this
+    * library addresses (ids are dense row numbers).
+    *
+    * Output: (node, label) for every node with at least one edge.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val M = 1L << 40
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val sym = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .repartition(col("nbr")).persist()
+    try {
+      var labels = sym.select(col("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      var k = 0
+      while (k < rounds) {
+        val votes = sym
+          .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+          .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+        val next = votes
+          .groupBy("node")
+          .agg(max(col("cnt") * M + (lit(M - 1) - col("label"))).as("pk"))
+          .select(col("node"), (lit(M - 1) - pmod(col("pk"), lit(M))).as("label"))
+        // lazy plan truncation + cache: the next round references this
+        // frame twice (join + nothing else, but the chain still doubles
+        // without truncation over many rounds)
+        labels = next.localCheckpoint(false)
+        k += 1
+      }
+      val out = graft.CacheScope.autoRelease(labels)
+      graft.CacheScope.onConsumed(labels) {
+        sym.unpersist(blocking = false)
+      }
+      out
+    } catch {
+      case t: Throwable => sym.unpersist(blocking = false); throw t
+    }
+  }
+
   private def pow60(base: Long, k: Int): Long = {
     var r = 1L
     var i = 0

@@ -158,4 +158,25 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(r2 == Map(0L -> 0, 10L -> 0, 1L -> 1, 2L -> 1, 3L -> 2))
   }
+
+  test("labelPropagation: triangles converge to min id; tie → smallest; deterministic") {
+    // two disjoint triangles; direction/duplication/self-loops must not matter
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (2L, 2L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    // hand-simulated synchronous rounds for {1,2,3}: r1 = (1→2, 2→1,
+    // 3→1)  [node 1 ties {2,3} → 2], r2 = (1→1, 2→1, 3→1), stable
+    // after; by symmetry {10,11,12} → 10
+    val got = GraphOps.labelPropagation(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // sync semantics visible mid-run: round 1 alone has node 1 at 2
+    val r1 = GraphOps.labelPropagation(edges, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1(1L) == 2L && r1(2L) == 1L && r1(3L) == 1L)
+    // deterministic under repartitioning
+    val re = GraphOps.labelPropagation(edges.repartition(7), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(re == got)
+  }
 }
