@@ -194,7 +194,7 @@ object RelationalOps {
     * zero would hit ln(0) = −∞/null, and engines disagree on which).
     * Same key contract as [[hashUniform]].
     */
-  private def hashUniformOpen(key: Column, seed: String): Column =
+  def hashUniformOpen(key: Column, seed: String): Column =
     (conv(substring(md5(concat_ws("|", key.cast("string"), lit(seed)).cast("binary")), 1, 6),
       16, 10).cast("double") + lit(0.5)) / lit(16777216.0)
 

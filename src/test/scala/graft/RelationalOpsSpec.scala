@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ratings, RelationalOps}
+import graft.operators.{DataQualityOps, Ratings, RelationalOps}
 import org.apache.spark.sql.functions._
 
 class RelationalOpsSpec extends SparkSpec {
@@ -211,6 +211,28 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got == Seq(
       ("a", Some(1.5), Some(4.0), 1L, 3L, 5L),
       ("b", Some(10.0), Some(30.0), 1L, 3L, 5L)))
+  }
+
+  test("dpNoisyCounts: deterministic, noise Laplace-scaled, seed changes the draw") {
+    val ev = Tables.events(spark, sf0)
+    val a = DataQualityOps.dpNoisyCounts(ev, "event_type", eps = 0.5, "dp1")
+      .select("event_type", "noisy_n").as[(String, Double)].collect().toMap
+    val truth = ev.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(a.keySet == truth.keySet && a.nonEmpty)
+    // Laplace(b=2): P(|noise| > 20) = e^{-10} ≈ 5e-5 — deterministic
+    // fixed draw, so this is a fixed fact, not a flaky bound
+    a.foreach { case (k, v) =>
+      assert(math.abs(v - truth(k)) < 20.0, s"$k: $v vs ${truth(k)}") }
+    // some noise was actually added
+    assert(a.exists { case (k, v) => v != truth(k).toDouble })
+    // repartitioning must not change the draw; a new seed must
+    val b = DataQualityOps.dpNoisyCounts(ev.repartition(7), "event_type", 0.5, "dp1")
+      .select("event_type", "noisy_n").as[(String, Double)].collect().toMap
+    assert(b == a)
+    val c = DataQualityOps.dpNoisyCounts(ev, "event_type", 0.5, "dp2")
+      .select("event_type", "noisy_n").as[(String, Double)].collect().toMap
+    assert(c != a)
   }
 
   test("correlationMatrix matches Spark's corr; zero variance nulls; perfect corr = ±1") {
