@@ -662,6 +662,13 @@ object SparkEntry {
           col("o_totalprice") > 0)))
         .orderBy("rule")
     }),
+    // ε-DP count release: per-event-type counts + seeded Laplace(1/ε)
+    // noise (inverse-CDF on the md5-open uniform, ln term rounded 9dp
+    // for engine parity, raw-double publication).
+    "q_dp_counts" -> ((s, dir) =>
+      DataQualityOps.dpNoisyCounts(Tables.events(s, dir), "event_type",
+          eps = 0.5, seed = "dp1")
+        .orderBy("event_type")),
     // Multi-source BFS over the synthetic link graph: min hops from
     // the mod-97 seed set within 4 rounds; frontier-only joins, the
     // oracle unrolls the same recursion.
@@ -3021,6 +3028,22 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3
         |  UNION ALL SELECT * FROM h4)
         |ORDER BY doc_id""".stripMargin,
+    // DP counts: same md5-open uniform, same inverse-CDF shape op for
+    // op; noisy_n published RAW (one multiply + one add on identical
+    // doubles after the 9-dp ln rounding)
+    "q_dp_counts" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        |), u AS (
+        |  SELECT event_type, n,
+        |         (('0x' || substring(md5(event_type || '|dp1'), 1, 6))::BIGINT
+        |           + 0.5) / 16777216.0 AS u
+        |  FROM g
+        |)
+        |SELECT event_type, CAST(0.5 AS DOUBLE) AS epsilon,
+        |       CAST(n AS DOUBLE) + (-2.0) * sign(u - 0.5)
+        |         * round(ln(1.0 - 2.0 * abs(u - 0.5)), 9) AS noisy_n
+        |FROM u ORDER BY event_type""".stripMargin,
     // synchronous LPA unrolled: per round, neighbor-majority vote with
     // row_number (cnt DESC, label ASC) replaying the engine's
     // bit-packed argmax semantics; undirected simple projection first

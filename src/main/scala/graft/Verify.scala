@@ -30,6 +30,9 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // full chain to stderr — a swallowed cause (e.g. an executor-side
+        // NPE surfacing as a bare message) is undebuggable otherwise
+        e.printStackTrace()
       }
       // operator-internal caches are query-scoped (CacheScope.autoRelease
       // releases them when the consuming query finishes); clearCache is

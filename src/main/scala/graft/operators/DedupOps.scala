@@ -323,11 +323,22 @@ object DedupOps {
       }
     // total postings as expectedNumItems: an upper bound on distinct
     // shingles (over-sizing only lowers the realized fpp)
-    val bf = ev.stat.bloomFilter("h", math.max(ev.count(), 1L), fpp)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
-    val trPost = tr.select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
-      .filter(mightContain(col("h")))
+    val nPost = ev.count()
+    val trPost0 = tr.select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
+    // Empty probe set (an aggressive df cap on a saturated shingle
+    // space can drop EVERY posting — first seen at the sf10 scaling
+    // audit): Spark's stat.bloomFilter returns a null buffer on an
+    // empty input and NPEs; the Bloom of an empty set contains
+    // nothing, so the prefilter is `false` — same plan shape, zero
+    // survivors, and the confirm join correctly yields no pairs.
+    val trPost =
+      if (nPost == 0) trPost0.filter(lit(false))
+      else {
+        val bf = ev.stat.bloomFilter("h", nPost, fpp)
+        val bfB = spark.sparkContext.broadcast(bf)
+        val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+        trPost0.filter(mightContain(col("h")))
+      }
     // confirm join deliberately UNHINTED (the eval side is modeled as
     // too big to broadcast): both sides shuffle on the shingle key, but
     // the train side arrives pre-thinned by the Bloom

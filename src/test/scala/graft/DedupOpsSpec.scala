@@ -183,6 +183,13 @@ class DedupOpsSpec extends SparkSpec {
     assert(cp.forall { case (k, f) => f <= un(k) + 1e-12 })
     // and the capped run dropped the universal shingle's contribution
     assert(cp.getOrElse((2L, 10L), 0.0) < un((2L, 10L)))
+    // a cap that drops EVERY eval posting (fully saturated shingle
+    // space — the sf10 audit case) must yield empty, not NPE: Spark's
+    // stat.bloomFilter returns a null buffer on empty input
+    val eval3 = Seq((10L, "a b c d e"), (11L, "a b c d e")).toDF("doc_id", "text")
+    val allCapped = DedupOps.bloomContaminatedPairs(train, eval3,
+      minFrac = 0.0, evalDfCap = 1L)
+    assert(allCapped.count() == 0)
   }
 
   test("contaminatedPairs finds the planted eval overlap, train-side fraction") {
