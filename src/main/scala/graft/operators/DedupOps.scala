@@ -123,6 +123,23 @@ object DedupOps {
     * sets, so emitted pairs are exact; only candidate recall pays, and
     * only by the sampling noise on the Jaccard S-curve.
     */
+  /** WHEN TO RAISE `r` (saturated corpora): the default r=4/b=32 puts
+    * the banding S-curve threshold at t = (1/32)^(1/4) ≈ 0.42 —
+    * candidates are pairs with Jaccard ≳ 0.42. On a corpus whose
+    * shingle space saturates (bounded vocabulary: template spam, log
+    * lines, short-field data), BACKGROUND similarity between unrelated
+    * docs crosses that threshold and the candidate set grows ~n²/|space|
+    * while true pairs grow ~n. Measured at the sf10 scaling corpus
+    * (500k docs, 31³ shingle space 100% occupied): r=4/b=16·4 →
+    * 15.5M candidates for 46,359 true pairs; r=8/b=16 (t ≈ 0.71) →
+    * 302,774 candidates (51×) at 99.76% recall of the minJac=0.8
+    * answer — the missing 0.24% sit in the S-curve's soft zone
+    * exactly at the threshold, the published trade-off (cf.
+    * q_neardup_ref). Rule of thumb: keep t comfortably ABOVE the
+    * corpus' background Jaccard and below minJac. Open-vocabulary
+    * text keeps minting shingles, background similarity stays low,
+    * and the default is the right config.
+    */
   def verifiedNearDups(docs: DataFrame, nGram: Int = 3, sigLen: Int = 128,
       r: Int = 4, bands: Int = 32, minJac: Double = 0.8,
       textCol: String = "text", rowPrefixMod: Option[Long] = None): DataFrame = {

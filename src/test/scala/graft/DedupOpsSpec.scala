@@ -192,6 +192,42 @@ class DedupOpsSpec extends SparkSpec {
     assert(allCapped.count() == 0)
   }
 
+  test("saturated shingle space: raising r collapses candidates, keeps exact recall") {
+    // closed 8-word vocab → 512-shingle space saturates at ~2k docs;
+    // every 10th doc is a near-dup of its predecessor (GenScale shape).
+    // Deterministic per-row construction.
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = spark.range(0, 4000).select(col("id").as("doc_id"))
+      .as[Long].map { id =>
+        val seed = if (id % 10 == 9) id - 1 else id
+        val rnd = new java.util.Random(seed * 6364136223846793005L + 17L)
+        val n = 12 + rnd.nextInt(30)
+        val base = (0 until n).map(_ => vocab(rnd.nextInt(vocab.length)))
+        val words =
+          if (id % 10 == 9) base ++ Seq(vocab(((id % 8)).toInt))
+          else base
+        (id, words.mkString(" "))
+      }.toDF("doc_id", "text")
+    val sigs = DedupOps.minhashSignatures(
+      DedupOps.hashedShingled(docs, 3).withColumnRenamed("hs", "hs_sig")
+        .select(col("doc_id"), col("hs_sig")), 128, "hs_sig")
+    val candDefault = DedupOps.lshCandidates(sigs, 4, 32).count()
+    val candSteep = DedupOps.lshCandidates(sigs, 8, 16).count()
+    // background Jaccard crosses the r=4 threshold (~0.42) on this
+    // corpus; the r=8 curve (t≈0.71) prunes the coincidental pairs.
+    // The gap WIDENS with n (candidates ~n²/|space| vs true pairs ~n):
+    // 6.5× at 2k docs here, 51× at the 500k-doc sf10 corpus (SCALE.md)
+    assert(candDefault > 5 * candSteep,
+      s"default $candDefault vs steep $candSteep")
+    // and the steeper config still finds the exact minJac-0.8 answer
+    val exact = DedupOps.ngramJaccardPairs(docs, minJac = 0.8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val steep = DedupOps.verifiedNearDups(docs, r = 8, bands = 16)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(steep == exact && exact.nonEmpty,
+      s"steep ${steep.size} vs exact ${exact.size}")
+  }
+
   test("contaminatedPairs finds the planted eval overlap, train-side fraction") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"), // contains eval 10 verbatim
