@@ -210,6 +210,19 @@ object SparkEntry {
       DedupOps.verifiedNearDups(Tables.documents(s, dir))
         .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
         .orderBy("da", "db")),
+    // Incremental ingest dedup: near-dup pairs touching the mod-7
+    // "new batch" only — batch bands broadcast against the corpus
+    // band table, never a corpus self-join. Oracle = the exact
+    // all-pairs answer filtered to pairs with a new side (equality =
+    // recall proof, the q_neardup_minhash construction).
+    "q_incr_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.incrementalNearDups(
+          docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(7L)) === 0))
+        .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
+        .orderBy("da", "db")
+    }),
     // The reference's PUBLISHED banding design point (`Part_2.pdf` p.5-6
     // Q4b): ~500-hash signatures banded r=18 × b=28 for the t≈0.9
     // S-curve (sigLen 504 = the exact r·b multiple). Same exact
@@ -2078,6 +2091,16 @@ object SparkEntry {
          |       round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jac
          |FROM co JOIN sz x ON x.doc_id = co.da JOIN sz y ON y.doc_id = co.db
          |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+         |ORDER BY co.da, co.db""".stripMargin,
+    // the exact ≥0.8 pair set restricted to pairs touching the mod-7
+    // new batch — LSH equality on the gate corpora is the recall proof
+    "q_incr_neardup" ->
+      s"""WITH ${ShingleCte("documents")}
+         |SELECT co.da, co.db,
+         |       round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jac
+         |FROM co JOIN sz x ON x.doc_id = co.da JOIN sz y ON y.doc_id = co.db
+         |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+         |  AND (co.da % 7 = 0 OR co.db % 7 = 0)
          |ORDER BY co.da, co.db""".stripMargin,
     // transitive closure of the exact ≥0.8 pair graph via recursive CTE
     // (min reachable id per node = component representative)

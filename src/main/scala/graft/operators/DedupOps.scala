@@ -166,6 +166,56 @@ object DedupOps {
       .select("da", "db", "jac")
   }
 
+  /** Incremental near-dup detection for an ingest batch: near-dup
+    * pairs (Jaccard ≥ `minJac`) with AT LEAST ONE side in `newDocs` —
+    * new-vs-corpus and new-vs-new, never corpus-vs-corpus. The
+    * production ingest shape: a pipeline that re-paired the WHOLE
+    * corpus per batch would pay the full LSH self-join on every
+    * ingest; here the batch's band table joins the corpus band table
+    * once, so per-ingest cost is batch-signature compute + one
+    * bucket-keyed join bounded by the batch's collisions.
+    *
+    * The batch band table is BROADCAST (an ingest batch is orders of
+    * magnitude smaller than the corpus), so the corpus side streams
+    * map-side with no corpus-wide exchange on the candidate step.
+    * Verification joins fetch only candidate docs' shingle sets. At
+    * real scale the corpus-side signatures/bands are PERSISTED from
+    * prior ingests (a keyed table maintained incrementally — write
+    * the batch's bands back after the join); this function recomputes
+    * them from `oldDocs` so the gate's oracle can replay everything
+    * from first principles (the q_canonical_docs precedent).
+    *
+    * Same banding recall S-curve as [[verifiedNearDups]] (equality
+    * with the exact filtered all-pairs answer on the gate corpora);
+    * doc_id spaces of the two inputs must be disjoint.
+    */
+  def incrementalNearDups(oldDocs: DataFrame, newDocs: DataFrame,
+      nGram: Int = 3, sigLen: Int = 128, r: Int = 4, bands: Int = 32,
+      minJac: Double = 0.8, textCol: String = "text"): DataFrame = {
+    val all = oldDocs.select(col("doc_id"), col(textCol))
+      .unionByName(newDocs.select(col("doc_id"), col(textCol)))
+    val base = graft.CacheScope.autoRelease(
+      minhashSignatures(hashedShingled(all, nGram, textCol), sigLen, "hs"))
+    val allBands = lshBands(base.select("doc_id", "sig"), r, bands)
+    val newBands = allBands
+      .join(broadcast(newDocs.select(col("doc_id"))), Seq("doc_id"))
+    val cand = allBands
+      .select(col("band"), col("bucket"), col("doc_id").as("db"))
+      .join(broadcast(newBands
+          .select(col("band"), col("bucket"), col("doc_id").as("da"))),
+        Seq("band", "bucket"))
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("da"),
+        greatest(col("da"), col("db")).as("db"))
+      .distinct()
+    val sa = base.select(col("doc_id").as("da"), col("hs").as("sha"))
+    val sb = base.select(col("doc_id").as("db"), col("hs").as("shb"))
+    cand.join(sa, "da").join(sb, "db")
+      .withColumn("jac", jaccard(col("sha"), col("shb")))
+      .filter(col("jac") >= minJac)
+      .select("da", "db", "jac")
+  }
+
   /** Exact n-gram Jaccard pairs via inverted-index join — the
     * brute-force (but still N·df-bounded, never N²) baseline the LSH
     * path approximates.

@@ -192,6 +192,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(allCapped.count() == 0)
   }
 
+  test("incrementalNearDups ≡ full pairs touching the batch; old-old never emitted") {
+    val docs = Tables.documents(spark, sf0)
+    val isNew = col("doc_id") % 7 === 0
+    val inc = DedupOps.incrementalNearDups(
+        docs.filter(!isNew), docs.filter(isNew))
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val full = DedupOps.verifiedNearDups(docs)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val expected = full.filter { case (a, b) => a % 7 == 0 || b % 7 == 0 }
+    assert(inc == expected && inc.nonEmpty)
+    assert(inc.forall { case (a, b) => a % 7 == 0 || b % 7 == 0 })
+  }
+
   test("saturated shingle space: raising r collapses candidates, keeps exact recall") {
     // closed 8-word vocab → 512-shingle space saturates at ~2k docs;
     // every 10th doc is a near-dup of its predecessor (GenScale shape).
