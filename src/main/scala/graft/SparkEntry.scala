@@ -323,6 +323,20 @@ object SparkEntry {
       SimilarityOps.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 10)
         .select(col("q_id"), col("nn_id"), round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy("q_id", "rank")),
+    // Hybrid-retrieval rank fusion: RRF over the exact cosine and L2
+    // rankings for queries vec_id < 10 — the score-free combiner for
+    // rankers with incommensurable scores. One (q,d) aggregate +
+    // TopKPerKey; rrf published raw (2-ranker sum = one commutative
+    // IEEE add).
+    "q_rrf_fusion" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cos = SimilarityOps.bruteForceTopK(emb, col("vec_id") < 10, 10)
+      val l2 = SimilarityOps.bruteForceTopKL2(emb, col("vec_id") < 10, 10)
+      SimilarityOps.rrfFuse(Seq(cos, l2), topK = 10)
+        .select(col("q_id"), col("nn_id"), col("rrf"), col("n_rankers"),
+          col("fused_rank"))
+        .orderBy("q_id", "fused_rank")
+    }),
     // Embedding-cosine near-dup pairs via LSH candidates + exact verify
     // (no cross join anywhere in the plan). The oracle is the exact
     // all-pairs answer — equality doubles as the recall proof, like
@@ -2234,6 +2248,44 @@ object SparkEntry {
          |                               ORDER BY sim DESC, nn_id) AS rank
          |  FROM sims) x
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // RRF: cosine and L2 rankings replayed with decimal-exact scores,
+    // fused with the same 1/(60+rank) terms; rrf raw-double
+    "q_rrf_fusion" ->
+      s"""WITH $CosineCte,
+         |dots AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id, ${DotSql("q", "c")} AS dot
+         |  FROM v q JOIN v c ON c.vec_id <> q.vec_id, range(64) r(d)
+         |  WHERE q.vec_id < 10
+         |  GROUP BY q.vec_id, c.vec_id
+         |), s2 AS (
+         |  SELECT vec_id, CAST(sum(CAST(CAST(embedding[d+1] AS DOUBLE)
+         |         * CAST(embedding[d+1] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS sq
+         |  FROM v, range(64) r(d) GROUP BY vec_id
+         |), crank AS (
+         |  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id
+         |           ORDER BY sim DESC, nn_id) AS rank FROM (
+         |    SELECT d.q_id, d.nn_id, d.dot / (nq.nrm * nc.nrm) AS sim
+         |    FROM dots d JOIN nrm nq ON nq.vec_id = d.q_id
+         |    JOIN nrm nc ON nc.vec_id = d.nn_id)
+         |), lrank AS (
+         |  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id
+         |           ORDER BY sim DESC, nn_id) AS rank FROM (
+         |    SELECT d.q_id, d.nn_id, -(q.sq - 2.0 * d.dot + c.sq) AS sim
+         |    FROM dots d JOIN s2 q ON q.vec_id = d.q_id
+         |    JOIN s2 c ON c.vec_id = d.nn_id)
+         |), u AS (
+         |  SELECT * FROM crank WHERE rank <= 10
+         |  UNION ALL SELECT * FROM lrank WHERE rank <= 10
+         |), f AS (
+         |  SELECT q_id, nn_id,
+         |         sum(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank)) AS rrf,
+         |         count(*) AS n_rankers
+         |  FROM u GROUP BY q_id, nn_id
+         |)
+         |SELECT q_id, nn_id, rrf, n_rankers, fused_rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |           ORDER BY rrf DESC, nn_id) AS fused_rank FROM f) x
+         |WHERE fused_rank <= 10 ORDER BY q_id, fused_rank""".stripMargin,
     "q_curation" ->
       s"""WITH ${ShingleCte("documents")},
          |nd AS (

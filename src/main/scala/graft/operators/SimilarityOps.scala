@@ -52,6 +52,55 @@ object SimilarityOps {
     rankTopK(sims, k)
   }
 
+  /** Exact L2 top-k per query — the metric companion to
+    * [[bruteForceTopK]]: ranked by squared distance |q−n|² =
+    * |q|² − 2·q·n + |n|² through the native dot (the PQ verifier's
+    * identity — no per-pair difference vector materializes). Emitted
+    * `sim` is the NEGATED squared distance so the shared
+    * descending-rank path applies; nearest = rank 1.
+    */
+  def bruteForceTopKL2(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val corpus = embeddings.select(col("vec_id").as("nn_id"),
+      col("embedding").as("emb_n"),
+      dot(col("embedding"), col("embedding")).as("nn"))
+    val queries = embeddings.filter(queryPred).select(col("vec_id").as("q_id"),
+      col("embedding").as("emb_q"),
+      dot(col("embedding"), col("embedding")).as("qq"))
+    val sims = corpus.crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("nn_id"))
+      .withColumn("sim",
+        -(col("qq") - lit(2.0) * dot(col("emb_q"), col("emb_n")) + col("nn")))
+    rankTopK(sims, k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009):
+    * fused(q, d) = Σ over rankings of 1/(k0 + rank) — the standard
+    * score-free hybrid-retrieval combiner (lexical BM25 + dense ANN,
+    * or any mix of rankers whose scores aren't commensurable). Each
+    * input ranking is (q_id, nn_id, rank); output is the fused top-k
+    * per query with `rrf`, `n_rankers` (how many rankings surfaced
+    * the doc) and `fused_rank`.
+    *
+    * One (q, d)-keyed aggregate + the bounded-heap TopKPerKey — no
+    * ranking-count-dependent shuffles. The rrf sum is published RAW:
+    * with two rankings the sum is a single commutative IEEE add of
+    * identical operands on any engine; with more rankings, sum order
+    * varies across partitionings — round the published value if you
+    * fuse 3+ rankings and need bit-stable output.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val u = rankings.map(_.select("q_id", "nn_id", "rank"))
+      .reduce(_.unionByName(_))
+    val fused = u.groupBy("q_id", "nn_id")
+      .agg(sum(lit(1.0) / (lit(k0.toDouble) + col("rank"))).as("rrf"),
+        count(lit(1)).as("n_rankers"))
+    val top = graft.plans.TopKOps.topKPerKey(fused, Seq("q_id"),
+      Seq(col("rrf").desc, col("nn_id").asc), topK)
+    val w = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("nn_id"))
+    top.withColumn("fused_rank", row_number().over(w))
+  }
+
   /** (q_id, nn_id, sim) → exact top-`k` per query with a dense `rank`:
     * the native [[graft.plans.TopKPerKey]] bounded-heap operator prunes
     * to k rows per query FIRST (map-side partial, ≤ k rows per

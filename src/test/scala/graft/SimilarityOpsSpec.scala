@@ -54,6 +54,32 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(pq == exactL2)
   }
 
+  test("rrfFuse: hand-computed scores; L2 can disagree with cosine and fusion reflects it") {
+    // ranking A: d1 > d2; ranking B: d2 > d1; d3 only in A
+    val a = Seq((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3)).toDF("q_id", "nn_id", "rank")
+    val b = Seq((0L, 2L, 1), (0L, 1L, 2)).toDF("q_id", "nn_id", "rank")
+    val got = SimilarityOps.rrfFuse(Seq(a, b), topK = 3)
+      .select("nn_id", "rrf", "n_rankers", "fused_rank")
+      .as[(Long, Double, Long, Int)].collect().sortBy(_._4)
+    // d1: 1/61 + 1/62; d2: 1/62 + 1/61 (equal!) → tie broken by nn_id;
+    // d3: 1/63, one ranker
+    val s12 = 1.0 / 61 + 1.0 / 62
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(got(0)._2 == s12 && got(1)._2 == (1.0 / 62 + 1.0 / 61))
+    assert(got(0)._3 == 2L && got(2)._3 == 1L && got(2)._2 == 1.0 / 63)
+    // L2 and cosine genuinely rank differently when norms differ:
+    // q=(1,0); cosine prefers the aligned far vector, L2 the close one
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(10.0f, 0.0f)),    // cosine sim 1.0, L2 dist 81
+      (2L, Seq(0.9f, 0.3f))).toDF("vec_id", "embedding") // sim ~0.95, dist ~0.1
+    val cosTop = SimilarityOps.bruteForceTopK(emb, col("vec_id") === 0, 2)
+      .filter(col("rank") === 1).select("nn_id").as[Long].head()
+    val l2Top = SimilarityOps.bruteForceTopKL2(emb, col("vec_id") === 0, 2)
+      .filter(col("rank") === 1).select("nn_id").as[Long].head()
+    assert(cosTop == 1L && l2Top == 2L)
+  }
+
   test("cosineNearDups is symmetric-free (va < vb) and thresholded") {
     val df = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.001f)), (2L, Seq(0.0f, 1.0f)))
