@@ -223,6 +223,20 @@ object SparkEntry {
         .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
         .orderBy("da", "db")
     }),
+    // Incremental cluster MAINTENANCE: old assignments (clustered
+    // without the mod-7 batch) + the batch's pairs folded in through
+    // the batch-bounded supernode CC. Oracle = from-scratch clustering
+    // of the full corpus — hash equality proves maintenance ≡
+    // recompute (the q_incr_agg construction).
+    "q_incr_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isNew = pmod(col("doc_id"), lit(7L)) === 0
+      val old = docs.filter(!isNew)
+      val oldClusters = DedupOps.nearDupClusters(DedupOps.verifiedNearDups(old))
+      val incr = DedupOps.incrementalNearDups(old, docs.filter(isNew))
+      DedupOps.incrementalClusters(oldClusters, incr.select("da", "db"))
+        .orderBy("doc_id")
+    }),
     // The reference's PUBLISHED banding design point (`Part_2.pdf` p.5-6
     // Q4b): ~500-hash signatures banded r=18 × b=28 for the t≈0.9
     // S-curve (sigLen 504 = the exact r·b multiple). Same exact
@@ -2119,6 +2133,26 @@ object SparkEntry {
     // transitive closure of the exact ≥0.8 pair graph via recursive CTE
     // (min reachable id per node = component representative)
     "q_neardup_clusters" ->
+      s"""WITH RECURSIVE ${ShingleCte("documents")},
+         |pr AS (
+         |  SELECT co.da, co.db
+         |  FROM co JOIN sz x ON x.doc_id = co.da JOIN sz y ON y.doc_id = co.db
+         |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+         |), ed AS (
+         |  SELECT da AS src, db AS dst FROM pr
+         |  UNION ALL
+         |  SELECT db, da FROM pr
+         |), reach(node, label) AS (
+         |  SELECT src, src FROM ed
+         |  UNION
+         |  SELECT e.src, r.label FROM ed e JOIN reach r ON r.node = e.dst
+         |)
+         |SELECT node AS doc_id, min(label) AS cluster
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // identical by construction to q_neardup_clusters' oracle: the
+    // incremental maintenance path must reproduce the from-scratch
+    // clustering bit for bit
+    "q_incr_clusters" ->
       s"""WITH RECURSIVE ${ShingleCte("documents")},
          |pr AS (
          |  SELECT co.da, co.db

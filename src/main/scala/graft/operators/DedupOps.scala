@@ -628,7 +628,14 @@ object DedupOps {
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))
         .persist()
-      var prevSum = labels.agg(sum("label")).head().getLong(0)
+      // empty pair set (e.g. a quiet ingest batch): sum over no rows is
+      // null — return the empty assignment instead of NPEing on it
+      val sum0 = labels.agg(sum("label")).head()
+      if (sum0.isNullAt(0)) {
+        labels.unpersist(blocking = false)
+        return labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+      }
+      var prevSum = sum0.getLong(0)
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {
@@ -675,6 +682,53 @@ object DedupOps {
       graft.CacheScope.autoRelease(labels)
         .select(col("node").as("doc_id"), col("label").as("cluster"))
     } finally edges.unpersist(blocking = false)
+  }
+
+  /** Incremental cluster maintenance for an ingest batch — the
+    * companion to [[incrementalNearDups]]: fold the batch's pairs into
+    * EXISTING cluster assignments without re-clustering the corpus.
+    * Old clusters enter the connected-components pass as SUPERNODES
+    * (their representative label stands in for every member), so the
+    * graph the iteration runs on is bounded by the BATCH's pairs —
+    * touched clusters + new docs — never the corpus.
+    *
+    * Output: the maintained full assignment (doc_id, cluster) —
+    * untouched old clusters pass through unchanged (no shuffle beyond
+    * one rep-keyed join), touched old clusters are relabeled to their
+    * merged component, and new docs get their component label. Because
+    * every old representative IS its component's min doc id, the
+    * composed min-labels equal a from-scratch clustering of
+    * (old pairs ∪ batch pairs) — the gate proves maintenance ≡
+    * recompute by hash equality (the q_incr_agg construction).
+    */
+  def incrementalClusters(oldClusters: DataFrame, batchPairs: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    // endpoints of batch pairs → supernode: an old doc is represented
+    // by its cluster label; a doc without an old cluster (new, or old
+    // but previously pairless) represents itself
+    val oc = graft.CacheScope.autoRelease(
+      oldClusters.select(col("doc_id"), col("cluster")))
+    val sup = batchPairs
+      .join(oc.select(col("doc_id").as("da"), col("cluster").as("ca")),
+        Seq("da"), "left")
+      .join(oc.select(col("doc_id").as("db"), col("cluster").as("cb")),
+        Seq("db"), "left")
+      .select(coalesce(col("ca"), col("da")).as("da"),
+        coalesce(col("cb"), col("db")).as("db"))
+      .filter(col("da") =!= col("db"))
+    // CC over the supernode graph: batch-bounded, not corpus-bounded
+    val cc = graft.CacheScope.autoRelease(
+      nearDupClusters(sup, maxIter)
+        .select(col("doc_id").as("supernode"), col("cluster").as("merged")))
+    // old docs: relabel if their cluster's rep merged; else pass through
+    val oldOut = oc
+      .join(cc, oc("cluster") === cc("supernode"), "left")
+      .select(oc("doc_id"), coalesce(col("merged"), oc("cluster")).as("cluster"))
+    // batch-side docs not in oldClusters: direct supernode = own id
+    val newOut = cc
+      .join(oc.select(col("doc_id").as("supernode")), Seq("supernode"), "left_anti")
+      .select(col("supernode").as("doc_id"), col("merged").as("cluster"))
+    oldOut.unionByName(newOut)
   }
 
   /** Canonical-document selection — the KEEP policy that turns near-dup

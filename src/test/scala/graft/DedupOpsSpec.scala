@@ -205,6 +205,28 @@ class DedupOpsSpec extends SparkSpec {
     assert(inc.forall { case (a, b) => a % 7 == 0 || b % 7 == 0 })
   }
 
+  test("incrementalClusters: bridge-merge relabels, pass-through, pairless-old, empty batch") {
+    // old clusters: {1,2} (label 1), {5,6} (label 5), {20,21} (label 20)
+    val oldC = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (20L, 20L), (21L, 20L))
+      .toDF("doc_id", "cluster")
+    // batch: new doc 100 bridges clusters 1 and 5 (the merge case);
+    // new doc 101 pairs with previously-PAIRLESS old doc 9;
+    // cluster {20,21} untouched
+    val pairs = Seq((2L, 100L), (100L, 6L), (9L, 101L)).toDF("da", "db")
+    val got = DedupOps.incrementalClusters(oldC, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 100L -> 1L, // merged under min rep
+      9L -> 9L, 101L -> 9L,                               // pairless-old + new
+      20L -> 20L, 21L -> 20L))                            // untouched pass-through
+    // quiet batch: assignments unchanged, no NPE on the empty pair set
+    val quiet = DedupOps.incrementalClusters(oldC,
+        Seq.empty[(Long, Long)].toDF("da", "db"))
+      .as[(Long, Long)].collect().toMap
+    assert(quiet == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("saturated shingle space: raising r collapses candidates, keeps exact recall") {
     // closed 8-word vocab → 512-shingle space saturates at ~2k docs;
     // every 10th doc is a near-dup of its predecessor (GenScale shape).
