@@ -703,6 +703,22 @@ object SparkEntry {
           col("o_totalprice") > 0)))
         .orderBy("rule")
     }),
+    // Purged time-block folds (horizon-leakage guard): 6-hour blocks
+    // mod 5, 15-minute embargo purged at every block edge; per-fold
+    // stats + an arithmetic no-leak certificate. Map-only integer
+    // arithmetic on epoch micros.
+    "q_time_folds" -> ((s, dir) => {
+      val B = 21600000000L // 6 h in µs
+      val E = 900000000L // 15 min in µs
+      TemporalOps.purgedTimeFolds(Tables.events(s, dir), "ts", 5, B, E)
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n"),
+          min(pmod(unix_micros(col("ts")), lit(B))).as("min_off"),
+          max(pmod(unix_micros(col("ts")), lit(B))).as("max_off"))
+        .withColumn("no_leak",
+          col("fold").isNull || (col("min_off") >= E && col("max_off") < B - E))
+        .orderBy(col("fold").asc_nulls_first)
+    }),
     // ε-DP count release: per-event-type counts + seeded Laplace(1/ε)
     // noise (inverse-CDF on the md5-open uniform, ln term rounded 9dp
     // for engine parity, raw-double publication).
@@ -3137,6 +3153,19 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3
         |  UNION ALL SELECT * FROM h4)
         |ORDER BY doc_id""".stripMargin,
+    // same block/embargo integer arithmetic on epoch micros; NULLS
+    // FIRST pins the purged row's position to Spark's asc default
+    "q_time_folds" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN epoch_us(ts) % 21600000000 >= 900000000
+        |              AND epoch_us(ts) % 21600000000 < 21600000000 - 900000000
+        |         THEN (epoch_us(ts) // 21600000000) % 5 END AS fold,
+        |         epoch_us(ts) % 21600000000 AS off
+        |  FROM events)
+        |SELECT fold, count(*) AS n, min(off) AS min_off, max(off) AS max_off,
+        |       fold IS NULL OR (min(off) >= 900000000
+        |         AND max(off) < 21600000000 - 900000000) AS no_leak
+        |FROM t GROUP BY fold ORDER BY fold NULLS FIRST""".stripMargin,
     // DP counts: same md5-open uniform, same inverse-CDF shape op for
     // op; noisy_n published RAW (one multiply + one add on identical
     // doubles after the 9-dp ln rounding)

@@ -571,4 +571,35 @@ object TemporalOps {
       .withColumn("is_anomaly",
         coalesce(abs(col("z")) > threshold, lit(false)))
   }
+
+  /** Purged time-block folds (cf. López de Prado 2018, purged K-fold
+    * CV): rows are assigned to `k` folds by contiguous time block
+    * (`blockUs` wide, fold = block mod k), and rows within
+    * `embargoUs` of a block BOUNDARY are PURGED (fold = null) — the
+    * time-level leakage guard for models with temporal features:
+    * without the embargo, a train row seconds before a test block
+    * leaks label horizon into training. The temporal companion to the
+    * entity-level [[RelationalOps.groupSplit]] (that one stops
+    * entity leakage; this one stops horizon leakage — production
+    * pipelines need both).
+    *
+    * Pure integer arithmetic on epoch micros (`div`/`mod` — the
+    * engine-portable form), map-only, scan-local: composes with
+    * pushdown and scales like a filter. By construction every kept
+    * row sits ≥ `embargoUs` from its block edge, so any two kept
+    * rows in DIFFERENT folds are ≥ 2·embargoUs apart — the no-leak
+    * certificate is arithmetic, not a measurement.
+    */
+  def purgedTimeFolds(events: DataFrame, tsCol: String, k: Int,
+      blockUs: Long, embargoUs: Long): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    require(blockUs > 2 * embargoUs,
+      "block must be wider than twice the embargo or everything purges")
+    val us = unix_micros(col(tsCol))
+    val off = pmod(us, lit(blockUs))
+    val fold = when(
+      off >= embargoUs && off < blockUs - embargoUs,
+      pmod(expr(s"unix_micros($tsCol) div ${blockUs}L"), lit(k.toLong)))
+    events.withColumn("fold", fold)
+  }
 }

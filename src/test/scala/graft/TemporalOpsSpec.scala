@@ -401,4 +401,34 @@ class TemporalOpsSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().toSeq
     assert(got == Seq(("A", "B", 2L, 1.0), ("B", "A", 1L, 1.0)))
   }
+
+  test("purgedTimeFolds: block fold ids, embargo purges edges, certificate arithmetic") {
+    // block = 100 s, embargo = 10 s, k = 2; epoch seconds hand-picked
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val events = Seq(
+      (1L, at(5L)),   // off 5s  < embargo → purged
+      (2L, at(50L)),  // block 0 → fold 0
+      (3L, at(95L)),  // off 95 ≥ 90 → purged
+      (4L, at(150L)), // block 1 → fold 1
+      (5L, at(250L)), // block 2 → fold 0
+      (6L, at(210L))  // off 10 == embargo → KEPT (inclusive lower edge)
+    ).toDF("event_id", "t")
+    val got = TemporalOps.purgedTimeFolds(events, "t", 2,
+        blockUs = 100000000L, embargoUs = 10000000L)
+      .select("event_id", "fold").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> None, 2L -> Some(0L), 3L -> None,
+      4L -> Some(1L), 5L -> Some(0L), 6L -> Some(0L)))
+    // kept rows of different folds are ≥ 2·embargo apart by construction
+    val kept = events
+      .transform(e => TemporalOps.purgedTimeFolds(e, "t", 2, 100000000L, 10000000L))
+      .filter(col("fold").isNotNull)
+      .select(unix_micros(col("t")).as("us"), col("fold"))
+      .as[(Long, Long)].collect()
+    for ((ua, fa) <- kept; (ub, fb) <- kept if fa != fb)
+      assert(math.abs(ua - ub) >= 2 * 10000000L)
+    // degenerate params rejected
+    intercept[IllegalArgumentException] {
+      TemporalOps.purgedTimeFolds(events, "t", 2, 100L, 60L)
+    }
+  }
 }
