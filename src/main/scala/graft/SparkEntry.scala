@@ -223,6 +223,25 @@ object SparkEntry {
         .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
         .orderBy("da", "db")
     }),
+    // STREAMING incremental near-dup: the mod-7 batch arrives as a
+    // real file stream, minhashed in-flight, banded against the
+    // static corpus band table (stateless stream-static join),
+    // cross-band candidates deduped in state, verified exact. Oracle =
+    // exact cross (new×old) pairs — equality is the recall proof.
+    "q_stream_incr_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isNew = pmod(col("doc_id"), lit(7L)) === 0
+      val pairs = graft.streaming.StreamingOps.streamingNearDups(
+        Tables.documentsStream(s, dir).filter(isNew), docs.filter(!isNew))
+      val qn = s"graft_stream_neardup_${StreamSeq.incrementAndGet()}"
+      val q = pairs.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
+        .orderBy("da", "db")
+    }),
     // Incremental cluster MAINTENANCE: old assignments (clustered
     // without the mod-7 batch) + the batch's pairs folded in through
     // the batch-bounded supernode CC. Oracle = from-scratch clustering
@@ -2165,6 +2184,16 @@ object SparkEntry {
          |)
          |SELECT node AS doc_id, min(label) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // exact new×old cross pairs (XOR on the mod-7 membership): the
+    // streaming path's scope excludes new-new by design
+    "q_stream_incr_neardup" ->
+      s"""WITH ${ShingleCte("documents")}
+         |SELECT co.da, co.db,
+         |       round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jac
+         |FROM co JOIN sz x ON x.doc_id = co.da JOIN sz y ON y.doc_id = co.db
+         |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+         |  AND ((co.da % 7 = 0) <> (co.db % 7 = 0))
+         |ORDER BY co.da, co.db""".stripMargin,
     // identical by construction to q_neardup_clusters' oracle: the
     // incremental maintenance path must reproduce the from-scratch
     // clustering bit for bit

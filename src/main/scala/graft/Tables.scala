@@ -55,5 +55,13 @@ object Tables {
         .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/documents.parquet")
+  /** The documents table as an AvailableNow-able file stream (the
+    * [[eventsStream]] construction on the docs corpus).
+    */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
   def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
 }

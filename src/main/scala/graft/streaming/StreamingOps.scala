@@ -89,6 +89,64 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Streaming incremental near-dup detection — the in-flight form of
+    * [[graft.operators.DedupOps.incrementalNearDups]]: each arriving
+    * doc is minhashed map-side and its LSH bands join the STATIC
+    * corpus band table (a stateless stream-static join, the
+    * enrichment shape), candidate pairs are deduped across bands, and
+    * survivors verify exact Jaccard against the corpus shingle sets.
+    * Scope: new-vs-corpus pairs (new-vs-new needs a stream-stream
+    * self-join — run the batch [[graft.operators.DedupOps
+    * .incrementalNearDups]] over each micro-batch's compaction for
+    * that). At scale the corpus bands/shingles are a PERSISTED table
+    * maintained by prior ingests, so the static side is a scan, not a
+    * recomputation; the per-doc cost is signature compute + its
+    * band-bucket lookups.
+    *
+    * The cross-band `dropDuplicates` keys state by (new, old) id pair
+    * — unbounded across an infinite run; bound it with a watermark on
+    * an event-time column (the q_stream_dedup pattern) if the stream
+    * is continuous. Output: (da, db, jac) with da < db, exactly the
+    * batch operator's orientation.
+    */
+  def streamingNearDups(newDocs: DataFrame, corpus: DataFrame,
+      nGram: Int = 3, sigLen: Int = 128, r: Int = 4, bands: Int = 32,
+      minJac: Double = 0.8, textCol: String = "text"): DataFrame = {
+    import graft.operators.DedupOps
+    // static side: corpus shingle sets + band table (caller persists
+    // for a long-lived stream; recomputed per micro-batch otherwise)
+    val cHs = DedupOps.hashedShingled(corpus, nGram, textCol)
+    val cBands = DedupOps.lshBands(
+      DedupOps.minhashSignatures(cHs, sigLen, "hs").select("doc_id", "sig"),
+      r, bands)
+    // stream side: map-only tokenize → shingle-hash → signature →
+    // bands (no PlanUtils.spread — `.rdd` is illegal on a stream, and
+    // a live stream is already many micro-batch tasks)
+    val sHs = newDocs
+      .select(col("doc_id"), col(textCol),
+        DedupOps.shingles(DedupOps.words(col(textCol)), nGram).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        transform(col("shingles"), s => xxhash64(s)).as("hs"))
+    val sBands = DedupOps.minhashSignatures(sHs, sigLen, "hs")
+      .select(col("doc_id").as("n_id"), col("hs").as("n_hs"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), bi -> xxhash64(bi, slice(sig, bi*$r + 1, $r)))")))
+      .select(col("n_id"), col("n_hs"), col("pos").as("band"), col("col").as("bucket"))
+    val cand = sBands
+      .join(cBands.select(col("band"), col("bucket"), col("doc_id").as("c_id")),
+        Seq("band", "bucket"))
+      .filter(col("n_id") =!= col("c_id"))
+      .select(col("n_id"), col("n_hs"), col("c_id"))
+      .dropDuplicates("n_id", "c_id")
+    cand
+      .join(cHs.select(col("doc_id").as("c_id"), col("hs").as("c_hs")), Seq("c_id"))
+      .withColumn("jac", DedupOps.jaccard(col("n_hs"), col("c_hs")))
+      .filter(col("jac") >= minJac)
+      .select(least(col("n_id"), col("c_id")).as("da"),
+        greatest(col("n_id"), col("c_id")).as("db"), col("jac"))
+  }
+
   /** Stream-stream INTERVAL join: each left event matched with right
     * events of the same key whose timestamp falls in
     * [left.ts − lookback, left.ts] — "enrich each purchase with the

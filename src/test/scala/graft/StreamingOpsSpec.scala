@@ -55,6 +55,27 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streamingNearDups matches the batch incremental pairs on the cross scope") {
+    val docs = Tables.documents(spark, sf0)
+    val isNew = $"doc_id" % 7 === 0
+    // batch reference: incremental pairs, restricted to new-vs-old
+    // (the streaming op's documented scope — no new-new)
+    val batch = graft.operators.DedupOps.incrementalNearDups(
+        docs.filter(!isNew), docs.filter(isNew))
+      .filter(($"da" % 7 === 0) =!= ($"db" % 7 === 0))
+      .select("da", "db").as[(Long, Long)].collect().toSet
+
+    val stream = Tables.documentsStream(spark, sf0).filter(isNew)
+    val q = StreamingOps.streamingNearDups(stream, docs.filter(!isNew))
+      .writeStream.format("memory").queryName("stream_neardup_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_neardup_test")
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("enrichWithStatic is append-mode safe: exact row-level parity, no state") {
     val dim = Tables.customer(spark, sf0)
       .select($"c_custkey".as("user_id"), $"c_mktsegment")
