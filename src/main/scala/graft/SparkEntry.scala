@@ -910,6 +910,14 @@ object SparkEntry {
     "q_lm_nll" -> ((s, dir) =>
       TextOps.bigramNll(Tables.documents(s, dir), keepBelow = LmKeepBelow)
         .orderBy("doc_id")),
+    // Curation-classifier shape (fastText/CCNet): multinomial Naive
+    // Bayes language classifier trained on the mod-5 train split,
+    // classifying the held-out split. Count tables are vocab×class-
+    // keyed; 9-dp ln terms + decimal sums make score AND argmax
+    // engine-exact (ties break to the smaller class label).
+    "q_naive_bayes" -> ((s, dir) =>
+      TextOps.naiveBayes(Tables.documents(s, dir), labelCol = "lang", evalMod = 5)
+        .orderBy("doc_id")),
     // Link-graph centrality (web-crawl quality prior): PageRank with
     // damping 0.85 over a deterministic synthetic crawl graph (dense
     // doc ids, fixed out-degree 3, skewed in-degrees). Scaled-INTEGER
@@ -2571,6 +2579,49 @@ object SparkEntry {
          |               / count(*), 6) AS avg_nll
          |  FROM terms GROUP BY doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // NB replay: same counts, same 9-dp ln terms, same decimal sums;
+    // argmax by row_number over the exact decimal score
+    "q_naive_bayes" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang AS label,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |  FROM documents
+        |), trtok AS (
+        |  SELECT label, unnest(ws) AS w FROM toks WHERE doc_id % 5 <> 0
+        |), cwc AS (
+        |  SELECT label, w, count(*) AS cwc FROM trtok GROUP BY label, w
+        |), cls AS (
+        |  SELECT label, count(*) AS nc FROM trtok GROUP BY label
+        |), nd AS (
+        |  SELECT label, count(*) AS ndc FROM toks WHERE doc_id % 5 <> 0 GROUP BY label
+        |), ntot AS (
+        |  SELECT count(*) AS n FROM toks WHERE doc_id % 5 <> 0
+        |), voc AS (
+        |  SELECT count(DISTINCT w) AS v FROM trtok
+        |), classes AS (
+        |  SELECT cls.label AS c, cls.nc,
+        |         round(ln(CAST(nd.ndc AS DOUBLE) / CAST(ntot.n AS DOUBLE)), 9) AS prior
+        |  FROM cls JOIN nd USING (label), ntot
+        |), evtok AS (
+        |  SELECT doc_id, label AS true_label, unnest(ws) AS w
+        |  FROM toks WHERE doc_id % 5 = 0
+        |), terms AS (
+        |  SELECT e.doc_id, e.true_label, k.c, k.prior,
+        |         round(ln(CAST(coalesce(cwc.cwc, 0) + 1 AS DOUBLE)
+        |                  / CAST(k.nc + voc.v AS DOUBLE)), 9) AS t
+        |  FROM evtok e CROSS JOIN classes k CROSS JOIN voc
+        |  LEFT JOIN cwc ON cwc.label = k.c AND cwc.w = e.w
+        |), scores AS (
+        |  SELECT doc_id, true_label, c,
+        |         sum(CAST(t AS DECIMAL(28,12))) + CAST(any_value(prior) AS DECIMAL(28,12)) AS score
+        |  FROM terms GROUP BY doc_id, true_label, c
+        |)
+        |SELECT doc_id, true_label, c AS pred_label, c = true_label AS correct,
+        |       round(CAST(score AS DOUBLE), 6) AS logp
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY score DESC, c) AS rn
+        |      FROM scores) x
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // JSON field extraction via DuckDB's ->> operator; exact ints
     "q_json_props" ->
       """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text/token operators.
@@ -635,5 +636,70 @@ object TextOps {
         expr("(cxy * 1000000 * n) div (c1 * c2)").as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
       .limit(k)
+  }
+
+  /** Multinomial Naive Bayes text classifier — the fastText/CCNet-style
+    * curation classifier shape (train a lightweight model on labeled
+    * docs, score the corpus) as exact count arithmetic. Trains add-one
+    * smoothed per-class token log-probabilities on the docs where
+    * `doc_id % evalMod != 0` and classifies the held-out split:
+    *
+    *   score(d, c) = ln(nd_c / N) + Σ_{w ∈ d} ln((c_wc + 1)/(n_c + V))
+    *
+    * (nd_c = train docs in class c, n_c = token occurrences in c,
+    * c_wc = occurrences of w in c, V = train vocab). Every ln term is
+    * rounded at 9 dp (the libm rule: both engines' correctly-rounded
+    * division feeds ln, whose ≤1-ulp wobble dies at the 9th decimal)
+    * and decimal-summed, so the per-doc-class score — and therefore the
+    * argmax — is engine-exact; prediction ties break to the
+    * lexicographically smallest class on the exact decimal score.
+    *
+    * Plan shape: one cached tokenize; the count tables (c_wc, n_c, V)
+    * are vocabulary×class-keyed partial-aggregated shuffles over the
+    * TRAIN stream — they scale with vocabulary, never corpus. Scoring
+    * fans each eval token out by the (tiny, broadcast) class table and
+    * joins the count table on its (w, class) key — one vocab-keyed
+    * shuffle join — then one doc-keyed aggregate and a 5-rows-per-doc
+    * argmax window. No all-pairs term anywhere; at 100 TB the eval×C
+    * fan-out is the textbook NB scoring shape.
+    */
+  def naiveBayes(docs: DataFrame, labelCol: String = "lang",
+      evalMod: Int = 5, textCol: String = "text"): DataFrame = {
+    val ws = graft.CacheScope.autoRelease(
+      graft.PlanUtils.spread(docs.select(col("doc_id"), col(labelCol).as("label"),
+          col(textCol)))
+        .select(col("doc_id"), col("label"), DedupOps.words(col(textCol)).as("__ws")))
+    val trainTok = ws.filter(col("doc_id") % evalMod =!= 0)
+      .select(col("label"), explode(col("__ws")).as("w"))
+    val cwc = trainTok.groupBy("label", "w").agg(count(lit(1)).as("__cwc"))
+    val cls = trainTok.groupBy("label").agg(count(lit(1)).as("__nc"))
+    val nd = ws.filter(col("doc_id") % evalMod =!= 0)
+      .groupBy("label").agg(count(lit(1)).as("__ndc"))
+    val nTrainDocs = ws.filter(col("doc_id") % evalMod =!= 0)
+      .agg(count(lit(1)).as("__n"))
+    val vocab = trainTok.agg(count_distinct(col("w")).as("__v"))
+    // class table: label, n_c, prior (9-dp rounded ln of an exact ratio)
+    val classes = cls.join(nd, "label").crossJoin(nTrainDocs)
+      .select(col("label").as("c"), col("__nc"),
+        round(log(col("__ndc").cast("double") / col("__n").cast("double")), 9)
+          .as("__prior"))
+    val evalTok = ws.filter(col("doc_id") % evalMod === 0)
+      .select(col("doc_id"), col("label").as("true_label"),
+        explode(col("__ws")).as("w"))
+    val terms = evalTok.crossJoin(broadcast(classes).crossJoin(broadcast(vocab)))
+      .join(cwc.withColumnRenamed("label", "c"), Seq("c", "w"), "left")
+      .select(col("doc_id"), col("true_label"), col("c"), col("__prior"),
+        round(log((coalesce(col("__cwc"), lit(0L)) + 1L).cast("double")
+          / (col("__nc") + col("__v")).cast("double")), 9).as("__t"))
+    val scores = terms.groupBy("doc_id", "true_label", "c", "__prior")
+      .agg(sum(col("__t").cast("decimal(28,12)")).as("__s"))
+      .select(col("doc_id"), col("true_label"), col("c"),
+        (col("__s") + col("__prior").cast("decimal(28,12)")).as("__score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("__score").desc, col("c").asc)
+    scores.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("doc_id"), col("true_label"), col("c").as("pred_label"),
+        (col("c") === col("true_label")).as("correct"),
+        round(col("__score").cast("double"), 6).as("logp"))
   }
 }

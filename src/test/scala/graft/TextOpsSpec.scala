@@ -154,6 +154,34 @@ class TextOpsSpec extends SparkSpec {
     assert(got.head._4 && !got(1)._4) // threshold splits the corpus
   }
 
+  test("naiveBayes: hand-checked argmax, OOV smoothing, tie to smaller class") {
+    // train (doc_id % 5 != 0): class p = {"x x y", "x"}  (n_p=4: x=3, y=1)
+    //                          class q = {"z z"}         (n_q=2: z=2)
+    // V = 3 {x,y,z}; priors: p → ln(2/3), q → ln(1/3)
+    // eval doc 0 = "x x": p: 2·ln(4/7)+ln(2/3)  q: 2·ln(1/5)+ln(1/3) → p wins
+    // eval doc 5 = "w" (OOV): p: ln(1/7)+ln(2/3)  q: ln(1/5)+ln(1/3)
+    //   p: −1.945910149−0.405465108 = −2.351375257
+    //   q: −1.609437912−1.098612289 = −2.708050201 → p wins (less negative)
+    val docs = Seq((1L, "p", "x x y"), (2L, "p", "x"), (3L, "q", "z z"),
+      (0L, "p", "x x"), (5L, "q", "w")).toDF("doc_id", "lang", "text")
+    val got = TextOps.naiveBayes(docs, labelCol = "lang", evalMod = 5)
+      .orderBy("doc_id")
+      .as[(Long, String, String, Boolean, Double)].collect().toList
+    def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d0 = r6((BigDecimal(r9(math.log(4.0 / 7))) * 2
+      + BigDecimal(r9(math.log(2.0 / 3)))).toDouble)
+    val d5 = r6(r9(math.log(1.0 / 7)) + r9(math.log(2.0 / 3)))
+    assert(got == List((0L, "p", "p", true, d0), (5L, "q", "p", false, d5)))
+
+    // exact tie: symmetric classes → identical scores → smaller label wins
+    val tied = Seq((1L, "a", "s t"), (2L, "b", "s t"), (0L, "b", "s"))
+      .toDF("doc_id", "lang", "text")
+    val t = TextOps.naiveBayes(tied, labelCol = "lang", evalMod = 5)
+      .as[(Long, String, String, Boolean, Double)].collect().toList
+    assert(t.map(r => (r._1, r._3)) == List((0L, "a")))
+  }
+
   test("trigramBackoffNll: all three backoff branches, hand-checked") {
     // train: c3(a,b,c)=1 c3(b,c,a)=2 c3(c,a,b)=1 c3(a,b,d)=1;
     //        c2: ab=2 bc=2 ca=2 bd=1; c1: a=3 b=3 c=2 d=1; T=9 V=4
