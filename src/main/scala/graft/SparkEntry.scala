@@ -1663,6 +1663,28 @@ object SparkEntry {
     // standardized OLS solution, which DuckDB expresses in closed form
     // from corr() — full rows/schema/hash oracle. Trajectory still
     // pinned step-by-step vs Breeze in MomentumGDSpec.
+    // Quality-classifier training (fastText-style): full-batch logistic
+    // regression via 3 GD rounds on surface features (en-stopword
+    // ratio, scaled length) with label lang='en'. 9-dp σ/gradient
+    // terms + decimal sums + per-round 9-dp β re-rounding make the
+    // whole trajectory replay exactly in the unrolled-CTE oracle;
+    // published values are the raw doubles of that chain. NOTE: the
+    // driver corpus' lang column is (measured) nearly text-independent
+    // — en-marker density 0.057-0.064 across ALL labels — so the
+    // majority-class fit the gate converges to IS this data's optimum;
+    // RegressionOpsSpec proves real learning (accuracy 1.0, signed β)
+    // on a separable corpus.
+    "q_logreg_gd" -> ((s, dir) => {
+      val ws = Tables.documents(s, dir)
+        .select(col("lang"), DedupOps.words(col("text")).as("__ws"))
+        .filter(size(col("__ws")) > 0)
+      val feats = ws.select(
+        (size(filter(col("__ws"), w => w.isin("the", "and", "of", "to", "a")))
+          .cast("double") / size(col("__ws")).cast("double")).as("x1"),
+        (size(col("__ws")).cast("double") / lit(100.0)).as("x2"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      RegressionOps.logisticGd(feats, iters = 3, lr = 0.5)
+    }),
     "q_momentum_gd" -> ((s, dir) => {
       import s.implicits._
       // spread: the moment aggregation's partial side is decimal-heavy;
@@ -3786,6 +3808,68 @@ object SparkEntry {
         |SELECT q_id, nn_id AS exact_nn_id, round(dist2, 6) AS exact_nn_dist2,
         |       TRUE AS pq_ok
         |FROM rk WHERE rank = 1 ORDER BY q_id""".stripMargin,
+    // Logistic GD replay: 3 unrolled rounds, each a MATERIALIZED
+    // gradient CTE + β CTE mirroring the engine's exact expression
+    // shapes (9-dp σ/terms, decimal sums, 9-dp β re-round)
+    "q_logreg_gd" ->
+      """WITH f AS MATERIALIZED (
+        |  SELECT CAST(len(list_filter(ws, t -> t IN ('the','and','of','to','a'))) AS DOUBLE)
+        |           / CAST(len(ws) AS DOUBLE) AS x1,
+        |         CAST(len(ws) AS DOUBLE) / 100.0 AS x2,
+        |         CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+        |              ELSE CAST(0.0 AS DOUBLE) END AS y
+        |  FROM (SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |        FROM documents) t
+        |  WHERE len(ws) > 0
+        |), g1 AS MATERIALIZED (
+        |  SELECT CAST(sum(CAST(round(sig - y, 9) AS DECIMAL(28,12))) AS DOUBLE) AS s0,
+        |         CAST(sum(CAST(round((sig - y) * x1, 9) AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(round((sig - y) * x2, 9) AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+        |         count(*) AS n
+        |  FROM (SELECT x1, x2, y,
+        |          round(1.0 / (1.0 + exp(-(0.0 + 0.0 * x1 + 0.0 * x2))), 9) AS sig
+        |        FROM f) r
+        |), b1 AS MATERIALIZED (
+        |  SELECT round(0.0 - 0.5 * (s0 / n), 9) AS b0,
+        |         round(0.0 - 0.5 * (s1 / n), 9) AS b1v,
+        |         round(0.0 - 0.5 * (s2 / n), 9) AS b2v FROM g1
+        |), g2 AS MATERIALIZED (
+        |  SELECT CAST(sum(CAST(round(sig - y, 9) AS DECIMAL(28,12))) AS DOUBLE) AS s0,
+        |         CAST(sum(CAST(round((sig - y) * x1, 9) AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(round((sig - y) * x2, 9) AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+        |         count(*) AS n
+        |  FROM (SELECT f.x1, f.x2, f.y,
+        |          round(1.0 / (1.0 + exp(-(b.b0 + b.b1v * f.x1 + b.b2v * f.x2))), 9) AS sig
+        |        FROM f, b1 b) r
+        |), b2 AS MATERIALIZED (
+        |  SELECT round(b.b0 - 0.5 * (g.s0 / g.n), 9) AS b0,
+        |         round(b.b1v - 0.5 * (g.s1 / g.n), 9) AS b1v,
+        |         round(b.b2v - 0.5 * (g.s2 / g.n), 9) AS b2v FROM g2 g, b1 b
+        |), g3 AS MATERIALIZED (
+        |  SELECT CAST(sum(CAST(round(sig - y, 9) AS DECIMAL(28,12))) AS DOUBLE) AS s0,
+        |         CAST(sum(CAST(round((sig - y) * x1, 9) AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(round((sig - y) * x2, 9) AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+        |         count(*) AS n
+        |  FROM (SELECT f.x1, f.x2, f.y,
+        |          round(1.0 / (1.0 + exp(-(b.b0 + b.b1v * f.x1 + b.b2v * f.x2))), 9) AS sig
+        |        FROM f, b2 b) r
+        |), b3 AS MATERIALIZED (
+        |  SELECT round(b.b0 - 0.5 * (g.s0 / g.n), 9) AS b0,
+        |         round(b.b1v - 0.5 * (g.s1 / g.n), 9) AS b1v,
+        |         round(b.b2v - 0.5 * (g.s2 / g.n), 9) AS b2v FROM g3 g, b2 b
+        |), acc AS (
+        |  SELECT sum(CASE WHEN ((b.b0 + b.b1v * f.x1 + b.b2v * f.x2) > 0.0) = (f.y = 1.0)
+        |                  THEN 1 ELSE 0 END) AS nc, count(*) AS n
+        |  FROM f, b3 b
+        |)
+        |SELECT metric, value FROM (
+        |  SELECT 'b0' AS metric, b0 AS value FROM b3
+        |  UNION ALL SELECT 'b1', b1v FROM b3
+        |  UNION ALL SELECT 'b2', b2v FROM b3
+        |  UNION ALL SELECT 'n_correct', CAST(nc AS DOUBLE) FROM acc
+        |  UNION ALL SELECT 'n_docs', CAST(n AS DOUBLE) FROM acc
+        |  UNION ALL SELECT 'accuracy', CAST(nc AS DOUBLE) / CAST(n AS DOUBLE) FROM acc
+        |) u ORDER BY metric""".stripMargin,
     // Momentum GD run to convergence = standardized OLS, closed-form
     // from pairwise correlations (intercept is exactly 0 in z-space).
     "q_momentum_gd" ->

@@ -121,4 +121,76 @@ object RegressionOps {
       .withColumn("p1_bonf", least(col("p1") * bonfK(bonferroniK), lit(1.0)))
       .select("word", "n", "beta1", "beta2", "t1", "p1", "p1_bonf")
   }
+
+  /** Full-batch logistic regression by gradient descent — the
+    * quality-classifier trainer (fastText-style: learn a keep/drop
+    * model on surface features, score the corpus). Features are the
+    * caller's (x1, x2) columns plus an intercept; label y ∈ {0, 1}.
+    *
+    *   σ_i = 1/(1 + exp(−(b0 + b1·x1 + b2·x2)))
+    *   b_j ← b_j − lr · (Σ_i (σ_i − y_i)·x_ij) / n,  rounded at 9 dp
+    *
+    * Unlike the linear case ([[graft.functions.MomentumGD]]), the
+    * logistic gradient is NOT a function of fixed sufficient
+    * statistics — σ re-evaluates per iteration — so each round is one
+    * full pass: a map-only σ/gradient projection feeding a partially-
+    * aggregated 3-sum reduce over a persisted, projection-slim feature
+    * frame. Driver state is 3 doubles. `iters` passes over 100 TB is
+    * the honest price of a non-linear link; production caps iters
+    * (logistic GD converges in a handful of full-batch rounds on
+    * standardized features) or fits on a bounded sample.
+    *
+    * Engine-portability (the lm_nll recipe): per-row σ and gradient
+    * terms are rounded at 9 dp and decimal-summed — order-independent;
+    * β is re-rounded at 9 dp after every update (driver mirrors SQL
+    * `round(x, 9)` via BigDecimal.valueOf + HALF_UP, the same rule
+    * Spark's `round` applies), so the whole trajectory replays exactly
+    * in an unrolled-CTE oracle. Published values are the raw doubles of
+    * that deterministic chain (the q_robust_z lesson: don't re-round a
+    * deterministic double).
+    *
+    * Output: 6 (metric, value) rows — b0/b1/b2, n_correct/n_docs and
+    * training accuracy at the 0.5 threshold (decided on z > 0, an
+    * exact compare).
+    */
+  def logisticGd(featsIn: DataFrame, iters: Int = 3, lr: Double = 0.5): DataFrame = {
+    val session = featsIn.sparkSession
+    import session.implicits._
+    // manual persist (kmeans lifecycle): per-iteration collects would
+    // consume a one-shot CacheScope listener; re-armed on the last pass
+    val feats = graft.PlanUtils.spread(featsIn.select(
+      col("x1").cast(DoubleType).as("x1"), col("x2").cast(DoubleType).as("x2"),
+      col("y").cast(DoubleType).as("y"))).persist()
+    try {
+      def r9(v: Double): Double = java.math.BigDecimal.valueOf(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      def zOf(b: Array[Double]): Column =
+        lit(b(0)) + lit(b(1)) * col("x1") + lit(b(2)) * col("x2")
+      var b = Array(0.0, 0.0, 0.0)
+      for (_ <- 1 to iters) {
+        val sig = round(lit(1.0) / (lit(1.0) + exp(-zOf(b))), 9)
+        def gSum(term: Column): Column =
+          sum(round(term, 9).cast("decimal(28,12)"))
+        val row = feats.agg(gSum(sig - col("y")).as("s0"),
+          gSum((sig - col("y")) * col("x1")).as("s1"),
+          gSum((sig - col("y")) * col("x2")).as("s2"),
+          count(lit(1)).as("n")).head()
+        val n = row.getLong(3).toDouble
+        b = Array.tabulate(3)(j =>
+          r9(b(j) - lr * (row.getDecimal(j).doubleValue() / n)))
+      }
+      val z = zOf(b)
+      val acc = graft.CacheScope.autoRelease(feats).agg(
+        sum(when((z > lit(0.0)) === (col("y") === lit(1.0)), 1L).otherwise(0L))
+          .as("nc"),
+        count(lit(1)).as("n")).head()
+      val (nc, n) = (acc.getLong(0), acc.getLong(1))
+      Seq(("b0", b(0)), ("b1", b(1)), ("b2", b(2)),
+        ("n_correct", nc.toDouble), ("n_docs", n.toDouble),
+        ("accuracy", nc.toDouble / n.toDouble))
+        .toDF("metric", "value").orderBy("metric")
+    } catch {
+      case t: Throwable => feats.unpersist(blocking = false); throw t
+    }
+  }
 }

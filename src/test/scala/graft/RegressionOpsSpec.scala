@@ -76,4 +76,35 @@ class RegressionOpsSpec extends SparkSpec {
     assert(o.count() == nDocs * 10)
     assert(o.filter($"x" === 0.0).count() > 0)  // zero-frequency rows exist
   }
+
+  test("logisticGd learns a separable boundary: accuracy 1.0, signed betas") {
+    // x1 separates the classes with a wide margin (y=1 ⟺ x1 ≥ 0.8);
+    // x2 is constant (no signal). Enough rounds at a healthy rate must
+    // find the boundary: training accuracy 1.0, β1 strongly positive,
+    // and β2 ≈ scaled intercept movement only.
+    val feats = (0 until 200).map { i =>
+      val y = if (i % 2 == 0) 1.0 else 0.0
+      val x1 = if (y == 1.0) 0.8 + (i % 7) * 0.02 else 0.1 + (i % 7) * 0.02
+      (x1, 0.5, y)
+    }.toDF("x1", "x2", "y")
+    val got = RegressionOps.logisticGd(feats, iters = 200, lr = 2.0)
+      .as[(String, Double)].collect().toMap
+    assert(got("accuracy") == 1.0)
+    assert(got("n_correct") == 200.0 && got("n_docs") == 200.0)
+    assert(got("b1") > 1.0) // the separating feature carries the weight
+  }
+
+  test("logisticGd trajectory: one hand-checked round from zero") {
+    // From β=0, σ=0.5 exactly for every row, so the first-round
+    // gradient is ((0.5−y), (0.5−y)·x1, (0.5−y)·x2) averaged; with
+    // lr=0.5: β_j = round(−0.5·mean_j, 9).
+    val feats = Seq((1.0, 2.0, 1.0), (3.0, 4.0, 0.0)).toDF("x1", "x2", "y")
+    val got = RegressionOps.logisticGd(feats, iters = 1, lr = 0.5)
+      .as[(String, Double)].collect().toMap
+    def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // s0 = (0.5−1)+(0.5−0) = 0; s1 = −0.5·1+0.5·3 = 1; s2 = −0.5·2+0.5·4 = 1
+    assert(got("b0") == r9(-0.5 * (0.0 / 2)))
+    assert(got("b1") == r9(-0.5 * (1.0 / 2)))
+    assert(got("b2") == r9(-0.5 * (1.0 / 2)))
+  }
 }
