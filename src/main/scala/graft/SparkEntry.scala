@@ -356,6 +356,15 @@ object SparkEntry {
       SimilarityOps.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 10)
         .select(col("q_id"), col("nn_id"), round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy("q_id", "rank")),
+    // Mutual-kNN graph (k=5): undirected edges where each endpoint is
+    // in the other's top-5 — the hub-pruned edge set graph dedup
+    // clusters on. Exact baseline (brute-force lists + one k·n-keyed
+    // self-join); ANN lists slot into the same join at corpus scale.
+    "q_knn_graph" -> ((s, dir) =>
+      SimilarityOps.mutualKnnGraph(Tables.embeddings(s, dir), k = 5)
+        .select(col("va"), col("vb"), round(col("sim"), 6).as("sim"),
+          col("rank_ab"), col("rank_ba"))
+        .orderBy("va", "vb")),
     // Hybrid-retrieval rank fusion: RRF over the exact cosine and L2
     // rankings for queries vec_id < 10 — the score-free combiner for
     // rankers with incommensurable scores. One (q,d) aggregate +
@@ -2357,6 +2366,34 @@ object SparkEntry {
          |                               ORDER BY sim DESC, nn_id) AS rank
          |  FROM sims) x
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // mutual-kNN replay: symmetric sims computed once (a<b), ranked
+    // from both endpoints, mutual edges via the two-sided rank join
+    "q_knn_graph" ->
+      s"""WITH $CosineCte,
+         |dots AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb, ${DotSql("a", "b")} AS dot
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id, range(64) r(d)
+         |  GROUP BY a.vec_id, b.vec_id
+         |), sims AS (
+         |  SELECT d.va, d.vb, d.dot / (na.nrm * nb.nrm) AS sim
+         |  FROM dots d JOIN nrm na ON na.vec_id = d.va
+         |  JOIN nrm nb ON nb.vec_id = d.vb
+         |), bi AS (
+         |  SELECT va AS q, vb AS n, sim FROM sims
+         |  UNION ALL SELECT vb, va, sim FROM sims
+         |), rk AS (
+         |  SELECT q, n, sim, row_number() OVER (PARTITION BY q
+         |                                       ORDER BY sim DESC, n) AS rank
+         |  FROM bi
+         |), e1 AS (
+         |  SELECT q AS va, n AS vb, round(sim, 6) AS sim, rank AS rank_ab
+         |  FROM rk WHERE rank <= 5 AND q < n
+         |), e2 AS (
+         |  SELECT n AS va, q AS vb, rank AS rank_ba
+         |  FROM rk WHERE rank <= 5 AND q > n
+         |)
+         |SELECT va, vb, sim, rank_ab, rank_ba
+         |FROM e1 JOIN e2 USING (va, vb) ORDER BY va, vb""".stripMargin,
     // RRF: cosine and L2 rankings replayed with decimal-exact scores,
     // fused with the same 1/(60+rank) terms; rrf raw-double
     "q_rrf_fusion" ->

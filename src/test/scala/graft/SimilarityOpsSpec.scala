@@ -25,6 +25,24 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("mutualKnnGraph drops asymmetric hub edges, keeps mutual pairs") {
+    // angles 0°, 10°, 30°: top-1(v2)=v1 (20° < 30°) but top-1(v1)=v0
+    // (10° < 20°) → (1,2) is asymmetric and must NOT be an edge;
+    // (0,1) is mutual. With k=2 every pair ranks, so (1,2) appears
+    // with rank_ab=2 from v1's side and rank_ba=1 from v2's.
+    def at(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val df = Seq((0L, at(0)), (1L, at(10)), (2L, at(30)))
+      .toDF("vec_id", "embedding")
+    val k1 = SimilarityOps.mutualKnnGraph(df, 1)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    assert(k1 == Set((0L, 1L)))
+    val k2 = SimilarityOps.mutualKnnGraph(df, 2)
+      .select("va", "vb", "rank_ab", "rank_ba")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(k2 == Set((0L, 1L, 1, 1), (0L, 2L, 2, 2), (1L, 2L, 2, 1)))
+  }
+
   test("ivf/pq fit clamps k to a degenerate fit sample instead of throwing") {
     // 12 vectors; ivf's mod-10 sample keeps 2 (< 16 cells), pq's mod-4
     // sample keeps 3 (< 16 codes) — localLloyd clamps, and at the
