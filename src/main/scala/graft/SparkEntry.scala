@@ -949,6 +949,15 @@ object SparkEntry {
     "q_embed_zscore" -> ((s, dir) =>
       SimilarityOps.dimensionZScore(Tables.embeddings(s, dir), outDims = 8)
         .orderBy("vec_id", "dim")),
+    // JL Rademacher projection 64→16 + distortion certificate over
+    // adjacent pairs: md5-derived ±1 signs, decimal-summed projections
+    // (exact 0.25 scale), ratio ‖Δp‖²/‖Δx‖² bound-checked on BOTH
+    // sides (the oracle recomputes the check, so the gate hashes the
+    // claim itself). Measured range at sf0.1: [0.23, 2.34].
+    "q_jl_project" -> ((s, dir) =>
+      SimilarityOps.jlDistortionPairs(Tables.embeddings(s, dir),
+          inDims = 64, outDims = 16, lo = 0.15, hi = 3.0)
+        .orderBy("va")),
     // Rolling z-score anomaly detection: each event scored against the
     // mean/std of its 6 predecessors (frame excludes self; cold-start
     // and zero-variance rows null out). One exchange + one WindowExec.
@@ -2366,6 +2375,37 @@ object SparkEntry {
          |                               ORDER BY sim DESC, nn_id) AS rank
          |  FROM sims) x
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // JL replay: same md5 signs, decimal sums, exact 0.25 scale;
+    // the bound check recomputes on the raw ratio
+    "q_jl_project" ->
+      """WITH signs AS MATERIALIZED (
+        |  SELECT j, d, CASE WHEN substr(md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1) <= '7'
+        |               THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+        |  FROM range(64) a(j), range(16) b(d)
+        |), p AS MATERIALIZED (
+        |  SELECT e.vec_id, s.d,
+        |         CAST(sum(CAST(s.s * CAST(e.embedding[s.j + 1] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) * 0.25 AS p
+        |  FROM embeddings e, signs s
+        |  GROUP BY e.vec_id, s.d
+        |), d2o AS (
+        |  SELECT a.vec_id AS va,
+        |         CAST(sum(CAST((CAST(a.embedding[i+1] AS DOUBLE) - CAST(b.embedding[i+1] AS DOUBLE))
+        |              * (CAST(a.embedding[i+1] AS DOUBLE) - CAST(b.embedding[i+1] AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS d2o
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0,
+        |       range(64) r(i)
+        |  GROUP BY a.vec_id
+        |), d2p AS (
+        |  SELECT pa.vec_id AS va,
+        |         CAST(sum(CAST((pa.p - pb.p) * (pa.p - pb.p) AS DECIMAL(38,18))) AS DOUBLE) AS d2p
+        |  FROM p pa JOIN p pb ON pb.vec_id = pa.vec_id + 1 AND pa.d = pb.d AND pa.vec_id % 2 = 0
+        |  GROUP BY pa.vec_id
+        |)
+        |SELECT d2o.va, d2o.va + 1 AS vb, round(d2p.d2p, 6) AS d2p,
+        |       round(d2o.d2o, 6) AS d2o,
+        |       round(CASE WHEN d2o.d2o <> 0.0 THEN d2p.d2p / d2o.d2o END, 6) AS ratio,
+        |       CASE WHEN d2o.d2o <> 0.0
+        |            THEN d2p.d2p / d2o.d2o >= 0.15 AND d2p.d2p / d2o.d2o <= 3.0 END AS within_bound
+        |FROM d2o JOIN d2p USING (va) ORDER BY va""".stripMargin,
     // mutual-kNN replay: symmetric sims computed once (a<b), ranked
     // from both endpoints, mutual edges via the two-sided rank join
     "q_knn_graph" ->

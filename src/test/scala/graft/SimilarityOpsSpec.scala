@@ -25,6 +25,37 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("jlProject: one-hot → exactly ±scale, zero → zero, non-square dims rejected") {
+    val df = Seq(
+      (0L, Seq.tabulate(64)(i => if (i == 3) 1.0f else 0.0f)),
+      (1L, Seq.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val p = SimilarityOps.jlProject(df, 64, 16)
+      .as[(Long, Long, Double)].collect()
+    assert(p.length == 32)
+    // one-hot: each output dim is sign(3,d)·1/√16 → magnitude exactly 0.25
+    assert(p.filter(_._1 == 0L).forall(r => math.abs(r._3) == 0.25))
+    assert(p.filter(_._1 == 1L).forall(_._3 == 0.0))
+    // deterministic: a second run is bit-identical
+    val p2 = SimilarityOps.jlProject(df, 64, 16).as[(Long, Long, Double)].collect()
+    assert(p.sortBy(r => (r._1, r._2)).toSeq == p2.sortBy(r => (r._1, r._2)).toSeq)
+    intercept[IllegalArgumentException] {
+      SimilarityOps.jlProject(df, 64, 8) // √8 isn't exact → rejected
+    }
+  }
+
+  test("jlDistortionPairs: identical pair nulls out, distinct pair certifies") {
+    val v = Seq.tabulate(64)(i => (i % 5).toFloat)
+    val w = Seq.tabulate(64)(i => ((i + 2) % 7).toFloat)
+    // pair (0,1): identical → d2o = 0 → null ratio/flag (never ±∞);
+    // pair (2,3): distinct → ratio computed, bound check boolean
+    val df = Seq((0L, v), (1L, v), (2L, v), (3L, w)).toDF("vec_id", "embedding")
+    val byVa = SimilarityOps.jlDistortionPairs(df)
+      .as[(Long, Long, Double, Double, Option[Double], Option[Boolean])]
+      .collect().map(r => r._1 -> ((r._5, r._6))).toMap
+    assert(byVa(0L) == ((None, None)))
+    assert(byVa(2L)._1.isDefined && byVa(2L)._2.isDefined)
+  }
+
   test("mutualKnnGraph drops asymmetric hub edges, keeps mutual pairs") {
     // angles 0°, 10°, 30°: top-1(v2)=v1 (20° < 30°) but top-1(v1)=v0
     // (10° < 20°) → (1,2) is asymmetric and must NOT be an edge;
