@@ -1718,7 +1718,82 @@ object SparkEntry {
         .toDF("coef", "value")
         .select(col("coef"), round(col("value"), 6).as("value"))
         .orderBy("coef")
-    })
+    }),
+    // Classifier evaluation: exact tie-aware ROC curve + AUC (Mann–
+    // Whitney rank-sum, BIGINT mid-ranks) of the doc-length score
+    // against the en label. Corpus → ONE score-keyed aggregate; every
+    // window after that is metric-sized.
+    "q_roc_auc" -> ((s, dir) =>
+      EvalOps.rocAuc(Tables.documents(s, dir),
+          expr("n_chars div 16"), col("lang") === "en")
+        .orderBy("score")),
+    // Score calibration: reliability bins + ECE of the stopword-ratio
+    // confidence (the q_logreg_gd feature) against the en label. Each
+    // published rate is one exact-int IEEE division; bin means are
+    // decimal sums of 9-dp confs.
+    "q_calibration" -> ((s, dir) => {
+      val ws = Tables.documents(s, dir)
+        .select(col("lang"), DedupOps.words(col("text")).as("__ws"))
+        .filter(size(col("__ws")) > 0)
+      val conf = round(
+        size(filter(col("__ws"), w => w.isin("the", "and", "of", "to", "a")))
+          .cast("double") / size(col("__ws")).cast("double"), 9)
+      EvalOps.calibration(ws, conf, col("lang") === "en", nBins = 10)
+        .orderBy("bin")
+    }),
+    // Ranking evaluation: NDCG@10 of the RRF-fused hybrid ranking
+    // against graded relevance from the exact cosine ranks (3/2/1 for
+    // ranks ≤2/≤5/≤10) — the retrieval-quality gate for the fusion
+    // operator. The cosine lists feed BOTH the fusion and the
+    // relevance side (one scope-cached computation).
+    "q_ndcg" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cos = graft.CacheScope.autoRelease(
+        SimilarityOps.bruteForceTopK(emb, col("vec_id") < 10, 10))
+      val l2 = SimilarityOps.bruteForceTopKL2(emb, col("vec_id") < 10, 10)
+      val fused = SimilarityOps.rrfFuse(Seq(cos, l2), topK = 10)
+        .select(col("q_id"), col("nn_id"), col("fused_rank").as("pos"))
+      val rels = cos.select(col("q_id"), col("nn_id"),
+        when(col("rank") <= 2, 3L).when(col("rank") <= 5, 2L).otherwise(1L)
+          .as("rel"))
+      EvalOps.ndcgAtK(fused, rels, 10).orderBy("q_id")
+    }),
+    // Distribution-drift monitor: PSI between the even- and odd-doc_id
+    // snapshot halves over length bins — the "did the input move"
+    // check every scored production corpus runs against a reference.
+    // Laplace add-one keeps bin probabilities integer-exact.
+    "q_psi" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      EvalOps.psi(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          expr("least(n_chars div 100, 9)"), nBins = 10)
+        .orderBy("bin")
+    }),
+    // Label-noise screen: kNN (k=5) neighbor-vote agreement on the
+    // embedding labels — strict-minority agreement flags likely
+    // mislabels for re-annotation (edited-nearest-neighbor shape).
+    "q_label_noise" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      EvalOps.labelNoise(SimilarityOps.knnLists(emb, 5), emb)
+        .orderBy("vec_id")
+    }),
+    // Hashing-trick vectorization: vocabulary-free signed 64-bucket
+    // bag-of-words (md5 open hash → bucket + sign), per-doc sparse
+    // rows with nnz and ‖v‖². Bounded slice (doc_id < 50) published.
+    "q_feature_hash" -> ((s, dir) =>
+      TextAnalysisOps.featureHash(
+          Tables.documents(s, dir).filter(col("doc_id") < 50), nBuckets = 64)
+        .orderBy("doc_id", "bucket")),
+    // Corpus-concentration data card: Lorenz curve + exact grouped
+    // Gini over tokens-per-document — "how much of the corpus sits in
+    // its largest docs". One value-keyed aggregate; windows run over
+    // distinct token counts only.
+    "q_token_gini" -> ((s, dir) =>
+      EvalOps.lorenzGini(
+          Tables.documents(s, dir)
+            .select(size(DedupOps.words(col("text"))).as("n_tok")),
+          col("n_tok"))
+        .orderBy("v"))
   )
 
   /** CF query items (exist with ≥25 raters at every sf — FIXTURES.md). */
@@ -3988,7 +4063,241 @@ object SparkEntry {
          |FROM dots d JOIN nrm ne ON ne.vec_id = d.eval_id
          |JOIN nrm nt ON nt.vec_id = d.train_id
          |WHERE d.dot / (ne.nrm * nt.nrm) >= 0.4
-         |ORDER BY d.eval_id, d.train_id""".stripMargin
+         |ORDER BY d.eval_id, d.train_id""".stripMargin,
+    // tie-aware Mann–Whitney AUC replay: BIGINT mid-rank arithmetic,
+    // one final exact-int division per published rate
+    "q_roc_auc" ->
+      """WITH lab AS (
+        |  SELECT n_chars // 16 AS score,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |), bys AS (
+        |  SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM lab GROUP BY score
+        |), rk AS (
+        |  SELECT score, n, n_pos,
+        |         CAST(sum(n) OVER (ORDER BY score) AS BIGINT) AS cum_le,
+        |         CAST(sum(n_pos) OVER (ORDER BY score DESC) AS BIGINT) AS cum_tp,
+        |         CAST(sum(n - n_pos) OVER (ORDER BY score DESC) AS BIGINT) AS cum_fp
+        |  FROM bys
+        |), tot AS (
+        |  SELECT CAST(sum(n_pos) AS BIGINT) AS p_tot,
+        |         CAST(sum(n - n_pos) AS BIGINT) AS n_tot,
+        |         CAST(sum(n_pos * (2 * (cum_le - n) + n + 1)) AS BIGINT) AS s2
+        |  FROM rk
+        |)
+        |SELECT score, n, n_pos, cum_tp, cum_fp,
+        |       round(CAST(cum_tp AS DOUBLE) / CAST(p_tot AS DOUBLE), 9) AS tpr,
+        |       round(CAST(cum_fp AS DOUBLE) / CAST(n_tot AS DOUBLE), 9) AS fpr,
+        |       round(CAST(s2 - p_tot * (p_tot + 1) AS DOUBLE)
+        |             / CAST(2 * p_tot * n_tot AS DOUBLE), 9) AS auc
+        |FROM rk, tot ORDER BY score""".stripMargin,
+    // reliability-bin replay: 9-dp conf ratios, decimal bin sums, ECE
+    // from the published rounded acc/avg_conf gaps
+    "q_calibration" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |         round(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                    w -> w IN ('the','and','of','to','a'))) AS DOUBLE)
+        |               / CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE),
+        |               9) AS conf
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+        |), b AS (
+        |  SELECT least(CAST(floor(conf * 10.0) AS BIGINT), 9) AS bin, conf, y FROM t
+        |), g AS (
+        |  SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+        |         sum(CAST(conf AS DECIMAL(28,12))) AS conf_sum
+        |  FROM b GROUP BY bin
+        |), r AS (
+        |  SELECT bin, n, n_pos,
+        |         round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 9) AS acc,
+        |         round(CAST(conf_sum AS DOUBLE) / CAST(n AS DOUBLE), 9) AS avg_conf
+        |  FROM g
+        |), r2 AS (SELECT *, round(abs(acc - avg_conf), 9) AS gap FROM r)
+        |SELECT bin, n, n_pos, acc, avg_conf, gap,
+        |       round(CAST(sum(CAST(round(gap * n, 6) AS DECIMAL(28,12))) OVER ()
+        |                  AS DOUBLE)
+        |             / CAST(sum(n) OVER () AS DOUBLE), 9) AS ece
+        |FROM r2 ORDER BY bin""".stripMargin,
+    // NDCG replay: the q_rrf_fusion ranking chain + graded gains from
+    // the exact cosine ranks; 9-dp discounts, decimal per-query sums
+    "q_ndcg" ->
+      s"""WITH $CosineCte,
+         |dots AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id, ${DotSql("q", "c")} AS dot
+         |  FROM v q JOIN v c ON c.vec_id <> q.vec_id, range(64) r(d)
+         |  WHERE q.vec_id < 10
+         |  GROUP BY q.vec_id, c.vec_id
+         |), s2 AS (
+         |  SELECT vec_id, CAST(sum(CAST(CAST(embedding[d+1] AS DOUBLE)
+         |         * CAST(embedding[d+1] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS sq
+         |  FROM v, range(64) r(d) GROUP BY vec_id
+         |), crank AS (
+         |  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id
+         |           ORDER BY sim DESC, nn_id) AS rank FROM (
+         |    SELECT d.q_id, d.nn_id, d.dot / (nq.nrm * nc.nrm) AS sim
+         |    FROM dots d JOIN nrm nq ON nq.vec_id = d.q_id
+         |    JOIN nrm nc ON nc.vec_id = d.nn_id)
+         |), lrank AS (
+         |  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id
+         |           ORDER BY sim DESC, nn_id) AS rank FROM (
+         |    SELECT d.q_id, d.nn_id, -(q.sq - 2.0 * d.dot + c.sq) AS sim
+         |    FROM dots d JOIN s2 q ON q.vec_id = d.q_id
+         |    JOIN s2 c ON c.vec_id = d.nn_id)
+         |), u AS (
+         |  SELECT * FROM crank WHERE rank <= 10
+         |  UNION ALL SELECT * FROM lrank WHERE rank <= 10
+         |), f AS (
+         |  SELECT q_id, nn_id,
+         |         sum(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank)) AS rrf
+         |  FROM u GROUP BY q_id, nn_id
+         |), fr AS (
+         |  SELECT q_id, nn_id, fused_rank AS pos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY rrf DESC, nn_id) AS fused_rank FROM f) x
+         |  WHERE fused_rank <= 10
+         |), rel AS (
+         |  SELECT q_id, nn_id,
+         |         CASE WHEN rank <= 2 THEN 3 WHEN rank <= 5 THEN 2 ELSE 1 END AS rel
+         |  FROM crank WHERE rank <= 10
+         |), sys AS (
+         |  SELECT fr.q_id, fr.pos, coalesce(rel.rel, 0) AS rel
+         |  FROM fr LEFT JOIN rel ON rel.q_id = fr.q_id AND rel.nn_id = fr.nn_id
+         |), dcg AS (
+         |  SELECT q_id,
+         |         sum(CAST(round(CAST((1 << rel) - 1 AS DOUBLE)
+         |             * round(1.0 / log2(CAST(pos + 1 AS DOUBLE)), 9), 9)
+         |             AS DECIMAL(28,12))) AS dcg_sum,
+         |         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_rel_ranked
+         |  FROM sys GROUP BY q_id
+         |), ideal AS (
+         |  SELECT q_id,
+         |         sum(CAST(round(CAST((1 << rel) - 1 AS DOUBLE)
+         |             * round(1.0 / log2(CAST(ipos + 1 AS DOUBLE)), 9), 9)
+         |             AS DECIMAL(28,12))) AS idcg_sum,
+         |         count(*) AS n_rel
+         |  FROM (
+         |    SELECT q_id, rel, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY rel DESC, nn_id) AS ipos
+         |    FROM rel WHERE rel > 0) i
+         |  WHERE ipos <= 10 GROUP BY q_id
+         |)
+         |SELECT d.q_id, round(CAST(dcg_sum AS DOUBLE), 6) AS dcg,
+         |       round(CAST(idcg_sum AS DOUBLE), 6) AS idcg,
+         |       CASE WHEN idcg_sum IS NOT NULL THEN
+         |         round(CAST(dcg_sum AS DOUBLE) / CAST(idcg_sum AS DOUBLE), 6)
+         |       END AS ndcg,
+         |       coalesce(n_rel, 0) AS n_rel, n_rel_ranked
+         |FROM dcg d LEFT JOIN ideal USING (q_id) ORDER BY d.q_id""".stripMargin,
+    // PSI replay: Laplace add-one bin probabilities (integer-exact
+    // before one IEEE division), 9-dp ln terms, decimal total
+    "q_psi" ->
+      """WITH refc AS (
+        |  SELECT least(n_chars // 100, 9) AS bin, count(*) AS cnt_ref
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+        |), curc AS (
+        |  SELECT least(n_chars // 100, 9) AS bin, count(*) AS cnt_cur
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+        |), m AS (
+        |  SELECT coalesce(refc.bin, curc.bin) AS bin,
+        |         coalesce(cnt_ref, 0) AS cnt_ref,
+        |         coalesce(cnt_cur, 0) AS cnt_cur
+        |  FROM refc FULL OUTER JOIN curc ON refc.bin = curc.bin
+        |), p AS (
+        |  SELECT bin, cnt_ref, cnt_cur,
+        |         round(CAST(cnt_ref + 1 AS DOUBLE)
+        |               / CAST(sum(cnt_ref) OVER () + 10 AS DOUBLE), 9) AS p_ref,
+        |         round(CAST(cnt_cur + 1 AS DOUBLE)
+        |               / CAST(sum(cnt_cur) OVER () + 10 AS DOUBLE), 9) AS p_cur
+        |  FROM m
+        |), t AS (
+        |  SELECT *, round((p_ref - p_cur) * ln(p_ref / p_cur), 9) AS term FROM p
+        |)
+        |SELECT bin, cnt_ref, cnt_cur, p_ref, p_cur, term,
+        |       round(CAST(sum(CAST(term AS DECIMAL(28,12))) OVER () AS DOUBLE), 9)
+        |         AS psi
+        |FROM t ORDER BY bin""".stripMargin,
+    // kNN neighbor-vote replay over the exact directed top-5 lists
+    "q_label_noise" ->
+      s"""WITH $CosineCte,
+         |dots AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb, ${DotSql("a", "b")} AS dot
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id, range(64) r(d)
+         |  GROUP BY a.vec_id, b.vec_id
+         |), sims AS (
+         |  SELECT d.va, d.vb, d.dot / (na.nrm * nb.nrm) AS sim
+         |  FROM dots d JOIN nrm na ON na.vec_id = d.va
+         |  JOIN nrm nb ON nb.vec_id = d.vb
+         |), bi AS (
+         |  SELECT va AS q, vb AS n, sim FROM sims
+         |  UNION ALL SELECT vb, va, sim FROM sims
+         |), rk AS (
+         |  SELECT q, n, row_number() OVER (PARTITION BY q
+         |                                  ORDER BY sim DESC, n) AS rank
+         |  FROM bi
+         |), knn AS (SELECT q, n FROM rk WHERE rank <= 5),
+         |agg AS (
+         |  SELECT lq.vec_id AS vec_id, lq.label AS label,
+         |         count(*) AS n_neighbors,
+         |         CAST(sum(CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_agree
+         |  FROM knn JOIN embeddings lq ON lq.vec_id = knn.q
+         |  JOIN embeddings ln ON ln.vec_id = knn.n
+         |  GROUP BY lq.vec_id, lq.label
+         |)
+         |SELECT vec_id, label, n_neighbors, n_agree,
+         |       round(CAST(n_agree AS DOUBLE) / CAST(n_neighbors AS DOUBLE), 9)
+         |         AS agree_frac,
+         |       2 * n_agree < n_neighbors AS suspect
+         |FROM agg ORDER BY vec_id""".stripMargin,
+    // hashing-trick replay: the md5 open hash drives bucket AND sign
+    "q_feature_hash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents WHERE doc_id < 50
+        |), hh AS (
+        |  SELECT doc_id, ('0x' || substring(md5(w || '|fh'), 1, 6))::BIGINT AS h
+        |  FROM tok
+        |), sb AS (
+        |  SELECT doc_id, h % 64 AS bucket,
+        |         CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS s
+        |  FROM hh
+        |), vv AS (
+        |  SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS v
+        |  FROM sb GROUP BY doc_id, bucket
+        |)
+        |SELECT doc_id, bucket, v,
+        |       CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id) AS BIGINT) AS nnz,
+        |       CAST(sum(v * v) OVER (PARTITION BY doc_id) AS BIGINT) AS norm2
+        |FROM vv ORDER BY doc_id, bucket""".stripMargin,
+    // grouped exact Gini replay: all-BIGINT Lorenz accumulation
+    "q_token_gini" ->
+      """WITH t AS (
+        |  SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS v
+        |  FROM documents
+        |), g AS (
+        |  SELECT v, count(*) AS n_rows FROM t GROUP BY v
+        |), g2 AS (SELECT v, n_rows, v * n_rows AS mass FROM g),
+        |c AS (
+        |  SELECT v, n_rows, mass,
+        |         CAST(sum(n_rows) OVER (ORDER BY v) AS BIGINT) AS cum_rows,
+        |         CAST(sum(mass) OVER (ORDER BY v) AS BIGINT) AS cum_mass
+        |  FROM g2
+        |), tot AS (
+        |  SELECT CAST(sum(n_rows) AS BIGINT) AS n_tot,
+        |         CAST(sum(mass) AS BIGINT) AS t_tot,
+        |         CAST(sum(n_rows * (2 * (cum_mass - mass) + mass)) AS BIGINT) AS g_num
+        |  FROM c
+        |)
+        |SELECT v, n_rows, mass, cum_rows, cum_mass,
+        |       round(CAST(cum_rows AS DOUBLE) / CAST(n_tot AS DOUBLE), 9) AS lorenz_p,
+        |       round(CAST(cum_mass AS DOUBLE) / CAST(t_tot AS DOUBLE), 9) AS lorenz_l,
+        |       round(1.0 - CAST(g_num AS DOUBLE) / CAST(n_tot * t_tot AS DOUBLE), 9)
+        |         AS gini
+        |FROM c, tot ORDER BY v""".stripMargin
   )
 
   /** DuckDB CTE chain for marker-based language ID: markers/toks/hits/

@@ -134,25 +134,7 @@ object SimilarityOps {
     * follows the ANN certificates.
     */
   def mutualKnnGraph(embeddings: DataFrame, k: Int): DataFrame = {
-    // cosine is symmetric: evaluate each pair's dot ONCE (a < b, n²/2
-    // native dots — the dominant cost) and mirror the finished rows,
-    // instead of ranking over a full n² cross join (measured 1.6× at sf0.1).
-    val corpus = embeddings.select(col("vec_id").as("na"),
-      col("embedding").as("ea"), norm(col("embedding")).as("nra"))
-    val queries = embeddings.select(col("vec_id").as("nb"),
-      col("embedding").as("eb"), norm(col("embedding")).as("nrb"))
-    val pairs = corpus.crossJoin(broadcast(queries))
-      .filter(col("na") < col("nb"))
-      .select(col("na"), col("nb"),
-        (dot(col("ea"), col("eb")) / (col("nra") * col("nrb"))).as("sim"))
-    // mirror via a row-local explode (NOT a self-union, which would
-    // duplicate the dot-computing subtree in the plan)
-    val directed = pairs.select(explode(array(
-        struct(col("na").as("q_id"), col("nb").as("nn_id"), col("sim")),
-        struct(col("nb").as("q_id"), col("na").as("nn_id"), col("sim")))).as("e"))
-      .select(col("e.q_id").as("q_id"), col("e.nn_id").as("nn_id"),
-        col("e.sim").as("sim"))
-    val top = graft.CacheScope.autoRelease(rankTopK(directed, k))
+    val top = graft.CacheScope.autoRelease(knnLists(embeddings, k))
     val e1 = top.filter(col("q_id") < col("nn_id"))
       .select(col("q_id").as("va"), col("nn_id").as("vb"),
         col("sim"), col("rank").as("rank_ab"))
@@ -161,6 +143,59 @@ object SimilarityOps {
         col("rank").as("rank_ba"))
     e1.join(e2, Seq("va", "vb"))
       .select(col("va"), col("vb"), col("sim"), col("rank_ab"), col("rank_ba"))
+  }
+
+  /** Hard-negative mining for contrastive/embedding training (the
+    * DPR/SimCSE data-prep step): for each query, the k most similar
+    * corpus vectors with a DIFFERENT label — the near-misses a
+    * contrastive loss learns the most from (random negatives are too
+    * easy). Same plan family as [[bruteForceTopK]] (corpus one pass,
+    * queries broadcast, bounded-heap TopKPerKey), with the label-
+    * mismatch predicate applied BEFORE the heap so positives never
+    * occupy heap slots. At corpus scale, feed the same filter+heap
+    * from ANN candidate lists.
+    */
+  def hardNegatives(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val corpus = embeddings.select(col("vec_id").as("nn_id"),
+      col("label").as("label_n"),
+      col("embedding").as("emb_n"), norm(col("embedding")).as("nrm_n"))
+    val queries = embeddings.filter(queryPred).select(col("vec_id").as("q_id"),
+      col("label").as("label_q"),
+      col("embedding").as("emb_q"), norm(col("embedding")).as("nrm_q"))
+    val sims = corpus.crossJoin(broadcast(queries))
+      .filter(col("label_n") =!= col("label_q"))
+      .withColumn("sim", dot(col("emb_q"), col("emb_n")) / (col("nrm_q") * col("nrm_n")))
+    val top = graft.plans.TopKOps.topKPerKey(
+      sims.select("q_id", "label_q", "nn_id", "label_n", "sim"), Seq("q_id"),
+      Seq(col("sim").desc, col("nn_id").asc), k)
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nn_id"))
+    top.withColumn("rank", row_number().over(w))
+  }
+
+  /** Exact directed kNN lists for EVERY node: (q_id, nn_id, sim, rank)
+    * with rank ≤ k — the shared primitive under [[mutualKnnGraph]] and
+    * [[EvalOps.labelNoise]]. Cosine is symmetric, so each pair's dot is
+    * evaluated ONCE (a < b, n²/2 native dots — the dominant cost) and
+    * the finished rows mirror via a row-local explode (NOT a
+    * self-union, which would duplicate the dot-computing subtree in
+    * the plan; measured 1.6× at sf0.1). Uncached — callers that
+    * consume the list twice own the persist.
+    */
+  def knnLists(embeddings: DataFrame, k: Int): DataFrame = {
+    val corpus = embeddings.select(col("vec_id").as("na"),
+      col("embedding").as("ea"), norm(col("embedding")).as("nra"))
+    val queries = embeddings.select(col("vec_id").as("nb"),
+      col("embedding").as("eb"), norm(col("embedding")).as("nrb"))
+    val pairs = corpus.crossJoin(broadcast(queries))
+      .filter(col("na") < col("nb"))
+      .select(col("na"), col("nb"),
+        (dot(col("ea"), col("eb")) / (col("nra") * col("nrb"))).as("sim"))
+    val directed = pairs.select(explode(array(
+        struct(col("na").as("q_id"), col("nb").as("nn_id"), col("sim")),
+        struct(col("nb").as("q_id"), col("na").as("nn_id"), col("sim")))).as("e"))
+      .select(col("e.q_id").as("q_id"), col("e.nn_id").as("nn_id"),
+        col("e.sim").as("sim"))
+    rankTopK(directed, k)
   }
 
   /** Johnson–Lindenstrauss random projection with a Rademacher (±1)

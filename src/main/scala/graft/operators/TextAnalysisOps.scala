@@ -326,4 +326,38 @@ object TextAnalysisOps {
       .withColumn("rare_frac", col("n_rare").cast("double") / col("n_bigrams"))
       .withColumn("keep", col("rare_frac") <= keepMax)
   }
+
+  /** Hashing-trick bag-of-words (Weinberger et al. 2009 feature
+    * hashing): every token maps to one of `nBuckets` signed buckets —
+    * the fixed-width, vocabulary-free vectorization used when the
+    * token universe is unbounded (no global dictionary build, no
+    * second pass). Bucket and sign both derive from an md5 open hash
+    * (engine-portable, oracle-recomputable): bucket = h mod nBuckets,
+    * sign = ±1 from the next hash bit — the signed variant keeps the
+    * hashed inner product unbiased under collisions.
+    *
+    * Scale shape: tokenize + hash are scan-local; ONE (doc, bucket)-
+    * keyed partial-combined aggregate builds the sparse vectors; the
+    * per-doc ‖v‖² rides a doc-partitioned window over ≤ nBuckets rows
+    * per doc. No vocabulary table, no broadcast, no driver state.
+    * Output: (doc_id, bucket, v, nnz, norm2) — one row per nonzero.
+    */
+  def featureHash(docs: DataFrame, nBuckets: Int = 64,
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(DedupOps.words(col(textCol))).as("w"))
+    val h = conv(substring(md5(concat_ws("|", col("w"), lit("fh")).cast("binary")),
+      1, 6), 16, 10).cast("long")
+    val signed = tok
+      .withColumn("bucket", h % lit(nBuckets.toLong))
+      .withColumn("s",
+        when((h.divide(lit(nBuckets.toLong))).cast("long") % 2 === 0, 1L)
+          .otherwise(-1L))
+    val vecs = signed.groupBy("doc_id", "bucket").agg(sum("s").as("v"))
+    val perDoc = Window.partitionBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    vecs
+      .withColumn("nnz", sum(when(col("v") =!= 0L, 1L).otherwise(0L)).over(perDoc))
+      .withColumn("norm2", sum(col("v") * col("v")).over(perDoc))
+  }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.{EvalOps, SimilarityOps, TextAnalysisOps}
+import org.apache.spark.sql.functions._
+
+class EvalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rocAuc matches the closed form on a hand-computed tied case") {
+    // scores: pos at {3, 2, 2}, neg at {1, 2, 0} → pairs (p,n):
+    // wins: (3>1,3>2,3>0, 2>1,2>0, 2>1,2>0) = 7, ties: (2=2)×2 → 0.5 each
+    // AUC = (7 + 2·0.5) / 9 = 8/9
+    val df = Seq((3, 1), (2, 1), (2, 1), (1, 0), (2, 0), (0, 0))
+      .toDF("score", "y")
+    val out = EvalOps.rocAuc(df, col("score"), col("y") === 1)
+    val auc = out.select("auc").head().getDouble(0)
+    assert(math.abs(auc - 8.0 / 9.0) < 1e-8)
+    // curve endpoints: lowest threshold row has tpr = fpr = 1
+    val last = out.orderBy("score").head()
+    assert(last.getAs[Double]("tpr") == 1.0 && last.getAs[Double]("fpr") == 1.0)
+    // perfect separation → AUC 1, reversed → 0
+    val sep = Seq((5, 1), (4, 1), (1, 0), (0, 0)).toDF("score", "y")
+    assert(EvalOps.rocAuc(sep, col("score"), col("y") === 1)
+      .select("auc").head().getDouble(0) == 1.0)
+    assert(EvalOps.rocAuc(sep, col("score"), col("y") === 0)
+      .select("auc").head().getDouble(0) == 0.0)
+  }
+
+  test("calibration bins a perfectly calibrated score to ECE 0") {
+    // bin [0.2, 0.3): conf always 0.25, positives exactly 1 in 4
+    val rows = (0 until 80).map(i => (0.25, if (i % 4 == 0) 1 else 0))
+    val out = EvalOps.calibration(rows.toDF("conf", "y"),
+      col("conf"), col("y") === 1, nBins = 10)
+    val r = out.head()
+    assert(r.getAs[Long]("bin") == 2L)
+    assert(r.getAs[Double]("acc") == 0.25 && r.getAs[Double]("avg_conf") == 0.25)
+    assert(r.getAs[Double]("ece") == 0.0)
+  }
+
+  test("ndcg is 1 for the ideal ranking and below 1 for a swapped one") {
+    val rels = Seq((1L, 10L, 3L), (1L, 11L, 2L), (1L, 12L, 1L))
+      .toDF("q_id", "nn_id", "rel")
+    val ideal = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("q_id", "nn_id", "pos")
+    val got = EvalOps.ndcgAtK(ideal, rels, 10).head()
+    assert(got.getAs[Double]("ndcg") == 1.0)
+    assert(got.getAs[Long]("n_rel") == 3L && got.getAs[Long]("n_rel_ranked") == 3L)
+    // worst of the three orderings: rel-1 doc first, rel-3 doc last
+    val swapped = Seq((1L, 12L, 1L), (1L, 11L, 2L), (1L, 10L, 3L))
+      .toDF("q_id", "nn_id", "pos")
+    val nd = EvalOps.ndcgAtK(swapped, rels, 10).head().getAs[Double]("ndcg")
+    assert(nd < 1.0 && nd > 0.5)
+    // ranking a doc with no relevance entry contributes gain 0
+    val stray = Seq((1L, 99L, 1L), (1L, 10L, 2L)).toDF("q_id", "nn_id", "pos")
+    val s = EvalOps.ndcgAtK(stray, rels, 10).head()
+    assert(s.getAs[Long]("n_rel_ranked") == 1L && s.getAs[Double]("ndcg") < 1.0)
+  }
+
+  test("psi is 0 on identical distributions and grows under a shift") {
+    val ref = (0 until 100).map(i => i % 5).toDF("bin5")
+    val same = EvalOps.psi(ref, ref, col("bin5"), nBins = 5)
+    assert(same.select("psi").head().getDouble(0) == 0.0)
+    val shifted = (0 until 100).map(i => if (i < 80) 0 else 1).toDF("bin5")
+    val moved = EvalOps.psi(ref, shifted, col("bin5"), nBins = 5)
+      .select("psi").head().getDouble(0)
+    assert(moved > 0.25) // "shifted" territory on the standard PSI scale
+    // absent bin on one side survives via Laplace smoothing (no ±inf/NaN)
+    assert(!moved.isInfinite && !moved.isNaN)
+  }
+
+  test("labelNoise flags exactly the strict-minority-agreement nodes") {
+    // 6 points on a line, labels: A A A B A A → the lone B's 5 neighbors
+    // all disagree; its neighbors keep majority agreement
+    val emb = (0 until 6).map { i =>
+      (i.toLong, Array.tabulate(4)(d => if (d == 0) i.toFloat else 1f),
+        if (i == 3) 1 else 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = EvalOps.labelNoise(SimilarityOps.knnLists(emb, 5), emb)
+      .orderBy("vec_id").collect()
+    assert(out.length == 6)
+    val suspect = out.filter(_.getAs[Boolean]("suspect")).map(_.getLong(0)).toSet
+    assert(suspect == Set(3L))
+    assert(out.forall(_.getAs[Long]("n_neighbors") == 5L))
+  }
+
+  test("lorenzGini: equal masses give 0, concentrated mass approaches 1") {
+    val equal = Seq.fill(50)(7).toDF("v")
+    assert(EvalOps.lorenzGini(equal, col("v"))
+      .select("gini").head().getDouble(0) == 0.0)
+    val conc = (Seq.fill(99)(0) :+ 9900).toDF("v")
+    val g = EvalOps.lorenzGini(conc, col("v")).select("gini").head().getDouble(0)
+    assert(g == 0.99) // exact: 1 − (99·0 + 1·T·1)/(100·T) = 0.99
+    // Lorenz curve is monotone and ends at (1, 1)
+    val pts = EvalOps.lorenzGini((1 to 20).toDF("v"), col("v"))
+      .orderBy("v").select("lorenz_p", "lorenz_l").as[(Double, Double)].collect()
+    assert(pts.last == ((1.0, 1.0)))
+    assert(pts.sliding(2).forall { case Array(a, b) => a._2 <= b._2; case _ => true })
+  }
+
+  test("featureHash is sign-consistent and collision-bounded") {
+    // epsilon/omega hash to buckets 35/22, away from alpha's 61
+    val docs = Seq((0L, "alpha epsilon omega alpha"), (1L, "alpha")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.featureHash(docs, nBuckets = 64).collect()
+    // same token in different docs lands in the same signed bucket
+    val a0 = out.filter(r => r.getLong(0) == 0L)
+    val a1 = out.filter(r => r.getLong(0) == 1L)
+    assert(a1.length == 1)
+    val (b1, v1) = (a1.head.getAs[Long]("bucket"), a1.head.getAs[Long]("v"))
+    val matching = a0.find(_.getAs[Long]("bucket") == b1).get
+    // doc 0 has "alpha" twice → its bucket carries 2× the signed unit
+    assert(matching.getAs[Long]("v") == 2L * v1)
+    assert(math.abs(v1) == 1L)
+    // norm2 = sum of squares of this doc's bucket values
+    assert(a0.head.getAs[Long]("norm2") == a0.map(r => {
+      val v = r.getAs[Long]("v"); v * v
+    }).sum)
+  }
+}
