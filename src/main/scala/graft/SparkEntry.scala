@@ -1793,7 +1793,38 @@ object SparkEntry {
           Tables.documents(s, dir)
             .select(size(DedupOps.words(col("text"))).as("n_tok")),
           col("n_tok"))
-        .orderBy("v"))
+        .orderBy("v")),
+    // STREAMING drift monitor: per-day value-bin counts accumulate as
+    // a real watermarked stream (bin-bounded window state), then each
+    // window's distribution is PSI-scored against the full-corpus
+    // static reference — the "did today's data move" production check.
+    "q_stream_psi" -> ((s, dir) => {
+      val binned = graft.streaming.StreamingOps.windowedBinCounts(
+        Tables.eventsStream(s, dir), "ts", "value",
+        "1 day", "2 days", binWidth = 50.0, maxBin = 9)
+      val qn = s"graft_stream_psi_${StreamSeq.incrementAndGet()}"
+      val q = binned.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val cur = s.table(qn)
+        .select(unix_micros(col("w_start")).as("grp"), col("bin"), col("cnt"))
+      val ref = Tables.events(s, dir)
+        .select(least(floor(col("value") / 50.0), lit(9L)).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt_ref"))
+      EvalOps.psiByGroup(cur, ref, nBins = 10)
+        .withColumnRenamed("grp", "start_us")
+        .orderBy("start_us", "bin")
+    }),
+    // Hard-negative mining (contrastive-training data prep): per query
+    // the top-5 most-similar DIFFERENT-label vectors — label mismatch
+    // filtered before the bounded heap, so positives never hold slots.
+    "q_hard_negatives" -> ((s, dir) =>
+      SimilarityOps.hardNegatives(Tables.embeddings(s, dir),
+          col("vec_id") < 10, k = 5)
+        .select(col("q_id"), col("label_q"), col("nn_id"), col("label_n"),
+          round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy("q_id", "rank"))
   )
 
   /** CF query items (exist with ≥25 raters at every sf — FIXTURES.md). */
@@ -4297,7 +4328,67 @@ object SparkEntry {
         |       round(CAST(cum_mass AS DOUBLE) / CAST(t_tot AS DOUBLE), 9) AS lorenz_l,
         |       round(1.0 - CAST(g_num AS DOUBLE) / CAST(n_tot * t_tot AS DOUBLE), 9)
         |         AS gini
-        |FROM c, tot ORDER BY v""".stripMargin
+        |FROM c, tot ORDER BY v""".stripMargin,
+    // streaming drift replay: epoch-aligned daily windows (Spark
+    // window(ts,'1 day') ≡ date_trunc under UTC), Laplace bin probs
+    "q_stream_psi" ->
+      """WITH ev AS (
+        |  SELECT ts, least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin
+        |  FROM events
+        |), ref AS (
+        |  SELECT bin, count(*) AS cnt_ref FROM ev GROUP BY bin
+        |), rt AS (SELECT CAST(sum(cnt_ref) AS BIGINT) AS n_ref FROM ref),
+        |wb AS (
+        |  SELECT epoch_us(date_trunc('day', ts)) AS start_us, bin,
+        |         count(*) AS cnt
+        |  FROM ev GROUP BY 1, 2
+        |), grps AS (SELECT DISTINCT start_us FROM wb),
+        |axis AS (
+        |  SELECT g.start_us, r.bin, r.cnt_ref FROM grps g CROSS JOIN ref r
+        |), m AS (
+        |  SELECT a.start_us, a.bin, a.cnt_ref, coalesce(wb.cnt, 0) AS cnt
+        |  FROM axis a LEFT JOIN wb
+        |    ON wb.start_us = a.start_us AND wb.bin = a.bin
+        |), p AS (
+        |  SELECT start_us, bin, cnt, cnt_ref,
+        |         round(CAST(cnt + 1 AS DOUBLE)
+        |               / CAST(sum(cnt) OVER (PARTITION BY start_us) + 10
+        |                      AS DOUBLE), 9) AS p_cur,
+        |         round(CAST(cnt_ref + 1 AS DOUBLE)
+        |               / CAST(rt.n_ref + 10 AS DOUBLE), 9) AS p_ref
+        |  FROM m, rt
+        |), t AS (
+        |  SELECT *, round((p_ref - p_cur) * ln(p_ref / p_cur), 9) AS term FROM p
+        |)
+        |SELECT start_us, bin, cnt, cnt_ref, p_cur, p_ref, term,
+        |       round(CAST(sum(CAST(term AS DECIMAL(28,12)))
+        |                  OVER (PARTITION BY start_us) AS DOUBLE), 9) AS psi
+        |FROM t ORDER BY start_us, bin""".stripMargin,
+    // hard-negative replay: label-mismatch filter before the rank
+    "q_hard_negatives" ->
+      s"""WITH $CosineCte,
+         |dots AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id, ${DotSql("q", "c")} AS dot
+         |  FROM v q JOIN v c ON c.vec_id <> q.vec_id, range(64) r(d)
+         |  WHERE q.vec_id < 10
+         |  GROUP BY q.vec_id, c.vec_id
+         |), sims AS (
+         |  SELECT d.q_id, lq.label AS label_q, d.nn_id, lc.label AS label_n,
+         |         d.dot / (nq.nrm * nc.nrm) AS sim
+         |  FROM dots d
+         |  JOIN nrm nq ON nq.vec_id = d.q_id
+         |  JOIN nrm nc ON nc.vec_id = d.nn_id
+         |  JOIN embeddings lq ON lq.vec_id = d.q_id
+         |  JOIN embeddings lc ON lc.vec_id = d.nn_id
+         |  WHERE lq.label <> lc.label
+         |), rk AS (
+         |  SELECT q_id, label_q, nn_id, label_n, sim,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY sim DESC, nn_id) AS rank
+         |  FROM sims
+         |)
+         |SELECT q_id, label_q, nn_id, label_n, round(sim, 6) AS sim, rank
+         |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   )
 
   /** DuckDB CTE chain for marker-based language ID: markers/toks/hits/

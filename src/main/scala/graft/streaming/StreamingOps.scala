@@ -209,6 +209,26 @@ object StreamingOps {
           .as("sum_value"))
       .select(col("window.start").as("w_start"), col("n"), col("sum_value"))
 
+  /** Watermarked per-window value-bin counts — the streaming half of a
+    * drift monitor ([[graft.operators.EvalOps.psiByGroup]] composes the
+    * PSI against a static reference): each tumbling window reduces to
+    * ≤ maxBin+1 (bin, count) rows. State per window is the bin-count
+    * map (bounded by the bin axis, NOT the event count); windows older
+    * than the watermark are evicted. The bin function is the same
+    * single IEEE divide + floor the batch reference uses, so stream
+    * and reference distributions are binned identically.
+    */
+  def windowedBinCounts(events: DataFrame, tsCol: String, valueCol: String,
+      window_ : String, watermark: String, binWidth: Double,
+      maxBin: Int): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_),
+        least(floor(col(valueCol) / binWidth), lit(maxBin.toLong)).cast("long")
+          .as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("bin"), col("cnt"))
+
   /** Stream–static enrichment join: each streaming row picks up the
     * matching static dimension attributes — the standard streaming
     * lookup/enrichment shape (events × user table, impressions ×

@@ -97,6 +97,32 @@ class EvalOpsSpec extends SparkSpec {
     assert(pts.sliding(2).forall { case Array(a, b) => a._2 <= b._2; case _ => true })
   }
 
+  test("psiByGroup scores each group independently against the reference") {
+    val ref = Seq((0L, 50L), (1L, 30L), (2L, 20L)).toDF("bin", "cnt_ref")
+    // group 10 mirrors the reference exactly (scaled), group 20 is shifted
+    val cur = Seq((10L, 0L, 5L), (10L, 1L, 3L), (10L, 2L, 2L),
+      (20L, 0L, 10L)).toDF("grp", "bin", "cnt")
+    val out = EvalOps.psiByGroup(cur, ref, nBins = 3).collect()
+    assert(out.length == 6) // 2 groups × full 3-bin reference axis
+    val psi10 = out.filter(_.getLong(0) == 10L).head.getAs[Double]("psi")
+    val psi20 = out.filter(_.getLong(0) == 20L).head.getAs[Double]("psi")
+    // scaled-identical distribution: tiny PSI (Laplace-only residue)
+    assert(math.abs(psi10) < 0.01)
+    assert(psi20 > 0.25)
+    // group 20's absent bins surface with cnt 0, not dropped rows
+    assert(out.count(r => r.getLong(0) == 20L && r.getAs[Long]("cnt") == 0L) == 2)
+  }
+
+  test("hardNegatives never surfaces a same-label vector") {
+    val emb = Tables.embeddings(spark, sf0)
+    val out = SimilarityOps.hardNegatives(emb, col("vec_id") < 5, 5).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Int]("label_q") != r.getAs[Int]("label_n")))
+    // ranks are dense 1..k per query
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.values.forall(_.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 5)))
+  }
+
   test("featureHash is sign-consistent and collision-bounded") {
     // epsilon/omega hash to buckets 35/22, away from alpha's 61
     val docs = Seq((0L, "alpha epsilon omega alpha"), (1L, "alpha")).toDF("doc_id", "text")
