@@ -1824,7 +1824,35 @@ object SparkEntry {
           col("vec_id") < 10, k = 5)
         .select(col("q_id"), col("label_q"), col("nn_id"), col("label_n"),
           round(col("sim"), 6).as("sim"), col("rank"))
-        .orderBy("q_id", "rank"))
+        .orderBy("q_id", "rank")),
+    // Sliced evaluation: per-source AUC of the length score — the
+    // slice report that catches regressions a global AUC hides.
+    // Every window partitions BY SLICE; degenerate slices null out.
+    "q_sliced_auc" -> ((s, dir) =>
+      EvalOps.rocAucBySlice(Tables.documents(s, dir), col("source"),
+          expr("n_chars div 16"), col("lang") === "en")
+        .orderBy("slice")),
+    // Split-conformal outlier calibration: thresholds from the
+    // calibration split's exact integer ranks (milli-α BIGINT grid),
+    // flag rates + finite-sample validity bound checked on eval.
+    "q_conformal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      EvalOps.conformalOutliers(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          col("n_chars"), alphas = Seq(0.1, 0.05, 0.01))
+        .orderBy("alpha")
+    }),
+    // Exact two-sample KS drift test between snapshot halves over doc
+    // length — the binning-free companion to q_psi; the max runs on
+    // cross-multiplied BIGINTs, divided once at the end.
+    "q_ks_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      EvalOps.ksDrift(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          col("n_chars"))
+        .orderBy("v")
+    })
   )
 
   /** CF query items (exist with ≥25 raters at every sf — FIXTURES.md). */
@@ -4388,7 +4416,106 @@ object SparkEntry {
          |  FROM sims
          |)
          |SELECT q_id, label_q, nn_id, label_n, round(sim, 6) AS sim, rank
-         |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+         |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // per-slice Mann–Whitney replay: PARTITION BY slice everywhere
+    "q_sliced_auc" ->
+      """WITH lab AS (
+        |  SELECT source AS slice, n_chars // 16 AS score,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |), bys AS (
+        |  SELECT slice, score, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM lab GROUP BY slice, score
+        |), rk AS (
+        |  SELECT slice, score, n, n_pos,
+        |         CAST(sum(n) OVER (PARTITION BY slice ORDER BY score)
+        |              AS BIGINT) AS cum_le
+        |  FROM bys
+        |), agg AS (
+        |  SELECT slice, CAST(sum(n) AS BIGINT) AS n_rows,
+        |         CAST(sum(n_pos) AS BIGINT) AS p_tot,
+        |         CAST(sum(n - n_pos) AS BIGINT) AS n_tot,
+        |         CAST(sum(n_pos * (2 * (cum_le - n) + n + 1)) AS BIGINT) AS s2,
+        |         count(*) AS n_scores
+        |  FROM rk GROUP BY slice
+        |)
+        |SELECT slice, n_rows, p_tot, n_tot, n_scores,
+        |       CASE WHEN p_tot > 0 AND n_tot > 0 THEN
+        |         round(CAST(s2 - p_tot * (p_tot + 1) AS DOUBLE)
+        |               / CAST(2 * p_tot * n_tot AS DOUBLE), 9)
+        |       END AS auc
+        |FROM agg ORDER BY slice""".stripMargin,
+    // split-conformal replay: BIGINT rank on the milli-α grid, exact
+    // element threshold, flag rate vs the finite-sample bound
+    "q_conformal" ->
+      """WITH cal AS (
+        |  SELECT n_chars AS score FROM documents WHERE doc_id % 5 = 0
+        |), bys AS (
+        |  SELECT score, count(*) AS n FROM cal GROUP BY score
+        |), cum AS (
+        |  SELECT score, CAST(sum(n) OVER (ORDER BY score) AS BIGINT) AS cum_le
+        |  FROM bys
+        |), nc AS (SELECT count(*) AS n_calib FROM cal),
+        |al(alpha, am) AS (VALUES (CAST(0.1 AS DOUBLE), 100),
+        |                         (CAST(0.05 AS DOUBLE), 50),
+        |                         (CAST(0.01 AS DOUBLE), 10)),
+        |rr AS (
+        |  SELECT alpha, n_calib,
+        |         ((1000 - am) * (n_calib + 1) + 999) // 1000 AS r
+        |  FROM al, nc
+        |), thr AS (
+        |  SELECT alpha, n_calib, r,
+        |         coalesce(min(CASE WHEN cum_le >= r THEN score END),
+        |                  max(score)) AS threshold
+        |  FROM rr, cum GROUP BY alpha, n_calib, r
+        |), ev AS (
+        |  SELECT n_chars AS score FROM documents WHERE doc_id % 5 <> 0
+        |), f AS (
+        |  SELECT alpha, n_calib, r, threshold, count(*) AS n_eval,
+        |         CAST(sum(CASE WHEN ev.score > threshold THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_flagged
+        |  FROM thr, ev GROUP BY alpha, n_calib, r, threshold
+        |), pub AS (
+        |  SELECT alpha, n_calib, r, threshold, n_eval, n_flagged,
+        |         round(CAST(n_flagged AS DOUBLE) / CAST(n_eval AS DOUBLE), 9)
+        |           AS flag_rate,
+        |         round(alpha + 1.0 / CAST(n_calib + 1 AS DOUBLE), 9) AS bound
+        |  FROM f
+        |)
+        |SELECT *, flag_rate <= bound AS valid FROM pub ORDER BY alpha""".stripMargin,
+    // KS replay: cross-multiplied BIGINT ECDF gaps, one final divide
+    "q_ks_drift" ->
+      """WITH ca AS (
+        |  SELECT n_chars AS v, count(*) AS n_a FROM documents
+        |  WHERE doc_id % 2 = 0 GROUP BY 1
+        |), cb AS (
+        |  SELECT n_chars AS v, count(*) AS n_b FROM documents
+        |  WHERE doc_id % 2 = 1 GROUP BY 1
+        |), m AS (
+        |  SELECT coalesce(ca.v, cb.v) AS v,
+        |         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v
+        |), c AS (
+        |  SELECT v, n_a, n_b,
+        |         CAST(sum(n_a) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+        |         CAST(sum(n_b) OVER (ORDER BY v) AS BIGINT) AS cum_b,
+        |         CAST(sum(n_a) OVER () AS BIGINT) AS na,
+        |         CAST(sum(n_b) OVER () AS BIGINT) AS nb
+        |  FROM m
+        |), d AS (
+        |  SELECT *, abs(cum_a * nb - cum_b * na) AS num FROM c
+        |), pub AS (
+        |  SELECT v, n_a, n_b, cum_a, cum_b,
+        |         round(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE), 9) AS ecdf_a,
+        |         round(CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE), 9) AS ecdf_b,
+        |         round(CAST(num AS DOUBLE) / CAST(na * nb AS DOUBLE), 9) AS diff,
+        |         round(CAST(max(num) OVER () AS DOUBLE)
+        |               / CAST(na * nb AS DOUBLE), 9) AS d_stat,
+        |         round(1.358 * sqrt(CAST(na + nb AS DOUBLE)
+        |                            / CAST(na * nb AS DOUBLE)), 9) AS crit_05
+        |  FROM d
+        |)
+        |SELECT *, d_stat > crit_05 AS reject_05 FROM pub ORDER BY v""".stripMargin
   )
 
   /** DuckDB CTE chain for marker-based language ID: markers/toks/hits/

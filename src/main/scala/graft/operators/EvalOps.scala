@@ -75,6 +75,141 @@ object EvalOps {
         col("auc"))
   }
 
+  /** Per-slice ROC AUC — [[rocAuc]] partitioned by a slice key (the
+    * "sliced eval" every responsible model report needs: a global AUC
+    * hides regressions inside languages/sources/domains). Same
+    * BIGINT mid-rank arithmetic per slice; every window partitions BY
+    * SLICE, so nothing is metric-global. Slices with no positives or
+    * no negatives publish a null `auc` (undefined, not 0.5). Output:
+    * one row per slice.
+    */
+  def rocAucBySlice(scored: DataFrame, slice: Column, score: Column,
+      label: Column): DataFrame = {
+    val byScore = scored
+      .select(slice.as("slice"), score.cast("long").as("score"),
+        label.cast("long").as("y"))
+      .groupBy("slice", "score")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+    val asc = Window.partitionBy("slice").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byScore
+      .withColumn("cum_le", sum("n").over(asc))
+      .withColumn("s2_part",
+        col("n_pos") * (lit(2L) * (col("cum_le") - col("n")) + col("n") + lit(1L)))
+    ranked.groupBy("slice")
+      .agg(sum("n").as("n_rows"),
+        sum("n_pos").as("p_tot"),
+        sum(col("n") - col("n_pos")).as("n_tot"),
+        sum("s2_part").as("s2"),
+        count(lit(1)).as("n_scores"))
+      .withColumn("auc",
+        when(col("p_tot") > 0 && col("n_tot") > 0,
+          round((col("s2") - col("p_tot") * (col("p_tot") + lit(1L))).cast("double") /
+            (lit(2L) * col("p_tot") * col("n_tot")).cast("double"), 9)))
+      .select("slice", "n_rows", "p_tot", "n_tot", "n_scores", "auc")
+  }
+
+  /** Split-conformal outlier calibration (Vovk's inductive conformal,
+    * one-class form): the calibration split fixes, per miscoverage
+    * level α, the ⌈(1−α)(n_cal+1)⌉-th smallest nonconformity score as
+    * the threshold; eval points strictly above it are flagged. Under
+    * exchangeability the flag rate is ≤ α plus the finite-sample term
+    * 1/(n_cal+1) — the published `bound`, checked empirically on the
+    * eval split (`valid`). All rank arithmetic on integer scores is
+    * BIGINT-exact; rates are single IEEE divisions.
+    *
+    * Scale: the calibration side reduces to a distinct-score table
+    * (ROC machinery — one bounded-key aggregate + one metric-sized
+    * cumulative window); thresholds derive per α from that table, and
+    * the eval side needs one broadcast-threshold scan. No sort of the
+    * corpus, no per-row driver state.
+    */
+  def conformalOutliers(calib: DataFrame, eval_ : DataFrame, score: Column,
+      alphas: Seq[Double]): DataFrame = {
+    val spark = calib.sparkSession
+    import spark.implicits._
+    val byScore = calib.select(score.cast("long").as("score"))
+      .groupBy("score").agg(count(lit(1)).as("n"))
+    val asc = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byScore.withColumn("cum_le", sum("n").over(asc))
+    val nCal = cum.agg(sum("n").as("n_calib"))
+    // r = ⌈(1−α)(n+1)⌉ in pure BIGINT arithmetic on a milli-α grid —
+    // a double ceil() flips at exact-integer boundaries (0.9·10 is
+    // 9.000000000000002 in IEEE), so the rank is computed exactly
+    val al = alphas.map(a => (a, math.round(a * 1000)))
+      .toDF("alpha", "alpha_milli")
+      .crossJoin(broadcast(nCal))
+      .withColumn("r",
+        expr("((1000 - alpha_milli) * (n_calib + 1) + 999) div 1000"))
+    // threshold(α) = min score whose cumulative count reaches r
+    // (clamped to the max score when r exceeds n_calib)
+    val thr = al.crossJoin(cum)
+      .groupBy("alpha", "r", "n_calib")
+      .agg(min(when(col("cum_le") >= col("r"), col("score"))).as("thr_or_null"),
+        max("score").as("max_score"))
+      .withColumn("threshold", coalesce(col("thr_or_null"), col("max_score")))
+      .select("alpha", "n_calib", "r", "threshold")
+    val evalScores = eval_.select(score.cast("long").as("score"))
+    val flagged = evalScores.crossJoin(broadcast(thr))
+      .groupBy("alpha", "n_calib", "r", "threshold")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("score") > col("threshold"), 1L).otherwise(0L))
+          .as("n_flagged"))
+    flagged
+      .withColumn("flag_rate",
+        round(col("n_flagged").cast("double") / col("n_eval").cast("double"), 9))
+      .withColumn("bound",
+        round(col("alpha") + lit(1.0) / (col("n_calib") + lit(1L)).cast("double"), 9))
+      .withColumn("valid", col("flag_rate") <= col("bound"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift statistic between two
+    * corpus snapshots over an integer feature: D = max over values of
+    * |ECDF_a − ECDF_b|, carried as the cross-multiplied BIGINT
+    * |cumA·Nb − cumB·Na| so the max is decided on exact integers and
+    * divided once at the end. The asymptotic α=0.05 decision is
+    * published next to it (c(α)=1.358, Smirnov): reject iff
+    * D > c·√((Na+Nb)/(Na·Nb)). The distribution-free companion to
+    * [[psi]] — no binning choice to tune.
+    *
+    * Scale shape: one value-keyed aggregate per side, a full-outer
+    * merge on the distinct-value axis, cumulative windows over that
+    * axis. Nothing corpus-sized past the first aggregate.
+    */
+  def ksDrift(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    def counts(df: DataFrame, side: String): DataFrame =
+      df.select(value.cast("long").as("v"))
+        .groupBy("v").agg(count(lit(1)).as(s"n_$side"))
+    val merged = counts(a, "a").join(counts(b, "b"), Seq("v"), "full")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val asc = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = merged
+      .withColumn("cum_a", sum("n_a").over(asc))
+      .withColumn("cum_b", sum("n_b").over(asc))
+      .withColumn("na", sum("n_a").over(all))
+      .withColumn("nb", sum("n_b").over(all))
+      .withColumn("num", abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
+    cum
+      .withColumn("ecdf_a",
+        round(col("cum_a").cast("double") / col("na").cast("double"), 9))
+      .withColumn("ecdf_b",
+        round(col("cum_b").cast("double") / col("nb").cast("double"), 9))
+      .withColumn("diff",
+        round(col("num").cast("double") / (col("na") * col("nb")).cast("double"), 9))
+      .withColumn("d_stat",
+        round(max("num").over(all).cast("double") /
+          (col("na") * col("nb")).cast("double"), 9))
+      .withColumn("crit_05",
+        round(lit(1.358) * sqrt((col("na") + col("nb")).cast("double") /
+          (col("na") * col("nb")).cast("double")), 9))
+      .withColumn("reject_05", col("d_stat") > col("crit_05"))
+      .select("v", "n_a", "n_b", "cum_a", "cum_b", "ecdf_a", "ecdf_b",
+        "diff", "d_stat", "crit_05", "reject_05")
+  }
+
   /** Reliability diagram + expected calibration error for a confidence
     * score in [0, 1) against a binary label. `conf` must already be a
     * deterministic 9-dp-rounded double (the caller owns score

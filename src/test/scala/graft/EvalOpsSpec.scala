@@ -97,6 +97,54 @@ class EvalOpsSpec extends SparkSpec {
     assert(pts.sliding(2).forall { case Array(a, b) => a._2 <= b._2; case _ => true })
   }
 
+  test("rocAucBySlice matches per-slice closed forms and nulls degenerate slices") {
+    val df = Seq(
+      // slice A: perfect separation → 1.0
+      ("A", 5, 1), ("A", 4, 1), ("A", 1, 0), ("A", 0, 0),
+      // slice B: the tied 8/9 case from the global test
+      ("B", 3, 1), ("B", 2, 1), ("B", 2, 1), ("B", 1, 0), ("B", 2, 0), ("B", 0, 0),
+      // slice C: all positive → undefined
+      ("C", 7, 1), ("C", 9, 1)).toDF("slice", "score", "y")
+    val out = EvalOps.rocAucBySlice(df, col("slice"), col("score"), col("y") === 1)
+      .orderBy("slice").collect()
+    assert(out(0).getAs[Double]("auc") == 1.0)
+    assert(math.abs(out(1).getAs[Double]("auc") - 8.0 / 9.0) < 1e-8)
+    assert(out(2).isNullAt(out(2).fieldIndex("auc")))
+    assert(out(2).getAs[Long]("n_tot") == 0L)
+  }
+
+  test("conformalOutliers: exact rank thresholds and validity on exchangeable data") {
+    // calib scores 1..99; at α=0.1, r = ⌈0.9·100⌉ = 90 → threshold 90
+    val calib = (1 to 99).toDF("s")
+    val eval_ = (1 to 200).map(i => 1 + (i * 7) % 99).toDF("s")
+    val out = EvalOps.conformalOutliers(calib, eval_, col("s"), Seq(0.1, 0.05))
+      .orderBy(col("alpha").desc).collect()
+    assert(out(0).getAs[Long]("r") == 90L &&
+      out(0).getAs[Long]("threshold") == 90L)
+    assert(out(1).getAs[Long]("r") == 95L &&
+      out(1).getAs[Long]("threshold") == 95L)
+    // same-distribution eval: flag rate within the published bound
+    assert(out.forall(_.getAs[Boolean]("valid")))
+    // the double-ceil trap case: α=0.1, n+1=10 must give r=9, not 10
+    val tiny = EvalOps.conformalOutliers((1 to 9).toDF("s"),
+      (1 to 9).toDF("s"), col("s"), Seq(0.1)).head()
+    assert(tiny.getAs[Long]("r") == 9L)
+  }
+
+  test("ksDrift: D is 0 on identical samples and exact on a known split") {
+    val a = (1 to 100).toDF("v")
+    val same = EvalOps.ksDrift(a, a, col("v")).select("d_stat").head().getDouble(0)
+    assert(same == 0.0)
+    // a = {1..50}, b = {51..100}: ECDFs never overlap → D = 1
+    val disjoint = EvalOps.ksDrift((1 to 50).toDF("v"), (51 to 100).toDF("v"),
+      col("v"))
+    val r = disjoint.orderBy("v").collect()
+    assert(r.map(_.getAs[Double]("d_stat")).distinct.toSeq == Seq(1.0))
+    assert(r.head.getAs[Boolean]("reject_05"))
+    // max gap at v=50: |50·50 − 0·50| / 2500 = 1
+    assert(r(49).getAs[Double]("diff") == 1.0)
+  }
+
   test("psiByGroup scores each group independently against the reference") {
     val ref = Seq((0L, 50L), (1L, 30L), (2L, 20L)).toDF("bin", "cnt_ref")
     // group 10 mirrors the reference exactly (scaled), group 20 is shifted
