@@ -1852,7 +1852,20 @@ object SparkEntry {
           docs.filter(pmod(col("doc_id"), lit(2)) === 1),
           col("n_chars"))
         .orderBy("v")
-    })
+    }),
+    // Exact equi-depth histogram — the range-partitioner planning
+    // primitive: BIGINT rank boundaries + the realized per-bucket
+    // counts (the skew a range partition on this key would inherit).
+    "q_equidepth" -> ((s, dir) =>
+      DataQualityOps.equiDepth(Tables.documents(s, dir), col("n_chars"),
+          nBuckets = 10)
+        .orderBy("bucket")),
+    // Hot-key skew diagnostics: top-10 heaviest event keys with share
+    // and ratio-to-mean — the observability report that says when to
+    // flip the salting hatches.
+    "q_skew_report" -> ((s, dir) =>
+      DataQualityOps.skewReport(Tables.events(s, dir), col("user_id"), k = 10)
+        .orderBy("rank"))
   )
 
   /** CF query items (exist with ≥25 raters at every sf — FIXTURES.md). */
@@ -4515,7 +4528,53 @@ object SparkEntry {
         |                            / CAST(na * nb AS DOUBLE)), 9) AS crit_05
         |  FROM d
         |)
-        |SELECT *, d_stat > crit_05 AS reject_05 FROM pub ORDER BY v""".stripMargin
+        |SELECT *, d_stat > crit_05 AS reject_05 FROM pub ORDER BY v""".stripMargin,
+    // equi-depth replay: BIGINT boundary ranks, buckets by strict
+    // boundary count, realized depths
+    "q_equidepth" ->
+      """WITH t AS (SELECT n_chars AS v FROM documents),
+        |byv AS (SELECT v, count(*) AS n FROM t GROUP BY v),
+        |c AS (
+        |  SELECT v, n, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum FROM byv
+        |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+        |rk AS (
+        |  SELECT i, (i * n_total + 9) // 10 AS r
+        |  FROM range(1, 10) t(i), tot
+        |), bd AS (
+        |  SELECT rk.i, min(CASE WHEN c.cum >= rk.r THEN c.v END) AS b
+        |  FROM rk CROSS JOIN c GROUP BY rk.i
+        |), bk AS (
+        |  SELECT c.v, c.n,
+        |         CAST(sum(CASE WHEN c.v > bd.b THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS bucket
+        |  FROM c CROSS JOIN bd GROUP BY c.v, c.n
+        |), agg AS (
+        |  SELECT bucket, CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_values
+        |  FROM bk GROUP BY bucket
+        |)
+        |SELECT a.bucket, lo.b AS lo, hi.b AS hi, a.n_rows, a.n_values,
+        |       round(CAST(a.n_rows AS DOUBLE) / CAST(tot.n_total AS DOUBLE), 9)
+        |         AS depth_frac
+        |FROM agg a
+        |LEFT JOIN bd hi ON hi.i = a.bucket + 1
+        |LEFT JOIN bd lo ON lo.i = a.bucket
+        |CROSS JOIN tot
+        |ORDER BY a.bucket""".stripMargin,
+    // skew replay: key-count table + totals, ties to the smaller key
+    "q_skew_report" ->
+      """WITH cnt AS (
+        |  SELECT user_id AS key, count(*) AS n FROM events GROUP BY user_id
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_total, count(*) AS n_keys FROM cnt
+        |), top AS (
+        |  SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rank FROM cnt
+        |)
+        |SELECT rank, key, n,
+        |       round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 9) AS share,
+        |       round(CAST(n * n_keys AS DOUBLE) / CAST(n_total AS DOUBLE), 9)
+        |         AS skew_vs_mean,
+        |       n_total, n_keys
+        |FROM top, tot WHERE rank <= 10 ORDER BY rank""".stripMargin
   )
 
   /** DuckDB CTE chain for marker-based language ID: markers/toks/hits/

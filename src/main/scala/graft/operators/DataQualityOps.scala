@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality checks — the expectation-suite layer every
@@ -83,5 +84,77 @@ object DataQualityOps {
       .agg(count(lit(1)).as("__n"))
       .select(col(groupCol), lit(eps).as("epsilon"),
         (col("__n").cast("double") + noise).as("noisy_n"))
+  }
+
+  /** Exact equi-depth histogram boundaries — the planning primitive
+    * behind range partitioning, sort-merge split points, and balanced
+    * shard layout: boundary_i is the smallest value whose cumulative
+    * count reaches ⌈i·N/nBuckets⌉ (all BIGINT rank arithmetic).
+    * Realized per-bucket counts are published next to the target depth
+    * — with heavy duplicate values buckets CAN be uneven, and seeing
+    * by how much is the point (it is exactly the skew a range
+    * partitioner on this key would inherit).
+    *
+    * Scale: one value-keyed partial-combined aggregate reduces the
+    * corpus; boundary selection and bucket assembly run on the
+    * distinct-value table with the (nBuckets−1)-row boundary table
+    * broadcast. Output: one row per bucket with [lo, hi) bounds
+    * (null-open at the ends).
+    */
+  def equiDepth(df: DataFrame, value: Column, nBuckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byVal = df.select(value.cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n"))
+    val asc = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byVal.withColumn("cum", sum("n").over(asc))
+    val tot = cum.agg(sum("n").as("n_total"))
+    val ranks = (1 until nBuckets).toDF("i")
+      .crossJoin(broadcast(tot))
+      .withColumn("r", expr(s"(i * n_total + $nBuckets - 1) div $nBuckets"))
+    // boundary_i = min v with cum ≥ ⌈i·N/nB⌉
+    val bounds = ranks.crossJoin(cum)
+      .groupBy("i", "n_total")
+      .agg(min(when(col("cum") >= col("r"), col("v"))).as("b"))
+    // bucket(v) = number of boundaries strictly below v
+    val bucketed = cum.crossJoin(broadcast(bounds.select("b")))
+      .groupBy("v", "n")
+      .agg(sum(when(col("v") > col("b"), 1L).otherwise(0L)).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum("n").as("n_rows"), count(lit(1)).as("n_values"))
+    val lohi = bounds.select(col("i"), col("b"))
+    bucketed
+      .join(lohi.select((col("i") - 1).as("bucket"), col("b").as("hi")),
+        Seq("bucket"), "left")
+      .join(lohi.select(col("i").as("bucket"), col("b").as("lo")),
+        Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("lo"), col("hi"), col("n_rows"), col("n_values"),
+        round(col("n_rows").cast("double") / col("n_total").cast("double"), 9)
+          .as("depth_frac"))
+  }
+
+  /** Hot-key skew diagnostics — the pre-shuffle observability report
+    * that tells a pipeline WHEN to flip its skew hatches (salting,
+    * [[CFOps]] saltedSupport, AQE skew thresholds): the top-k heaviest
+    * keys with each key's share of all rows and its ratio to the mean
+    * rows-per-key. One key-keyed aggregate reduces the corpus; the
+    * top-k rides TakeOrdered on the key table; totals broadcast.
+    */
+  def skewReport(df: DataFrame, key: Column, k: Int): DataFrame = {
+    val counts = df.select(key.as("key")).groupBy("key")
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("n_total"), count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("n").desc, col("key")).limit(k)
+    val w = Window.orderBy(col("n").desc, col("key"))
+    top.withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("key"), col("n"),
+        round(col("n").cast("double") / col("n_total").cast("double"), 9)
+          .as("share"),
+        round((col("n") * col("n_keys")).cast("double") /
+          col("n_total").cast("double"), 9).as("skew_vs_mean"),
+        col("n_total"), col("n_keys"))
   }
 }

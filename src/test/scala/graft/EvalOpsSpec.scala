@@ -171,6 +171,41 @@ class EvalOpsSpec extends SparkSpec {
     assert(byQ.values.forall(_.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 5)))
   }
 
+  test("equiDepth: uniform data splits evenly; a heavy value bulges its bucket") {
+    import graft.operators.DataQualityOps
+    val uniform = (1 to 100).toDF("v")
+    val even = DataQualityOps.equiDepth(uniform, col("v"), 10)
+      .orderBy("bucket").collect()
+    assert(even.length == 10)
+    assert(even.forall(_.getAs[Long]("n_rows") == 10L))
+    // bounds tile: bucket 0 is (null, 10], bucket 9 is (90, null)
+    assert(even.head.isNullAt(even.head.fieldIndex("lo")) &&
+      even.head.getAs[Long]("hi") == 10L)
+    assert(even.last.getAs[Long]("lo") == 90L &&
+      even.last.isNullAt(even.last.fieldIndex("hi")))
+    // 91 copies of one value: the first bucket must hold them all
+    val heavy = (Seq.fill(91)(5) ++ (6 to 14)).toDF("v")
+    val h = DataQualityOps.equiDepth(heavy, col("v"), 10)
+      .orderBy("bucket").collect()
+    assert(h.head.getAs[Long]("n_rows") == 91L)
+    assert(math.abs(h.head.getAs[Double]("depth_frac") - 0.91) < 1e-9)
+  }
+
+  test("skewReport ranks hot keys with exact share and mean ratio") {
+    import graft.operators.DataQualityOps
+    // key 1: 80 rows, keys 2..21: 1 row each → mean = 100/21
+    val df = (Seq.fill(80)(1) ++ (2 to 21)).toDF("k")
+    val out = DataQualityOps.skewReport(df, col("k"), 3)
+      .orderBy("rank").collect()
+    assert(out.length == 3)
+    val topRow = out.head
+    assert(topRow.getAs[Int]("key") == 1 && topRow.getAs[Long]("n") == 80L)
+    assert(topRow.getAs[Double]("share") == 0.8)
+    assert(topRow.getAs[Double]("skew_vs_mean") == 16.8) // 80·21/100
+    // ties broken to the smaller key
+    assert(out(1).getAs[Int]("key") == 2 && out(2).getAs[Int]("key") == 3)
+  }
+
   test("featureHash is sign-consistent and collision-bounded") {
     // epsilon/omega hash to buckets 35/22, away from alpha's 61
     val docs = Seq((0L, "alpha epsilon omega alpha"), (1L, "alpha")).toDF("doc_id", "text")
