@@ -320,6 +320,14 @@ object SparkEntry {
     // SimHash 60-bit fingerprints (engine-portable md5 bit construction).
     "q_simhash" -> ((s, dir) =>
       DedupOps.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+    // SimHash near-dup PAIRS via pigeonhole blocking (Manku WWW'07):
+    // Hamming ≤ 3 forces agreement on one of four 15-bit blocks, so
+    // candidates come from a (block, value) equality self-join — never
+    // all-pairs. The oracle IS the quadratic scan; hash equality is a
+    // structural recall proof.
+    "q_simhash_pairs" -> ((s, dir) =>
+      DedupOps.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
+        .orderBy("id_a", "id_b")),
     // The SAME simhash computed through the pure-SQL surface: the
     // md5_simhash kernel registered by GraftExtensions, called from
     // spark.sql over a temp view — proves a SQL-only user (JDBC, SQL
@@ -776,6 +784,19 @@ object SparkEntry {
       val nodes = docs.select(col("doc_id").as("node"))
       GraphOps.labelPropagation(GraphOps.syntheticEdges(nodes, n), rounds = 3)
         .select(col("node").as("doc_id"), col("label").as("community"))
+        .orderBy("doc_id")
+    }),
+    // Dense-core extraction: 5 synchronous k-core peel rounds (k = 4)
+    // over the same synthetic link graph (spam-farm / link-ring
+    // detection). Fixpoint is round 3 at every gate SF — the extra
+    // rounds are provable no-ops (GraphOpsSpec); oracle unrolls the
+    // peeling round by round.
+    "q_kcore" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+      val nodes = docs.select(col("doc_id").as("node"))
+      GraphOps.kCore(GraphOps.syntheticEdges(nodes, n), k = 4, rounds = 5)
+        .select(col("node").as("doc_id"), col("deg"))
         .orderBy("doc_id")
     }),
     // Incremental aggregation maintenance: per-customer (count, sum)
@@ -2489,6 +2510,7 @@ object SparkEntry {
          |WHERE CAST(inter AS DOUBLE) / least(x.n, y.n) >= 0.8
          |ORDER BY coc.da, coc.db""".stripMargin,
     "q_simhash" -> SimhashOracle,
+    "q_simhash_pairs" -> SimhashPairsOracle,
     // identical by construction: the SQL-registered kernel must agree
     // with the DataFrame path bit for bit
     "q_sql_simhash" -> SimhashOracle,
@@ -3542,6 +3564,38 @@ object SparkEntry {
          |${round("l2", "l3")}
          |SELECT node AS doc_id, label AS community FROM l3
          |ORDER BY doc_id""".stripMargin
+    },
+    // k-core: unrolled synchronous peeling over the same synthetic
+    // graph — keep nodes of degree >= 4, restrict edges, repeat
+    "q_kcore" -> {
+      def round(prev: String, i: Int): String =
+        s"""kept$i AS MATERIALIZED (
+           |  SELECT node FROM $prev GROUP BY node HAVING count(*) >= 4),
+           |sym$i AS MATERIALIZED (
+           |  SELECT s.node, s.nbr FROM $prev s
+           |  JOIN kept$i a ON a.node = s.node
+           |  JOIN kept$i b ON b.node = s.nbr)""".stripMargin
+      s"""WITH p AS (SELECT count(*) AS n FROM documents),
+         |raw AS (
+         |  SELECT doc_id AS src, (doc_id + 1) % n AS dst FROM documents, p
+         |  UNION ALL SELECT doc_id, (doc_id * 2 + 3) % n FROM documents, p
+         |  UNION ALL SELECT doc_id, (doc_id * doc_id + 5) % n FROM documents, p
+         |),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM raw WHERE src <> dst
+         |),
+         |sym0 AS MATERIALIZED (
+         |  SELECT a AS node, b AS nbr FROM und
+         |  UNION ALL SELECT b AS node, a AS nbr FROM und
+         |),
+         |${round("sym0", 1)},
+         |${round("sym1", 2)},
+         |${round("sym2", 3)},
+         |${round("sym3", 4)},
+         |${round("sym4", 5)}
+         |SELECT node AS doc_id, count(*) AS deg FROM sym5
+         |GROUP BY node ORDER BY doc_id""".stripMargin
     },
     // incremental agg: the from-scratch aggregate of the new snapshot —
     // equality proves the engine's old+delta decimal algebra exact
@@ -4757,11 +4811,12 @@ object SparkEntry {
       |       round(stddev_pop(value), 4) AS std_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** Shared oracle for q_simhash / q_sql_simhash: bit-exact md5-derived
-    * SimHash reconstruction in pure SQL.
+  /** Shared signature CTE chain for the simhash oracle family:
+    * bit-exact md5-derived SimHash reconstruction in pure SQL,
+    * ending in `sigs(doc_id, sig)`.
     */
-  private val SimhashOracle: String =
-    """WITH toks AS (
+  private val SimhashSigsCte: String =
+    """toks AS (
       |  SELECT doc_id, t AS token, count(*) AS cnt FROM (
       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
       |    FROM documents) x
@@ -4773,10 +4828,28 @@ object SparkEntry {
       |  SELECT doc_id, i,
       |         sum(CASE WHEN (h >> CAST(i AS INTEGER)) & 1 = 1 THEN cnt ELSE -cnt END) AS w
       |  FROM hashed, range(60) r(i) GROUP BY doc_id, i
-      |)
-      |SELECT doc_id,
-      |       CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
-      |FROM bitw GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |), sigs AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM bitw GROUP BY doc_id
+      |)""".stripMargin
+
+  /** Shared oracle for q_simhash / q_sql_simhash. */
+  private val SimhashOracle: String =
+    s"WITH $SimhashSigsCte\nSELECT doc_id, sig FROM sigs ORDER BY doc_id"
+
+  /** Oracle for q_simhash_pairs: the QUADRATIC all-pairs Hamming scan
+    * the pigeonhole block join replaces — equality is a recall proof
+    * (pigeonhole completeness is structural, so any missing pair
+    * would hash-mismatch).
+    */
+  private val SimhashPairsOracle: String =
+    s"""WITH $SimhashSigsCte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       bit_count(xor(a.sig, b.sig)) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Shared oracle for q_sessionize / q_stream_sessionize: the
     * gaps-and-islands mirror of `session_window` (split strictly

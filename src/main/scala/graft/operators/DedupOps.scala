@@ -571,6 +571,44 @@ object DedupOps {
   /** Hamming distance between two simhash signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs via PIGEONHOLE BLOCKING (Manku, Jarlin &
+    * Sarma, WWW'07 — the web-crawl dedup construction): two
+    * signatures within `maxHamming` bits of each other must agree
+    * EXACTLY on at least one of `maxHamming + 1` disjoint bit blocks,
+    * so candidate generation is an equality self-join on
+    * (block index, block value) — never all-pairs. Candidates are
+    * deduped, then exact [[hamming]] filters false positives.
+    * Completeness is STRUCTURAL (pigeonhole), so hash-equality with
+    * the quadratic all-pairs oracle is a recall proof, not luck.
+    *
+    * Scale shape: one exchange keyed by (blk, bval). Block width
+    * bits/(maxHamming+1) bounds expected bucket size — 15-bit blocks
+    * put background collisions near n²·(h+1)/2^15 total, and AQE
+    * splits any hot bucket; nothing quadratic ever materializes
+    * unless the OUTPUT is (reference scale path: same role as the
+    * raised-r MinHash banding, DedupScaleScratch).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bits: Int = 60,
+      textCol: String = "text"): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(bits % nBlocks == 0, s"bits=$bits must split into $nBlocks equal blocks")
+    val blockBits = bits / nBlocks
+    val sigs = simhash(docs, bits, textCol)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
+      .withColumn("bval",
+        expr(s"shiftright(sig, cast(blk * $blockBits as int)) & ${(1L << blockBits) - 1}L"))
+    banded.alias("a").join(banded.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("__sa"), col("b.sig").as("__sb"))
+      .distinct()
+      .withColumn("hamming", hamming(col("__sa"), col("__sb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Connected components over a near-dup PAIR graph — the step that
     * turns pairwise `(da, db)` output ([[verifiedNearDups]],
     * [[ngramJaccardPairs]]) into what a dedup pipeline actually ships:

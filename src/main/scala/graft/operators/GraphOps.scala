@@ -329,6 +329,51 @@ object GraphOps {
     }
   }
 
+  /** k-core peeling (Seidman 1983): iteratively delete nodes of
+    * degree < k until only the k-core remains — the curation use is
+    * spam-farm / link-ring extraction (dense cores in a web graph)
+    * and robust-community seeding before label propagation.
+    *
+    * Runs a FIXED `rounds` of synchronous peeling (delete-all-then-
+    * recount, not sequential) so the computation is deterministic and
+    * oracle-unrollable; callers pick rounds ≥ the corpus' fixpoint
+    * (extra rounds are no-ops — GraphOpsSpec pins fixpoint+1 ≡
+    * fixpoint). Graph is projected to undirected SIMPLE form first
+    * (self-loops dropped, parallel edges deduped).
+    *
+    * Per round: one hash aggregate for degrees (map-side partials),
+    * then the edge list joins the kept-node set on EACH endpoint —
+    * kept is |V|-sized (one bigint column), so at web scale both
+    * joins broadcast-or-shuffle on the endpoint key; nothing is ever
+    * quadratic and no driver state exists. Edges re-checkpoint per
+    * round (plan truncation — the CC lesson).
+    *
+    * Output: (node, deg) for every node in the surviving subgraph —
+    * deg is the node's degree WITHIN the core, ≥ k at fixpoint.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    var sym = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint(false)
+    var r = 0
+    while (r < rounds) {
+      val kept = sym.groupBy("node").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("node")
+      sym = sym
+        .join(kept, "node")
+        .join(kept.withColumnRenamed("node", "nbr"), "nbr")
+        .select("node", "nbr")
+        .localCheckpoint(false)
+      r += 1
+    }
+    sym.groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
   private def pow60(base: Long, k: Int): Long = {
     var r = 1L
     var i = 0

@@ -80,6 +80,23 @@ class DedupOpsSpec extends SparkSpec {
     assert(ham.forall(_ <= 20), s"max hamming ${ham.max}")
   }
 
+  test("simhashPairs ≡ brute-force hamming join (pigeonhole completeness)") {
+    val docs = Tables.documents(spark, sf0)
+    val sig = DedupOps.simhash(docs)
+    val maxH = 3
+    val brute = sig.alias("a").join(sig.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        DedupOps.hamming(col("a.sig"), col("b.sig")).as("hamming"))
+      .filter(col("hamming") <= maxH)
+      .as[(Long, Long, Long)].collect().toSet
+    val got = DedupOps.simhashPairs(docs, maxHamming = maxH)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "corpus lost its planted near-dup structure")
+    assert(got == brute, s"pigeonhole=${got.size} brute=${brute.size}")
+    // every emitted pair respects the bound; pairs at maxH+1 are excluded
+    assert(got.forall(_._3 <= maxH))
+  }
+
   test("shingles handles docs shorter than n") {
     val docs = Seq((1L, "one two")).toDF("doc_id", "text")
     assert(DedupOps.shingled(docs, 3).count() == 0)

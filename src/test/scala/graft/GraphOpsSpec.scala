@@ -179,4 +179,38 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(re == got)
   }
+
+  test("kCore: pendant chain peels over multiple rounds, triangle survives at k=2") {
+    // triangle {1,2,3} + chain 3-4-5-6: each round peels only the
+    // current degree-1 tip, so the chain needs 3 rounds to vanish
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val r1 = GraphOps.kCore(edges, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1.keySet == Set(1L, 2L, 3L, 4L, 5L)) // only tip 6 gone
+    val r3 = GraphOps.kCore(edges, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L)) // the 2-core
+    // fixpoint: extra rounds are no-ops
+    val r4 = GraphOps.kCore(edges, k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r4 == r3)
+    // self-loops and parallel/reversed edges never inflate a degree
+    val noisy = edges.unionByName(
+      Seq((1L, 1L), (2L, 1L), (6L, 5L)).toDF("src", "dst"))
+    val rn = GraphOps.kCore(noisy, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(rn == r3)
+  }
+
+  test("kCore gate shape: rounds 5 is past fixpoint on the documents graph (k=4)") {
+    val docs = Tables.documents(spark, sf0)
+    val n = docs.agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0) + 1
+    val nodes = docs.select(col("doc_id").as("node"))
+    val e = GraphOps.syntheticEdges(nodes, n)
+    val r5 = GraphOps.kCore(e, k = 4, rounds = 5).as[(Long, Long)].collect().toSet
+    val r6 = GraphOps.kCore(e, k = 4, rounds = 6).as[(Long, Long)].collect().toSet
+    assert(r5 == r6, "gate rounds not past fixpoint")
+    assert(r5.nonEmpty && r5.forall(_._2 >= 4))
+  }
 }
