@@ -762,6 +762,15 @@ object SparkEntry {
       DataQualityOps.dpNoisyCounts(Tables.events(s, dir), "event_type",
           eps = 0.5, seed = "dp1")
         .orderBy("event_type")),
+    // k-anonymity release (Samarati/Sweeney suppression ladder):
+    // (nation, segment) groups of ≥ 5 customers release as-is;
+    // undersized groups generalize segment → 'ANY', then collapse to
+    // the fully-generalized bucket — every published row with a live
+    // quasi-identifier covers ≥ 5 individuals.
+    "q_kanon" -> ((s, dir) =>
+      DataQualityOps.kAnonymize(Tables.customer(s, dir),
+          col("c_nationkey"), col("c_mktsegment"), k = 5)
+        .orderBy("level", "q1", "q2")),
     // Multi-source BFS over the synthetic link graph: min hops from
     // the mod-97 seed set within 4 rounds; frontier-only joins, the
     // oracle unrolls the same recursion.
@@ -948,6 +957,18 @@ object SparkEntry {
     "q_naive_bayes" -> ((s, dir) =>
       TextOps.naiveBayes(Tables.documents(s, dir), labelCol = "lang", evalMod = 5)
         .orderBy("doc_id")),
+    // Feature selection for the curation classifiers: mutual
+    // information between doc-level token presence and the language
+    // label (IR §13.5.1). All-count probability ratios, 9-dp ln
+    // terms, decimal sums — ranking and values engine-exact; top-30
+    // rides TakeOrderedAndProject.
+    "q_mi_tokens" -> ((s, dir) =>
+      TextOps.tokenLabelMi(Tables.documents(s, dir), labelCol = "lang", k = 30)),
+    // GloVe/word2vec prep: windowed co-occurrence counts (offsets
+    // 1..3, map-only zip_with pair generation — no positional
+    // self-join) scored by PPMI against the pair-table marginals.
+    "q_cooccur" -> ((s, dir) =>
+      TextOps.windowedCooccur(Tables.documents(s, dir), window = 3, minCount = 5)),
     // Link-graph centrality (web-crawl quality prior): PageRank with
     // damping 0.85 over a deterministic synthetic crawl graph (dense
     // doc ids, fixed out-degree 3, skewed in-degrees). Scaled-INTEGER
@@ -2847,6 +2868,66 @@ object SparkEntry {
          |               / count(*), 6) AS avg_nll
          |  FROM terms GROUP BY doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // token-presence × language MI: exact-count ratios, 9-dp ln
+    // terms (one double division of int64 products), decimal sums
+    "q_mi_tokens" ->
+      """WITH ws AS (
+        |  SELECT lang AS label,
+        |         list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ws
+        |  FROM documents
+        |), pres AS (SELECT label, unnest(ws) AS token FROM ws),
+        |a AS (SELECT token, label, count(*) AS a FROM pres GROUP BY 1, 2),
+        |ta AS (SELECT token, sum(a) AS ta FROM a GROUP BY 1),
+        |nc AS (SELECT lang AS label, count(*) AS nc FROM documents GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |grid AS (
+        |  SELECT t.token, c.label, coalesce(a.a, 0) AS a, t.ta, c.nc, n.n
+        |  FROM ta t CROSS JOIN nc c CROSS JOIN n
+        |  LEFT JOIN a ON a.token = t.token AND a.label = c.label
+        |), terms AS (
+        |  SELECT token,
+        |    CASE WHEN a > 0
+        |         THEN round((CAST(a AS DOUBLE) / n)
+        |              * ln(CAST(a * n AS DOUBLE) / (ta * nc)), 9)
+        |         ELSE 0.0 END AS t1,
+        |    CASE WHEN nc - a > 0
+        |         THEN round((CAST(nc - a AS DOUBLE) / n)
+        |              * ln(CAST((nc - a) * n AS DOUBLE) / ((n - ta) * nc)), 9)
+        |         ELSE 0.0 END AS t0
+        |  FROM grid
+        |)
+        |SELECT token,
+        |       round(CAST(sum(CAST(t1 AS DECIMAL(28,12))
+        |                      + CAST(t0 AS DECIMAL(28,12))) AS DOUBLE), 6) AS mi
+        |FROM terms GROUP BY token
+        |ORDER BY mi DESC, token LIMIT 30""".stripMargin,
+    // windowed co-occurrence + PPMI: pairs from the positional arrays
+    // (offsets 1..3), marginals from the pair table itself, single
+    // 9-dp ln term clamped at 0
+    "q_cooccur" ->
+      """WITH toks AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+        |), big AS (
+        |  SELECT least(ws[i], ws[i + d]) AS w1, greatest(ws[i], ws[i + d]) AS w2
+        |  FROM toks,
+        |       LATERAL unnest(generate_series(1, len(ws) - 1)) g(i),
+        |       LATERAL unnest(generate_series(1, 3)) dd(d)
+        |  WHERE i + d <= len(ws)
+        |), cab AS (SELECT w1, w2, count(*) AS n_ab FROM big GROUP BY 1, 2),
+        |tot AS (SELECT sum(n_ab) AS t FROM cab),
+        |marg AS (
+        |  SELECT w, sum(n_ab) AS m FROM (
+        |    SELECT w1 AS w, n_ab FROM cab
+        |    UNION ALL SELECT w2, n_ab FROM cab) GROUP BY w
+        |)
+        |SELECT w1, w2, n_ab,
+        |       round(greatest(0.0,
+        |         round(ln(CAST(n_ab * tot.t AS DOUBLE) / (m1.m * m2.m)), 9)), 6) AS ppmi
+        |FROM cab CROSS JOIN tot
+        |JOIN marg m1 ON m1.w = w1
+        |JOIN marg m2 ON m2.w = w2
+        |WHERE n_ab >= 5
+        |ORDER BY w1, w2""".stripMargin,
     // NB replay: same counts, same 9-dp ln terms, same decimal sums;
     // argmax by row_number over the exact decimal score
     "q_naive_bayes" ->
@@ -3567,6 +3648,24 @@ object SparkEntry {
     },
     // k-core: unrolled synchronous peeling over the same synthetic
     // graph — keep nodes of degree >= 4, restrict edges, repeat
+    // k-anonymity ladder replay: level-0 groups ≥ 5 as-is, residue
+    // generalizes segment then collapses to the ('ANY','ANY') bucket
+    "q_kanon" ->
+      """WITH g0 AS (
+        |  SELECT CAST(c_nationkey AS VARCHAR) AS q1, c_mktsegment AS q2,
+        |         count(*) AS n
+        |  FROM customer GROUP BY 1, 2
+        |), g1 AS (
+        |  SELECT q1, CAST(sum(n) AS BIGINT) AS n FROM g0 WHERE n < 5 GROUP BY q1
+        |), rel2 AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n FROM g1 WHERE n < 5
+        |)
+        |SELECT q1, q2, n, 0 AS level FROM g0 WHERE n >= 5
+        |UNION ALL
+        |SELECT q1, 'ANY', n, 1 FROM g1 WHERE n >= 5
+        |UNION ALL
+        |SELECT 'ANY', 'ANY', n, 2 FROM rel2 WHERE n IS NOT NULL
+        |ORDER BY level, q1, q2""".stripMargin,
     "q_kcore" -> {
       def round(prev: String, i: Int): String =
         s"""kept$i AS MATERIALIZED (

@@ -142,6 +142,39 @@ object DataQualityOps {
     * rows-per-key. One key-keyed aggregate reduces the corpus; the
     * top-k rides TakeOrdered on the key table; totals broadcast.
     */
+  /** k-anonymity release via a fixed GENERALIZATION LADDER (the
+    * Samarati/Sweeney suppression scheme, Mondrian-lite): group rows
+    * by the full quasi-identifier pair (q1, q2); groups of size ≥ k
+    * release as-is (level 0). Undersized groups generalize q2 → 'ANY'
+    * and re-group by q1 alone (level 1); still-undersized residue
+    * collapses to the fully-generalized ('ANY', 'ANY') bucket
+    * (level 2, released whatever its size — it carries no
+    * quasi-identifier). Release guarantee: every published row with a
+    * live quasi-identifier aggregates ≥ k individuals.
+    *
+    * Three hash aggregates, each over the PREVIOUS level's group
+    * table (≤ |q1×q2| rows — group-space-, not corpus-sized), so
+    * cost after the first aggregate is independent of row count; no
+    * driver state. Output: (q1, q2, n, level) with generalized cells
+    * as the literal 'ANY'.
+    */
+  def kAnonymize(df: DataFrame, q1: Column, q2: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val g0 = df.groupBy(q1.cast("string").as("q1"), q2.cast("string").as("q2"))
+      .agg(count(lit(1)).as("n"))
+    val rel0 = g0.filter(col("n") >= k)
+      .select(col("q1"), col("q2"), col("n"), lit(0).as("level"))
+    val g1 = g0.filter(col("n") < k)
+      .groupBy("q1").agg(sum("n").as("n"))
+    val rel1 = g1.filter(col("n") >= k)
+      .select(col("q1"), lit("ANY").as("q2"), col("n"), lit(1).as("level"))
+    val rel2 = g1.filter(col("n") < k)
+      .agg(sum("n").as("n")).filter(col("n").isNotNull)
+      .select(lit("ANY").as("q1"), lit("ANY").as("q2"), col("n"),
+        lit(2).as("level"))
+    rel0.unionByName(rel1).unionByName(rel2)
+  }
+
   def skewReport(df: DataFrame, key: Column, k: Int): DataFrame = {
     val counts = df.select(key.as("key")).groupBy("key")
       .agg(count(lit(1)).as("n"))

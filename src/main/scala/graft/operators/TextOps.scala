@@ -702,4 +702,94 @@ object TextOps {
         (col("c") === col("true_label")).as("correct"),
         round(col("__score").cast("double"), 6).as("logp"))
   }
+
+  /** Mutual information between token PRESENCE and a document label
+    * (the discrete feature-selection MI of Manning, Raghavan &
+    * Schütze IR §13.5.1): for each vocabulary token w,
+    * MI(w; C) = Σ_{e∈{0,1}} Σ_c P(e, c)·ln(P(e, c) / (P(e)·P(c)))
+    * over the doc-level presence indicator. Curation use: pick the
+    * token features that actually separate languages/sources BEFORE
+    * training a classifier (the q_naive_bayes / q_logreg_gd inputs).
+    *
+    * Every probability is an exact integer-count ratio; each of the
+    * ≤ 2·|C| ln terms is one double division of exact int64 products
+    * rounded at 9 dp (the libm rule), then decimal-summed — ranking
+    * AND values are engine-exact. Shapes: presence is an
+    * array_distinct explode (one shuffle keyed by (token, label));
+    * the |C|-row class table broadcasts; the presence/absence grid
+    * join is vocab-keyed; top-k rides TakeOrderedAndProject.
+    * CONTRACT: N·max(tokTot·n_c) < 2⁶³ — holds to ~3e9 docs.
+    */
+  def tokenLabelMi(docs: DataFrame, labelCol: String = "lang", k: Int = 30,
+      textCol: String = "text"): DataFrame = {
+    val ws = graft.PlanUtils.spread(
+        docs.select(col("doc_id"), col(labelCol).as("label"), col(textCol)))
+      .select(col("label"),
+        array_distinct(DedupOps.words(col(textCol))).as("__ws"))
+    val pres = ws.select(col("label"), explode(col("__ws")).as("token"))
+    val a = pres.groupBy("token", "label").agg(count(lit(1)).as("__a"))
+    val tokTot = a.groupBy("token").agg(sum("__a").as("__ta"))
+    val classTot = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("__nc"))
+    val nTot = docs.agg(count(lit(1)).as("__n"))
+    def term(cnt: Column, rowTot: Column): Column =
+      when(cnt > 0,
+        round((cnt.cast("double") / col("__n")) *
+          log((cnt * col("__n")).cast("double") / (rowTot * col("__nc"))), 9))
+        .otherwise(lit(0.0))
+    tokTot.crossJoin(broadcast(classTot).crossJoin(nTot))
+      .join(a, Seq("token", "label"), "left")
+      .withColumn("__a", coalesce(col("__a"), lit(0L)))
+      .select(col("token"),
+        term(col("__a"), col("__ta")).cast("decimal(28,12)").as("__t1"),
+        term(col("__nc") - col("__a"), col("__n") - col("__ta"))
+          .cast("decimal(28,12)").as("__t0"))
+      .groupBy("token")
+      .agg(sum(col("__t1") + col("__t0")).as("__mi"))
+      .select(col("token"), round(col("__mi").cast("double"), 6).as("mi"))
+      .orderBy(col("mi").desc, col("token"))
+      .limit(k)
+  }
+
+  /** Windowed token co-occurrence counts + PPMI — the GloVe /
+    * word2vec training-data primitive: every unordered token pair
+    * within `window` positions of each other, scored by positive
+    * pointwise mutual information against the pair-table marginals.
+    *
+    * Pair generation is MAP-ONLY — no positional self-join: for each
+    * offset d ∈ [1, window] the words array zips with its d-shifted
+    * self (`zip_with` over two `slice`s), so the only wide op is the
+    * count aggregate keyed by (w1, w2) — the shape that survives a
+    * 100 TB corpus (pair key space is vocab-bounded, map-side
+    * partials absorb the per-doc fan-out). PPMI's single ln term is
+    * one double division of exact int64 counts, rounded 9 dp then
+    * clamped at 0 and published at 6 dp — engine-exact.
+    */
+  def windowedCooccur(docs: DataFrame, window: Int = 3, minCount: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val pairs = graft.PlanUtils.spread(docs.select(col(textCol)))
+      .select(DedupOps.words(col(textCol)).as("__ws"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, $window), d ->
+           |  zip_with(slice(__ws, 1, greatest(size(__ws) - d, 0)),
+           |           slice(__ws, 1 + d, greatest(size(__ws) - d, 0)),
+           |           (x, y) -> struct(least(x, y) AS w1, greatest(x, y) AS w2))))"""
+          .stripMargin)).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val cab = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val tot = cab.agg(sum("n_ab").as("__t"))
+    val marg = cab.select(col("w1").as("w"), col("n_ab"))
+      .unionByName(cab.select(col("w2").as("w"), col("n_ab")))
+      .groupBy("w").agg(sum("n_ab").as("__m"))
+    cab.filter(col("n_ab") >= minCount)
+      .crossJoin(tot)
+      .join(marg.select(col("w").as("w1"), col("__m").as("__m1")), "w1")
+      .join(marg.select(col("w").as("w2"), col("__m").as("__m2")), "w2")
+      .select(col("w1"), col("w2"), col("n_ab"),
+        round(greatest(lit(0.0),
+          round(log((col("n_ab") * col("__t")).cast("double")
+            / (col("__m1") * col("__m2"))), 9)), 6).as("ppmi"))
+      .orderBy("w1", "w2")
+  }
 }

@@ -332,4 +332,26 @@ class RelationalOpsSpec extends SparkSpec {
     }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
     assert(got == expected && got.nonEmpty)
   }
+
+  test("kAnonymize: ladder releases, generalizes, collapses; k honored") {
+    // (n1,SEG_A):2 + (n1,SEG_B):2 (each < 3) -> level-1 n1:4 released
+    // (n2,SEG_A):1 -> falls through to the ('ANY','ANY') bucket
+    // (n3,SEG_A):4 -> level-0 released with k=3
+    val rows = Seq.fill(2)((1, "SEG_A")) ++ Seq.fill(2)((1, "SEG_B")) ++
+      Seq((2, "SEG_A")) ++ Seq.fill(4)((3, "SEG_A"))
+    val df = rows.toDF("nat", "seg")
+    val got = DataQualityOps.kAnonymize(df, col("nat"), col("seg"), k = 3)
+      .as[(String, String, Long, Int)].collect().toSet
+    assert(got == Set(
+      ("3", "SEG_A", 4L, 0),
+      ("1", "ANY", 4L, 1),
+      ("ANY", "ANY", 1L, 2)))
+    // every released row with a live quasi-identifier covers >= k
+    assert(got.filter(_._4 < 2).forall(_._3 >= 3))
+    // all-released corpus: no generalized rows at all
+    val clean = Seq.fill(3)((1, "SEG_A")).toDF("nat", "seg")
+    val g2 = DataQualityOps.kAnonymize(clean, col("nat"), col("seg"), k = 3)
+      .as[(String, String, Long, Int)].collect().toSet
+    assert(g2 == Set(("1", "SEG_A", 3L, 0)))
+  }
 }

@@ -201,4 +201,44 @@ class TextOpsSpec extends SparkSpec {
       (0L, 2L, 0L, 1L, 1L, d0),
       (5L, 2L, 2L, 0L, 0L, d5)))
   }
+
+  test("tokenLabelMi: separating token maxes MI, uniform token scores 0") {
+    // 4 docs, 2 classes: "alpha" appears exactly in class a docs
+    // (perfect separator), "common" in all docs (zero information)
+    val docs = Seq(
+      (0L, "alpha common", "a"), (1L, "alpha common", "a"),
+      (2L, "beta common", "b"), (3L, "gamma common", "b"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextOps.tokenLabelMi(docs, labelCol = "lang", k = 10)
+      .as[(String, Double)].collect().toMap
+    // perfect separator: MI = H(C) = ln 2 (two equal classes)
+    def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln2Term = r9(0.5 * math.log(2.0))
+    assert(got("alpha") == r6(ln2Term + ln2Term))
+    assert(got("common") == 0.0)
+    // half-separator beta: present in 1 of 4 docs, all class b
+    assert(got("beta") > 0.0 && got("beta") < got("alpha"))
+  }
+
+  test("windowedCooccur: window semantics, unordered pairs, marginal PPMI") {
+    // one doc "x y z x": window 2 pairs (offsets 1,2):
+    //  d=1: (x,y) (y,z) (x,z)  d=2: (x,z) (x,y)  -> (x,y):2 (x,z):2 (y,z):1
+    val docs = Seq((0L, "x y z x")).toDF("doc_id", "text")
+    val got = TextOps.windowedCooccur(docs, window = 2, minCount = 1)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    assert(got.keySet == Set(("x", "y"), ("x", "z"), ("y", "z")))
+    assert(got(("x", "y"))._1 == 2L && got(("x", "z"))._1 == 2L && got(("y", "z"))._1 == 1L)
+    // ppmi replay: t=5; m(x)=4, m(y)=3, m(z)=3
+    def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("y", "z"))._2 == r6(math.max(0.0, r9(math.log(1.0 * 5 / (3 * 3))))))
+    assert(got(("x", "y"))._2 == r6(math.max(0.0, r9(math.log(2.0 * 5 / (4 * 3))))))
+    // minCount filters the singleton pair but keeps its mass in marginals
+    val filtered = TextOps.windowedCooccur(docs, window = 2, minCount = 2)
+      .as[(String, String, Long, Double)].collect()
+    assert(filtered.map(r => (r._1, r._2)).toSet == Set(("x", "y"), ("x", "z")))
+    assert(filtered.find(r => (r._1, r._2) == (("x", "y"))).get._4 == got(("x", "y"))._2)
+  }
 }
