@@ -201,6 +201,13 @@ object SparkEntry {
       CFOps.recommend(Ratings.dedupedByItem(s, dir), CfTargets)
         .select(col("t_item"), col("user_id"), round(col("pred"), 4).as("pred"))
         .orderBy("t_item", "user_id")),
+    // One ALS alternation at rank 2 (MLlib's recsys inner step):
+    // deterministic item-factor seed grid, per-user ridge normal
+    // equations solved closed-form. Int64-exact accumulators make the
+    // pre-rounding doubles bit-identical across engines.
+    "q_als_round" -> ((s, dir) =>
+      CFOps.alsUserFactors(Ratings.deduped(s, dir), lambda = 0.1)
+        .orderBy("user_id")),
     // Training-data pipeline: exact dedup keep-list.
     "q_exact_dedup" -> ((s, dir) =>
       DedupOps.exactDedup(Tables.documents(s, dir)).orderBy("rep_doc_id")),
@@ -2365,6 +2372,35 @@ object SparkEntry {
          |$CfCte
          |SELECT t_item, item_id, round(sim, 6) AS sim, n_common
          |FROM nbrs ORDER BY t_item, item_id""".stripMargin,
+    // ALS: same int64 normal-equation sums (DuckDB sum → HUGEINT, so
+    // CAST to BIGINT), same double Cramer solve, 6-dp publish
+    "q_als_round" ->
+      s"""WITH ${Ratings.OracleDedupCte},
+         |f AS (
+         |  SELECT user_id, rating,
+         |         10 + item_id % 7 AS i1, 5 + item_id % 11 AS i2
+         |  FROM ratings
+         |), s AS (
+         |  SELECT user_id, count(*) AS n_items,
+         |         CAST(sum(i1 * i1) AS BIGINT) AS s11,
+         |         CAST(sum(i1 * i2) AS BIGINT) AS s12,
+         |         CAST(sum(i2 * i2) AS BIGINT) AS s22,
+         |         CAST(sum(rating * i1) AS BIGINT) AS t1,
+         |         CAST(sum(rating * i2) AS BIGINT) AS t2
+         |  FROM f GROUP BY user_id
+         |), m AS (
+         |  SELECT user_id, n_items,
+         |         CAST(s11 AS DOUBLE) / 100.0 + 0.1 AS a11,
+         |         CAST(s12 AS DOUBLE) / 100.0 AS a12,
+         |         CAST(s22 AS DOUBLE) / 100.0 + 0.1 AS a22,
+         |         CAST(t1 AS DOUBLE) / 10.0 AS b1,
+         |         CAST(t2 AS DOUBLE) / 10.0 AS b2
+         |  FROM s
+         |)
+         |SELECT user_id, n_items,
+         |       round((a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12), 6) + 0.0 AS x1,
+         |       round((a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12), 6) + 0.0 AS x2
+         |FROM m ORDER BY user_id""".stripMargin,
     "q_cf_recommend" ->
       s"""WITH ${Ratings.OracleDedupCte},
          |$CfCte,

@@ -246,4 +246,52 @@ object CFOps {
       .filter(col("pred") > 0)
       .select("t_item", "user_id", "pred")
   }
+
+  /** One ALS alternation (Hu, Koren & Volinsky 2008 — the inner step
+    * of Spark MLlib's ALS training loop) at rank 2: item factors are
+    * a deterministic arithmetic seed grid over item_id (exactly the
+    * role of the random init in round 0 of real training), and each
+    * user's factor vector solves the per-user RIDGE normal equations
+    * (Σ fᵢfᵢᵀ + λI)·x = Σ rᵤᵢfᵢ in closed 2×2 form.
+    *
+    * Engine-exactness: factors are integer grids i/10, so every
+    * accumulator is an EXACT int64 sum (Σi₁², Σi₁i₂, Σi₂², Σr·i₁,
+    * Σr·i₂ — order-independent, overflow-safe to ~10⁹ ratings per
+    * user); the double arithmetic (scale by 100/10, +λ, Cramer solve)
+    * happens on identical inputs in both engines, so x is
+    * bit-identical before the published 6-dp rounding. λ > 0 makes
+    * the normal matrix positive-definite — single-item users solve
+    * fine.
+    *
+    * Scale shape: factors DERIVE from item_id (no factor-table join
+    * this round — production iterations would join the previous
+    * round's materialized factors, an item-keyed shuffle); the only
+    * wide op is ONE user-keyed hash aggregate with map-side partials;
+    * the solve is a map-only projection. This is exactly the
+    * "aggregate normal equations, solve tiny dense system per key"
+    * plan MLlib's ALS runs at cluster scale.
+    */
+  def alsUserFactors(ratings: DataFrame, lambda: Double = 0.1): DataFrame = {
+    require(lambda > 0, "ridge lambda must be > 0 (PD normal matrix)")
+    val i1 = lit(10L) + pmod(col("item_id"), lit(7L))
+    val i2 = lit(5L) + pmod(col("item_id"), lit(11L))
+    val sums = ratings
+      .select(col("user_id"), col("rating"), i1.as("__i1"), i2.as("__i2"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("__i1") * col("__i1")).as("__s11"),
+        sum(col("__i1") * col("__i2")).as("__s12"),
+        sum(col("__i2") * col("__i2")).as("__s22"),
+        sum(col("rating") * col("__i1")).as("__t1"),
+        sum(col("rating") * col("__i2")).as("__t2"))
+    val a11 = col("__s11").cast("double") / 100.0 + lambda
+    val a12 = col("__s12").cast("double") / 100.0
+    val a22 = col("__s22").cast("double") / 100.0 + lambda
+    val b1 = col("__t1").cast("double") / 10.0
+    val b2 = col("__t2").cast("double") / 10.0
+    val det = a11 * a22 - a12 * a12
+    sums.select(col("user_id"), col("n_items"),
+      (round((a22 * b1 - a12 * b2) / det, 6) + 0.0).as("x1"),
+      (round((a11 * b2 - a12 * b1) / det, 6) + 0.0).as("x2"))
+  }
 }

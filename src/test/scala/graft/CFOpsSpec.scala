@@ -86,4 +86,40 @@ class CFOpsSpec extends SparkSpec {
     val f = CFOps.supportFiltered(r, p)
     assert(f.select("user_id").distinct().as[Long].collect().toSet == Set(1L, 2L))
   }
+
+  test("alsUserFactors: closed-form 2x2 matches an independent Breeze ridge solve") {
+    val ratings = Seq(
+      (1L, 3L, 5L), (1L, 8L, 2L), (1L, 13L, 4L),   // 3-item user
+      (2L, 21L, 1L),                               // single-item user (ridge only)
+      (3L, 3L, 3L), (3L, 21L, 3L))
+      .toDF("user_id", "item_id", "rating")
+    val got = CFOps.alsUserFactors(ratings, lambda = 0.1)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    def expect(rs: Seq[(Long, Long)]): (Double, Double) = {
+      val a = DenseMatrix.zeros[Double](2, 2)
+      val b = DenseVector.zeros[Double](2)
+      rs.foreach { case (item, r) =>
+        val f = DenseVector((10 + item % 7) / 10.0, (5 + item % 11) / 10.0)
+        a += f * f.t; b += f * r.toDouble
+      }
+      a += DenseMatrix.eye[Double](2) * 0.1
+      val x = a \ b
+      (x(0), x(1))
+    }
+    for ((u, rs) <- Seq(1L -> Seq((3L, 5L), (8L, 2L), (13L, 4L)),
+        2L -> Seq((21L, 1L)), 3L -> Seq((3L, 3L), (21L, 3L)))) {
+      val (x1, x2) = expect(rs)
+      val (n, g1, g2) = got(u)
+      assert(n == rs.size)
+      assert(math.abs(g1 - x1) < 1e-5 && math.abs(g2 - x2) < 1e-5,
+        s"user $u: ($g1,$g2) vs breeze ($x1,$x2)")
+    }
+    // residual check: predictions A·x stay near the ratings for the
+    // consistent user (ridge shrinks, but not wildly)
+    val (_, x1, x2) = got(3L)
+    val pred3 = ((10 + 3 % 7) / 10.0) * x1 + ((5 + 3 % 11) / 10.0) * x2
+    assert(math.abs(pred3 - 3.0) < 1.0)
+  }
 }
