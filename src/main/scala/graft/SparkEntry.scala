@@ -1544,6 +1544,19 @@ object SparkEntry {
           MultimodalOps.syntheticImageMeta(Tables.documents(s, dir))))
         .toDF()
         .orderBy("media_id")),
+    // Multimodal near-dup: perceptual average-hash over the DECODED
+    // PNGs (integer-exact 8×7 cell grid, 56-bit signature) paired via
+    // the same pigeonhole block join as q_simhash_pairs. The oracle
+    // recomputes the hash codec-free from the pixel formula and runs
+    // the quadratic all-pairs scan — green proves the codec round
+    // trip AND pigeonhole completeness in one gate.
+    "q_mm_phash" -> ((s, dir) => {
+      val sigs = MultimodalOps.pngAHash(MultimodalOps.encodePng(
+          MultimodalOps.syntheticImageMeta(Tables.documents(s, dir))))
+        .toDF().select(col("media_id").as("id"), col("sig"))
+      DedupOps.hammingPairs(sigs, maxHamming = 3, bits = 56)
+        .orderBy("id_a", "id_b")
+    }),
     // Multimodal: the LOSSY codec tier — real JPEG encode (explicit
     // quality) + decode, certified by |decoded mean - exact mean| <=
     // tol per channel; published sums are the exact (oracle-
@@ -4042,6 +4055,42 @@ object SparkEntry {
         |WHERE x < w AND y < h
         |GROUP BY media_id, w, h
         |ORDER BY media_id""".stripMargin,
+    // perceptual-hash pairs: hash recomputed codec-free from the pixel
+    // formula (integer cross-multiplied cell bits), quadratic
+    // all-pairs Hamming scan — equality proves codec losslessness AND
+    // pigeonhole completeness
+    "q_mm_phash" ->
+      """WITH meta AS (
+        |  SELECT doc_id AS media_id,
+        |         8 + (doc_id % 25) AS w, 8 + ((doc_id * 7) % 25) AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT media_id, w, h, (y * 7) // h AS cy, (x * 8) // w AS cx,
+        |         (7*x + 3*y + media_id % 256) % 256
+        |           + (5*x + 11*y + 2*(media_id % 256)) % 256
+        |           + (13*x + 17*y + 3*(media_id % 256)) % 256 AS l
+        |  FROM meta CROSS JOIN range(33) xs(x) CROSS JOIN range(33) ys(y)
+        |  WHERE x < w AND y < h
+        |), cells AS (
+        |  SELECT media_id, cy * 8 + cx AS c,
+        |         CAST(sum(l) AS BIGINT) AS cs, count(*) AS cn
+        |  FROM px GROUP BY media_id, cy, cx
+        |), tots AS (
+        |  SELECT media_id, CAST(sum(cs) AS BIGINT) AS tot,
+        |         CAST(sum(cn) AS BIGINT) AS n
+        |  FROM cells GROUP BY media_id
+        |), sigs AS (
+        |  SELECT c.media_id AS id,
+        |         CAST(sum(CASE WHEN cs * t.n > t.tot * cn
+        |                       THEN (1::BIGINT << CAST(c AS INTEGER))
+        |                       ELSE 0 END) AS BIGINT) AS sig
+        |  FROM cells c JOIN tots t USING (media_id) GROUP BY c.media_id
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       bit_count(xor(a.sig, b.sig)) AS hamming
+        |FROM sigs a JOIN sigs b ON a.id < b.id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // lossy tier: exact sums recomputed codec-free; TRUE = the decoded
     // means sat within tolerance (the certificate gate construction)
     "q_mm_jpeg" ->

@@ -589,19 +589,31 @@ object DedupOps {
     * raised-r MinHash banding, DedupScaleScratch).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bits: Int = 60,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    hammingPairs(simhash(docs, bits, textCol)
+      .select(col("doc_id").as("id"), col("sig")), maxHamming, bits)
+
+  /** The pigeonhole block join behind [[simhashPairs]], generic over
+    * ANY (id, sig) signature table — SimHash text fingerprints,
+    * perceptual image hashes ([[MultimodalOps.pngAHash]]), audio
+    * chromaprints. `bits` must be positive-BIGINT-safe (≤ 63) and
+    * divide into `maxHamming + 1` equal blocks. One exchange keyed by
+    * (blk, bval); emits (id_a, id_b, hamming) with hamming ≤
+    * `maxHamming`, complete by the pigeonhole principle.
+    */
+  def hammingPairs(sigs: DataFrame, maxHamming: Int, bits: Int): DataFrame = {
     val nBlocks = maxHamming + 1
+    require(bits > 0 && bits < 64, s"bits=$bits must fit a positive BIGINT")
     require(bits % nBlocks == 0, s"bits=$bits must split into $nBlocks equal blocks")
     val blockBits = bits / nBlocks
-    val sigs = simhash(docs, bits, textCol)
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val banded = sigs.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
       .withColumn("bval",
         expr(s"shiftright(sig, cast(blk * $blockBits as int)) & ${(1L << blockBits) - 1}L"))
     banded.alias("a").join(banded.alias("b"),
         col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("__sa"), col("b.sig").as("__sb"))
       .distinct()
       .withColumn("hamming", hamming(col("__sa"), col("__sb")))

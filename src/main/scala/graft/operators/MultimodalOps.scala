@@ -361,6 +361,61 @@ object MultimodalOps {
     }
   }
 
+  case class ImageHash(media_id: Long, sig: Long)
+
+  /** Average-hash perceptual fingerprint (aHash — the pHash family's
+    * integer-exact member; Niu & Jiao 2008 survey) over the DECODED
+    * image: per-pixel luminance l = r + g + b, an 8×7 cell grid via
+    * integer floor mapping (cx = x·8/w, cy = y·7/h — w, h ≥ 8 ⇒ no
+    * empty cells), and bit cy·8+cx set iff
+    * cell_sum · n_px > total_sum · cell_n — an exact int64
+    * cross-multiplication, no float mean, so the hash is bit-portable
+    * to any engine. 56 bits keep the packed signature a positive
+    * BIGINT everywhere (DuckDB errors on 1 << 63). Near-dup images
+    * (re-encodes, small edits) land within a few bits; pair them with
+    * [[DedupOps.hammingPairs]] — the image-dedup stage of a
+    * multimodal training pipeline. Overflow-safe to ~40-megapixel
+    * frames (cell_sum·n ≤ 765·n²/56 < 2⁶³).
+    *
+    * Same per-partition codec-session shape as [[decodePngStats]]:
+    * decode once, reduce to one row — map-only, scan-parallel.
+    */
+  def pngAHash(imgs: Dataset[EncodedImage],
+      codec: MediaCodec = PngCodec): Dataset[ImageHash] = {
+    val spark = imgs.sparkSession
+    import spark.implicits._
+    imgs.mapPartitions { rows =>
+      val s = codec.open()
+      rows.map { e =>
+        val raw = s.decode(e.png)
+        val w = raw.width; val h = raw.height
+        val r = raw.planes(0); val g = raw.planes(1); val b = raw.planes(2)
+        val cell = new Array[Long](56); val cnt = new Array[Long](56)
+        var tot = 0L
+        var y = 0
+        while (y < h) {
+          val cy = y * 7 / h
+          var x = 0
+          while (x < w) {
+            val c = cy * 8 + x * 8 / w
+            val l = (r(y * w + x) + g(y * w + x) + b(y * w + x)).toLong
+            cell(c) += l; cnt(c) += 1; tot += l
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var sig = 0L
+        var c = 0
+        while (c < 56) {
+          if (cell(c) * n > tot * cnt(c)) sig |= 1L << c
+          c += 1
+        }
+        ImageHash(e.media_id, sig)
+      }
+    }
+  }
+
   // -------------------------------------------------------------------
   // Real codec path #1b: JPEG — the LOSSY tier. PNG/WAV prove
   // bit-lossless round trips; a production corpus's dominant image

@@ -251,4 +251,25 @@ class MultimodalOpsSpec extends SparkSpec {
     val n = one.getAs[Int]("n_frames")
     assert(one.getSeq[Int](2).sorted.toList == (0 until n by 7).toList)
   }
+
+  test("pngAHash: codec-invariant, same-pattern images collide, pigeonhole ≡ brute force") {
+    val imgs = MultimodalOps.encodePng(MultimodalOps.syntheticImageMeta(docs))
+    val sigs = MultimodalOps.pngAHash(imgs).collect().map(h => h.media_id -> h.sig).toMap
+    // identical pattern (same id) re-encoded hashes identically
+    val again = MultimodalOps.pngAHash(
+      MultimodalOps.encodePng(MultimodalOps.syntheticImageMeta(docs)))
+      .collect().map(h => h.media_id -> h.sig).toMap
+    assert(sigs == again)
+    // 56-bit contract: every signature is a positive BIGINT
+    assert(sigs.values.forall(s => s >= 0 && (s >> 56) == 0))
+    // pigeonhole pair join equals the brute-force hamming scan
+    val brute = (for {
+      (a, sa) <- sigs.toSeq; (b, sb) <- sigs.toSeq if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val sigDf = sigs.toSeq.toDF("id", "sig")
+    val got = graft.operators.DedupOps.hammingPairs(sigDf, maxHamming = 3, bits = 56)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(brute.nonEmpty && got == brute)
+  }
 }
