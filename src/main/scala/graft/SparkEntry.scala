@@ -1781,6 +1781,14 @@ object SparkEntry {
         .select(col("coef"), round(col("value"), 6).as("value"))
         .orderBy("coef")
     }),
+    // Experimentation: pooled two-proportion A/B z-test per event
+    // type — variant = user_id mod 2, success = value > 50. Corpus →
+    // one group-keyed aggregate of four exact int64 counters; the z
+    // dag is fixed IEEE double ops, bit-identical across engines.
+    "q_ab_test" -> ((s, dir) =>
+      EvalOps.abTest(Tables.events(s, dir), col("event_type"),
+          col("user_id"), col("value") > 50.0)
+        .orderBy("grp")),
     // Classifier evaluation: exact tie-aware ROC curve + AUC (Mann–
     // Whitney rank-sum, BIGINT mid-ranks) of the doc-length score
     // against the en label. Corpus → ONE score-keyed aggregate; every
@@ -4376,6 +4384,37 @@ object SparkEntry {
          |ORDER BY d.eval_id, d.train_id""".stripMargin,
     // tie-aware Mann–Whitney AUC replay: BIGINT mid-rank arithmetic,
     // one final exact-int division per published rate
+    // A/B replay: same four counters, same pooled-z double dag;
+    // DuckDB sums CAST to BIGINT, flag decided on the published z
+    "q_ab_test" ->
+      """WITH c AS (
+        |  SELECT event_type AS grp, user_id % 2 AS v,
+        |         CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS s
+        |  FROM events
+        |), agg AS (
+        |  SELECT grp,
+        |         CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |         CAST(sum(CASE WHEN v = 0 THEN s ELSE 0 END) AS BIGINT) AS s0,
+        |         CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN v = 1 THEN s ELSE 0 END) AS BIGINT) AS s1
+        |  FROM c GROUP BY grp
+        |), m AS (
+        |  SELECT grp, n0, s0, n1, s1,
+        |         CAST(s0 AS DOUBLE) / n0 AS p0, CAST(s1 AS DOUBLE) / n1 AS p1,
+        |         CAST(s0 + s1 AS DOUBLE) / (n0 + n1) AS pp
+        |  FROM agg
+        |), z AS (
+        |  SELECT grp, n0, s0, n1, s1,
+        |         CASE WHEN n0 > 0 AND n1 > 0
+        |                   AND sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)) > 0
+        |              THEN round((p1 - p0)
+        |                / sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)), 6) + 0.0
+        |              END AS z
+        |  FROM m
+        |)
+        |SELECT grp, n0, s0, n1, s1, z,
+        |       coalesce(abs(z) > 1.96, FALSE) AS significant
+        |FROM z ORDER BY grp""".stripMargin,
     "q_roc_auc" ->
       """WITH lab AS (
         |  SELECT n_chars // 16 AS score,

@@ -417,6 +417,40 @@ object EvalOps {
     * node-keyed aggregate. At corpus scale, feed the same join from
     * ANN lists — the vote shape is unchanged.
     */
+  /** Two-proportion A/B z-test per experiment group (the standard
+    * pooled-variance test every experimentation platform runs):
+    * units are rows, the variant is a deterministic hash split of
+    * `unit`, success is `success`. z = (p₁ − p₀) /
+    * sqrt(p̂(1 − p̂)(1/n₀ + 1/n₁)) with p̂ the pooled rate.
+    *
+    * All counts are exact int64 (ONE group-keyed aggregate with
+    * map-side partials — the entire corpus reduces to |groups|·2
+    * counters); the z arithmetic is a fixed dag of IEEE double ops on
+    * integer ratios — bit-identical across engines, published at
+    * 6 dp with the significance flag decided ON the published value.
+    * Degenerate groups (a one-sided split or a 0/100% pooled rate)
+    * publish NULL z, significant = false.
+    */
+  def abTest(df: DataFrame, group: Column, unit: Column, success: Column,
+      zCrit: Double = 1.96): DataFrame = {
+    val agg = df.select(group.as("grp"), pmod(unit, lit(2L)).as("__v"),
+        success.cast("long").as("__s"))
+      .groupBy("grp")
+      .agg(sum(when(col("__v") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("__v") === 0, col("__s")).otherwise(0L)).as("s0"),
+        sum(when(col("__v") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__v") === 1, col("__s")).otherwise(0L)).as("s1"))
+    val p0 = col("s0").cast("double") / col("n0")
+    val p1 = col("s1").cast("double") / col("n1")
+    val pp = (col("s0") + col("s1")).cast("double") / (col("n0") + col("n1"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+    val z = when(col("n0") > 0 && col("n1") > 0 && se > 0,
+      round((p1 - p0) / se, 6) + 0.0)
+    agg.select(col("grp"), col("n0"), col("s0"), col("n1"), col("s1"),
+      z.as("z"), coalesce(abs(z) > zCrit, lit(false)).as("significant"))
+  }
+
   def labelNoise(knnLists: DataFrame, labels: DataFrame): DataFrame = {
     val lbl = labels.select(col("vec_id"), col("label"))
     val withQ = knnLists

@@ -224,4 +224,24 @@ class EvalOpsSpec extends SparkSpec {
       val v = r.getAs[Long]("v"); v * v
     }).sum)
   }
+
+  test("abTest: pooled z matches hand formula; degenerate groups publish NULL") {
+    // group g: variant 0 (even units) 2/4 success, variant 1 (odd) 3/4
+    val rows =
+      (0 until 4).map(u => ("g", u.toLong * 2, u < 2)) ++      // v0: 2 of 4
+      (0 until 4).map(u => ("g", u.toLong * 2 + 1, u < 3)) ++  // v1: 3 of 4
+      Seq(("one_sided", 2L, true), ("one_sided", 4L, false)) ++ // no v1 units
+      Seq(("all_hit", 1L, true), ("all_hit", 2L, true))         // pp = 1 -> se 0
+    val df = rows.toDF("grp", "unit", "succ")
+    val got = EvalOps.abTest(df, col("grp"), col("unit"), col("succ"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double]), r.getBoolean(6))).toMap
+    val (p0, p1, pp) = (0.5, 0.75, 5.0 / 8)
+    val zExp = BigDecimal((p1 - p0) / math.sqrt(pp * (1 - pp) * (1.0 / 4 + 1.0 / 4)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("g") == ((4L, 2L, 4L, 3L, Some(zExp), false)))
+    assert(got("one_sided")._5.isEmpty && !got("one_sided")._6)
+    assert(got("all_hit")._5.isEmpty && !got("all_hit")._6)
+  }
 }
