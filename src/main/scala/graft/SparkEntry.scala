@@ -769,6 +769,22 @@ object SparkEntry {
       DataQualityOps.dpNoisyCounts(Tables.events(s, dir), "event_type",
           eps = 0.5, seed = "dp1")
         .orderBy("event_type")),
+    // Link prediction (Liben-Nowell/Kleinberg): common-neighbor count
+    // + Jaccard for non-adjacent 2-hop pairs of the synthetic link
+    // graph — wedge join keyed by the shared neighbor, anti-join
+    // against the edge set, broadcast degree joins.
+    "q_link_pred" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+      val nodes = docs.select(col("doc_id").as("node"))
+      GraphOps.linkPrediction(GraphOps.syntheticEdges(nodes, n), minCommon = 2)
+        .orderBy("a", "b")
+    }),
+    // RFM customer segmentation: value-level equi-depth quintile
+    // scores over recency/frequency/monetary — no per-row global
+    // sort; every window runs on the distinct-value table.
+    "q_rfm" -> ((s, dir) =>
+      RelationalOps.rfmSegments(Tables.orders(s, dir)).orderBy("o_custkey")),
     // k-anonymity release (Samarati/Sweeney suppression ladder):
     // (nation, segment) groups of ≥ 5 customers release as-is;
     // undersized groups generalize segment → 'ANY', then collapse to
@@ -3705,6 +3721,72 @@ object SparkEntry {
     },
     // k-core: unrolled synchronous peeling over the same synthetic
     // graph — keep nodes of degree >= 4, restrict edges, repeat
+    // link prediction: same wedge enumeration, NOT EXISTS for the
+    // non-adjacency filter, inclusion-exclusion union degree
+    "q_link_pred" ->
+      """WITH p AS (SELECT count(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % n AS dst FROM documents, p
+        |  UNION ALL SELECT doc_id, (doc_id * 2 + 3) % n FROM documents, p
+        |  UNION ALL SELECT doc_id, (doc_id * doc_id + 5) % n FROM documents, p
+        |),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src <> dst
+        |),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS node, b AS nbr FROM und
+        |  UNION ALL SELECT b AS node, a AS nbr FROM und
+        |),
+        |cn AS (
+        |  SELECT x.node AS a, y.node AS b, count(*) AS n_common
+        |  FROM sym x JOIN sym y ON x.nbr = y.nbr AND x.node < y.node
+        |  GROUP BY x.node, y.node HAVING count(*) >= 2
+        |),
+        |deg AS (SELECT node, count(*) AS deg FROM sym GROUP BY node)
+        |SELECT cn.a, cn.b, cn.n_common,
+        |       round(CAST(cn.n_common AS DOUBLE)
+        |             / (da.deg + db.deg - cn.n_common), 6) AS jaccard
+        |FROM cn
+        |JOIN deg da ON da.node = cn.a
+        |JOIN deg db ON db.node = cn.b
+        |WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = cn.a AND und.b = cn.b)
+        |ORDER BY a, b""".stripMargin,
+    // RFM replay: the equiDepth boundary construction per metric on
+    // the distinct-value tables; sums CAST to BIGINT (HUGEINT rule)
+    "q_rfm" -> {
+      def sc(m: String, a: String): String =
+        s"""${a}_b AS MATERIALIZED (
+           |  SELECT min(CASE WHEN cum >= (i * nt.n + 4) // 5 THEN v END) AS b
+           |  FROM (SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+           |        FROM (SELECT $m AS v, count(*) AS cnt FROM st GROUP BY 1))
+           |       CROSS JOIN nt CROSS JOIN range(1, 5) r(i)
+           |  GROUP BY i),
+           |${a}_s AS MATERIALIZED (
+           |  SELECT cust, CAST(1 + sum(CASE WHEN st.$m > b.b THEN 1 ELSE 0 END) AS BIGINT) AS $a
+           |  FROM st CROSS JOIN ${a}_b b GROUP BY cust)""".stripMargin
+      s"""WITH st AS MATERIALIZED (
+         |  SELECT o_custkey AS cust,
+         |         date_diff('day', CAST(max(o_orderdate) AS DATE), a.mx) AS recency_days,
+         |         count(*) AS frequency,
+         |         round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,12))) AS DOUBLE), 4) AS monetary
+         |  FROM orders CROSS JOIN
+         |       (SELECT CAST(max(o_orderdate) AS DATE) AS mx FROM orders) a
+         |  GROUP BY o_custkey, a.mx
+         |),
+         |nt AS (SELECT count(*) AS n FROM st),
+         |${sc("recency_days", "r_score")},
+         |${sc("frequency", "f_score")},
+         |${sc("monetary", "m_score")}
+         |SELECT st.cust AS o_custkey, st.recency_days, st.frequency, st.monetary,
+         |       r.r_score, f.f_score, m.m_score,
+         |       r.r_score::VARCHAR || f.f_score::VARCHAR || m.m_score::VARCHAR AS segment
+         |FROM st
+         |JOIN r_score_s r USING (cust)
+         |JOIN f_score_s f USING (cust)
+         |JOIN m_score_s m USING (cust)
+         |ORDER BY o_custkey""".stripMargin
+    },
     // k-anonymity ladder replay: level-0 groups ≥ 5 as-is, residue
     // generalizes segment then collapses to the ('ANY','ANY') bucket
     "q_kanon" ->

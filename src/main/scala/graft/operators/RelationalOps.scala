@@ -712,4 +712,60 @@ object RelationalOps {
           coalesce(col("ds"), lit(0).cast(dec))).cast(dec).as("total"))
       .filter(col("n") > 0)
   }
+
+  /** RFM customer segmentation (Hughes 1994 — the standard marketing
+    * quintile scheme): per customer, Recency (days since last order
+    * vs the corpus anchor), Frequency (order count), Monetary
+    * (decimal-exact spend, 4 dp), each scored 1..`nTiles` by
+    * VALUE-level equi-depth buckets, concatenated into the segment
+    * code. Scores are value-based (equal metric ⇒ equal score) —
+    * deterministic without a per-row global sort: every window here
+    * runs over the DISTINCT-value table ([[DataQualityOps.equiDepth]]
+    * boundary construction: boundary_i = min v with cum ≥ ⌈i·N/n⌉,
+    * score = 1 + #boundaries strictly below v). r_score 1 = most
+    * recent (ascending days). One customer-keyed aggregate reduces
+    * the corpus; everything after is customer- or value-sized, with
+    * the boundary tables broadcast.
+    */
+  def rfmSegments(orders: DataFrame, nTiles: Int = 5): DataFrame = {
+    val stats0 = orders.groupBy(col("o_custkey").as("cust"))
+      .agg(max(col("o_orderdate").cast("date")).as("__last"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("o_totalprice").cast("decimal(28,12)")).cast("double"), 4)
+          .as("monetary"))
+    val st = graft.CacheScope.autoRelease(stats0
+      .crossJoin(broadcast(
+        orders.agg(max(col("o_orderdate").cast("date")).as("__anchor"))))
+      .select(col("cust"),
+        datediff(col("__anchor"), col("__last")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary")))
+    val spark = orders.sparkSession
+    import spark.implicits._
+    def scores(metric: String, alias: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val byv = st.groupBy(col(metric).as("v")).agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byv.withColumn("cum", sum("n").over(w))
+      val tot = st.agg(count(lit(1)).as("__nt"))
+      val bounds = (1 until nTiles).toDF("i")
+        .crossJoin(broadcast(tot)).crossJoin(cum)
+        .groupBy("i")
+        .agg(min(when(
+          col("cum") >= expr(s"(i * __nt + ${nTiles - 1}) div $nTiles"),
+          col("v"))).as("b"))
+      st.select(col("cust"), col(metric).as("__v"))
+        .crossJoin(broadcast(bounds.select("b")))
+        .groupBy("cust")
+        .agg((lit(1L) + sum(when(col("__v") > col("b"), 1L).otherwise(0L)))
+          .as(alias))
+    }
+    st.join(scores("recency_days", "r_score"), "cust")
+      .join(scores("frequency", "f_score"), "cust")
+      .join(scores("monetary", "m_score"), "cust")
+      .select(col("cust").as("o_custkey"), col("recency_days"),
+        col("frequency"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+  }
 }

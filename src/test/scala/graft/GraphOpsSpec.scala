@@ -203,6 +203,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(rn == r3)
   }
 
+  test("linkPrediction: square graph scores diagonals, excludes adjacent and sub-minCommon") {
+    // square 1-2-3-4-1 plus pendant 5-1: diagonals (1,3) and (2,4)
+    // share two neighbors; (3,5)/(4,5)... share only node 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (5L, 1L))
+      .toDF("src", "dst")
+    val got = GraphOps.linkPrediction(edges, minCommon = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // deg: 1→3, 2→2, 3→2, 4→2, 5→1
+    assert(got == Set(
+      (1L, 3L, 2L, 0.666667), // round(2/3, 6)
+      (2L, 4L, 2L, 1.0)))
+    // minCommon=1 surfaces the single-wedge pairs (via hub 1), still
+    // never adjacent ones
+    val loose = GraphOps.linkPrediction(edges, minCommon = 1)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(loose == Set((1L, 3L), (2L, 4L), (2L, 5L), (4L, 5L)))
+  }
+
   test("kCore gate shape: rounds 5 is past fixpoint on the documents graph (k=4)") {
     val docs = Tables.documents(spark, sf0)
     val n = docs.agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0) + 1

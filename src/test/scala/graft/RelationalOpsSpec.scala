@@ -333,6 +333,32 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("rfmSegments: distinct metrics score 1..5; ties share a score") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // 5 customers, strictly increasing last-order date / freq / spend
+    val orders = (1 to 5).flatMap { c =>
+      (1 to c).map(i => (c.toLong * 10, ts(f"2024-01-${c + 10}%02d 00:00:00"),
+        100.0 * c))
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = RelationalOps.rfmSegments(orders)
+      .select("o_custkey", "recency_days", "r_score", "f_score", "m_score", "segment")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // cust 5: most recent (0 days -> r 1), freq 5 (f 5), 500/order
+    assert(got(50L) == ((50L, 0L, 1L, 5L, 5L, "155")))
+    // cust 1: oldest (4 days -> r 5), freq 1, 100 total -> lowest f/m
+    assert(got(10L) == ((10L, 4L, 5L, 1L, 1L, "511")))
+    // ties: two customers with identical metrics share every score
+    val tied = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 50.0),
+      (2L, ts("2024-01-01 00:00:00"), 50.0),
+      (3L, ts("2024-01-05 00:00:00"), 99.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val t = RelationalOps.rfmSegments(tied)
+      .select("o_custkey", "segment").as[(Long, String)].collect().toMap
+    assert(t(1L) == t(2L) && t(1L) != t(3L))
+  }
+
   test("kAnonymize: ladder releases, generalizes, collapses; k honored") {
     // (n1,SEG_A):2 + (n1,SEG_B):2 (each < 3) -> level-1 n1:4 released
     // (n2,SEG_A):1 -> falls through to the ('ANY','ANY') bucket
