@@ -888,6 +888,14 @@ object SparkEntry {
           round(col("sum_value"), 4).as("sum_value"))
         .orderBy("win_start_us")
     }),
+    // Last-touch conversion attribution: every purchase credited to
+    // the user's most recent click/view/signup within 24 h (organic →
+    // NULL). One user-keyed window pass; (ts, event_id) total order.
+    "q_attribution" -> ((s, dir) =>
+      TemporalOps.lastTouchAttribution(Tables.events(s, dir),
+          convType = "purchase", touchTypes = Seq("click", "view", "signup"),
+          lookbackUs = 24L * 3600 * 1000000)
+        .orderBy("user_id", "conv_event_id")),
     // Event-sequence transition matrix: P(next type | type) per user
     // timeline — one user-keyed window exchange, then type²-sized aggs.
     "q_transitions" -> ((s, dir) =>
@@ -3306,6 +3314,32 @@ object SparkEntry {
         |SELECT win_start_us, count(*) AS n,
         |       round(CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE), 4) AS sum_value
         |FROM h GROUP BY win_start_us ORDER BY win_start_us""".stripMargin,
+    // attribution replay: IGNORE NULLS running last-touch under the
+    // same (ts, event_id) order; integer-division minutes
+    "q_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_type, event_id,
+        |         last_value(CASE WHEN event_type IN ('click', 'view', 'signup')
+        |                         THEN struct_pack(t_us := epoch_us(ts),
+        |                                          t_type := event_type,
+        |                                          t_id := event_id)
+        |                    END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, event_id AS conv_event_id, epoch_us(ts) AS conv_ts_us,
+        |         touch,
+        |         touch IS NOT NULL
+        |           AND epoch_us(ts) - touch.t_us <= 86400000000 AS in_w
+        |  FROM t WHERE event_type = 'purchase'
+        |)
+        |SELECT user_id, conv_event_id, conv_ts_us,
+        |       CASE WHEN in_w THEN touch.t_type END AS touch_type,
+        |       CASE WHEN in_w THEN touch.t_id END AS touch_event_id,
+        |       CASE WHEN in_w THEN (conv_ts_us - touch.t_us) // 60000000 END
+        |         AS mins_since_touch
+        |FROM c ORDER BY user_id, conv_event_id""".stripMargin,
     // transition matrix: lead() under the same total order (ts,
     // event_id); row-conditional p from exact BIGINT counts
     "q_transitions" ->

@@ -602,4 +602,49 @@ object TemporalOps {
       pmod(expr(s"unix_micros($tsCol) div ${blockUs}L"), lit(k.toLong)))
     events.withColumn("fold", fold)
   }
+
+  /** Last-touch conversion attribution — the marketing-analytics
+    * primitive: each conversion event is credited to the user's most
+    * recent qualifying touch STRICTLY before it, provided the touch
+    * fell within `lookbackUs`; conversions with no in-window touch
+    * publish NULL (organic). The total event order is (ts, tiebreak),
+    * so simultaneous events never flip credit between runs.
+    *
+    * One user-keyed window pass (running last-qualifying-touch via
+    * `last(..., ignoreNulls)` over rows UNBOUNDED..−1 — per-user
+    * state is ONE struct, the frame never re-scans) + a map-only
+    * filter: linear in events, shuffled once on user_id.
+    *
+    * Output per conversion: (user, conv event id, conv ts µs, the
+    * credited touch type + its event id, minutes since touch) —
+    * NULLs when organic.
+    */
+  def lastTouchAttribution(events: DataFrame, convType: String,
+      touchTypes: Seq[String], lookbackUs: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
+    require(lookbackUs > 0 && touchTypes.nonEmpty && !touchTypes.contains(convType),
+      "lookback must be positive; touches must be non-empty and exclude the conversion type")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = last(
+      when(col(typeCol).isInCollection(touchTypes),
+        struct(unix_micros(col(tsCol)).as("t_us"), col(typeCol).as("t_type"),
+          col(idCol).as("t_id"))),
+      ignoreNulls = true).over(w)
+    events
+      .select(col(userCol), col(tsCol), col(typeCol), col(idCol))
+      .withColumn("__touch", touch)
+      .filter(col(typeCol) === convType)
+      .withColumn("__in",
+        col("__touch").isNotNull &&
+          unix_micros(col(tsCol)) - col("__touch.t_us") <= lookbackUs)
+      .select(col(userCol), col(idCol).as("conv_event_id"),
+        unix_micros(col(tsCol)).as("conv_ts_us"),
+        when(col("__in"), col("__touch.t_type")).as("touch_type"),
+        when(col("__in"), col("__touch.t_id")).as("touch_event_id"),
+        when(col("__in"),
+          expr(s"(unix_micros($tsCol) - __touch.t_us) div 60000000"))
+          .as("mins_since_touch"))
+  }
 }

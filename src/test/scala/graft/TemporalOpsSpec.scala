@@ -431,4 +431,30 @@ class TemporalOpsSpec extends SparkSpec {
       TemporalOps.purgedTimeFolds(events, "t", 2, 100L, 60L)
     }
   }
+
+  test("lastTouchAttribution: in-window credit, organic, post-touch ignored, ts ties by id") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val ev = Seq(
+      // user 1: click at 0, purchase at 10 -> credited, 10 min
+      (1L, ts(0), "click", 100L), (1L, ts(10), "purchase", 101L),
+      // user 2: view 2000 min before purchase (> 24h) -> organic
+      (2L, ts(0), "view", 200L), (2L, ts(2000), "purchase", 201L),
+      // user 3: touch only AFTER the purchase -> organic
+      (3L, ts(5), "purchase", 300L), (3L, ts(6), "click", 301L),
+      // user 4: same-ts click/view ordered by id; later wins
+      (4L, ts(1), "click", 400L), (4L, ts(1), "view", 401L),
+      (4L, ts(2), "purchase", 402L),
+      // error events never earn credit
+      (5L, ts(0), "error", 500L), (5L, ts(1), "purchase", 501L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = TemporalOps.lastTouchAttribution(ev, "purchase",
+        Seq("click", "view", "signup"), 24L * 3600 * 1000000)
+      .as[(Long, Long, Long, Option[String], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 101L, 10L * 60000000, Some("click"), Some(100L), Some(10L))))
+    assert(got(2L)._4.isEmpty && got(2L)._6.isEmpty)
+    assert(got(3L)._4.isEmpty)
+    assert(got(4L)._4 == Some("view") && got(4L)._5 == Some(401L))
+    assert(got(5L)._4.isEmpty)
+  }
 }
