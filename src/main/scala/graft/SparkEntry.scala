@@ -911,6 +911,14 @@ object SparkEntry {
       ClusterOps.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
           dims = 8, k = 4, iters = 2)
         .orderBy("vec_id")),
+    // Grid-density clustering (DBSCAN-lite): eps-grid on the first two
+    // embedding dims, dense cells (≥ 8 pts) unioned over 8-adjacency
+    // into clusters, sparse points → NULL noise. All graph work on the
+    // CELL table; oracle closes the adjacency with a recursive CTE.
+    "q_grid_density" -> ((s, dir) =>
+      ClusterOps.gridDensityClusters(Tables.embeddings(s, dir),
+          eps = 0.05, minPts = 8)
+        .orderBy("vec_id")),
     // Bucketed-table co-located join: lineitem and orders rewritten as
     // 8-bucket tables hashed on the order key, then joined through the
     // catalog — the ingest-time layout that removes BOTH join-side
@@ -3354,6 +3362,37 @@ object SparkEntry {
         |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
     "q_kmeans" -> kmeansOracleSql(dims = 8, k = 4, iters = 2),
+    // grid-density replay: same quantization + packed cell ids;
+    // component labels via recursive min-reachable closure over the
+    // 8-adjacency of dense cells; isolated dense cells keep their id
+    "q_grid_density" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT vec_id,
+        |         CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.05) AS BIGINT) AS cx,
+        |         CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.05) AS BIGINT) AS cy
+        |  FROM embeddings
+        |), dense AS (
+        |  SELECT cx, cy, (cx + 4096) * 8192 + cy + 4096 AS cid
+        |  FROM pts GROUP BY cx, cy HAVING count(*) >= 8
+        |), ed AS (
+        |  SELECT a.cid AS src, b.cid AS dst
+        |  FROM dense a JOIN dense b
+        |    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        |   AND a.cid <> b.cid
+        |), reach(node, label) AS (
+        |  SELECT src, src FROM ed
+        |  UNION
+        |  SELECT e.src, r.label FROM ed e JOIN reach r ON r.node = e.dst
+        |), lab AS (
+        |  SELECT node AS cid, min(label) AS cluster FROM reach GROUP BY node
+        |)
+        |SELECT p.vec_id, p.cx, p.cy,
+        |       CASE WHEN d.cid IS NOT NULL
+        |            THEN coalesce(l.cluster, d.cid) END AS cluster
+        |FROM pts p
+        |LEFT JOIN dense d USING (cx, cy)
+        |LEFT JOIN lab l ON l.cid = d.cid
+        |ORDER BY p.vec_id""".stripMargin,
     // triangles: same synthetic edge formula as q_pagerank, normalized
     // to undirected simple edges; x<y<z is structural after least/
     // greatest normalization, so each triangle appears exactly once

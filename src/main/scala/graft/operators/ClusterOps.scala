@@ -117,4 +117,53 @@ object ClusterOps {
       case t: Throwable => x.unpersist(blocking = false); throw t
     }
   }
+
+  /** Grid-density clustering (DBSCAN-lite / the STING-CLIQUE family):
+    * quantize the first two embedding dims into an eps-grid, call a
+    * cell DENSE when it holds ≥ `minPts` points, union 8-adjacent
+    * dense cells into clusters, label each point by its cell's
+    * component (sparse-cell points → NULL = noise). The shape DBSCAN
+    * pipelines use at scale precisely because it avoids per-point
+    * ε-neighbor joins: the corpus reduces in ONE cell-keyed aggregate,
+    * and all graph work happens on the CELL table (≤ occupied-grid
+    * sized, orders of magnitude below the corpus).
+    *
+    * Component labels ride [[DedupOps.nearDupClusters]] (pointer-
+    * jumped min-label propagation) over the dense-cell adjacency
+    * edges; isolated dense cells keep their own packed cell id.
+    * Cell ids pack as (cx+4096)·8192 + cy+4096 — exact for
+    * |cx|,|cy| < 4096 (grid coordinates of embedding space, not data
+    * size). Floor quantization is one double division — identical in
+    * every engine away from exact eps multiples.
+    */
+  def gridDensityClusters(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", eps: Double = 0.25,
+      minPts: Long = 8): DataFrame = {
+    require(eps > 0 && minPts >= 1, "eps must be positive, minPts >= 1")
+    val pts = graft.CacheScope.autoRelease(emb.select(col(idCol).as("vec_id"),
+      floor(element_at(col(vecCol), 1).cast("double") / eps).cast("long").as("cx"),
+      floor(element_at(col(vecCol), 2).cast("double") / eps).cast("long").as("cy")))
+    val dense = graft.CacheScope.autoRelease(
+      pts.groupBy("cx", "cy").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= minPts)
+        .withColumn("cid", (col("cx") + 4096L) * 8192L + col("cy") + 4096L))
+    val offs = for { dx <- -1 to 1; dy <- -1 to 1; if dx != 0 || dy != 0 }
+      yield (dx, dy)
+    val shifted = dense.select(col("cid").as("da"),
+        explode(array(offs.map { case (dx, dy) =>
+          struct((col("cx") + dx).as("nx"), (col("cy") + dy).as("ny"))
+        }: _*)).as("o"))
+      .select(col("da"), col("o.nx").as("cx"), col("o.ny").as("cy"))
+    val edges = shifted
+      .join(dense.select(col("cx"), col("cy"), col("cid").as("db")), Seq("cx", "cy"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"))
+    val labels = DedupOps.nearDupClusters(edges)
+      .select(col("doc_id").as("cid"), col("cluster"))
+    val cellLabel = dense.join(labels, Seq("cid"), "left")
+      .select(col("cx"), col("cy"),
+        coalesce(col("cluster"), col("cid")).as("cluster"))
+    pts.join(cellLabel, Seq("cx", "cy"), "left")
+      .select(col("vec_id"), col("cx"), col("cy"), col("cluster"))
+  }
 }

@@ -50,4 +50,25 @@ class ClusterOpsSpec extends SparkSpec {
     assert(sizes.keySet == Set(0, 1, 2, 3), sizes.toString)
     assert(sizes.values.sum == emb.count())
   }
+
+  test("gridDensityClusters: diagonal cells merge, far blob separate, sparse = noise") {
+    // eps=1 grid. Blob A: 3 pts in cell (0,0) + 3 pts in DIAGONAL cell
+    // (1,1) -> one cluster. Blob B: 3 pts in far cell (5,5). One lone
+    // point in (3,0) -> sparse -> NULL.
+    def pt(id: Long, x: Double, y: Double) = (id, Array(x.toFloat, y.toFloat))
+    val emb = (Seq(pt(1, 0.1, 0.1), pt(2, 0.5, 0.5), pt(3, 0.9, 0.2),
+      pt(4, 1.1, 1.9), pt(5, 1.5, 1.5), pt(6, 1.2, 1.7),
+      pt(7, 5.5, 5.5), pt(8, 5.1, 5.9), pt(9, 5.9, 5.1),
+      pt(10, 3.5, 0.5))).toDF("vec_id", "embedding")
+    val got = ClusterOps.gridDensityClusters(emb, eps = 1.0, minPts = 3)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r._4).toMap
+    val a = got(1L)
+    assert(a.isDefined && (1L to 6L).forall(got(_) == a), got.toString)
+    val bb = got(7L)
+    assert(bb.isDefined && bb != a && got(8L) == bb && got(9L) == bb)
+    assert(got(10L).isEmpty)
+    // blob B's isolated dense cell keeps its packed cell id
+    assert(bb.get == (5L + 4096L) * 8192L + 5L + 4096L)
+  }
 }
