@@ -607,10 +607,14 @@ object DedupOps {
     require(bits % nBlocks == 0, s"bits=$bits must split into $nBlocks equal blocks")
     val blockBits = bits / nBlocks
     val mask = (1L << blockBits) - 1
-    val banded = sigs.select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
-      .withColumn("bval",
-        expr(s"shiftright(sig, cast(blk * $blockBits as int)) & ${mask}L"))
+    // pin the banded signature table: the self-join would otherwise
+    // evaluate the signature kernel (tokenize + md5 per doc for
+    // simhash; a full codec decode for image hashes) TWICE
+    val banded = graft.CacheScope.autoRelease(
+      sigs.select(col("id"), col("sig"),
+          explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
+        .withColumn("bval",
+          expr(s"shiftright(sig, cast(blk * $blockBits as int)) & ${mask}L")))
     // Dedup WITHOUT a candidate-sized exchange: a pair matching k
     // blocks would surface k times, so keep only the FIRST matching
     // block (all lower blocks must differ) — an UNROLLED primitive
