@@ -163,7 +163,10 @@ object ClusterOps {
     val cellLabel = dense.join(labels, Seq("cid"), "left")
       .select(col("cx"), col("cy"),
         coalesce(col("cluster"), col("cid")).as("cluster"))
-    pts.join(cellLabel, Seq("cx", "cy"), "left")
+    // the cell-label table is grid-sized — broadcast it so the
+    // corpus-sized point frame never shuffles (plan-audited: the
+    // un-hinted join exchanged ALL points on (cx, cy))
+    pts.join(broadcast(cellLabel), Seq("cx", "cy"), "left")
       .select(col("vec_id"), col("cx"), col("cy"), col("cluster"))
   }
 }

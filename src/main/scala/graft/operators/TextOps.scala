@@ -777,7 +777,11 @@ object TextOps {
            |           (x, y) -> struct(least(x, y) AS w1, greatest(x, y) AS w2))))"""
           .stripMargin)).as("__p"))
       .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
-    val cab = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    // pin the pair-count table: it feeds the totals, BOTH marginal
+    // sides and the published rows — unpinned, the zip_with pair
+    // explode re-ran per consumer (plan-audited: 3 Generates)
+    val cab = graft.CacheScope.autoRelease(
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab")))
     val tot = cab.agg(sum("n_ab").as("__t"))
     val marg = cab.select(col("w1").as("w"), col("n_ab"))
       .unionByName(cab.select(col("w2").as("w"), col("n_ab")))
