@@ -1813,6 +1813,23 @@ object SparkEntry {
         .select(col("coef"), round(col("value"), 6).as("value"))
         .orderBy("coef")
     }),
+    // Per-class confusion report over the Naive-Bayes eval split:
+    // corpus → ONE (true, pred)-keyed aggregate, then class-sized
+    // marginal joins; exact-int precision/recall, F1 on those doubles.
+    "q_confusion" -> ((s, dir) =>
+      EvalOps.confusionReport(
+          TextOps.naiveBayes(Tables.documents(s, dir), labelCol = "lang",
+            evalMod = 5),
+          col("true_label"), col("pred_label"))
+        .orderBy("label")),
+    // Decision-stump training: exhaustive exact Gini split search on
+    // the discretized doc-length feature vs the en label — the full
+    // candidate-split table with child counts and rank (rank 1 = the
+    // trained stump). Distinct-value-sized after one aggregate.
+    "q_stump" -> ((s, dir) =>
+      RegressionOps.giniStump(Tables.documents(s, dir),
+          expr("n_chars div 16"), col("lang") === "en")
+        .orderBy("split")),
     // Experimentation: pooled two-proportion A/B z-test per event
     // type — variant = user_id mod 2, success = value > 50. Corpus →
     // one group-keyed aggregate of four exact int64 counters; the z
@@ -3019,47 +3036,57 @@ object SparkEntry {
         |ORDER BY w1, w2""".stripMargin,
     // NB replay: same counts, same 9-dp ln terms, same decimal sums;
     // argmax by row_number over the exact decimal score
-    "q_naive_bayes" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang AS label,
-        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-        |  FROM documents
-        |), trtok AS (
-        |  SELECT label, unnest(ws) AS w FROM toks WHERE doc_id % 5 <> 0
-        |), cwc AS (
-        |  SELECT label, w, count(*) AS cwc FROM trtok GROUP BY label, w
-        |), cls AS (
-        |  SELECT label, count(*) AS nc FROM trtok GROUP BY label
-        |), nd AS (
-        |  SELECT label, count(*) AS ndc FROM toks WHERE doc_id % 5 <> 0 GROUP BY label
-        |), ntot AS (
-        |  SELECT count(*) AS n FROM toks WHERE doc_id % 5 <> 0
-        |), voc AS (
-        |  SELECT count(DISTINCT w) AS v FROM trtok
-        |), classes AS (
-        |  SELECT cls.label AS c, cls.nc,
-        |         round(ln(CAST(nd.ndc AS DOUBLE) / CAST(ntot.n AS DOUBLE)), 9) AS prior
-        |  FROM cls JOIN nd USING (label), ntot
-        |), evtok AS (
-        |  SELECT doc_id, label AS true_label, unnest(ws) AS w
-        |  FROM toks WHERE doc_id % 5 = 0
-        |), terms AS (
-        |  SELECT e.doc_id, e.true_label, k.c, k.prior,
-        |         round(ln(CAST(coalesce(cwc.cwc, 0) + 1 AS DOUBLE)
-        |                  / CAST(k.nc + voc.v AS DOUBLE)), 9) AS t
-        |  FROM evtok e CROSS JOIN classes k CROSS JOIN voc
-        |  LEFT JOIN cwc ON cwc.label = k.c AND cwc.w = e.w
-        |), scores AS (
-        |  SELECT doc_id, true_label, c,
-        |         sum(CAST(t AS DECIMAL(28,12))) + CAST(any_value(prior) AS DECIMAL(28,12)) AS score
-        |  FROM terms GROUP BY doc_id, true_label, c
+    "q_naive_bayes" -> NaiveBayesOracle,
+    // per-class confusion over the same NB replay: one (t, p) agg +
+    // class-sized marginals; DuckDB sums CAST to BIGINT
+    "q_confusion" ->
+      s"""WITH nb AS ($NaiveBayesOracle),
+         |cm AS (SELECT true_label AS t, pred_label AS p, count(*) AS n
+         |       FROM nb GROUP BY 1, 2),
+         |bt AS (SELECT t, CAST(sum(n) AS BIGINT) AS support FROM cm GROUP BY t),
+         |bp AS (SELECT p AS t, CAST(sum(n) AS BIGINT) AS npred FROM cm GROUP BY p),
+         |dg AS (SELECT t, n AS tp0 FROM cm WHERE t = p),
+         |j AS (
+         |  SELECT bt.t, bt.support, CAST(coalesce(dg.tp0, 0) AS BIGINT) AS tp,
+         |         bp.npred
+         |  FROM bt LEFT JOIN dg USING (t) LEFT JOIN bp USING (t)
+         |)
+         |SELECT t AS label, support, tp,
+         |       round(CAST(tp AS DOUBLE) / npred, 6) AS precision,
+         |       round(CAST(tp AS DOUBLE) / support, 6) AS recall,
+         |       CASE WHEN npred IS NULL THEN NULL
+         |            WHEN CAST(tp AS DOUBLE) / npred + CAST(tp AS DOUBLE) / support > 0
+         |            THEN round(2.0 * (CAST(tp AS DOUBLE) / npred)
+         |                       * (CAST(tp AS DOUBLE) / support)
+         |                       / (CAST(tp AS DOUBLE) / npred
+         |                          + CAST(tp AS DOUBLE) / support), 6)
+         |            ELSE 0.0 END AS f1
+         |FROM j ORDER BY label""".stripMargin,
+    // stump replay: same cumulative split table, same IEEE score dag
+    "q_stump" ->
+      """WITH byx AS (
+        |  SELECT n_chars // 16 AS x, count(*) AS n,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM documents GROUP BY 1
+        |), cum AS (
+        |  SELECT x AS split,
+        |         CAST(sum(n) OVER w AS BIGINT) AS n_left,
+        |         CAST(sum(pos) OVER w AS BIGINT) AS pos_left
+        |  FROM byx WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)
+        |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |                  CAST(sum(pos) AS BIGINT) AS pp FROM byx),
+        |sc AS (
+        |  SELECT split, n_left, pos_left,
+        |         t.nn - n_left AS n_right, t.pp - pos_left AS pos_right,
+        |         CAST(pos_left AS DOUBLE) * (n_left - pos_left) / n_left
+        |           + CAST(t.pp - pos_left AS DOUBLE)
+        |             * ((t.nn - n_left) - (t.pp - pos_left)) / (t.nn - n_left) AS s
+        |  FROM cum CROSS JOIN tot t WHERE n_left < t.nn
         |)
-        |SELECT doc_id, true_label, c AS pred_label, c = true_label AS correct,
-        |       round(CAST(score AS DOUBLE), 6) AS logp
-        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-        |                                   ORDER BY score DESC, c) AS rn
-        |      FROM scores) x
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+        |SELECT split, n_left, pos_left, n_right, pos_right,
+        |       round(s, 6) AS score,
+        |       row_number() OVER (ORDER BY s, split) AS rank
+        |FROM sc ORDER BY split""".stripMargin,
     // JSON field extraction via DuckDB's ->> operator; exact ints
     "q_json_props" ->
       """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
@@ -5211,6 +5238,52 @@ object SparkEntry {
       |         CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
       |  FROM bitw GROUP BY doc_id
       |)""".stripMargin
+
+  /** Shared oracle for q_naive_bayes (standalone) and q_confusion
+    * (wrapped as a CTE): the full NB replay — same counts, 9-dp ln
+    * terms, decimal sums, row_number argmax.
+    */
+  private val NaiveBayesOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang AS label,
+      |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      |  FROM documents
+      |), trtok AS (
+      |  SELECT label, unnest(ws) AS w FROM toks WHERE doc_id % 5 <> 0
+      |), cwc AS (
+      |  SELECT label, w, count(*) AS cwc FROM trtok GROUP BY label, w
+      |), cls AS (
+      |  SELECT label, count(*) AS nc FROM trtok GROUP BY label
+      |), nd AS (
+      |  SELECT label, count(*) AS ndc FROM toks WHERE doc_id % 5 <> 0 GROUP BY label
+      |), ntot AS (
+      |  SELECT count(*) AS n FROM toks WHERE doc_id % 5 <> 0
+      |), voc AS (
+      |  SELECT count(DISTINCT w) AS v FROM trtok
+      |), classes AS (
+      |  SELECT cls.label AS c, cls.nc,
+      |         round(ln(CAST(nd.ndc AS DOUBLE) / CAST(ntot.n AS DOUBLE)), 9) AS prior
+      |  FROM cls JOIN nd USING (label), ntot
+      |), evtok AS (
+      |  SELECT doc_id, label AS true_label, unnest(ws) AS w
+      |  FROM toks WHERE doc_id % 5 = 0
+      |), terms AS (
+      |  SELECT e.doc_id, e.true_label, k.c, k.prior,
+      |         round(ln(CAST(coalesce(cwc.cwc, 0) + 1 AS DOUBLE)
+      |                  / CAST(k.nc + voc.v AS DOUBLE)), 9) AS t
+      |  FROM evtok e CROSS JOIN classes k CROSS JOIN voc
+      |  LEFT JOIN cwc ON cwc.label = k.c AND cwc.w = e.w
+      |), scores AS (
+      |  SELECT doc_id, true_label, c,
+      |         sum(CAST(t AS DECIMAL(28,12))) + CAST(any_value(prior) AS DECIMAL(28,12)) AS score
+      |  FROM terms GROUP BY doc_id, true_label, c
+      |)
+      |SELECT doc_id, true_label, c AS pred_label, c = true_label AS correct,
+      |       round(CAST(score AS DOUBLE), 6) AS logp
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                                   ORDER BY score DESC, c) AS rn
+      |      FROM scores) x
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   /** Shared oracle for q_simhash / q_sql_simhash. */
   private val SimhashOracle: String =

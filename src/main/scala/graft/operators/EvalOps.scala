@@ -417,6 +417,39 @@ object EvalOps {
     * node-keyed aggregate. At corpus scale, feed the same join from
     * ANN lists — the vote shape is unchanged.
     */
+  /** Multiclass confusion summary: one row per TRUE class with its
+    * support, the diagonal count, and exact-ratio precision / recall
+    * / F1 for that class (the standard per-class report every
+    * classifier evaluation prints). The full |C|² confusion matrix
+    * reduces to two |C|-sized marginal joins — corpus touched by ONE
+    * (true, pred)-keyed aggregate with map-side partials; everything
+    * after is class-table sized. Ratios are single exact-int64 IEEE
+    * divisions; F1 = 2pr/(p+r) on those exact doubles, published at
+    * 6 dp. Classes never predicted (p denominator 0) publish NULL
+    * precision/F1.
+    */
+  def confusionReport(scored: DataFrame, trueCol: Column,
+      predCol: Column): DataFrame = {
+    val cm = graft.CacheScope.autoRelease(
+      scored.select(trueCol.as("t"), predCol.as("p"))
+        .groupBy("t", "p").agg(count(lit(1)).as("n")))
+    val byTrue = cm.groupBy(col("t")).agg(sum("n").as("support"))
+    val byPred = cm.groupBy(col("p").as("t")).agg(sum("n").as("__npred"))
+    val diag = cm.filter(col("t") === col("p"))
+      .select(col("t"), col("n").as("__tp"))
+    val prec = col("__tp").cast("double") / col("__npred")
+    val rec = col("__tp").cast("double") / col("support")
+    byTrue
+      .join(diag, Seq("t"), "left")
+      .join(byPred, Seq("t"), "left")
+      .withColumn("__tp", coalesce(col("__tp"), lit(0L)))
+      .select(col("t").as("label"), col("support"), col("__tp").as("tp"),
+        round(prec, 6).as("precision"), round(rec, 6).as("recall"),
+        when(col("__npred").isNull, lit(null))
+          .when(prec + rec > 0, round(lit(2.0) * prec * rec / (prec + rec), 6))
+          .otherwise(lit(0.0)).as("f1"))
+  }
+
   /** Two-proportion A/B z-test per experiment group (the standard
     * pooled-variance test every experimentation platform runs):
     * units are rows, the variant is a deterministic hash split of

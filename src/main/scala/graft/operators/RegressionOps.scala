@@ -193,4 +193,45 @@ object RegressionOps {
       case t: Throwable => feats.unpersist(blocking = false); throw t
     }
   }
+
+  /** Decision-stump training by exhaustive exact Gini split search
+    * (CART's root split, Breiman et al. 1984): every threshold
+    * "x ≤ t" between distinct feature values is scored by the
+    * weighted child impurity — equivalently argmin of
+    * posL·negL/nL + posR·negR/nR (the 2/N factor is constant) — and
+    * the full candidate table is published with each split's child
+    * counts, 6-dp score, and rank (rank 1 = the trained stump).
+    *
+    * Arithmetic: the corpus reduces in ONE feature-keyed aggregate;
+    * the cumulative-count window and scoring run on the
+    * DISTINCT-value table (bounded — the discretized-feature
+    * contract, same as rocAuc). Scores are IEEE doubles built from
+    * exact int64 products/divisions — bit-identical across engines;
+    * rank breaks ties on the raw score then the threshold.
+    */
+  def giniStump(df: DataFrame, feature: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byx = df.select(feature.as("x"), label.cast("long").as("y"))
+      .groupBy("x").agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    val cw = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byx.agg(sum("n").as("__N"), sum("pos").as("__P"))
+    val negL = col("n_left") - col("pos_left")
+    val nR = col("__N") - col("n_left")
+    val posR = col("__P") - col("pos_left")
+    val negR = nR - posR
+    val score = col("pos_left").cast("double") * negL / col("n_left") +
+      posR.cast("double") * negR / nR
+    val rw = Window.orderBy(col("__score").asc, col("split").asc)
+    byx
+      .select(col("x").as("split"),
+        sum("n").over(cw).as("n_left"), sum("pos").over(cw).as("pos_left"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_left") < col("__N")) // right child must be nonempty
+      .withColumn("__score", score)
+      .select(col("split"), col("n_left"), col("pos_left"),
+        nR.as("n_right"), posR.as("pos_right"),
+        round(col("__score"), 6).as("score"),
+        row_number().over(rw).as("rank"))
+  }
 }

@@ -225,6 +225,24 @@ class EvalOpsSpec extends SparkSpec {
     }).sum)
   }
 
+  test("confusionReport: per-class P/R/F1 exact; never-predicted class NULLs") {
+    // true a: 3 (2 right, 1 -> b); true b: 2 (both -> b); true c: 1 -> a
+    val scored = Seq(("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "b"), ("c", "a")).toDF("t", "p")
+    val got = EvalOps.confusionReport(scored, col("t"), col("p"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5)))).toMap
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // a: support 3, tp 2, prec 2/3 (3 predicted a), rec 2/3
+    assert(got("a") == ((3L, 2L, Some(r6(2.0 / 3)), Some(r6(2.0 / 3)),
+      Some(r6(2.0 * (2.0 / 3) * (2.0 / 3) / (2.0 / 3 + 2.0 / 3))))))
+    // b: support 2, tp 2, prec 2/3, rec 1
+    assert(got("b")._4 == Some(1.0) && got("b")._3 == Some(r6(2.0 / 3)))
+    // c: never predicted -> precision NULL, recall 0, f1 NULL
+    assert(got("c") == ((1L, 0L, None, Some(0.0), None)))
+  }
+
   test("abTest: pooled z matches hand formula; degenerate groups publish NULL") {
     // group g: variant 0 (even units) 2/4 success, variant 1 (odd) 3/4
     val rows =

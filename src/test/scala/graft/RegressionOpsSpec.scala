@@ -107,4 +107,22 @@ class RegressionOpsSpec extends SparkSpec {
     assert(got("b1") == r9(-0.5 * (1.0 / 2)))
     assert(got("b2") == r9(-0.5 * (1.0 / 2)))
   }
+
+  test("giniStump: perfectly separable split ranks 1 with score 0") {
+    // x<=2 all positive, x>=3 all negative -> split at 2 is pure
+    val df = Seq((1L, true), (2L, true), (2L, true),
+      (3L, false), (4L, false), (4L, false)).toDF("x", "y")
+    val got = RegressionOps.giniStump(df, col("x"), col("y"))
+      .as[(Long, Long, Long, Long, Long, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // x=4 leaves empty right child
+    val best = got(2L)
+    assert(best._7 == 1 && best._6 == 0.0)
+    assert(best == ((2L, 3L, 3L, 3L, 0L, 0.0, 1)))
+    // split at 1: left pure (1 pos), right mixed 2/5 ->
+    //   score = 0 + 2*3/5 = 1.2
+    assert(got(1L)._6 == 1.2 && got(1L)._7 > 1)
+    // split at 3: left 3 pos + 1 neg -> 3*1/4; right pure
+    assert(got(3L)._6 == 0.75)
+  }
 }
