@@ -1189,6 +1189,29 @@ object SparkEntry {
     // Streaming mirror of q_ts_anomaly through flatMapGroupsWithState
     // (ring-buffer state, ≤ 6 doubles + a counter per key) — gated by
     // THE SAME oracle as the batch window form: streaming/batch parity.
+    // Streaming last-touch attribution: the q_attribution semantics
+    // through a real AvailableNow stream — per-user state is ONE
+    // touch struct; gated by the SAME oracle as the batch form
+    // (streaming/batch parity is the tested property).
+    "q_stream_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val stream = Tables.eventsStream(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+      val attributed = graft.streaming.StreamingOps.attributionByKey(
+        stream, "purchase", Set("click", "view", "signup"),
+        24L * 3600 * 1000000)
+      val qn = s"graft_stream_attr_${StreamSeq.incrementAndGet()}"
+      val q = attributed.toDF().writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+        .select("user_id", "conv_event_id", "conv_ts_us", "touch_type",
+          "touch_event_id", "mins_since_touch")
+        .orderBy("user_id", "conv_event_id")
+    }),
     "q_stream_anomaly" -> ((s, dir) => {
       import s.implicits._
       val stream = Tables.eventsStream(s, dir)
@@ -3351,30 +3374,9 @@ object SparkEntry {
         |FROM h GROUP BY win_start_us ORDER BY win_start_us""".stripMargin,
     // attribution replay: IGNORE NULLS running last-touch under the
     // same (ts, event_id) order; integer-division minutes
-    "q_attribution" ->
-      """WITH t AS (
-        |  SELECT user_id, ts, event_type, event_id,
-        |         last_value(CASE WHEN event_type IN ('click', 'view', 'signup')
-        |                         THEN struct_pack(t_us := epoch_us(ts),
-        |                                          t_type := event_type,
-        |                                          t_id := event_id)
-        |                    END IGNORE NULLS)
-        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
-        |  FROM events
-        |), c AS (
-        |  SELECT user_id, event_id AS conv_event_id, epoch_us(ts) AS conv_ts_us,
-        |         touch,
-        |         touch IS NOT NULL
-        |           AND epoch_us(ts) - touch.t_us <= 86400000000 AS in_w
-        |  FROM t WHERE event_type = 'purchase'
-        |)
-        |SELECT user_id, conv_event_id, conv_ts_us,
-        |       CASE WHEN in_w THEN touch.t_type END AS touch_type,
-        |       CASE WHEN in_w THEN touch.t_id END AS touch_event_id,
-        |       CASE WHEN in_w THEN (conv_ts_us - touch.t_us) // 60000000 END
-        |         AS mins_since_touch
-        |FROM c ORDER BY user_id, conv_event_id""".stripMargin,
+    "q_attribution" -> AttributionOracle,
+    // streaming/batch parity: the SAME oracle gates the stream form
+    "q_stream_attribution" -> AttributionOracle,
     // transition matrix: lead() under the same total order (ts,
     // event_id); row-conditional p from exact BIGINT counts
     "q_transitions" ->
@@ -5189,6 +5191,34 @@ object SparkEntry {
     * (q_ts_anomaly) and streaming (q_stream_anomaly) gates, so the two
     * engines' parity is checked against one ANSI definition.
     */
+  /** Shared oracle for q_attribution / q_stream_attribution: IGNORE
+    * NULLS running last-touch under the (ts, event_id) total order.
+    */
+  private val AttributionOracle: String =
+    """WITH t AS (
+      |  SELECT user_id, ts, event_type, event_id,
+      |         last_value(CASE WHEN event_type IN ('click', 'view', 'signup')
+      |                         THEN struct_pack(t_us := epoch_us(ts),
+      |                                          t_type := event_type,
+      |                                          t_id := event_id)
+      |                    END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM events
+      |), c AS (
+      |  SELECT user_id, event_id AS conv_event_id, epoch_us(ts) AS conv_ts_us,
+      |         touch,
+      |         touch IS NOT NULL
+      |           AND epoch_us(ts) - touch.t_us <= 86400000000 AS in_w
+      |  FROM t WHERE event_type = 'purchase'
+      |)
+      |SELECT user_id, conv_event_id, conv_ts_us,
+      |       CASE WHEN in_w THEN touch.t_type END AS touch_type,
+      |       CASE WHEN in_w THEN touch.t_id END AS touch_event_id,
+      |       CASE WHEN in_w THEN (conv_ts_us - touch.t_us) // 60000000 END
+      |         AS mins_since_touch
+      |FROM c ORDER BY user_id, conv_event_id""".stripMargin
+
   private val TsAnomalyOracle: String =
     """WITH b AS (
       |  SELECT user_id, event_id, value,

@@ -275,6 +275,58 @@ object StreamingOps {
     * file, and the standard upstream contract (watermark + ordered
     * ingestion) for a production deployment.
     */
+  /** Per-key attribution state: the last qualifying touch — ONE
+    * struct per user, constant in stream length.
+    */
+  case class TouchState(tUs: Long, tType: String, tId: Long)
+
+  /** One row per conversion (append mode). */
+  case class AttributionRow(user_id: Long, conv_event_id: Long,
+      conv_ts_us: Long, touch_type: Option[String],
+      touch_event_id: Option[Long], mins_since_touch: Option[Long])
+
+  /** Streaming mirror of
+    * [[graft.operators.TemporalOps.lastTouchAttribution]] via
+    * flatMapGroupsWithState: touches overwrite the per-user state,
+    * conversions read it — the running last-qualifying-touch the
+    * batch window computes, with the SAME strict-precedence order
+    * ((ts, event_id); a touch at the conversion's own timestamp but
+    * smaller id wins, one at a larger id doesn't). Minutes use the
+    * same integer division. The q_stream_attribution gate runs THE
+    * SAME DuckDB oracle as the batch q_attribution — streaming/batch
+    * parity is the tested property. Ordering contract as
+    * [[rollingAnomalyByKey]]: rows sorted per group within the
+    * micro-batch; cross-batch order from event-time-monotone sources.
+    */
+  def attributionByKey(events: Dataset[(Long, Long, Long, String)],
+      convType: String, touchTypes: Set[String],
+      lookbackUs: Long): Dataset[AttributionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[TouchState, AttributionRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[TouchState]) =>
+          var touch: Option[TouchState] = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttributionRow]
+          rows.toSeq.sortBy(e => (e._2, e._3)).foreach {
+            case (_, tsUs, id, typ) =>
+              if (typ == convType) {
+                val in = touch.exists(t => tsUs - t.tUs <= lookbackUs)
+                out += AttributionRow(key, id, tsUs,
+                  if (in) touch.map(_.tType) else None,
+                  if (in) touch.map(_.tId) else None,
+                  if (in) touch.map(t => (tsUs - t.tUs) / 60000000L) else None)
+              } else if (touchTypes(typ)) {
+                touch = Some(TouchState(tsUs, typ, id))
+              }
+          }
+          touch.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def rollingAnomalyByKey(events: Dataset[(Long, Long, Long, Double)],
       lookback: Int = 6, minPrior: Int = 4,
       threshold: Double = 3.0): Dataset[AnomalyRow] = {

@@ -268,4 +268,30 @@ class StreamingOpsSpec extends SparkSpec {
       assert(g.getBoolean(8) == b.getBoolean(8))
     }
   }
+
+  test("attributionByKey: touch state carries across batches, lookback enforced") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, Long, String)]
+    val q = StreamingOps.attributionByKey(source.toDS(),
+        "purchase", Set("click", "view"), lookbackUs = 60L * 60000000)
+      .toDF()
+      .writeStream.format("memory").queryName("stream_attr_test")
+      .outputMode("append").start()
+    def mins(m: Long) = m * 60000000L
+    // batch 1: user 1 clicks; user 2 purchases with no touch
+    source.addData((1L, mins(0), 10L, "click"), (2L, mins(0), 20L, "purchase"))
+    q.processAllAvailable()
+    // batch 2: user 1 converts 30 min later (state from batch 1 must
+    // credit the click); then converts again 100 min after the click
+    // (outside the 60-min lookback -> organic)
+    source.addData((1L, mins(30), 11L, "purchase"), (1L, mins(100), 12L, "purchase"))
+    q.processAllAvailable()
+    val rows = spark.table("stream_attr_test")
+      .as[(Long, Long, Long, Option[String], Option[Long], Option[Long])]
+      .collect().map(r => r._2 -> r).toMap
+    q.stop()
+    assert(rows(20L)._4.isEmpty)
+    assert(rows(11L) == ((1L, 11L, mins(30), Some("click"), Some(10L), Some(30L))))
+    assert(rows(12L)._4.isEmpty) // stale touch beyond lookback
+  }
 }
