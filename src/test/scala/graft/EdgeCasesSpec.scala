@@ -169,4 +169,58 @@ class EdgeCasesSpec extends SparkSpec {
     assert(DedupOps.contaminatedPairs(docs, emptyDocs).count() == 0)
     assert(DedupOps.contaminatedPairs(emptyDocs, docs).count() == 0)
   }
+
+  test("round-7 session-4 ops on empty or degenerate inputs never throw") {
+    import graft.operators.{ClusterOps, DataQualityOps, DedupOps, EvalOps,
+      GraphOps, RegressionOps, RelationalOps, TemporalOps, TextOps}
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // pigeonhole pairs on an empty / singleton corpus
+    assert(DedupOps.simhashPairs(emptyDocs).count() == 0)
+    assert(DedupOps.simhashPairs(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text")).count() == 0)
+    // k-core on an empty edge list; on a graph peeled to nothing
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.kCore(noEdges, 2, 3).count() == 0)
+    assert(GraphOps.kCore(Seq((1L, 2L)).toDF("src", "dst"), 5, 3).count() == 0)
+    // link prediction with no wedges
+    assert(GraphOps.linkPrediction(Seq((1L, 2L)).toDF("src", "dst")).count() == 0)
+    // MI / co-occurrence on empty docs
+    val emptyLang = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(TextOps.tokenLabelMi(emptyLang).count() == 0)
+    assert(TextOps.windowedCooccur(emptyDocs).count() == 0)
+    // single-token docs generate no pairs
+    assert(TextOps.windowedCooccur(
+      Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text"), minCount = 1).count() == 0)
+    // kAnonymize on empty input: no rows, including no ANY bucket
+    assert(DataQualityOps.kAnonymize(
+      Seq.empty[(Int, String)].toDF("a", "b"), col("a"), col("b"), 3).count() == 0)
+    // ALS on empty ratings
+    assert(graft.operators.CFOps.alsUserFactors(
+      Seq.empty[(Long, Long, Long)].toDF("user_id", "item_id", "rating")).count() == 0)
+    // stump where label never varies: scores still defined (0.0)
+    val pure = RegressionOps.giniStump(
+      Seq((1L, true), (2L, true)).toDF("x", "y"), col("x"), col("y"))
+      .as[(Long, Long, Long, Long, Long, Double, Int)].collect()
+    assert(pure.forall(_._6 == 0.0))
+    // confusion on empty scores
+    assert(EvalOps.confusionReport(
+      Seq.empty[(String, String)].toDF("t", "p"), col("t"), col("p")).count() == 0)
+    // grid density with minPts greater than any cell: all noise
+    val emb = Seq((1L, Array(0.1f, 0.1f)), (2L, Array(0.2f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val gd = ClusterOps.gridDensityClusters(emb, eps = 1.0, minPts = 10)
+      .as[(Long, Long, Long, Option[Long])].collect()
+    assert(gd.length == 2 && gd.forall(_._4.isEmpty))
+    // attribution with zero conversions / empty events
+    val noConv = Seq((1L, new java.sql.Timestamp(0L), "click", 1L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    assert(TemporalOps.lastTouchAttribution(noConv, "purchase",
+      Seq("click"), 1000000L).count() == 0)
+    // RFM on a single customer: every score is 1 of 1 bucket
+    val one = Seq((7L, new java.sql.Timestamp(0L), 5.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val r = RelationalOps.rfmSegments(one).select("segment")
+      .as[String].collect()
+    assert(r.sameElements(Array("111")))
+  }
 }
