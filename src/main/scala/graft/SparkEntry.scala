@@ -1853,6 +1853,14 @@ object SparkEntry {
       RegressionOps.giniStump(Tables.documents(s, dir),
           expr("n_chars div 16"), col("lang") === "en")
         .orderBy("split")),
+    // Experimentation, continuous metric: Welch's unequal-variance
+    // t-test per event type on `value` — six decimal accumulators in
+    // one group-keyed aggregate, fixed IEEE dag for t and the
+    // Welch–Satterthwaite df.
+    "q_welch_t" -> ((s, dir) =>
+      EvalOps.welchTTest(Tables.events(s, dir), col("event_type"),
+          col("user_id"), col("value"))
+        .orderBy("grp")),
     // Experimentation: pooled two-proportion A/B z-test per event
     // type — variant = user_id mod 2, success = value > 50. Corpus →
     // one group-keyed aggregate of four exact int64 counters; the z
@@ -4568,6 +4576,46 @@ object SparkEntry {
          |ORDER BY d.eval_id, d.train_id""".stripMargin,
     // tie-aware Mann–Whitney AUC replay: BIGINT mid-rank arithmetic,
     // one final exact-int division per published rate
+    // Welch replay: same decimal accumulators, same IEEE dag for t
+    // and the Satterthwaite df; flag decided on the published t
+    "q_welch_t" ->
+      """WITH c AS (
+        |  SELECT event_type AS grp, user_id % 2 AS v, CAST(value AS DOUBLE) AS x
+        |  FROM events
+        |), a AS (
+        |  SELECT grp,
+        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    sum(CASE WHEN v = 0 THEN CAST(x AS DECIMAL(38,12))
+        |             ELSE CAST(0 AS DECIMAL(38,12)) END) AS s0,
+        |    sum(CASE WHEN v = 0 THEN CAST(x * x AS DECIMAL(38,12))
+        |             ELSE CAST(0 AS DECIMAL(38,12)) END) AS q0,
+        |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    sum(CASE WHEN v = 1 THEN CAST(x AS DECIMAL(38,12))
+        |             ELSE CAST(0 AS DECIMAL(38,12)) END) AS s1,
+        |    sum(CASE WHEN v = 1 THEN CAST(x * x AS DECIMAL(38,12))
+        |             ELSE CAST(0 AS DECIMAL(38,12)) END) AS q1
+        |  FROM c GROUP BY grp
+        |), m AS (
+        |  SELECT grp, n0, n1,
+        |    CAST(s0 AS DOUBLE) / n0 AS m0, CAST(s1 AS DOUBLE) / n1 AS m1,
+        |    (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / n0)
+        |      / (n0 - 1) AS v0,
+        |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+        |      / (n1 - 1) AS v1
+        |  FROM a
+        |), z AS (
+        |  SELECT grp, n0, n1, round(m0, 6) AS mean0, round(m1, 6) AS mean1,
+        |    CASE WHEN n0 > 1 AND n1 > 1 AND v0 / n0 + v1 / n1 > 0
+        |         THEN round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 6) + 0.0 END AS t,
+        |    CASE WHEN n0 > 1 AND n1 > 1 AND v0 / n0 + v1 / n1 > 0
+        |         THEN round((v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1)
+        |              / (v0 * v0 / (n0 * n0 * (n0 - 1))
+        |                 + v1 * v1 / (n1 * n1 * (n1 - 1))), 6) END AS df
+        |  FROM m
+        |)
+        |SELECT grp, n0, n1, mean0, mean1, t, df,
+        |       coalesce(abs(t) > 1.96, FALSE) AS significant
+        |FROM z ORDER BY grp""".stripMargin,
     // A/B replay: same four counters, same pooled-z double dag;
     // DuckDB sums CAST to BIGINT, flag decided on the published z
     "q_ab_test" ->

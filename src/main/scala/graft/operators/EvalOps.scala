@@ -484,6 +484,51 @@ object EvalOps {
       z.as("z"), coalesce(abs(z) > zCrit, lit(false)).as("significant"))
   }
 
+  /** Welch's unequal-variance t-test per experiment group — the
+    * continuous-metric sibling of [[abTest]]: units split by a
+    * deterministic hash of `unit`, compared on the MEAN of `metric`.
+    * t = (m₁ − m₀) / sqrt(s₀²/n₀ + s₁²/n₁) with sᵢ² the sample
+    * variance; Welch–Satterthwaite df published alongside.
+    *
+    * Portability: per-arm Σx and Σx² are DECIMAL(38,12) sums of the
+    * raw doubles (order-independent); means/variances derive from
+    * those decimals through one fixed IEEE dag, t and df published at
+    * 6 dp with significance (|t| > tCrit) decided on the published t.
+    * One group-keyed aggregate carries six accumulators — the corpus
+    * is touched once. Degenerate arms (n ≤ 1 or zero variance both
+    * sides) publish NULL t.
+    */
+  def welchTTest(df: DataFrame, group: Column, unit: Column, metric: Column,
+      tCrit: Double = 1.96): DataFrame = {
+    val dec = "decimal(38,12)"
+    def arm(v: Int, c: Column) = sum(when(col("__v") === v, c).otherwise(lit(0).cast(dec)))
+    val agg = df.select(group.as("grp"), pmod(unit, lit(2L)).as("__v"),
+        metric.cast("double").as("__x"))
+      .groupBy("grp")
+      .agg(sum(when(col("__v") === 0, 1L).otherwise(0L)).as("n0"),
+        arm(0, col("__x").cast(dec)).as("__s0"),
+        arm(0, (col("__x") * col("__x")).cast(dec)).as("__q0"),
+        sum(when(col("__v") === 1, 1L).otherwise(0L)).as("n1"),
+        arm(1, col("__x").cast(dec)).as("__s1"),
+        arm(1, (col("__x") * col("__x")).cast(dec)).as("__q1"))
+    def mean(s: Column, n: Column) = s.cast("double") / n
+    def varS(s: Column, q: Column, n: Column) =
+      (q.cast("double") - s.cast("double") * s.cast("double") / n) / (n - 1)
+    val m0 = mean(col("__s0"), col("n0")); val m1 = mean(col("__s1"), col("n1"))
+    val v0 = varS(col("__s0"), col("__q0"), col("n0"))
+    val v1 = varS(col("__s1"), col("__q1"), col("n1"))
+    val se2 = v0 / col("n0") + v1 / col("n1")
+    val t = round((m1 - m0) / sqrt(se2), 6) + 0.0
+    val dfw = round(se2 * se2 /
+      (v0 * v0 / (col("n0") * col("n0") * (col("n0") - 1)) +
+       v1 * v1 / (col("n1") * col("n1") * (col("n1") - 1))), 6)
+    val ok = col("n0") > 1 && col("n1") > 1 && se2 > 0
+    agg.select(col("grp"), col("n0"), col("n1"),
+      round(m0, 6).as("mean0"), round(m1, 6).as("mean1"),
+      when(ok, t).as("t"), when(ok, dfw).as("df"),
+      coalesce(abs(when(ok, t)) > tCrit, lit(false)).as("significant"))
+  }
+
   def labelNoise(knnLists: DataFrame, labels: DataFrame): DataFrame = {
     val lbl = labels.select(col("vec_id"), col("label"))
     val withQ = knnLists

@@ -243,6 +243,26 @@ class EvalOpsSpec extends SparkSpec {
     assert(got("c") == ((1L, 0L, None, Some(0.0), None)))
   }
 
+  test("welchTTest: matches hand Welch formula; degenerate arms NULL") {
+    // g: v0 units {0,2} -> x {1,3}; v1 units {1,3} -> x {4,8}
+    val rows = Seq(("g", 0L, 1.0), ("g", 2L, 3.0), ("g", 1L, 4.0), ("g", 3L, 8.0),
+      ("tiny", 0L, 5.0), ("tiny", 1L, 6.0)) // n=1 per arm -> NULL
+    val df = rows.toDF("grp", "unit", "x")
+    val got = EvalOps.welchTTest(df, col("grp"), col("unit"), col("x"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          Option(r.get(5)), Option(r.get(6)), r.getBoolean(7))).toMap
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (m0, m1) = (2.0, 6.0)
+    val (v0, v1) = (2.0, 8.0) // sample variances of {1,3}, {4,8}
+    val se2 = v0 / 2 + v1 / 2
+    val tExp = r6((m1 - m0) / math.sqrt(se2))
+    val dfExp = r6(se2 * se2 / (v0 * v0 / (2 * 2 * 1) + v1 * v1 / (2 * 2 * 1)))
+    val g = got("g")
+    assert(g == ((2L, 2L, 2.0, 6.0, Some(tExp), Some(dfExp), math.abs(tExp) > 1.96)))
+    assert(got("tiny")._5.isEmpty && !got("tiny")._7)
+  }
+
   test("abTest: pooled z matches hand formula; degenerate groups publish NULL") {
     // group g: variant 0 (even units) 2/4 success, variant 1 (odd) 3/4
     val rows =
