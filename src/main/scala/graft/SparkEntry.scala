@@ -208,6 +208,15 @@ object SparkEntry {
     "q_als_round" -> ((s, dir) =>
       CFOps.alsUserFactors(Ratings.deduped(s, dir), lambda = 0.1)
         .orderBy("user_id")),
+    // The ITEM half-step closing the alternation: user factors join
+    // back into ratings (the real ALS iteration's factor join), one
+    // item-keyed aggregate of decimal-cast double products, same
+    // closed-form solve.
+    "q_als_item" -> ((s, dir) => {
+      val r = Ratings.deduped(s, dir)
+      CFOps.alsItemFactors(r, CFOps.alsUserFactors(r, lambda = 0.1))
+        .orderBy("item_id")
+    }),
     // Training-data pipeline: exact dedup keep-list.
     "q_exact_dedup" -> ((s, dir) =>
       DedupOps.exactDedup(Tables.documents(s, dir)).orderBy("rep_doc_id")),
@@ -2475,33 +2484,35 @@ object SparkEntry {
          |FROM nbrs ORDER BY t_item, item_id""".stripMargin,
     // ALS: same int64 normal-equation sums (DuckDB sum → HUGEINT, so
     // CAST to BIGINT), same double Cramer solve, 6-dp publish
-    "q_als_round" ->
-      s"""WITH ${Ratings.OracleDedupCte},
-         |f AS (
-         |  SELECT user_id, rating,
-         |         10 + item_id % 7 AS i1, 5 + item_id % 11 AS i2
-         |  FROM ratings
+    "q_als_round" -> AlsUserOracle,
+    // item half-step: the published (rounded, hence engine-identical)
+    // user factors feed per-item ridge solves; decimal sums of the
+    // double products, same Cramer dag
+    "q_als_item" ->
+      s"""WITH uf AS ($AlsUserOracle),
+         |${Ratings.OracleDedupCte},
+         |j AS (
+         |  SELECT r.item_id, r.rating, uf.x1, uf.x2
+         |  FROM ratings r JOIN uf ON uf.user_id = r.user_id
          |), s AS (
-         |  SELECT user_id, count(*) AS n_items,
-         |         CAST(sum(i1 * i1) AS BIGINT) AS s11,
-         |         CAST(sum(i1 * i2) AS BIGINT) AS s12,
-         |         CAST(sum(i2 * i2) AS BIGINT) AS s22,
-         |         CAST(sum(rating * i1) AS BIGINT) AS t1,
-         |         CAST(sum(rating * i2) AS BIGINT) AS t2
-         |  FROM f GROUP BY user_id
+         |  SELECT item_id, count(*) AS n_users,
+         |    sum(CAST(x1 * x1 AS DECIMAL(38,12))) AS s11,
+         |    sum(CAST(x1 * x2 AS DECIMAL(38,12))) AS s12,
+         |    sum(CAST(x2 * x2 AS DECIMAL(38,12))) AS s22,
+         |    sum(CAST(rating * x1 AS DECIMAL(38,12))) AS t1,
+         |    sum(CAST(rating * x2 AS DECIMAL(38,12))) AS t2
+         |  FROM j GROUP BY item_id
          |), m AS (
-         |  SELECT user_id, n_items,
-         |         CAST(s11 AS DOUBLE) / 100.0 + 0.1 AS a11,
-         |         CAST(s12 AS DOUBLE) / 100.0 AS a12,
-         |         CAST(s22 AS DOUBLE) / 100.0 + 0.1 AS a22,
-         |         CAST(t1 AS DOUBLE) / 10.0 AS b1,
-         |         CAST(t2 AS DOUBLE) / 10.0 AS b2
+         |  SELECT item_id, n_users,
+         |         CAST(s11 AS DOUBLE) + 0.1 AS a11, CAST(s12 AS DOUBLE) AS a12,
+         |         CAST(s22 AS DOUBLE) + 0.1 AS a22,
+         |         CAST(t1 AS DOUBLE) AS b1, CAST(t2 AS DOUBLE) AS b2
          |  FROM s
          |)
-         |SELECT user_id, n_items,
-         |       round((a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12), 6) + 0.0 AS x1,
-         |       round((a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12), 6) + 0.0 AS x2
-         |FROM m ORDER BY user_id""".stripMargin,
+         |SELECT item_id, n_users,
+         |       round((a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12), 6) + 0.0 AS y1,
+         |       round((a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12), 6) + 0.0 AS y2
+         |FROM m ORDER BY item_id""".stripMargin,
     "q_cf_recommend" ->
       s"""WITH ${Ratings.OracleDedupCte},
          |$CfCte,
@@ -5239,6 +5250,37 @@ object SparkEntry {
     * (q_ts_anomaly) and streaming (q_stream_anomaly) gates, so the two
     * engines' parity is checked against one ANSI definition.
     */
+  /** Shared oracle for q_als_round (standalone) and q_als_item
+    * (wrapped): int64-exact user normal equations + Cramer solve.
+    */
+  private val AlsUserOracle: String =
+    s"""WITH ${Ratings.OracleDedupCte},
+       |f AS (
+       |  SELECT user_id, rating,
+       |         10 + item_id % 7 AS i1, 5 + item_id % 11 AS i2
+       |  FROM ratings
+       |), s AS (
+       |  SELECT user_id, count(*) AS n_items,
+       |         CAST(sum(i1 * i1) AS BIGINT) AS s11,
+       |         CAST(sum(i1 * i2) AS BIGINT) AS s12,
+       |         CAST(sum(i2 * i2) AS BIGINT) AS s22,
+       |         CAST(sum(rating * i1) AS BIGINT) AS t1,
+       |         CAST(sum(rating * i2) AS BIGINT) AS t2
+       |  FROM f GROUP BY user_id
+       |), m AS (
+       |  SELECT user_id, n_items,
+       |         CAST(s11 AS DOUBLE) / 100.0 + 0.1 AS a11,
+       |         CAST(s12 AS DOUBLE) / 100.0 AS a12,
+       |         CAST(s22 AS DOUBLE) / 100.0 + 0.1 AS a22,
+       |         CAST(t1 AS DOUBLE) / 10.0 AS b1,
+       |         CAST(t2 AS DOUBLE) / 10.0 AS b2
+       |  FROM s
+       |)
+       |SELECT user_id, n_items,
+       |       round((a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12), 6) + 0.0 AS x1,
+       |       round((a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12), 6) + 0.0 AS x2
+       |FROM m ORDER BY user_id""".stripMargin
+
   /** Shared oracle for q_attribution / q_stream_attribution: IGNORE
     * NULLS running last-touch under the (ts, event_id) total order.
     */

@@ -294,4 +294,40 @@ object CFOps {
       (round((a22 * b1 - a12 * b2) / det, 6) + 0.0).as("x1"),
       (round((a11 * b2 - a12 * b1) / det, 6) + 0.0).as("x2"))
   }
+
+  /** The ITEM half-step completing one full ALS alternation: given
+    * the user factors from [[alsUserFactors]], each item's factor
+    * vector solves (Σ_u xᵤxᵤᵀ + λI)·y = Σ_u rᵤᵢxᵤ over the users who
+    * rated it — the same closed 2×2 ridge form, now accumulating
+    * DOUBLE products (user factors), so the five sums are
+    * DECIMAL(38,12) casts (order-independent; the published 6-dp
+    * user factors are engine-identical inputs, making the products
+    * deterministic too). Plan shape: ratings join user factors on
+    * user_id (the real ALS iteration's factor join — user-keyed
+    * exchange, broadcastable when the user table fits), then ONE
+    * item-keyed aggregate + map-only Cramer solve.
+    */
+  def alsItemFactors(ratings: DataFrame, userFactors: DataFrame,
+      lambda: Double = 0.1): DataFrame = {
+    require(lambda > 0, "ridge lambda must be > 0 (PD normal matrix)")
+    val dec = "decimal(38,12)"
+    val j = ratings.select("user_id", "item_id", "rating")
+      .join(userFactors.select("user_id", "x1", "x2"), "user_id")
+    val sums = j.groupBy("item_id")
+      .agg(count(lit(1)).as("n_users"),
+        sum((col("x1") * col("x1")).cast(dec)).as("__s11"),
+        sum((col("x1") * col("x2")).cast(dec)).as("__s12"),
+        sum((col("x2") * col("x2")).cast(dec)).as("__s22"),
+        sum((col("rating") * col("x1")).cast(dec)).as("__t1"),
+        sum((col("rating") * col("x2")).cast(dec)).as("__t2"))
+    val a11 = col("__s11").cast("double") + lambda
+    val a12 = col("__s12").cast("double")
+    val a22 = col("__s22").cast("double") + lambda
+    val b1 = col("__t1").cast("double")
+    val b2 = col("__t2").cast("double")
+    val det = a11 * a22 - a12 * a12
+    sums.select(col("item_id"), col("n_users"),
+      (round((a22 * b1 - a12 * b2) / det, 6) + 0.0).as("y1"),
+      (round((a11 * b2 - a12 * b1) / det, 6) + 0.0).as("y2"))
+  }
 }

@@ -122,4 +122,36 @@ class CFOpsSpec extends SparkSpec {
     val pred3 = ((10 + 3 % 7) / 10.0) * x1 + ((5 + 3 % 11) / 10.0) * x2
     assert(math.abs(pred3 - 3.0) < 1.0)
   }
+
+  test("alsItemFactors: item half-step matches Breeze given the user factors") {
+    val ratings = Seq(
+      (1L, 3L, 5L), (1L, 8L, 2L), (2L, 3L, 1L), (3L, 3L, 3L), (3L, 8L, 4L))
+      .toDF("user_id", "item_id", "rating")
+    val uf = CFOps.alsUserFactors(ratings, lambda = 0.1)
+    val ufMap = uf.as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    val got = CFOps.alsItemFactors(ratings, uf, lambda = 0.1)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    def expect(rs: Seq[(Long, Long)]): (Double, Double) = {
+      val a = DenseMatrix.zeros[Double](2, 2)
+      val b = DenseVector.zeros[Double](2)
+      rs.foreach { case (u, r) =>
+        val x = DenseVector(ufMap(u)._1, ufMap(u)._2)
+        a += x * x.t; b += x * r.toDouble
+      }
+      a += DenseMatrix.eye[Double](2) * 0.1
+      val y = a \ b
+      (y(0), y(1))
+    }
+    for ((i, rs) <- Seq(3L -> Seq((1L, 5L), (2L, 1L), (3L, 3L)),
+        8L -> Seq((1L, 2L), (3L, 4L)))) {
+      val (y1, y2) = expect(rs)
+      val (n, g1, g2) = (got(i)._2, got(i)._3, got(i)._4)
+      assert(n == rs.size)
+      assert(math.abs(g1 - y1) < 1e-5 && math.abs(g2 - y2) < 1e-5,
+        s"item $i: ($g1,$g2) vs breeze ($y1,$y2)")
+    }
+  }
 }
