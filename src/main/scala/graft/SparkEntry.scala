@@ -789,6 +789,17 @@ object SparkEntry {
       GraphOps.linkPrediction(GraphOps.syntheticEdges(nodes, n), minCommon = 2)
         .orderBy("a", "b")
     }),
+    // GDPR cascade-delete audit: the mod-97 custkeys as the deletion
+    // request list, FK-cascaded through orders → lineitem and into
+    // events; broadcast semi-join probes, one scan per table.
+    "q_gdpr_cascade" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      RelationalOps.cascadeDeleteReport(cust, Tables.orders(s, dir),
+          Tables.lineitem(s, dir), Tables.events(s, dir),
+          cust.filter(col("c_custkey") % 97 === 0)
+            .select(col("c_custkey").as("custkey")))
+        .orderBy("table_name")
+    }),
     // RFM customer segmentation: value-level equi-depth quintile
     // scores over recency/frequency/monetary — no per-row global
     // sort; every window runs on the distinct-value table.
@@ -3873,6 +3884,33 @@ object SparkEntry {
         |JOIN deg db ON db.node = cn.b
         |WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = cn.a AND und.b = cn.b)
         |ORDER BY a, b""".stripMargin,
+    // cascade replay: the same key list, semi-joins as IN subqueries
+    "q_gdpr_cascade" ->
+      """WITH del AS (
+        |  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0
+        |), delord AS (
+        |  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM del)
+        |)
+        |SELECT 'customer' AS table_name, count(*) AS n_before,
+        |       CAST(sum(CASE WHEN c_custkey IN (SELECT k FROM del) THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        |       count(*) - CAST(sum(CASE WHEN c_custkey IN (SELECT k FROM del) THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+        |FROM customer
+        |UNION ALL
+        |SELECT 'events', count(*),
+        |       CAST(sum(CASE WHEN user_id IN (SELECT k FROM del) THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(*) - CAST(sum(CASE WHEN user_id IN (SELECT k FROM del) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM events
+        |UNION ALL
+        |SELECT 'lineitem', count(*),
+        |       CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM delord) THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(*) - CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM delord) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders', count(*),
+        |       CAST(sum(CASE WHEN o_custkey IN (SELECT k FROM del) THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(*) - CAST(sum(CASE WHEN o_custkey IN (SELECT k FROM del) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |ORDER BY table_name""".stripMargin,
     // RFM replay: the equiDepth boundary construction per metric on
     // the distinct-value tables; sums CAST to BIGINT (HUGEINT rule)
     "q_rfm" -> {

@@ -713,6 +713,45 @@ object RelationalOps {
       .filter(col("n") > 0)
   }
 
+  /** Right-to-be-forgotten cascade audit (the GDPR/CCPA batch-delete
+    * job every lakehouse runs): given a deletion-request key list,
+    * count per table how many rows the cascade removes — customers
+    * directly, their orders through the FK, those orders' line items
+    * through the second FK, and the users' events. Publishes
+    * (table, n_before, n_deleted, n_after) — the reconciliation
+    * report an auditor signs off before the actual DELETE executes.
+    *
+    * Shapes: the request list BROADCASTS into every semi-join probe
+    * (deletion batches are small against a corpus); the order-key
+    * cascade is itself a key-list semi-join. Each table is scanned
+    * once; counts are single aggregates.
+    */
+  def cascadeDeleteReport(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, events: DataFrame, delKeys: DataFrame): DataFrame = {
+    val spark = customer.sparkSession
+    import spark.implicits._
+    val keys = broadcast(delKeys.select(col("custkey")).distinct())
+    val delOrders = broadcast(graft.CacheScope.autoRelease(
+      orders.join(keys, orders("o_custkey") === keys("custkey"), "left_semi")
+        .select(col("o_orderkey"))))
+    def report(name: String, df: DataFrame, deleted: DataFrame): DataFrame = {
+      val n = df.agg(count(lit(1)).as("__n"))
+      val d = deleted.agg(count(lit(1)).as("__d"))
+      n.crossJoin(d).select(lit(name).as("table_name"),
+        col("__n").as("n_before"), col("__d").as("n_deleted"),
+        (col("__n") - col("__d")).as("n_after"))
+    }
+    report("customer", customer,
+        customer.join(keys, customer("c_custkey") === keys("custkey"), "left_semi"))
+      .unionByName(report("orders", orders,
+        orders.join(keys, orders("o_custkey") === keys("custkey"), "left_semi")))
+      .unionByName(report("lineitem", lineitem,
+        lineitem.join(delOrders,
+          lineitem("l_orderkey") === delOrders("o_orderkey"), "left_semi")))
+      .unionByName(report("events", events,
+        events.join(keys, events("user_id") === keys("custkey"), "left_semi")))
+  }
+
   /** RFM customer segmentation (Hughes 1994 — the standard marketing
     * quintile scheme): per customer, Recency (days since last order
     * vs the corpus anchor), Frequency (order count), Monetary

@@ -333,6 +333,24 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("cascadeDeleteReport: FK cascade counts exact, empty request list deletes nothing") {
+    val cust = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
+    val ords = Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("o_orderkey", "o_custkey")
+    val li = Seq((10L, 1), (10L, 2), (11L, 1), (12L, 1)).toDF("l_orderkey", "l_linenumber")
+    val ev = Seq((1L, 100L), (3L, 101L)).toDF("user_id", "event_id")
+    val del = Seq(1L).toDF("custkey")
+    val got = RelationalOps.cascadeDeleteReport(cust, ords, li, ev, del)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("customer") == (("customer", 3L, 1L, 2L)))
+    assert(got("orders") == (("orders", 3L, 2L, 1L)))   // orders 10, 11
+    assert(got("lineitem") == (("lineitem", 4L, 3L, 1L))) // items of 10, 11
+    assert(got("events") == (("events", 2L, 1L, 1L)))
+    val none = RelationalOps.cascadeDeleteReport(cust, ords, li, ev,
+      Seq.empty[Long].toDF("custkey"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(none.forall(r => r._3 == 0L && r._2 == r._4))
+  }
+
   test("rfmSegments: distinct metrics score 1..5; ties share a score") {
     val ts = java.sql.Timestamp.valueOf(_: String)
     // 5 customers, strictly increasing last-order date / freq / spend
