@@ -465,6 +465,24 @@ object SparkEntry {
           round(col("stop_ratio"), 6).as("stop_ratio"),
           round(col("score"), 6).as("score"))
         .orderBy("doc_id")),
+    // Gopher structural quality rules: exact-int rule flags + keep.
+    // Thresholds chosen so every rule visibly bites on this corpus
+    // (word count [30,80], mean word length [4.0,5.0] tenths).
+    "q_gopher_rules" -> ((s, dir) =>
+      TextAnalysisOps.gopherRules(Tables.documents(s, dir),
+          minWords = 30, maxWords = 80,
+          minMeanLenTenths = 40, maxMeanLenTenths = 50)
+        .orderBy("doc_id")),
+    // Annotation QA: Cohen's kappa between the langId labeler and the
+    // gold lang column — multi-class 'ALL' row + one-vs-rest rows.
+    "q_kappa" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      EvalOps.cohenKappa(
+          TextAnalysisOps.langId(docs)
+            .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+          col("lang_pred"), col("lang"))
+        .orderBy("label")
+    }),
     // Whitespace + BPE-ish token counting.
     "q_token_counts" -> ((s, dir) =>
       TextAnalysisOps.tokenCounts(Tables.documents(s, dir))
@@ -5178,6 +5196,74 @@ object SparkEntry {
       |)""".stripMargin
 
   private val oracleSqlTextAnalysis: Map[String, String] = Map(
+    // rule replay: same exact-int cross-multiplied flags, same
+    // exact-int IEEE division ratios rounded 6dp
+    "q_gopher_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS nw,
+        |    CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS BIGINT) AS sc,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS na,
+        |    CAST(len(list_filter(ws, x -> x IN ('the','a','of','to','and'))) AS BIGINT) AS nstop,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\s]', '', 'g')) AS BIGINT) AS nsym
+        |  FROM w WHERE len(ws) > 0
+        |)
+        |SELECT doc_id, nw AS n_words,
+        |       round(CAST(sc AS DOUBLE) / nw, 6) AS mean_word_len,
+        |       round(CAST(nsym AS DOUBLE) / nc, 6) AS symbol_frac,
+        |       round(CAST(na AS DOUBLE) / nw, 6) AS alpha_frac,
+        |       nstop AS n_stop,
+        |       nw >= 30 AND nw <= 80 AS wc_ok,
+        |       sc * 10 >= 40 * nw AND sc * 10 <= 50 * nw AS len_ok,
+        |       nsym * 10 <= nc AS sym_ok,
+        |       na * 5 >= nw * 4 AS alpha_ok,
+        |       nstop >= 2 AS stop_ok,
+        |       (nw >= 30 AND nw <= 80)
+        |         AND (sc * 10 >= 40 * nw AND sc * 10 <= 50 * nw)
+        |         AND nsym * 10 <= nc AND na * 5 >= nw * 4 AND nstop >= 2 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // kappa replay: confusion counts + marginal products are exact
+    // int64; po/pe exact-int divisions; one IEEE dag for kappa
+    "q_kappa" ->
+      s"""WITH $LangCtes,
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(b.lang, 'und') AS pa, d.lang AS pb
+         |  FROM documents d LEFT JOIN best b USING (doc_id)
+         |), cm AS (
+         |  SELECT pa, pb, CAST(count(*) AS BIGINT) AS c FROM lab GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN pa = pb THEN c ELSE 0 END) AS BIGINT) AS diag
+         |  FROM cm
+         |), ra AS (SELECT pa AS label, CAST(sum(c) AS BIGINT) AS ca FROM cm GROUP BY 1),
+         |rb AS (SELECT pb AS label, CAST(sum(c) AS BIGINT) AS cb FROM cm GROUP BY 1),
+         |labs AS (SELECT label FROM ra UNION SELECT label FROM rb),
+         |marg AS (
+         |  SELECT l.label, coalesce(ra.ca, 0) AS ca, coalesce(rb.cb, 0) AS cb
+         |  FROM labs l LEFT JOIN ra USING (label) LEFT JOIN rb USING (label)
+         |), tp AS (SELECT pa AS label, c AS tp FROM cm WHERE pa = pb),
+         |per AS (
+         |  SELECT m.label, t.n,
+         |    CAST(coalesce(p.tp, 0) + (t.n - m.ca - m.cb + coalesce(p.tp, 0)) AS DOUBLE)
+         |      / t.n AS po,
+         |    CAST(m.ca * m.cb + (t.n - m.ca) * (t.n - m.cb) AS DOUBLE)
+         |      / (t.n * t.n) AS pe
+         |  FROM marg m CROSS JOIN tot t LEFT JOIN tp p USING (label)
+         |), allr AS (
+         |  SELECT 'ALL' AS label, t.n,
+         |    CAST(t.diag AS DOUBLE) / t.n AS po,
+         |    CAST(CAST((SELECT sum(ca * cb) FROM marg) AS BIGINT) AS DOUBLE)
+         |      / (t.n * t.n) AS pe
+         |  FROM tot t
+         |), u AS (SELECT * FROM per UNION ALL SELECT * FROM allr)
+         |SELECT label, n, round(po, 6) AS po, round(pe, 6) AS pe,
+         |       CASE WHEN pe < 1.0
+         |            THEN round((po - pe) / (1.0 - pe), 6) + 0.0 END AS kappa
+         |FROM u ORDER BY label""".stripMargin,
     "q_lang_id" ->
       s"""WITH $LangCtes
          |SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred,

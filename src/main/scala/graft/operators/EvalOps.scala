@@ -545,4 +545,64 @@ object EvalOps {
         round(col("n_agree").cast("double") / col("n_neighbors").cast("double"), 9))
       .withColumn("suspect", lit(2L) * col("n_agree") < col("n_neighbors"))
   }
+
+  /** Chance-corrected annotator agreement (Cohen 1960): kappa between
+    * two label columns — the labeling-QA gate every annotation or
+    * weak-supervision pipeline runs before trusting its labels. One
+    * 'ALL' row carries the multi-class kappa; one row per label
+    * carries the one-vs-rest binary kappa (which classes the
+    * annotators actually disagree on).
+    *
+    * po and pe are exact-int ratios (counts and marginal products over
+    * the confusion matrix), so kappa = (po − pe) / (1 − pe) is one
+    * fixed IEEE dag on identical doubles in every engine; published
+    * 6dp (+0.0 absorbs negative-zero on near-chance agreement).
+    * Degenerate pe = 1 (both annotators constant) publishes NULL.
+    *
+    * Plan shape: corpus → ONE (a,b)-keyed partial-combined aggregate;
+    * everything after runs on the label-squared-sized matrix (collect-
+    * free: marginals ride broadcast joins). Output: (label, n, po, pe,
+    * kappa).
+    */
+  def cohenKappa(labeled: DataFrame, a: Column, b: Column): DataFrame = {
+    val cm = labeled.select(a.as("a"), b.as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val tot = cm.agg(sum("c").as("n"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("diag"))
+    val ra = cm.groupBy("a").agg(sum("c").as("ca"))
+    val rb = cm.groupBy("b").agg(sum("c").as("cb"))
+    val labels = ra.select(col("a").as("label"))
+      .union(rb.select(col("b").as("label"))).distinct()
+    val marg = labels
+      .join(broadcast(ra.withColumnRenamed("a", "label")), Seq("label"), "left")
+      .join(broadcast(rb.withColumnRenamed("b", "label")), Seq("label"), "left")
+      .select(col("label"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val withTot = marg.crossJoin(broadcast(tot))
+    val diagPer = cm.filter(col("a") === col("b"))
+      .select(col("a").as("label"), col("c").as("tp"))
+    // per-label one-vs-rest: po = (tp + tn)/n, pe from binary marginals
+    val perLabel = withTot
+      .join(broadcast(diagPer), Seq("label"), "left")
+      .withColumn("tp", coalesce(col("tp"), lit(0L)))
+      .withColumn("tn", col("n") - col("ca") - col("cb") + col("tp"))
+      .withColumn("po",
+        (col("tp") + col("tn")).cast("double") / col("n").cast("double"))
+      .withColumn("pe",
+        (col("ca") * col("cb") + (col("n") - col("ca")) * (col("n") - col("cb")))
+          .cast("double") / (col("n") * col("n")).cast("double"))
+      .select(col("label"), col("n"), col("po"), col("pe"))
+    val peAll = withTot
+      .agg(first(col("n")).as("n"), first(col("diag")).as("diag"),
+        sum(col("ca") * col("cb")).as("s"))
+      .select(lit("ALL").as("label"), col("n"),
+        col("diag").cast("double") / col("n").cast("double") as "po",
+        col("s").cast("double") / (col("n") * col("n")).cast("double") as "pe")
+    perLabel.unionByName(peAll)
+      .select(col("label"), col("n"),
+        round(col("po"), 6).as("po"), round(col("pe"), 6).as("pe"),
+        when(col("pe") < 1.0,
+          round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6) + 0.0)
+          .as("kappa"))
+  }
 }

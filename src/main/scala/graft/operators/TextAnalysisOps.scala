@@ -360,4 +360,58 @@ object TextAnalysisOps {
       .withColumn("nnz", sum(when(col("v") =!= 0L, 1L).otherwise(0L)).over(perDoc))
       .withColumn("norm2", sum(col("v") * col("v")).over(perDoc))
   }
+
+  /** Gopher-style structural quality rules (Rae et al. 2021 §A1.1;
+    * RefinedWeb keeps the same family): per-doc word count bounds,
+    * mean-word-length band, symbol-to-char ratio cap, alpha-word
+    * ratio floor, and a stopword-presence floor. The repetition half
+    * of the Gopher suite lives in [[repetitionStats]] — together they
+    * are the full rule set.
+    *
+    * Every flag is decided by exact int64 cross-multiplication (e.g.
+    * mean-length ∈ [lo, hi] ⇔ 10·Σlen ≥ 10·lo·n ∧ 10·Σlen ≤ 10·hi·n
+    * with lo/hi carried as tenths) — no float compares at rule
+    * boundaries, so the keep flag is bit-identical in every engine.
+    * Published ratios are exact-int IEEE divisions rounded 6dp.
+    *
+    * Plan shape: a single scan-local projection per row (array ops on
+    * the token list); no shuffle, no broadcast — the cheapest possible
+    * 100 TB pass, which is exactly why these rules run FIRST in real
+    * curation pipelines. Output: (doc_id, n_words, mean_word_len,
+    * symbol_frac, alpha_frac, n_stop, wc_ok, len_ok, sym_ok,
+    * alpha_ok, stop_ok, keep).
+    */
+  def gopherRules(docs: DataFrame, minWords: Long = 50, maxWords: Long = 100000,
+      minMeanLenTenths: Long = 30, maxMeanLenTenths: Long = 100,
+      textCol: String = "text"): DataFrame = {
+    val ws = DedupOps.words(col(textCol))
+    val base = graft.PlanUtils.spread(docs.select(col("doc_id"), col(textCol)))
+      .select(col("doc_id"),
+        size(ws).cast("long").as("__nw"),
+        aggregate(transform(ws, w => length(w).cast("long")), lit(0L),
+          (a, x) => a + x).as("__sc"),
+        size(filter(ws, w => w.rlike("[a-z]"))).cast("long").as("__na"),
+        size(filter(ws, w => w.isin("the", "a", "of", "to", "and")))
+          .cast("long").as("__nstop"),
+        length(col(textCol)).cast("long").as("__nc"),
+        (length(col(textCol))
+          - length(regexp_replace(col(textCol), "[^a-z0-9\\s]", "")))
+          .cast("long").as("__nsym"))
+      .filter(col("__nw") > 0)
+    base.select(
+      col("doc_id"),
+      col("__nw").as("n_words"),
+      round(col("__sc").cast("double") / col("__nw"), 6).as("mean_word_len"),
+      round(col("__nsym").cast("double") / col("__nc"), 6).as("symbol_frac"),
+      round(col("__na").cast("double") / col("__nw"), 6).as("alpha_frac"),
+      col("__nstop").as("n_stop"),
+      (col("__nw") >= minWords && col("__nw") <= maxWords).as("wc_ok"),
+      (col("__sc") * 10L >= lit(minMeanLenTenths) * col("__nw")
+        && col("__sc") * 10L <= lit(maxMeanLenTenths) * col("__nw")).as("len_ok"),
+      (col("__nsym") * 10L <= col("__nc")).as("sym_ok"),
+      (col("__na") * 5L >= col("__nw") * 4L).as("alpha_ok"),
+      (col("__nstop") >= 2L).as("stop_ok"))
+      .withColumn("keep", col("wc_ok") && col("len_ok") && col("sym_ok")
+        && col("alpha_ok") && col("stop_ok"))
+  }
 }

@@ -282,4 +282,31 @@ class EvalOpsSpec extends SparkSpec {
     assert(got("one_sided")._5.isEmpty && !got("one_sided")._6)
     assert(got("all_hit")._5.isEmpty && !got("all_hit")._6)
   }
+
+  test("cohenKappa: hand-checked 2x2, constant annotators publish null") {
+    // cm: (x,x)=1, (x,y)=1, (y,y)=2 → po = 3/4; marginals a: x=2,y=2,
+    // b: x=1,y=3 → pe = (2·1 + 2·3)/16 = 1/2 → kappa = 1/2 everywhere
+    val df = Seq((1L, "x", "x"), (2L, "x", "y"), (3L, "y", "y"),
+      (4L, "y", "y")).toDF("id", "a", "b")
+    val got = EvalOps.cohenKappa(df, col("a"), col("b")).orderBy("label")
+      .as[(String, Long, Double, Double, Option[Double])].collect().toList
+    assert(got == List(
+      ("ALL", 4L, 0.75, 0.5, Some(0.5)),
+      ("x", 4L, 0.75, 0.5, Some(0.5)),
+      ("y", 4L, 0.75, 0.5, Some(0.5))))
+    // both annotators constant → pe = 1 → kappa undefined (null)
+    val g2 = EvalOps.cohenKappa(
+        Seq((1L, "x", "x"), (2L, "x", "x")).toDF("id", "a", "b"),
+        col("a"), col("b")).orderBy("label")
+      .as[(String, Long, Double, Double, Option[Double])].collect().toList
+    assert(g2 == List(("ALL", 2L, 1.0, 1.0, None), ("x", 2L, 1.0, 1.0, None)))
+    // label predicted by only one annotator still gets a row (kappa 0:
+    // never-predicted class agrees with chance exactly)
+    val g3 = EvalOps.cohenKappa(
+        Seq((1L, "x", "y"), (2L, "x", "x")).toDF("id", "a", "b"),
+        col("a"), col("b")).orderBy("label")
+      .as[(String, Long, Double, Double, Option[Double])].collect().toList
+    assert(g3.filter(_._1 == "y") ==
+      List(("y", 2L, 0.5, 0.5, Some(0.0))))
+  }
 }

@@ -180,4 +180,30 @@ class TextAnalysisOpsSpec extends SparkSpec {
       (1L, 2L, 3L, h1, Some(n1)),
       (2L, 1L, 2L, 0.0, None)))
   }
+
+  test("gopherRules: each rule flag decided by exact integer arithmetic") {
+    val docs = Seq(
+      // 5 words, mean len (3+3+2+1+3)/5 = 2.4, "the" + "a" stops
+      (1L, "the cat is a dog"),
+      // 4 words, mean 4.0 exactly — boundary INCLUDED (40*4 == 160)
+      (2L, "aaaa bbbb cccc dddd"),
+      // symbol-heavy: 5 of 14 chars are symbols → sym_ok false
+      (3L, "#### !!!! a bc"),
+      // numeric words: alpha_frac 1/4 < 0.8 → alpha_ok false
+      (4L, "12 34 56 ab"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysisOps.gopherRules(docs,
+        minWords = 2, maxWords = 10, minMeanLenTenths = 40,
+        maxMeanLenTenths = 100)
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "mean_word_len", "wc_ok", "len_ok",
+        "sym_ok", "alpha_ok", "stop_ok", "keep")
+      .as[(Long, Long, Double, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toList
+    assert(got == List(
+      (1L, 5L, 2.4, true, false, true, true, true, false),
+      (2L, 4L, 4.0, true, true, true, true, false, false),
+      (3L, 2L, 1.5, true, false, false, true, false, false),
+      (4L, 4L, 2.0, true, false, true, false, false, false)))
+  }
 }
