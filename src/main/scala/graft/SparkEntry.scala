@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.WelfordAgg
 import graft.operators._
@@ -949,6 +950,13 @@ object SparkEntry {
       ClusterOps.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
           dims = 8, k = 4, iters = 2)
         .orderBy("vec_id")),
+    // Diversity/coreset sampling: k-center greedy farthest-point
+    // selection on the integer-quantized grid — every distance² an
+    // exact integer, selection trajectory + cover-radius certificate
+    // gated row-for-row.
+    "q_kcenter" -> ((s, dir) =>
+      ClusterOps.kCenterGreedy(Tables.embeddings(s, dir), k = 8)
+        .orderBy("sel_rank")),
     // Grid-density clustering (DBSCAN-lite): eps-grid on the first two
     // embedding dims, dense cells (≥ 8 pts) unioned over 8-adjacency
     // into clusters, sparse points → NULL noise. All graph work on the
@@ -1046,6 +1054,12 @@ object SparkEntry {
     // self-join) scored by PPMI against the pair-table marginals.
     "q_cooccur" -> ((s, dir) =>
       TextOps.windowedCooccur(Tables.documents(s, dir), window = 3, minCount = 5)),
+    // Keyword salience: TextRank — damped weighted PageRank over the
+    // same co-occurrence graph (5 rounds, 9-dp fixpoint path).
+    "q_textrank" -> ((s, dir) =>
+      TextOps.textRank(Tables.documents(s, dir), window = 3, minCount = 5,
+          damping = 0.85, rounds = 5)
+        .orderBy("word")),
     // Link-graph centrality (web-crawl quality prior): PageRank with
     // damping 0.85 over a deterministic synthetic crawl graph (dense
     // doc ids, fixed out-degree 3, skewed in-degrees). Scaled-INTEGER
@@ -1907,6 +1921,30 @@ object SparkEntry {
       EvalOps.abTest(Tables.events(s, dir), col("event_type"),
           col("user_id"), col("value") > 50.0)
         .orderBy("grp")),
+    // Preference modeling: Bradley–Terry strengths over pairwise
+    // "duels" — consecutive same-user events of different types, the
+    // higher value wins (the RLHF reward-data shape). 5 MM rounds.
+    "q_bradley_terry" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("t1"), col("value").as("v1"))
+        .withColumn("t2", lead(col("t1"), 1).over(w))
+        .withColumn("v2", lead(col("v1"), 1).over(w))
+        .filter(col("t2").isNotNull && col("t1") =!= col("t2")
+          && col("v1") =!= col("v2"))
+        .select(
+          when(col("v1") > col("v2"), col("t1")).otherwise(col("t2")).as("winner"),
+          when(col("v1") > col("v2"), col("t2")).otherwise(col("t1")).as("loser"))
+      EvalOps.bradleyTerry(pairs, col("winner"), col("loser"), rounds = 5)
+        .orderBy("item")
+    }),
+    // Survival analysis: Kaplan–Meier user-retention curve; users
+    // last seen within 6h of the corpus horizon are right-censored
+    // (the corpus' inter-event cadence is hours, not days).
+    "q_km_survival" -> ((s, dir) =>
+      TemporalOps.kmSurvival(Tables.events(s, dir), unitUs = 21600000000L)
+        .orderBy("t")),
     // Classifier evaluation: exact tie-aware ROC curve + AUC (Mann–
     // Whitney rank-sum, BIGINT mid-ranks) of the doc-length score
     // against the en label. Corpus → ONE score-keyed aggregate; every
@@ -3105,6 +3143,38 @@ object SparkEntry {
         |JOIN marg m2 ON m2.w = w2
         |WHERE n_ab >= 5
         |ORDER BY w1, w2""".stripMargin,
+    // TextRank replay: same pair graph, exact-int edge fractions,
+    // unrolled damped rounds on the 9-dp/decimal-sum path
+    "q_textrank" ->
+      s"""WITH toks AS (
+         |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+         |), big AS (
+         |  SELECT least(ws[i], ws[i + d]) AS w1, greatest(ws[i], ws[i + d]) AS w2
+         |  FROM toks,
+         |       LATERAL unnest(generate_series(1, len(ws) - 1)) g(i),
+         |       LATERAL unnest(generate_series(1, 3)) dd(d)
+         |  WHERE i + d <= len(ws)
+         |), cab AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY 1, 2
+         |  HAVING count(*) >= 5
+         |), tred AS (
+         |  SELECT w1 AS src, w2 AS dst, n FROM cab
+         |  UNION ALL SELECT w2, w1, n FROM cab
+         |), trws AS (
+         |  SELECT src, CAST(sum(n) AS BIGINT) AS w_out FROM tred GROUP BY src
+         |), tre AS MATERIALIZED (
+         |  SELECT e.src, e.dst, CAST(e.n AS DOUBLE) / CAST(w.w_out AS DOUBLE) AS frac
+         |  FROM tred e JOIN trws w ON w.src = e.src
+         |), trnodes AS MATERIALIZED (SELECT src AS word, w_out FROM trws),
+         |trcnt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM trnodes),
+         |tr0 AS MATERIALIZED (
+         |  SELECT word,
+         |    round(CAST(1 AS DOUBLE) / CAST((SELECT nn FROM trcnt) AS DOUBLE), 9) AS r
+         |  FROM trnodes
+         |),
+         |${trRoundsSql(5)}
+         |SELECT n.word, n.w_out, round(r.r, 6) AS rank
+         |FROM trnodes n JOIN tr5 r USING (word) ORDER BY word""".stripMargin,
     // NB replay: same counts, same 9-dp ln terms, same decimal sums;
     // argmax by row_number over the exact decimal score
     "q_naive_bayes" -> NaiveBayesOracle,
@@ -3439,6 +3509,27 @@ object SparkEntry {
         |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
     "q_kmeans" -> kmeansOracleSql(dims = 8, k = 4, iters = 2),
+    // k-center replay: same integer grid, exact-int distances², same
+    // argmax/tie order, unrolled greedy rounds + coverage certificate
+    "q_kcenter" ->
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings
+         |), c0 AS (SELECT vec_id, q FROM pts ORDER BY vec_id LIMIT 1),
+         |m0 AS MATERIALIZED (
+         |  SELECT p.vec_id,
+         |    CAST(sum((p.q[d+1] - c.q[d+1]) * (p.q[d+1] - c.q[d+1])) AS BIGINT) AS d2
+         |  FROM pts p CROSS JOIN c0 c, range(64) r(d)
+         |  GROUP BY p.vec_id
+         |),
+         |${kcRoundsSql(7)}
+         |SELECT 0 AS sel_rank, vec_id, CAST(0 AS BIGINT) AS d2 FROM c0
+         |${(1 to 7).map(t => s"UNION ALL SELECT $t, vec_id, d2 FROM s$t")
+                     .mkString("\n")}
+         |UNION ALL SELECT 8, CAST(NULL AS BIGINT), (SELECT max(d2) FROM m7)
+         |ORDER BY sel_rank""".stripMargin,
     // grid-density replay: same quantization + packed cell ids;
     // component labels via recursive min-reachable closure over the
     // 8-adjacency of dense cells; isolated dense cells keep their id
@@ -4643,6 +4734,67 @@ object SparkEntry {
          |ORDER BY d.eval_id, d.train_id""".stripMargin,
     // tie-aware Mann–Whitney AUC replay: BIGINT mid-rank arithmetic,
     // one final exact-int division per published rate
+    // BT replay: exact-int pair matrix; each MM round re-derives the
+    // 9dp/decimal-sum update; round CTEs MATERIALIZED (branching > 1)
+    "q_bradley_terry" ->
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type AS t1, value AS v1,
+         |         lead(event_type) OVER w AS t2, lead(value) OVER w AS v2
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), pr AS (
+         |  SELECT CASE WHEN v1 > v2 THEN t1 ELSE t2 END AS winner,
+         |         CASE WHEN v1 > v2 THEN t2 ELSE t1 END AS loser
+         |  FROM seq WHERE t2 IS NOT NULL AND t1 <> t2 AND v1 <> v2
+         |), wl AS (
+         |  SELECT winner, loser, CAST(count(*) AS BIGINT) AS c
+         |  FROM pr GROUP BY 1, 2
+         |), sym AS (
+         |  SELECT i, j, CAST(sum(w) AS BIGINT) AS w, CAST(sum(n) AS BIGINT) AS n
+         |  FROM (
+         |    SELECT winner AS i, loser AS j, c AS w, c AS n FROM wl
+         |    UNION ALL
+         |    SELECT loser AS i, winner AS j, 0 AS w, c AS n FROM wl) u
+         |  GROUP BY i, j
+         |), tot AS (
+         |  SELECT i, CAST(sum(w) AS BIGINT) AS wins,
+         |         CAST(sum(n) AS BIGINT) AS n_comps
+         |  FROM sym GROUP BY i
+         |), p0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM tot),
+         |${btRoundsSql(5)}
+         |SELECT t.i AS item, t.n_comps, t.wins, round(p.p, 6) AS strength
+         |FROM tot t JOIN p5 p ON p.i = t.i ORDER BY item""".stripMargin,
+    // KM replay: exact-int risk/death counts, 9-dp ln factors
+    // decimal-cumulated in lifetime order, exp published at 6dp
+    "q_km_survival" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY user_id
+        |), h AS (SELECT max(epoch_us(ts)) AS h_us FROM events),
+        |lives AS (
+        |  SELECT (last_us - first_us) // 21600000000 AS t,
+        |         h.h_us - last_us < 21600000000 AS censored
+        |  FROM pu CROSS JOIN h
+        |), byt AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS ended,
+        |         CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+        |         CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM lives GROUP BY t
+        |), r AS (
+        |  SELECT *, CAST(sum(ended) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+        |  FROM byt
+        |), s AS (
+        |  SELECT *,
+        |    sum(CAST(CASE WHEN d > 0 AND n_risk > d
+        |             THEN round(ln(CAST(n_risk - d AS DOUBLE) / n_risk), 9)
+        |             ELSE 0.0 END AS DECIMAL(38,12))) OVER (ORDER BY t) AS cum_ln,
+        |    sum(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t) AS zeroed
+        |  FROM r
+        |)
+        |SELECT t, n_risk, d, c,
+        |       round(CAST(d AS DOUBLE) / n_risk, 6) AS hazard,
+        |       CASE WHEN zeroed > 0 THEN 0.0
+        |            ELSE round(exp(CAST(cum_ln AS DOUBLE)), 6) END AS survival
+        |FROM s ORDER BY t""".stripMargin,
     // Welch replay: same decimal accumulators, same IEEE dag for t
     // and the Satterthwaite df; flag decided on the published t
     "q_welch_t" ->
@@ -5174,6 +5326,71 @@ object SparkEntry {
       |                                 ORDER BY hits DESC, lang) AS rn
       |    FROM hits) x WHERE rn = 1
       |)""".stripMargin
+
+  /** Unrolled Bradley–Terry MM rounds for the q_bradley_terry oracle:
+    * p{t} derives from p{t-1} via the same 9-dp-rounded / decimal-
+    * summed update the engine runs. MATERIALIZED throughout — the
+    * recurrence references each prior round twice (the pagerank
+    * inlining lesson).
+    */
+  private def btRoundsSql(rounds: Int): String =
+    (1 to rounds).map { t =>
+      s"""d$t AS MATERIALIZED (
+         |  SELECT s.i,
+         |    CAST(sum(CAST(round(CAST(s.n AS DOUBLE) / (pi.p + pj.p), 9)
+         |             AS DECIMAL(38,12))) AS DOUBLE) AS den
+         |  FROM sym s JOIN p${t - 1} pi ON pi.i = s.i
+         |  JOIN p${t - 1} pj ON pj.i = s.j
+         |  GROUP BY s.i
+         |), r$t AS MATERIALIZED (
+         |  SELECT t.i, round(CAST(t.wins AS DOUBLE) / d.den, 9) AS praw
+         |  FROM tot t JOIN d$t d ON d.i = t.i
+         |), p$t AS MATERIALIZED (
+         |  SELECT i, round(praw / (SELECT CAST(sum(CAST(praw AS DECIMAL(38,12)))
+         |                               AS DOUBLE) FROM r$t), 9) AS p
+         |  FROM r$t
+         |)""".stripMargin
+    }.mkString(",\n")
+
+  /** Unrolled k-center greedy rounds for the q_kcenter oracle: each
+    * round picks the farthest point (s{t}), looks up its quantized
+    * vector (c{t}) and min-updates every point's distance² (m{t}) —
+    * all in exact int64. MATERIALIZED: m{t} feeds both the next argmax
+    * and the next update.
+    */
+  private def kcRoundsSql(rounds: Int): String =
+    (1 to rounds).map { t =>
+      s"""s$t AS MATERIALIZED (
+         |  SELECT vec_id, d2 FROM m${t - 1} ORDER BY d2 DESC, vec_id LIMIT 1
+         |), c$t AS MATERIALIZED (
+         |  SELECT p.vec_id, p.q FROM pts p JOIN s$t s ON s.vec_id = p.vec_id
+         |), m$t AS MATERIALIZED (
+         |  SELECT p.vec_id,
+         |    least(m.d2, CAST(sum((p.q[d+1] - c.q[d+1]) * (p.q[d+1] - c.q[d+1]))
+         |                AS BIGINT)) AS d2
+         |  FROM pts p JOIN m${t - 1} m ON m.vec_id = p.vec_id
+         |  CROSS JOIN c$t c, range(64) r(d)
+         |  GROUP BY p.vec_id, m.d2
+         |)""".stripMargin
+    }.mkString(",\n")
+
+  /** Unrolled TextRank rounds for the q_textrank oracle: 9-dp
+    * contribution terms decimal-summed per node, damped update
+    * re-rounded 9dp — the engine's fixpoint path replayed. */
+  private def trRoundsSql(rounds: Int): String =
+    (1 to rounds).map { t =>
+      s"""tc$t AS MATERIALIZED (
+         |  SELECT e.dst AS word,
+         |    CAST(sum(CAST(round(e.frac * r.r, 9) AS DECIMAL(38,12))) AS DOUBLE) AS s
+         |  FROM tre e JOIN tr${t - 1} r ON r.word = e.src GROUP BY e.dst
+         |), tr$t AS MATERIALIZED (
+         |  SELECT n.word,
+         |    round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         |            / CAST((SELECT nn FROM trcnt) AS DOUBLE)
+         |          + CAST(0.85 AS DOUBLE) * coalesce(c.s, CAST(0 AS DOUBLE)), 9) AS r
+         |  FROM trnodes n LEFT JOIN tc$t c USING (word)
+         |)""".stripMargin
+    }.mkString(",\n")
 
   /** DuckDB CTE for quality features: qf(doc_id, n_tokens, punct_ratio,
     * stop_ratio, score). Shared by q_quality and q_curation.

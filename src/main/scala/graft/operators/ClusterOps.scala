@@ -169,4 +169,67 @@ object ClusterOps {
     pts.join(broadcast(cellLabel), Seq("cx", "cy"), "left")
       .select(col("vec_id"), col("cx"), col("cy"), col("cluster"))
   }
+
+  /** k-center greedy coreset selection (Gonzalez 1985 farthest-point
+    * traversal — the 2-approximation of the k-center cover, and the
+    * standard diversity/coreset sampler for training-data selection à
+    * la active-learning "core-set" picking): start from the lowest-id
+    * vector, then `k − 1` times pick the point FARTHEST from every
+    * already-chosen center (ties → lowest id). Published rows: one per
+    * selected center (sel_rank, vec_id, d2 = the farthest-point
+    * distance² that selected it) plus a final coverage-certificate row
+    * (sel_rank = k, vec_id NULL, d2 = max remaining min-distance² —
+    * the cover radius² the greedy bound guarantees within 2× of
+    * optimal).
+    *
+    * Portability: coordinates are floor-quantized to an integer grid
+    * (`scale` steps per unit; floor has no tie semantics) and carried
+    * as float32 — exact for |q| ≤ 2²⁴ — so every distance² computed
+    * through the native dot kernel (qq − 2·q·c + cc) is an EXACT
+    * integer in double: argmax and the published values are
+    * bit-portable with zero float-boundary risk.
+    *
+    * Plan shape: the quantized corpus is cached once; each of the k
+    * rounds is one broadcast (1-row center) map + a TakeOrdered
+    * argmax and a min-update — O(k) corpus scans, no pairwise
+    * materialization, min-distance state localCheckpointed per round
+    * (the recurrence-lineage lesson). At 100 TB the corpus scans
+    * dominate and are embarrassingly parallel; k is small by
+    * construction.
+    */
+  def kCenterGreedy(emb: DataFrame, k: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding", scale: Double = 1000.0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val pts = graft.CacheScope.autoRelease(
+      emb.select(col(idCol).as("vec_id"),
+          transform(col(vecCol),
+            x => floor(x.cast("double") * scale).cast("float")).as("q"))
+        .withColumn("qq", SimilarityOps.dot(col("q"), col("q"))))
+    def d2To(c: DataFrame): DataFrame =
+      pts.crossJoin(broadcast(c))
+        .select(col("vec_id"),
+          (col("qq") - lit(2.0) * SimilarityOps.dot(col("q"), col("cq"))
+            + col("cqq")).as("d2"))
+    val c0 = pts.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("c_id"), col("q").as("cq"), col("qq").as("cqq"))
+    var md = d2To(c0).localCheckpoint()
+    var out = c0.select(lit(0).as("sel_rank"), col("c_id").as("vec_id"),
+      lit(0.0).as("d2"))
+    for (r <- 1 until k) {
+      val next = md.orderBy(col("d2").desc, col("vec_id").asc).limit(1)
+        .localCheckpoint()
+      val c = next.join(pts, "vec_id")
+        .select(col("vec_id").as("c_id"), col("q").as("cq"), col("qq").as("cqq"))
+      out = out.unionByName(
+        next.select(lit(r).as("sel_rank"), col("vec_id"), col("d2")))
+      md = md.join(d2To(c).withColumnRenamed("d2", "nd"), "vec_id")
+        .select(col("vec_id"), least(col("d2"), col("nd")).as("d2"))
+        .localCheckpoint()
+    }
+    val cov = md.agg(max("d2").as("d2"))
+      .select(lit(k).as("sel_rank"), lit(null).cast("long").as("vec_id"),
+        col("d2"))
+    out.unionByName(cov)
+      .select(col("sel_rank"), col("vec_id"), col("d2").cast("long").as("d2"))
+  }
 }

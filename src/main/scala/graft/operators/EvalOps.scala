@@ -546,6 +546,67 @@ object EvalOps {
       .withColumn("suspect", lit(2L) * col("n_agree") < col("n_neighbors"))
   }
 
+  /** Bradley–Terry preference-strength fit (Bradley & Terry 1952) via
+    * `rounds` fixed iterations of the Zermelo/Hunter MM update — the
+    * model behind pairwise human-preference data (RLHF reward
+    * modeling, LLM arena leaderboards): p(i beats j) = πᵢ/(πᵢ+πⱼ),
+    * fit by πᵢ ← Wᵢ / Σⱼ nᵢⱼ/(πᵢ+πⱼ), normalized to Σπ = 1 per round.
+    *
+    * Portability: the pair matrix (nᵢⱼ, wᵢⱼ) is exact int64; each MM
+    * round's per-opponent terms are rounded 9dp and DECIMAL-summed
+    * (order-independent), the division and normalization run on
+    * identical doubles, and the next round's π is re-rounded 9dp — so
+    * every engine walks the same fixpoint path bit-for-bit. Published
+    * strength at 6dp. Items with zero wins converge to π = 0 (the
+    * MLE boundary); a pair of mutually-unplayed zero-win items cannot
+    * make a 0/0 term because every played pair has a winner.
+    *
+    * Plan shape: outcomes → ONE (winner, loser)-keyed aggregate; the
+    * item-squared pair matrix is cached once and every round is
+    * broadcast-joined against the item-sized π table — iteration cost
+    * is independent of the outcome count. Output: (item, n_comps,
+    * wins, strength).
+    */
+  def bradleyTerry(outcomes: DataFrame, winner: Column, loser: Column,
+      rounds: Int = 5): DataFrame = {
+    val dec = "decimal(38,12)"
+    val wl = outcomes.select(winner.as("w"), loser.as("l"))
+      .groupBy("w", "l").agg(count(lit(1)).as("c"))
+    val sym = graft.CacheScope.autoRelease(
+      wl.select(col("w").as("i"), col("l").as("j"),
+          col("c").as("wi"), col("c").as("nn"))
+        .unionByName(wl.select(col("l").as("i"), col("w").as("j"),
+          lit(0L).as("wi"), col("c").as("nn")))
+        .groupBy("i", "j").agg(sum("wi").as("w"), sum("nn").as("n")))
+    val tot = sym.groupBy("i").agg(sum("w").as("wins"), sum("n").as("n_comps"))
+    var p = tot.select(col("i"), lit(1.0).as("p"))
+    for (_ <- 1 to rounds) {
+      val pi = p.select(col("i"), col("p").as("pi"))
+      val pj = p.select(col("i").as("j"), col("p").as("pj"))
+      val den = sym
+        .join(broadcast(pi), Seq("i"))
+        .join(broadcast(pj), Seq("j"))
+        .groupBy("i")
+        .agg(sum(round(col("n").cast("double") / (col("pi") + col("pj")), 9)
+          .cast(dec)).as("den"))
+      // item-sized; localCheckpoint truncates the recurrence lineage —
+      // praw is referenced twice (normalizer + update) and p twice
+      // (both sides of the pair join), so an unpinned plan doubles
+      // per round (the nearDupClusters/bpeMerges lesson)
+      val praw = tot.join(broadcast(den), Seq("i"))
+        .select(col("i"), round(col("wins").cast("double")
+          / col("den").cast("double"), 9).as("praw"))
+        .localCheckpoint()
+      val s = praw.agg(sum(col("praw").cast(dec)).as("s"))
+      p = praw.crossJoin(broadcast(s))
+        .select(col("i"),
+          round(col("praw") / col("s").cast("double"), 9).as("p"))
+    }
+    tot.join(p, Seq("i"))
+      .select(col("i").as("item"), col("n_comps"), col("wins"),
+        round(col("p"), 6).as("strength"))
+  }
+
   /** Chance-corrected annotator agreement (Cohen 1960): kappa between
     * two label columns — the labeling-QA gate every annotation or
     * weak-supervision pipeline runs before trusting its labels. One

@@ -647,4 +647,60 @@ object TemporalOps {
           expr(s"(unix_micros($tsCol) - __touch.t_us) div 60000000"))
           .as("mins_since_touch"))
   }
+
+  /** Kaplan–Meier survival estimate (Kaplan & Meier 1958) of per-key
+    * observed lifetime — the product-limit retention curve every
+    * subscription/engagement pipeline publishes. Lifetime = whole
+    * `unitUs`-micros units between a key's first and last event
+    * (integer micros div); keys
+    * whose last event falls within `censorDays` of the corpus horizon
+    * (max ts) are right-censored — they are still "alive", so they
+    * count at risk but not as churn events. Deaths sort before
+    * censorings at equal times (the standard KM convention — both are
+    * in the risk set at their own t).
+    *
+    * Portability: dₜ/nₜ are exact int64; each step factor enters as
+    * round(ln((n−d)/n), 9), cumulated by an order-independent DECIMAL
+    * window sum, and S(t) = exp(·) published at 6dp — the established
+    * engine-portable ln/exp chain. A step where d = n (everyone at
+    * risk churns) zeroes the curve exactly from there on, bypassing
+    * ln(0).
+    *
+    * Plan shape: corpus → key-keyed min/max aggregate → lifetime-keyed
+    * aggregate; the cumulative windows run over the DISTINCT-lifetime
+    * table (bounded by horizon/unitUs), never the corpus — the
+    * only single-task stage is metric-sized. Output: (t, n_risk, d,
+    * c, hazard, survival).
+    */
+  def kmSurvival(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", censorGapUs: Long = 21600000000L,
+      unitUs: Long = 86400000000L): DataFrame = {
+    val dec = "decimal(38,12)"
+    val us = unix_micros(col(tsCol))
+    val perKey = events.groupBy(col(keyCol))
+      .agg(min(us).as("first_us"), max(us).as("last_us"))
+    val horizon = events.agg(max(us).as("h_us"))
+    val lives = perKey.crossJoin(broadcast(horizon))
+      .select(expr(s"(last_us - first_us) div ${unitUs}L").as("t"),
+        (col("h_us") - col("last_us") < lit(censorGapUs)).as("censored"))
+    val byT = lives.groupBy("t")
+      .agg(count(lit(1)).as("ended"),
+        sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lnTerm = when(col("d") > 0 && col("n_risk") > col("d"),
+        round(log((col("n_risk") - col("d")).cast("double") / col("n_risk")), 9))
+      .otherwise(lit(0.0))
+    byT.withColumn("n_risk", sum(col("ended")).over(wDesc))
+      .withColumn("cum_ln", sum(lnTerm.cast(dec)).over(wAsc))
+      .withColumn("zeroed",
+        sum(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(wAsc))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        round(col("d").cast("double") / col("n_risk"), 6).as("hazard"),
+        when(col("zeroed") > 0, lit(0.0))
+          .otherwise(round(exp(col("cum_ln").cast("double")), 6)).as("survival"))
+  }
 }

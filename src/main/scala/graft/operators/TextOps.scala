@@ -765,10 +765,12 @@ object TextOps {
     * one double division of exact int64 counts, rounded 9 dp then
     * clamped at 0 and published at 6 dp — engine-exact.
     */
-  def windowedCooccur(docs: DataFrame, window: Int = 3, minCount: Int = 5,
-      textCol: String = "text"): DataFrame = {
-    require(window >= 1, "window must be >= 1")
-    val pairs = graft.PlanUtils.spread(docs.select(col(textCol)))
+  /** Unordered within-`window` token pairs, map-only (the zip_with
+    * construction [[windowedCooccur]] documents). Shared by the PPMI
+    * table and [[textRank]]. */
+  private def cooccurPairs(docs: DataFrame, window: Int,
+      textCol: String): DataFrame =
+    graft.PlanUtils.spread(docs.select(col(textCol)))
       .select(DedupOps.words(col(textCol)).as("__ws"))
       .select(explode(expr(
         s"""flatten(transform(sequence(1, $window), d ->
@@ -777,6 +779,11 @@ object TextOps {
            |           (x, y) -> struct(least(x, y) AS w1, greatest(x, y) AS w2))))"""
           .stripMargin)).as("__p"))
       .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+
+  def windowedCooccur(docs: DataFrame, window: Int = 3, minCount: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val pairs = cooccurPairs(docs, window, textCol)
     // pin the pair-count table: it feeds the totals, BOTH marginal
     // sides and the published rows — unpinned, the zip_with pair
     // explode re-ran per consumer (plan-audited: 3 Generates)
@@ -795,5 +802,60 @@ object TextOps {
           round(log((col("n_ab") * col("__t")).cast("double")
             / (col("__m1") * col("__m2"))), 9)), 6).as("ppmi"))
       .orderBy("w1", "w2")
+  }
+
+  /** TextRank keyword scoring (Mihalcea & Tarau 2004): weighted
+    * PageRank over the [[windowedCooccur]] word graph — the classic
+    * unsupervised keyword extractor, here over the whole corpus (the
+    * graph is vocabulary-sized, so ranks are corpus-level keyword
+    * salience). Symmetric edges weighted by pair count (pairs below
+    * `minCount` pruned); `rounds` damped iterations of
+    * r(i) ← (1−d)/N + d·Σⱼ (wⱼᵢ/Wⱼ)·r(j).
+    *
+    * Portability: edge fractions wⱼᵢ/Wⱼ are exact-int divisions; each
+    * round's contribution terms are rounded 9dp and DECIMAL-summed
+    * per node (order-independent), the damped update re-rounds 9dp —
+    * the engine-portable fixpoint-path pattern. Published rank at 6dp.
+    *
+    * Plan shape: pair counts aggregate once (map-only generation, one
+    * (w1,w2)-keyed exchange); the fraction-weighted edge list is
+    * cached and each round is one edge⋈rank join + node-keyed sum —
+    * vocab-bounded tables throughout, corpus touched once. Output:
+    * (word, w_out, rank).
+    */
+  def textRank(docs: DataFrame, window: Int = 3, minCount: Int = 5,
+      damping: Double = 0.85, rounds: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1 && window >= 1, "rounds and window must be >= 1")
+    val dec = "decimal(38,12)"
+    val cab = cooccurPairs(docs, window, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val ed = cab.select(col("w1").as("src"), col("w2").as("dst"), col("n"))
+      .unionByName(cab.select(col("w2").as("src"), col("w1").as("dst"), col("n")))
+    val wsrc = ed.groupBy("src").agg(sum("n").as("w_out"))
+    val e = graft.CacheScope.autoRelease(
+      ed.join(wsrc, "src")
+        .select(col("src"), col("dst"),
+          col("n").cast("double") / col("w_out").cast("double") as "frac"))
+    val nodes = graft.CacheScope.autoRelease(
+      wsrc.select(col("src").as("word"), col("w_out")))
+    val cnt = nodes.agg(count(lit(1)).as("nn"))
+    var r = nodes.crossJoin(broadcast(cnt))
+      .select(col("word"),
+        round(lit(1.0) / col("nn").cast("double"), 9).as("r"))
+    for (_ <- 1 to rounds) {
+      val contrib = e.join(r.withColumnRenamed("word", "src"), Seq("src"))
+        .groupBy(col("dst").as("word"))
+        .agg(sum(round(col("frac") * col("r"), 9).cast(dec)).as("s"))
+      r = nodes.select(col("word")).join(contrib, Seq("word"), "left")
+        .crossJoin(broadcast(cnt))
+        .select(col("word"),
+          round(lit(1.0 - damping) / col("nn").cast("double")
+            + lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 9)
+            .as("r"))
+    }
+    nodes.join(r, Seq("word"))
+      .select(col("word"), col("w_out"), round(col("r"), 6).as("rank"))
   }
 }

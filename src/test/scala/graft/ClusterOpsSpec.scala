@@ -71,4 +71,17 @@ class ClusterOpsSpec extends SparkSpec {
     // blob B's isolated dense cell keeps its packed cell id
     assert(bb.get == (5L + 4096L) * 8192L + 5L + 4096L)
   }
+
+  test("kCenterGreedy: hand-checked farthest-point trajectory + coverage row") {
+    // 1-D grid points 0, 10, 4, 1 (scale 1): start at id 0, then the
+    // farthest point 10 (d²=100), then 4 (min-dist² 16), leaving 1 as
+    // the worst-covered point (d²=1 to center 0) = the cover radius²
+    val emb = Seq((0L, Seq(0f)), (1L, Seq(10f)), (2L, Seq(4f)), (3L, Seq(1f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.ClusterOps.kCenterGreedy(emb, k = 3, scale = 1.0)
+      .orderBy("sel_rank")
+      .as[(Int, Option[Long], Long)].collect().toList
+    assert(got == List((0, Some(0L), 0L), (1, Some(1L), 100L),
+      (2, Some(2L), 16L), (3, None, 1L)))
+  }
 }

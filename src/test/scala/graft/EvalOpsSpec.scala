@@ -309,4 +309,21 @@ class EvalOpsSpec extends SparkSpec {
     assert(g3.filter(_._1 == "y") ==
       List(("y", 2L, 0.5, 0.5, Some(0.0))))
   }
+
+  test("bradleyTerry: 2-item MM hits the analytic 2/3–1/3 fixpoint; zero-win boundary") {
+    // a beats b twice, b beats a once → MLE π = (2/3, 1/3); the MM
+    // update reaches it in one round and stays (fixpoint is stable
+    // under the 9-dp rounding path)
+    val duels = Seq(("a", "b"), ("a", "b"), ("b", "a")).toDF("w", "l")
+    val got = EvalOps.bradleyTerry(duels, col("w"), col("l"), rounds = 5)
+      .orderBy("item")
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(got == List(("a", 3L, 2L, 0.666667), ("b", 3L, 1L, 0.333333)))
+    // an item that never wins converges to the MLE boundary π = 0
+    val oneway = Seq(("a", "b"), ("a", "b")).toDF("w", "l")
+    val g2 = EvalOps.bradleyTerry(oneway, col("w"), col("l"), rounds = 5)
+      .orderBy("item")
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(g2 == List(("a", 2L, 2L, 1.0), ("b", 2L, 0L, 0.0)))
+  }
 }

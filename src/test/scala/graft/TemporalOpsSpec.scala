@@ -457,4 +457,28 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got(4L)._4 == Some("view") && got(4L)._5 == Some(401L))
     assert(got(5L)._4.isEmpty)
   }
+
+  test("kmSurvival: hand-checked curve, censoring, and the d=n zero step") {
+    def t(day: Long) = new java.sql.Timestamp(day * 86400 * 1000)
+    // horizon = day 5; censor gap 1 day ⇒ u3/u4 (last seen day 5)
+    // censored, u1 (day 2) and u2 (day 4) are churn events
+    val ev = Seq(
+      (1L, t(0)), (1L, t(2)),           // lifetime 2 — death
+      (2L, t(0)), (2L, t(4)),           // lifetime 4 — death (gap = 1, not < 1)
+      (3L, t(3)), (3L, t(5)),           // lifetime 2 — censored
+      (4L, t(5)))                       // lifetime 0 — censored
+      .toDF("user_id", "ts")
+    val got = graft.operators.TemporalOps.kmSurvival(ev,
+        censorGapUs = 86400000000L, unitUs = 86400000000L)
+      .orderBy("t")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toList
+    // t=2: S = 2/3 via the 9-dp ln / exp chain
+    def r(v: Double, n: Int) =
+      BigDecimal(v).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s2 = r(math.exp(r(math.log(2.0 / 3.0), 9)), 6)
+    assert(got == List(
+      (0L, 4L, 0L, 1L, 0.0, 1.0),
+      (2L, 3L, 1L, 1L, r(1.0 / 3.0, 6), s2),
+      (4L, 1L, 1L, 0L, 1.0, 0.0)))   // d = n: curve hits exact zero
+  }
 }

@@ -241,4 +241,26 @@ class TextOpsSpec extends SparkSpec {
     assert(filtered.map(r => (r._1, r._2)).toSet == Set(("x", "y"), ("x", "z")))
     assert(filtered.find(r => (r._1, r._2) == (("x", "y"))).get._4 == got(("x", "y"))._2)
   }
+
+  test("textRank: scalar replay of the damped 9-dp fixpoint on a star graph") {
+    // star c—x (9 pairs), c—y (9 pairs): W_c=18 (frac 1/2 each way out),
+    // W_x=W_y=9 (frac 1) — the hub must outrank the leaves
+    val docs = Seq((1L, "c x c x c x c x c x"), (2L, "c y c y c y c y c y"))
+      .toDF("doc_id", "text")
+    val got = TextOps.textRank(docs, window = 1, minCount = 2, rounds = 5)
+      .orderBy("word").as[(String, Long, Double)].collect().toList
+    def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var r = Map("c" -> r9(1.0 / 3), "x" -> r9(1.0 / 3), "y" -> r9(1.0 / 3))
+    for (_ <- 1 to 5) {
+      val contrib = Map( // decimal-sum of 9-dp terms, like the engine
+        "c" -> (BigDecimal(r9(1.0 * r("x"))) + BigDecimal(r9(1.0 * r("y")))).toDouble,
+        "x" -> r9(0.5 * r("c")),
+        "y" -> r9(0.5 * r("c")))
+      r = r.map { case (k, _) => k -> r9((1.0 - 0.85) / 3 + 0.85 * contrib(k)) }
+    }
+    assert(got == List(("c", 18L, r6(r("c"))), ("x", 9L, r6(r("x"))),
+      ("y", 9L, r6(r("y")))))
+    assert(r("c") > r("x") && r("x") == r("y"))
+  }
 }
