@@ -570,8 +570,15 @@ object EvalOps {
   def bradleyTerry(outcomes: DataFrame, winner: Column, loser: Column,
       rounds: Int = 5): DataFrame = {
     val dec = "decimal(38,12)"
-    val wl = outcomes.select(winner.as("w"), loser.as("l"))
-      .groupBy("w", "l").agg(count(lit(1)).as("c"))
+    // pin the per-(winner, loser) counts: the symmetrization below
+    // references wl TWICE — unpinned, the corpus aggregation (and any
+    // upstream window) would run once per branch. coalesce(1): every
+    // table from here on is item²-sized, so the 5 MM rounds run as
+    // 1-task stages instead of shuffle.partitions-wide ones.
+    val wl = graft.CacheScope.autoRelease(
+      outcomes.select(winner.as("w"), loser.as("l"))
+        .groupBy("w", "l").agg(count(lit(1)).as("c"))
+        .coalesce(1))
     val sym = graft.CacheScope.autoRelease(
       wl.select(col("w").as("i"), col("l").as("j"),
           col("c").as("wi"), col("c").as("nn"))

@@ -828,9 +828,16 @@ object TextOps {
       textCol: String = "text"): DataFrame = {
     require(rounds >= 1 && window >= 1, "rounds and window must be >= 1")
     val dec = "decimal(38,12)"
-    val cab = cooccurPairs(docs, window, textCol)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minCount)
+    // pin the pair counts: the edge symmetrization references cab
+    // TWICE — unpinned, the corpus-sized zip_with explode would run
+    // once per branch (the windowedCooccur lesson). coalesce(1):
+    // everything downstream is vocab-sized, so the rank rounds run as
+    // 1-task stages.
+    val cab = graft.CacheScope.autoRelease(
+      cooccurPairs(docs, window, textCol)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minCount)
+        .coalesce(1))
     val ed = cab.select(col("w1").as("src"), col("w2").as("dst"), col("n"))
       .unionByName(cab.select(col("w2").as("src"), col("w1").as("dst"), col("n")))
     val wsrc = ed.groupBy("src").agg(sum("n").as("w_out"))
