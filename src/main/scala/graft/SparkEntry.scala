@@ -404,6 +404,14 @@ object SparkEntry {
           col("fused_rank"))
         .orderBy("q_id", "fused_rank")
     }),
+    // Diversity re-ranking: MMR greedy selection (λ=0.7, 5 of top-10)
+    // over the brute-force cosine lists — the redundancy-aware rerank
+    // between retrieval and a context window. Full selection
+    // trajectory + scores gated.
+    "q_mmr" -> ((s, dir) =>
+      SimilarityOps.mmrRerank(Tables.embeddings(s, dir),
+          col("vec_id") < 10, topC = 10, select = 5, lambda = 0.7)
+        .orderBy("q_id", "mmr_rank")),
     // Embedding-cosine near-dup pairs via LSH candidates + exact verify
     // (no cross join anywhere in the plan). The oracle is the exact
     // all-pairs answer — equality doubles as the recall proof, like
@@ -926,6 +934,27 @@ object SparkEntry {
         .select(unix_micros(col("w_start")).as("win_start_us"), col("n"),
           round(col("sum_value"), 4).as("sum_value"))
         .orderBy("win_start_us")
+    }),
+    // Streaming windowed top-k: per-6h-window event-type counts
+    // through a real AvailableNow stream (bounded per-window category
+    // state), top-3 ranked after the sink — the trending-feed shape.
+    "q_stream_topk" -> ((s, dir) => {
+      val stream = Tables.eventsStream(s, dir)
+      val agg = graft.streaming.StreamingOps.windowedTypeCounts(stream,
+        "ts", "event_type", "21600 seconds", "12 hours")
+      val qn = s"graft_stream_topk_${StreamSeq.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val w = Window.partitionBy("w_start")
+        .orderBy(col("n").desc, col("event_type").asc)
+      s.table(qn)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(unix_micros(col("w_start")).as("win_start_us"),
+          col("event_type"), col("n"), col("rk"))
+        .orderBy("win_start_us", "rk")
     }),
     // Last-touch conversion attribution: every purchase credited to
     // the user's most recent click/view/signup within 24 h (organic →
@@ -4250,6 +4279,21 @@ object SparkEntry {
          |       ${decMeanSql("value")} AS mean_value
          |FROM events GROUP BY date_trunc('hour', ts)
          |ORDER BY start_us""".stripMargin,
+    // batch replay of the windowed type counts + rank ≤ 3; rk cast to
+    // INTEGER to match Spark's row_number type
+    "q_stream_topk" ->
+      """WITH wc AS (
+        |  SELECT epoch_us(ts) // 21600000000 * 21600000000 AS win_start_us,
+        |         event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT win_start_us, event_type, n,
+        |         CAST(row_number() OVER (PARTITION BY win_start_us
+        |                ORDER BY n DESC, event_type) AS INTEGER) AS rk
+        |  FROM wc
+        |)
+        |SELECT win_start_us, event_type, n, rk FROM rk WHERE rk <= 3
+        |ORDER BY win_start_us, rk""".stripMargin,
     // the batch join IS the truth for a stateless stream-static join
     "q_stream_static_join" ->
       """SELECT event_id, user_id, c_mktsegment AS segment,
@@ -4718,6 +4762,53 @@ object SparkEntry {
          |JOIN nrm nb ON nb.vec_id = d.vb
          |WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
          |ORDER BY d.va, d.vb""".stripMargin,
+    // MMR replay: candidate lists + pair sims at their published 6-dp
+    // values, greedy rounds unrolled with the same argmax/tie order
+    "q_mmr" ->
+      s"""WITH $CosineCte,
+         |dots AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id, ${DotSql("q", "c")} AS dot
+         |  FROM v q JOIN v c ON c.vec_id <> q.vec_id, range(64) r(d)
+         |  WHERE q.vec_id < 10
+         |  GROUP BY q.vec_id, c.vec_id
+         |), cand AS MATERIALIZED (
+         |  SELECT q_id, nn_id, round(sim, 6) AS rel FROM (
+         |    SELECT q_id, nn_id, sim, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY sim DESC, nn_id) AS rank FROM (
+         |      SELECT d.q_id, d.nn_id, d.dot / (nq.nrm * nc.nrm) AS sim
+         |      FROM dots d JOIN nrm nq ON nq.vec_id = d.q_id
+         |      JOIN nrm nc ON nc.vec_id = d.nn_id)) x
+         |  WHERE rank <= 10
+         |), cp AS (
+         |  SELECT DISTINCT c1.nn_id AS a, c2.nn_id AS b
+         |  FROM cand c1 JOIN cand c2
+         |    ON c1.q_id = c2.q_id AND c1.nn_id <> c2.nn_id
+         |), pd AS MATERIALIZED (
+         |  SELECT p.a, p.b,
+         |    CAST(sum(CAST(CAST(va.embedding[d+1] AS DOUBLE)
+         |         * CAST(vb.embedding[d+1] AS DOUBLE)
+         |         AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM cp p JOIN v va ON va.vec_id = p.a
+         |  JOIN v vb ON vb.vec_id = p.b, range(64) r(d)
+         |  GROUP BY p.a, p.b
+         |), ps AS MATERIALIZED (
+         |  SELECT c1.q_id, c1.nn_id AS a, c2.nn_id AS b,
+         |         round(pd.dot / (na.nrm * nb.nrm), 6) AS s
+         |  FROM cand c1 JOIN cand c2
+         |    ON c1.q_id = c2.q_id AND c1.nn_id <> c2.nn_id
+         |  JOIN pd ON pd.a = c1.nn_id AND pd.b = c2.nn_id
+         |  JOIN nrm na ON na.vec_id = c1.nn_id
+         |  JOIN nrm nb ON nb.vec_id = c2.nn_id
+         |), a1 AS MATERIALIZED (
+         |  SELECT q_id, nn_id, 1 AS mmr_rank, score FROM (
+         |    SELECT q_id, nn_id, CAST(0.7 AS DOUBLE) * rel AS score,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY CAST(0.7 AS DOUBLE) * rel DESC, nn_id) AS rk
+         |    FROM cand) x WHERE rk = 1
+         |),
+         |${mmrRoundsSql(5)}
+         |SELECT q_id, mmr_rank, nn_id, score
+         |FROM a5 ORDER BY q_id, mmr_rank""".stripMargin,
     // exact all-pairs eval×train cross join — equality proves the LSH
     // candidate stage missed nothing (recall certificate)
     "q_semantic_decontam" ->
@@ -5373,6 +5464,38 @@ object SparkEntry {
          |  GROUP BY p.vec_id, m.d2
          |)""".stripMargin
     }.mkString(",\n")
+
+  /** Unrolled MMR selection rounds 2..`select` for the q_mmr oracle:
+    * each round anti-joins the accumulated picks (a{t-1}), computes
+    * the redundancy max over 6-dp pair sims and picks the score
+    * argmax with the nn_id tie-break — the engine's loop replayed.
+    */
+  private def mmrRoundsSql(select: Int): String = {
+    val score = "CAST(0.7 AS DOUBLE) * r.rel - (CAST(1 AS DOUBLE) " +
+      "- CAST(0.7 AS DOUBLE)) * coalesce(m.mxs, CAST(0 AS DOUBLE))"
+    (2 to select).map { t =>
+      s"""rem$t AS (
+         |  SELECT c.q_id, c.nn_id, c.rel FROM cand c
+         |  WHERE NOT EXISTS (SELECT 1 FROM a${t - 1} s
+         |                    WHERE s.q_id = c.q_id AND s.nn_id = c.nn_id)
+         |), mx$t AS (
+         |  SELECT r.q_id, r.nn_id, max(p.s) AS mxs
+         |  FROM rem$t r JOIN ps p ON p.q_id = r.q_id AND p.a = r.nn_id
+         |  JOIN a${t - 1} s ON s.q_id = p.q_id AND s.nn_id = p.b
+         |  GROUP BY r.q_id, r.nn_id
+         |), pick$t AS MATERIALIZED (
+         |  SELECT q_id, nn_id, $t AS mmr_rank, score FROM (
+         |    SELECT r.q_id, r.nn_id, $score AS score,
+         |           row_number() OVER (PARTITION BY r.q_id
+         |             ORDER BY $score DESC, r.nn_id) AS rk
+         |    FROM rem$t r LEFT JOIN mx$t m
+         |      ON m.q_id = r.q_id AND m.nn_id = r.nn_id) x
+         |  WHERE rk = 1
+         |), a$t AS MATERIALIZED (
+         |  SELECT * FROM a${t - 1} UNION ALL SELECT * FROM pick$t
+         |)""".stripMargin
+    }.mkString(",\n")
+  }
 
   /** Unrolled TextRank rounds for the q_textrank oracle: 9-dp
     * contribution terms decimal-summed per node, damped update

@@ -928,6 +928,78 @@ object SimilarityOps {
           lit(math.ceil(k * minRecall).toLong)).as("pq_ok"))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * 1998): greedily re-order each query's [[bruteForceTopK]]
+    * candidate list trading relevance against redundancy —
+    * score(c) = λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — the
+    * standard diversity re-ranker between retrieval and an LLM
+    * context window (duplicate near-identical passages waste the
+    * budget). First pick = pure relevance (empty-set max-sim ≡ 0, one
+    * uniform formula).
+    *
+    * Portability: rel and the candidate-pair sims enter the score at
+    * their published 6-dp rounding (the same values the cosine gates
+    * prove engine-equal), so every selection argmax runs one fixed
+    * IEEE dag on identical doubles; ties break on nn_id. The score is
+    * published RAW: it is a deterministic dag on 6-dp inputs (no
+    * cross-row float sums), and re-rounding it would hit the
+    * quantized-input .5-boundary divergence (the q_robust_z lesson).
+    *
+    * Plan shape: candidate lists and the (query-local) candidate-pair
+    * sim table are each computed once and cached — topC²-per-query
+    * sized, NEVER corpus-sized; each of the `select` rounds is a
+    * window argmax + anti-join over those tiny tables (1-task after
+    * coalesce), with the accumulating selection localCheckpointed
+    * (recurrence-lineage lesson). Output: (q_id, mmr_rank, nn_id,
+    * score).
+    */
+  def mmrRerank(embeddings: DataFrame, queryPred: Column, topC: Int = 10,
+      select: Int = 5, lambda: Double = 0.7): DataFrame = {
+    require(topC >= select && select >= 1, "need topC >= select >= 1")
+    val cand = graft.CacheScope.autoRelease(
+      bruteForceTopK(embeddings, queryPred, topC)
+        .select(col("q_id"), col("nn_id"), round(col("sim"), 6).as("rel"))
+        .coalesce(1))
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val ps = graft.CacheScope.autoRelease(
+      cand.select(col("q_id"), col("nn_id").as("a"))
+        .join(cand.select(col("q_id"), col("nn_id").as("b")), "q_id")
+        .filter(col("a") =!= col("b"))
+        .join(vecs.select(col("vec_id").as("a"), col("embedding").as("ea"),
+          col("nrm").as("na")), "a")
+        .join(vecs.select(col("vec_id").as("b"), col("embedding").as("eb"),
+          col("nrm").as("nb")), "b")
+        .select(col("q_id"), col("a"), col("b"),
+          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("s"))
+        .coalesce(1))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("nn_id").asc)
+    var sel = cand
+      .select(col("q_id"), col("nn_id"), (lit(lambda) * col("rel")).as("score"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("q_id"), col("nn_id"), lit(1).as("mmr_rank"), col("score"))
+      .localCheckpoint()
+    for (r <- 2 to select) {
+      val rem = cand.join(sel.select(col("q_id"), col("nn_id")),
+        Seq("q_id", "nn_id"), "left_anti")
+      val mx = rem
+        .join(ps.withColumnRenamed("a", "nn_id"), Seq("q_id", "nn_id"))
+        .join(sel.select(col("q_id"), col("nn_id").as("b")), Seq("q_id", "b"))
+        .groupBy("q_id", "nn_id").agg(max(col("s")).as("mxs"))
+      val scored = rem.join(mx, Seq("q_id", "nn_id"), "left")
+        .select(col("q_id"), col("nn_id"),
+          (lit(lambda) * col("rel")
+            - lit(1.0 - lambda) * coalesce(col("mxs"), lit(0.0))).as("score"))
+      sel = sel.unionByName(
+        scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select(col("q_id"), col("nn_id"), lit(r).as("mmr_rank"),
+            col("score")))
+        .localCheckpoint()
+    }
+    sel.select(col("q_id"), col("mmr_rank"), col("nn_id"), col("score"))
+  }
+
   def cosineNearDups(embeddings: DataFrame, minSim: Double): DataFrame = {
     val vecs = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))

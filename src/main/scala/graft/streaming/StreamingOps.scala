@@ -229,6 +229,23 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("w_start"), col("bin"), col("cnt"))
 
+  /** Watermarked per-window CATEGORY counts — the streaming input to a
+    * windowed trending-top-k feed: each tumbling window reduces to one
+    * row per observed category. State per window is the category-count
+    * map (bounded by the category universe, not the event count);
+    * windows older than the watermark are evicted. The rank/limit
+    * itself applies AFTER the sink (ranking is a per-window total-
+    * order decision — final only once the window's counts are
+    * complete, exactly what complete-mode emission gives the reader).
+    */
+  def windowedTypeCounts(events: DataFrame, tsCol: String, typeCol: String,
+      window_ : String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col(typeCol), col("n"))
+
   /** Stream–static enrichment join: each streaming row picks up the
     * matching static dimension attributes — the standard streaming
     * lookup/enrichment shape (events × user table, impressions ×

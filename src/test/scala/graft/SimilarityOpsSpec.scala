@@ -335,4 +335,27 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(p.zip(p2).forall { case (a, b) => math.abs(a - b) < 5e-6 },
       p.zip(p2).toList.toString)
   }
+
+  test("mmrRerank: redundancy penalty reorders a hand-built candidate set") {
+    // query (1,0); candidates: a=(1,0) rel 1.0, b=(.8,.6) rel .8,
+    // c=(.6,.8) rel .6; sims: a·b=.8, a·c=.6, b·c=.96 (all at 6dp).
+    // Greedy λ=.7: pick a (0.7); then b: .7·.8−.3·.8=.32 beats
+    // c: .7·.6−.3·.6=.24; then c pays its .96 closeness to b.
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)),
+      (2L, Seq(0.8f, 0.6f)), (3L, Seq(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.SimilarityOps.mmrRerank(emb,
+        col("vec_id") === 0, topC = 3, select = 3, lambda = 0.7)
+      .orderBy("mmr_rank")
+      .as[(Long, Int, Long, Double)].collect().toList
+    val sB = 0.7 * 0.8 - (1.0 - 0.7) * 0.8   // same IEEE dag as the engine
+    val sC = 0.7 * 0.6 - (1.0 - 0.7) * 0.96
+    assert(got == List((0L, 1, 1L, 0.7 * 1.0), (0L, 2, 2L, sB),
+      (0L, 3, 3L, sC)))
+    // without the penalty the pure-relevance order would be a, b, c by
+    // rel alone — identical here; the penalty's effect shows in the
+    // score gap: sC < 0.7·0.6 − 0.3·0.6 (what c would pay vs a only)
+    assert(sC < 0.7 * 0.6 - (1.0 - 0.7) * 0.6)
+  }
 }

@@ -294,4 +294,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows(11L) == ((1L, 11L, mins(30), Some("click"), Some(10L), Some(30L))))
     assert(rows(12L)._4.isEmpty) // stale touch beyond lookback
   }
+
+  test("windowedTypeCounts: per-window category counts accumulate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(java.sql.Timestamp, String)]
+    val df = source.toDS().toDF("ts", "event_type")
+    val q = StreamingOps.windowedTypeCounts(df, "ts", "event_type",
+        "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("stream_topk_test")
+      .outputMode("complete").start()
+    def t(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$min%02d:00")
+    source.addData((t(10, 0), "a"), (t(10, 5), "a"), (t(10, 10), "b"))
+    q.processAllAvailable()
+    // second batch adds to the SAME window and opens a new one
+    source.addData((t(10, 20), "a"), (t(11, 0), "b"))
+    q.processAllAvailable()
+    val got = spark.table("stream_topk_test")
+      .select(col("w_start").cast("string"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    q.stop()
+    assert(got == Set(
+      ("2026-01-01 10:00:00", "a", 3L),
+      ("2026-01-01 10:00:00", "b", 1L),
+      ("2026-01-01 11:00:00", "b", 1L)))
+  }
 }
