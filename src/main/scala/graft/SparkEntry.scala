@@ -1950,6 +1950,39 @@ object SparkEntry {
       EvalOps.abTest(Tables.events(s, dir), col("event_type"),
           col("user_id"), col("value") > 50.0)
         .orderBy("grp")),
+    // Feature screening: Weight-of-Evidence / Information Value of the
+    // doc-length bins against the en label (add-one smoothed).
+    "q_woe_iv" -> ((s, dir) =>
+      EvalOps.woeIv(Tables.documents(s, dir),
+          expr("least(n_chars div 100, 9)"), col("lang") === "en")
+        .orderBy(col("bin").asc_nulls_last)),
+    // Feature engineering: leave-one-out target encoding of
+    // event_type against value (bounded slice published; the encoding
+    // statistics come from the FULL corpus).
+    "q_target_encode" -> ((s, dir) =>
+      RelationalOps.targetEncodeLoo(Tables.events(s, dir),
+          col("event_id"), col("event_type"), col("value"))
+        .filter(col("id") < 5000)
+        .orderBy("id")),
+    // Multi-annotator QA: Fleiss' kappa among three raters on the NB
+    // eval split — gold, the NB classifier, and the langId heuristic.
+    "q_fleiss" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nb = graft.CacheScope.autoRelease(
+        TextOps.naiveBayes(docs, labelCol = "lang", evalMod = 5))
+      val lid = TextAnalysisOps.langId(docs.filter(col("doc_id") % 5 === 0))
+      val ratings = nb.select(col("doc_id"), col("true_label").as("label"))
+        .unionByName(nb.select(col("doc_id"), col("pred_label").as("label")))
+        .unionByName(lid.select(col("doc_id"), col("lang_pred").as("label")))
+      EvalOps.fleissKappa(ratings, col("doc_id"), col("label"), m = 3)
+        .orderBy("label")
+    }),
+    // Sequential patterns: frequent adjacent 3-step event-type paths
+    // per user timeline, support-filtered and ranked.
+    "q_path3" -> ((s, dir) =>
+      TemporalOps.pathCounts3(Tables.events(s, dir), Seq("user_id"), "ts",
+          "event_type", "event_id", minSupport = 5)
+        .orderBy("rk")),
     // Preference modeling: Bradley–Terry strengths over pairwise
     // "duels" — consecutive same-user events of different types, the
     // higher value wins (the RLHF reward-data shape). 5 MM rounds.
@@ -4825,6 +4858,114 @@ object SparkEntry {
          |ORDER BY d.eval_id, d.train_id""".stripMargin,
     // tie-aware Mann–Whitney AUC replay: BIGINT mid-rank arithmetic,
     // one final exact-int division per published rate
+    // WoE/IV replay: one ln per bin on exact-int cross-ratios, 9-dp
+    // terms, decimal IV total
+    "q_woe_iv" ->
+      """WITH c AS (
+        |  SELECT least(n_chars // 100, 9) AS bin,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |), agg AS (
+        |  SELECT bin, CAST(sum(y) AS BIGINT) AS g,
+        |         CAST(count(*) - sum(y) AS BIGINT) AS b
+        |  FROM c GROUP BY bin
+        |), tot AS (
+        |  SELECT CAST(sum(g) AS BIGINT) AS gt, CAST(sum(b) AS BIGINT) AS bt,
+        |         CAST(count(*) AS BIGINT) AS k
+        |  FROM agg
+        |), pb AS (
+        |  SELECT bin, g, b,
+        |    round(ln(CAST((g + 1) * (bt + k) AS DOUBLE)
+        |             / CAST((b + 1) * (gt + k) AS DOUBLE)), 9) AS woe9,
+        |    round((CAST(g + 1 AS DOUBLE) / (gt + k)
+        |           - CAST(b + 1 AS DOUBLE) / (bt + k))
+        |          * round(ln(CAST((g + 1) * (bt + k) AS DOUBLE)
+        |                     / CAST((b + 1) * (gt + k) AS DOUBLE)), 9), 9) AS iv9
+        |  FROM agg CROSS JOIN tot
+        |)
+        |SELECT bin, g, b, round(woe9, 6) + 0.0 AS woe,
+        |       round(iv9, 6) + 0.0 AS iv_term
+        |FROM pb
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), CAST(sum(g) AS BIGINT),
+        |       CAST(sum(b) AS BIGINT), CAST(NULL AS DOUBLE),
+        |       round(CAST(sum(CAST(iv9 AS DECIMAL(38,12))) AS DOUBLE), 6) + 0.0
+        |FROM pb
+        |ORDER BY bin NULLS LAST""".stripMargin,
+    // LOO replay: decimal sum minus the row's own decimal cast — the
+    // numerator is exactly the other rows' sum; singleton keys NULL
+    "q_target_encode" ->
+      """WITH b AS (
+        |  SELECT event_id AS id, event_type AS k, CAST(value AS DOUBLE) AS t
+        |  FROM events
+        |), a AS (
+        |  SELECT k, sum(CAST(t AS DECIMAL(38,12))) AS s,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY k
+        |)
+        |SELECT b.id, b.k, b.t,
+        |       CASE WHEN a.n > 1
+        |            THEN round(CAST(a.s - CAST(b.t AS DECIMAL(38,12)) AS DOUBLE)
+        |                       / (a.n - 1), 6) END AS loo
+        |FROM b JOIN a USING (k) WHERE b.id < 5000 ORDER BY b.id""".stripMargin,
+    // Fleiss replay: exact-int P̄, 9-dp decimal-summed P̄e, one IEEE
+    // dag for kappa; raters = gold + NB replay + langId replay
+    "q_fleiss" ->
+      s"""WITH $LangCtes,
+         |nb AS ($NaiveBayesOracle),
+         |rat AS (
+         |  SELECT doc_id AS i, true_label AS j FROM nb
+         |  UNION ALL SELECT doc_id, pred_label FROM nb
+         |  UNION ALL SELECT d.doc_id, coalesce(bt.lang, 'und')
+         |  FROM documents d LEFT JOIN best bt USING (doc_id)
+         |  WHERE d.doc_id % 5 = 0
+         |), nij AS (
+         |  SELECT i, j, CAST(count(*) AS BIGINT) AS n FROM rat GROUP BY i, j
+         |), pitem AS (
+         |  SELECT i, CAST(sum(n * n) AS BIGINT) AS s2 FROM nij GROUP BY i
+         |), ntot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nn,
+         |         CAST(sum(s2 - 3) AS BIGINT) AS sp
+         |  FROM pitem
+         |), pj AS (SELECT j, CAST(sum(n) AS BIGINT) AS cj FROM nij GROUP BY j),
+         |cat AS (
+         |  SELECT j AS label, cj, CAST(cj AS DOUBLE) / (nn * 3) AS p
+         |  FROM pj CROSS JOIN ntot
+         |), pe AS (
+         |  SELECT CAST(sum(CAST(round(p * p, 9) AS DECIMAL(38,12))) AS DOUBLE)
+         |         AS ped
+         |  FROM cat
+         |), allr AS (
+         |  SELECT 'ALL' AS label, nn AS n, CAST(NULL AS DOUBLE) AS p,
+         |         CAST(sp AS DOUBLE) / (nn * 6) AS pbar, ped AS pe
+         |  FROM ntot CROSS JOIN pe
+         |)
+         |SELECT label, cj AS n, round(p, 6) AS p, CAST(NULL AS DOUBLE) AS pbar,
+         |       CAST(NULL AS DOUBLE) AS pe, CAST(NULL AS DOUBLE) AS kappa
+         |FROM cat
+         |UNION ALL
+         |SELECT label, n, p, round(pbar, 6), round(pe, 6),
+         |       CASE WHEN pe < 1.0
+         |            THEN round((pbar - pe) / (1.0 - pe), 6) + 0.0 END
+         |FROM allr
+         |ORDER BY label""".stripMargin,
+    // path replay: same two leads under the same total order, support
+    // + rank; rk CAST to INTEGER (Spark row_number is int)
+    "q_path3" ->
+      """WITH seq AS (
+        |  SELECT event_type AS t1,
+        |         lead(event_type, 1) OVER w AS t2,
+        |         lead(event_type, 2) OVER w AS t3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), p AS (
+        |  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+        |  HAVING count(*) >= 5
+        |)
+        |SELECT t1, t2, t3, n,
+        |       CAST(row_number() OVER (ORDER BY n DESC, t1, t2, t3) AS INTEGER)
+        |         AS rk
+        |FROM p ORDER BY rk""".stripMargin,
     // BT replay: exact-int pair matrix; each MM round re-derives the
     // 9dp/decimal-sum update; round CTEs MATERIALIZED (branching > 1)
     "q_bradley_terry" ->

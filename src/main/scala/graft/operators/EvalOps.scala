@@ -546,6 +546,92 @@ object EvalOps {
       .withColumn("suspect", lit(2L) * col("n_agree") < col("n_neighbors"))
   }
 
+  /** Weight-of-Evidence / Information-Value feature screen (the
+    * credit-scoring standard; Siddiqi 2006): per feature bin,
+    * WoE = ln((gᵢ/G)/(bᵢ/B)) with add-one smoothing, and
+    * IV = Σ (gᵢ/G − bᵢ/B)·WoEᵢ — "how separable is the label along
+    * this feature", the screen run before any model training.
+    *
+    * Portability: bin counts are exact int64; the smoothed WoE is ONE
+    * ln of an exact-int cross-ratio, rounded 9dp; each IV term is a
+    * fixed IEEE dag on exact ratios and the 9-dp WoE, rounded 9dp and
+    * DECIMAL-summed into the total. Published 6dp (+0.0 — WoE and IV
+    * terms can be tiny negatives).
+    *
+    * Plan shape: corpus → ONE bin-keyed aggregate; everything after is
+    * bin-count-sized. Output: per-bin rows (bin, g, b, woe, iv_term)
+    * + an ALL row (bin NULL, totals, woe NULL, iv = the sum).
+    */
+  def woeIv(df: DataFrame, bin: Column, label: Column): DataFrame = {
+    val dec = "decimal(38,12)"
+    val agg = df.select(bin.cast("long").as("bin"), label.cast("long").as("y"))
+      .groupBy("bin")
+      .agg(sum("y").as("g"), (count(lit(1)) - sum(col("y"))).as("b"))
+    val tot = agg.agg(sum("g").as("gt"), sum("b").as("bt"),
+      count(lit(1)).as("k"))
+    val woe = round(log(((col("g") + 1L) * (col("bt") + col("k"))).cast("double")
+      / ((col("b") + 1L) * (col("gt") + col("k"))).cast("double")), 9)
+    val ivTerm = round(((col("g") + 1L).cast("double") / (col("gt") + col("k"))
+      - (col("b") + 1L).cast("double") / (col("bt") + col("k"))) * woe, 9)
+    val perBin = agg.crossJoin(broadcast(tot))
+      .select(col("bin"), col("g"), col("b"),
+        (round(woe, 6) + 0.0).as("woe"), (round(ivTerm, 6) + 0.0).as("iv_term"),
+        ivTerm.cast(dec).as("__t"))
+    val allRow = perBin
+      .agg(sum("g").as("g"), sum("b").as("b"), sum(col("__t")).as("__iv"))
+      .select(lit(null).cast("long").as("bin"), col("g"), col("b"),
+        lit(null).cast("double").as("woe"),
+        (round(col("__iv").cast("double"), 6) + 0.0).as("iv_term"))
+    perBin.drop("__t").unionByName(allRow)
+  }
+
+  /** Fleiss' kappa (Fleiss 1971): chance-corrected agreement among
+    * `m` raters per item — the multi-annotator generalization of
+    * [[cohenKappa]], the QA gate for consensus-labeled training data.
+    * `ratings` carries one row per (item, rater-assignment).
+    *
+    * P̄ = Σᵢ(Σⱼ nᵢⱼ² − m) / (N·m·(m−1)) is an exact int64 ratio;
+    * category shares pⱼ are exact ratios; P̄ₑ = Σ pⱼ² enters as 9-dp
+    * terms decimal-summed; kappa is one IEEE dag, published 6dp
+    * (+0.0). P̄ₑ = 1 (all raters constant) publishes NULL kappa.
+    *
+    * Plan shape: ratings → ONE (item, label)-keyed aggregate; the
+    * per-item Σn² reduces item-keyed, categories reduce label-keyed —
+    * nothing wider than the corpus ever shuffles. Output: one row per
+    * category (label, n, p) + an ALL row (N, pbar, pe, kappa).
+    */
+  def fleissKappa(ratings: DataFrame, item: Column, label: Column,
+      m: Int): DataFrame = {
+    require(m >= 2, "Fleiss' kappa needs m >= 2 raters")
+    val dec = "decimal(38,12)"
+    val nij = ratings.select(item.as("i"), label.as("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n"))
+    val perItem = nij.groupBy("i").agg(sum(col("n") * col("n")).as("s2"))
+    val nTot = perItem.agg(count(lit(1)).as("nn"),
+      sum(col("s2") - lit(m.toLong)).as("sp"))
+    val pj = nij.groupBy("j").agg(sum("n").as("cj"))
+    val cat = pj.crossJoin(broadcast(nTot))
+      .select(col("j").as("label"), col("cj"),
+        (col("cj").cast("double")
+          / (col("nn") * lit(m.toLong)).cast("double")).as("p"))
+    val pe = cat.agg(sum(round(col("p") * col("p"), 9).cast(dec)).as("peD"))
+    val catRows = cat.select(col("label"), col("cj").as("n"),
+      round(col("p"), 6).as("p"), lit(null).cast("double").as("pbar"),
+      lit(null).cast("double").as("pe"), lit(null).cast("double").as("kappa"))
+    val allRow = nTot.crossJoin(broadcast(pe))
+      .select(lit("ALL").as("label"), col("nn").as("n"),
+        lit(null).cast("double").as("p"),
+        (col("sp").cast("double")
+          / (col("nn") * lit(m.toLong * (m - 1).toLong)).cast("double")).as("pbar"),
+        col("peD").cast("double").as("pe"))
+      .select(col("label"), col("n"), col("p"), round(col("pbar"), 6).as("pbar"),
+        round(col("pe"), 6).as("pe"),
+        when(col("pe") < 1.0,
+          round((col("pbar") - col("pe")) / (lit(1.0) - col("pe")), 6) + 0.0)
+          .as("kappa"))
+    catRows.unionByName(allRow)
+  }
+
   /** Bradley–Terry preference-strength fit (Bradley & Terry 1952) via
     * `rounds` fixed iterations of the Zermelo/Hunter MM update — the
     * model behind pairwise human-preference data (RLHF reward

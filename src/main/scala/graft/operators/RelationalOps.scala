@@ -807,4 +807,36 @@ object RelationalOps {
         col("r_score"), col("f_score"), col("m_score"),
         concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
   }
+
+  /** Leave-one-out target encoding (Micci-Barreca 2001's mean encoding
+    * with the self-leak removed): each row's categorical `key` becomes
+    * the mean of `target` over all OTHER rows of the same category —
+    * the standard high-cardinality-categorical feature transform, LOO
+    * because encoding a row with a statistic that includes its own
+    * label leaks the label into the feature.
+    *
+    * Arithmetic: per-category Σtarget is a DECIMAL(38,12) sum (order-
+    * independent); loo = (Σ − own)/(n−1) subtracts the SAME decimal
+    * cast the sum folded in, so the numerator is exactly the sum of
+    * the other rows' casts; one double divide, published 6dp.
+    * Singleton categories (n = 1) publish NULL — there is no "other
+    * rows" mean.
+    *
+    * Plan shape: ONE key-keyed partial-combined aggregate + one
+    * broadcast-back join (category cardinality ≪ corpus); no window
+    * over the corpus. Output: input id/key/target + `loo`.
+    */
+  def targetEncodeLoo(df: DataFrame, idCol: Column, key: Column,
+      target: Column): DataFrame = {
+    val dec = "decimal(38,12)"
+    val base = df.select(idCol.as("id"), key.as("k"),
+      target.cast("double").as("t"))
+    val agg = base.groupBy("k")
+      .agg(sum(col("t").cast(dec)).as("s"), count(lit(1)).as("n"))
+    base.join(broadcast(agg), Seq("k"))
+      .select(col("id"), col("k"), col("t"),
+        when(col("n") > 1L,
+          round((col("s") - col("t").cast(dec)).cast("double")
+            / (col("n") - 1L), 6)).as("loo"))
+  }
 }

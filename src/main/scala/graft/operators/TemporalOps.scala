@@ -648,6 +648,34 @@ object TemporalOps {
           .as("mins_since_touch"))
   }
 
+  /** Frequent k-step event paths (the contiguous-sequence member of
+    * the sequential-pattern family; [[transitionMatrix]] is its k=2
+    * marginal): corpus-wide counts of ADJACENT event-type triples per
+    * key timeline, with support filter and rank — "what 3-step flows
+    * do users actually take". Contiguity makes pair generation
+    * map-only after ONE key-keyed sort (two leads over the same
+    * window frame — no self-joins, no combinatorial subsequence
+    * blow-up, the same reason real funnels bound gap or adjacency).
+    * Output: (t1, t2, t3, n, rk) for paths with n ≥ minSupport, rank
+    * by (n desc, path asc).
+    */
+  def pathCounts3(events: DataFrame, keys: Seq[String], tsCol: String,
+      typeCol: String, idCol: String, minSupport: Long = 5): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(idCol))
+    val ranked = events
+      .select(keys.map(col) :+ col(tsCol) :+ col(idCol)
+        :+ col(typeCol).as("t1"): _*)
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+    val rw = Window.orderBy(col("n").desc, col("t1").asc, col("t2").asc,
+      col("t3").asc)
+    ranked.withColumn("rk", row_number().over(rw))
+  }
+
   /** Kaplan–Meier survival estimate (Kaplan & Meier 1958) of per-key
     * observed lifetime — the product-limit retention curve every
     * subscription/engagement pipeline publishes. Lifetime = whole

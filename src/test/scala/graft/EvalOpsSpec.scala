@@ -310,6 +310,52 @@ class EvalOpsSpec extends SparkSpec {
       List(("y", 2L, 0.5, 0.5, Some(0.0))))
   }
 
+  test("woeIv: symmetric 2-bin case — ±ln2 WoE, hand-checked IV") {
+    // bin 0: g=3,b=1; bin 1: g=1,b=3 → G=B=4, k=2
+    // woe0 = ln((4·6)/(2·6)) = ln 2; woe1 = −ln 2 (smoothed, exact-int)
+    val df = (Seq.fill(3)((0L, true)) ++ Seq((0L, false), (1L, true))
+      ++ Seq.fill(3)((1L, false))).toDF("bin", "y")
+    val got = EvalOps.woeIv(df, col("bin"), col("y"))
+      .orderBy(col("bin").asc_nulls_last)
+      .as[(Option[Long], Long, Long, Option[Double], Double)].collect().toList
+    def r(v: Double, n: Int) =
+      BigDecimal(v).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w9 = r(math.log(2.0), 9)
+    val iv9 = r((4.0 / 6 - 2.0 / 6) * w9, 9)
+    val ivTot = r(BigDecimal(iv9).*(BigDecimal(2)).toDouble, 6)
+    assert(got == List(
+      (Some(0L), 3L, 1L, Some(r(w9, 6)), r(iv9, 6)),
+      (Some(1L), 1L, 3L, Some(r(-w9, 6) + 0.0), r(r((2.0 / 6 - 4.0 / 6) * -w9, 9), 6)),
+      (None, 4L, 4L, None, ivTot)))
+  }
+
+  test("fleissKappa: hand-checked 2-item 3-rater case; constant raters null") {
+    // item 1 rated (x,x,y), item 2 (y,y,y): P̄ = 8/12, p = (1/3, 2/3)
+    val ratings = Seq((1L, "x"), (1L, "x"), (1L, "y"),
+      (2L, "y"), (2L, "y"), (2L, "y")).toDF("i", "j")
+    val got = EvalOps.fleissKappa(ratings, col("i"), col("j"), m = 3)
+      .orderBy("label")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().toList
+    def r(v: Double, n: Int) =
+      BigDecimal(v).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pe = (BigDecimal(r((2.0 / 6) * (2.0 / 6), 9))
+      + BigDecimal(r((4.0 / 6) * (4.0 / 6), 9))).toDouble
+    val pbar = 8.0 / 12
+    val kap = r((pbar - pe) / (1.0 - pe), 6)
+    assert(got == List(
+      ("ALL", 2L, None, Some(r(pbar, 6)), Some(r(pe, 6)), Some(kap)),
+      ("x", 2L, Some(r(2.0 / 6, 6)), None, None, None),
+      ("y", 4L, Some(r(4.0 / 6, 6)), None, None, None)))
+    // unanimous single category → pe = 1 → kappa undefined
+    val const = Seq((1L, "x"), (1L, "x"), (1L, "x")).toDF("i", "j")
+    val g2 = EvalOps.fleissKappa(const, col("i"), col("j"), m = 3)
+      .filter(col("label") === "ALL")
+      .select("pbar", "pe", "kappa")
+      .as[(Double, Double, Option[Double])].collect().toList
+    assert(g2 == List((1.0, 1.0, None)))
+  }
+
   test("bradleyTerry: 2-item MM hits the analytic 2/3–1/3 fixpoint; zero-win boundary") {
     // a beats b twice, b beats a once → MLE π = (2/3, 1/3); the MM
     // update reaches it in one round and stays (fixpoint is stable

@@ -398,4 +398,17 @@ class RelationalOpsSpec extends SparkSpec {
       .as[(String, String, Long, Int)].collect().toSet
     assert(g2 == Set(("1", "SEG_A", 3L, 0)))
   }
+
+  test("targetEncodeLoo: each row sees the mean of the OTHER rows; singletons null") {
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 10.0)).toDF("id", "key", "v")
+    val got = RelationalOps.targetEncodeLoo(df, col("id"), col("key"), col("v"))
+      .orderBy("id")
+      .as[(Long, String, Double, Option[Double])].collect().toList
+    assert(got == List(
+      (1L, "a", 1.0, Some(2.5)),  // (2+3)/2 — own value excluded
+      (2L, "a", 2.0, Some(2.0)),
+      (3L, "a", 3.0, Some(1.5)),
+      (4L, "b", 10.0, None)))     // no other rows to average
+  }
 }

@@ -458,6 +458,29 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got(5L)._4.isEmpty)
   }
 
+  test("pathCounts3: adjacent triples only, per-key timelines, support + rank") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // user 1: a b c a b → triples abc, bca, cab; user 2: a b c → abc
+    val ev = Seq(
+      (1L, t(1), 101L, "a"), (1L, t(2), 102L, "b"), (1L, t(3), 103L, "c"),
+      (1L, t(4), 104L, "a"), (1L, t(5), 105L, "b"),
+      (2L, t(1), 201L, "a"), (2L, t(2), 202L, "b"), (2L, t(3), 203L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.operators.TemporalOps.pathCounts3(ev, Seq("user_id"),
+        "ts", "event_type", "event_id", minSupport = 1)
+      .orderBy("rk")
+      .as[(String, String, String, Long, Int)].collect().toList
+    assert(got == List(
+      ("a", "b", "c", 2L, 1),   // crosses no user boundary: u2's abc counts
+      ("b", "c", "a", 1L, 2),   // ties broken lexicographically
+      ("c", "a", "b", 1L, 3)))
+    // support filter drops the singletons
+    val g2 = graft.operators.TemporalOps.pathCounts3(ev, Seq("user_id"),
+        "ts", "event_type", "event_id", minSupport = 2)
+      .as[(String, String, String, Long, Int)].collect().toList
+    assert(g2 == List(("a", "b", "c", 2L, 1)))
+  }
+
   test("kmSurvival: hand-checked curve, censoring, and the d=n zero step") {
     def t(day: Long) = new java.sql.Timestamp(day * 86400 * 1000)
     // horizon = day 5; censor gap 1 day ⇒ u3/u4 (last seen day 5)
