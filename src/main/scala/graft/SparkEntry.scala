@@ -2233,7 +2233,15 @@ object SparkEntry {
     * update as conditional DECIMAL(38,12) sums over one scan. Init =
     * the vectors of vec_id 0..k−1 (ids are dense from 0 at every SF).
     */
-  private def kmeansOracleSql(dims: Int, k: Int, iters: Int): String = {
+  private def kmeansOracleSql(dims: Int, k: Int, iters: Int): String =
+    s"""WITH ${kmeansCtes(dims, k, iters)}
+       |SELECT vec_id, cluster, dist2 FROM asg ORDER BY vec_id""".stripMargin
+
+  /** The kmeans replay as a reusable CTE chain ending in
+    * `asg(vec_id, cluster, dist2)` — shared by q_kmeans and the
+    * SemDeDup oracle (which appends within-cluster cosine CTEs).
+    */
+  private def kmeansCtes(dims: Int, k: Int, iters: Int): String = {
     val xCols = (0 until dims)
       .map(d => s"CAST(embedding[${d + 1}] AS DOUBLE) AS x$d").mkString(", ")
     val cent0 = (0 until k).flatMap(j => (0 until dims).map(d =>
@@ -2259,13 +2267,14 @@ object SparkEntry {
          |cent$t AS MATERIALIZED (SELECT $upd FROM a$t),""".stripMargin
     }.mkString("\n")
     val leastArgs = (0 until k).map(j => s"d$j").mkString(", ")
-    s"""WITH x AS MATERIALIZED (SELECT vec_id, $xCols FROM embeddings),
+    s"""x AS MATERIALIZED (SELECT vec_id, $xCols FROM embeddings),
        |cent0 AS MATERIALIZED (SELECT $cent0 FROM x WHERE vec_id < $k),
        |$steps
-       |f AS (SELECT vec_id, $distCols FROM x CROSS JOIN cent$iters)
-       |SELECT vec_id, $argmin AS cluster,
-       |       round(least($leastArgs), 6) AS dist2
-       |FROM f ORDER BY vec_id""".stripMargin
+       |f AS (SELECT vec_id, $distCols FROM x CROSS JOIN cent$iters),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, $argmin AS cluster, round(least($leastArgs), 6) AS dist2
+       |  FROM f
+       |)""".stripMargin
   }
 
   /** DuckDB replay of [[TextOps.bpeMerges]] as unrolled MATERIALIZED CTEs

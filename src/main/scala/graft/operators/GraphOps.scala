@@ -81,6 +81,63 @@ object GraphOps {
     } finally e.unpersist(blocking = false)
   }
 
+  /** Personalized PageRank (Jeh–Widom 2003): random walk with restart
+    * to a SEED set instead of the uniform teleport — the "expand from
+    * these trusted starting points" primitive (recommendation
+    * expansion, crawl-frontier scoring around seed domains, GNN
+    * neighborhood weighting). Same scaled-INTEGER recurrence as
+    * [[pageRank]], with the teleport mass landing only on seeds: with
+    * seed set S and `R_k = ppr_k · |S| · (20d)^k`,
+    *
+    *   R_0(v)     = [v ∈ S]
+    *   R_{k+1}(v) = [v ∈ S] · 3d · (20d)^k + 17 · Σ over in-edges R_k(u)
+    *
+    * keeps every value BIGINT (total mass Σ R_k = |S| · (20d)^k
+    * exactly — teleport restores what damping withholds), so the whole
+    * walk gates bit-for-bit; `rank` is the single final division by
+    * |S| · (20d)^iters. Plan shape is [[pageRank]]'s: the edge list
+    * shuffles ONCE (pinned pre-partitioned on src) and each round
+    * moves only the node-sized rank table.
+    *
+    * `nodes` carries (node BIGINT, seed BOOLEAN); `nSeeds` = |S|
+    * (callers usually know it; a count(seed) action would also do).
+    * Output: (node, rank_scaled BIGINT, rank DOUBLE rounded 9).
+    */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame, outDeg: Int,
+      iters: Int, nSeeds: Long): DataFrame = {
+    require(iters >= 1 && outDeg >= 1 && nSeeds >= 1,
+      "iters, outDeg and nSeeds must be >= 1")
+    val scalePerIter = 20L * outDeg
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    try {
+      var ranks = nodes
+        .select(col("node"), when(col("seed"), 1L).otherwise(0L).as("r"))
+        .persist()
+      var k = 0
+      while (k < iters) {
+        val base = 3L * outDeg * pow60(scalePerIter, k)
+        val contrib = e.join(ranks, e("src") === ranks("node"))
+          .groupBy(e("dst").as("node"))
+          .agg(sum(col("r")).as("in_r"))
+        val next = nodes.select(col("node"), col("seed"))
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (when(col("seed"), lit(base)).otherwise(lit(0L))
+              + lit(17L) * coalesce(col("in_r"), lit(0L))).as("r"))
+          .persist()
+        next.count() // materialize so the old round can be released
+        ranks.unpersist(blocking = false)
+        ranks = next
+        k += 1
+      }
+      val denom = nSeeds.toDouble * pow60(scalePerIter, iters).toDouble
+      graft.CacheScope.autoRelease(ranks)
+        .select(col("node"), col("r").as("rank_scaled"),
+          round(col("r").cast("double") / denom, 9).as("rank"))
+    } finally e.unpersist(blocking = false)
+  }
+
   /** Deterministic synthetic link graph over dense ids 0..n-1: node i
     * links to (i+1), (2i+3), (i²+5) mod n — fixed out-degree 3 with a
     * skewed in-degree profile for EVERY n > 3: the quadratic map is

@@ -1010,4 +1010,63 @@ object SimilarityOps {
       .filter(col("sim") >= minSim)
       .select("va", "vb", "sim")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication for web-scale training corpora — k-means-bucket the
+    * embedding space, then examine cosine similarity only WITHIN a
+    * cluster. The cluster id plays the LSH-band role: candidate pairs
+    * are Σ_c C(n_c, 2), never corpus², and a production run grows `k`
+    * with the corpus (the paper fits 11k clusters on 100M embeddings)
+    * so n_c — and with it each task's pair term — stays bounded.
+    *
+    * Drop rule (deterministic and fully parallel — no greedy chain): a
+    * row is dropped iff an EARLIER (lower vec_id) row of the SAME
+    * cluster has cosine ≥ `tau`; its `dup_of` is the smallest such
+    * neighbor. Clustering reuses [[ClusterOps.kmeans]]' oracle-exact
+    * Lloyd fit, so the oracle replays the ENTIRE pipeline
+    * (fit → assign → within-cluster pairs → drop rule) bit-for-bit.
+    *
+    * Output: one detail row per dropped doc (cluster, vec_id, dup_of,
+    * sim 6 dp, NULL n/n_kept) plus one summary row per cluster
+    * (cluster, NULLs, n, n_kept).
+    */
+  def semDedup(embeddings: DataFrame, dims: Int = 8, k: Int = 4,
+      iters: Int = 2, tau: Double = 0.4): DataFrame = {
+    val asg = ClusterOps.kmeans(embeddings, "vec_id", "embedding", dims, k, iters)
+      .select(col("vec_id"), col("cluster"))
+    // pinned: both self-join sides + the cluster-size aggregate read it
+    val vecs = graft.CacheScope.autoRelease(
+      embeddings.select(col("vec_id"), col("embedding"))
+        .join(asg, Seq("vec_id"))
+        .select(col("cluster"), col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+        .persist())
+    // pinned: the qualifying-pair table feeds the drop set, the detail
+    // sim lookup AND the per-cluster drop count — tiny after the tau
+    // filter, but its computation is the quadratic term
+    val pairs = graft.CacheScope.autoRelease(
+      vecs.select(col("cluster"), col("vec_id").as("va"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        .join(vecs.select(col("cluster"), col("vec_id").as("vb"),
+          col("embedding").as("eb"), col("nrm").as("nb")), Seq("cluster"))
+        .filter(col("va") < col("vb"))
+        .withColumn("sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("sim") >= tau)
+        .select(col("cluster"), col("va"), col("vb"), col("sim"))
+        .persist())
+    val dropped = pairs.groupBy("cluster", "vb").agg(min("va").as("dup_of"))
+    val detail = dropped
+      .join(pairs.select(col("vb"), col("va").as("dup_of"), col("sim")),
+        Seq("vb", "dup_of"))
+      .select(col("cluster"), col("vb").as("vec_id"), col("dup_of"),
+        round(col("sim"), 6).as("sim"),
+        lit(null).cast("long").as("n"), lit(null).cast("long").as("n_kept"))
+    val sizes = vecs.groupBy("cluster").agg(count(lit(1)).as("n"))
+    val dcnt = dropped.groupBy("cluster").agg(count(lit(1)).as("nd"))
+    val summary = sizes.join(dcnt, Seq("cluster"), "left")
+      .select(col("cluster"), lit(null).cast("long").as("vec_id"),
+        lit(null).cast("long").as("dup_of"), lit(null).cast("double").as("sim"),
+        col("n"), (col("n") - coalesce(col("nd"), lit(0L))).as("n_kept"))
+    detail.unionByName(summary)
+  }
 }

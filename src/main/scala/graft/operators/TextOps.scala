@@ -865,4 +865,43 @@ object TextOps {
     nodes.join(r, Seq("word"))
       .select(col("word"), col("w_out"), round(col("r"), 6).as("rank"))
   }
+
+  /** Zipf rank–frequency fit: OLS of ln(freq) on ln(rank) over the top
+    * `topN` tokens — the classic corpus-health diagnostic (natural
+    * text sits near slope −1; boilerplate-heavy or template-spam
+    * corpora bend away, so the slope is a cheap whole-corpus quality
+    * signal next to the per-doc Gopher rules). The corpus-sized work
+    * is the [[topKWords]] aggregate (partial-combined, one exchange);
+    * the fit itself runs on topN rows.
+    *
+    * Numerics (the q_mi_tokens construction): each ln enters at 9 dp;
+    * the cross terms x², xy, y² are single IEEE products of those 9-dp
+    * values re-rounded to 9 dp; sums are DECIMAL(38,12) — so slope,
+    * intercept and r² are one fixed IEEE dag on engine-identical
+    * inputs, published at 6 dp.
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    val dec = "decimal(38,12)"
+    val ranked = topKWords(docs, topN, textCol)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word"))))
+    val t = ranked.select(
+      round(log(col("rank").cast("double")), 9).as("x"),
+      round(log(col("cnt").cast("double")), 9).as("y"))
+    val s = t.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).cast("double").as("sx"),
+      sum(col("y").cast(dec)).cast("double").as("sy"),
+      sum(round(col("x") * col("x"), 9).cast(dec)).cast("double").as("sxx"),
+      sum(round(col("x") * col("y"), 9).cast(dec)).cast("double").as("sxy"),
+      sum(round(col("y") * col("y"), 9).cast(dec)).cast("double").as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    s.select(col("n"),
+      round(num / den, 6).as("slope"),
+      round((col("sy") - num / den * col("sx")) / col("n"), 6).as("intercept"),
+      round(num * num
+        / (den * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
 }
