@@ -42,6 +42,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.6 T1 + §2.4 A1/A2 + §2.8 F1/F2: tokenize → count → top-k.
     "q_topk_words" -> ((s, dir) => TextOps.topKWords(Tables.documents(s, dir), 100)),
+    // Zipf rank–frequency fit over the top-100 tokens: OLS of ln(freq)
+    // on ln(rank) — the whole-corpus health diagnostic (natural text
+    // sits near slope −1; template spam bends away). Corpus-sized work
+    // is ONE partial-combined word count; the fit runs on 100 rows.
+    "q_zipf" -> ((s, dir) =>
+      TextOps.zipfFit(Tables.documents(s, dir), topN = 100)),
     // Text relevance scoring — TF-IDF and Okapi BM25 top-3 terms per
     // doc. Both ride the native TopKPerKey operator for the per-doc
     // ranking; ranking keys are rounded to 9 decimals so ln()'s libm
@@ -412,6 +418,16 @@ object SparkEntry {
       SimilarityOps.mmrRerank(Tables.embeddings(s, dir),
           col("vec_id") < 10, topC = 10, select = 5, lambda = 0.7)
         .orderBy("q_id", "mmr_rank")),
+    // SemDeDup (Abbas et al. 2023): k-means buckets play the LSH-band
+    // role, cosine checked only within a cluster — pairs are
+    // Σ C(n_c, 2), never corpus². Oracle replays the ENTIRE pipeline
+    // (Lloyd fit → assign → within-cluster cosine → drop rule), so the
+    // gate proves fit, bucketing AND dedup semantics together.
+    "q_semdedup" -> ((s, dir) =>
+      SimilarityOps.semDedup(Tables.embeddings(s, dir), dims = 8, k = 4,
+          iters = 2, tau = 0.4)
+        .orderBy(col("cluster"), col("vec_id").asc_nulls_last,
+          col("dup_of").asc_nulls_last)),
     // Embedding-cosine near-dup pairs via LSH candidates + exact verify
     // (no cross join anywhere in the plan). The oracle is the exact
     // all-pairs answer — equality doubles as the recall proof, like
@@ -1101,6 +1117,23 @@ object SparkEntry {
       val nodes = docs.select(col("doc_id").as("node"))
       GraphOps.pageRank(nodes, GraphOps.syntheticEdges(nodes, n),
           outDeg = 3, iters = 5, nNodes = n)
+        .select(col("node").as("doc_id"), col("rank_scaled"), col("rank"))
+        .orderBy("doc_id")
+    }),
+    // Personalized PageRank from a 10-doc seed set (doc_id < 10) —
+    // the seed-biased relevance walk behind related-docs and
+    // crawl-frontier ranking. Same scaled-BIGINT trick as q_pagerank:
+    // teleport mass goes only to seeds, so the whole 5-round walk
+    // gates bit-for-bit; `rank` is one final exact-int division by
+    // |S|·60⁵. Edge list shuffles once; rounds move the node table.
+    "q_ppr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1 // dense ids
+      val nodes = docs.select(col("doc_id").as("node"),
+        (col("doc_id") < 10).as("seed"))
+      GraphOps.personalizedPageRank(nodes,
+          GraphOps.syntheticEdges(nodes, n), outDeg = 3, iters = 5,
+          nSeeds = 10)
         .select(col("node").as("doc_id"), col("rank_scaled"), col("rank"))
         .orderBy("doc_id")
     }),
@@ -2397,6 +2430,39 @@ object SparkEntry {
         |  FROM documents
         |) t GROUP BY word
         |ORDER BY cnt DESC, word ASC LIMIT 100""".stripMargin,
+    // Zipf fit replay: same tokenizer + top-100 rank order, each ln at
+    // 9 dp, cross terms single-rounded, DECIMAL sums, one IEEE dag for
+    // slope/intercept/r² at 6 dp
+    "q_zipf" ->
+      """WITH wc AS MATERIALIZED (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '((?:[\.,!?;"])|(?:(?:\#|\@)?[A-Za-z0-9_\-]+(?:''[a-z]{1,3})?))', 1)) AS word
+        |    FROM documents
+        |  ) t GROUP BY word
+        |), ranked AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank
+        |  FROM wc QUALIFY rank <= 100
+        |), t AS (
+        |  SELECT round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+        |         round(ln(CAST(cnt AS DOUBLE)), 9) AS y
+        |  FROM ranked
+        |), s AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(round(x * y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(round(y * y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        |  FROM t
+        |), f AS (
+        |  SELECT n, sx, sy, sxx, sxy, syy,
+        |         n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+        |  FROM s
+        |)
+        |SELECT n, round(num / den, 6) AS slope,
+        |       round((sy - num / den * sx) / n, 6) AS intercept,
+        |       round(num * num / (den * (n * syy - sy * sy)), 6) AS r2
+        |FROM f""".stripMargin,
     // dense bucket axis per user via generate-series over the span;
     // integer // on epoch micros matches the engine's div exactly
     "q_fill_gaps" ->
@@ -3539,6 +3605,30 @@ object SparkEntry {
         |SELECT r5.node AS doc_id, r5.r AS rank_scaled,
         |       round(CAST(r5.r AS DOUBLE) / (p.n * 777600000.0), 9) AS rank
         |FROM r5, p ORDER BY doc_id""".stripMargin,
+    // Personalized PageRank: same unrolled scaled-BIGINT walk, but
+    // R_0 = [v ∈ S] and teleport mass lands only on the 10 seeds
+    // (doc_id < 10); rank = R_5 / (|S| * 60^5)
+    "q_ppr" ->
+      """WITH p AS (SELECT count(*) AS n FROM documents),
+        |e AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % n AS dst FROM documents, p
+        |  UNION ALL SELECT doc_id, (doc_id * 2 + 3) % n FROM documents, p
+        |  UNION ALL SELECT doc_id, (doc_id * doc_id + 5) % n FROM documents, p
+        |),
+        |r0 AS (SELECT doc_id AS node, CAST(CASE WHEN doc_id < 10 THEN 1 ELSE 0 END AS BIGINT) AS r FROM documents),
+        |s1 AS (SELECT e.dst AS node, sum(r.r) AS s FROM e JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+        |r1 AS (SELECT r0.node, CAST(CASE WHEN r0.node < 10 THEN 9 ELSE 0 END + 17 * coalesce(s1.s, 0) AS BIGINT) AS r FROM r0 LEFT JOIN s1 USING (node)),
+        |s2 AS (SELECT e.dst AS node, sum(r.r) AS s FROM e JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+        |r2 AS (SELECT r1.node, CAST(CASE WHEN r1.node < 10 THEN 540 ELSE 0 END + 17 * coalesce(s2.s, 0) AS BIGINT) AS r FROM r1 LEFT JOIN s2 USING (node)),
+        |s3 AS (SELECT e.dst AS node, sum(r.r) AS s FROM e JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+        |r3 AS (SELECT r2.node, CAST(CASE WHEN r2.node < 10 THEN 32400 ELSE 0 END + 17 * coalesce(s3.s, 0) AS BIGINT) AS r FROM r2 LEFT JOIN s3 USING (node)),
+        |s4 AS (SELECT e.dst AS node, sum(r.r) AS s FROM e JOIN r3 r ON r.node = e.src GROUP BY e.dst),
+        |r4 AS (SELECT r3.node, CAST(CASE WHEN r3.node < 10 THEN 1944000 ELSE 0 END + 17 * coalesce(s4.s, 0) AS BIGINT) AS r FROM r3 LEFT JOIN s4 USING (node)),
+        |s5 AS (SELECT e.dst AS node, sum(r.r) AS s FROM e JOIN r4 r ON r.node = e.src GROUP BY e.dst),
+        |r5 AS (SELECT r4.node, CAST(CASE WHEN r4.node < 10 THEN 116640000 ELSE 0 END + 17 * coalesce(s5.s, 0) AS BIGINT) AS r FROM r4 LEFT JOIN s5 USING (node))
+        |SELECT r5.node AS doc_id, r5.r AS rank_scaled,
+        |       round(CAST(r5.r AS DOUBLE) / 7776000000.0, 9) AS rank
+        |FROM r5 ORDER BY doc_id""".stripMargin,
     // hopping windows: win = 2·slide, so each event belongs to exactly
     // the two slide-aligned starts (t div slide − j)·slide, j ∈ {0,1}
     "q_hop_window" ->
@@ -4851,6 +4941,44 @@ object SparkEntry {
          |${mmrRoundsSql(5)}
          |SELECT q_id, mmr_rank, nn_id, score
          |FROM a5 ORDER BY q_id, mmr_rank""".stripMargin,
+    // SemDeDup full replay: the q_kmeans Lloyd chain (shared CTEs)
+    // assigns clusters, then cosine only WITHIN a cluster (va < vb),
+    // drop rule = smallest qualifying earlier neighbor, plus a
+    // per-cluster (n, n_kept) summary row
+    "q_semdedup" ->
+      s"""WITH ${kmeansCtes(dims = 8, k = 4, iters = 2)},
+         |nrmv AS MATERIALIZED (
+         |  SELECT vec_id, sqrt(CAST(sum(CAST(CAST(embedding[d+1] AS DOUBLE)
+         |         * CAST(embedding[d+1] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+         |  FROM embeddings, range(64) r(d) GROUP BY vec_id
+         |), pv AS MATERIALIZED (
+         |  SELECT g.cluster, e.vec_id, e.embedding
+         |  FROM asg g JOIN embeddings e ON e.vec_id = g.vec_id
+         |), dots AS (
+         |  SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb, ${DotSql("a", "b")} AS dot
+         |  FROM pv a JOIN pv b ON b.cluster = a.cluster AND a.vec_id < b.vec_id,
+         |       range(64) r(d)
+         |  GROUP BY a.cluster, a.vec_id, b.vec_id
+         |), pairs AS MATERIALIZED (
+         |  SELECT d.cluster, d.va, d.vb, d.dot / (na.nrm * nb.nrm) AS sim
+         |  FROM dots d JOIN nrmv na ON na.vec_id = d.va
+         |  JOIN nrmv nb ON nb.vec_id = d.vb
+         |  WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
+         |), dropped AS MATERIALIZED (
+         |  SELECT cluster, vb, min(va) AS dup_of FROM pairs GROUP BY 1, 2
+         |), detail AS (
+         |  SELECT d.cluster, d.vb AS vec_id, d.dup_of, round(p.sim, 6) AS sim,
+         |         CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS n_kept
+         |  FROM dropped d JOIN pairs p ON p.vb = d.vb AND p.va = d.dup_of
+         |), sizes AS (SELECT cluster, count(*) AS n FROM pv GROUP BY 1),
+         |dcnt AS (SELECT cluster, count(*) AS nd FROM dropped GROUP BY 1)
+         |SELECT * FROM detail
+         |UNION ALL
+         |SELECT s.cluster, CAST(NULL AS BIGINT) AS vec_id,
+         |       CAST(NULL AS BIGINT) AS dup_of, CAST(NULL AS DOUBLE) AS sim,
+         |       s.n, s.n - coalesce(d.nd, 0) AS n_kept
+         |FROM sizes s LEFT JOIN dcnt d ON d.cluster = s.cluster
+         |ORDER BY cluster, vec_id ASC NULLS LAST, dup_of ASC NULLS LAST""".stripMargin,
     // exact all-pairs eval×train cross join — equality proves the LSH
     // candidate stage missed nothing (recall certificate)
     "q_semantic_decontam" ->

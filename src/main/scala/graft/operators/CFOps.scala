@@ -267,9 +267,12 @@ object CFOps {
     * this round — production iterations would join the previous
     * round's materialized factors, an item-keyed shuffle); the only
     * wide op is ONE user-keyed hash aggregate with map-side partials;
-    * the solve is a map-only projection. This is exactly the
+    * the solve is a map-only projection. This is the same
     * "aggregate normal equations, solve tiny dense system per key"
-    * plan MLlib's ALS runs at cluster scale.
+    * SHAPE MLlib's ALS runs at cluster scale — note the
+    * regularizer differs: MLlib defaults to ALS-WR weighted-lambda
+    * (λ scaled by each user's rating count, Zhou et al. 2008) while
+    * this solver adds plain λI (classic ridge).
     */
   def alsUserFactors(ratings: DataFrame, lambda: Double = 0.1): DataFrame = {
     require(lambda > 0, "ridge lambda must be > 0 (PD normal matrix)")

@@ -681,7 +681,7 @@ object TemporalOps {
     * subscription/engagement pipeline publishes. Lifetime = whole
     * `unitUs`-micros units between a key's first and last event
     * (integer micros div); keys
-    * whose last event falls within `censorDays` of the corpus horizon
+    * whose last event falls within `censorGapUs` micros of the corpus horizon
     * (max ts) are right-censored — they are still "alive", so they
     * count at risk but not as churn events. Deaths sort before
     * censorings at equal times (the standard KM convention — both are

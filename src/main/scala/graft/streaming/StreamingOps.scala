@@ -304,7 +304,9 @@ object StreamingOps {
 
   /** Streaming mirror of
     * [[graft.operators.TemporalOps.lastTouchAttribution]] via
-    * flatMapGroupsWithState: touches overwrite the per-user state,
+    * flatMapGroupsWithState: touches advance the per-user state
+    * (guarded by the (ts, event_id) order, so a cross-batch
+    * late-arriving OLDER touch never replaces a newer one),
     * conversions read it — the running last-qualifying-touch the
     * batch window computes, with the SAME strict-precedence order
     * ((ts, event_id); a touch at the conversion's own timestamp but
@@ -336,7 +338,14 @@ object StreamingOps {
                   if (in) touch.map(_.tId) else None,
                   if (in) touch.map(t => (tsUs - t.tUs) / 60000000L) else None)
               } else if (touchTypes(typ)) {
-                touch = Some(TouchState(tsUs, typ, id))
+                // Keep only the NEWEST touch by the batch ordering key
+                // (ts, event_id): a late-arriving touch in a later
+                // micro-batch that is OLDER than the stored one must
+                // not replace it, or streaming output diverges from
+                // lastTouchAttribution's batch window semantics.
+                if (touch.forall(t =>
+                    tsUs > t.tUs || (tsUs == t.tUs && id > t.tId)))
+                  touch = Some(TouchState(tsUs, typ, id))
               }
           }
           touch.foreach(state.update)

@@ -232,4 +232,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(r5 == r6, "gate rounds not past fixpoint")
     assert(r5.nonEmpty && r5.forall(_._2 >= 4))
   }
+
+  test("personalizedPageRank: mass = |S| * 60^iters; matches double reference") {
+    val n = 11
+    val nodes = spark.range(0, n.toLong)
+      .select(col("id").as("node"), (col("id") < 3).as("seed"))
+    val ppr = GraphOps.personalizedPageRank(nodes,
+      GraphOps.syntheticEdges(nodes, n.toLong), outDeg = 3, iters = 5,
+      nSeeds = 3)
+    // teleport restores exactly what damping withholds on the seed set
+    assert(ppr.agg(sum("rank_scaled")).head().getLong(0) == 3L * 777600000L)
+    val got = ppr.orderBy("node").select("rank").as[Double].collect()
+    // textbook double PPR: teleport mass 0.15 split over the seeds
+    val edges = (0 until n).flatMap(i =>
+      Seq(i -> ((i + 1) % n), i -> ((2 * i + 3) % n), i -> ((i * i + 5) % n)))
+    var r = Array.tabulate(n)(i => if (i < 3) 1.0 / 3 else 0.0)
+    for (_ <- 0 until 5) {
+      val next = Array.tabulate(n)(i => if (i < 3) 0.15 / 3 else 0.0)
+      edges.foreach { case (s, d) => next(d) += 0.85 * r(s) / 3.0 }
+      r = next
+    }
+    got.zip(r).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9) }
+  }
 }

@@ -358,4 +358,22 @@ class SimilarityOpsSpec extends SparkSpec {
     // score gap: sC < 0.7·0.6 − 0.3·0.6 (what c would pay vs a only)
     assert(sC < 0.7 * 0.6 - (1.0 - 0.7) * 0.6)
   }
+
+  test("semDedup: within-cluster drop rule, smallest earlier neighbor wins") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),    // group A anchor (kmeans init c0)
+      (1L, Seq(0.0f, 1.0f)),    // group B anchor (kmeans init c1)
+      (2L, Seq(0.99f, 0.01f)),  // near-dup of 0
+      (3L, Seq(0.01f, 0.99f)),  // near-dup of 1
+      (4L, Seq(0.98f, 0.03f))). // near-dup of 0 (and of 2; 0 is smaller)
+      toDF("vec_id", "embedding")
+    val out = SimilarityOps.semDedup(emb, dims = 2, k = 2, iters = 2,
+      tau = 0.9)
+    val detail = out.filter(col("vec_id").isNotNull)
+      .select("vec_id", "dup_of").as[(Long, Long)].collect().toMap
+    assert(detail == Map(2L -> 0L, 3L -> 1L, 4L -> 0L))
+    val summary = out.filter(col("vec_id").isNull)
+      .select("n", "n_kept").as[(Long, Long)].collect().toSet
+    assert(summary == Set((3L, 1L), (2L, 1L))) // {0,2,4} keep 0; {1,3} keep 1
+  }
 }

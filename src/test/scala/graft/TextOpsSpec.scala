@@ -263,4 +263,16 @@ class TextOpsSpec extends SparkSpec {
       ("y", 9L, r6(r("y")))))
     assert(r("c") > r("x") && r("x") == r("y"))
   }
+
+  test("zipfFit: exact power law freq = 60/rank gives slope -1, r2 = 1") {
+    val words = Seq("a" -> 60, "b" -> 30, "c" -> 20, "d" -> 15, "e" -> 12,
+      "f" -> 10)
+    val text = words.flatMap { case (w, k) => Seq.fill(k)(w) }.mkString(" ")
+    val docs = Seq((0L, text)).toDF("doc_id", "text")
+    val (n, slope, r2) = TextOps.zipfFit(docs, topN = 6)
+      .select("n", "slope", "r2").as[(Long, Double, Double)].head()
+    assert(n == 6L)
+    assert(math.abs(slope + 1.0) < 1e-4)
+    assert(r2 > 0.999999)
+  }
 }
