@@ -138,8 +138,67 @@ object DedupOps {
     * q_neardup_ref). Rule of thumb: keep t comfortably ABOVE the
     * corpus' background Jaccard and below minJac. Open-vocabulary
     * text keeps minting shingles, background similarity stays low,
-    * and the default is the right config.
+    * and the default is the right config. [[chooseBanding]] measures
+    * this decision from a bounded sample of the actual corpus.
     */
+  /** Data-driven (r, bands) chooser — the WHEN-TO-RAISE-r guidance
+    * above promoted to code. The blowup statistic is NOT the
+    * background Jaccard's upper quantile (even on the measured
+    * saturated corpora no random pair reaches the default t ≈ 0.42 —
+    * BandingScratch: p99 = 0.125); it is the PAIR POPULATION times the
+    * S-curve's tail: expected spurious candidates per doc
+    * `mean_i[1 − (1 − Jᵢʳ)ᵇ] · (n−1)/2` over a background-pair sample.
+    * On the 4k-doc saturated spec corpus that is 0.65/doc at the
+    * default (≈ 6× the true pairs, the measured r7 finding) vs 1e−4
+    * at r = 8 — and it grows LINEARLY in n, so the same estimate
+    * escalates harder exactly where the sf10 study measured 96×
+    * candidate growth.
+    *
+    * Estimation is bounded: deterministically hash-shuffle the docs,
+    * take `sampleSize` (driver state ≤ sampleSize × sigLen longs,
+    * never corpus-sized), minhash distributed, estimate each
+    * hash-adjacent pair's Jaccard by signature-component agreement
+    * (unbiased, σ ≈ √(J(1−J)/sigLen)). Hash-adjacent pairs are
+    * overwhelmingly UNRELATED; estimates ≥ minJac are true near-dups
+    * and excluded from the background population.
+    *
+    * Selection: the escalation ladder (4, k/4) → (8, k/8) → (16, k/16).
+    * r = 4 has the best recall at the threshold (miss ≈ 5e−8 at
+    * J = 0.8), so the SMALLEST r whose expected spurious load is
+    * ≤ `maxSpuriousPerDoc` wins; the steepest ladder is the fallback
+    * when even r = 16 can't contain a pathologically self-similar
+    * corpus. Open-vocab corpora keep the default; the saturated spec
+    * corpus selects r = 8 — the measured SCALE.md mitigation (51×
+    * candidate cut, 99.76% recall at the 500k-doc sf10 corpus). Cost:
+    * one count + one limit-job + a driver-local pass — run once per
+    * corpus, not per query.
+    */
+  def chooseBanding(docs: DataFrame, minJac: Double = 0.8, sigLen: Int = 128,
+      nGram: Int = 3, textCol: String = "text", sampleSize: Int = 2048,
+      maxSpuriousPerDoc: Double = 0.1): (Int, Int) = {
+    require(sampleSize >= 64, "need >= 64 sampled docs for a stable estimate")
+    val nDocs = docs.count()
+    val sampled = docs.select(col("doc_id"), col(textCol))
+      .orderBy(xxhash64(col("doc_id")), col("doc_id"))
+      .limit(sampleSize)
+    val sigs = minhashSignatures(hashedShingled(sampled, nGram, textCol),
+        sigLen, "hs")
+      .select("sig").collect()
+      .map(_.getSeq[Long](0).toArray)
+    val ests = sigs.sliding(2, 2).collect { case Array(a, b) =>
+      var eq = 0
+      var i = 0
+      while (i < sigLen) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / sigLen
+    }.filter(_ < minJac).toArray
+    val ladder = Seq(4, 8, 16).filter(sigLen % _ == 0).map(r => (r, sigLen / r))
+    if (ests.isEmpty) ladder.head
+    else ladder.find { case (r, b) =>
+      val meanP = ests.map(j => 1.0 - math.pow(1.0 - math.pow(j, r), b)).sum / ests.length
+      meanP * (nDocs - 1) / 2.0 <= maxSpuriousPerDoc
+    }.getOrElse(ladder.last)
+  }
+
   def verifiedNearDups(docs: DataFrame, nGram: Int = 3, sigLen: Int = 128,
       r: Int = 4, bands: Int = 32, minJac: Double = 0.8,
       textCol: String = "text", rowPrefixMod: Option[Long] = None): DataFrame = {

@@ -244,12 +244,13 @@ class DedupOpsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
-  test("saturated shingle space: raising r collapses candidates, keeps exact recall") {
-    // closed 8-word vocab → 512-shingle space saturates at ~2k docs;
-    // every 10th doc is a near-dup of its predecessor (GenScale shape).
-    // Deterministic per-row construction.
+  /** Closed 8-word vocab → 512-shingle space saturates at ~2k docs;
+    * every 10th doc is a near-dup of its predecessor (GenScale shape).
+    * Deterministic per-row construction — shared by the banding tests.
+    */
+  private def saturatedCorpus(nDocs: Long) = {
     val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
-    val docs = spark.range(0, 4000).select(col("id").as("doc_id"))
+    spark.range(0, nDocs).select(col("id").as("doc_id"))
       .as[Long].map { id =>
         val seed = if (id % 10 == 9) id - 1 else id
         val rnd = new java.util.Random(seed * 6364136223846793005L + 17L)
@@ -260,6 +261,10 @@ class DedupOpsSpec extends SparkSpec {
           else base
         (id, words.mkString(" "))
       }.toDF("doc_id", "text")
+  }
+
+  test("saturated shingle space: raising r collapses candidates, keeps exact recall") {
+    val docs = saturatedCorpus(4000)
     val sigs = DedupOps.minhashSignatures(
       DedupOps.hashedShingled(docs, 3).withColumnRenamed("hs", "hs_sig")
         .select(col("doc_id"), col("hs_sig")), 128, "hs_sig")
@@ -278,6 +283,26 @@ class DedupOpsSpec extends SparkSpec {
       .select("da", "db").as[(Long, Long)].collect().toSet
     assert(steep == exact && exact.nonEmpty,
       s"steep ${steep.size} vs exact ${exact.size}")
+  }
+
+  test("chooseBanding: steep ladder on the saturated corpus, default elsewhere") {
+    // saturated 4k-doc corpus: background Jaccard crosses the default
+    // threshold (~0.42) → the chooser must escalate to r=8/b=16, the
+    // measured SCALE.md mitigation
+    assert(DedupOps.chooseBanding(saturatedCorpus(4000)) == ((8, 16)))
+    // driver corpus (31-word vocab at 500 docs, unsaturated): low
+    // background → the default r=4/b=32 survives
+    assert(DedupOps.chooseBanding(Tables.documents(spark, sf0)) == ((4, 32)))
+    // chooser output feeds verifiedNearDups unchanged: the selected
+    // steep ladder still returns the exact minJac answer (recall pin)
+    val docs = saturatedCorpus(1000)
+    val (r, b) = DedupOps.chooseBanding(docs)
+    assert((r, b) == ((8, 16)))
+    val exact = DedupOps.ngramJaccardPairs(docs, minJac = 0.8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val got = DedupOps.verifiedNearDups(docs, r = r, bands = b)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(got == exact && exact.nonEmpty)
   }
 
   test("contaminatedPairs finds the planted eval overlap, train-side fraction") {

