@@ -250,4 +250,76 @@ class PlanShapeSpec extends SparkSpec {
     assert(countShuffles(df) == 0, planString(df).take(2000))
     assert(planString(df).contains("Expand"), planString(df).take(2000))
   }
+
+  // ---- round-7/8 surface: the hand-audited plan properties of the
+  // most expensive bench queries, regression-guarded (VERDICT r7 §next-4)
+
+  /** Execute (so AQE finalizes), then return the final plan string. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0)
+    df.queryExecution.toRdd.count()
+    val s = planString(df)
+    spark.catalog.clearCache()
+    s
+  }
+
+  private def scansOf(plan: String): Int =
+    "InMemoryTableScan".r.findAllIn(plan).size
+
+  test("q_simhash_pairs: banded signatures pinned (kernel runs once), equi-join only") {
+    // the r7 audit found the Md5SimHash kernel evaluating on BOTH
+    // self-join sides (11.4 → 4.9 s at sf1 after the pin): both sides
+    // must scan the SAME in-memory table, and the candidate stage must
+    // be a bucket equi-join, never a cartesian
+    val plan = finalPlan("q_simhash_pairs")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(scansOf(plan) >= 2, s"expected both join sides on the pinned table:\n${plan.take(2000)}")
+  }
+
+  test("q_mm_phash: decoded-image table pinned (PNG decode runs once)") {
+    // same pin class: a full PNG decode re-running per join side was
+    // the 2.65 → 1.86 s audit finding
+    val plan = finalPlan("q_mm_phash")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(scansOf(plan) >= 2, plan.take(2000))
+  }
+
+  test("q_cooccur: pair table pinned across its three consumers") {
+    // 3 consumers re-ran the tokenize+explode before the pin
+    // (3.95 → 2.22 s at sf1)
+    val plan = finalPlan("q_cooccur")
+    assert(scansOf(plan) >= 2, plan.take(2000))
+  }
+
+  test("q_grid_density: cell labels broadcast back to points, no cartesian") {
+    // the un-hinted final join exchanged ALL points (r7 audit); the
+    // label side is cell-table-sized and must broadcast
+    val plan = finalPlan("q_grid_density")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q_roc_auc: the global window runs over the aggregated score table") {
+    // the single-partition Window is metric-sized BY CONSTRUCTION: a
+    // HashAggregate (the one score-keyed combine) must sit below it —
+    // a Window over the raw corpus is the scale anti-plan
+    val df = SparkEntry.queries("q_roc_auc")(spark, sf0)
+    df.queryExecution.toRdd.count()
+    val plan = planString(df)
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    // corpus → distinct-score combine → window: the whole query fits
+    // in a handful of exchanges (a window over raw rows would too, so
+    // also pin the aggregate-below-window order in the tree string)
+    val wIdx = plan.indexOf("Window")
+    assert(plan.indexOf("HashAggregate", wIdx) > wIdx,
+      s"no aggregate below the window:\n${plan.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("q_semdedup: within-cluster pairs are an equi-join, never corpus²") {
+    val plan = finalPlan("q_semdedup")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
 }
