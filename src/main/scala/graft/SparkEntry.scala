@@ -1828,12 +1828,8 @@ object SparkEntry {
         .enrichWithStatic(stream, dim, Seq("user_id"))
         .select(col("event_id"), col("user_id"), col("segment"),
           round(col("c_acctbal"), 2).as("acctbal"))
-      val qn = s"graft_stream_static_${StreamSeq.incrementAndGet()}"
-      val q = enriched.writeStream.format("memory").queryName(qn)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(qn).orderBy("event_id")
+      // file sink: enriched output is corpus-sized (one row per event)
+      fileSinkRun(enriched, "enrich").orderBy("event_id")
     }),
     // Streaming exact dedup: first copy per content digest passes, later
     // copies drop (dropDuplicatesWithinWatermark — state keyed by the
@@ -1852,12 +1848,8 @@ object SparkEntry {
         .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
       val deduped = graft.streaming.StreamingOps.streamingExactDedup(
         stream, "ts", "30 days")
-      val qn = s"graft_stream_dedup_${StreamSeq.incrementAndGet()}"
-      val q = deduped.writeStream.format("memory").queryName(qn)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(qn)
+      // file sink: the survivor set is corpus-sized (distinct docs)
+      fileSinkRun(deduped, "sdedup")
         .select(lower(hex(col("text_hash"))).as("text_hash"))
         .orderBy("text_hash")
     }),
@@ -1878,12 +1870,9 @@ object SparkEntry {
           col("value").as("v_value"))
       val joined = graft.streaming.StreamingOps.intervalJoin(
         purchases, views, Seq("user_id"), "p_ts", "v_ts", "24 hours", "24 hours")
-      val qn = s"graft_stream_ijoin_${StreamSeq.incrementAndGet()}"
-      val q = joined.writeStream.format("memory").queryName(qn)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(qn)
+      // file sink: the join output is DATA-sized (quadratic in a hot
+      // user's event density on Zipf corpora) — never driver-collected
+      fileSinkRun(joined, "sij")
         .select(col("user_id"), col("p_event"), unix_micros(col("p_ts")).as("p_ts_us"),
           col("v_event"), round(col("v_value"), 4).as("v_value"))
         .orderBy("user_id", "p_event", "v_event")
@@ -2213,6 +2202,31 @@ object SparkEntry {
     * one session (no RNG/clock — determinism policy).
     */
   private val StreamSeq = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Run an append-mode stream through a PARQUET file sink and read the
+    * result back — the production sink shape for DATA-SIZED streaming
+    * output. The memory sink collects every result row onto the driver:
+    * fine for the metric-sized aggregate gates, but a measured
+    * `spark.driver.maxResultSize` abort for the interval join on the
+    * Zipf-headed sf1 corpus (the hot user's join output alone is tens
+    * of millions of rows). The file sink keeps rows on executors end to
+    * end; reading the sink directory back is metadata-driven
+    * (_spark_metadata), so the gate compares exactly what the stream
+    * committed.
+    */
+  private def fileSinkRun(df: DataFrame, tag: String): DataFrame = {
+    val spark = df.sparkSession
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_${tag}_${StreamSeq.incrementAndGet()}_")
+      .toString
+    val q = df.writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/chk")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.schema(df.schema).parquet(s"$dir/out")
+  }
 
   /** Order-insensitive mean: exact decimal sum, then one double divide.
     * Plain `round(avg(double),4)` can flip the last digit between Spark

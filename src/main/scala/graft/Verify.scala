@@ -23,11 +23,39 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Optional per-query watchdog (large-SF audits: a quadratic exact
+    // baseline that is feasible at the driver's gate scale can be
+    // unbounded at sf10 — cancel it, record ENGINE_TIMEOUT, move on).
+    // Unset (the driver's call) = no watchdog, behavior unchanged.
+    val timeoutSec = sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT").map(_.toLong)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      def run(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
+      try {
+        timeoutSec match {
+          case None => run()
+          case Some(t) =>
+            import scala.concurrent.{Await, Future, TimeoutException}
+            import scala.concurrent.duration._
+            import scala.concurrent.ExecutionContext.Implicits.global
+            val f = Future(run())
+            try Await.result(f, t.seconds)
+            catch {
+              case _: TimeoutException =>
+                spark.sparkContext.cancelAllJobs()
+                System.err.println(s"[verify] $name ENGINE_TIMEOUT > ${t}s")
+                // drain the cancelled future so the session is clean
+                // before the next query; drop its partial output
+                try Await.result(f, 300.seconds)
+                catch { case _: Throwable => () }
+                try org.apache.commons.io.FileUtils.deleteDirectory(
+                  new java.io.File(s"$outDir/$name"))
+                catch { case _: Throwable => () }
+            }
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // full chain to stderr — a swallowed cause (e.g. an executor-side
