@@ -78,6 +78,18 @@ object CFOps {
     * reads bounded by ~max(total/salts·P, second-level group count)
     * regardless of skew — EdgeCasesSpec measures both properties
     * under an 80%-hot key, and output is bit-identical by spec.
+    *
+    * MEASURED boundary (round 8, CfSkewScratch on the Zipf-headed
+    * zipf_sf1 corpus — hot item 5.7% of 6M ratings): the window form
+    * stays ahead at every measurable scale (isolated support→center
+    * stage 2.5 s vs 7.6 s salted at 512 partitions; even a 50%-viral
+    * remap loses, 1.3 vs 3.4 s), because the upstream per-(user,item)
+    * DEDUP bounds any item's frame by the USER COUNT — 150k rows at
+    * sf1, milliseconds to sort. So on deduplicated ratings the flip
+    * arithmetic runs on min(head-key rows, other-side cardinality):
+    * the hatch pays off only when ≳ 10⁷ distinct users co-rate one
+    * item (10⁹-user Zipf head, or a degenerate default-key column) —
+    * insurance for that regime, not a general-skew win.
     */
   case class Params(
       minUsersPerItem: Long = 25,
