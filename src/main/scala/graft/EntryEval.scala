@@ -177,6 +177,14 @@ private[graft] object EntryEval {
       EvalOps.rocAuc(Tables.documents(s, dir),
           expr("n_chars div 16"), col("lang") === "en")
         .orderBy("score")),
+    // Precision–recall curve + average precision over the same scored
+    // frame — the imbalanced-gate metric (quality/contamination flags
+    // at low positive rates) where ROC saturates. One score-keyed
+    // combine; curve + AP on the distinct-score table.
+    "q_pr_auc" -> ((s, dir) =>
+      EvalOps.prAuc(Tables.documents(s, dir),
+          expr("n_chars div 16"), col("lang") === "en")
+        .orderBy("score")),
     // Score calibration: reliability bins + ECE of the stopword-ratio
     // confidence (the q_logreg_gd feature) against the en label. Each
     // published rate is one exact-int IEEE division; bin means are
@@ -723,6 +731,36 @@ private[graft] object EntryEval {
         |       round(CAST(s2 - p_tot * (p_tot + 1) AS DOUBLE)
         |             / CAST(2 * p_tot * n_tot AS DOUBLE), 9) AS auc
         |FROM rk, tot ORDER BY score""".stripMargin,
+    // PR replay: same distinct-score blocks walked descending; each
+    // term one exact-int IEEE division at 9 dp, AP a decimal sum / P
+    "q_pr_auc" ->
+      """WITH lab AS (
+        |  SELECT n_chars // 16 AS score,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |), bys AS (
+        |  SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM lab GROUP BY score
+        |), rk AS (
+        |  SELECT score, n, n_pos,
+        |         CAST(sum(n_pos) OVER (ORDER BY score DESC) AS BIGINT) AS cum_tp,
+        |         CAST(sum(n - n_pos) OVER (ORDER BY score DESC) AS BIGINT) AS cum_fp
+        |  FROM bys
+        |), tm AS (
+        |  SELECT score, n, n_pos, cum_tp, cum_fp,
+        |         round(CAST(n_pos * cum_tp AS DOUBLE)
+        |               / CAST(cum_tp + cum_fp AS DOUBLE), 9) AS term
+        |  FROM rk
+        |), tot AS (
+        |  SELECT CAST(sum(n_pos) AS BIGINT) AS p_tot,
+        |         CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS term_sum
+        |  FROM tm
+        |)
+        |SELECT score, n, n_pos, cum_tp, cum_fp,
+        |       round(CAST(cum_tp AS DOUBLE) / CAST(cum_tp + cum_fp AS DOUBLE), 9) AS precision,
+        |       round(CAST(cum_tp AS DOUBLE) / CAST(p_tot AS DOUBLE), 9) AS recall,
+        |       round(term_sum / CAST(p_tot AS DOUBLE), 6) AS ap
+        |FROM tm, tot ORDER BY score""".stripMargin,
     // reliability-bin replay: 9-dp conf ratios, decimal bin sums, ECE
     // from the published rounded acc/avg_conf gaps
     "q_calibration" ->

@@ -501,6 +501,33 @@ private[graft] object EntryFormats {
           col("v_event"), round(col("v_value"), 4).as("v_value"))
         .orderBy("user_id", "p_event", "v_event")
     }),
+    // LEFT OUTER stream-stream interval join: unmatched purchases
+    // emit with NULLs once the watermark seals the lookback — the
+    // state-EVICTION path the inner gate never exercises. Published
+    // region cut to leftTs ≤ min(max p_ts, max v_ts) − lookback on
+    // BOTH sides (operator scaladoc: a terminal stream run can never
+    // prove a non-match at the horizon), so stream ≡ batch exactly.
+    "q_stream_interval_outer" -> ((s, dir) => {
+      def ev = Tables.eventsStream(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_event"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("v_event"),
+          col("value").as("v_value"))
+      val joined = graft.streaming.StreamingOps.intervalJoinLeftOuter(
+        purchases, views, Seq("user_id"), "p_ts", "v_ts", "24 hours", "1 second")
+      val evB = Tables.events(s, dir)
+      def maxUs(t: String): Long = evB.filter(col("event_type") === t)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val horizonUs = math.min(maxUs("purchase"), maxUs("view")) -
+        24L * 3600 * 1000000
+      fileSinkRun(joined, "sijo")
+        .filter(unix_micros(col("p_ts")) <= horizonUs)
+        .select(col("user_id"), col("p_event"), unix_micros(col("p_ts")).as("p_ts_us"),
+          col("v_event"), round(col("v_value"), 4).as("v_value"))
+        .orderBy(col("user_id"), col("p_event"),
+          col("v_event").asc_nulls_first)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -765,5 +792,27 @@ private[graft] object EntryFormats {
         |  AND v.v_ts <= p.p_ts
         |  AND v.v_ts >= p.p_ts - INTERVAL 24 HOUR
         |ORDER BY p.user_id, p.p_event, v.v_event""".stripMargin,
+    // batch LEFT JOIN truth with the SAME horizon cut the stream
+    // publishes (min(max p_ts, max v_ts) − 24h): unmatched purchases
+    // carry NULLs — outer-emission parity is the tested property
+    "q_stream_interval_outer" ->
+      """WITH p AS (
+        |  SELECT user_id, ts AS p_ts, event_id AS p_event
+        |  FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT user_id, ts AS v_ts, event_id AS v_event, value AS v_value
+        |  FROM events WHERE event_type = 'view'
+        |), h AS (
+        |  SELECT least((SELECT max(epoch_us(p_ts)) FROM p),
+        |               (SELECT max(epoch_us(v_ts)) FROM v))
+        |         - 86400000000 AS horizon_us
+        |)
+        |SELECT p.user_id, p.p_event, epoch_us(p.p_ts) AS p_ts_us,
+        |       v.v_event, round(v.v_value, 4) AS v_value
+        |FROM p CROSS JOIN h LEFT JOIN v ON p.user_id = v.user_id
+        |  AND v.v_ts <= p.p_ts
+        |  AND v.v_ts >= p.p_ts - INTERVAL 24 HOUR
+        |WHERE epoch_us(p.p_ts) <= h.horizon_us
+        |ORDER BY p.user_id, p.p_event, v.v_event NULLS FIRST""".stripMargin,
   )
 }

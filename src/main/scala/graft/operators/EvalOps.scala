@@ -75,6 +75,51 @@ object EvalOps {
         col("auc"))
   }
 
+  /** Precision–recall curve + average precision (step interpolation —
+    * the `average_precision_score` definition: AP = Σ_k ΔR_k·P_k over
+    * distinct-score blocks walked from the highest threshold down;
+    * Zhu 2004 "Recall, precision and average precision"). PR is the
+    * metric of record for the IMBALANCED gates a curation pipeline
+    * actually runs — near-dup flags, contamination flags, quality
+    * filters at low positive rates — where ROC-AUC saturates (a
+    * ranker that finds 1-in-10⁴ contamination at precision 0.1 moves
+    * ROC-AUC by ~nothing and AP by everything).
+    *
+    * Same scale shape as [[rocAuc]]: ONE score-keyed partial-combined
+    * aggregate reduces the corpus; the descending window and the AP
+    * total run over the distinct-score table only. Portability: tp/fp
+    * exact BIGINT; each precision and each AP term (ΔR_k·P_k =
+    * n_pos_k·tp_k / (P·(tp_k+fp_k)) — the 1/P factored out) is one
+    * IEEE division of exact ints rounded 9 dp; AP = decimal sum of
+    * terms / P, published 6 dp.
+    */
+  def prAuc(scored: DataFrame, score: Column, label: Column): DataFrame = {
+    val dec = "decimal(38,12)"
+    val byScore = scored
+      .select(score.cast("long").as("score"), label.cast("long").as("y"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+    val desc = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byScore
+      .withColumn("cum_tp", sum("n_pos").over(desc))
+      .withColumn("cum_fp", sum(col("n") - col("n_pos")).over(desc))
+      .withColumn("term", round(
+        (col("n_pos") * col("cum_tp")).cast("double") /
+          (col("cum_tp") + col("cum_fp")).cast("double"), 9))
+    val totals = ranked.agg(
+        sum("n_pos").as("p_tot"),
+        sum(col("term").cast(dec)).cast("double").as("term_sum"))
+      .withColumn("ap",
+        round(col("term_sum") / col("p_tot").cast("double"), 6))
+    ranked.crossJoin(broadcast(totals.select("p_tot", "ap")))
+      .select(col("score"), col("n"), col("n_pos"), col("cum_tp"), col("cum_fp"),
+        round(col("cum_tp").cast("double")
+          / (col("cum_tp") + col("cum_fp")).cast("double"), 9).as("precision"),
+        round(col("cum_tp").cast("double") / col("p_tot").cast("double"), 9).as("recall"),
+        col("ap"))
+  }
+
   /** Per-slice ROC AUC — [[rocAuc]] partitioned by a slice key (the
     * "sliced eval" every responsible model report needs: a global AUC
     * hides regressions inside languages/sources/domains). Same

@@ -171,6 +171,37 @@ object StreamingOps {
         ++ right.columns.filterNot(keys.contains).map(r(_))): _*)
   }
 
+  /** LEFT OUTER stream-stream interval join — the enrichment shape
+    * where an unmatched left row must still be emitted (a purchase
+    * with NO prior view is a signal, not a drop). Unlike the inner
+    * form, outer emission is WATERMARK-DRIVEN state machinery: a left
+    * row is held in state until the global watermark proves no
+    * matching right row can still arrive (right side sealed past
+    * leftTs), and only then emits with nulls — so this exercises the
+    * state-eviction path the inner gate never touches. Same bounded
+    * state (both sides buffered within watermark + lookback).
+    *
+    * Gate caveat (and the reason the gated query filters its output to
+    * leftTs ≤ min(max leftTs, max rightTs) − lookback): at the end of
+    * an AvailableNow run the final watermark is min(max event time of
+    * both sides) − delay, and left rows at or past it are still held —
+    * a terminal stream run can never prove their non-match. The batch
+    * oracle applies the SAME horizon cut, so equality is exact on the
+    * published region.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String, lookback: String,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val range = col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+      col(rightTs) <= col(leftTs)
+    l.join(r, keyCond && range, "leftOuter")
+      .select((keys.map(l(_)) ++ left.columns.filterNot(keys.contains).map(l(_))
+        ++ right.columns.filterNot(keys.contains).map(r(_))): _*)
+  }
+
   /** Watermarked tumbling-window event counts + mean value — the
     * standard event-time aggregation shape (absent from the reference,
     * SURVEY.md §2.10 non-goal; included because any 100 TB event

@@ -26,6 +26,24 @@ class EvalOpsSpec extends SparkSpec {
       .select("auc").head().getDouble(0) == 0.0)
   }
 
+  test("prAuc matches the step-interpolated average precision by hand") {
+    // blocks desc: s=3 (tp 1, fp 0, P 1), s=2 (tp 3, fp 1, P 3/4)
+    // AP = ((1/3)*1 + (2/3)*(3/4)) = 5/6
+    val df = Seq((3, 1), (2, 1), (2, 1), (1, 0), (2, 0), (0, 0))
+      .toDF("score", "y")
+    val out = EvalOps.prAuc(df, col("score"), col("y") === 1)
+    val ap = out.select("ap").head().getDouble(0)
+    assert(math.abs(ap - 5.0 / 6.0) < 1e-6)
+    // recall reaches 1 at the lowest threshold; precision ends at P/(P+N)
+    val last = out.orderBy("score").head()
+    assert(last.getAs[Double]("recall") == 1.0)
+    assert(math.abs(last.getAs[Double]("precision") - 0.5) < 1e-9)
+    // perfect ranking → AP 1
+    val sep = Seq((5, 1), (4, 1), (1, 0), (0, 0)).toDF("score", "y")
+    assert(EvalOps.prAuc(sep, col("score"), col("y") === 1)
+      .select("ap").head().getDouble(0) == 1.0)
+  }
+
   test("calibration bins a perfectly calibrated score to ECE 0") {
     // bin [0.2, 0.3): conf always 0.25, positives exactly 1 in 4
     val rows = (0 until 80).map(i => (0.25, if (i % 4 == 0) 1 else 0))

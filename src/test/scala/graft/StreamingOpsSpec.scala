@@ -228,6 +228,39 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch == Set(("p1", "v1"), ("p1", "v2"), ("p2", "v3")))
   }
 
+  test("intervalJoinLeftOuter emits unmatched rows only after the watermark seals them") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$min%02d:00")
+    val ps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val vs = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamingOps.intervalJoinLeftOuter(
+      ps.toDS().toDF("user_id", "p_ts", "p_tag"),
+      vs.toDS().toDF("user_id", "v_ts", "v_tag"),
+      Seq("user_id"), "p_ts", "v_ts", "20 minutes", "1 minute")
+    val q = joined.writeStream.format("memory").queryName("interval_outer_test")
+      .outputMode("append").start()
+    // p1 matches v1; p3 (user 2) has NO view in its lookback
+    ps.addData((1L, t(10, 30), "p1"), (2L, t(10, 31), "p3"))
+    vs.addData((1L, t(10, 25), "v1"))
+    q.processAllAvailable()
+    val early = spark.table("interval_outer_test")
+      .select("p_tag", "v_tag").as[(String, Option[String])].collect().toSet
+    // inner match emits immediately; the outer row is still HELD — the
+    // watermark cannot yet prove no matching view will arrive
+    assert(early == Set(("p1", Some("v1"))))
+    // sentinels far ahead on BOTH sides advance the global watermark
+    ps.addData((98L, t(12, 0), "p9"))
+    vs.addData((99L, t(12, 0), "v9"))
+    q.processAllAvailable()
+    val late = spark.table("interval_outer_test")
+      .select("p_tag", "v_tag").as[(String, Option[String])].collect().toSet
+    q.stop()
+    // p3 now emits with a NULL view; the sentinel p9 stays held (its
+    // own horizon is never sealed) — exactly the gate's published-
+    // region caveat
+    assert(late == Set(("p1", Some("v1")), ("p3", None)))
+  }
+
   test("rollingAnomalyByKey matches the batch window operator row for row") {
     // batch reference on real sf0.001 events (the q_ts_anomaly engine)
     val batch = graft.operators.TemporalOps.rollingAnomaly(
