@@ -305,6 +305,15 @@ class DedupOpsSpec extends SparkSpec {
     assert(got == exact && exact.nonEmpty)
   }
 
+  test("chooseBanding: an all-duplicate corpus falls back to the default ladder") {
+    // every adjacent pair estimates J ~ 1 >= minJac -> excluded as a
+    // true near-dup -> EMPTY background population -> default config
+    // (candidates there are intrinsic, not spurious)
+    val dup = spark.range(0, 200).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta iota kappa").as("text"))
+    assert(DedupOps.chooseBanding(dup) == ((4, 32)))
+  }
+
   test("contaminatedPairs finds the planted eval overlap, train-side fraction") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"), // contains eval 10 verbatim

@@ -317,6 +317,16 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q_pr_auc: the descending window runs over the aggregated score table") {
+    val df = SparkEntry.queries("q_pr_auc")(spark, sf0)
+    df.queryExecution.toRdd.count()
+    val plan = planString(df)
+    val wIdx = plan.indexOf("Window")
+    assert(wIdx >= 0 && plan.indexOf("HashAggregate", wIdx) > wIdx,
+      s"no aggregate below the window:\n${plan.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
   test("q_semdedup: within-cluster pairs are an equi-join, never corpus²") {
     val plan = finalPlan("q_semdedup")
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
