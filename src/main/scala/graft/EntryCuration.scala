@@ -36,6 +36,13 @@ private[graft] object EntryCuration {
           minWords = 30, maxWords = 80,
           minMeanLenTenths = 40, maxMeanLenTenths = 50)
         .orderBy("doc_id")),
+    // DSIR importance resampling (Xie et al. 2023): hashed-ngram
+    // log-likelihood-ratio weights against the English slice as the
+    // target domain, Gumbel-top-k selection. Raw-double w/sel_key
+    // (deterministic decimal-sum chains — bit-identical both engines).
+    "q_dsir" -> ((s, dir) =>
+      TextAnalysisOps.dsirSelect(Tables.documents(s, dir),
+        isTarget = col("lang") === "en", nBuckets = 256, k = 100)),
     // Annotation QA: Cohen's kappa between the langId labeler and the
     // gold lang column — multi-class 'ALL' row + one-vs-rest rows.
     "q_kappa" -> ((s, dir) => {
@@ -153,6 +160,57 @@ private[graft] object EntryCuration {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // DSIR replay: same md5 bucket hash, add-one bucket multinomials,
+    // per-ln round-9 (libm parity), decimal(28,9) term sums, and the
+    // doc-seeded Gumbel chain. w/sel_key published RAW (deterministic
+    // chains are bit-identical; rounding could land on a half-boundary).
+    "q_dsir" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang = 'en' AS t,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |  FROM documents
+        |), unis AS (
+        |  SELECT doc_id, t, unnest(ws) AS f FROM base
+        |), bis AS (
+        |  SELECT doc_id, t, ws[i] || ' ' || ws[i+1] AS f
+        |  FROM base, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+        |  WHERE len(ws) >= 2
+        |), feats AS (
+        |  SELECT * FROM unis UNION ALL SELECT * FROM bis
+        |), db AS (
+        |  SELECT doc_id, t,
+        |         ('0x' || substring(md5(f || '|ds'), 1, 6))::BIGINT % 256
+        |           AS bucket,
+        |         count(*) AS c
+        |  FROM feats GROUP BY 1, 2, 3
+        |), fit AS (
+        |  SELECT bucket,
+        |         sum(CASE WHEN t THEN c ELSE 0 END) AS cp,
+        |         sum(c) AS cq
+        |  FROM db GROUP BY bucket
+        |), tots AS (SELECT CAST(sum(cp) AS BIGINT) AS tp,
+        |                   CAST(sum(cq) AS BIGINT) AS tq FROM fit),
+        |lr AS (
+        |  SELECT bucket,
+        |         round(ln(CAST(cp + 1 AS DOUBLE) / CAST(tp + 256 AS DOUBLE)), 9)
+        |       - round(ln(CAST(cq + 1 AS DOUBLE) / CAST(tq + 256 AS DOUBLE)), 9)
+        |           AS lr
+        |  FROM fit CROSS JOIN tots
+        |), w AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feat,
+        |         CAST(sum(CAST(round(CAST(c AS DOUBLE) * lr, 9)
+        |                       AS DECIMAL(28,9))) AS DOUBLE) AS w
+        |  FROM db JOIN lr USING (bucket) GROUP BY doc_id
+        |), gu AS (
+        |  SELECT doc_id, n_feat, w,
+        |         round(-ln(-round(ln(
+        |           (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|dsg'),
+        |             1, 6))::BIGINT + 0.5) / 16777216.0), 9)), 9) AS gumbel
+        |  FROM w
+        |)
+        |SELECT doc_id, n_feat, w, gumbel, w + gumbel AS sel_key
+        |FROM gu
+        |ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin,
     "q_curation" ->
       s"""WITH ${ShingleCte("documents")},
          |nd AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -413,5 +413,86 @@ object TextAnalysisOps {
       (col("__nstop") >= 2L).as("stop_ok"))
       .withColumn("keep", col("wc_ok") && col("len_ok") && col("sym_ok")
         && col("alpha_ok") && col("stop_ok"))
+  }
+
+  /** DSIR importance-resampling data selection (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how target-like its hashed n-gram profile
+    * is — ln p̂(doc)/q̂(doc) under two bag-of-hashed-features unigram
+    * models — then draw the selected subset with the Gumbel-top-k
+    * trick, so the output is a true importance-weighted SAMPLE of the
+    * raw corpus (the paper's estimator), not a hard argmax head that
+    * would collapse onto near-duplicates of the target.
+    *
+    * Fit: features are md5-hashed unigrams + word bigrams in
+    * `nBuckets` buckets (the hashing trick makes the model
+    * vocabulary-free — one pass, no dictionary build); p̂ (rows
+    * matching `isTarget`) and q̂ (the whole raw corpus) are
+    * add-one-smoothed bucket multinomials, each an exact BIGINT count
+    * table of `nBuckets` rows. Per-bucket log-ratio
+    * lr_b = round(ln(p̂_b) − ln(q̂_b), 9) — each ln over ONE IEEE
+    * division of exact int64s, so the value is engine-portable; the
+    * per-doc weight w = Σ_b c_b·lr_b is decimal(28,9)-summed
+    * (order-independent, bit-identical). The sampling key adds a
+    * DETERMINISTIC Gumbel draw seeded from md5(doc_id) — rerun-stable,
+    * oracle-replayable, and exactly the softmax-without-replacement
+    * sample Gumbel-max gives.
+    *
+    * Scale shape at 100 TB: featurize is scan-local; ONE (doc, bucket)
+    * partial-combined aggregate (≤ nBuckets rows per doc out); the fit
+    * table is nBuckets rows → broadcast back for the weight join; the
+    * per-doc weight is a second partial-combined aggregate; selection
+    * is TakeOrderedAndProject (distributed top-k, no global sort). No
+    * vocabulary table, no driver state, no corpus² term. Docs with no
+    * tokens carry no evidence and are not scored.
+    *
+    * Output: (doc_id, n_feat, w, gumbel, sel_key), the top `k` rows by
+    * sel_key = w + gumbel. w and sel_key are published as RAW doubles —
+    * both are deterministic decimal-sum/IEEE-add chains, bit-identical
+    * across engines (rounding them could land on a half-boundary).
+    */
+  def dsirSelect(docs: DataFrame, isTarget: Column, nBuckets: Int = 256,
+      k: Int = 100, textCol: String = "text"): DataFrame = {
+    val base = graft.PlanUtils.spread(
+      docs.select(col("doc_id"), isTarget.as("__t"), col(textCol)))
+      .select(col("doc_id"), col("__t"), DedupOps.words(col(textCol)).as("__ws"))
+    val unis = base.select(col("doc_id"), col("__t"), explode(col("__ws")).as("f"))
+    val bis = base.filter(size(col("__ws")) >= 2)
+      .select(col("doc_id"), col("__t"), explode(transform(
+        sequence(lit(1), size(col("__ws")) - 1),
+        i => concat_ws(" ", element_at(col("__ws"), i),
+          element_at(col("__ws"), i + 1)))).as("f"))
+    val h = conv(substring(md5(concat_ws("|", col("f"), lit("ds"))
+      .cast("binary")), 1, 6), 16, 10).cast("long")
+    val db = graft.CacheScope.autoRelease(
+      unis.unionByName(bis)
+        .withColumn("bucket", h % lit(nBuckets.toLong))
+        .groupBy("doc_id", "__t", "bucket").agg(count(lit(1)).as("c")))
+    val fit = db.groupBy("bucket").agg(
+      sum(when(col("__t"), col("c")).otherwise(0L)).as("cp"),
+      sum(col("c")).as("cq"))
+    val tots = fit.agg(sum("cp").as("tp"), sum("cq").as("tq"))
+    val lr = fit.crossJoin(broadcast(tots))
+      .select(col("bucket"),
+        (round(log((col("cp") + 1L).cast("double")
+            / (col("tp") + lit(nBuckets.toLong)).cast("double")), 9)
+          - round(log((col("cq") + 1L).cast("double")
+            / (col("tq") + lit(nBuckets.toLong)).cast("double")), 9)).as("lr"))
+    // deterministic Gumbel: u exact-rational in (0,1) from a 24-bit md5
+    // slice; each ln rounded 9 (libm parity), the chain is then two
+    // identical IEEE doubles in every engine
+    val u = (conv(substring(md5(concat_ws("|", col("doc_id"), lit("dsg"))
+      .cast("binary")), 1, 6), 16, 10).cast("double") + lit(0.5))
+      .divide(lit(16777216.0))
+    val g1 = round(log(u), 9)
+    db.join(broadcast(lr), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_feat"),
+        sum(round(col("c").cast("double") * col("lr"), 9)
+          .cast("decimal(28,9)")).cast("double").as("w"))
+      .withColumn("gumbel", round(-log(-g1), 9))
+      .select(col("doc_id"), col("n_feat"), col("w"), col("gumbel"),
+        (col("w") + col("gumbel")).as("sel_key"))
+      .orderBy(col("sel_key").desc, col("doc_id")).limit(k)
   }
 }

@@ -327,6 +327,16 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q_dsir: fit tables broadcast back, selection is top-k not global sort") {
+    val df = SparkEntry.queries("q_dsir")(spark, sf0)
+    df.queryExecution.toRdd.count()
+    val plan = planString(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("q_semdedup: within-cluster pairs are an equi-join, never corpus²") {
     val plan = finalPlan("q_semdedup")
     assert(!plan.contains("CartesianProduct"), plan.take(2000))

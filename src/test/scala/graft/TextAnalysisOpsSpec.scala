@@ -206,4 +206,25 @@ class TextAnalysisOpsSpec extends SparkSpec {
       (3L, 2L, 1.5, true, false, false, true, false, false),
       (4L, 4L, 2.0, true, false, true, false, false, false)))
   }
+
+  test("dsirSelect weights target-like docs above off-domain docs") {
+    import org.apache.spark.sql.functions.col
+    // 0-9 target (vocab A), 10-19 raw-but-target-like (vocab A),
+    // 20-29 off-domain (vocab B), 30 empty (no evidence -> unscored)
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "omicron sigma tau upsilon phi chi psi omega"
+    val docs = (0L to 19L).map(i => (i, a)) ++
+      (20L to 29L).map(i => (i, b)) :+ ((30L, ""))
+    val df = docs.toDF("doc_id", "text")
+    val got = TextAnalysisOps.dsirSelect(df, col("doc_id") < 10, k = 40)
+      .select("doc_id", "w").as[(Long, Double)].collect().toMap
+    assert(!got.contains(30L), "empty doc must not be scored")
+    val (aW, bW) = (got.filter(_._1 < 20).values, got.filter(_._1 >= 20).values)
+    assert(aW.min > bW.max,
+      s"every vocab-A doc must outweigh every vocab-B doc: $got")
+    // deterministic Gumbel -> rerun-identical selection
+    val again = TextAnalysisOps.dsirSelect(df, col("doc_id") < 10, k = 40)
+      .select("doc_id", "w").as[(Long, Double)].collect().toMap
+    assert(again == got)
+  }
 }
