@@ -472,7 +472,8 @@ private[graft] object EntryTextModels {
         |ORDER BY doc_id""".stripMargin,
     // collocations: adjacency via 1-based list indexing over
     // generate_series (empty when a doc has <2 tokens); lift in
-    // all-BIGINT arithmetic with floor division — exact on both engines
+    // 128-bit-exact integer arithmetic (HUGEINT / DECIMAL(38,0)) with
+    // floor division — the int64 form overflowed at the sf10 audit
     "q_colloc" ->
       """WITH toks AS (
         |  SELECT regexp_extract_all(lower(text), '((?:[\.,!?;"])|(?:(?:\#|\@)?[A-Za-z0-9_\-]+(?:''[a-z]{1,3})?))', 1) AS t
@@ -485,7 +486,9 @@ private[graft] object EntryTextModels {
         |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
         |  GROUP BY 1, 2
         |)
-        |SELECT w1, w2, cxy, (cxy * 1000000 * tot.n) // (u1.c * u2.c) AS lift_ppm
+        |SELECT w1, w2, cxy,
+        |       CAST((CAST(cxy AS HUGEINT) * 1000000 * tot.n)
+        |            // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS lift_ppm
         |FROM big CROSS JOIN tot
         |JOIN uni u1 ON u1.word = w1
         |JOIN uni u2 ON u2.word = w2

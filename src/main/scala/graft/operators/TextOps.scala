@@ -599,10 +599,11 @@ object TextOps {
     * Published as `lift_ppm = ⌊cxy·10⁶·N / (cx·cy)⌋` — all-integer
     * arithmetic (counts only), so the ranking and the value are exact
     * on any engine; no float ratio to round. The 10⁶ scale keeps three
-    * decimal digits of lift above 1 ppm resolution. Overflow headroom:
-    * cxy·10⁶·N stays under 2⁶³ while cxy·N < 9.2·10¹² — at larger
-    * corpora widen to DECIMAL before the multiply (the ranking is
-    * unchanged).
+    * decimal digits of lift above 1 ppm resolution. The products run
+    * in 128-bit-exact integer space (DECIMAL(38,0) here, HUGEINT in
+    * the oracle): cxy·10⁶·N passes 2⁶³ already at a ~10⁸-token corpus
+    * — the sf10 audit caught the int64 form overflowing — and stays
+    * exact to 10³⁸, past any corpus this runs on.
     *
     * Plan: the token-array scan feeds bigram extraction (row-local
     * `transform` over positions — no flatMap, stays in codegen) and
@@ -633,7 +634,8 @@ object TextOps {
       .join(uni.select(col("word").as("w1"), col("c").as("c1")), Seq("w1"))
       .join(uni.select(col("word").as("w2"), col("c").as("c2")), Seq("w2"))
       .select(col("w1"), col("w2"), col("cxy"),
-        expr("(cxy * 1000000 * n) div (c1 * c2)").as("lift_ppm"))
+        expr("(CAST(cxy AS DECIMAL(20,0)) * 1000000 * n)"
+          + " div (CAST(c1 AS DECIMAL(20,0)) * c2)").as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
       .limit(k)
   }
