@@ -25,6 +25,11 @@ private[graft] object EntryCore {
     // is ONE partial-combined word count; the fit runs on 100 rows.
     "q_zipf" -> ((s, dir) =>
       TextOps.zipfFit(Tables.documents(s, dir), topN = 100)),
+    // Heaps' law vocabulary-growth fit — q_zipf's dual: V(n) ≈ K·n^β
+    // along 16 doc-id checkpoints. Publishes the growth curve AND the
+    // ln–ln OLS coefficients; corpus work is two partial aggregates.
+    "q_heaps" -> ((s, dir) =>
+      TextOps.heapsFit(Tables.documents(s, dir), nCheckpoints = 16)),
     // Text relevance scoring — TF-IDF and Okapi BM25 top-3 terms per
     // doc. Both ride the native TopKPerKey operator for the per-doc
     // ranking; ranking keys are rounded to 9 decimals so ln()'s libm
@@ -243,6 +248,56 @@ private[graft] object EntryCore {
         |       round((sy - num / den * sx) / n, 6) AS intercept,
         |       round(num * num / (den * (n * syy - sy * sy)), 6) AS r2
         |FROM f""".stripMargin,
+    // Heaps replay: first-occurrence doc per word, exact-int checkpoint
+    // buckets (⌈d·K/maxId⌉ via (d*K+mid-1)//mid), K-row cumsum, then
+    // the same 9-dp ln / decimal-sum / round-6 OLS idiom as q_zipf
+    "q_heaps" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |  FROM documents
+        |), mid AS (SELECT max(doc_id) AS mid FROM base),
+        |nd AS (
+        |  SELECT greatest(1, (doc_id * 16 + mid - 1) // mid) AS ck,
+        |         CAST(sum(len(ws)) AS BIGINT) AS tok
+        |  FROM base CROSS JOIN mid GROUP BY 1
+        |), vd AS (
+        |  SELECT greatest(1, (fd * 16 + mid - 1) // mid) AS ck,
+        |         count(*) AS nv
+        |  FROM (SELECT w, min(doc_id) AS fd FROM
+        |          (SELECT doc_id, unnest(ws) AS w FROM base) GROUP BY w)
+        |  CROSS JOIN mid GROUP BY 1
+        |), grid AS (SELECT unnest(generate_series(1, 16)) AS ck),
+        |pts AS MATERIALIZED (
+        |  SELECT ck, n_tok, vocab,
+        |         round(ln(CAST(n_tok AS DOUBLE)), 9) AS x,
+        |         round(ln(CAST(vocab AS DOUBLE)), 9) AS y
+        |  FROM (
+        |    SELECT g.ck,
+        |           CAST(sum(coalesce(nd.tok, 0)) OVER (ORDER BY g.ck)
+        |                AS BIGINT) AS n_tok,
+        |           CAST(sum(coalesce(vd.nv, 0)) OVER (ORDER BY g.ck)
+        |                AS BIGINT) AS vocab
+        |    FROM grid g LEFT JOIN nd ON nd.ck = g.ck
+        |                LEFT JOIN vd ON vd.ck = g.ck)
+        |  WHERE n_tok > 0
+        |), s AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(round(x * y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(round(y * y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        |  FROM pts
+        |), f AS (
+        |  SELECT n, sx, sy, sxx, sxy, syy,
+        |         n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+        |  FROM s
+        |)
+        |SELECT p.ck, p.n_tok, p.vocab,
+        |       round(num / den, 6) + 0.0 AS beta,
+        |       round((sy - num / den * sx) / n, 6) + 0.0 AS lnk,
+        |       round(num * num / (den * (n * syy - sy * sy)), 6) + 0.0 AS r2
+        |FROM pts p CROSS JOIN f ORDER BY p.ck""".stripMargin,
     // tf/df/N recomputed relationally; rank key round(s,9)+word mirrors
     // the engine's TopKPerKey ordering; constants written as the same
     // double EXPRESSIONS ((1.2+1.0), (1.0-0.75)) the Scala side

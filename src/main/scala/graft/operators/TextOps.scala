@@ -906,4 +906,78 @@ object TextOps {
       round(num * num
         / (den * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
   }
+
+  /** Heaps' law fit — the OTHER corpus-health diagnostic, dual to
+    * [[zipfFit]]: vocabulary growth V(n) ≈ K·n^β along the corpus
+    * (natural text: β ≈ 0.4–0.6 and still climbing; a closed template
+    * vocabulary flatlines at β ≈ 0). Together the two fits answer "is
+    * this corpus open-vocabulary enough to train on" in one scan each.
+    *
+    * Method: the corpus is cut at `nCheckpoints` doc-id fractions;
+    * V(ck) = words whose FIRST occurrence (min doc_id — one
+    * partial-combined agg over the exploded token stream) lands at or
+    * before the cut, N(ck) = tokens at or before it. Both reduce to a
+    * checkpoint-bucket aggregate (bucket = ⌈doc_id·K/maxId⌉, exact
+    * int64 arithmetic) + a cumsum over K rows; the ln–ln OLS runs on
+    * ≤ K points. Scale shape: two corpus-keyed partial aggregates and
+    * a metric-sized (K-row) tail — no corpus-sized window, no driver
+    * state. Tokenizer = the dedup family's `[a-z0-9]+`.
+    *
+    * Output: one row per non-empty checkpoint (ck, n_tok, vocab) with
+    * the shared fit columns (beta, lnk, r2) — publishing the curve AND
+    * the fit makes the gate sensitive to every bucket count, not just
+    * three rounded coefficients.
+    */
+  def heapsFit(docs: DataFrame, nCheckpoints: Int = 16,
+      textCol: String = "text"): DataFrame = {
+    val dec = "decimal(38,12)"
+    val k = nCheckpoints.toLong
+    val base = graft.CacheScope.autoRelease(
+      graft.PlanUtils.spread(docs.select(col("doc_id"), col(textCol)))
+        .select(col("doc_id"), DedupOps.words(col(textCol)).as("__ws")))
+    val mid = base.agg(max("doc_id").as("mid"))
+    val nd = base.crossJoin(broadcast(mid))
+      .selectExpr(s"greatest(1L, (doc_id * ${k}L + mid - 1L) div mid) AS ck",
+        "CAST(size(__ws) AS LONG) AS nt")
+      .groupBy("ck").agg(sum("nt").as("tok"))
+    val vd = base.select(col("doc_id"), explode(col("__ws")).as("w"))
+      .groupBy("w").agg(min("doc_id").as("fd"))
+      .crossJoin(broadcast(mid))
+      .selectExpr(s"greatest(1L, (fd * ${k}L + mid - 1L) div mid) AS ck")
+      .groupBy("ck").agg(count(lit(1)).as("nv"))
+    val grid = docs.sparkSession.range(1, k + 1).select(col("id").as("ck"))
+    val cumW = Window.orderBy("ck")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // K rows from here on — the single-partition window is metric-sized
+    val pts = graft.CacheScope.autoRelease(
+      grid.join(nd, Seq("ck"), "left").join(vd, Seq("ck"), "left")
+        .select(col("ck"), coalesce(col("tok"), lit(0L)).as("tok"),
+          coalesce(col("nv"), lit(0L)).as("nv"))
+        .select(col("ck"), sum("tok").over(cumW).as("n_tok"),
+          sum("nv").over(cumW).as("vocab"))
+        .filter(col("n_tok") > 0)
+        .select(col("ck"), col("n_tok"), col("vocab"),
+          round(log(col("n_tok").cast("double")), 9).as("x"),
+          round(log(col("vocab").cast("double")), 9).as("y")))
+    val s = pts.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).cast("double").as("sx"),
+      sum(col("y").cast(dec)).cast("double").as("sy"),
+      sum(round(col("x") * col("x"), 9).cast(dec)).cast("double").as("sxx"),
+      sum(round(col("x") * col("y"), 9).cast(dec)).cast("double").as("sxy"),
+      sum(round(col("y") * col("y"), 9).cast(dec)).cast("double").as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    // + 0.0 strips IEEE -0.0 (saturated-vocab fits round to ±0 — the
+    // engines disagree on the sign; -0.0 + 0.0 = +0.0 in both)
+    pts.select(col("ck"), col("n_tok"), col("vocab"))
+      .crossJoin(broadcast(s.select(
+        (round(num / den, 6) + lit(0.0)).as("beta"),
+        (round((col("sy") - num / den * col("sx")) / col("n"), 6) + lit(0.0))
+          .as("lnk"),
+        (round(num * num
+          / (den * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          + lit(0.0)).as("r2"))))
+      .orderBy("ck")
+  }
 }

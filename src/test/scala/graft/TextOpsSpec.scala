@@ -275,4 +275,29 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(slope + 1.0) < 1e-4)
     assert(r2 > 0.999999)
   }
+
+  test("heapsFit: exact linear vocab growth reads beta = 1; a closed" +
+      " vocabulary flatlines at 0") {
+    // doc d holds tokens 4d..4d+3, each word w appears at doc w/4 first
+    // and NEVER again -> after d docs: n_tok = 4d, vocab = 4d = n_tok^1
+    // (beta = 1, exact line in ln-ln space)
+    val open = (0L until 64L).map(d =>
+      (d, (0 until 4).map(i => s"w${4 * d + i}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val o = TextOps.heapsFit(open, nCheckpoints = 8)
+      .select("ck", "n_tok", "vocab", "beta", "r2")
+      .as[(Long, Long, Long, Double, Double)].collect().toList
+    assert(o.size == 8 && o.forall { case (_, n, v, _, _) => n == v })
+    assert(math.abs(o.head._4 - 1.0) < 1e-4 && o.head._5 > 0.999999)
+
+    // same 3 words everywhere -> vocab constant -> beta 0 (and +0.0,
+    // not -0.0: the publish strips the IEEE sign)
+    val closed = (0L until 64L).map(d => (d, "a b c a b c"))
+      .toDF("doc_id", "text")
+    val c = TextOps.heapsFit(closed, nCheckpoints = 8)
+      .select("vocab", "beta").as[(Long, Double)].collect().toList
+    assert(c.forall(_._1 == 3L))
+    assert(c.head._2 == 0.0
+      && java.lang.Double.doubleToLongBits(c.head._2) == 0L)
+  }
 }
