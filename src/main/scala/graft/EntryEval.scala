@@ -112,6 +112,15 @@ private[graft] object EntryEval {
       EvalOps.abTest(Tables.events(s, dir), col("event_type"),
           col("user_id"), col("value") > 50.0)
         .orderBy("grp")),
+    // Experimentation, nonparametric: tie-corrected Mann–Whitney U on
+    // the purchase-vs-view value distributions (deci-unit grid). Exact
+    // doubled mid-rank arithmetic in 128-bit lanes; one IEEE z dag.
+    "q_mannwhitney" -> ((s, dir) =>
+      EvalOps.mannWhitneyU(
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "view")),
+        col("event_type") === "purchase",
+        expr("CAST(floor(value * 10) AS BIGINT)"))),
     // Feature screening: Weight-of-Evidence / Information Value of the
     // doc-length bins against the en label (add-one smoothed).
     "q_woe_iv" -> ((s, dir) =>
@@ -674,6 +683,43 @@ private[graft] object EntryEval {
         |SELECT grp, n0, n1, mean0, mean1, t, df,
         |       coalesce(abs(t) > 1.96, FALSE) AS significant
         |FROM z ORDER BY grp""".stripMargin,
+    // Mann–Whitney replay: same doubled mid-rank identity over the
+    // distinct-value table, HUGEINT lanes mirroring DECIMAL(38,0),
+    // same tie-corrected z dag term for term
+    "q_mannwhitney" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(value * 10) AS BIGINT) AS v,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |), byv AS (
+        |  SELECT v, count(*) AS n, CAST(sum(g1) AS BIGINT) AS n1
+        |  FROM c GROUP BY v
+        |), r AS (
+        |  SELECT v, n, n1, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum_le
+        |  FROM byv
+        |), p AS (
+        |  SELECT CAST(n1 AS HUGEINT) * (2 * (cum_le - n) + n + 1) AS r2_part,
+        |         CAST(n AS HUGEINT) * n * n - CAST(n AS HUGEINT) AS tie_part,
+        |         n, n1
+        |  FROM r
+        |), t AS (
+        |  SELECT CAST(sum(n1) AS BIGINT) AS n1,
+        |         CAST(sum(n - n1) AS BIGINT) AS n2,
+        |         sum(r2_part) AS r1_twice, sum(tie_part) AS ties
+        |  FROM p
+        |)
+        |SELECT n1, n2,
+        |       CAST(r1_twice - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT)
+        |         AS u1_twice,
+        |       CAST(ties AS BIGINT) AS tie_cubes,
+        |       round(CAST((r1_twice - CAST(n1 AS HUGEINT) * (n1 + 1))
+        |                  - CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+        |             / (2 * sqrt(CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) / 12
+        |                 * (CAST(n1 + n2 + 1 AS DOUBLE)
+        |                    - CAST(ties AS DOUBLE)
+        |                      / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))),
+        |             6) AS z
+        |FROM t""".stripMargin,
     // A/B replay: same four counters, same pooled-z double dag;
     // DuckDB sums CAST to BIGINT, flag decided on the published z
     "q_ab_test" ->

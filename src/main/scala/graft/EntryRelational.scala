@@ -262,6 +262,15 @@ private[graft] object EntryRelational {
       DataQualityOps.kAnonymize(Tables.customer(s, dir),
           col("c_nationkey"), col("c_mktsegment"), k = 5)
         .orderBy("level", "q1", "q2")),
+    // Distinct l-diversity audit (Machanavajjhala 2006) — the
+    // homogeneity-attack check k-anonymity misses: per (nation,
+    // segment) group, distinct kilo-bucketed account balances and the
+    // modal bucket's count; diverse iff >= 3 distinct sensitive values.
+    "q_ldiversity" -> ((s, dir) =>
+      DataQualityOps.lDiversity(Tables.customer(s, dir),
+          col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(floor(c_acctbal / 1000) AS BIGINT)"), l = 3)
+        .orderBy("q1", "q2")),
     // Multi-source BFS over the synthetic link graph: min hops from
     // the mod-97 seed set within 4 rounds; frontier-only joins, the
     // oracle unrolls the same recursion.
@@ -1059,6 +1068,19 @@ private[graft] object EntryRelational {
         |UNION ALL
         |SELECT 'ANY', 'ANY', n, 2 FROM rel2 WHERE n IS NOT NULL
         |ORDER BY level, q1, q2""".stripMargin,
+    // l-diversity replay: sensitive-value histogram then per-group
+    // rollup; diverse iff >= 3 distinct kilo-buckets
+    "q_ldiversity" ->
+      """WITH h AS (
+        |  SELECT CAST(c_nationkey AS VARCHAR) AS q1, c_mktsegment AS q2,
+        |         CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR) AS s,
+        |         count(*) AS ns
+        |  FROM customer GROUP BY 1, 2, 3
+        |)
+        |SELECT q1, q2, CAST(sum(ns) AS BIGINT) AS n,
+        |       count(*) AS n_sensitive, max(ns) AS top_sensitive_n,
+        |       count(*) >= 3 AS diverse
+        |FROM h GROUP BY q1, q2 ORDER BY q1, q2""".stripMargin,
     "q_kcore" -> {
       def round(prev: String, i: Int): String =
         s"""kept$i AS MATERIALIZED (

@@ -78,6 +78,12 @@ private[graft] object EntryTextModels {
     // rides TakeOrderedAndProject.
     "q_mi_tokens" -> ((s, dir) =>
       TextOps.tokenLabelMi(Tables.documents(s, dir), labelCol = "lang", k = 30)),
+    // χ² term–label screen (Yang & Pedersen 1997) — MI's frequentist
+    // sibling on the same presence table: 2×2 contingency per token
+    // vs the en label, 128-bit-exact products, one IEEE division.
+    "q_chi2_terms" -> ((s, dir) =>
+      TextOps.chiSquaredTerms(Tables.documents(s, dir),
+        col("lang") === "en", k = 30)),
     // GloVe/word2vec prep: windowed co-occurrence counts (offsets
     // 1..3, map-only zip_with pair generation — no positional
     // self-join) scored by PPMI against the pair-table marginals.
@@ -377,6 +383,12 @@ private[graft] object EntryTextModels {
         .select(col("train_id"), col("eval_id"), round(col("frac"), 6).as("frac"))
         .orderBy("train_id", "eval_id")
     }),
+    // Interpolated Kneser–Ney bigram smoothing (Kneser & Ney 1995,
+    // Chen & Goodman 1998): published for the 50 most frequent
+    // bigrams — discounted ML term + continuation-probability backoff,
+    // every statistic an exact int64 count, p_kn one mirrored IEEE dag.
+    "q_kneser_ney" -> ((s, dir) =>
+      TextOps.kneserNeyBigrams(Tables.documents(s, dir), k = 50)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -523,6 +535,36 @@ private[graft] object EntryTextModels {
          |               / count(*), 6) AS avg_nll
          |  FROM terms GROUP BY doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // χ² replay: same 2×2 presence contingency, HUGEINT lanes
+    // mirroring DECIMAL(38,0), one double division rounded 6 dp;
+    // ranking key is the division's bit-identical result
+    "q_chi2_terms" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |         list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ws
+        |  FROM documents
+        |), pres AS (
+        |  SELECT y, unnest(ws) AS token FROM d
+        |), bytok AS (
+        |  SELECT token, count(*) AS ta, CAST(sum(y) AS BIGINT) AS a
+        |  FROM pres GROUP BY token
+        |), tot AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM documents
+        |), sc AS (
+        |  SELECT token, a, ta, n1, n,
+        |         CAST(a AS HUGEINT) * (n - ta - n1 + a)
+        |           - CAST(ta - a AS HUGEINT) * (n1 - a) AS diff,
+        |         CAST(ta AS HUGEINT) * (n - ta) * n1 * (n - n1) AS den
+        |  FROM bytok CROSS JOIN tot
+        |)
+        |SELECT token, a, ta, n1, n,
+        |       CASE WHEN den > 0
+        |            THEN round(CAST(CAST(n AS HUGEINT) * diff * diff AS DOUBLE)
+        |                       / CAST(den AS DOUBLE), 6)
+        |            ELSE 0.0 END AS chi2
+        |FROM sc ORDER BY chi2 DESC, token LIMIT 30""".stripMargin,
     // token-presence × language MI: exact-count ratios, 9-dp ln
     // terms (one double division of int64 products), decimal sums
     "q_mi_tokens" ->
@@ -994,5 +1036,30 @@ private[graft] object EntryTextModels {
         |FROM co JOIN sz x ON x.doc_id = co.train_id
         |WHERE CAST(inter AS DOUBLE) / x.n >= 0.1
         |ORDER BY train_id, eval_id""".stripMargin,
+    // Kneser–Ney bigram: counts exact BIGINT, p_kn mirrors the engine's
+    // IEEE dag term for term ((c2-0.75)/c1h + 0.75*n_follow/c1h*(n_prec/
+    // n_types) — left-assoc preserved); top-50 by count with (w1,w2)
+    // tiebreak so libm never decides membership
+    "q_kneser_ney" ->
+      """WITH t AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |  FROM documents
+        |), c2 AS (
+        |  SELECT ws[i+1] AS w1, ws[i+2] AS w2, count(*) AS c2
+        |  FROM t JOIN range(2000) r(i) ON i + 2 <= len(ws)
+        |  GROUP BY 1, 2
+        |), byw1 AS (
+        |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1h, count(*) AS n_follow
+        |  FROM c2 GROUP BY w1
+        |), byw2 AS (
+        |  SELECT w2, count(*) AS n_prec FROM c2 GROUP BY w2
+        |), ty AS (SELECT count(*) AS n_types FROM c2)
+        |SELECT c2.w1, c2.w2, c2.c2, b1.c1h, b1.n_follow, b2.n_prec,
+        |       ty.n_types,
+        |       round((CAST(c2.c2 AS DOUBLE) - 0.75) / b1.c1h
+        |             + 0.75 * b1.n_follow / b1.c1h
+        |             * (CAST(b2.n_prec AS DOUBLE) / ty.n_types), 9) AS p_kn
+        |FROM c2 JOIN byw1 b1 USING (w1) JOIN byw2 b2 USING (w2) CROSS JOIN ty
+        |ORDER BY c2.c2 DESC, c2.w1, c2.w2 LIMIT 50""".stripMargin,
   )
 }

@@ -175,6 +175,32 @@ object DataQualityOps {
     rel0.unionByName(rel1).unionByName(rel2)
   }
 
+  /** Distinct l-diversity audit (Machanavajjhala et al. 2006) — the
+    * companion check to [[kAnonymize]]: k-anonymity bounds GROUP SIZE,
+    * but a group whose sensitive attribute is constant still leaks it
+    * (the homogeneity attack). For every quasi-identifier group this
+    * reports the group size, the number of DISTINCT sensitive values,
+    * the most frequent sensitive value's count (the skew the
+    * probabilistic variants bound), and whether the group meets
+    * distinct l-diversity (`n_sensitive >= l`).
+    *
+    * Plan shape: one (q1, q2, sensitive)-keyed partial-combined
+    * aggregate reduces the corpus to the sensitive-value histogram;
+    * the per-group rollup (count / max) runs over that table —
+    * group-space-sized, never corpus-sized; no driver state.
+    */
+  def lDiversity(df: DataFrame, q1: Column, q2: Column, sensitive: Column,
+      l: Int): DataFrame = {
+    require(l >= 1, "l must be >= 1")
+    val h = df.groupBy(q1.cast("string").as("q1"), q2.cast("string").as("q2"),
+        sensitive.cast("string").as("s"))
+      .agg(count(lit(1)).as("ns"))
+    h.groupBy("q1", "q2")
+      .agg(sum("ns").as("n"), count(lit(1)).as("n_sensitive"),
+        max("ns").as("top_sensitive_n"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+  }
+
   def skewReport(df: DataFrame, key: Column, k: Int): DataFrame = {
     val counts = df.select(key.as("key")).groupBy("key")
       .agg(count(lit(1)).as("n"))

@@ -209,6 +209,66 @@ object EvalOps {
       .withColumn("valid", col("flag_rate") <= col("bound"))
   }
 
+  /** Exact tie-corrected Mann–Whitney U (Wilcoxon rank-sum) test —
+    * the nonparametric two-sample location test (Mann & Whitney 1947):
+    * does group 1's value distribution stochastically dominate group
+    * 2's? The workhorse for comparing metric distributions between
+    * corpus slices without a normality assumption (its statistic is
+    * the same mid-rank sum as [[rocAuc]]: U/(n1·n2) = AUC).
+    *
+    * All rank arithmetic is carried DOUBLED so it stays exact:
+    * 2R1 = Σ_v n1_v · (2·cnt_lt_v + n_v + 1), 2U1 = 2R1 − n1(n1+1).
+    * Totals that can pass int64 at corpus scale (2R1; the tie term
+    * Σ(t³−t); n1·n2) are carried as DECIMAL(38,0) — exact 128-bit
+    * integers, the q_colloc precedent. The tie-corrected normal
+    * approximation
+    *   z = (2U1 − n1·n2) / (2·√(n1·n2/12 · ((N+1) − Σ(t³−t)/(N(N−1)))))
+    * is ONE IEEE dag over those exact integers, rounded 6 dp at
+    * publication, shape-mirrored by the oracle. `u1_twice` is
+    * published doubled (always even — halving it would invoke decimal
+    * division semantics for no information gain); published integer
+    * columns CAST back to BIGINT at the end (the q_colloc precedent:
+    * 128-bit lanes for the arithmetic, int64 at the boundary).
+    *
+    * Scale shape: ONE value-keyed partial-combined aggregate reduces
+    * the corpus to the distinct-value table (bounded — integer-grid
+    * values, the [[rocAuc]] contract); the cumulative window and the
+    * final totals run over that table only. Output: one row.
+    */
+  def mannWhitneyU(df: DataFrame, group1: Column, value: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val byV = df
+      .select(value.cast("long").as("v"),
+        group1.cast("long").as("g1"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("n"), sum("g1").as("n1"))
+    val asc = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byV
+      .withColumn("cum_le", sum("n").over(asc))
+      // 2 × Σ mid-ranks of this value's group-1 members (exact)
+      .withColumn("r2_part", col("n1").cast(dec)
+        * (lit(2L) * (col("cum_le") - col("n")) + col("n") + lit(1L)).cast(dec))
+      .withColumn("tie_part",
+        (col("n").cast(dec) * col("n") * col("n")) - col("n").cast(dec))
+    ranked.agg(
+        sum("n1").as("n1"), sum(col("n") - col("n1")).as("n2"),
+        sum(col("r2_part")).as("r1_twice"), sum(col("tie_part")).as("ties"))
+      .withColumn("n_all", col("n1") + col("n2"))
+      .withColumn("u1_twice", (col("r1_twice")
+        - (col("n1").cast(dec) * (col("n1") + lit(1L)).cast(dec))).cast(dec))
+      .select(col("n1"), col("n2"), col("u1_twice").cast("long").as("u1_twice"),
+        col("ties").cast("long").as("tie_cubes"),
+        round((col("u1_twice") - col("n1").cast(dec) * col("n2").cast(dec))
+          .cast("double")
+          / (lit(2L) * sqrt(
+            (col("n1").cast(dec) * col("n2").cast(dec)).cast("double") / lit(12)
+              * ((col("n_all") + lit(1L)).cast("double")
+                 - col("ties").cast("double")
+                   / (col("n_all").cast("double") * (col("n_all") - lit(1L)))))),
+            6).as("z"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov drift statistic between two
     * corpus snapshots over an integer feature: D = max over values of
     * |ECDF_a − ECDF_b|, carried as the cross-multiplied BIGINT

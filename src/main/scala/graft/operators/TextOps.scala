@@ -430,6 +430,70 @@ object TextOps {
           / count(lit(1)), 6).as("avg_nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * the Chen & Goodman 1998 empirical-study formulation) — the
+    * standard smoothing for count-based LMs, published for the top `k`
+    * bigrams by raw count:
+    *
+    *   P_KN(w2|w1) = (c2(w1,w2) − d)/c1(w1)
+    *               + (d · N1+(w1,·)/c1(w1)) · (N1+(·,w2)/N1+(·,·))
+    *
+    * with discount d = 0.75, c1(w1) = Σ_w c2(w1,w) (the HISTORY count —
+    * bigram-mass, not unigram occurrences, so rows ending a document
+    * contribute nothing), N1+(w1,·)/N1+(·,w2) the follower/predecessor
+    * type counts, and N1+(·,·) the distinct-bigram total. Only observed
+    * bigrams are published (c2 ≥ 1 > d, so the max(c2−d, 0) clamp is
+    * algebraically inert and omitted). The continuation factor is KN's
+    * whole point: a word's backoff mass scales with how many CONTEXTS
+    * it follows, not how often it occurs — "francisco" is frequent but
+    * nearly always follows "san", so its continuation probability is
+    * tiny.
+    *
+    * Numeric contract: every count is an exact int64 aggregate; p_kn is
+    * ONE fixed IEEE dag over those integers, round(·, 9) only at
+    * publication — the textual shape is mirrored term for term by the
+    * DuckDB oracle (engine-portability rule).
+    *
+    * Plan shape: one tokenize scan → bigram explode → (w1,w2) partial-
+    * aggregated shuffle builds c2 (cached query-scoped: it feeds FOUR
+    * consumers — the w1-keyed follower/history aggregate, the w2-keyed
+    * predecessor aggregate, the distinct-bigram total, and the scoring
+    * join). Everything after the first aggregate is distinct-bigram-
+    * sized (vocabulary², bounded by corpus tokens), never corpus-sized;
+    * the type total rides a broadcast single-row cross join; top-k
+    * plans as TakeOrderedAndProject. At 100 TB the count tables
+    * partial-aggregate and shuffle on token keys — the same distributed
+    * count-table shape as [[trigramBackoffNll]], with KN's statistics
+    * replacing stupid backoff's.
+    */
+  def kneserNeyBigrams(docs: DataFrame, k: Int = 50, d: Double = 0.75,
+      textCol: String = "text"): DataFrame = {
+    val ws = graft.PlanUtils.spread(docs.select(col("doc_id"), col(textCol)))
+      .select(DedupOps.words(col(textCol)).as("__ws"))
+    val c2 = graft.CacheScope.autoRelease(
+      ws.filter(size(col("__ws")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("__ws")) - 1),
+          i => struct(element_at(col("__ws"), i).as("w1"),
+            element_at(col("__ws"), i + 1).as("w2")))).as("__bg"))
+        .groupBy(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+        .agg(count(lit(1)).as("c2")))
+    // history mass + follower types: both one w1-keyed aggregate OF c2
+    val byW1 = c2.groupBy("w1")
+      .agg(sum("c2").as("c1h"), count(lit(1)).as("n_follow"))
+    val byW2 = c2.groupBy("w2").agg(count(lit(1)).as("n_prec"))
+    val types = c2.agg(count(lit(1)).as("n_types"))
+    c2.join(byW1, "w1").join(byW2, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c2"), col("c1h"),
+        col("n_follow"), col("n_prec"), col("n_types"),
+        round((col("c2").cast("double") - lit(d)) / col("c1h")
+          + lit(d) * col("n_follow") / col("c1h")
+          * (col("n_prec").cast("double") / col("n_types")), 9).as("p_kn"))
+      .orderBy(col("c2").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** TF-IDF scored terms, top `k` per document — the classic relevance
     * weighting: `tf(d,t) · ln(N / df(t))` with N = total corpus docs.
     *
@@ -750,6 +814,59 @@ object TextOps {
       .agg(sum(col("__t1") + col("__t0")).as("__mi"))
       .select(col("token"), round(col("__mi").cast("double"), 6).as("mi"))
       .orderBy(col("mi").desc, col("token"))
+      .limit(k)
+  }
+
+  /** χ² (chi-squared) term–label association screen — the classic
+    * feature-selection statistic (Yang & Pedersen 1997 ranked it with
+    * MI; it's [[tokenLabelMi]]'s frequentist sibling): for each token,
+    * the 2×2 presence/label contingency (a = labeled docs containing
+    * it, b = unlabeled containing, c = labeled without, d = neither)
+    * scored by
+    *   χ² = n·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)).
+    *
+    * Numeric contract: a/b/c/d are exact int64 document counts off ONE
+    * token-keyed aggregate; (ad − bc) and the numerator/denominator
+    * products run in 128-bit-exact integer lanes (DECIMAL(38,0) here,
+    * HUGEINT in the oracle — the q_colloc precedent; n·(ad−bc)² peaks
+    * at n⁵ ≈ 10²⁸ at the 500k-doc audit scale, far past int64); χ² is
+    * ONE double division of those exact integers, rounded 6 dp.
+    * Degenerate margins (token in every doc, constant label) publish
+    * χ² = 0 rather than dividing by zero. Top-k membership is decided
+    * by (χ², token) — the division is the dag's only IEEE op, so the
+    * ranking key is bit-identical across engines.
+    *
+    * Plan shape: distinct-presence explode → ONE (token)-keyed
+    * partial-combined aggregate (vocabulary-sized output); label
+    * totals ride a broadcast 1-row cross join; top-k plans as
+    * TakeOrderedAndProject. Nothing past the first aggregate is
+    * corpus-sized.
+    */
+  def chiSquaredTerms(docs: DataFrame, label: Column, k: Int = 30,
+      textCol: String = "text"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pres = graft.PlanUtils.spread(
+        docs.select(label.cast("long").as("__y"), col(textCol)))
+      .select(col("__y"),
+        explode(array_distinct(DedupOps.words(col(textCol)))).as("token"))
+    val byTok = pres.groupBy("token")
+      .agg(count(lit(1)).as("ta"), sum("__y").as("a"))
+    val tot = docs.agg(count(lit(1)).as("n"), sum(label.cast("long")).as("n1"))
+    byTok.crossJoin(broadcast(tot))
+      // ad − bc with d = n − ta − (n1 − a), b = ta − a, c = n1 − a
+      .withColumn("__diff",
+        col("a").cast(dec)
+          * (col("n") - col("ta") - col("n1") + col("a")).cast(dec)
+          - (col("ta") - col("a")).cast(dec) * (col("n1") - col("a")).cast(dec))
+      .withColumn("__num", col("n").cast(dec) * col("__diff") * col("__diff"))
+      .withColumn("__den",
+        col("ta").cast(dec) * (col("n") - col("ta")).cast(dec)
+          * col("n1").cast(dec) * (col("n") - col("n1")).cast(dec))
+      .select(col("token"), col("a"), col("ta"), col("n1"), col("n"),
+        when(col("__den") > 0,
+          round(col("__num").cast("double") / col("__den").cast("double"), 6))
+          .otherwise(lit(0.0)).as("chi2"))
+      .orderBy(col("chi2").desc, col("token"))
       .limit(k)
   }
 

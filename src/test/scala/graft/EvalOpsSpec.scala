@@ -390,4 +390,29 @@ class EvalOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().toList
     assert(g2 == List(("a", 2L, 2L, 1.0), ("b", 2L, 0L, 0.0)))
   }
+
+  test("mannWhitneyU: hand-computed tied case and the AUC identity") {
+    // g1 = {1, 2}, g2 = {2, 3}: ranks 1, (2.5, 2.5), 4 → 2R1 = 7,
+    // 2U1 = 7 − 2·3 = 1; ties Σ(t³−t) = 6;
+    // z = (1 − 4) / (2·√(4/12 · (5 − 6/12))) = −3/(2·√1.5) = −1.224745
+    val df = Seq((1, 1), (1, 2), (0, 2), (0, 3)).toDF("g", "v")
+    val r = EvalOps.mannWhitneyU(df, col("g") === 1, col("v")).head()
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Long]("u1_twice") == 1L)
+    assert(r.getAs[Long]("tie_cubes") == 6L)
+    assert(r.getAs[Double]("z") == -1.224745)
+    // no ties: g1 = {1,2}, g2 = {3,4} → U1 = 0,
+    // z = −4/(2·√(4/12·5)) = −1.549193
+    val sep = Seq((1, 1), (1, 2), (0, 3), (0, 4)).toDF("g", "v")
+    val r2 = EvalOps.mannWhitneyU(sep, col("g") === 1, col("v")).head()
+    assert(r2.getAs[Long]("u1_twice") == 0L)
+    assert(r2.getAs[Long]("tie_cubes") == 0L)
+    assert(r2.getAs[Double]("z") == -1.549193)
+    // the rank-sum identity: U1/(n1·n2) = AUC (group1 = positives,
+    // value = score) — same frame as the rocAuc tied-case test (8/9)
+    val auc = Seq((3, 1), (2, 1), (2, 1), (1, 0), (2, 0), (0, 0))
+      .toDF("score", "y")
+    val u = EvalOps.mannWhitneyU(auc, col("y") === 1, col("score")).head()
+    assert(u.getAs[Long]("u1_twice") == 16L) // U1 = 8 = AUC·n1·n2 = (8/9)·9
+  }
 }

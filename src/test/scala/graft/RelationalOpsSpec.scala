@@ -399,6 +399,21 @@ class RelationalOpsSpec extends SparkSpec {
     assert(g2 == Set(("1", "SEG_A", 3L, 0)))
   }
 
+  test("lDiversity: homogeneous group flagged, diverse group passes") {
+    // (1,X): sensitive {s1,s1,s2} → 2 distinct, modal 2 → diverse at l=2
+    // (1,Y): {s1,s1} → 1 distinct → flagged (k-anonymity alone would
+    // pass it at k=2 — the homogeneity attack l-diversity exists for)
+    val df = Seq((1, "X", "s1"), (1, "X", "s1"), (1, "X", "s2"),
+      (1, "Y", "s1"), (1, "Y", "s1")).toDF("nat", "seg", "s")
+    val got = DataQualityOps.lDiversity(df, col("nat"), col("seg"),
+        col("s"), l = 2)
+      .select("q1", "q2", "n", "n_sensitive", "top_sensitive_n", "diverse")
+      .as[(String, String, Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      ("1", "X", 3L, 2L, 2L, true),
+      ("1", "Y", 2L, 1L, 2L, false)))
+  }
+
   test("targetEncodeLoo: each row sees the mean of the OTHER rows; singletons null") {
     val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
       (4L, "b", 10.0)).toDF("id", "key", "v")

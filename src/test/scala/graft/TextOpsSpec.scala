@@ -300,4 +300,48 @@ class TextOpsSpec extends SparkSpec {
     assert(c.head._2 == 0.0
       && java.lang.Double.doubleToLongBits(c.head._2) == 0L)
   }
+
+  test("kneserNeyBigrams: hand-computed statistics and probabilities") {
+    // docs: "a b a b c" + "b c" → c2: (a,b)=2, (b,a)=1, (b,c)=2
+    // byW1: a → c1h 2, follow 1; b → c1h 3, follow 2
+    // byW2: every w2 has exactly one predecessor type; n_types = 3
+    val docs = Seq((1L, "a b a b c"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextOps.kneserNeyBigrams(docs, k = 10)
+      .select("w1", "w2", "c2", "c1h", "n_follow", "n_prec", "n_types", "p_kn")
+      .as[(String, String, Long, Long, Long, Long, Long, Double)]
+      .collect().toList
+    // order: c2 desc then (w1, w2) — ties at c2=2 break a < b
+    assert(out.map(r => (r._1, r._2)) == List(("a","b"), ("b","c"), ("b","a")))
+    val byPair = out.map(r => (r._1, r._2) -> r).toMap
+    // p_kn(a,b) = (2-.75)/2 + .75*1/2*(1/3) = 0.75
+    assert(byPair(("a","b"))._8 == 0.75)
+    // p_kn(b,a) = (1-.75)/3 + .75*2/3*(1/3) = 0.25
+    assert(byPair(("b","a"))._8 == 0.25)
+    // p_kn(b,c) = (2-.75)/3 + .75*2/3*(1/3) = 0.583333333
+    assert(byPair(("b","c"))._8 == 0.583333333)
+    // interpolated KN normalizes over the FULL vocab: for history b,
+    // p(b,a) + p(b,c) + λ(b)·Pcont(b) = 0.25 + 0.583̅ + (.75·2/3)(1/3) = 1
+    assert(math.abs(byPair(("b","a"))._8 + byPair(("b","c"))._8
+      + 0.75 * 2.0 / 3.0 * (1.0 / 3.0) - 1.0) < 2e-9)
+    assert(byPair(("a","b"))._4 == 2L && byPair(("b","c"))._4 == 3L)
+    assert(out.forall(_._7 == 3L))
+  }
+
+  test("chiSquaredTerms: 2x2 contingency by hand, degenerate margin -> 0") {
+    // docs: en:"cat dog", en:"cat", fr:"dog"; n=3, n1=2
+    // cat: a=2,ta=2 → diff = 2·1 − 0·0 = 2, chi2 = 3·4/(2·1·2·1) = 3.0
+    // dog: a=1,ta=2 → diff = 1·0 − 1·1 = −1, chi2 = 3·1/4 = 0.75
+    val docs = Seq(("en", "cat dog"), ("en", "cat"), ("fr", "dog"))
+      .toDF("lang", "text")
+    val out = TextOps.chiSquaredTerms(docs, col("lang") === "en", k = 10)
+      .select("token", "a", "ta", "chi2")
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(out == List(("cat", 2L, 2L, 3.0), ("dog", 1L, 2L, 0.75)))
+    // a token present in EVERY doc has a zero margin → published 0, not NaN
+    val allIn = Seq(("en", "x y"), ("fr", "x")).toDF("lang", "text")
+    val z = TextOps.chiSquaredTerms(allIn, col("lang") === "en", k = 10)
+      .select("token", "chi2").as[(String, Double)].collect().toMap
+    assert(z("x") == 0.0)
+    assert(z("y") == 2.0) // a=1,ta=1: diff=1·1−0·1=1 → 2·1/(1·1·1·1)=2
+  }
 }
