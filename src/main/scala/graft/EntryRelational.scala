@@ -409,6 +409,15 @@ private[graft] object EntryRelational {
       ClusterOps.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
           dims = 8, k = 4, iters = 2)
         .orderBy("vec_id")),
+    // Clustering-quality report: simplified (centroid-based)
+    // silhouette per cluster over the SAME Lloyd fit as q_kmeans —
+    // one map-only scoring pass (centroids are plan literals), one
+    // k-row aggregate; oracle appends distance CTEs to the shared
+    // kmeans replay chain.
+    "q_silhouette" -> ((s, dir) =>
+      ClusterOps.silhouette(Tables.embeddings(s, dir), "vec_id",
+          "embedding", dims = 8, k = 4, iters = 2)
+        .orderBy("cluster")),
     // Diversity/coreset sampling: k-center greedy farthest-point
     // selection on the integer-quantized grid — every distance² an
     // exact integer, selection trajectory + cover-radius certificate
@@ -504,6 +513,29 @@ private[graft] object EntryRelational {
         |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
     "q_kmeans" -> kmeansOracleSql(dims = 8, k = 4, iters = 2),
+    // silhouette replay: same kmeans CTE chain; a2 = own-centroid
+    // dist², b2 = least over the others (1e308 sentinel masks own);
+    // per-point s rounds 9 dp, per-cluster decimal-sum mean at 6 dp
+    "q_silhouette" -> {
+      val k = 4
+      val a2 = "CASE a.cluster " +
+        (0 until k).map(j => s"WHEN $j THEN d$j").mkString(" ") + " END"
+      val b2 = "least(" + (0 until k).map(j =>
+        s"CASE WHEN a.cluster = $j THEN 1e308 ELSE d$j END").mkString(", ") + ")"
+      s"""WITH ${kmeansCtes(dims = 8, k = 4, iters = 2)},
+         |sil AS (
+         |  SELECT a.cluster, $a2 AS a2, $b2 AS b2
+         |  FROM f JOIN asg a USING (vec_id)
+         |)
+         |SELECT cluster, count(*) AS n,
+         |       round(CAST(sum(CAST(
+         |             CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0
+         |                  THEN round((sqrt(b2) - sqrt(a2))
+         |                             / greatest(sqrt(a2), sqrt(b2)), 9)
+         |                  ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE)
+         |             / count(*), 6) AS mean_sil
+         |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin
+    },
     // k-center replay: same integer grid, exact-int distances², same
     // argmax/tie order, unrolled greedy rounds + coverage certificate
     "q_kcenter" ->

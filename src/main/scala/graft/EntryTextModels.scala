@@ -389,6 +389,20 @@ private[graft] object EntryTextModels {
     // every statistic an exact int64 count, p_kn one mirrored IEEE dag.
     "q_kneser_ney" -> ((s, dir) =>
       TextOps.kneserNeyBigrams(Tables.documents(s, dir), k = 50)),
+    // Good–Turing count-of-counts: N_r spectrum for r ≤ 10 with
+    // Turing-adjusted r* and the N₁/T unseen-mass estimate — the
+    // frequency-spectrum health check (and KN's discount statistic).
+    "q_good_turing" -> ((s, dir) =>
+      TextOps.goodTuring(Tables.documents(s, dir), maxR = 10)),
+    // Jensen–Shannon divergence between the en and non-en token
+    // distributions — symmetric bounded vocabulary-drift measure,
+    // finite on one-sided (open-vocab) tokens where KL diverges.
+    "q_js_divergence" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.jsDivergence(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1061,5 +1075,71 @@ private[graft] object EntryTextModels {
         |             * (CAST(b2.n_prec AS DOUBLE) / ty.n_types), 9) AS p_kn
         |FROM c2 JOIN byw1 b1 USING (w1) JOIN byw2 b2 USING (w2) CROSS JOIN ty
         |ORDER BY c2.c2 DESC, c2.w1, c2.w2 LIMIT 50""".stripMargin,
+    // Good–Turing replay: word counts → count-of-counts; r* and
+    // p_unseen each one double division of exact BIGINTs, 9 dp
+    "q_good_turing" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents
+        |), wc AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+        |cof AS (SELECT c AS r, count(*) AS n_r FROM wc GROUP BY c),
+        |tot AS (
+        |  SELECT CAST(sum(r * n_r) AS BIGINT) AS t_toks,
+        |         CAST(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
+        |  FROM cof
+        |)
+        |SELECT a.r, a.n_r, coalesce(b.n_r, 0) AS n_next,
+        |       round((a.r + 1) * CAST(coalesce(b.n_r, 0) AS DOUBLE) / a.n_r, 9)
+        |         AS r_star,
+        |       round(CAST(n1 AS DOUBLE) / t_toks, 9) AS p_unseen
+        |FROM cof a LEFT JOIN cof b ON b.r = a.r + 1 CROSS JOIN tot
+        |ORDER BY a.r LIMIT 10""".stripMargin,
+    // JS replay: full-outer token-count merge; each KL term's ln
+    // argument is one double division of HUGEINT products (mirroring
+    // DECIMAL(38,0)), 9-dp terms, decimal sums, 6-dp publication
+    "q_js_divergence" ->
+      """WITH ca AS (
+        |  SELECT w, count(*) AS c_a FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |    FROM documents WHERE lang = 'en') GROUP BY w
+        |), cb AS (
+        |  SELECT w, count(*) AS c_b FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |    FROM documents WHERE lang <> 'en') GROUP BY w
+        |), m AS (
+        |  SELECT coalesce(ca.c_a, 0) AS c_a, coalesce(cb.c_b, 0) AS c_b
+        |  FROM ca FULL JOIN cb USING (w)
+        |), tot AS (
+        |  SELECT CAST(sum(c_a) AS BIGINT) AS na, CAST(sum(c_b) AS BIGINT) AS nb,
+        |         CAST(sum(CASE WHEN c_a > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_types_a,
+        |         CAST(sum(CASE WHEN c_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_types_b
+        |  FROM m
+        |), terms AS (
+        |  SELECT n_types_a, n_types_b,
+        |    CASE WHEN c_a > 0
+        |         THEN round((CAST(c_a AS DOUBLE) / na)
+        |              * ln(CAST(2 * CAST(c_a AS HUGEINT) * nb AS DOUBLE)
+        |                   / CAST(CAST(c_a AS HUGEINT) * nb
+        |                          + CAST(c_b AS HUGEINT) * na AS DOUBLE)), 9)
+        |         ELSE 0.0 END AS ta,
+        |    CASE WHEN c_b > 0
+        |         THEN round((CAST(c_b AS DOUBLE) / nb)
+        |              * ln(CAST(2 * CAST(c_b AS HUGEINT) * na AS DOUBLE)
+        |                   / CAST(CAST(c_a AS HUGEINT) * nb
+        |                          + CAST(c_b AS HUGEINT) * na AS DOUBLE)), 9)
+        |         ELSE 0.0 END AS tb
+        |  FROM m CROSS JOIN tot
+        |)
+        |SELECT n_types_a, n_types_b,
+        |       round(CAST(sum(CAST(ta AS DECIMAL(38,12))) AS DOUBLE), 6)
+        |         AS kl_a_to_m,
+        |       round(CAST(sum(CAST(tb AS DECIMAL(38,12))) AS DOUBLE), 6)
+        |         AS kl_b_to_m,
+        |       round(CAST(sum(CAST(ta AS DECIMAL(38,12)))
+        |                  + sum(CAST(tb AS DECIMAL(38,12))) AS DOUBLE) / 2, 6)
+        |         AS jsd
+        |FROM terms GROUP BY n_types_a, n_types_b""".stripMargin,
   )
 }

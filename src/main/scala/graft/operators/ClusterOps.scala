@@ -118,6 +118,58 @@ object ClusterOps {
     }
   }
 
+  /** Simplified (centroid-based) silhouette — the clustering-quality
+    * report for a [[kmeans]] fit (Rousseeuw 1987's silhouette with the
+    * per-point neighbor-cluster mean distance replaced by the distance
+    * to the nearest OTHER centroid — Hruschka et al.'s simplified
+    * variant, the only form that stays linear: the classic definition
+    * is a corpus × corpus pairwise mean). Per point:
+    *   a = ‖x − c_own‖, b = min over other centroids ‖x − c_j‖,
+    *   s = (b − a) / max(a, b)   (0 when both distances are 0),
+    * published as per-cluster means (k rows).
+    *
+    * Numeric contract: a²/b² are the same fold-in-dimension-order
+    * dist² dags the kmeans gate already hash-matches; sqrt is IEEE
+    * correctly-rounded (portable by spec, unlike libm transcendentals);
+    * per-point s rounds at 9 dp and the per-cluster mean is a decimal
+    * sum ÷ count published at 6 dp — the repo's decMean rule.
+    *
+    * Plan shape: the Lloyd fit is [[lloyd]]'s k×dims driver matrix;
+    * scoring is ONE map-only pass over the corpus (centroids are
+    * literals in the plan — no join) followed by ONE k-row aggregate.
+    * Nothing corpus-sized leaves the executors.
+    */
+  def silhouette(embeddings: DataFrame, idCol: String, vecCol: String,
+      dims: Int, k: Int, iters: Int): DataFrame = {
+    require(k >= 2 && dims >= 1 && iters >= 1, "k>=2, dims>=1, iters>=1")
+    val x = embeddings.select(col(idCol),
+      expr(s"transform(slice($vecCol, 1, $dims), e -> CAST(e AS DOUBLE))")
+        .as("__x"))
+      .persist()
+    try {
+      val cents = lloyd(x, idCol, k, dims, iters)
+      val ds = cents.toIndexedSeq.map(c => dist2(col("__x"), c))
+      val cl = argmin(ds)
+      val a2 = ds.zipWithIndex.foldLeft(lit(Double.NaN)) {
+        case (acc, (d, j)) => when(cl === j, d).otherwise(acc)
+      }
+      val b2 = least(ds.zipWithIndex.map { case (d, j) =>
+        when(cl === j, lit(1e308)).otherwise(d)
+      }: _*)
+      val s = when(greatest(sqrt(a2), sqrt(b2)) > 0,
+        round((sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)), 9))
+        .otherwise(lit(0.0))
+      graft.CacheScope.autoRelease(x)
+        .select(cl.as("cluster"), s.as("__s"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("__s").cast("decimal(38,12)")).cast("double")
+            / count(lit(1)), 6).as("mean_sil"))
+    } catch {
+      case t: Throwable => x.unpersist(blocking = false); throw t
+    }
+  }
+
   /** Grid-density clustering (DBSCAN-lite / the STING-CLIQUE family):
     * quantize the first two embedding dims into an eps-grid, call a
     * cell DENSE when it holds ≥ `minPts` points, union 8-adjacent

@@ -494,6 +494,107 @@ object TextOps {
       .limit(k)
   }
 
+  /** Good–Turing frequency re-estimation (Good 1953) — the
+    * count-of-counts table N_r = #{words seen exactly r times} with the
+    * Turing-adjusted counts r* = (r+1)·N_{r+1}/N_r and the unseen-mass
+    * estimate p₀ = N₁/T. The classic smoothing diagnostic for a corpus'
+    * frequency spectrum (and the N₁ statistic Kneser–Ney's discount is
+    * estimated from); on a Zipfian corpus N_r ≈ c/r^(1+1/s), so the
+    * table is also a power-law health check alongside [[zipfFit]].
+    *
+    * Numeric contract: N_r, T = Σ r·N_r and N₁ are exact int64
+    * aggregates; r* and p₀ are each ONE double division of exact ints
+    * rounded 9 dp (mirrored shape). Rows with no N_{r+1} publish
+    * r* = 0 (the estimator is undefined there — real smoothers switch
+    * to the ML estimate for large r, which is the caller's branch).
+    *
+    * Plan shape: tokenize scan → word-keyed count (vocab-sized) →
+    * r-keyed count-of-counts (frequency-spectrum-sized, ≤ distinct
+    * counts); the r+1 lookup is a self-join ON THAT table and totals
+    * ride a broadcast 1-row cross join. Published rows: the `maxR`
+    * SMALLEST occupied counts (not a literal r ≤ maxR — on a closed-
+    * vocabulary corpus every word can exceed any fixed cutoff and a
+    * literal filter would gate an empty table); plans as
+    * TakeOrderedAndProject.
+    */
+  def goodTuring(docs: DataFrame, maxR: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    val wc = graft.PlanUtils.spread(docs.select(col(textCol)))
+      .select(explode(DedupOps.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val cof = graft.CacheScope.autoRelease(
+      wc.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r")))
+    val tot = cof.agg(
+      sum(col("r") * col("n_r")).as("t_toks"),
+      sum(when(col("r") === 1, col("n_r")).otherwise(0L)).as("n1"))
+    cof.join(cof.select(col("r") - 1 as "r", col("n_r").as("n_next")),
+        Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"),
+        round((col("r") + lit(1L))
+          * coalesce(col("n_next"), lit(0L)).cast("double") / col("n_r"), 9)
+          .as("r_star"),
+        round(col("n1").cast("double") / col("t_toks"), 9).as("p_unseen"))
+      .orderBy("r")
+      .limit(maxR)
+  }
+
+  /** Jensen–Shannon divergence between two corpus slices' unigram
+    * distributions (Lin 1991) — the symmetric, bounded (≤ ln 2) drift
+    * measure for "did the token mix shift": JSD(P‖Q) =
+    * ½·KL(P‖M) + ½·KL(Q‖M) with M = (P+Q)/2. Unlike KL it is finite
+    * when a token appears in only one slice — exactly the open-
+    * vocabulary case corpus snapshots produce — and unlike [[zipfFit]]-
+    * style shape checks it is sensitive to WHICH words moved.
+    *
+    * Per token the M-ratio is an exact integer ratio:
+    * p/m = 2·c_a·N_b / (c_a·N_b + c_b·N_a), so each KL term is
+    * (c_a/N_a)·ln(·) with the ln argument one double division of
+    * 128-bit-exact products (DECIMAL(38,0) / HUGEINT — the q_colloc
+    * lanes; c·N passes int64 near 10¹⁶). Terms round at 9 dp,
+    * decimal-sum, and publish at 6 dp — the [[tokenLabelMi]] contract.
+    *
+    * Plan shape: one token-keyed count aggregate per slice, a
+    * full-outer merge on the token axis (vocab-sized), totals on a
+    * broadcast 1-row cross join, one final 1-row aggregate. Output:
+    * one row (n_types_a, n_types_b, kl_a_to_m, kl_b_to_m, jsd).
+    */
+  def jsDivergence(a: DataFrame, b: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val dec = "decimal(38,0)"
+    def counts(df: DataFrame, side: String): DataFrame =
+      graft.PlanUtils.spread(df.select(col(textCol)))
+        .select(explode(DedupOps.words(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as(s"c_$side"))
+    val merged = counts(a, "a").join(counts(b, "b"), Seq("w"), "full")
+      .na.fill(0L, Seq("c_a", "c_b"))
+    val tot = merged.agg(
+      sum("c_a").as("na"), sum("c_b").as("nb"),
+      sum(when(col("c_a") > 0, 1L).otherwise(0L)).as("n_types_a"),
+      sum(when(col("c_b") > 0, 1L).otherwise(0L)).as("n_types_b"))
+    val den = (col("c_a").cast(dec) * col("nb").cast(dec)
+      + col("c_b").cast(dec) * col("na").cast(dec))
+    def term(c: Column, n: Column, num: Column): Column =
+      when(c > 0,
+        round((c.cast("double") / n)
+          * log(num.cast("double") / den.cast("double")), 9))
+        .otherwise(lit(0.0))
+    merged.crossJoin(broadcast(tot))
+      .select(col("n_types_a"), col("n_types_b"),
+        term(col("c_a"), col("na"),
+          lit(2L) * col("c_a").cast(dec) * col("nb").cast(dec))
+          .cast("decimal(38,12)").as("__ta"),
+        term(col("c_b"), col("nb"),
+          lit(2L) * col("c_b").cast(dec) * col("na").cast(dec))
+          .cast("decimal(38,12)").as("__tb"))
+      .groupBy("n_types_a", "n_types_b")
+      .agg(round(sum(col("__ta")).cast("double"), 6).as("kl_a_to_m"),
+        round(sum(col("__tb")).cast("double"), 6).as("kl_b_to_m"),
+        round((sum(col("__ta")) + sum(col("__tb"))).cast("double") / lit(2),
+          6).as("jsd"))
+  }
+
   /** TF-IDF scored terms, top `k` per document — the classic relevance
     * weighting: `tf(d,t) · ln(N / df(t))` with N = total corpus docs.
     *

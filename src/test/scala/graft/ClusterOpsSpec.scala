@@ -84,4 +84,26 @@ class ClusterOpsSpec extends SparkSpec {
     assert(got == List((0, Some(0L), 0L), (1, Some(1L), 100L),
       (2, Some(2L), 16L), (3, None, 1L)))
   }
+
+  test("silhouette: symmetric two-cluster case by hand; degenerate -> 0") {
+    // init = vecs 0,1 → c0 = (0,0), c1 = (10,0); one Lloyd step moves
+    // them to (0,1) and (10,1). Every point then has a = 1,
+    // b = √101 → s = (√101 − 1)/√101 ≈ 0.900496 — identical for all 4
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(10.0f, 0.0f)),
+      (2L, Seq(0.0f, 2.0f)), (3L, Seq(10.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.ClusterOps
+      .silhouette(emb, "vec_id", "embedding", dims = 2, k = 2, iters = 1)
+      .orderBy("cluster")
+      .as[(Int, Long, Double)].collect().toList
+    assert(got == List((0, 2L, 0.900496), (1, 2L, 0.900496)))
+    // all points identical: every distance 0 → per-point s defined 0
+    val flat = Seq((0L, Seq(1.0f, 1.0f)), (1L, Seq(1.0f, 1.0f)),
+      (2L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val z = graft.operators.ClusterOps
+      .silhouette(flat, "vec_id", "embedding", dims = 2, k = 2, iters = 1)
+      .as[(Int, Long, Double)].collect().toList
+    assert(z.forall(_._3 == 0.0))
+  }
 }

@@ -344,4 +344,32 @@ class TextOpsSpec extends SparkSpec {
     assert(z("x") == 0.0)
     assert(z("y") == 2.0) // a=1,ta=1: diff=1·1−0·1=1 → 2·1/(1·1·1·1)=2
   }
+
+  test("goodTuring: count-of-counts spectrum and r* by hand") {
+    // "a", "a b", "a b c" → counts a=3, b=2, c=1 → N_1=N_2=N_3=1,
+    // T=6, p0 = 1/6; r*(1) = 2·1/1 = 2, r*(2) = 3, r*(3) = 0 (no N_4)
+    val docs = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.goodTuring(docs, maxR = 10)
+      .select("r", "n_r", "n_next", "r_star", "p_unseen")
+      .as[(Long, Long, Long, Double, Double)].collect().toList
+    assert(got == List(
+      (1L, 1L, 1L, 2.0, 0.166666667),
+      (2L, 1L, 1L, 3.0, 0.166666667),
+      (3L, 1L, 0L, 0.0, 0.166666667)))
+  }
+
+  test("jsDivergence: 0 on identical slices, ln 2 on disjoint ones") {
+    val same = TextOps.jsDivergence(
+      Seq((1L, "x x")).toDF("doc_id", "text"),
+      Seq((2L, "x x")).toDF("doc_id", "text")).head()
+    assert(same.getAs[Double]("jsd") == 0.0)
+    assert(same.getAs[Long]("n_types_a") == 1L)
+    // fully disjoint unigram distributions: JSD = ln 2 (the bound)
+    val disj = TextOps.jsDivergence(
+      Seq((1L, "x")).toDF("doc_id", "text"),
+      Seq((2L, "y")).toDF("doc_id", "text")).head()
+    assert(disj.getAs[Double]("jsd") == 0.693147)
+    assert(disj.getAs[Double]("kl_a_to_m") == 0.693147)
+  }
 }
