@@ -342,4 +342,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  test("q_kneser_ney: c2 pinned across its four consumers; top-k not global sort") {
+    // the bigram count table feeds the follower/history aggregate, the
+    // predecessor aggregate, the type total AND the scoring join — an
+    // unpinned c2 re-runs tokenize+explode four times
+    val plan = finalPlan("q_kneser_ney")
+    assert(scansOf(plan) >= 3, plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q_chi2_terms: one corpus aggregate, totals broadcast, top-k bounded") {
+    val plan = finalPlan("q_chi2_terms")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q_silhouette: scoring is map-only — centroids are literals, no join") {
+    // the Lloyd fit collects k×dims to the driver; the scoring pass
+    // must embed centroids as literals — ANY join/exchange beyond the
+    // single k-row aggregate means the fit table leaked into the plan
+    val plan = finalPlan("q_silhouette")
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("q_mannwhitney: the rank window runs over the aggregated value table") {
+    // same contract as q_roc_auc: the single-partition cumulative
+    // window must sit ABOVE the value-keyed combine (distinct-value-
+    // sized input), never over the raw corpus
+    val df = SparkEntry.queries("q_mannwhitney")(spark, sf0)
+    df.queryExecution.toRdd.count()
+    val plan = planString(df)
+    val wIdx = plan.indexOf("Window")
+    assert(wIdx >= 0 && plan.indexOf("HashAggregate", wIdx) > wIdx,
+      s"no aggregate below the window:\n${plan.take(2000)}")
+    spark.catalog.clearCache()
+  }
 }
