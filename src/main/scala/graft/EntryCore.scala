@@ -539,42 +539,7 @@ private[graft] object EntryCore {
     // recurrence is term *= cos²θ·(e−1)/e stepping the exponent e by 2.
     "q_reg_pvalues" ->
       s"""${RegObsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |st AS (
-         |  SELECT word, count(*) AS n, corr(x, y) AS ry1, corr(c, y) AS ry2,
-         |         corr(x, c) AS r12
-         |  FROM dense GROUP BY word
-         |), ts AS (
-         |  SELECT word, CAST(n - 3 AS BIGINT) AS nu,
-         |         ((ry1 - ry2 * r12) / (1 - r12 * r12))
-         |           * sqrt((n - 3) * (1 - r12 * r12)
-         |                  / (1 - (ry1*ry1 + ry2*ry2 - 2*ry1*ry2*r12) / (1 - r12*r12))) AS t1
-         |  FROM st
-         |), pv AS (
-         |  SELECT word, nu, t1, atan(abs(t1) / sqrt(CAST(nu AS DOUBLE))) AS theta
-         |  FROM ts
-         |), ser AS (
-         |  SELECT word, nu, theta, cos(theta) * cos(theta) AS c2,
-         |         CAST(CASE WHEN nu % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS e,
-         |         CASE WHEN nu % 2 = 1 THEN cos(theta) ELSE 1.0 END AS term,
-         |         CASE WHEN nu % 2 = 1 THEN (CASE WHEN nu >= 3 THEN cos(theta) ELSE 0.0 END)
-         |              ELSE 1.0 END AS acc
-         |  FROM pv
-         |  UNION ALL
-         |  SELECT word, nu, theta, c2, e + 2,
-         |         term * c2 * (e + 1) / (e + 2),
-         |         acc + term * c2 * (e + 1) / (e + 2)
-         |  FROM ser WHERE e + 2 <= nu - 2
-         |), tail AS (
-         |  SELECT word, arg_max(acc, e) AS s, any_value(nu) AS nu,
-         |         any_value(theta) AS theta
-         |  FROM ser GROUP BY word
-         |), pfin AS (
-         |  SELECT t.word, t.t1,
-         |         1.0 - (CASE WHEN f.nu % 2 = 1
-         |                     THEN 2.0 / pi() * (f.theta + sin(f.theta) * f.s)
-         |                     ELSE sin(f.theta) * f.s END) AS p1
-         |  FROM ts t JOIN tail f ON f.word = t.word
-         |)
+         |$PvalCtes
          |SELECT word, round(t1, 6) AS t1, round(p1, 6) AS p1,
          |       round(least(p1 * 20, 1.0), 6) AS p1_bonf
          |FROM pfin ORDER BY word""".stripMargin,

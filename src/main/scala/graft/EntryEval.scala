@@ -121,6 +121,30 @@ private[graft] object EntryEval {
           .filter(col("event_type").isin("purchase", "view")),
         col("event_type") === "purchase",
         expr("CAST(floor(value * 10) AS BIGINT)"))),
+    // Experimentation, nonparametric: tie-corrected Spearman rho per
+    // event type between the deci-grid value and hour-of-day (UTC,
+    // derived from epoch micros so both engines bin identically) —
+    // "does the metric drift monotonically with time of day".
+    "q_spearman" -> ((s, dir) =>
+      EvalOps.spearmanCorr(Tables.events(s, dir), col("event_type"),
+          expr("CAST(floor(value * 10) AS BIGINT)"),
+          expr("pmod(unix_micros(ts) div 3600000000, 24)"))
+        .orderBy("grp")),
+    // Experimentation, omnibus: one-way ANOVA F across event types on
+    // the deci-grid value — the "any difference at all" gate run
+    // before the per-pair Welch tests. F crit 2.21 = df1=5 asymptote.
+    "q_anova" -> ((s, dir) =>
+      EvalOps.anovaF(Tables.events(s, dir), col("event_type"),
+          expr("CAST(floor(value * 10) AS BIGINT)"))),
+    // Multiple testing: Benjamini–Hochberg step-up FDR over the
+    // regression family's published 6-dp p-values — the
+    // false-discovery companion to q_reg_pvalues' Bonferroni column.
+    "q_fdr_bh" -> ((s, dir) =>
+      EvalOps.fdrBh(
+        RegressionOps.multiRegression(regObs(s, dir), Some(RegK))
+          .select(col("word"), round(col("p1"), 6).as("p6")),
+        col("word"), col("p6"))
+        .orderBy("id")),
     // Feature screening: Weight-of-Evidence / Information Value of the
     // doc-length bins against the en label (add-one smoothed).
     "q_woe_iv" -> ((s, dir) =>
@@ -720,6 +744,102 @@ private[graft] object EntryEval {
         |                      / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))),
         |             6) AS z
         |FROM t""".stripMargin,
+    // Spearman replay: same joint (grp,x,y) combine, same doubled
+    // mid-rank identity per marginal, HUGEINT lanes mirroring
+    // DECIMAL(38,0); rho is the same single IEEE dag on exact ints
+    "q_spearman" ->
+      """WITH c AS (
+        |  SELECT event_type AS grp, CAST(floor(value * 10) AS BIGINT) AS x,
+        |         (epoch_us(ts) // 3600000000) % 24 AS y
+        |  FROM events
+        |), joint AS (
+        |  SELECT grp, x, y, count(*) AS n_xy FROM c GROUP BY grp, x, y
+        |), mx AS (
+        |  SELECT grp, x, 2 * (c - m) + m + 1 AS r_x FROM (
+        |    SELECT grp, x, sum(n_xy) AS m,
+        |           sum(sum(n_xy)) OVER (PARTITION BY grp ORDER BY x) AS c
+        |    FROM joint GROUP BY grp, x)
+        |), my AS (
+        |  SELECT grp, y, 2 * (c - m) + m + 1 AS r_y FROM (
+        |    SELECT grp, y, sum(n_xy) AS m,
+        |           sum(sum(n_xy)) OVER (PARTITION BY grp ORDER BY y) AS c
+        |    FROM joint GROUP BY grp, y)
+        |), j AS (
+        |  SELECT joint.grp, n_xy, CAST(r_x AS HUGEINT) AS r_x,
+        |         CAST(r_y AS HUGEINT) AS r_y
+        |  FROM joint
+        |  JOIN mx ON joint.grp = mx.grp AND joint.x = mx.x
+        |  JOIN my ON joint.grp = my.grp AND joint.y = my.y
+        |), a AS (
+        |  SELECT grp, CAST(sum(n_xy) AS BIGINT) AS n,
+        |         sum(n_xy * r_x) AS sx, sum(n_xy * r_y) AS sy,
+        |         sum(n_xy * r_x * r_x) AS sxx, sum(n_xy * r_y * r_y) AS syy,
+        |         sum(n_xy * r_x * r_y) AS sxy
+        |  FROM j GROUP BY grp
+        |)
+        |SELECT grp, n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |       THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0.0
+        |  END AS rho
+        |FROM a ORDER BY grp""".stripMargin,
+    // BH replay: the q_reg_pvalues chain (shared PvalCtes) feeding the
+    // same suffix-min over (p desc, id desc), 9-dp terms, published 6dp
+    "q_fdr_bh" ->
+      s"""${RegObsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$PvalCtes,
+         |p6 AS (
+         |  SELECT word AS id, round(p1, 6) AS p, count(*) OVER () AS m,
+         |         row_number() OVER (ORDER BY round(p1, 6), word) AS rank
+         |  FROM pfin
+         |), tm AS (
+         |  SELECT id, p, rank, round(p * m / rank, 9) AS term FROM p6
+         |), adj AS (
+         |  SELECT id, p, rank,
+         |         least(min(term) OVER (ORDER BY p DESC, id DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)
+         |           AS p_adj
+         |  FROM tm
+         |)
+         |SELECT id, p, rank, round(p_adj, 6) AS p_adj, p_adj <= 0.05 AS reject
+         |FROM adj ORDER BY id""".stripMargin,
+    // ANOVA replay: same exact integer-grid sums, same 9-dp-rounded
+    // per-group term decimal-summed, same raw-SS F dag; flag decided
+    // on the published 6-dp F
+    "q_anova" ->
+      """WITH c AS (
+        |  SELECT event_type AS grp, CAST(floor(value * 10) AS BIGINT) AS v
+        |  FROM events
+        |), g AS (
+        |  SELECT grp, count(*) AS n_g,
+        |         CAST(sum(v) AS HUGEINT) AS s_g,
+        |         CAST(sum(v * v) AS HUGEINT) AS q_g
+        |  FROM c GROUP BY grp
+        |), gt AS (
+        |  SELECT grp, n_g, s_g, q_g,
+        |         CAST(round(CAST(s_g * s_g AS DOUBLE) / n_g, 9)
+        |              AS DECIMAL(38,9)) AS t_g
+        |  FROM g
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |         sum(s_g) AS s, sum(q_g) AS q, sum(t_g) AS t
+        |  FROM gt
+        |), ss AS (
+        |  SELECT k, n,
+        |         CAST(t AS DOUBLE)
+        |           - round(CAST(s * s AS DOUBLE) / n, 9) AS ssb,
+        |         CAST(q AS DOUBLE) - CAST(t AS DOUBLE) AS ssw,
+        |         CAST(q AS DOUBLE)
+        |           - round(CAST(s * s AS DOUBLE) / n, 9) AS sst
+        |  FROM tot
+        |)
+        |SELECT k, n, round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+        |       k - 1 AS df1, n - k AS df2,
+        |       round((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat,
+        |       round(ssb / sst, 6) AS eta_sq,
+        |       round((ssb / (k - 1)) / (ssw / (n - k)), 6) > 2.21 AS significant
+        |FROM ss""".stripMargin,
     // A/B replay: same four counters, same pooled-z double dag;
     // DuckDB sums CAST to BIGINT, flag decided on the published z
     "q_ab_test" ->

@@ -271,6 +271,23 @@ private[graft] object EntryRelational {
           col("c_nationkey"), col("c_mktsegment"),
           expr("CAST(floor(c_acctbal / 1000) AS BIGINT)"), l = 3)
         .orderBy("q1", "q2")),
+    // t-closeness audit (Li 2007) — the distribution-attack check
+    // l-diversity misses: per (nation, segment) group, Earth-Mover's
+    // distance between the group's and the global kilo-bucket balance
+    // distributions; close iff EMD ≤ 0.15.
+    "q_tcloseness" -> ((s, dir) =>
+      DataQualityOps.tCloseness(Tables.customer(s, dir),
+          col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(floor(c_acctbal / 1000) AS BIGINT)"), t = 0.15)
+        .orderBy("q1", "q2")),
+    // Benford first-digit conformance of the order totals per order
+    // status — the synthetic-data/fraud screen. On this UNIFORMLY
+    // generated corpus the χ² correctly rejects Benford everywhere —
+    // that rejection IS the check working.
+    "q_benford" -> ((s, dir) =>
+      DataQualityOps.benfordCheck(Tables.orders(s, dir),
+          col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("grp", "digit")),
     // Multi-source BFS over the synthetic link graph: min hops from
     // the mod-97 seed set within 4 rounds; frontier-only joins, the
     // oracle unrolls the same recursion.
@@ -1113,6 +1130,84 @@ private[graft] object EntryRelational {
         |       count(*) AS n_sensitive, max(ns) AS top_sensitive_n,
         |       count(*) >= 3 AS diverse
         |FROM h GROUP BY q1, q2 ORDER BY q1, q2""".stripMargin,
+    // t-closeness replay: same (q1,q2,bin) combine, group×bin grid via
+    // cross join with the global axis, cross-multiplied HUGEINT EMD
+    // terms, one division rounded 9dp; flag on the published emd
+    "q_tcloseness" ->
+      """WITH cells AS (
+        |  SELECT CAST(c_nationkey AS VARCHAR) AS q1, c_mktsegment AS q2,
+        |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS b,
+        |         count(*) AS n_cell
+        |  FROM customer GROUP BY 1, 2, 3
+        |), gbins AS (
+        |  SELECT b, CAST(sum(n_cell) AS BIGINT) AS n_bin FROM cells GROUP BY b
+        |), gcum AS (
+        |  SELECT b, CAST(sum(n_bin) OVER (ORDER BY b) AS BIGINT) AS cum,
+        |         CAST(sum(n_bin) OVER () AS BIGINT) AS n_total,
+        |         count(*) OVER () AS n_bins
+        |  FROM gbins
+        |), grid AS (
+        |  SELECT g.q1, g.q2, a.b, a.cum, a.n_total, a.n_bins,
+        |         coalesce(c.n_cell, 0) AS n_cell
+        |  FROM (SELECT DISTINCT q1, q2 FROM cells) g
+        |  CROSS JOIN gcum a
+        |  LEFT JOIN cells c ON c.q1 = g.q1 AND c.q2 = g.q2 AND c.b = a.b
+        |), cums AS (
+        |  SELECT q1, q2, b, cum, n_total, n_bins,
+        |         CAST(sum(n_cell) OVER (PARTITION BY q1, q2 ORDER BY b)
+        |              AS BIGINT) AS cum_g,
+        |         CAST(sum(n_cell) OVER (PARTITION BY q1, q2) AS BIGINT) AS n_g
+        |  FROM grid
+        |), agg AS (
+        |  SELECT q1, q2, any_value(n_g) AS n, any_value(n_total) AS n_total,
+        |         any_value(n_bins) AS n_bins,
+        |         sum(CASE WHEN cum < n_total
+        |                  THEN abs(CAST(cum_g AS HUGEINT) * n_total
+        |                           - CAST(cum AS HUGEINT) * n_g)
+        |                  ELSE CAST(0 AS HUGEINT) END) AS emd_num
+        |  FROM cums GROUP BY q1, q2
+        |)
+        |SELECT q1, q2, n,
+        |       round(CAST(emd_num AS DOUBLE)
+        |             / (CAST(n AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |                * CAST(n_bins - 1 AS DOUBLE)), 9) AS emd,
+        |       round(CAST(emd_num AS DOUBLE)
+        |             / (CAST(n AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |                * CAST(n_bins - 1 AS DOUBLE)), 9) <= 0.15 AS t_close
+        |FROM agg ORDER BY q1, q2""".stripMargin,
+    // Benford replay: first digit from the BIGINT floor's string, the
+    // 9-digit axis from range(), 9-dp p_d and χ² terms decimal-summed
+    "q_benford" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus AS grp,
+        |         CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |                             AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |         count(*) AS n_d
+        |  FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT g.grp, d.digit, coalesce(c.n_d, 0) AS n_d
+        |  FROM (SELECT DISTINCT grp FROM c) g
+        |  CROSS JOIN (SELECT CAST(range AS BIGINT) AS digit
+        |              FROM range(1, 10)) d
+        |  LEFT JOIN c ON c.grp = g.grp AND c.digit = d.digit
+        |), t AS (
+        |  SELECT grp, digit, CAST(n_d AS BIGINT) AS n_d,
+        |         CAST(sum(n_d) OVER (PARTITION BY grp) AS BIGINT) AS n,
+        |         round(ln(1.0 + 1.0 / digit) / ln(10.0), 9) AS p_d
+        |  FROM grid
+        |), terms AS (
+        |  SELECT grp, digit, n_d,
+        |         round(CAST(n_d AS DOUBLE) / n, 9) AS share, p_d,
+        |         CAST(round((n_d - n * p_d) * (n_d - n * p_d) / (n * p_d), 9)
+        |              AS DECIMAL(38,9)) AS chi2_term
+        |  FROM t
+        |)
+        |SELECT grp, digit, n_d, share, p_d AS benford_p,
+        |       round(CAST(sum(chi2_term) OVER (PARTITION BY grp) AS DOUBLE), 6)
+        |         AS chi2,
+        |       round(CAST(sum(chi2_term) OVER (PARTITION BY grp) AS DOUBLE), 6)
+        |         > 15.507 AS deviates
+        |FROM terms ORDER BY grp, digit""".stripMargin,
     "q_kcore" -> {
       def round(prev: String, i: Int): String =
         s"""kept$i AS MATERIALIZED (

@@ -201,6 +201,118 @@ object DataQualityOps {
       .withColumn("diverse", col("n_sensitive") >= l)
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    * distribution-attack check [[lDiversity]] misses: a group can hold
+    * l distinct sensitive values yet still leak (e.g. all of them in
+    * the top income decile). For an ORDERED sensitive attribute the
+    * prescribed distance is Earth-Mover's over the ordered bins, which
+    * collapses to mean |ECDF_group − ECDF_global|:
+    * EMD = Σ_{b<B} |cum_g(b)/N_g − cum(b)/N| / (B−1).
+    *
+    * Exactness: each term is carried CROSS-MULTIPLIED as the BIGINT
+    * |cum_g·N − cum·N_g| (the [[EvalOps.ksDrift]] device) and summed
+    * in DECIMAL(38,0); the published emd does ONE IEEE division at the
+    * end, rounded 9 dp, and the t-flag is decided on that published
+    * value.
+    *
+    * Scale shape: corpus → one (q1,q2,bin)-keyed combine; the group ×
+    * bin grid (group-space-sized, never corpus-sized) is rebuilt by
+    * crossing distinct groups with the BROADCAST global bin axis so
+    * every group's ECDF is evaluated on the full axis (a group missing
+    * a bin still steps the global cumulative there).
+    */
+  def tCloseness(df: DataFrame, q1: Column, q2: Column, sensitiveBin: Column,
+      t: Double): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(q1.cast("string").as("q1"), q2.cast("string").as("q2"),
+        sensitiveBin.cast("long").as("b"))
+      .groupBy("q1", "q2", "b").agg(count(lit(1)).as("n_cell"))
+    val globalBins = cells.groupBy("b").agg(sum("n_cell").as("n_bin"))
+    val asc = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // global axis is bin-count-sized: the global windows are bounded
+    val globalCum = globalBins
+      .withColumn("cum", sum("n_bin").over(asc))
+      .withColumn("n_total", sum("n_bin").over(all))
+      .withColumn("n_bins", count(lit(1)).over(all))
+      .select("b", "cum", "n_total", "n_bins")
+    val grid = cells.select("q1", "q2").distinct()
+      .crossJoin(broadcast(globalCum))
+      .join(cells, Seq("q1", "q2", "b"), "left")
+      .na.fill(0L, Seq("n_cell"))
+    val gAsc = Window.partitionBy("q1", "q2").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gAll = Window.partitionBy("q1", "q2")
+    val withCum = grid
+      .withColumn("cum_g", sum("n_cell").over(gAsc))
+      .withColumn("n_g", sum("n_cell").over(gAll))
+    withCum.groupBy("q1", "q2")
+      .agg(first("n_g").as("n"),
+        first("n_total").as("n_total"), first("n_bins").as("n_bins"),
+        // last bin's |ECDF diff| is 0 by construction; excluding it via
+        // the cum < total filter equals dividing by (B-1)
+        sum(when(col("cum") < col("n_total"),
+          abs(col("cum_g").cast(dec) * col("n_total")
+            - col("cum").cast(dec) * col("n_g"))).otherwise(lit(0).cast(dec)))
+          .as("emd_num"))
+      .withColumn("emd",
+        round(col("emd_num").cast("double") /
+          (col("n").cast("double") * col("n_total").cast("double")
+            * (col("n_bins") - 1).cast("double")), 9))
+      .select(col("q1"), col("q2"), col("n"), col("emd"),
+        (col("emd") <= t).as("t_close"))
+  }
+
+  /** Benford first-digit conformance check — the fraud/synthetic-data
+    * screen: natural multi-scale positive quantities put first digit d
+    * at share log10(1+1/d); a generated or tampered column deviates.
+    * χ² = Σ_d (n_d − N·p_d)²/(N·p_d) against the df=8 critical value.
+    *
+    * Portability: the first digit comes from the BIGINT floor's string
+    * form (integers print identically everywhere — never from double
+    * formatting); p_d = ln(1+1/d)/ln(10) is rounded 9 dp (the repo's
+    * portable-transcendental pattern) so every χ² term is a fixed IEEE
+    * dag on exact counts and identical constants, rounded 9 dp and
+    * summed over the 9-digit axis (digit-count-sized — the per-group
+    * window is bounded).
+    *
+    * Scale shape: corpus → one (group, digit)-keyed combine; the 9-row
+    * digit axis is rebuilt per group by crossing distinct groups with
+    * a broadcast literal range so absent digits count as n_d = 0.
+    */
+  def benfordCheck(df: DataFrame, group: Column, value: Column,
+      chi2Crit: Double = 15.507): DataFrame = {
+    val spark = df.sparkSession
+    val digitAxis = broadcast(spark.range(1, 10).select(col("id").as("digit")))
+    val counts = df.select(group.cast("string").as("grp"),
+        value.cast("double").as("v"))
+      .filter(col("v") >= 1.0)
+      .select(col("grp"),
+        substring(floor(col("v")).cast("long").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+      .groupBy("grp", "digit").agg(count(lit(1)).as("n_d"))
+    val grid = counts.select("grp").distinct().crossJoin(digitAxis)
+      .join(counts, Seq("grp", "digit"), "left")
+      .na.fill(0L, Seq("n_d"))
+    val g = Window.partitionBy("grp")
+    val pD = round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 9)
+    val withN = grid.withColumn("n", sum("n_d").over(g))
+      .withColumn("p_d", pD)
+      .withColumn("share",
+        round(col("n_d").cast("double") / col("n").cast("double"), 9))
+      .withColumn("chi2_term",
+        round((col("n_d") - col("n") * col("p_d"))
+          * (col("n_d") - col("n") * col("p_d"))
+          / (col("n") * col("p_d")), 9).cast("decimal(38,9)"))
+    withN
+      .withColumn("chi2",
+        round(sum("chi2_term").over(g).cast("double"), 6))
+      .select(col("grp"), col("digit"), col("n_d"), col("share"),
+        col("p_d").as("benford_p"), col("chi2"),
+        (col("chi2") > chi2Crit).as("deviates"))
+  }
+
   def skewReport(df: DataFrame, key: Column, k: Int): DataFrame = {
     val counts = df.select(key.as("key")).groupBy("key")
       .agg(count(lit(1)).as("n"))

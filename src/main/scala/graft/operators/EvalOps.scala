@@ -864,4 +864,143 @@ object EvalOps {
           round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6) + 0.0)
           .as("kappa"))
   }
+
+  /** Tie-corrected Spearman rank correlation between two INTEGER-grid
+    * features per group — the monotone-association screen (does a
+    * quality score track a length proxy, does value drift with time)
+    * run where Pearson's linearity assumption doesn't hold.
+    *
+    * Method: mid-ranks for ties, carried DOUBLED so every rank is
+    * BIGINT-exact (the [[rocAuc]] / [[mannWhitneyU]] trick), then
+    * Pearson on the doubled ranks — the factor 2 cancels. The joint
+    * Σ 2rx·2ry needs the JOINT (x,y) distribution, so the corpus
+    * combines ONCE into the (grp, x, y)-keyed count table (bounded by
+    * the callers' grid choice, never corpus-sized); marginal doubled
+    * mid-ranks come from cumulative windows over each marginal slice
+    * of that table, and every product sum runs in DECIMAL(38,0)
+    * (HUGEINT in DuckDB) — n·Σxy terms reach ~6e19 past sf1, over
+    * int64.
+    *
+    * Portability: numerator and both variance terms are exact
+    * integers; rho is ONE IEEE division-of-sqrt dag on them, rounded
+    * 6 dp (+0.0 — rho can be a tiny negative).
+    *
+    * Scale shape: one map-side-combined (grp,x,y) aggregate reduces
+    * the corpus; the per-group rank windows run over that bounded
+    * table partitioned BY GROUP (no global window).
+    */
+  def spearmanCorr(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val joint = df.select(group.as("grp"), x.cast("long").as("x"),
+        y.cast("long").as("y"))
+      .groupBy("grp", "x", "y").agg(count(lit(1)).as("n_xy"))
+    // doubled mid-rank of a tied block ending at cumulative count c
+    // with block size m: 2r = 2(c - m) + m + 1
+    def midRanks(col0: String): DataFrame = {
+      val byV = joint.groupBy(col("grp"), col(col0).as("v"))
+        .agg(sum("n_xy").as("m"))
+      val asc = Window.partitionBy("grp").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byV.withColumn("c", sum("m").over(asc))
+        .select(col("grp"), col("v"),
+          (lit(2L) * (col("c") - col("m")) + col("m") + lit(1L)).as(s"r_$col0"))
+    }
+    val withR = joint
+      .join(midRanks("x").withColumnRenamed("v", "x"), Seq("grp", "x"))
+      .join(midRanks("y").withColumnRenamed("v", "y"), Seq("grp", "y"))
+    val agg = withR.groupBy("grp").agg(
+      sum("n_xy").as("n"),
+      sum(col("n_xy").cast(dec) * col("r_x")).as("sx"),
+      sum(col("n_xy").cast(dec) * col("r_y")).as("sy"),
+      sum(col("n_xy").cast(dec) * col("r_x") * col("r_x")).as("sxx"),
+      sum(col("n_xy").cast(dec) * col("r_y") * col("r_y")).as("syy"),
+      sum(col("n_xy").cast(dec) * col("r_x") * col("r_y")).as("sxy"))
+    val num = (col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (col("n").cast(dec) * col("syy") - col("sy") * col("sy")).cast("double")
+    agg.select(col("grp"), col("n"),
+      when(vx > 0 && vy > 0, round(num / (sqrt(vx) * sqrt(vy)), 6) + 0.0)
+        .as("rho"))
+  }
+
+  /** One-way ANOVA F-test + effect size across K groups — "does the
+    * metric's mean differ across groups at all", the omnibus test run
+    * before per-pair comparisons ([[welchTTest]]).
+    *
+    * Decomposition off ONE group-keyed combine of exact integer-grid
+    * sums (metric pre-scaled to a long grid by the caller):
+    * SSB = Σ_g s_g²/n_g − S²/N, SSW = Σ_g (q_g − s_g²/n_g). Each
+    * group's s_g²/n_g is one IEEE division of DECIMAL(38,0)-exact
+    * integers, rounded 9 dp and DECIMAL-summed across the K groups
+    * (order-independent — the [[woeIv]] portable-term pattern), so
+    * F and eta² are fixed IEEE dags on reproducible inputs.
+    *
+    * Scale shape: corpus → one K-row aggregate; everything after is
+    * K-sized. The final single-row total is a coalesce(1)-free
+    * aggregate over K rows.
+    */
+  def anovaF(df: DataFrame, group: Column, metric: Column,
+      fCrit: Double = 2.21): DataFrame = {
+    val dec = "decimal(38,0)"
+    val dterm = "decimal(38,9)"
+    val byG = df.select(group.as("grp"), metric.cast("long").as("v"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_g"), sum(col("v").cast(dec)).as("s_g"),
+        sum((col("v").cast(dec) * col("v")).cast(dec)).as("q_g"))
+      // one IEEE division of exact ints, rounded 9dp -> portable term
+      .withColumn("t_g",
+        round((col("s_g") * col("s_g")).cast("double") / col("n_g"), 9)
+          .cast(dterm))
+    val tot = byG.agg(
+      count(lit(1)).as("k"), sum("n_g").as("n"),
+      sum("s_g").as("s"), sum("q_g").as("q"), sum("t_g").as("t"))
+    val grand = round((col("s") * col("s")).cast("double") / col("n"), 9)
+    val ssb = col("t").cast("double") - grand
+    val ssw = col("q").cast("double") - col("t").cast("double")
+    val sst = col("q").cast("double") - grand
+    val f = round((ssb / (col("k") - 1)) / (ssw / (col("n") - col("k"))), 6)
+    tot.select(col("k"), col("n"),
+      round(ssb, 6).as("ss_between"), round(ssw, 6).as("ss_within"),
+      (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"),
+      f.as("f_stat"),
+      round(ssb / sst, 6).as("eta_sq"),
+      (f > fCrit).as("significant"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR correction over a table of
+    * hypotheses — the multiple-testing companion to the Bonferroni
+    * bound published by the regression family: adjusted
+    * p_(i) = min_{j ≥ i} p_(j)·m/j, clamped to 1, monotone by
+    * construction; reject where adjusted p ≤ alpha.
+    *
+    * The suffix-min is a running min over the table sorted by p
+    * DESCENDING, so one window pass computes it. Ties in p are safe:
+    * tied hypotheses' suffix windows differ only by each other's
+    * identical terms, so their adjusted values coincide regardless of
+    * tie order (the secondary id sort just pins row order for the
+    * oracle).
+    *
+    * Scale note: the input is a HYPOTHESIS table (one row per tested
+    * feature/metric — metric-sized by construction, the caller's
+    * contract), so the global window is bounded; this never runs over
+    * a corpus.
+    */
+  def fdrBh(pvals: DataFrame, id: Column, p: Column,
+      alpha: Double = 0.05): DataFrame = {
+    val base = pvals.select(id.as("id"), p.cast("double").as("p"))
+    val m = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val desc = Window.orderBy(col("p").desc, col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("m", count(lit(1)).over(m))
+      .withColumn("rank", col("m") - count(lit(1)).over(desc) + 1L)
+      // p*m/rank is one IEEE dag on exact ints and the published p;
+      // round 9dp BEFORE the running min so the min compares
+      // identical doubles on both engines
+      .withColumn("term", round(col("p") * col("m") / col("rank"), 9))
+      .withColumn("p_adj", least(min(col("term")).over(desc), lit(1.0)))
+      .select(col("id"), col("p"), col("rank"),
+        round(col("p_adj"), 6).as("p_adj"),
+        (col("p_adj") <= alpha).as("reject"))
+  }
 }

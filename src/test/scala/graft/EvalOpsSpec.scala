@@ -415,4 +415,66 @@ class EvalOpsSpec extends SparkSpec {
     val u = EvalOps.mannWhitneyU(auc, col("y") === 1, col("score")).head()
     assert(u.getAs[Long]("u1_twice") == 16L) // U1 = 8 = AUC·n1·n2 = (8/9)·9
   }
+
+  test("spearmanCorr: exact monotone = 1, reversed = -1, tied case matches scipy") {
+    val mono = Seq((1, 10), (2, 20), (3, 35), (4, 99))
+      .map(t => ("g", t._1, t._2)).toDF("g", "x", "y")
+    val r = EvalOps.spearmanCorr(mono, col("g"), col("x"), col("y")).head()
+    assert(r.getAs[Double]("rho") == 1.0 && r.getAs[Long]("n") == 4L)
+    val rev = EvalOps.spearmanCorr(mono, col("g"), col("x"), lit(-1) * col("y"))
+      .head()
+    assert(rev.getAs[Double]("rho") == -1.0)
+    // tied case by hand: x ranks [1, 2.5, 2.5, 4], y ranks [1, 3, 2, 4]
+    // → cov 4.5, var_x 4.5, var_y 5 → rho = 4.5/√22.5 = 0.948683…
+    // (matches scipy.stats.spearmanr([1,2,2,3],[10,30,20,40]))
+    val tied = Seq((1, 10), (2, 30), (2, 20), (3, 40)).map(t => ("g", t._1, t._2))
+      .toDF("g", "x", "y")
+    val rt = EvalOps.spearmanCorr(tied, col("g"), col("x"), col("y")).head()
+    assert(math.abs(rt.getAs[Double]("rho") - 4.5 / math.sqrt(22.5)) < 1e-6)
+    // zero variance in one marginal -> null rho, not a crash
+    val flat = Seq((1, 5), (2, 5), (3, 5)).map(t => ("g", t._1, t._2))
+      .toDF("g", "x", "y")
+    assert(EvalOps.spearmanCorr(flat, col("g"), col("x"), col("y"))
+      .head().isNullAt(2))
+  }
+
+  test("anovaF matches the hand-computed two-group case") {
+    // groups a = {1,2,3}, b = {5,6,7}: means 2 and 6, grand 4
+    // SSB = 3·(2-4)² + 3·(6-4)² = 24; SSW = 2 + 2 = 4
+    // F = (24/1)/(4/4) = 24; eta² = 24/28
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 5), ("b", 6), ("b", 7))
+      .toDF("g", "v")
+    val r = EvalOps.anovaF(df, col("g"), col("v")).head()
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("ss_between") == 24.0)
+    assert(r.getAs[Double]("ss_within") == 4.0)
+    assert(r.getAs[Double]("f_stat") == 24.0)
+    assert(math.abs(r.getAs[Double]("eta_sq") - 24.0 / 28.0) < 1e-6)
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("fdrBh reproduces the textbook BH ladder and clamps at 1") {
+    // p = [0.01, 0.02, 0.03, 0.9], m = 4:
+    // raw p·m/i = [0.04, 0.04, 0.04, 0.9]; suffix-min = same (monotone)
+    val df = Seq(("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.9))
+      .toDF("id", "p")
+    val out = EvalOps.fdrBh(df, col("id"), col("p")).orderBy("rank")
+      .collect()
+    assert(out.map(_.getAs[Double]("p_adj")).toSeq ==
+      Seq(0.04, 0.04, 0.04, 0.9))
+    assert(out.map(_.getAs[Boolean]("reject")).toSeq ==
+      Seq(true, true, true, false))
+    // non-monotone raw terms: p = [0.04, 0.05], m = 2 →
+    // terms [0.08, 0.05]; suffix-min makes adj_1 = 0.05 too
+    val nm = Seq(("a", 0.04), ("b", 0.05)).toDF("id", "p")
+    val adj = EvalOps.fdrBh(nm, col("id"), col("p")).orderBy("rank")
+      .collect().map(_.getAs[Double]("p_adj")).toSeq
+    assert(adj == Seq(0.05, 0.05))
+    // a rank-1 term over 1 (0.6·2/1 = 1.2) is absorbed by the
+    // suffix-min, which always includes p_(m) ≤ 1 — the explicit
+    // clamp is belt-and-braces, unreachable on valid p's
+    val big = Seq(("a", 0.6), ("b", 0.9)).toDF("id", "p")
+    assert(EvalOps.fdrBh(big, col("id"), col("p")).orderBy("rank")
+      .collect().map(_.getAs[Double]("p_adj")).toSeq == Seq(0.9, 0.9))
+  }
 }

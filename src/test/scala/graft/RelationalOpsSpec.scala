@@ -414,6 +414,56 @@ class RelationalOpsSpec extends SparkSpec {
       ("1", "Y", 2L, 1L, 2L, false)))
   }
 
+  test("tCloseness: identical-to-global group has EMD 0; concentrated group flagged") {
+    // global bins over s: {1:3, 2:3}; group A mirrors it exactly → EMD 0;
+    // group B holds only bin 1 → |0.5·cumdiff| at the single inner
+    // boundary: |1 − 0.5| = 0.5 (B−1 = 1 term)
+    val df = Seq((1, "A", 1L), (1, "A", 1L), (1, "A", 2L), (1, "A", 2L),
+      (1, "B", 1L), (1, "B", 2L)).toDF("nat", "seg", "s")
+    val mirror = DataQualityOps.tCloseness(df, col("nat"), col("seg"),
+        col("s"), t = 0.2)
+      .select("q1", "q2", "n", "emd", "t_close")
+      .as[(String, String, Long, Double, Boolean)].collect().toSet
+    assert(mirror == Set(
+      ("1", "A", 4L, 0.0, true),
+      ("1", "B", 2L, 0.0, true))) // B = {1,2} also mirrors the 50/50 global
+    // concentrated group: global bins {1:4, 2:2} (N=6, ECDF(1)=2/3);
+    // A = {1,2,1,2} → ECDF(1) = 1/2 → EMD = 1/6; C = {1,1} →
+    // ECDF(1) = 1 → EMD = 1/3 > t (the homogeneity-by-distribution
+    // leak l-diversity would miss if C's two values were distinct)
+    val df2 = Seq((1, "A", 1L), (1, "A", 2L), (1, "A", 1L), (1, "A", 2L),
+      (1, "C", 1L), (1, "C", 1L)).toDF("nat", "seg", "s")
+    val got = DataQualityOps.tCloseness(df2, col("nat"), col("seg"),
+        col("s"), t = 0.2)
+      .select("q2", "emd", "t_close")
+      .as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("C") == ((0.333333333, false)))
+    assert(got("A") == ((0.166666667, true)))
+  }
+
+  test("benfordCheck: a Benford-exact sample conforms, a flat sample deviates") {
+    // 100 values with first-digit counts ~ round(100·log10(1+1/d)):
+    // [30,18,12,10,8,7,6,5,4] (sums to 100) → tiny chi2, no deviation
+    val benfordish = Seq(30, 18, 12, 10, 8, 7, 6, 5, 4).zipWithIndex
+      .flatMap { case (n, i) => Seq.fill(n)((i + 1) * 10.0 + 1.0) }
+    val ok = DataQualityOps.benfordCheck(
+      benfordish.map(("g", _)).toDF("g", "v"), col("g"), col("v"))
+    assert(ok.select("deviates").distinct().collect()
+      .map(_.getBoolean(0)).toSeq == Seq(false))
+    assert(ok.count() == 9) // full digit axis even though counts vary
+    // flat first-digit distribution (same count each digit) deviates
+    val flat = (1 to 9).flatMap(d => Seq.fill(20)(d * 100.0 + 7.0))
+    val bad = DataQualityOps.benfordCheck(
+      flat.map(("g", _)).toDF("g", "v"), col("g"), col("v"))
+    assert(bad.select("deviates").distinct().collect()
+      .map(_.getBoolean(0)).toSeq == Seq(true))
+    // digits absent from the data still appear with n_d = 0
+    val sparse = DataQualityOps.benfordCheck(
+      Seq(("g", 11.0), ("g", 12.0)).toDF("g", "v"), col("g"), col("v"))
+    assert(sparse.filter(col("digit") === 9).head().getAs[Long]("n_d") == 0L)
+  }
+
   test("targetEncodeLoo: each row sees the mean of the OTHER rows; singletons null") {
     val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
       (4L, "b", 10.0)).toDF("id", "key", "v")
