@@ -172,6 +172,34 @@ private[graft] object EntryEval {
       EvalOps.fleissKappa(ratings, col("doc_id"), col("label"), m = 3)
         .orderBy("label")
     }),
+    // Paired-classifier comparison: McNemar's test of the langId
+    // heuristic (A) vs the NB classifier (B) on the SHARED eval split
+    // — only the discordant counts carry signal.
+    "q_mcnemar" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nb = TextOps.naiveBayes(docs, labelCol = "lang", evalMod = 5)
+        .select(col("doc_id"), col("true_label"), col("correct").as("b_ok"))
+      val lid = TextAnalysisOps.langId(docs.filter(col("doc_id") % 5 === 0))
+        .select(col("doc_id"), col("lang_pred"))
+      val paired = nb.join(lid, Seq("doc_id"))
+        .select((col("lang_pred") === col("true_label")).as("a_ok"), col("b_ok"))
+      EvalOps.mcnemar(paired, col("a_ok"), col("b_ok"))
+    }),
+    // Ragged-coverage annotator agreement: Krippendorff's alpha over
+    // gold + NB (all eval docs) + langId (only every OTHER eval doc) —
+    // the missing-ratings regime Fleiss' constant-m design can't
+    // express (items here carry 2 or 3 ratings).
+    "q_krippendorff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nb = graft.CacheScope.autoRelease(
+        TextOps.naiveBayes(docs, labelCol = "lang", evalMod = 5))
+      val lid = TextAnalysisOps.langId(docs.filter(col("doc_id") % 10 === 0))
+      val ratings = nb.select(col("doc_id"), col("true_label").as("label"))
+        .unionByName(nb.select(col("doc_id"), col("pred_label").as("label")))
+        .unionByName(lid.select(col("doc_id"), col("lang_pred").as("label")))
+      EvalOps.krippendorffAlpha(ratings, col("doc_id"), col("label"))
+        .orderBy("label")
+    }),
     // Sequential patterns: frequent adjacent 3-step event-type paths
     // per user timeline, support-filtered and ranked.
     "q_path3" -> ((s, dir) =>
@@ -588,6 +616,70 @@ private[graft] object EntryEval {
          |       CASE WHEN pe < 1.0
          |            THEN round((pbar - pe) / (1.0 - pe), 6) + 0.0 END
          |FROM allr
+         |ORDER BY label""".stripMargin,
+    // McNemar replay: four exact-int cells from one aggregate over the
+    // paired frame; chi2 one IEEE division; 3.841459 = chi2(1) 5% crit
+    "q_mcnemar" ->
+      s"""WITH $LangCtes,
+         |nb AS ($NaiveBayesOracle),
+         |pairs AS (
+         |  SELECT coalesce(bt.lang, 'und') = n.true_label AS a, n.correct AS b
+         |  FROM nb n LEFT JOIN best bt ON bt.doc_id = n.doc_id
+         |), agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |         CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+         |         CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |         CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01
+         |  FROM pairs
+         |), chi AS (
+         |  SELECT *, CASE WHEN n10 + n01 > 0
+         |                 THEN round(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+         |                            / (n10 + n01), 6) + 0.0 END AS chi2
+         |  FROM agg
+         |)
+         |SELECT n, n11, n00, n10, n01, chi2,
+         |       CASE WHEN chi2 IS NOT NULL THEN chi2 > 3.841459 END AS significant
+         |FROM chi""".stripMargin,
+    // Krippendorff replay: coincidence-matrix identities — category
+    // totals and the expected mass are exact ints (HUGEINT lanes for
+    // the squares), the observed-disagreement mass is 9-dp per-item
+    // terms decimal-summed, alpha one IEEE dag
+    "q_krippendorff" ->
+      s"""WITH $LangCtes,
+         |nb AS ($NaiveBayesOracle),
+         |rat AS (
+         |  SELECT doc_id AS i, true_label AS j FROM nb
+         |  UNION ALL SELECT doc_id, pred_label FROM nb
+         |  UNION ALL SELECT d.doc_id, coalesce(bt.lang, 'und')
+         |  FROM documents d LEFT JOIN best bt USING (doc_id)
+         |  WHERE d.doc_id % 10 = 0
+         |), nij AS (
+         |  SELECT i, j, CAST(count(*) AS BIGINT) AS n FROM rat GROUP BY i, j
+         |), pitem AS (
+         |  SELECT i, CAST(sum(n) AS BIGINT) AS mu,
+         |         CAST(sum(n * n) AS BIGINT) AS s2
+         |  FROM nij GROUP BY i HAVING sum(n) >= 2
+         |), dom AS (
+         |  SELECT CAST(sum(mu) AS BIGINT) AS nn,
+         |         sum(CAST(round(CAST(mu * mu - s2 AS DOUBLE) / (mu - 1), 9)
+         |             AS DECIMAL(38,12))) AS domass
+         |  FROM pitem
+         |), nc AS (
+         |  SELECT j, CAST(sum(n) AS BIGINT) AS cj
+         |  FROM nij JOIN pitem USING (i) GROUP BY j
+         |), sq AS (SELECT sum(CAST(cj AS HUGEINT) * cj) AS sq FROM nc)
+         |SELECT j AS label, cj AS n, CAST(NULL AS DOUBLE) AS do_mass,
+         |       CAST(NULL AS DOUBLE) AS alpha
+         |FROM nc
+         |UNION ALL
+         |SELECT 'ALL', nn, round(CAST(domass AS DOUBLE), 6) + 0.0,
+         |       CASE WHEN CAST(nn AS HUGEINT) * nn > sq
+         |            THEN round(1.0 - CAST(nn - 1 AS DOUBLE)
+         |                       * CAST(domass AS DOUBLE)
+         |                       / CAST(CAST(nn AS HUGEINT) * nn - sq AS DOUBLE), 6)
+         |                 + 0.0 END
+         |FROM dom CROSS JOIN sq
          |ORDER BY label""".stripMargin,
     // path replay: same two leads under the same total order, support
     // + rank; rk CAST to INTEGER (Spark row_number is int)

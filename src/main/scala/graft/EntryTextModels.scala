@@ -154,6 +154,14 @@ private[graft] object EntryTextModels {
           col("n_prior"), col("base_mean"), col("base_std"), col("z"),
           col("is_anomaly"))
         .orderBy("user_id", "seq")),
+    // CUSUM mean-shift monitor per event type on the daily deci-grid
+    // value stream — the sustained-small-shift detector q_ts_anomaly's
+    // per-point z-score can't catch. Page's recursion via the
+    // prefix-min identity; every published statistic an exact integer.
+    "q_cusum" -> ((s, dir) =>
+      TemporalOps.cusumShift(Tables.events(s, dir), col("event_type"),
+          col("ts"), expr("CAST(floor(value * 10) AS BIGINT)"))
+        .orderBy("grp", "day")),
     // Semi-structured extraction: the events.props JSON column parsed
     // with a real JSON reader (from_json + schema) and aggregated on
     // the extracted field — the metadata-filtering shape every curation
@@ -962,6 +970,38 @@ private[graft] object EntryTextModels {
     // (6 PRECEDING..1 PRECEDING, total order), z from the published
     // pair, null under cold start (n_prior < 4) or zero variance
     "q_ts_anomaly" -> TsAnomalyOracle,
+    // CUSUM replay: integer-scaled deviations dev = s·N − n·T in
+    // HUGEINT lanes (DECIMAL(38,0) on the engine side), running
+    // sum/min/max windows over the day grid, exact-int publication
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS day,
+        |         sum(CAST(CAST(floor(value * 10) AS BIGINT) AS HUGEINT)) AS s,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT grp, sum(s) AS t, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM daily GROUP BY grp
+        |), dv AS (
+        |  SELECT d.grp, d.day, d.cnt, d.s * t.n - d.cnt * t.t AS dev
+        |  FROM daily d JOIN tot t USING (grp)
+        |), cw AS (
+        |  SELECT grp, day, cnt, dev,
+        |         sum(dev) OVER w AS c
+        |  FROM dv WINDOW w AS (PARTITION BY grp ORDER BY day
+        |                       ROWS UNBOUNDED PRECEDING)
+        |), x AS (
+        |  SELECT grp, day, cnt, dev, c,
+        |         c - min(c) OVER w AS cusum_pos,
+        |         max(c) OVER w - c AS cusum_neg
+        |  FROM cw WINDOW w AS (PARTITION BY grp ORDER BY day
+        |                       ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT grp, day, cnt AS n, CAST(dev AS BIGINT) AS dev,
+        |       CAST(cusum_pos AS BIGINT) AS cusum_pos,
+        |       CAST(cusum_neg AS BIGINT) AS cusum_neg,
+        |       cusum_pos = max(cusum_pos) OVER (PARTITION BY grp) AS is_peak
+        |FROM x ORDER BY grp, day""".stripMargin,
     // same oracle: streaming-vs-batch parity is the tested property
     "q_stream_anomaly" -> TsAnomalyOracle,
     // data mixing: targets recomputed from the domain name ((1 + N%4)/50

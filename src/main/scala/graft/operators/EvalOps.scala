@@ -1003,4 +1003,97 @@ object EvalOps {
         round(col("p_adj"), 6).as("p_adj"),
         (col("p_adj") <= alpha).as("reject"))
   }
+
+  /** McNemar's paired test (McNemar 1947, uncorrected form): did
+    * classifier B improve on classifier A, judged on the SAME items —
+    * the right test when two models share an eval set (a paired-sample
+    * design the two-proportion z-test gets wrong because it ignores
+    * the pairing). Only the discordant counts carry signal:
+    * n10 = A right / B wrong, n01 = A wrong / B right,
+    * χ² = (n10 − n01)² / (n10 + n01), df = 1.
+    *
+    * Portability: all four cell counts are exact int64 from one
+    * aggregate; χ² is a single IEEE division on them, published 6dp.
+    * No discordant pairs (n10 + n01 = 0) publishes NULL — the models
+    * are indistinguishable on this set by construction.
+    *
+    * Plan shape: the paired frame reduces in ONE partial-combined
+    * aggregate to four counters; everything after is constant-sized.
+    */
+  def mcnemar(paired: DataFrame, aCorrect: Column, bCorrect: Column): DataFrame = {
+    val agg = paired.select(aCorrect.cast("boolean").as("a"),
+        bCorrect.cast("boolean").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"))
+    // 3.841459 = chi2(1) critical value at alpha = 0.05 — a published
+    // constant, not a computed quantile (both engines compare the same
+    // literal)
+    agg.select(col("n"), col("n11"), col("n00"), col("n10"), col("n01"),
+      when(col("n10") + col("n01") > 0L,
+        round(((col("n10") - col("n01")) * (col("n10") - col("n01")))
+          .cast("double") / (col("n10") + col("n01")).cast("double"), 6) + 0.0)
+        .as("chi2"))
+      .withColumn("significant",
+        when(col("chi2").isNotNull, col("chi2") > 3.841459))
+  }
+
+  /** Krippendorff's alpha, nominal metric (Krippendorff 1970) — the
+    * agreement coefficient that, unlike [[fleissKappa]], tolerates
+    * MISSING ratings: items keep whatever raters they have, items with
+    * fewer than 2 ratings drop out (nothing to pair). The general QA
+    * gate for crowd-labeled training data where annotator coverage is
+    * ragged.
+    *
+    * Coincidence-matrix identities keep it exact: with nᵤ𝒸 = count of
+    * category c in item u and mᵤ = Σ𝒸 nᵤ𝒸,
+    *   category totals  n𝒸 = Σᵤ nᵤ𝒸            (exact int64)
+    *   observed-disagreement mass Σ_{c≠k} o_{ck}
+    *     = Σᵤ (mᵤ² − Σ𝒸 nᵤ𝒸²) / (mᵤ − 1)      (9-dp terms, decimal sum)
+    *   expected mass      n² − Σ𝒸 n𝒸²          (exact int64)
+    *   α = 1 − (n − 1) · Σ_{c≠k} o_{ck} / (n² − Σ𝒸 n𝒸²).
+    * When every mᵤ is odd-free of remainders (e.g. the constant-m
+    * rater frame) the per-item division is exact anyway; the 9-dp
+    * round makes the ragged case replay identically in both engines.
+    * All ratings in one category (expected mass 0) publishes NULL.
+    *
+    * Plan shape: ratings → ONE (item, category)-keyed aggregate; the
+    * item-keyed and category-keyed reductions both run on that bounded
+    * table; nothing wider than the ratings ever shuffles. Output: one
+    * row per category (label, n) + an ALL row (n, do_mass, alpha).
+    */
+  def krippendorffAlpha(ratings: DataFrame, item: Column, label: Column): DataFrame = {
+    val dec = "decimal(38,12)"
+    val nij = ratings.select(item.as("i"), label.as("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n"))
+    // pairable items only: mu >= 2 (an unpaired rating has no
+    // coincidence to contribute)
+    val perItem = nij.groupBy("i")
+      .agg(sum("n").as("mu"), sum(col("n") * col("n")).as("s2"))
+      .filter(col("mu") >= 2L)
+    val doMass = perItem.agg(
+      sum("mu").as("nn"),
+      sum(round((col("mu") * col("mu") - col("s2")).cast("double")
+        / (col("mu") - 1L).cast("double"), 9).cast(dec)).as("doMass"))
+    // n² − Σ n𝒸² in DECIMAL(38,0) lanes (HUGEINT in the oracle): past
+    // ~3e9 ratings the squares leave int64 (the q_colloc lesson)
+    val dec0 = "decimal(38,0)"
+    val nc = nij.join(perItem.select("i"), Seq("i"))
+      .groupBy("j").agg(sum("n").as("cj"))
+    val sumSq = nc.agg(sum(col("cj").cast(dec0) * col("cj")).as("sq"))
+    val catRows = nc.select(col("j").as("label"), col("cj").as("n"),
+      lit(null).cast("double").as("do_mass"),
+      lit(null).cast("double").as("alpha"))
+    val allRow = doMass.crossJoin(broadcast(sumSq))
+      .select(lit("ALL").as("label"), col("nn").as("n"),
+        (round(col("doMass").cast("double"), 6) + 0.0).as("do_mass"),
+        when(col("nn").cast(dec0) * col("nn") > col("sq"),
+          round(lit(1.0) - (col("nn") - 1L).cast("double")
+              * col("doMass").cast("double")
+              / (col("nn").cast(dec0) * col("nn") - col("sq")).cast("double"), 6) + 0.0)
+          .as("alpha"))
+    catRows.unionByName(allRow)
+  }
 }

@@ -731,4 +731,62 @@ object TemporalOps {
         when(col("zeroed") > 0, lit(0.0))
           .otherwise(round(exp(col("cum_ln").cast("double")), 6)).as("survival"))
   }
+
+  /** CUSUM mean-shift detection (Page 1954) per group over a daily
+    * grid — "did this metric's level change, and when": the
+    * data-quality / drift monitor that catches a sustained small shift
+    * a per-point z-score (q_ts_anomaly) never trips on.
+    *
+    * Page's recursion S_t = max(0, S_{t-1} + dev_t) equals the
+    * prefix-min identity S_t = C_t − min_{i≤t} C_i on the cumulative
+    * deviation C — which IS window-expressible: one running sum + one
+    * running min (and the mirrored running max for downward shifts).
+    *
+    * Exactness: work on integer-scaled deviations, never means. With
+    * per-day sums s_d and counts n_d on the caller's integer grid and
+    * corpus totals (T, N), dev_d = s_d·N − n_d·T is the per-day
+    * deviation from the global mean scaled by N — an exact
+    * DECIMAL(38,0) integer (HUGEINT lane in DuckDB; s·N overflows
+    * int64 past ~sf1). Every published statistic is an exact integer;
+    * the hash needs no float discipline at all. `is_peak` marks the
+    * day(s) attaining the group's maximal positive excursion — the
+    * changepoint candidate.
+    *
+    * Plan shape: corpus → ONE (grp, day)-keyed partial-combined
+    * aggregate; all windows run per-group over the DAY-sized table
+    * (bounded by the corpus time span, never corpus-sized). Output:
+    * (grp, day, n, dev, cusum_pos, cusum_neg, is_peak).
+    */
+  def cusumShift(events: DataFrame, group: Column, tsCol: Column,
+      xGrid: Column, dayUs: Long = 86400000000L): DataFrame = {
+    val dec = "decimal(38,0)"
+    // `div`, not `/`: integer division (the Tables.normalizeEventsTs
+    // lesson — double division can round one unit high before a cast)
+    val daily = events.select(group.as("grp"), unix_micros(tsCol).as("__us"),
+        xGrid.cast("long").as("x"))
+      .select(col("grp"), expr(s"__us div ${dayUs}L").as("day"), col("x"))
+      .groupBy("grp", "day")
+      .agg(sum(col("x").cast(dec)).as("s"), count(lit(1)).as("cnt"))
+    val tot = daily.groupBy("grp")
+      .agg(sum(col("s")).as("t"), sum(col("cnt")).as("n"))
+    val wRun = Window.partitionBy("grp").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("grp")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily.join(broadcast(tot), Seq("grp"))
+      .withColumn("dev", col("s") * col("n") - col("cnt") * col("t"))
+      .withColumn("c", sum(col("dev")).over(wRun))
+      .withColumn("cusum_pos", col("c") - min(col("c")).over(wRun))
+      .withColumn("cusum_neg", max(col("c")).over(wRun) - col("c"))
+      // published lanes are BIGINT (a DECIMAL(38,0)/HUGEINT column
+      // reaches pandas as float and breaks the string compare — the
+      // q_rollup-sums lesson); the arithmetic above stays in the wide
+      // lane, so only the PUBLICATION saturates first, at ~sf100 on
+      // this corpus (s·N grows quadratically with scale)
+      .select(col("grp"), col("day"), col("cnt").as("n"),
+        col("dev").cast("long").as("dev"),
+        col("cusum_pos").cast("long").as("cusum_pos"),
+        col("cusum_neg").cast("long").as("cusum_neg"),
+        (col("cusum_pos") === max(col("cusum_pos")).over(wAll)).as("is_peak"))
+  }
 }

@@ -477,4 +477,61 @@ class EvalOpsSpec extends SparkSpec {
     assert(EvalOps.fdrBh(big, col("id"), col("p")).orderBy("rank")
       .collect().map(_.getAs[Double]("p_adj")).toSeq == Seq(0.9, 0.9))
   }
+
+  test("mcnemar: hand-checked discordant cells; no-discordance publishes null") {
+    // a/b: TT×4, FF×2, TF×3, FT×1 → chi2 = (3−1)²/(3+1) = 1.0
+    val df = (Seq.fill(4)((true, true)) ++ Seq.fill(2)((false, false))
+      ++ Seq.fill(3)((true, false)) ++ Seq((false, true)))
+      .toDF("a", "b")
+    val got = EvalOps.mcnemar(df, col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long, Option[Double], Option[Boolean])]
+      .collect().toList
+    assert(got == List((10L, 4L, 2L, 3L, 1L, Some(1.0), Some(false))))
+    // strongly one-sided discordance crosses the 3.841 threshold
+    val sig = (Seq.fill(8)((true, false)) ++ Seq((false, true)))
+      .toDF("a", "b")
+    val g2 = EvalOps.mcnemar(sig, col("a"), col("b"))
+      .select("chi2", "significant")
+      .as[(Option[Double], Option[Boolean])].collect().toList
+    // (8−1)²/9 = 49/9
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(g2 == List((Some(r6(49.0 / 9)), Some(true))))
+    // perfectly concordant raters: no information → null chi2
+    val g3 = EvalOps.mcnemar(
+        Seq((true, true), (false, false)).toDF("a", "b"),
+        col("a"), col("b"))
+      .select("chi2", "significant")
+      .as[(Option[Double], Option[Boolean])].collect().toList
+    assert(g3 == List((None, None)))
+  }
+
+  test("krippendorffAlpha: ragged hand-checked case; unpaired items drop; degenerate null") {
+    // i1 (a,a): dis 0 · i2 (a,b): dis 2 · i3 (b,b,b): dis 0 · i4 (a): dropped
+    // n = 7, do_mass = 2, n_a = 3, n_b = 4, n²−Σn𝒸² = 49−25 = 24
+    // alpha = 1 − 6·2/24 = 0.5
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "b"), (4L, "a")).toDF("i", "j")
+    val got = EvalOps.krippendorffAlpha(df, col("i"), col("j"))
+      .orderBy("label")
+      .as[(String, Long, Option[Double], Option[Double])].collect().toList
+    assert(got == List(
+      ("ALL", 7L, Some(2.0), Some(0.5)),
+      ("a", 3L, None, None),     // i4's lone 'a' rating excluded
+      ("b", 4L, None, None)))
+    // every rating one category → expected disagreement 0 → null alpha
+    val const = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a")).toDF("i", "j")
+    val g2 = EvalOps.krippendorffAlpha(const, col("i"), col("j"))
+      .filter(col("label") === "ALL")
+      .select("do_mass", "alpha")
+      .as[(Option[Double], Option[Double])].collect().toList
+    assert(g2 == List((Some(0.0), None)))
+    // constant-m frame agrees with the closed-form check: perfect
+    // agreement → alpha exactly 1
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")).toDF("i", "j")
+    val g3 = EvalOps.krippendorffAlpha(perfect, col("i"), col("j"))
+      .filter(col("label") === "ALL").select("alpha")
+      .as[Option[Double]].collect().toList
+    assert(g3 == List(Some(1.0)))
+  }
 }

@@ -504,4 +504,36 @@ class TemporalOpsSpec extends SparkSpec {
       (2L, 3L, 1L, 1L, r(1.0 / 3.0, 6), s2),
       (4L, 1L, 1L, 0L, 1.0, 0.0)))   // d = n: curve hits exact zero
   }
+
+  test("cusumShift: level shift accumulates via the prefix-min identity; peak flags the excursion max") {
+    // one observation per day, grid value 10 on days 0-2 then 20 on
+    // days 3-5: T = 90, N = 6 → dev = ±30·(scaled); C walks
+    // −30,−60,−90,−60,−30,0 so cusum_pos ramps 0,0,0,30,60,90 after
+    // the shift and cusum_neg 0,30,60,30,0,0 before it
+    val dayUs = 86400000000L
+    val rows = Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 20L),
+      (4L, 20L), (5L, 20L))
+      .map { case (d, x) => ("g", d * dayUs + 7L, x) }
+    val df = rows.toDF("grp", "us", "x")
+      .select(col("grp"), timestamp_micros(col("us")).as("ts"), col("x"))
+    val got = TemporalOps.cusumShift(df, col("grp"), col("ts"), col("x"))
+      .orderBy("day")
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].collect().toList
+    assert(got == List(
+      ("g", 0L, 1L, -30L, 0L, 0L, false),
+      ("g", 1L, 1L, -30L, 0L, 30L, false),
+      ("g", 2L, 1L, -30L, 0L, 60L, false),
+      ("g", 3L, 1L, 30L, 30L, 30L, false),
+      ("g", 4L, 1L, 30L, 60L, 0L, false),
+      ("g", 5L, 1L, 30L, 90L, 0L, true)))
+    // no shift → every deviation 0, no spurious excursion; the whole
+    // flat group ties at cusum_pos = 0 so every day is "the peak"
+    val flat = Seq(0L, 1L, 2L).map(d => ("g", d * dayUs, 10L))
+      .toDF("grp", "us", "x")
+      .select(col("grp"), timestamp_micros(col("us")).as("ts"), col("x"))
+    val g2 = TemporalOps.cusumShift(flat, col("grp"), col("ts"), col("x"))
+      .select("dev", "cusum_pos", "cusum_neg", "is_peak")
+      .as[(Long, Long, Long, Boolean)].collect().toList
+    assert(g2 == List.fill(3)((0L, 0L, 0L, true)))
+  }
 }
