@@ -80,6 +80,40 @@ private[graft] object EntryCore {
         .select(col("event_id"), col("user_id"), col("event_type"),
           round(col("value"), 4).as("value"))
         .orderBy("event_id")),
+    // Streaming exact-size-k uniform sample through a REAL
+    // AvailableNow stream: per-shard bounded k-smallest-hash state
+    // (flatMapGroupsWithState, Update mode), shard snapshots reduced
+    // to the global k at the sink. Seed 'stream' (its own draw, not
+    // the batch sampler's); the oracle is the batch sampler's SQL —
+    // streaming/batch parity is the tested property.
+    "q_stream_sample" -> ((s, dir) => {
+      import s.implicits._
+      val src = Tables.eventsStream(s, dir)
+        .withColumn("h", md5(concat_ws("|",
+          col("event_id").cast("string"), lit("stream")).cast("binary")))
+        .withColumn("shard",
+          pmod(conv(substring(col("h"), 1, 6), 16, 10).cast("long"), lit(8L)))
+        .select(col("shard"), col("h"), col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[(Long, String, Long, Long, String, Double)]
+      val out = graft.streaming.StreamingOps.streamingUniformSample(src, 1000)
+      val qn = s"graft_stream_sample_${StreamSeq.incrementAndGet()}"
+      val q = out.toDF().writeStream.format("memory").queryName(qn)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // latest snapshot per shard via a window (a groupBy+self-join on
+      // a memory-sink view hits conflicting attribute ids); the table
+      // is shards·k·batches rows — sink-side work constant in stream
+      // length
+      val t = s.table(qn)
+        .withColumn("__mx", max("seq").over(Window.partitionBy("shard")))
+        .filter(col("seq") === col("__mx"))
+      t.orderBy(col("h"), col("event_id")).limit(1000)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_id")
+    }),
     // Deterministic epoch-shuffle training order: seeded md5 shuffle
     // key → shard (mod 16) → per-shard dense position → round-robin
     // interleaved global_pos. No global sort: the only wide op is the
@@ -394,6 +428,13 @@ private[graft] object EntryCore {
       """SELECT event_id, user_id, event_type, round(value, 4) AS value FROM (
         |  SELECT * FROM events
         |  ORDER BY md5(CAST(event_id AS VARCHAR) || '|graft') LIMIT 1000
+        |) t ORDER BY event_id""".stripMargin,
+    // the batch sampler's replay at the streaming gate's seed:
+    // stream/batch parity is the tested property
+    "q_stream_sample" ->
+      """SELECT event_id, user_id, event_type, round(value, 4) AS value FROM (
+        |  SELECT * FROM events
+        |  ORDER BY md5(CAST(event_id AS VARCHAR) || '|stream') LIMIT 1000
         |) t ORDER BY event_id""".stripMargin,
     "q_sample_frac" ->
       s"""SELECT count(*) AS n, ${decMeanSql("value")} AS mean_value

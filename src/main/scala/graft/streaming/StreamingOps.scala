@@ -240,6 +240,58 @@ object StreamingOps {
           .as("sum_value"))
       .select(col("window.start").as("w_start"), col("n"), col("sum_value"))
 
+  /** Per-shard streaming-sample state: the k hash-smallest rows seen
+    * so far plus a batch sequence number (the sink keeps each shard's
+    * LAST emission). State is ≤ k rows per shard — bounded in stream
+    * length, the one-pass sampler rule.
+    */
+  case class ShardSampleState(seq: Long,
+      rows: List[(String, Long, Long, String, Double)])
+
+  /** One emitted sample candidate; `seq` tags which micro-batch's
+    * snapshot it belongs to. */
+  case class SampleRow(shard: Long, seq: Long, h: String, event_id: Long,
+      user_id: Long, event_type: String, value: Double)
+
+  /** Streaming exact-size-k uniform sample — the one-pass counterpart
+    * of [[graft.operators.RelationalOps.uniformSampleExact]], with
+    * IDENTICAL output: keep the k globally hash-smallest rows of the
+    * stream (seeded md5 order = a uniform permutation), maintained
+    * incrementally. Classic distributed reservoir designs keep a
+    * random-tag heap per partition; the hash-order formulation is that
+    * heap with a DETERMINISTIC tag, which is what makes the result
+    * reproducible and batch/stream identical — the q_stream_sample
+    * gate runs THE SAME DuckDB oracle as the batch sampler.
+    *
+    * Topology: rows arrive pre-sharded on the hash prefix (`shards`
+    * groups); each shard's flatMapGroupsWithState keeps its own
+    * k-smallest list (a shard can in principle own all k winners, so
+    * per-shard state must be k, not k/shards), emits its current
+    * snapshot per micro-batch in Update mode, and the sink reduces
+    * shard snapshots (latest `seq` each) to the global k-smallest —
+    * sink work is shards·k rows, constant in stream length.
+    */
+  def streamingUniformSample(
+      rows: Dataset[(Long, String, Long, Long, String, Double)],
+      k: Int): Dataset[SampleRow] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[ShardSampleState, SampleRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (shard: Long, it: Iterator[(Long, String, Long, Long, String, Double)],
+            state: GroupState[ShardSampleState]) =>
+          val prev = state.getOption.getOrElse(ShardSampleState(0L, Nil))
+          val merged = (prev.rows ++ it.map(r => (r._2, r._3, r._4, r._5, r._6)))
+            .sortBy(r => (r._1, r._2)).take(k)
+          val next = ShardSampleState(prev.seq + 1L, merged)
+          state.update(next)
+          merged.iterator.map { case (h, id, uid, typ, v) =>
+            SampleRow(shard, next.seq, h, id, uid, typ, v)
+          }
+      }
+  }
+
   /** Watermarked per-window value-bin counts — the streaming half of a
     * drift monitor ([[graft.operators.EvalOps.psiByGroup]] composes the
     * PSI against a static reference): each tumbling window reduces to

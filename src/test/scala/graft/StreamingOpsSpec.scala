@@ -351,4 +351,37 @@ class StreamingOpsSpec extends SparkSpec {
       ("2026-01-01 10:00:00", "b", 1L),
       ("2026-01-01 11:00:00", "b", 1L)))
   }
+
+  test("streamingUniformSample: cross-batch k-smallest matches the batch sampler; state bounded at k") {
+    implicit val sqlCtx = spark.sqlContext
+    // ids 0..49 over 2 shards, delivered in two batches (reversed order
+    // so the winners are split across batches); k = 5
+    val ids = (0L until 50L).toList
+    def tag(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"$id|t".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def row(id: Long) =
+      (id % 2, tag(id), id, id * 10, s"t${id % 3}", id / 10.0)
+    val source = MemoryStream[(Long, String, Long, Long, String, Double)]
+    val q = StreamingOps.streamingUniformSample(source.toDS(), 5)
+      .writeStream.format("memory").queryName("sample_stream_test")
+      .outputMode("update").start()
+    source.addData(ids.drop(25).map(row): _*)
+    q.processAllAvailable()
+    source.addData(ids.take(25).map(row): _*)
+    q.processAllAvailable()
+    val t = spark.table("sample_stream_test")
+      .withColumn("__mx", max($"seq").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"shard")))
+      .filter($"seq" === $"__mx")
+    // per-shard snapshots are capped at k even though each shard saw 25
+    assert(t.groupBy("shard").count().as[(Long, Long)].collect()
+      .forall(_._2 == 5L))
+    val got = t.orderBy($"h", $"event_id").limit(5)
+      .select($"event_id").as[Long].collect().toList
+    q.stop()
+    val want = ids.sortBy(tag).take(5)
+    assert(got.sorted == want.sorted)
+  }
 }
