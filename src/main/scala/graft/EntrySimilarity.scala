@@ -22,6 +22,13 @@ private[graft] object EntrySimilarity {
       SimilarityOps.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 10)
         .select(col("q_id"), col("nn_id"), round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy("q_id", "rank")),
+    // Matryoshka truncation recall: how much of the exact 64-dim
+    // top-10 survives in a 16-dim-prefix index — the
+    // dimension-vs-recall card run before shipping a truncated index.
+    "q_mrl_recall" -> ((s, dir) =>
+      SimilarityOps.mrlRecall(Tables.embeddings(s, dir), col("vec_id") < 10,
+          k = 10, truncDims = 16)
+        .orderBy(col("q_id").asc_nulls_last)),
     // Mutual-kNN graph (k=5): undirected edges where each endpoint is
     // in the other's top-5 — the hub-pruned edge set graph dedup
     // clusters on. Exact baseline (brute-force lists + one k·n-keyed
@@ -134,6 +141,54 @@ private[graft] object EntrySimilarity {
          |                               ORDER BY sim DESC, nn_id) AS rank
          |  FROM sims) x
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // MRL replay: both rankings re-derived with the same decimal-dot
+    // CTEs (full over range(64), truncated over range(16) + its own
+    // norms); the intersection and recall are exact-int arithmetic
+    "q_mrl_recall" ->
+      s"""WITH $CosineCte,
+         |tnrm AS (
+         |  SELECT vec_id, sqrt(CAST(sum(CAST(CAST(embedding[d+1] AS DOUBLE)
+         |         * CAST(embedding[d+1] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+         |  FROM v, range(16) r(d) GROUP BY vec_id
+         |), fdots AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id, ${DotSql("q", "c")} AS dot
+         |  FROM v q JOIN v c ON c.vec_id <> q.vec_id, range(64) r(d)
+         |  WHERE q.vec_id < 10 GROUP BY q.vec_id, c.vec_id
+         |), frank AS (
+         |  SELECT q_id, nn_id FROM (
+         |    SELECT d.q_id, d.nn_id,
+         |           row_number() OVER (PARTITION BY d.q_id
+         |             ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.nn_id) AS rank
+         |    FROM fdots d JOIN nrm nq ON nq.vec_id = d.q_id
+         |    JOIN nrm nc ON nc.vec_id = d.nn_id) x
+         |  WHERE rank <= 10
+         |), tdots AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id, ${DotSql("q", "c")} AS dot
+         |  FROM v q JOIN v c ON c.vec_id <> q.vec_id, range(16) r(d)
+         |  WHERE q.vec_id < 10 GROUP BY q.vec_id, c.vec_id
+         |), trank AS (
+         |  SELECT q_id, nn_id FROM (
+         |    SELECT d.q_id, d.nn_id,
+         |           row_number() OVER (PARTITION BY d.q_id
+         |             ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.nn_id) AS rank
+         |    FROM tdots d JOIN tnrm nq ON nq.vec_id = d.q_id
+         |    JOIN tnrm nc ON nc.vec_id = d.nn_id) x
+         |  WHERE rank <= 10
+         |), hits AS (
+         |  SELECT f.q_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM frank f JOIN trank t ON t.q_id = f.q_id AND t.nn_id = f.nn_id
+         |  GROUP BY f.q_id
+         |), perq AS (
+         |  SELECT q.q_id, coalesce(h.n_hits, 0) AS n_hits
+         |  FROM (SELECT DISTINCT q_id FROM frank) q LEFT JOIN hits h USING (q_id)
+         |)
+         |SELECT q_id, n_hits, round(CAST(n_hits AS DOUBLE) / 10, 6) AS recall
+         |FROM perq
+         |UNION ALL
+         |SELECT CAST(NULL AS BIGINT), CAST(sum(n_hits) AS BIGINT),
+         |       round(CAST(sum(n_hits) AS DOUBLE) / (count(*) * 10), 6)
+         |FROM perq
+         |ORDER BY q_id NULLS LAST""".stripMargin,
     // mutual-kNN replay: symmetric sims computed once (a<b), ranked
     // from both endpoints, mutual edges via the two-sided rank join
     "q_knn_graph" ->

@@ -133,6 +133,47 @@ object SimilarityOps {
     * mutual-join shape and output contract are unchanged, recall
     * follows the ANN certificates.
     */
+  /** Matryoshka (MRL, Kusupati et al. 2022) truncation recall card:
+    * how much of each query's exact top-k survives when the index
+    * stores only the first `truncDims` dimensions — the
+    * dimension-vs-recall tradeoff measurement run before shipping a
+    * truncated (cheaper) index. Output: (q_id, n_hits, recall) per
+    * query + an ALL row (mean recall over queries).
+    *
+    * The intersection is on NEIGHBOR IDS (exact ints from two
+    * deterministically tie-broken rankings), so the published card
+    * needs no float discipline beyond the rankings themselves; recall
+    * is one IEEE division per row.
+    *
+    * Scale shape: two corpus scans (full + truncated dots, query side
+    * broadcast both times — [[bruteForceTopK]]'s certified-baseline
+    * shape, queries bounded by the caller's predicate), one
+    * (q, nn)-keyed join of two queries×k lists. At corpus scale the
+    * same card runs over [[annTopK]]/[[ivfTopK]] lists — the join and
+    * output contract don't change.
+    */
+  def mrlRecall(embeddings: DataFrame, queryPred: Column, k: Int,
+      truncDims: Int): DataFrame = {
+    val full = bruteForceTopK(embeddings, queryPred, k)
+      .select(col("q_id"), col("nn_id"))
+    val trunc = bruteForceTopK(
+      embeddings.select(col("vec_id"),
+        slice(col("embedding"), 1, truncDims).as("embedding")),
+      queryPred, k).select(col("q_id"), col("nn_id"))
+    val hits = full.join(trunc, Seq("q_id", "nn_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    val perQ = full.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / lit(k.toDouble), 6))
+    val allRow = perQ.agg(sum("n_hits").as("n_hits"), count(lit(1)).as("nq"))
+      .select(lit(null).cast("long").as("q_id"), col("n_hits"),
+        round(col("n_hits").cast("double")
+          / (col("nq") * lit(k.toLong)).cast("double"), 6).as("recall"))
+    perQ.unionByName(allRow)
+  }
+
   def mutualKnnGraph(embeddings: DataFrame, k: Int): DataFrame = {
     val top = graft.CacheScope.autoRelease(knnLists(embeddings, k))
     val e1 = top.filter(col("q_id") < col("nn_id"))

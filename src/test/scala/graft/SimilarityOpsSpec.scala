@@ -376,4 +376,32 @@ class SimilarityOpsSpec extends SparkSpec {
       .select("n", "n_kept").as[(Long, Long)].collect().toSet
     assert(summary == Set((3L, 1L), (2L, 1L))) // {0,2,4} keep 0; {1,3} keep 1
   }
+
+  test("mrlRecall: hand-built corpus where the 2-dim prefix swaps one neighbor") {
+    // q = e1; full sims: a 1.0, c ≈ 0.688, b ≈ 0.158 → full top-2 {a, c}
+    // 2-dim prefix: a' 1.0, b' ≈ 0.993, c' ≈ 0.949 → trunc top-2 {a, b}
+    // → 1 of 2 survives: recall 0.5, mirrored by the ALL row
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // query
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // a: identical
+      (2L, Seq(0.8f, 0.1f, -5.0f, 0.0f)),  // b: prefix-close, full-far
+      (3L, Seq(0.9f, 0.3f, 0.9f, 0.0f)))   // c: full-close, prefix-third
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.mrlRecall(df, col("vec_id") === 0, k = 2,
+        truncDims = 2)
+      .select("q_id", "n_hits", "recall")
+      .as[(Option[Long], Long, Double)].collect().toSet
+    assert(got == Set((Some(0L), 1L, 0.5), (None, 1L, 0.5)))
+    // identical prefix ordering (no third vector pulls rank) → recall 1
+    val same = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.5f, 0.5f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val g2 = SimilarityOps.mrlRecall(same, col("vec_id") === 0, k = 2,
+        truncDims = 2)
+      .filter(col("q_id").isNull).select("recall")
+      .as[Double].collect().toList
+    assert(g2 == List(1.0))
+  }
 }
