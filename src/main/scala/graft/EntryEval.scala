@@ -260,6 +260,15 @@ private[graft] object EntryEval {
       EvalOps.calibration(ws, conf, col("lang") === "en", nBins = 10)
         .orderBy("bin")
     }),
+    // Nonparametric calibration: isotonic (PAV) fit of purchase
+    // probability against the integer value grid via the minimax
+    // identity — the monotone map q_calibration's fixed bins
+    // approximate. One score-keyed combine, then m²-sized dataflow.
+    "q_isotonic" -> ((s, dir) =>
+      EvalOps.isotonicCalibration(Tables.events(s, dir),
+          expr("CAST(floor(value) AS BIGINT)"),
+          col("event_type") === "purchase")
+        .orderBy("s")),
     // Ranking evaluation: NDCG@10 of the RRF-fused hybrid ranking
     // against graded relevance from the exact cosine ranks (3/2/1 for
     // ranks ≤2/≤5/≤10) — the retrieval-quality gate for the fusion
@@ -1047,6 +1056,36 @@ private[graft] object EntryEval {
         |                  AS DOUBLE)
         |             / CAST(sum(n) OVER () AS DOUBLE), 9) AS ece
         |FROM r2 ORDER BY bin""".stripMargin,
+    // isotonic replay: the same minimax-identity dataflow — exact-int
+    // prefix masses, one IEEE division per interval, min/max windows
+    "q_isotonic" ->
+      """WITH base AS (
+        |  SELECT CAST(floor(value) AS BIGINT) AS s,
+        |         CAST(count(*) AS BIGINT) AS w,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS ysum
+        |  FROM events GROUP BY 1
+        |), pre AS (
+        |  SELECT s, w, ysum,
+        |         CAST(sum(w) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+        |              AS BIGINT) AS cw,
+        |         CAST(sum(ysum) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+        |              AS BIGINT) AS cy
+        |  FROM base
+        |), pairs AS (
+        |  SELECT j.s AS sj, k.s AS sk,
+        |         CAST(k.cy - j.cy + j.ysum AS DOUBLE)
+        |           / CAST(k.cw - j.cw + j.w AS DOUBLE) AS a
+        |  FROM pre j JOIN pre k ON j.s <= k.s
+        |), bmin AS (
+        |  SELECT sj, sk, min(a) OVER (PARTITION BY sj ORDER BY sk DESC
+        |                              ROWS UNBOUNDED PRECEDING) AS b
+        |  FROM pairs
+        |), iso AS (SELECT sk AS s, max(b) AS iso FROM bmin GROUP BY sk)
+        |SELECT base.s, w AS n, ysum AS y_pos,
+        |       round(CAST(ysum AS DOUBLE) / CAST(w AS DOUBLE), 6) AS rate,
+        |       round(iso, 6) AS iso
+        |FROM base JOIN iso USING (s) ORDER BY s""".stripMargin,
     // NDCG replay: the q_rrf_fusion ranking chain + graded gains from
     // the exact cosine ranks; 9-dp discounts, decimal per-query sums
     "q_ndcg" ->

@@ -1004,6 +1004,59 @@ object EvalOps {
         (col("p_adj") <= alpha).as("reject"))
   }
 
+  /** Isotonic-regression calibration (PAV fit) on an integer score
+    * grid: the nonparametric score→probability map (Zadrozny & Elkan
+    * 2002) that [[calibrationBins]]' fixed-width bins approximate —
+    * monotone by construction, no bin-width hyperparameter.
+    *
+    * Instead of the sequential pool-adjacent-violators loop, compute
+    * the SAME fit through the minimax identity
+    *   iso(i) = max_{j≤i} min_{k≥i} mean(y[j..k])
+    * which is pure dataflow: the corpus reduces in ONE score-keyed
+    * aggregate to the m-row grid (exact int64 event/total counts),
+    * prefix sums give every interval mean as a single IEEE division of
+    * exact integers, and two window passes over the m²/2 interval
+    * table (running min over k desc per j, then a max per i) produce
+    * the fit. Everything after the first aggregate is
+    * distinct-score-sized — the [[rocAuc]]/[[conformalThresholds]]
+    * metric-table discipline, with an m² term a calibration grid
+    * (hundreds of scores) keeps trivial.
+    *
+    * Portability: counts are exact ints; every interval mean is the
+    * identical division both engines evaluate; min/max are pure
+    * comparisons — the published 6-dp fit needs no further float
+    * discipline. Output: (s, n, y_pos, rate, iso), iso nondecreasing
+    * in s (the PAV guarantee, spec-pinned).
+    */
+  def isotonicCalibration(df: DataFrame, score: Column, y: Column): DataFrame = {
+    val base = df.select(score.cast("long").as("s"),
+        when(y, 1L).otherwise(0L).as("yy"))
+      .groupBy("s").agg(count(lit(1)).as("w"), sum("yy").as("ysum"))
+    val wRun = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = base
+      .withColumn("cw", sum("w").over(wRun))
+      .withColumn("cy", sum("ysum").over(wRun))
+    val j = pre.select(col("s").as("sj"), col("w").as("wj"),
+      col("ysum").as("yj"), col("cw").as("cwj"), col("cy").as("cyj"))
+    val k = pre.select(col("s").as("sk"), col("cw").as("cwk"),
+      col("cy").as("cyk"))
+    // every interval [j..k]: exact-int mass from prefix differences
+    // (cw_k − cw_j + w_j includes j itself); m²/2 rows, metric-sized
+    val pairs = j.join(k, col("sj") <= col("sk"))
+      .select(col("sj"), col("sk"),
+        ((col("cyk") - col("cyj") + col("yj")).cast("double")
+          / (col("cwk") - col("cwj") + col("wj")).cast("double")).as("a"))
+    val wMinK = Window.partitionBy("sj").orderBy(col("sk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iso = pairs.withColumn("b", min(col("a")).over(wMinK))
+      .groupBy(col("sk").as("s")).agg(max(col("b")).as("iso"))
+    base.join(iso, Seq("s"))
+      .select(col("s"), col("w").as("n"), col("ysum").as("y_pos"),
+        round(col("ysum").cast("double") / col("w").cast("double"), 6).as("rate"),
+        round(col("iso"), 6).as("iso"))
+  }
+
   /** McNemar's paired test (McNemar 1947, uncorrected form): did
     * classifier B improve on classifier A, judged on the SAME items —
     * the right test when two models share an eval set (a paired-sample

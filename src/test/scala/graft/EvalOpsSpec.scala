@@ -478,6 +478,53 @@ class EvalOpsSpec extends SparkSpec {
       .collect().map(_.getAs[Double]("p_adj")).toSeq == Seq(0.9, 0.9))
   }
 
+  test("isotonicCalibration: equals sequential pool-adjacent-violators; monotone") {
+    // classic violator case: rates 0, 1, 0 per score → PAV merges
+    // scores 2-3 into a 0.5 pool: iso = 0, 0.5, 0.5
+    val df = Seq((1L, false), (2L, true), (3L, false)).toDF("s", "y")
+    val got = EvalOps.isotonicCalibration(df, col("s"), col("y"))
+      .orderBy("s").select("s", "n", "y_pos", "rate", "iso")
+      .as[(Long, Long, Long, Double, Double)].collect().toList
+    assert(got == List((1L, 1L, 0L, 0.0, 0.0),
+      (2L, 1L, 1L, 1.0, 0.5), (3L, 1L, 0L, 0.0, 0.5)))
+    // cross-check vs the textbook sequential weighted-PAV stack on a
+    // deterministic pseudo-random 20-score grid with uneven masses
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 20).flatMap { s =>
+      val w = 1 + rnd.nextInt(5)
+      (0 until w).map(_ => (s.toLong, rnd.nextBoolean()))
+    }
+    val grid = rows.toDF("s", "y")
+    val minimax = EvalOps.isotonicCalibration(grid, col("s"), col("y"))
+      .orderBy("s").select("s", "iso").as[(Long, Double)].collect().toList
+    // sequential PAV: merge adjacent pools while the left mean exceeds
+    // the right mean
+    case class Pool(sMin: Long, w: Long, y: Long) {
+      def mean: Double = y.toDouble / w.toDouble
+    }
+    val byS = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, rs) =>
+      Pool(s, rs.size.toLong, rs.count(_._2).toLong)
+    }
+    val stack = scala.collection.mutable.Stack.empty[Pool]
+    byS.foreach { p =>
+      var cur = p
+      while (stack.nonEmpty && stack.top.mean >= cur.mean) {
+        val t = stack.pop()
+        cur = Pool(t.sMin, t.w + cur.w, t.y + cur.y)
+      }
+      stack.push(cur)
+    }
+    val pools = stack.toList.reverse
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val seqFit = minimax.map(_._1).map { s =>
+      r6(pools.filter(_.sMin <= s).last.mean)
+    }
+    assert(minimax.map(_._2) == seqFit)
+    // the PAV guarantee: published fit is nondecreasing in s
+    assert(minimax.map(_._2) == minimax.map(_._2).sorted)
+  }
+
   test("mcnemar: hand-checked discordant cells; no-discordance publishes null") {
     // a/b: TT×4, FF×2, TF×3, FT×1 → chi2 = (3−1)²/(3+1) = 1.0
     val df = (Seq.fill(4)((true, true)) ++ Seq.fill(2)((false, false))
