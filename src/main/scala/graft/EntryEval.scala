@@ -393,7 +393,14 @@ private[graft] object EntryEval {
     // flip the salting hatches.
     "q_skew_report" -> ((s, dir) =>
       DataQualityOps.skewReport(Tables.events(s, dir), col("user_id"), k = 10)
-        .orderBy("rank"))
+        .orderBy("rank")),
+    // Cross-source harmonization: exact quantile normalization of each
+    // event type's deci-grid value distribution onto the pooled one —
+    // integer cross-multiplied ECDF comparisons, no float discipline.
+    "q_quantile_norm" -> ((s, dir) =>
+      RelationalOps.quantileNormalize(Tables.events(s, dir),
+          col("event_type"), expr("CAST(floor(value * 10) AS BIGINT)"))
+        .orderBy("grp", "v"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1468,6 +1475,31 @@ private[graft] object EntryEval {
         |       round(CAST(n * n_keys AS DOUBLE) / CAST(n_total AS DOUBLE), 9)
         |         AS skew_vs_mean,
         |       n_total, n_keys
-        |FROM top, tot WHERE rank <= 10 ORDER BY rank""".stripMargin
+        |FROM top, tot WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // quantile-norm replay: identical grid aggregates and ECDF windows;
+    // the mapping comparison cross-multiplies to HUGEINT lanes
+    "q_quantile_norm" ->
+      """WITH gv AS (
+        |  SELECT event_type AS grp, CAST(floor(value * 10) AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT grp, v, n,
+        |         CAST(sum(n) OVER (PARTITION BY grp ORDER BY v
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g,
+        |         CAST(sum(n) OVER (PARTITION BY grp) AS BIGINT) AS n_g
+        |  FROM gv
+        |), pool AS (SELECT v, CAST(sum(n) AS BIGINT) AS np FROM gv GROUP BY v),
+        |p AS (
+        |  SELECT v AS vp,
+        |         CAST(sum(np) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |              AS BIGINT) AS cum_p,
+        |         CAST(sum(np) OVER () AS BIGINT) AS n_p
+        |  FROM pool
+        |)
+        |SELECT grp, v, n, cum_g, n_g, min(vp) AS mapped
+        |FROM g JOIN p ON CAST(cum_p AS HUGEINT) * n_g >= CAST(cum_g AS HUGEINT) * n_p
+        |GROUP BY grp, v, n, cum_g, n_g
+        |ORDER BY grp, v""".stripMargin
   )
 }

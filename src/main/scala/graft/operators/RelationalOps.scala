@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational building blocks mirroring the reference's hand-rolled
@@ -838,5 +839,54 @@ object RelationalOps {
         when(col("n") > 1L,
           round((col("s") - col("t").cast(dec)).cast("double")
             / (col("n") - 1L), 6)).as("loo"))
+  }
+
+  /** Exact empirical quantile normalization on an integer value grid:
+    * map each group's value distribution onto the POOLED distribution
+    * (the cross-batch harmonization step for metrics whose scales
+    * drift by source — the genomics-style quantile-normalize, per
+    * group instead of per array). Each (group, value) maps to the
+    * smallest pooled value whose ECDF reaches the group value's ECDF:
+    *   map(g, v) = min { v′ : F_pool(v′) ≥ F_g(v) }.
+    *
+    * Exactness: both ECDFs are rational (cum/n); the comparison
+    * cross-multiplies to exact integers — cum_pool(v′)·n_g ≥
+    * cum_g(v)·n_pool — in DECIMAL(38,0) lanes (the products leave
+    * int64 past ~3e9-row corpora), so the published map needs no float
+    * discipline at all.
+    *
+    * Plan shape: corpus → ONE (group, value)-keyed partial-combined
+    * aggregate; the pooled grid derives from the same table; the
+    * mapping "join" is grid_g × grid_pool pairs per group — value-grid
+    * squared, metric-sized, never the corpus. Output: one row per
+    * (grp, v): n, the group and pooled cumulative counts, and `mapped`.
+    */
+  def quantileNormalize(df: DataFrame, group: Column, vGrid: Column): DataFrame = {
+    val dec0 = "decimal(38,0)"
+    val gv = df.select(group.as("grp"), vGrid.cast("long").as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("n"))
+    val wG = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wGAll = Window.partitionBy("grp")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val grpT = gv
+      .withColumn("cum_g", sum("n").over(wG))
+      .withColumn("n_g", sum("n").over(wGAll))
+    val pool = gv.groupBy("v").agg(sum("n").as("np"))
+    val wP = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val poolT = pool
+      .withColumn("cum_p", sum("np").over(wP))
+      .withColumn("n_p", sum("np").over(wPAll))
+      .select(col("v").as("vp"), col("cum_p"), col("n_p"))
+    grpT.join(broadcast(poolT),
+        col("cum_p").cast(dec0) * col("n_g")
+          >= col("cum_g").cast(dec0) * col("n_p"))
+      .groupBy("grp", "v", "n", "cum_g", "n_g")
+      .agg(min("vp").as("mapped"))
+      .select(col("grp"), col("v"), col("n"), col("cum_g"), col("n_g"),
+        col("mapped"))
   }
 }

@@ -476,4 +476,24 @@ class RelationalOpsSpec extends SparkSpec {
       (3L, "a", 3.0, Some(1.5)),
       (4L, "b", 10.0, None)))     // no other rows to average
   }
+
+  test("quantileNormalize: exact ECDF map onto the pooled grid; single group is the identity") {
+    // A = {1,1,2,2}, B = {10,10,10,10}; pool ECDF: 1→2/8, 2→4/8, 10→1
+    // A's v=1 sits at F=1/2 → first pooled v with F≥1/2 is 2;
+    // A's v=2 at F=1 → 10; B's v=10 at F=1 → 10
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("A", 2L),
+      ("B", 10L), ("B", 10L), ("B", 10L), ("B", 10L)).toDF("g", "v")
+    val got = RelationalOps.quantileNormalize(df, col("g"), col("v"))
+      .select("grp", "v", "n", "cum_g", "n_g", "mapped")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("A", 1L, 2L, 2L, 4L, 2L),
+      ("A", 2L, 2L, 4L, 4L, 10L),
+      ("B", 10L, 4L, 4L, 4L, 10L)))
+    // one group: F_g == F_pool pointwise → the map is the identity
+    val solo = Seq.tabulate(30)(i => ("only", (i % 7).toLong)).toDF("g", "v")
+    val ident = RelationalOps.quantileNormalize(solo, col("g"), col("v"))
+      .select("v", "mapped").as[(Long, Long)].collect()
+    assert(ident.forall { case (v, m) => v == m })
+  }
 }
