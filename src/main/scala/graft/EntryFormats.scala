@@ -435,7 +435,7 @@ private[graft] object EntryFormats {
       q.awaitTermination()
       s.table(qn)
         .select(unix_micros(col("w_start")).as("start_us"), col("n"),
-          round(col("mean_value"), 4).as("mean_value"))
+          col("mean_value"))
         .orderBy("start_us")
     }),
     // Stream–static enrichment: every streamed event picks up its

@@ -263,12 +263,35 @@ private[graft] object EntryHelpers {
        |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin
   }
 
+  /** Exact half-up 4-dp mean of a CENT-GRID metric (events.value is a
+    * 2-dp decimal stored as double; round(v·100) recovers the exact
+    * integer cents — the true value is ON the grid, so no rounding tie
+    * exists there). The mean is then rounded half-up at 4 dp in PURE
+    * INTEGER arithmetic — floor((2·100·Σcents + n) / (2n)) — and the
+    * published value scaled/10⁴ is an exact double.
+    *
+    * Why not round(double, 4): the exact mean rational lands exactly
+    * ON x.xxxx5 boundaries (cents/(100n) does so for many n), where
+    * Spark rounds the double's binary expansion and DuckDB its
+    * shortest decimal repr — divergence in BOTH directions (the
+    * q_robust_z lesson; resurfaced by the sf10 audit on
+    * q_semi_sample's 9,470 per-user means, 6 boundary hits). Integer
+    * half-up of the exact rational is engine-free arithmetic.
+    *
+    * The quotient runs in decimal(38,0) lanes; the division is exact
+    * by construction (numerator reduced by its pmod remainder), so
+    * decimal division's scale rules can't round it. int64 bound:
+    * 200·Σcents ≤ 7e17 at a 10¹²-row corpus.
+    */
   private[graft] def decMean(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    round(sum(c.cast("decimal(28,12)")).cast("double") / count(lit(1)), 4)
+    PlanUtils.halfUpMean4(sum(round(c * lit(100)).cast("long")), count(lit(1)))
 
-  /** DuckDB rendering of [[decMean]]. */
+  /** DuckDB rendering of [[decMean]] (hugeint `//` is the same floor
+    * division the pmod-reduced decimal quotient computes).
+    */
   private[graft] def decMeanSql(expr: String): String =
-    s"round(CAST(sum(CAST($expr AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4)"
+    s"""CAST((200 * CAST(sum(CAST(round($expr * 100) AS BIGINT)) AS HUGEINT)
+       |      + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0""".stripMargin
 
   /** Top-k size for the regression pipeline (reference uses 1000 on a
     * real vocabulary; the synthetic corpus has ~31 distinct tokens).

@@ -64,4 +64,22 @@ object PlanUtils {
         shiftleft(shiftright(b, d).bitwiseAND(lit(1L)), 2 * d + 1)
     }.reduce(_ + _)
   }
+
+  /** Half-up 4-dp mean of a nonnegative CENT-grid sum: published value
+    * = floor((2·100·centsSum + n) / (2n)) / 10⁴ — pure integer
+    * arithmetic, so the boundary x.xxxx5 rationals that make
+    * round(double, 4) diverge between engines (Spark rounds the binary
+    * expansion, DuckDB the shortest decimal repr) are decided by exact
+    * comparison instead. The quotient runs via the pmod-reduced
+    * decimal(38,0) division (exactly divisible by construction — the
+    * decimal scale rules can't round it); int64 bound: 200·Σcents ≤
+    * 7e17 at a 10¹²-row corpus. DuckDB rendering: hugeint `//`.
+    */
+  def halfUpMean4(centsSum: Column, n: Column): Column = {
+    val dec0 = "decimal(38,0)"
+    val a = centsSum * lit(200L) + n
+    val b = n * lit(2L)
+    val q = ((a - pmod(a, b)).cast(dec0) / b.cast(dec0)).cast("long")
+    q.cast("double") / lit(10000.0)
+  }
 }

@@ -213,14 +213,15 @@ object StreamingOps {
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_))
-      // exact decimal sum, one double divide: the mean is order-
-      // insensitive (micro-batch arrival order must not change it) and
-      // engine-portable for the oracle gate
+      // exact CENT-grid sum + integer half-up mean: order-insensitive
+      // (micro-batch arrival order must not change it) and decided by
+      // exact arithmetic at the 4-dp boundaries where round(double, 4)
+      // diverges between engines (the decMean/q_semi_sample lesson)
       .agg(count(lit(1)).as("n"),
-        (sum(col(valueCol).cast("decimal(28,12)")).cast("double") / count(lit(1)))
-          .as("mean_value"))
+        sum(round(col(valueCol) * lit(100)).cast("long")).as("__cents"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
-        col("n"), col("mean_value"))
+        col("n"),
+        graft.PlanUtils.halfUpMean4(col("__cents"), col("n")).as("mean_value"))
 
   /** Watermarked HOPPING-window stats — [[windowedStats]] with a slide
     * shorter than the window, so each event updates window/slide
