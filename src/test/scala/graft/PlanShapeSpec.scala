@@ -378,4 +378,58 @@ class PlanShapeSpec extends SparkSpec {
       s"no aggregate below the window:\n${plan.take(2000)}")
     spark.catalog.clearCache()
   }
+
+  test("q_isotonic: the m² interval table sits above the score-keyed combine") {
+    // the minimax dataflow must reduce the corpus FIRST: a
+    // HashAggregate below the pair join/windows. A join of raw corpus
+    // rows against raw corpus rows is the scale anti-plan.
+    val df = SparkEntry.queries("q_isotonic")(spark, sf0)
+    df.queryExecution.toRdd.count()
+    val plan = planString(df)
+    val jIdx = math.max(plan.indexOf("SortMergeJoin"),
+      plan.indexOf("BroadcastHashJoin") max plan.indexOf("BroadcastNestedLoopJoin"))
+    assert(jIdx >= 0, plan.take(2000))
+    assert(plan.indexOf("HashAggregate", jIdx) > jIdx,
+      s"no aggregate below the interval join:\n${plan.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("q_cusum: one (grp, day)-keyed aggregate below the per-group windows") {
+    val df = SparkEntry.queries("q_cusum")(spark, sf0)
+    df.queryExecution.toRdd.count()
+    val plan = planString(df)
+    val wIdx = plan.indexOf("Window")
+    assert(wIdx >= 0 && plan.indexOf("HashAggregate", wIdx) > wIdx,
+      s"no aggregate below the window:\n${plan.take(2000)}")
+    // the whole-corpus totals ride a broadcast join back to the day
+    // grid, not a second corpus exchange
+    assert(plan.contains("BroadcastHashJoin")
+      || plan.contains("BroadcastExchange"), plan.take(2000))
+    spark.catalog.clearCache()
+  }
+
+  test("q_quantile_norm: pooled grid broadcast against the group grid") {
+    // the ECDF mapping join is grid×grid and must run with the pooled
+    // side broadcast — a shuffled non-equi join here would be a
+    // cartesian through the exchange
+    val df = SparkEntry.queries("q_quantile_norm")(spark, sf0)
+    df.queryExecution.toRdd.count()
+    val plan = planString(df)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    val jIdx = plan.indexOf("BroadcastNestedLoopJoin")
+    assert(plan.indexOf("HashAggregate", jIdx) > jIdx,
+      s"no aggregate below the mapping join:\n${plan.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("q_mrl_recall: query sides broadcast in both ranking passes") {
+    // bruteForceTopK's contract twice over: the corpus scans stream,
+    // the bounded query sets broadcast — no corpus×corpus product
+    val df = SparkEntry.queries("q_mrl_recall")(spark, sf0)
+    df.queryExecution.toRdd.count()
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    spark.catalog.clearCache()
+  }
 }
