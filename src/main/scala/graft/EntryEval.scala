@@ -172,6 +172,18 @@ private[graft] object EntryEval {
       EvalOps.fleissKappa(ratings, col("doc_id"), col("label"), m = 3)
         .orderBy("label")
     }),
+    // Label-shift monitor (BBSE): target 'en' prevalence + importance
+    // weights estimated from the NB confusion on the even eval docs
+    // (labeled source) and predictions alone on the odd eval docs
+    // (target treated as unlabeled). Seven counters, one Cramer dag.
+    "q_label_shift" -> ((s, dir) => {
+      val nb = TextOps.naiveBayes(Tables.documents(s, dir),
+        labelCol = "lang", evalMod = 5)
+      EvalOps.labelShiftBbse(nb,
+        col("pred_label") === "en", col("true_label") === "en",
+        pmod(col("doc_id"), lit(10L)) === 0L)
+        .orderBy("cls")
+    }),
     // Paired-classifier comparison: McNemar's test of the langId
     // heuristic (A) vs the NB classifier (B) on the SHARED eval split
     // — only the discordant counts carry signal.
@@ -633,6 +645,51 @@ private[graft] object EntryEval {
          |            THEN round((pbar - pe) / (1.0 - pe), 6) + 0.0 END
          |FROM allr
          |ORDER BY label""".stripMargin,
+    // BBSE replay: the same seven counters off the NB replay, Cramer
+    // products in HUGEINT lanes, one IEEE division per estimate
+    "q_label_shift" ->
+      s"""WITH nb AS ($NaiveBayesOracle),
+         |f AS (
+         |  SELECT pred_label = 'en' AS p, true_label = 'en' AS t,
+         |         doc_id % 10 = 0 AS src
+         |  FROM nb
+         |), agg AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN src AND p AND t THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |    CAST(sum(CASE WHEN src AND p AND NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |    CAST(sum(CASE WHEN src AND NOT p AND t THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |    CAST(sum(CASE WHEN src AND NOT p AND NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+         |    CAST(sum(CASE WHEN src THEN 1 ELSE 0 END) AS BIGINT) AS ns,
+         |    CAST(sum(CASE WHEN NOT src AND p THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+         |    CAST(sum(CASE WHEN NOT src AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS m0
+         |  FROM f
+         |), r AS (
+         |  SELECT *,
+         |         CAST(n11 AS HUGEINT) * n00 - CAST(n10 AS HUGEINT) * n01 AS det,
+         |         m1 + m0 AS m,
+         |         CAST(m1 AS HUGEINT) * n00 - CAST(n10 AS HUGEINT) * m0 AS nump,
+         |         CAST(n11 AS HUGEINT) * m0 - CAST(m1 AS HUGEINT) * n01 AS numn
+         |  FROM agg
+         |)
+         |SELECT 'pos' AS cls, n11 + n01 AS n_src_true, n11 + n10 AS n_src_pred,
+         |       m1 AS m_pred,
+         |       CASE WHEN det <> 0 AND m > 0 THEN
+         |         round(CAST(nump * ns AS DOUBLE)
+         |               / CAST(CAST(m AS HUGEINT) * det AS DOUBLE), 6) + 0.0 END AS w,
+         |       CASE WHEN det <> 0 AND m > 0 THEN
+         |         round(CAST(nump * (n11 + n01) AS DOUBLE)
+         |               / CAST(CAST(m AS HUGEINT) * det AS DOUBLE), 6) + 0.0 END AS pi_target
+         |FROM r
+         |UNION ALL
+         |SELECT 'neg', n10 + n00, n01 + n00, m0,
+         |       CASE WHEN det <> 0 AND m > 0 THEN
+         |         round(CAST(numn * ns AS DOUBLE)
+         |               / CAST(CAST(m AS HUGEINT) * det AS DOUBLE), 6) + 0.0 END,
+         |       CASE WHEN det <> 0 AND m > 0 THEN
+         |         round(CAST(numn * (n10 + n00) AS DOUBLE)
+         |               / CAST(CAST(m AS HUGEINT) * det AS DOUBLE), 6) + 0.0 END
+         |FROM r
+         |ORDER BY cls""".stripMargin,
     // McNemar replay: four exact-int cells from one aggregate over the
     // paired frame; chi2 one IEEE division; 3.841459 = chi2(1) 5% crit
     "q_mcnemar" ->

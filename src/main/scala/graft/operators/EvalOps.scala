@@ -1057,6 +1057,68 @@ object EvalOps {
         round(col("iso"), 6).as("iso"))
   }
 
+  /** Black-box shift estimation (BBSE, Lipton et al. 2018), binary
+    * form: estimate the TARGET label distribution and the
+    * importance weights w(y) = p_tgt(y)/p_src(y) from (a) the
+    * classifier's confusion on a LABELED source slice and (b) only its
+    * PREDICTIONS on the unlabeled target slice — the label-shift
+    * monitor run before reweighting or retraining on drifted data.
+    * Solves C·w = μ (C = source joint p(ŷ, y), μ = target p(ŷ)) by
+    * Cramer; identifiability requires det C ≠ 0 (a better-than-random
+    * classifier), NULL otherwise.
+    *
+    * Portability: the corpus reduces to SEVEN int64 counters in one
+    * aggregate; every published statistic is one IEEE division of
+    * exact integer products carried in DECIMAL(38,0)/HUGEINT lanes
+    * (triple products of counts leave int64 at ~2e6 rows):
+    *   w_pos  = n_s·(m₁·n̄₀₀ − n̄₁₀·m₀) / (m·detInt),
+    *   π_pos  = (m₁·n̄₀₀ − n̄₁₀·m₀)·(n̄₁₁+n̄₀₁) / (m·detInt),
+    * with detInt = n̄₁₁·n̄₀₀ − n̄₁₀·n̄₀₁ (source confusion cells).
+    * Estimates are published UNCLIPPED (BBSE can emit small negatives
+    * under sampling noise; clipping is the caller's policy).
+    *
+    * Plan shape: ONE partial-combined aggregate → constant-sized dag.
+    * Output: one row per class (cls, n_src_true, n_src_pred, m_pred,
+    * w, pi_target).
+    */
+  def labelShiftBbse(df: DataFrame, predPos: Column, truePos: Column,
+      isSource: Column): DataFrame = {
+    val dec0 = "decimal(38,0)"
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val agg = df.select(predPos.as("p"), truePos.as("t"),
+        isSource.as("src"))
+      .agg(
+        cnt(col("src") && col("p") && col("t")).as("n11"),
+        cnt(col("src") && col("p") && !col("t")).as("n10"),
+        cnt(col("src") && !col("p") && col("t")).as("n01"),
+        cnt(col("src") && !col("p") && !col("t")).as("n00"),
+        cnt(col("src")).as("ns"),
+        cnt(!col("src") && col("p")).as("m1"),
+        cnt(!col("src") && !col("p")).as("m0"))
+    def d(c: Column) = c.cast(dec0)
+    val rows = agg.select(col("*"),
+        (d(col("n11")) * col("n00") - d(col("n10")) * col("n01")).as("det"),
+        (col("m1") + col("m0")).as("m"))
+      .select(col("*"),
+        (d(col("m1")) * col("n00") - d(col("n10")) * col("m0")).as("numP"),
+        (d(col("n11")) * col("m0") - d(col("m1")) * col("n01")).as("numN"))
+    def ratio(num: Column, scale: Column) =
+      when(col("det") =!= 0 && col("m") > 0,
+        round((num * scale).cast("double")
+          / (d(col("m")) * col("det")).cast("double"), 6) + 0.0)
+    val pos = rows.select(lit("pos").as("cls"),
+      (col("n11") + col("n01")).as("n_src_true"),
+      (col("n11") + col("n10")).as("n_src_pred"), col("m1").as("m_pred"),
+      ratio(col("numP"), d(col("ns"))).as("w"),
+      ratio(col("numP"), d(col("n11") + col("n01"))).as("pi_target"))
+    val neg = rows.select(lit("neg").as("cls"),
+      (col("n10") + col("n00")).as("n_src_true"),
+      (col("n01") + col("n00")).as("n_src_pred"), col("m0").as("m_pred"),
+      ratio(col("numN"), d(col("ns"))).as("w"),
+      ratio(col("numN"), d(col("n10") + col("n00"))).as("pi_target"))
+    pos.unionByName(neg)
+  }
+
   /** McNemar's paired test (McNemar 1947, uncorrected form): did
     * classifier B improve on classifier A, judged on the SAME items —
     * the right test when two models share an eval set (a paired-sample

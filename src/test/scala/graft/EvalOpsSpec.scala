@@ -525,6 +525,35 @@ class EvalOpsSpec extends SparkSpec {
     assert(minimax.map(_._2) == minimax.map(_._2).sorted)
   }
 
+  test("labelShiftBbse: exact recovery under proportional shift; singular confusion nulls") {
+    // source: 50 pos (40 pred+, 10 pred−), 50 neg (5 pred+, 45 pred−)
+    // target: 80/20 mix with the same class-conditional confusion →
+    // BBSE recovers w = (1.6, 0.4), π = (0.8, 0.2) EXACTLY
+    def rows(n: Int, p: Boolean, t: Boolean, src: Boolean) =
+      Seq.fill(n)((p, t, src))
+    val df = (rows(40, true, true, true) ++ rows(10, false, true, true)
+      ++ rows(5, true, false, true) ++ rows(45, false, false, true)
+      ++ rows(64, true, true, false) ++ rows(16, false, true, false)
+      ++ rows(2, true, false, false) ++ rows(18, false, false, false))
+      .toDF("p", "t", "src")
+    val got = EvalOps.labelShiftBbse(df, col("p"), col("t"), col("src"))
+      .orderBy("cls")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toList
+    assert(got == List(
+      ("neg", 50L, 55L, 34L, Some(0.4), Some(0.2)),
+      ("pos", 50L, 45L, 66L, Some(1.6), Some(0.8))))
+    // a random (rank-1) confusion is unidentifiable → null estimates
+    val sing = (rows(10, true, true, true) ++ rows(10, true, false, true)
+      ++ rows(10, false, true, true) ++ rows(10, false, false, true)
+      ++ rows(7, true, true, false) ++ rows(3, false, false, false))
+      .toDF("p", "t", "src")
+    val g2 = EvalOps.labelShiftBbse(sing, col("p"), col("t"), col("src"))
+      .select("w", "pi_target")
+      .as[(Option[Double], Option[Double])].collect().toList
+    assert(g2 == List((None, None), (None, None)))
+  }
+
   test("mcnemar: hand-checked discordant cells; no-discordance publishes null") {
     // a/b: TT×4, FF×2, TF×3, FT×1 → chi2 = (3−1)²/(3+1) = 1.0
     val df = (Seq.fill(4)((true, true)) ++ Seq.fill(2)((false, false))
