@@ -162,6 +162,13 @@ private[graft] object EntryTextModels {
       TemporalOps.cusumShift(Tables.events(s, dir), col("event_type"),
           col("ts"), expr("CAST(floor(value * 10) AS BIGINT)"))
         .orderBy("grp", "day")),
+    // Day-of-week seasonal decomposition per event type: the weekday
+    // effect profile + the day that most broke its own weekday pattern
+    // — exact-int ratio arithmetic end to end.
+    "q_seasonal" -> ((s, dir) =>
+      TemporalOps.seasonalProfile(Tables.events(s, dir), col("event_type"),
+          col("ts"), expr("CAST(floor(value * 10) AS BIGINT)"))
+        .orderBy("grp", "dow")),
     // Semi-structured extraction: the events.props JSON column parsed
     // with a real JSON reader (from_json + schema) and aggregated on
     // the extracted field — the metadata-filtering shape every curation
@@ -970,6 +977,43 @@ private[graft] object EntryTextModels {
     // (6 PRECEDING..1 PRECEDING, total order), z from the published
     // pair, null under cold start (n_prior < 4) or zero variance
     "q_ts_anomaly" -> TsAnomalyOracle,
+    // seasonal replay: same day/dow aggregates, HUGEINT cross
+    // products, residual ranked on the identical unrounded double
+    "q_seasonal" ->
+      """WITH daily AS (
+        |  SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS day,
+        |         sum(CAST(CAST(floor(value * 10) AS BIGINT) AS HUGEINT)) AS s,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), d2 AS (SELECT *, day % 7 AS dow FROM daily),
+        |tot AS (
+        |  SELECT grp, sum(s) AS t, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM daily GROUP BY grp
+        |), bydow AS (
+        |  SELECT grp, dow, sum(s) AS sw, CAST(sum(cnt) AS BIGINT) AS cw,
+        |         CAST(count(*) AS BIGINT) AS n_days
+        |  FROM d2 GROUP BY grp, dow
+        |), prof AS (
+        |  SELECT b.grp, b.dow, b.n_days, b.cw AS n,
+        |         round(CAST(b.sw * t.n - b.cw * t.t AS DOUBLE)
+        |               / CAST(CAST(b.cw AS HUGEINT) * t.n AS DOUBLE), 6) + 0.0
+        |           AS eff
+        |  FROM bydow b JOIN tot t USING (grp)
+        |), res AS (
+        |  SELECT d.grp, d.dow, d.day,
+        |         CAST(d.s * b.cw - CAST(d.cnt AS HUGEINT) * b.sw AS DOUBLE)
+        |           / CAST(CAST(d.cnt AS HUGEINT) * b.cw AS DOUBLE) AS res
+        |  FROM d2 d JOIN bydow b USING (grp, dow)
+        |), pk AS (
+        |  SELECT grp, dow, day AS peak_day, round(res, 6) + 0.0 AS peak_res
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY grp, dow
+        |                                     ORDER BY abs(res) DESC, day) AS rk
+        |        FROM res) x
+        |  WHERE rk = 1
+        |)
+        |SELECT p.grp, p.dow, p.n_days, p.n, p.eff, k.peak_day, k.peak_res
+        |FROM prof p JOIN pk k USING (grp, dow)
+        |ORDER BY grp, dow""".stripMargin,
     // CUSUM replay: integer-scaled deviations dev = s·N − n·T in
     // HUGEINT lanes (DECIMAL(38,0) on the engine side), running
     // sum/min/max windows over the day grid, exact-int publication

@@ -732,6 +732,57 @@ object TemporalOps {
           .otherwise(round(exp(col("cum_ln").cast("double")), 6)).as("survival"))
   }
 
+  /** Day-of-week seasonal profile + deseasonalized residual peaks per
+    * group — the "is Monday always low, and which day broke its own
+    * pattern" decomposition behind seasonal-aware alerting (a raw
+    * z-score pages every weekend; [[cusumShift]] finds level shifts;
+    * this finds the day that deviates from ITS OWN weekday).
+    *
+    * Exactness: on the caller's integer grid, the dow effect
+    * (mean_dow − mean_group) and each day's residual vs its dow mean
+    * are ratios of exact integers — published as single IEEE
+    * divisions rounded 6dp, ranked on the identical unrounded double
+    * (ties broken by day). DECIMAL(38,0) lanes for the cross products.
+    *
+    * Plan shape: corpus → ONE (grp, day)-keyed aggregate; dow and
+    * group totals reduce from that day grid and broadcast back; the
+    * residual ranking windows run per (grp, dow) over the day grid.
+    * Output: (grp, dow, n_days, n, eff, peak_day, peak_res) — one row
+    * per group × weekday.
+    */
+  def seasonalProfile(events: DataFrame, group: Column, tsCol: Column,
+      xGrid: Column, dayUs: Long = 86400000000L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = events.select(group.as("grp"), unix_micros(tsCol).as("__us"),
+        xGrid.cast("long").as("x"))
+      .select(col("grp"), expr(s"__us div ${dayUs}L").as("day"), col("x"))
+      .groupBy("grp", "day")
+      .agg(sum(col("x").cast(dec)).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+    val tot = daily.groupBy("grp")
+      .agg(sum(col("s")).as("t"), sum(col("cnt")).as("n"))
+    val byDow = daily.groupBy("grp", "dow")
+      .agg(sum(col("s")).as("sw"), sum(col("cnt")).as("cw"),
+        count(lit(1)).as("n_days"))
+    val prof = byDow.join(broadcast(tot), Seq("grp"))
+      .select(col("grp"), col("dow"), col("n_days"), col("cw").as("n"),
+        (round((col("sw") * col("n") - col("cw") * col("t")).cast("double")
+          / (col("cw").cast(dec) * col("n")).cast("double"), 6) + 0.0).as("eff"),
+        col("sw"), col("cw"))
+    val res = daily.join(broadcast(byDow.select("grp", "dow", "sw", "cw")),
+        Seq("grp", "dow"))
+      .withColumn("res",
+        (col("s") * col("cw") - col("cnt").cast(dec) * col("sw")).cast("double")
+          / (col("cnt").cast(dec) * col("cw")).cast("double"))
+    val wPeak = Window.partitionBy("grp", "dow")
+      .orderBy(abs(col("res")).desc, col("day"))
+    val peaks = res.withColumn("rk", row_number().over(wPeak))
+      .filter(col("rk") === 1)
+      .select(col("grp"), col("dow"), col("day").as("peak_day"),
+        (round(col("res"), 6) + 0.0).as("peak_res"))
+    prof.drop("sw", "cw").join(peaks, Seq("grp", "dow"))
+  }
+
   /** CUSUM mean-shift detection (Page 1954) per group over a daily
     * grid — "did this metric's level change, and when": the
     * data-quality / drift monitor that catches a sustained small shift

@@ -505,6 +505,32 @@ class TemporalOpsSpec extends SparkSpec {
       (4L, 1L, 1L, 0L, 1.0, 0.0)))   // d = n: curve hits exact zero
   }
 
+  test("seasonalProfile: weekday effect exact; residual peak finds the day that broke its pattern") {
+    // 14 days, one obs/day: dow 0 carries 10 then an anomalous 40;
+    // all other days 20. T = 290, N = 14.
+    // eff(dow0) = 25 − 290/14 = 120/28; eff(other) = −20/28
+    // dow0 residuals vs its own mean 25: −15 and +15 (|res| tie →
+    // earlier day wins); other dows: 0
+    val dayUs = 86400000000L
+    val rows = (0L until 14L).map { d =>
+      val x = if (d == 0L) 10L else if (d == 7L) 40L else 20L
+      ("g", d * dayUs + 3L, x)
+    }
+    val df = rows.toDF("grp", "us", "x")
+      .select(col("grp"), timestamp_micros(col("us")).as("ts"), col("x"))
+    val got = TemporalOps.seasonalProfile(df, col("grp"), col("ts"), col("x"))
+      .orderBy("dow")
+      .select("dow", "n_days", "n", "eff", "peak_day", "peak_res")
+      .as[(Long, Long, Long, Double, Long, Double)].collect().toList
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.head == ((0L, 2L, 2L, r6(120.0 / 28), 0L, -15.0)))
+    got.tail.zipWithIndex.foreach { case ((dow, nd, n, eff, pd, pr), i) =>
+      assert(dow == i + 1L && nd == 2L && n == 2L)
+      assert(eff == r6(-20.0 / 28) && pd == dow && pr == 0.0)
+    }
+  }
+
   test("cusumShift: level shift accumulates via the prefix-min identity; peak flags the excursion max") {
     // one observation per day, grid value 10 on days 0-2 then 20 on
     // days 3-5: T = 90, N = 6 → dev = ±30·(scaled); C walks
