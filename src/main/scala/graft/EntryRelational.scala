@@ -226,6 +226,13 @@ private[graft] object EntryRelational {
       DataQualityOps.dpNoisyCounts(Tables.events(s, dir), "event_type",
           eps = 0.5, seed = "dp1")
         .orderBy("event_type")),
+    // LOCAL-DP collection: k-ary randomized response over event types
+    // (p = 3/4) + the collector's debiased frequency estimate; true
+    // counts published as the realized-error certificate.
+    "q_rr_freq" -> ((s, dir) =>
+      DataQualityOps.rrFrequency(Tables.events(s, dir), col("event_id"),
+          col("event_type"), seed = "rr1")
+        .orderBy("cat")),
     // Link prediction (Liben-Nowell/Kleinberg): common-neighbor count
     // + Jaccard for non-adjacent 2-hop pairs of the synthetic link
     // graph — wedge join keyed by the shared neighbor, anti-join
@@ -969,6 +976,35 @@ private[graft] object EntryRelational {
         |       CAST(n AS DOUBLE) + (-2.0) * sign(u - 0.5)
         |         * round(ln(1.0 - 2.0 * abs(u - 0.5)), 9) AS noisy_n
         |FROM u ORDER BY event_type""".stripMargin,
+    // RR replay: same per-row hash lanes (honesty bits + lie draw),
+    // same category indexing, one debias division of exact ints
+    "q_rr_freq" ->
+      """WITH cats AS (
+        |  SELECT cat, CAST(row_number() OVER (ORDER BY cat) AS BIGINT) - 1 AS idx
+        |  FROM (SELECT DISTINCT event_type AS cat FROM events)
+        |), kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM cats),
+        |b AS (
+        |  SELECT c.idx,
+        |    ('0x' || substring(md5(CAST(e.event_id AS VARCHAR) || '|rr1'), 1, 6))::BIGINT AS h1,
+        |    ('0x' || substring(md5(CAST(e.event_id AS VARCHAR) || '|rr1'), 7, 6))::BIGINT AS h2
+        |  FROM events e JOIN cats c ON c.cat = e.event_type
+        |), r AS (
+        |  SELECT CASE WHEN k.k < 2 OR h1 % 4 < 3 THEN idx
+        |              ELSE (idx + 1 + h2 % (k.k - 1)) % k.k END AS rep_idx
+        |  FROM b CROSS JOIN kk k
+        |), rep AS (
+        |  SELECT rep_idx AS idx, CAST(count(*) AS BIGINT) AS n_reported
+        |  FROM r GROUP BY 1
+        |), tr AS (SELECT idx, CAST(count(*) AS BIGINT) AS n_true FROM b GROUP BY idx),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+        |SELECT c.cat, coalesce(t.n_true, 0) AS n_true,
+        |       coalesce(p.n_reported, 0) AS n_reported,
+        |       CASE WHEN k.k >= 2 THEN
+        |         round(CAST(4 * (k.k - 1) * coalesce(p.n_reported, 0) - nn.n AS DOUBLE)
+        |               / CAST(nn.n * (3 * k.k - 4) AS DOUBLE), 6) + 0.0 END AS pi_hat
+        |FROM cats c LEFT JOIN tr t USING (idx) LEFT JOIN rep p USING (idx)
+        |CROSS JOIN nn CROSS JOIN kk k
+        |ORDER BY cat""".stripMargin,
     // synchronous LPA unrolled: per round, neighbor-majority vote with
     // row_number (cnt DESC, label ASC) replaying the engine's
     // bit-packed argmax semantics; undirected simple projection first

@@ -86,6 +86,64 @@ object DataQualityOps {
         (col("__n").cast("double") + noise).as("noisy_n"))
   }
 
+  /** k-ary generalized randomized response (Warner 1965 / GRR): each
+    * row reports its TRUE category with probability p = 3/4, else a
+    * deterministic-"random" one of the other k−1 — the LOCAL-DP
+    * collection mechanism (ε = ln(p(k−1)/(1−p))) — then the collector
+    * debiases the reported counts:
+    *   π̂_j = (f_j/n − q)/(p − q),  q = (1−p)/(k−1)
+    *        = (4(k−1)·f_j − n) / (n·(3k−4))   at p = 3/4,
+    * one IEEE division of exact int64 terms. True counts are published
+    * next to the estimate — the certificate showing the estimator's
+    * realized error. Complements [[dpNoisyCounts]] (central DP: exact
+    * counts + output noise) with the collection-side mechanism.
+    *
+    * Randomness is md5-seeded per ROW id (the [[RelationalOps
+    * .hashUniform]] contract): honesty from 2 hash bits, the lie drawn
+    * uniformly over the other categories by a second hash lane — fully
+    * replayable in the oracle. k < 2 (nothing to lie about) publishes
+    * NULL estimates.
+    *
+    * Plan shape: the category table (k rows, broadcast) indexes both
+    * the true and lie categories; the corpus reduces in ONE
+    * category-keyed aggregate of reported/true counts. Output:
+    * (cat, n_true, n_reported, pi_hat).
+    */
+  def rrFrequency(df: DataFrame, idCol: Column, catCol: Column,
+      seed: String): DataFrame = {
+    val cats = df.select(catCol.as("cat")).distinct()
+      .withColumn("idx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("cat")).cast("long") - 1L)
+    val k = cats.agg(count(lit(1)).as("k"))
+    val h = md5(concat_ws("|", col("id").cast("string"), lit(seed)).cast("binary"))
+    val base = df.select(idCol.as("id"), catCol.as("cat"))
+      .withColumn("__h1", conv(substring(h, 1, 6), 16, 10).cast("long"))
+      .withColumn("__h2", conv(substring(h, 7, 6), 16, 10).cast("long"))
+      .join(broadcast(cats), Seq("cat"))
+      .crossJoin(broadcast(k))
+      .withColumn("rep_idx",
+        when(col("k") < 2L || pmod(col("__h1"), lit(4L)) < 3L, col("idx"))
+          .otherwise(pmod(col("idx") + 1L + pmod(col("__h2"), col("k") - 1L),
+            col("k"))))
+    val reported = base.groupBy("rep_idx")
+      .agg(count(lit(1)).as("n_reported"))
+      .withColumnRenamed("rep_idx", "idx")
+    val truth = base.groupBy("idx").agg(count(lit(1)).as("n_true"))
+    val n = df.agg(count(lit(1)).as("n"))
+    cats.join(truth, Seq("idx"), "left")
+      .join(reported, Seq("idx"), "left")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(k))
+      .select(col("cat"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_reported"), lit(0L)).as("n_reported"),
+        when(col("k") >= 2L,
+          round((lit(4L) * (col("k") - 1L)
+              * coalesce(col("n_reported"), lit(0L)) - col("n")).cast("double")
+            / (col("n") * (lit(3L) * col("k") - 4L)).cast("double"), 6) + 0.0)
+          .as("pi_hat"))
+  }
+
   /** Exact equi-depth histogram boundaries — the planning primitive
     * behind range partitioning, sort-merge split points, and balanced
     * shard layout: boundary_i is the smallest value whose cumulative

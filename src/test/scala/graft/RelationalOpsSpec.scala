@@ -477,6 +477,35 @@ class RelationalOpsSpec extends SparkSpec {
       (4L, "b", 10.0, None)))     // no other rows to average
   }
 
+  test("rrFrequency: mass conserved, debias algebra exact, estimates sum to 1; k=1 null") {
+    val df = Seq.tabulate(400)(i =>
+      (i.toLong, if (i % 4 == 0) "a" else if (i % 4 == 1) "b" else "c"))
+      .toDF("id", "cat")
+    val got = graft.operators.DataQualityOps
+      .rrFrequency(df, col("id"), col("cat"), "t")
+      .select("cat", "n_true", "n_reported", "pi_hat")
+      .as[(String, Long, Long, Option[Double])].collect().toList.sortBy(_._1)
+    // reported mass conserved; truth matches the construction
+    assert(got.map(_._2).sum == 400L && got.map(_._3).sum == 400L)
+    assert(got.map(t => t._1 -> t._2).toMap ==
+      Map("a" -> 100L, "b" -> 100L, "c" -> 200L))
+    // debias algebra replays exactly: (4(k−1)f − n)/(n(3k−4)), k = 3
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (_, _, f, pi) =>
+      assert(pi.contains(r6((8.0 * f - 400.0) / (400.0 * 5.0)) + 0.0))
+    }
+    // the unrounded estimates sum to exactly 1 — check at 6dp tolerance
+    assert(math.abs(got.flatMap(_._4).sum - 1.0) < 3e-6)
+    // a single category leaves nothing to lie about → null estimate
+    val g1 = graft.operators.DataQualityOps
+      .rrFrequency(Seq((1L, "x"), (2L, "x")).toDF("id", "cat"),
+        col("id"), col("cat"), "t")
+      .select("n_true", "pi_hat")
+      .as[(Long, Option[Double])].collect().toList
+    assert(g1 == List((2L, None)))
+  }
+
   test("quantileNormalize: exact ECDF map onto the pooled grid; single group is the identity") {
     // A = {1,1,2,2}, B = {10,10,10,10}; pool ECDF: 1→2/8, 2→4/8, 10→1
     // A's v=1 sits at F=1/2 → first pooled v with F≥1/2 is 2;
