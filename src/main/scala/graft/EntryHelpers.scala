@@ -620,7 +620,7 @@ private[graft] object EntryHelpers {
       |  FROM terms GROUP BY doc_id, true_label, c
       |)
       |SELECT doc_id, true_label, c AS pred_label, c = true_label AS correct,
-      |       round(CAST(score AS DOUBLE), 6) AS logp
+      |       CAST(round(score, 6) AS DOUBLE) AS logp
       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
       |                                   ORDER BY score DESC, c) AS rn
       |      FROM scores) x

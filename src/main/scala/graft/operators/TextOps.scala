@@ -867,7 +867,11 @@ object TextOps {
     scores.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("doc_id"), col("true_label"), col("c").as("pred_label"),
         (col("c") === col("true_label")).as("correct"),
-        round(col("__score").cast("double"), 6).as("logp"))
+        // round in the DECIMAL domain, THEN cast: the 9-dp term sum is
+        // an exact decimal that can end in …500 at the 7th place —
+        // round(double, 6) of its inexact double diverges between
+        // engines there (found by the sf10 audit: 2 of 100k rows)
+        round(col("__score"), 6).cast("double").as("logp"))
   }
 
   /** Mutual information between token PRESENCE and a document label
