@@ -591,18 +591,19 @@ private[graft] object EntryEval {
     // LOO replay: decimal sum minus the row's own decimal cast — the
     // numerator is exactly the other rows' sum; singleton keys NULL
     "q_target_encode" ->
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT event_id AS id, event_type AS k, CAST(value AS DOUBLE) AS t
         |  FROM events
         |), a AS (
-        |  SELECT k, sum(CAST(t AS DECIMAL(38,12))) AS s,
+        |  SELECT k, sum(CAST(t AS DECIMAL(38,2))) AS s,
         |         CAST(count(*) AS BIGINT) AS n
         |  FROM b GROUP BY k
         |)
         |SELECT b.id, b.k, b.t,
         |       CASE WHEN a.n > 1
-        |            THEN round(CAST(a.s - CAST(b.t AS DECIMAL(38,12)) AS DOUBLE)
-        |                       / (a.n - 1), 6) END AS loo
+        |            THEN ${ratioRoundSql(
+                       "CAST((a.s - CAST(b.t AS DECIMAL(38,2))) * 100 AS HUGEINT)",
+                       "(a.n - 1) * 100", 6)} END AS loo
         |FROM b JOIN a USING (k) WHERE b.id < 5000 ORDER BY b.id""".stripMargin,
     // Fleiss replay: exact-int P̄, 9-dp decimal-summed P̄e, one IEEE
     // dag for kappa; raters = gold + NB replay + langId replay
@@ -674,20 +675,22 @@ private[graft] object EntryEval {
          |SELECT 'pos' AS cls, n11 + n01 AS n_src_true, n11 + n10 AS n_src_pred,
          |       m1 AS m_pred,
          |       CASE WHEN det <> 0 AND m > 0 THEN
-         |         round(CAST(nump * ns AS DOUBLE)
-         |               / CAST(CAST(m AS HUGEINT) * det AS DOUBLE), 6) + 0.0 END AS w,
+         |         ${ratioRoundSql("CASE WHEN det < 0 THEN -(nump * ns) ELSE nump * ns END",
+                    "abs(CAST(m AS HUGEINT) * det)", 6)} + 0.0 END AS w,
          |       CASE WHEN det <> 0 AND m > 0 THEN
-         |         round(CAST(nump * (n11 + n01) AS DOUBLE)
-         |               / CAST(CAST(m AS HUGEINT) * det AS DOUBLE), 6) + 0.0 END AS pi_target
+         |         ${ratioRoundSql(
+                    "CASE WHEN det < 0 THEN -(nump * (n11 + n01)) ELSE nump * (n11 + n01) END",
+                    "abs(CAST(m AS HUGEINT) * det)", 6)} + 0.0 END AS pi_target
          |FROM r
          |UNION ALL
          |SELECT 'neg', n10 + n00, n01 + n00, m0,
          |       CASE WHEN det <> 0 AND m > 0 THEN
-         |         round(CAST(numn * ns AS DOUBLE)
-         |               / CAST(CAST(m AS HUGEINT) * det AS DOUBLE), 6) + 0.0 END,
+         |         ${ratioRoundSql("CASE WHEN det < 0 THEN -(numn * ns) ELSE numn * ns END",
+                    "abs(CAST(m AS HUGEINT) * det)", 6)} + 0.0 END,
          |       CASE WHEN det <> 0 AND m > 0 THEN
-         |         round(CAST(numn * (n10 + n00) AS DOUBLE)
-         |               / CAST(CAST(m AS HUGEINT) * det AS DOUBLE), 6) + 0.0 END
+         |         ${ratioRoundSql(
+                    "CASE WHEN det < 0 THEN -(numn * (n10 + n00)) ELSE numn * (n10 + n00) END",
+                    "abs(CAST(m AS HUGEINT) * det)", 6)} + 0.0 END
          |FROM r
          |ORDER BY cls""".stripMargin,
     // McNemar replay: four exact-int cells from one aggregate over the
@@ -707,8 +710,8 @@ private[graft] object EntryEval {
          |  FROM pairs
          |), chi AS (
          |  SELECT *, CASE WHEN n10 + n01 > 0
-         |                 THEN round(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
-         |                            / (n10 + n01), 6) + 0.0 END AS chi2
+         |                 THEN ${ratioRoundSql("(n10 - n01) * (n10 - n01)",
+                              "n10 + n01", 6)} + 0.0 END AS chi2
          |  FROM agg
          |)
          |SELECT n, n11, n00, n10, n01, chi2,
@@ -746,11 +749,12 @@ private[graft] object EntryEval {
          |       CAST(NULL AS DOUBLE) AS alpha
          |FROM nc
          |UNION ALL
-         |SELECT 'ALL', nn, round(CAST(domass AS DOUBLE), 6) + 0.0,
+         |SELECT 'ALL', nn, CAST(round(domass, 6) AS DOUBLE) + 0.0,
          |       CASE WHEN CAST(nn AS HUGEINT) * nn > sq
-         |            THEN round(1.0 - CAST(nn - 1 AS DOUBLE)
-         |                       * CAST(domass AS DOUBLE)
-         |                       / CAST(CAST(nn AS HUGEINT) * nn - sq AS DOUBLE), 6)
+         |            THEN ${ratioRoundSql(
+                      "(CAST(nn AS HUGEINT) * nn - sq) * 1000000000"
+                        + " - (nn - 1) * CAST(domass * 1000000000 AS HUGEINT)",
+                      "(CAST(nn AS HUGEINT) * nn - sq) * 1000000000", 6)}
          |                 + 0.0 END
          |FROM dom CROSS JOIN sq
          |ORDER BY label""".stripMargin,
@@ -803,7 +807,7 @@ private[graft] object EntryEval {
     // KM replay: exact-int risk/death counts, 9-dp ln factors
     // decimal-cumulated in lifetime order, exp published at 6dp
     "q_km_survival" ->
-      """WITH pu AS (
+      s"""WITH pu AS (
         |  SELECT user_id, min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
         |  FROM events GROUP BY user_id
         |), h AS (SELECT max(epoch_us(ts)) AS h_us FROM events),
@@ -828,7 +832,7 @@ private[graft] object EntryEval {
         |  FROM r
         |)
         |SELECT t, n_risk, d, c,
-        |       round(CAST(d AS DOUBLE) / n_risk, 6) AS hazard,
+        |       ${ratioRoundSql("d", "n_risk", 6)} AS hazard,
         |       CASE WHEN zeroed > 0 THEN 0.0
         |            ELSE round(exp(CAST(cum_ln AS DOUBLE)), 6) END AS survival
         |FROM s ORDER BY t""".stripMargin,
@@ -1278,8 +1282,7 @@ private[graft] object EntryEval {
          |  GROUP BY lq.vec_id, lq.label
          |)
          |SELECT vec_id, label, n_neighbors, n_agree,
-         |       round(CAST(n_agree AS DOUBLE) / CAST(n_neighbors AS DOUBLE), 9)
-         |         AS agree_frac,
+         |       ${ratioRoundSql("n_agree", "n_neighbors", 9)} AS agree_frac,
          |       2 * n_agree < n_neighbors AS suspect
          |FROM agg ORDER BY vec_id""".stripMargin,
     // hashing-trick replay: the md5 open hash drives bucket AND sign
@@ -1305,7 +1308,7 @@ private[graft] object EntryEval {
         |FROM vv ORDER BY doc_id, bucket""".stripMargin,
     // grouped exact Gini replay: all-BIGINT Lorenz accumulation
     "q_token_gini" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS v
         |  FROM documents
         |), g AS (
@@ -1323,10 +1326,10 @@ private[graft] object EntryEval {
         |  FROM c
         |)
         |SELECT v, n_rows, mass, cum_rows, cum_mass,
-        |       round(CAST(cum_rows AS DOUBLE) / CAST(n_tot AS DOUBLE), 9) AS lorenz_p,
-        |       round(CAST(cum_mass AS DOUBLE) / CAST(t_tot AS DOUBLE), 9) AS lorenz_l,
-        |       round(1.0 - CAST(g_num AS DOUBLE) / CAST(n_tot * t_tot AS DOUBLE), 9)
-        |         AS gini
+        |       ${ratioRoundSql("cum_rows", "n_tot", 9)} AS lorenz_p,
+        |       ${ratioRoundSql("cum_mass", "t_tot", 9)} AS lorenz_l,
+        |       ${ratioRoundSql("CAST(n_tot AS HUGEINT) * t_tot - g_num",
+                 "CAST(n_tot AS HUGEINT) * t_tot", 9)} AS gini
         |FROM c, tot ORDER BY v""".stripMargin,
     // streaming drift replay: epoch-aligned daily windows (Spark
     // window(ts,'1 day') ≡ date_trunc under UTC), Laplace bin probs

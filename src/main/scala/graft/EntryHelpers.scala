@@ -290,8 +290,19 @@ private[graft] object EntryHelpers {
     * division the pmod-reduced decimal quotient computes).
     */
   private[graft] def decMeanSql(expr: String): String =
-    s"""CAST((200 * CAST(sum(CAST(round($expr * 100) AS BIGINT)) AS HUGEINT)
-       |      + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0""".stripMargin
+    ratioRoundSql(s"CAST(sum(CAST(round($expr * 100) AS BIGINT)) AS HUGEINT)",
+      "100 * count(*)", 4)
+
+  /** DuckDB rendering of [[PlanUtils.ratioRound]]: exact half-up of
+    * num/den at scale s via hugeint floor division. `num`/`den` must
+    * be integer-valued SQL expressions, den > 0.
+    */
+  private[graft] def ratioRoundSql(num: String, den: String, s: Int): String = {
+    val p = math.pow(10, s).toLong
+    s"""(CAST((CASE WHEN ($num) < 0 THEN -1 ELSE 1 END)
+       | * ((2 * abs(CAST(($num) AS HUGEINT)) * $p + ($den))
+       |    // (2 * CAST(($den) AS HUGEINT))) AS DOUBLE) / $p.0)""".stripMargin
+  }
 
   /** Top-k size for the regression pipeline (reference uses 1000 on a
     * real vocabulary; the synthetic corpus has ~31 distinct tokens).

@@ -526,16 +526,16 @@ private[graft] object EntryRelational {
     // transition matrix: lead() under the same total order (ts,
     // event_id); row-conditional p from exact BIGINT counts
     "q_transitions" ->
-      """WITH seq AS (
-        |  SELECT event_type AS from_type,
-        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
-        |  FROM events
-        |),
-        |c AS (SELECT from_type, to_type, count(*) AS n FROM seq
-        |      WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
-        |SELECT from_type, to_type, n,
-        |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
-        |FROM c ORDER BY from_type, to_type""".stripMargin,
+      s"""WITH seq AS (
+         |  SELECT event_type AS from_type,
+         |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         |  FROM events
+         |),
+         |c AS (SELECT from_type, to_type, count(*) AS n FROM seq
+         |      WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+         |SELECT from_type, to_type, n,
+         |       ${ratioRoundSql("n", "sum(n) OVER (PARTITION BY from_type)", 6)} AS p
+         |FROM c ORDER BY from_type, to_type""".stripMargin,
     "q_kmeans" -> kmeansOracleSql(dims = 8, k = 4, iters = 2),
     // silhouette replay: same kmeans CTE chain; a2 = own-centroid
     // dist², b2 = least over the others (1e308 sentinel masks own);
@@ -979,7 +979,7 @@ private[graft] object EntryRelational {
     // RR replay: same per-row hash lanes (honesty bits + lie draw),
     // same category indexing, one debias division of exact ints
     "q_rr_freq" ->
-      """WITH cats AS (
+      s"""WITH cats AS (
         |  SELECT cat, CAST(row_number() OVER (ORDER BY cat) AS BIGINT) - 1 AS idx
         |  FROM (SELECT DISTINCT event_type AS cat FROM events)
         |), kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM cats),
@@ -1000,8 +1000,8 @@ private[graft] object EntryRelational {
         |SELECT c.cat, coalesce(t.n_true, 0) AS n_true,
         |       coalesce(p.n_reported, 0) AS n_reported,
         |       CASE WHEN k.k >= 2 THEN
-        |         round(CAST(4 * (k.k - 1) * coalesce(p.n_reported, 0) - nn.n AS DOUBLE)
-        |               / CAST(nn.n * (3 * k.k - 4) AS DOUBLE), 6) + 0.0 END AS pi_hat
+        |         ${ratioRoundSql("4 * (k.k - 1) * coalesce(p.n_reported, 0) - nn.n",
+                    "nn.n * (3 * k.k - 4)", 6)} + 0.0 END AS pi_hat
         |FROM cats c LEFT JOIN tr t USING (idx) LEFT JOIN rep p USING (idx)
         |CROSS JOIN nn CROSS JOIN kk k
         |ORDER BY cat""".stripMargin,

@@ -186,7 +186,7 @@ private[graft] object EntrySimilarity {
          |FROM perq
          |UNION ALL
          |SELECT CAST(NULL AS BIGINT), CAST(sum(n_hits) AS BIGINT),
-         |       round(CAST(sum(n_hits) AS DOUBLE) / (count(*) * 10), 6)
+         |       ${ratioRoundSql("CAST(sum(n_hits) AS HUGEINT)", "count(*) * 10", 6)}
          |FROM perq
          |ORDER BY q_id NULLS LAST""".stripMargin,
     // mutual-kNN replay: symmetric sims computed once (a<b), ranked

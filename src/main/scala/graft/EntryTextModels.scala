@@ -980,7 +980,7 @@ private[graft] object EntryTextModels {
     // seasonal replay: same day/dow aggregates, HUGEINT cross
     // products, residual ranked on the identical unrounded double
     "q_seasonal" ->
-      """WITH daily AS (
+      s"""WITH daily AS (
         |  SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS day,
         |         sum(CAST(CAST(floor(value * 10) AS BIGINT) AS HUGEINT)) AS s,
         |         CAST(count(*) AS BIGINT) AS cnt
@@ -995,17 +995,19 @@ private[graft] object EntryTextModels {
         |  FROM d2 GROUP BY grp, dow
         |), prof AS (
         |  SELECT b.grp, b.dow, b.n_days, b.cw AS n,
-        |         round(CAST(b.sw * t.n - b.cw * t.t AS DOUBLE)
-        |               / CAST(CAST(b.cw AS HUGEINT) * t.n AS DOUBLE), 6) + 0.0
-        |           AS eff
+        |         ${ratioRoundSql("b.sw * t.n - b.cw * t.t",
+                    "CAST(b.cw AS HUGEINT) * t.n", 6)} + 0.0 AS eff
         |  FROM bydow b JOIN tot t USING (grp)
         |), res AS (
         |  SELECT d.grp, d.dow, d.day,
+        |         d.s * b.cw - CAST(d.cnt AS HUGEINT) * b.sw AS rnum,
+        |         CAST(d.cnt AS HUGEINT) * b.cw AS rden,
         |         CAST(d.s * b.cw - CAST(d.cnt AS HUGEINT) * b.sw AS DOUBLE)
         |           / CAST(CAST(d.cnt AS HUGEINT) * b.cw AS DOUBLE) AS res
         |  FROM d2 d JOIN bydow b USING (grp, dow)
         |), pk AS (
-        |  SELECT grp, dow, day AS peak_day, round(res, 6) + 0.0 AS peak_res
+        |  SELECT grp, dow, day AS peak_day,
+        |         ${ratioRoundSql("rnum", "rden", 6)} + 0.0 AS peak_res
         |  FROM (SELECT *, row_number() OVER (PARTITION BY grp, dow
         |                                     ORDER BY abs(res) DESC, day) AS rk
         |        FROM res) x

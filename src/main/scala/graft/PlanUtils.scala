@@ -75,11 +75,35 @@ object PlanUtils {
     * decimal scale rules can't round it); int64 bound: 200·Σcents ≤
     * 7e17 at a 10¹²-row corpus. DuckDB rendering: hugeint `//`.
     */
-  def halfUpMean4(centsSum: Column, n: Column): Column = {
+  def halfUpMean4(centsSum: Column, n: Column): Column =
+    ratioRound(centsSum, n * lit(100L), 4)
+
+  /** Half-up (away-from-zero) rounding of the EXACT rational num/den
+    * at `s` decimal places, in pure integer arithmetic — the
+    * engine-portable replacement for `round(num/den as double, s)`
+    * wherever the ratio is an exact rational: such ratios land exactly
+    * ON x.…5 rounding boundaries (data-dependent denominators make
+    * this a certainty at scale), where rounding the inexact DOUBLE
+    * diverges between engines (Spark rounds the binary expansion,
+    * DuckDB the shortest decimal repr — the sf10 audit's
+    * q_semi_sample/q_naive_bayes findings). Here the boundary is
+    * decided by exact comparison instead:
+    *   |q| = floor((2·|num|·10^s + den) / (2·den)),  sign re-applied.
+    *
+    * Contract: `num` integer-valued (counts, or pre-scaled exact
+    * decimals), `den` integer-valued and POSITIVE, |num/den|·10^s
+    * < 2^53. The quotient runs in decimal(38,0) lanes via the
+    * pmod-reduced exact division (decimal scale rules can't round an
+    * exact quotient); DuckDB rendering: hugeint `//` (EntryHelpers
+    * .ratioRoundSql). Published value = q/10^s, an exact double.
+    */
+  def ratioRound(num: Column, den: Column, s: Int): Column = {
+    require(s >= 0 && s <= 9, "scale must be in [0, 9]")
     val dec0 = "decimal(38,0)"
-    val a = centsSum * lit(200L) + n
-    val b = n * lit(2L)
-    val q = ((a - pmod(a, b)).cast(dec0) / b.cast(dec0)).cast("long")
-    q.cast("double") / lit(10000.0)
+    val p = math.pow(10, s).toLong
+    val a = abs(num.cast(dec0) * lit(p)) * lit(2L) + den.cast(dec0)
+    val b = den.cast(dec0) * lit(2L)
+    val q = ((a - pmod(a, b)) / b).cast("long")
+    (when(num < 0, -q).otherwise(q)).cast("double") / lit(p.toDouble)
   }
 }

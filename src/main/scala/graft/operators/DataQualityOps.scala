@@ -138,9 +138,10 @@ object DataQualityOps {
         coalesce(col("n_true"), lit(0L)).as("n_true"),
         coalesce(col("n_reported"), lit(0L)).as("n_reported"),
         when(col("k") >= 2L,
-          round((lit(4L) * (col("k") - 1L)
-              * coalesce(col("n_reported"), lit(0L)) - col("n")).cast("double")
-            / (col("n") * (lit(3L) * col("k") - 4L)).cast("double"), 6) + 0.0)
+          graft.PlanUtils.ratioRound(
+            lit(4L) * (col("k") - 1L)
+              * coalesce(col("n_reported"), lit(0L)) - col("n"),
+            col("n") * (lit(3L) * col("k") - 4L), 6) + 0.0)
           .as("pi_hat"))
   }
 

@@ -457,16 +457,20 @@ object EvalOps {
       .withColumn("cum_mass", sum("mass").over(asc))
       .withColumn("g_part",
         col("n_rows") * (lit(2L) * (col("cum_mass") - col("mass")) + col("mass")))
+    // exact-int half-up publication (the sf10 round-at-tie class):
+    // every ratio here is a rational of exact counts
+    val dec0 = "decimal(38,0)"
     val totals = cum.agg(sum("n_rows").as("n_tot"), sum("mass").as("t_tot"),
         sum("g_part").as("g_num"))
       .withColumn("gini",
-        round(lit(1.0) - col("g_num").cast("double") /
-          (col("n_tot") * col("t_tot")).cast("double"), 9))
+        graft.PlanUtils.ratioRound(
+          col("n_tot").cast(dec0) * col("t_tot") - col("g_num"),
+          col("n_tot").cast(dec0) * col("t_tot"), 9))
     cum.crossJoin(broadcast(totals.select("n_tot", "t_tot", "gini")))
       .select(col("v"), col("n_rows"), col("mass"), col("cum_rows"), col("cum_mass"),
-        round(col("cum_rows").cast("double") / col("n_tot").cast("double"), 9)
+        graft.PlanUtils.ratioRound(col("cum_rows"), col("n_tot"), 9)
           .as("lorenz_p"),
-        round(col("cum_mass").cast("double") / col("t_tot").cast("double"), 9)
+        graft.PlanUtils.ratioRound(col("cum_mass"), col("t_tot"), 9)
           .as("lorenz_l"),
         col("gini"))
   }
@@ -646,8 +650,11 @@ object EvalOps {
         first(col("label_q")).as("label"),
         count(lit(1)).as("n_neighbors"),
         sum(when(col("label_n") === col("label_q"), 1L).otherwise(0L)).as("n_agree"))
+      // exact-int half-up (the sf10 round-at-tie class): k-NN vote
+      // fractions like 9/12 land exactly ON 9-dp boundaries only for
+      // pathological k, but the integer form costs nothing
       .withColumn("agree_frac",
-        round(col("n_agree").cast("double") / col("n_neighbors").cast("double"), 9))
+        graft.PlanUtils.ratioRound(col("n_agree"), col("n_neighbors"), 9))
       .withColumn("suspect", lit(2L) * col("n_agree") < col("n_neighbors"))
   }
 
@@ -1102,10 +1109,14 @@ object EvalOps {
       .select(col("*"),
         (d(col("m1")) * col("n00") - d(col("n10")) * col("m0")).as("numP"),
         (d(col("n11")) * col("m0") - d(col("m1")) * col("n01")).as("numN"))
+    // exact-int half-up (the sf10 round-at-tie class); det can be
+    // negative, so normalize the sign into the numerator (ratioRound
+    // requires a positive denominator)
     def ratio(num: Column, scale: Column) =
       when(col("det") =!= 0 && col("m") > 0,
-        round((num * scale).cast("double")
-          / (d(col("m")) * col("det")).cast("double"), 6) + 0.0)
+        graft.PlanUtils.ratioRound(
+          when(col("det") < 0, -num * scale).otherwise(num * scale),
+          abs(d(col("m")) * col("det")), 6) + 0.0)
     val pos = rows.select(lit("pos").as("cls"),
       (col("n11") + col("n01")).as("n_src_true"),
       (col("n11") + col("n10")).as("n_src_pred"), col("m1").as("m_pred"),
@@ -1148,8 +1159,9 @@ object EvalOps {
     // literal)
     agg.select(col("n"), col("n11"), col("n00"), col("n10"), col("n01"),
       when(col("n10") + col("n01") > 0L,
-        round(((col("n10") - col("n01")) * (col("n10") - col("n01")))
-          .cast("double") / (col("n10") + col("n01")).cast("double"), 6) + 0.0)
+        graft.PlanUtils.ratioRound(
+          (col("n10") - col("n01")) * (col("n10") - col("n01")),
+          col("n10") + col("n01"), 6) + 0.0)
         .as("chi2"))
       .withColumn("significant",
         when(col("chi2").isNotNull, col("chi2") > 3.841459))
@@ -1201,13 +1213,20 @@ object EvalOps {
     val catRows = nc.select(col("j").as("label"), col("cj").as("n"),
       lit(null).cast("double").as("do_mass"),
       lit(null).cast("double").as("alpha"))
+    // publication in exact arithmetic (the sf10 round-at-tie class):
+    // do_mass rounds AS DECIMAL; alpha = [E − (n−1)·Do] / E with
+    // E = n² − Σn𝒸² runs through ratioRound on 10⁹-scaled integers
+    // (doMass carries 9-dp terms) — exact to ~1e9 pairable ratings,
+    // overflow-null (visible, never wrong) beyond
+    val sc9 = 1000000000L
     val allRow = doMass.crossJoin(broadcast(sumSq))
       .select(lit("ALL").as("label"), col("nn").as("n"),
-        (round(col("doMass").cast("double"), 6) + 0.0).as("do_mass"),
+        (round(col("doMass"), 6).cast("double") + 0.0).as("do_mass"),
         when(col("nn").cast(dec0) * col("nn") > col("sq"),
-          round(lit(1.0) - (col("nn") - 1L).cast("double")
-              * col("doMass").cast("double")
-              / (col("nn").cast(dec0) * col("nn") - col("sq")).cast("double"), 6) + 0.0)
+          graft.PlanUtils.ratioRound(
+            (col("nn").cast(dec0) * col("nn") - col("sq")) * lit(sc9)
+              - (col("nn") - 1L) * (col("doMass") * lit(sc9)),
+            (col("nn").cast(dec0) * col("nn") - col("sq")) * lit(sc9), 6) + 0.0)
           .as("alpha"))
     catRows.unionByName(allRow)
   }

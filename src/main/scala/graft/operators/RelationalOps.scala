@@ -828,8 +828,14 @@ object RelationalOps {
     * over the corpus. Output: input id/key/target + `loo`.
     */
   def targetEncodeLoo(df: DataFrame, idCol: Column, key: Column,
-      target: Column): DataFrame = {
-    val dec = "decimal(38,12)"
+      target: Column, gridScale: Int = 2): DataFrame = {
+    // target values live on a 10^-gridScale grid (the decMean cent
+    // contract); summing at that scale keeps the LOO numerator an
+    // exact integer after scaling, so the published 6-dp encoding is
+    // decided by exact integer half-up (PlanUtils.ratioRound), not by
+    // rounding an inexact double — the sf10 boundary-divergence class
+    val dec = s"decimal(38,$gridScale)"
+    val p = math.pow(10, gridScale).toLong
     val base = df.select(idCol.as("id"), key.as("k"),
       target.cast("double").as("t"))
     val agg = base.groupBy("k")
@@ -837,8 +843,9 @@ object RelationalOps {
     base.join(broadcast(agg), Seq("k"))
       .select(col("id"), col("k"), col("t"),
         when(col("n") > 1L,
-          round((col("s") - col("t").cast(dec)).cast("double")
-            / (col("n") - 1L), 6)).as("loo"))
+          graft.PlanUtils.ratioRound(
+            (col("s") - col("t").cast(dec)) * lit(p),
+            (col("n") - 1L) * lit(p), 6)).as("loo"))
   }
 
   /** Exact empirical quantile normalization on an integer value grid:

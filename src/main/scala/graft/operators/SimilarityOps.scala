@@ -167,10 +167,13 @@ object SimilarityOps {
       .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("recall",
         round(col("n_hits").cast("double") / lit(k.toDouble), 6))
+    // exact-int half-up for the data-dependent denominator nq·k (the
+    // sf10 round-at-tie class); the per-query rows' fixed denominator
+    // k cannot tie at 6 dp for k ≤ 100
     val allRow = perQ.agg(sum("n_hits").as("n_hits"), count(lit(1)).as("nq"))
       .select(lit(null).cast("long").as("q_id"), col("n_hits"),
-        round(col("n_hits").cast("double")
-          / (col("nq") * lit(k.toLong)).cast("double"), 6).as("recall"))
+        graft.PlanUtils.ratioRound(col("n_hits"),
+          col("nq") * lit(k.toLong), 6).as("recall"))
     perQ.unionByName(allRow)
   }
 

@@ -476,8 +476,10 @@ object TemporalOps {
       .filter(col("__to").isNotNull)
       .groupBy(col(typeCol).as("from_type"), col("__to").as("to_type"))
       .agg(count(lit(1)).as("n"))
+    // exact-int half-up: n/row-total is a rational that can land ON
+    // the 6-dp boundary (the sf10 round-at-tie class)
     counts.withColumn("p",
-      round(col("n").cast("double") /
+      graft.PlanUtils.ratioRound(col("n"),
         sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
   }
 
@@ -727,7 +729,9 @@ object TemporalOps {
       .withColumn("zeroed",
         sum(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(wAsc))
       .select(col("t"), col("n_risk"), col("d"), col("c"),
-        round(col("d").cast("double") / col("n_risk"), 6).as("hazard"),
+        // exact-int half-up: d/n_risk is a rational that can land ON
+        // the 6-dp boundary (the sf10 round-at-tie class)
+        graft.PlanUtils.ratioRound(col("d"), col("n_risk"), 6).as("hazard"),
         when(col("zeroed") > 0, lit(0.0))
           .otherwise(round(exp(col("cum_ln").cast("double")), 6)).as("survival"))
   }
@@ -766,8 +770,10 @@ object TemporalOps {
         count(lit(1)).as("n_days"))
     val prof = byDow.join(broadcast(tot), Seq("grp"))
       .select(col("grp"), col("dow"), col("n_days"), col("cw").as("n"),
-        (round((col("sw") * col("n") - col("cw") * col("t")).cast("double")
-          / (col("cw").cast(dec) * col("n")).cast("double"), 6) + 0.0).as("eff"),
+        // exact-int half-up (the sf10 round-at-tie class)
+        (graft.PlanUtils.ratioRound(
+          col("sw") * col("n") - col("cw") * col("t"),
+          col("cw").cast(dec) * col("n"), 6) + 0.0).as("eff"),
         col("sw"), col("cw"))
     val res = daily.join(broadcast(byDow.select("grp", "dow", "sw", "cw")),
         Seq("grp", "dow"))
@@ -779,7 +785,9 @@ object TemporalOps {
     val peaks = res.withColumn("rk", row_number().over(wPeak))
       .filter(col("rk") === 1)
       .select(col("grp"), col("dow"), col("day").as("peak_day"),
-        (round(col("res"), 6) + 0.0).as("peak_res"))
+        (graft.PlanUtils.ratioRound(
+          col("s") * col("cw") - col("cnt").cast(dec) * col("sw"),
+          col("cnt").cast(dec) * col("cw"), 6) + 0.0).as("peak_res"))
     prof.drop("sw", "cw").join(peaks, Seq("grp", "dow"))
   }
 

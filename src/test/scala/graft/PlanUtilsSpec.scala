@@ -73,4 +73,30 @@ class PlanUtilsSpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("ratioRound: exact half-up at ties, away from zero, off-tie agrees with round()") {
+    // the motivating case: a rational exactly ON the boundary —
+    // 1/1600000 = 0.000000625 ties at 6 dp → half-up gives 0.000001
+    // (round(double, 6) of its inexact double is engine-dependent here)
+    val df = Seq(
+      (1L, 1600000L),     // exact tie → 0.000001
+      (-1L, 1600000L),    // negative tie → away from zero → -0.000001
+      (1L, 3L),           // 0.333333…  → 0.333333
+      (2L, 3L),           // 0.666666…  → 0.666667
+      (5L, 2L),           // 2.5 at s=0-ish scale: at 6 dp exact → 2.5
+      (49L, 9L))          // 5.444444…  → 5.444444
+      .toDF("a", "b")
+    val got = df.select(PlanUtils.ratioRound(col("a"), col("b"), 6).as("r"))
+      .as[Double].collect().toList
+    assert(got == List(0.000001, -0.000001, 0.333333, 0.666667, 2.5, 5.444444))
+    // halfUpMean4 delegates: mean of 3 cents over 2 rows = 0.015 —
+    // the 4-dp tie rounds up to 0.0150? 0.015 has no 5th digit; use
+    // 1 cent over 16 rows = 0.000625 → 4-dp tie → 0.0006? no:
+    // 0.000625 at 4dp → 0.0006|25 → 0.0006; tie needs x.xxxx5:
+    // 5 cents over 8 rows = 0.00625 → 0.0063 (half-up)
+    val m = Seq((5L, 8L)).toDF("c", "n")
+      .select(PlanUtils.halfUpMean4(col("c"), col("n")).as("m"))
+      .as[Double].collect().toList
+    assert(m == List(0.0063))
+  }
 }
