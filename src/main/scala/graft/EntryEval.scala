@@ -1127,33 +1127,33 @@ private[graft] object EntryEval {
     // isotonic replay: the same minimax-identity dataflow — exact-int
     // prefix masses, one IEEE division per interval, min/max windows
     "q_isotonic" ->
-      """WITH base AS (
-        |  SELECT CAST(floor(value) AS BIGINT) AS s,
-        |         CAST(count(*) AS BIGINT) AS w,
-        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |              AS BIGINT) AS ysum
-        |  FROM events GROUP BY 1
-        |), pre AS (
-        |  SELECT s, w, ysum,
-        |         CAST(sum(w) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
-        |              AS BIGINT) AS cw,
-        |         CAST(sum(ysum) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
-        |              AS BIGINT) AS cy
-        |  FROM base
-        |), pairs AS (
-        |  SELECT j.s AS sj, k.s AS sk,
-        |         CAST(k.cy - j.cy + j.ysum AS DOUBLE)
-        |           / CAST(k.cw - j.cw + j.w AS DOUBLE) AS a
-        |  FROM pre j JOIN pre k ON j.s <= k.s
-        |), bmin AS (
-        |  SELECT sj, sk, min(a) OVER (PARTITION BY sj ORDER BY sk DESC
-        |                              ROWS UNBOUNDED PRECEDING) AS b
-        |  FROM pairs
-        |), iso AS (SELECT sk AS s, max(b) AS iso FROM bmin GROUP BY sk)
-        |SELECT base.s, w AS n, ysum AS y_pos,
-        |       round(CAST(ysum AS DOUBLE) / CAST(w AS DOUBLE), 6) AS rate,
-        |       round(iso, 6) AS iso
-        |FROM base JOIN iso USING (s) ORDER BY s""".stripMargin,
+      s"""WITH base AS (
+         |  SELECT CAST(floor(value) AS BIGINT) AS s,
+         |         CAST(count(*) AS BIGINT) AS w,
+         |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS ysum
+         |  FROM events GROUP BY 1
+         |), pre AS (
+         |  SELECT s, w, ysum,
+         |         CAST(sum(w) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+         |              AS BIGINT) AS cw,
+         |         CAST(sum(ysum) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+         |              AS BIGINT) AS cy
+         |  FROM base
+         |), pairs AS (
+         |  SELECT j.s AS sj, k.s AS sk,
+         |         (CAST(k.cy - j.cy + j.ysum AS HUGEINT) * 1000000000000000000)
+         |           // (k.cw - j.cw + j.w) AS a
+         |  FROM pre j JOIN pre k ON j.s <= k.s
+         |), bmin AS (
+         |  SELECT sj, sk, min(a) OVER (PARTITION BY sj ORDER BY sk DESC
+         |                              ROWS UNBOUNDED PRECEDING) AS b
+         |  FROM pairs
+         |), iso AS (SELECT sk AS s, max(b) AS isokey FROM bmin GROUP BY sk)
+         |SELECT base.s, w AS n, ysum AS y_pos,
+         |       ${ratioRoundSql("ysum", "w", 6)} AS rate,
+         |       ${ratioRoundSql("isokey", "1000000000000000000", 6)} AS iso
+         |FROM base JOIN iso USING (s) ORDER BY s""".stripMargin,
     // NDCG replay: the q_rrf_fusion ranking chain + graded gains from
     // the exact cosine ranks; 9-dp discounts, decimal per-query sums
     "q_ndcg" ->

@@ -1029,13 +1029,21 @@ object EvalOps {
     * metric-table discipline, with an m² term a calibration grid
     * (hundreds of scores) keeps trivial.
     *
-    * Portability: counts are exact ints; every interval mean is the
-    * identical division both engines evaluate; min/max are pure
-    * comparisons — the published 6-dp fit needs no further float
-    * discipline. Output: (s, n, y_pos, rate, iso), iso nondecreasing
-    * in s (the PAV guarantee, spec-pinned).
+    * Portability: counts are exact ints, and every interval mean
+    * enters the min/max ordering as a SCALE-18 INTEGER key
+    * ⌊num·10¹⁸/den⌋ instead of a double — comparisons are exact, and
+    * since a mean can only land ON a 6-dp rounding boundary when its
+    * decimal expansion terminates (where the key is exact), the
+    * published fit is decided by integer half-up ([[ratioRound]] on
+    * the winning key), never by rounding an inexact double. Key
+    * resolution bounds the contract at den < 5·10¹¹ rows per interval
+    * (far past any calibration grid's corpus share). Output:
+    * (s, n, y_pos, rate, iso), iso nondecreasing in s (the PAV
+    * guarantee, spec-pinned).
     */
   def isotonicCalibration(df: DataFrame, score: Column, y: Column): DataFrame = {
+    val dec0 = "decimal(38,0)"
+    val sc18 = lit(1000000000000000000L).cast(dec0)
     val base = df.select(score.cast("long").as("s"),
         when(y, 1L).otherwise(0L).as("yy"))
       .groupBy("s").agg(count(lit(1)).as("w"), sum("yy").as("ysum"))
@@ -1049,19 +1057,22 @@ object EvalOps {
     val k = pre.select(col("s").as("sk"), col("cw").as("cwk"),
       col("cy").as("cyk"))
     // every interval [j..k]: exact-int mass from prefix differences
-    // (cw_k − cw_j + w_j includes j itself); m²/2 rows, metric-sized
+    // (cw_k − cw_j + w_j includes j itself); m²/2 rows, metric-sized.
+    // a = the interval mean as a scale-18 integer (floor division)
+    val num = (col("cyk") - col("cyj") + col("yj")).cast(dec0) * sc18
+    val den = (col("cwk") - col("cwj") + col("wj")).cast(dec0)
     val pairs = j.join(k, col("sj") <= col("sk"))
       .select(col("sj"), col("sk"),
-        ((col("cyk") - col("cyj") + col("yj")).cast("double")
-          / (col("cwk") - col("cwj") + col("wj")).cast("double")).as("a"))
+        ((num - pmod(num, den)) / den).cast(dec0).as("a"))
     val wMinK = Window.partitionBy("sj").orderBy(col("sk").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val iso = pairs.withColumn("b", min(col("a")).over(wMinK))
-      .groupBy(col("sk").as("s")).agg(max(col("b")).as("iso"))
+      .groupBy(col("sk").as("s")).agg(max(col("b")).as("isoKey"))
     base.join(iso, Seq("s"))
       .select(col("s"), col("w").as("n"), col("ysum").as("y_pos"),
-        round(col("ysum").cast("double") / col("w").cast("double"), 6).as("rate"),
-        round(col("iso"), 6).as("iso"))
+        graft.PlanUtils.ratioRound(col("ysum"), col("w"), 6).as("rate"),
+        graft.PlanUtils.ratioRound(col("isoKey"),
+          lit(1000000000000000000L), 6).as("iso"))
   }
 
   /** Black-box shift estimation (BBSE, Lipton et al. 2018), binary
