@@ -119,6 +119,67 @@ private[graft] object EntryHelpers {
        |FROM v$iters ORDER BY dim""".stripMargin
   }
 
+  /** q_pca_top2 oracle: the [[pcaOracleSql]] recurrence, then the
+    * normalized u₁, λ₁ = u₁ᵀCu₁ (one more matvec chain), and `iters`
+    * DEFLATED rounds whose per-dim update mirrors the engine's double
+    * dag term for term: w = s − n·μ·(μᵀv) − λ₁·u₁·(u₁ᵀv), left-assoc.
+    */
+  private[graft] def pca2OracleSql(dims: Int, iters: Int): String = {
+    def roundCtes(prefix: String, prev0: String, defl: Boolean): String =
+      (1 to iters).map { t =>
+        val pv = if (t == 1) prev0 else s"$prefix${t - 1}"
+        val deflSql = if (defl)
+          s""",
+             |uv$prefix$t AS MATERIALIZED (SELECT CAST(sum(CAST(u.w * v.w AS DECIMAL(38,12))) AS DOUBLE) AS uv
+             |  FROM u1 u JOIN $pv v USING (dim))""".stripMargin
+        else ""
+        val deflTerm = if (defl)
+          s" - (SELECT l FROM lam) * u1.w * (SELECT uv FROM uv$prefix$t)" else ""
+        val deflJoin = if (defl) s" JOIN u1 ON u1.dim = s$prefix$t.dim" else ""
+        s"""dot$prefix$t AS MATERIALIZED (SELECT id, CAST(sum(CAST(x.e * v.w AS DECIMAL(38,12))) AS DOUBLE) AS dot
+           |  FROM x JOIN $pv v USING (dim) GROUP BY id),
+           |s$prefix$t AS MATERIALIZED (SELECT x.dim, CAST(sum(CAST(x.e * dot$prefix$t.dot AS DECIMAL(38,12))) AS DOUBLE) AS s
+           |  FROM x JOIN dot$prefix$t USING (id) GROUP BY x.dim),
+           |mv$prefix$t AS MATERIALIZED (SELECT CAST(sum(CAST(mu.mu * v.w AS DECIMAL(38,12))) AS DOUBLE) AS dm
+           |  FROM mu JOIN $pv v USING (dim))$deflSql,
+           |w$prefix$t AS MATERIALIZED (SELECT s$prefix$t.dim,
+           |    s$prefix$t.s - (SELECT n FROM nn) * mu.mu * (SELECT dm FROM mv$prefix$t)$deflTerm AS w
+           |  FROM s$prefix$t JOIN mu USING (dim)$deflJoin),
+           |$prefix$t AS MATERIALIZED (SELECT dim, w / (SELECT max(abs(w)) FROM w$prefix$t) AS w FROM w$prefix$t)"""
+          .stripMargin
+      }.mkString(",\n")
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT vec_id AS id, d AS dim, CAST(embedding[d+1] AS DOUBLE) AS e
+       |  FROM embeddings, range($dims) r(d)),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
+       |mu AS MATERIALIZED (SELECT dim, CAST(sum(CAST(e AS DECIMAL(38,12))) AS DOUBLE)
+       |              / (SELECT n FROM nn) AS mu FROM x GROUP BY dim),
+       |v0 AS MATERIALIZED (SELECT d AS dim, CAST(1.0 AS DOUBLE) AS w FROM range($dims) r(d)),
+       |${roundCtes("v", "v0", defl = false)},
+       |nrm1 AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+       |        FROM v$iters),
+       |u1 AS MATERIALIZED (SELECT dim, w / (SELECT nrm FROM nrm1) AS w FROM v$iters),
+       |dotU AS MATERIALIZED (SELECT id, CAST(sum(CAST(x.e * v.w AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |  FROM x JOIN u1 v USING (dim) GROUP BY id),
+       |sU AS MATERIALIZED (SELECT x.dim, CAST(sum(CAST(x.e * dotU.dot AS DECIMAL(38,12))) AS DOUBLE) AS s
+       |  FROM x JOIN dotU USING (id) GROUP BY x.dim),
+       |mvU AS MATERIALIZED (SELECT CAST(sum(CAST(mu.mu * v.w AS DECIMAL(38,12))) AS DOUBLE) AS dm
+       |  FROM mu JOIN u1 v USING (dim)),
+       |cU AS MATERIALIZED (SELECT sU.dim,
+       |    sU.s - (SELECT n FROM nn) * mu.mu * (SELECT dm FROM mvU) AS w
+       |  FROM sU JOIN mu USING (dim)),
+       |lam AS MATERIALIZED (SELECT CAST(sum(CAST(u.w * c.w AS DECIMAL(38,12))) AS DOUBLE) AS l
+       |  FROM u1 u JOIN cU c USING (dim)),
+       |p0 AS MATERIALIZED (SELECT d AS dim, CAST(1.0 AS DOUBLE) AS w FROM range($dims) r(d)),
+       |${roundCtes("p", "p0", defl = true)},
+       |nrm2 AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+       |        FROM p$iters)
+       |SELECT CAST(u1.dim AS INTEGER) AS dim,
+       |       round(u1.w, 6) + 0.0 AS pc1,
+       |       round(p.w / (SELECT nrm FROM nrm2), 6) + 0.0 AS pc2
+       |FROM u1 JOIN p$iters p USING (dim) ORDER BY dim""".stripMargin
+  }
+
   /** q_kmeans oracle: `iters` Lloyd iterations unrolled as chained
     * MATERIALIZED CTEs (the pcaOracleSql pattern). Each iteration: a
     * one-row centroid CTE (k×dims columns), distances as left-assoc

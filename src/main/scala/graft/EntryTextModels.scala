@@ -255,6 +255,13 @@ private[graft] object EntryTextModels {
     "q_pca_top" -> ((s, dir) =>
       SimilarityOps.powerIterationPC(Tables.embeddings(s, dir))
         .orderBy("dim")),
+    // Top-2 PCA via Hotelling deflation: the second component's rounds
+    // iterate Cv − λ₁u₁(u₁ᵀv) — still one corpus pass per round, the
+    // deflation term is driver-side dims-vector arithmetic mirrored in
+    // the oracle CTE dag term for term.
+    "q_pca_top2" -> ((s, dir) =>
+      SimilarityOps.powerIterationPC2(Tables.embeddings(s, dir))
+        .orderBy("dim")),
     // Leakage-free 80/10/10 split by user: per-split sizes plus a
     // computed (not literal) group-integrity certificate.
     "q_group_split" -> ((s, dir) => {
@@ -793,6 +800,7 @@ private[graft] object EntryTextModels {
         |ORDER BY e.event_id""".stripMargin,
     // power-iteration PCA replayed as unrolled CTEs; full-double compare
     "q_pca_top" -> pcaOracleSql(dims = 64, iters = 5),
+    "q_pca_top2" -> pca2OracleSql(dims = 64, iters = 5),
     // group-integrity split: same md5 draw, IEEE-identical thresholds
     // (bounds written as unfolded sums), computed leak certificate
     "q_group_split" ->

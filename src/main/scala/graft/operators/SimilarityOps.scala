@@ -769,6 +769,85 @@ object SimilarityOps {
     } finally { base.unpersist(blocking = false); () }
   }
 
+  /** Top TWO principal components by power iteration + Hotelling
+    * deflation — [[powerIterationPC]] extended with the second
+    * component: after u₁ converges, λ₁ = u₁ᵀCu₁ (one more corpus
+    * pass), and the second loop iterates the DEFLATED action
+    * (C − λ₁u₁u₁ᵀ)v = Cv − λ₁·u₁·(u₁ᵀv) — the subtraction is a
+    * driver-side dims-vector term (u₁ᵀv is a dims-length decimal
+    * fold), so each deflated round still costs exactly one corpus
+    * pass (map-only dot + dims-keyed aggregate) and the driver state
+    * stays two dims-vectors + one scalar.
+    *
+    * Portability: the same decimal-fold discipline as the first
+    * component, now over a chain twice as deep (v₁ rounds → λ₁ →
+    * deflated rounds); every driver-side double expression mirrors
+    * the oracle's CTE dag term for term (same association), and the
+    * residual CAST(double AS DECIMAL) ~1e-12 noise is absorbed by the
+    * 6-dp publication (margins verified by the three-SF gates; `+0.0`
+    * absorbs negative zero on near-zero loadings). Output: one row
+    * per dim (dim, pc1, pc2).
+    */
+  def powerIterationPC2(embeddings: DataFrame, vecCol: String = "embedding",
+      iters: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,12)"
+    val base = embeddings.select(col(vecCol).cast("array<double>").as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = base.count()
+      require(n > 0, "powerIterationPC2 needs a non-empty corpus")
+      val dims = base.select(size(col("e"))).head().getInt(0)
+      def decSum12(xs: Seq[Double]): Double =
+        xs.map(java.math.BigDecimal.valueOf(_)
+            .setScale(12, java.math.RoundingMode.HALF_UP))
+          .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
+      val mu: Array[Double] = base
+        .select(posexplode(col("e")).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg((sum(col("x").cast(dec)).cast("double") / n).as("mu"))
+        .orderBy("dim").collect().map(_.getDouble(1))
+      // one corpus pass: the covariance action Cv (centering implicit)
+      def matvec(v: Array[Double]): Array[Double] = {
+        val vLit = array(v.toSeq.map(lit(_)): _*)
+        val dot = aggregate(
+          zip_with(col("e"), vLit, (a, b) => (a * b).cast(dec)),
+          lit(0).cast(dec), (acc, y) => (acc + y).cast(dec)).cast("double")
+        val wSum = base.select(dot.as("d"), col("e"))
+          .select(col("d"), posexplode(col("e")).as(Seq("dim", "x")))
+          .groupBy("dim")
+          .agg(sum((col("x") * col("d")).cast(dec)).cast("double").as("s"))
+          .orderBy("dim").collect().map(_.getDouble(1))
+        val dotMu = decSum12(mu.zip(v).map { case (m, w) => m * w }.toSeq)
+        Array.tabulate(dims)(j => wSum(j) - n.toDouble * mu(j) * dotMu)
+      }
+      var v = Array.fill(dims)(1.0)
+      for (_ <- 1 to iters) {
+        val w = matvec(v)
+        val mx = w.map(math.abs).max
+        v = w.map(_ / mx)
+      }
+      val n1 = math.sqrt(decSum12(v.map(w => w * w).toSeq))
+      val u1 = v.map(_ / n1)
+      val cu = matvec(u1)
+      val lambda = decSum12(u1.zip(cu).map { case (a, b) => a * b }.toSeq)
+      var v2 = Array.fill(dims)(1.0)
+      for (_ <- 1 to iters) {
+        val w0 = matvec(v2)
+        val uv = decSum12(u1.zip(v2).map { case (a, b) => a * b }.toSeq)
+        val w = Array.tabulate(dims)(j => w0(j) - lambda * u1(j) * uv)
+        val mx = w.map(math.abs).max
+        v2 = w.map(_ / mx)
+      }
+      val n2 = math.sqrt(decSum12(v2.map(w => w * w).toSeq))
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      (0 until dims).map(j => (j, r6(u1(j)), r6(v2(j) / n2)))
+        .toDF("dim", "pc1", "pc2")
+    } finally { base.unpersist(blocking = false); () }
+  }
+
   /** Product-quantization ANN (Jégou et al., "Product Quantization for
     * Nearest Neighbor Search", TPAMI 2011) — the COMPRESSION tier of
     * the ANN family: the 64-dim float corpus (256 B/vector) is encoded

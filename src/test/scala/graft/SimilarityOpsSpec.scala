@@ -377,6 +377,33 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(summary == Set((3L, 1L), (2L, 1L))) // {0,2,4} keep 0; {1,3} keep 1
   }
 
+  test("powerIterationPC2: recovers both axes of an anisotropic cloud; components orthogonal") {
+    // axis-aligned cloud (zero cross-covariance): spread along e1
+    // (±8, ±4) ≫ e2 (±3, ±1.5), nothing on e3/e4 → pc1 = ±e1,
+    // pc2 = ±e2, and u1 ⟂ u2
+    val pts = Seq(
+      Seq(8.0f, 0.0f, 0.0f, 0.0f), Seq(-8.0f, 0.0f, 0.0f, 0.0f),
+      Seq(4.0f, 0.0f, 0.0f, 0.0f), Seq(-4.0f, 0.0f, 0.0f, 0.0f),
+      Seq(0.0f, 3.0f, 0.0f, 0.0f), Seq(0.0f, -3.0f, 0.0f, 0.0f),
+      Seq(0.0f, 1.5f, 0.0f, 0.0f), Seq(0.0f, -1.5f, 0.0f, 0.0f))
+    val df = pts.zipWithIndex.map { case (e, i) => (i.toLong, e) }
+      .toDF("vec_id", "embedding")
+    // 15 rounds: the gate's 5 are enough for the oracle replay (both
+    // engines walk the same partial convergence), but the AXIS
+    // assertion wants the fixpoint ((λ2/λ1)^15 ≈ 1e-11)
+    val got = SimilarityOps.powerIterationPC2(df, iters = 15)
+      .orderBy("dim").select("pc1", "pc2")
+      .as[(Double, Double)].collect()
+    val (pc1, pc2) = (got.map(_._1), got.map(_._2))
+    // axis recovery (sign-free) at the published precision
+    assert(math.abs(math.abs(pc1(0)) - 1.0) < 1e-4 &&
+      math.abs(pc1(1)) < 1e-3 && math.abs(pc1(2)) < 1e-6)
+    assert(math.abs(math.abs(pc2(1)) - 1.0) < 1e-4 &&
+      math.abs(pc2(0)) < 1e-3 && math.abs(pc2(2)) < 1e-6)
+    val dot = pc1.zip(pc2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-3)
+  }
+
   test("mrlRecall: hand-built corpus where the 2-dim prefix swaps one neighbor") {
     // q = e1; full sims: a 1.0, c ≈ 0.688, b ≈ 0.158 → full top-2 {a, c}
     // 2-dim prefix: a' 1.0, b' ≈ 0.993, c' ≈ 0.949 → trunc top-2 {a, b}
