@@ -34,6 +34,31 @@ private[graft] object EntryTextModels {
     // encode the held-out eval split; per-doc token fan-out stats.
     "q_bpe_encode" -> ((s, dir) =>
       TextOps.bpeEncode(Tables.documents(s, dir), rounds = 8, evalMod = 5)),
+    // Tokenizer-fertility card: per-language tokens/word and
+    // chars/token of the trained BPE over the held-out split — the
+    // "which languages does this tokenizer price badly" report run
+    // before committing a vocabulary. Exact-int ratios (ratioRound).
+    "q_bpe_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val enc = TextOps.bpeEncode(docs, rounds = 8, evalMod = 5)
+        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+      val byLang = enc.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"), sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+      val allRow = byLang.agg(sum("n_docs").as("n_docs"),
+          sum("n_words").as("n_words"), sum("n_tokens").as("n_tokens"),
+          sum("n_chars").as("n_chars"))
+        .select(lit("ALL").as("lang"), col("n_docs"), col("n_words"),
+          col("n_tokens"), col("n_chars"))
+      byLang.unionByName(allRow)
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          col("n_chars"),
+          graft.PlanUtils.ratioRound(col("n_tokens"), col("n_words"), 6)
+            .as("tokens_per_word"),
+          graft.PlanUtils.ratioRound(col("n_chars"), col("n_tokens"), 6)
+            .as("chars_per_token"))
+        .orderBy("lang")
+    }),
     // Exact-substring duplication: 32-char windows at stride 16 —
     // verbatim cross-doc text (boilerplate, licenses) that token-level
     // similarity smooths over. Inverted-index shape, exact integers.
@@ -449,6 +474,28 @@ private[graft] object EntryTextModels {
     // (generator below — kmeans/pagerank MATERIALIZED-CTE pattern)
     "q_bpe_merges" -> bpeMergesOracleSql(8, 20),
     "q_bpe_encode" -> bpeEncodeOracleSql(8, 5),
+    // fertility replay: the per-doc encode oracle as a derived table,
+    // lang-joined and aggregated; exact-int ratio publication
+    "q_bpe_fertility" ->
+      s"""WITH g AS (
+         |  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(e.n_words) AS BIGINT) AS n_words,
+         |         CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+         |         CAST(sum(d.n_chars) AS BIGINT) AS n_chars
+         |  FROM (${bpeEncodeOracleSql(8, 5)}) e
+         |  JOIN documents d USING (doc_id)
+         |  GROUP BY d.lang
+         |), u AS (
+         |  SELECT * FROM g
+         |  UNION ALL
+         |  SELECT 'ALL', CAST(sum(n_docs) AS BIGINT), CAST(sum(n_words) AS BIGINT),
+         |         CAST(sum(n_tokens) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+         |  FROM g
+         |)
+         |SELECT lang, n_docs, n_words, n_tokens, n_chars,
+         |       ${ratioRoundSql("n_tokens", "n_words", 6)} AS tokens_per_word,
+         |       ${ratioRoundSql("n_chars", "n_tokens", 6)} AS chars_per_token
+         |FROM u ORDER BY lang""".stripMargin,
     // JL replay: same md5 signs, decimal sums, exact 0.25 scale;
     // the bound check recomputes on the raw ratio
     "q_jl_project" ->
