@@ -1551,15 +1551,19 @@ private[graft] object EntryEval {
         |  FROM gv
         |), pool AS (SELECT v, CAST(sum(n) AS BIGINT) AS np FROM gv GROUP BY v),
         |p AS (
-        |  SELECT v AS vp,
+        |  SELECT v AS vp, np,
         |         CAST(sum(np) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
         |              AS BIGINT) AS cum_p,
         |         CAST(sum(np) OVER () AS BIGINT) AS n_p
         |  FROM pool
+        |), gr AS (
+        |  SELECT g.*, p.n_p,
+        |         (CAST(cum_g AS HUGEINT) * p.n_p + n_g - 1) // n_g AS r
+        |  FROM g CROSS JOIN (SELECT DISTINCT n_p FROM p) p
         |)
-        |SELECT grp, v, n, cum_g, n_g, min(vp) AS mapped
-        |FROM g JOIN p ON CAST(cum_p AS HUGEINT) * n_g >= CAST(cum_g AS HUGEINT) * n_p
-        |GROUP BY grp, v, n, cum_g, n_g
+        |SELECT grp, v, n, cum_g, n_g, p.vp AS mapped
+        |FROM gr JOIN p ON CAST(p.cum_p - p.np AS HUGEINT) < gr.r
+        |               AND gr.r <= CAST(p.cum_p AS HUGEINT)
         |ORDER BY grp, v""".stripMargin
   )
 }

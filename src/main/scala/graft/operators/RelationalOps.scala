@@ -870,8 +870,12 @@ object RelationalOps {
     */
   def quantileNormalize(df: DataFrame, group: Column, vGrid: Column): DataFrame = {
     val dec0 = "decimal(38,0)"
-    val gv = df.select(group.as("grp"), vGrid.cast("long").as("v"))
-      .groupBy("grp", "v").agg(count(lit(1)).as("n"))
+    // pinned: the (grp, v) grid feeds BOTH the group ECDF and the
+    // pooled grid — unpinned, the corpus aggregates twice (bench: 2×
+    // scan cost at sf0.1)
+    val gv = graft.CacheScope.autoRelease(
+      df.select(group.as("grp"), vGrid.cast("long").as("v"))
+        .groupBy("grp", "v").agg(count(lit(1)).as("n")))
     val wG = Window.partitionBy("grp").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wGAll = Window.partitionBy("grp")
@@ -882,18 +886,23 @@ object RelationalOps {
     val pool = gv.groupBy("v").agg(sum("n").as("np"))
     val wP = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wPAll = Window
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val poolT = pool
       .withColumn("cum_p", sum("np").over(wP))
-      .withColumn("n_p", sum("np").over(wPAll))
-      .select(col("v").as("vp"), col("cum_p"), col("n_p"))
-    grpT.join(broadcast(poolT),
-        col("cum_p").cast(dec0) * col("n_g")
-          >= col("cum_g").cast(dec0) * col("n_p"))
-      .groupBy("grp", "v", "n", "cum_g", "n_g")
-      .agg(min("vp").as("mapped"))
+      .select(col("v").as("vp"), col("np"), col("cum_p"))
+    val npTot = gv.agg(sum("n").as("n_p"))
+    // map(g, v) = min { v′ : F_pool(v′) ≥ F_g(v) } = the pooled value
+    // whose cumulative interval (cum_p − np, cum_p] contains the exact
+    // ceiling rank r = ⌈cum_g·n_p / n_g⌉ — so the broadcast join emits
+    // EXACTLY ONE row per grid point (the first form joined every
+    // pool row above the threshold and re-aggregated: ~pool/2 rows per
+    // point — bench: 2× the whole query's cost at sf0.1)
+    val a = col("cum_g").cast(dec0) * col("n_p") + col("n_g") - lit(1L)
+    val r = ((a - pmod(a, col("n_g"))) / col("n_g")).cast(dec0)
+    grpT.crossJoin(broadcast(npTot)).withColumn("__r", r)
+      .join(broadcast(poolT),
+        (col("cum_p") - col("np")).cast(dec0) < col("__r")
+          && col("__r") <= col("cum_p").cast(dec0))
       .select(col("grp"), col("v"), col("n"), col("cum_g"), col("n_g"),
-        col("mapped"))
+        col("vp").as("mapped"))
   }
 }
