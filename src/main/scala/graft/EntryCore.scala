@@ -141,6 +141,29 @@ private[graft] object EntryCore {
         .orderBy("event_type", "event_id")),
     // §2.4 A5: deterministic last-rating-wins dedup.
     "q_dedup_last" -> ((s, dir) => Ratings.deduped(s, dir).orderBy("user_id", "item_id")),
+    // Streaming CDC upsert-apply: the latest event per user maintained
+    // across micro-batches (one struct of state per key, late-older
+    // rows rejected by the (ts, id) guard); sink keeps each key's
+    // newest emission. Oracle = the batch latest-row query —
+    // stream/batch parity is the tested property.
+    "q_stream_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val src = Tables.eventsStream(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+        .as[(Long, Long, Long, String, Double)]
+      val out = graft.streaming.StreamingOps.upsertLatestByKey(src)
+      val qn = s"graft_stream_upsert_${StreamSeq.incrementAndGet()}"
+      val q = out.toDF().writeStream.format("memory").queryName(qn)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("last_ts_us").desc, col("last_event_id").desc)
+      s.table(qn).withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .orderBy("user_id")
+    }),
     // §2.2 P3 + §2.4 A8: support filter (items with ≥25 distinct raters).
     "q_support_items" -> ((s, dir) => RelationalOps.supportFilter(
       Ratings.deduped(s, dir), "item_id", "user_id", 25).orderBy("item_id")),
@@ -470,6 +493,14 @@ private[graft] object EntryCore {
       s"""WITH ${Ratings.OracleDedupCte}
          |SELECT user_id, item_id, rating FROM ratings
          |ORDER BY user_id, item_id""".stripMargin,
+    // the batch latest-row replay under the same (ts, id) total order
+    "q_stream_upsert" ->
+      """SELECT user_id, epoch_us(ts) AS last_ts_us, event_id AS last_event_id,
+        |       event_type AS last_type, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) x
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_support_items" ->
       s"""WITH ${Ratings.OracleDedupCte}
          |SELECT item_id, count(DISTINCT user_id) AS n_support

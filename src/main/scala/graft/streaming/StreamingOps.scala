@@ -293,6 +293,47 @@ object StreamingOps {
       }
   }
 
+  /** Per-key upsert state: the latest row under (ts, id) order — ONE
+    * struct per key, constant in stream length.
+    */
+  case class UpsertState(tsUs: Long, id: Long, typ: String, value: Double)
+
+  /** Current materialized row per key (update mode, one per batch). */
+  case class UpsertRow(user_id: Long, last_ts_us: Long, last_event_id: Long,
+      last_type: String, last_value: Double)
+
+  /** Streaming CDC upsert-apply: maintain the LATEST row per key under
+    * the (ts, id) total order across micro-batches — the materialized-
+    * view maintenance loop behind every streaming MERGE sink (the
+    * streaming counterpart of the batch `max_by` dedup-last /
+    * merge-upsert family). State per key is one struct; the update is
+    * guarded by the (ts, id) comparison, so a late-arriving OLDER row
+    * in a later micro-batch never replaces a newer one (the
+    * [[attributionByKey]] ordering lesson, enforced not documented).
+    * Update-mode emission: the key's current materialized row each
+    * batch the key appears in; the sink keeps each key's newest
+    * emission — batch/stream parity is the gate's tested property.
+    */
+  def upsertLatestByKey(
+      events: Dataset[(Long, Long, Long, String, Double)]): Dataset[UpsertRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[UpsertState, UpsertRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+            state: GroupState[UpsertState]) =>
+          var cur = state.getOption
+          rows.foreach { case (_, tsUs, id, typ, v) =>
+            if (cur.forall(s => tsUs > s.tsUs || (tsUs == s.tsUs && id > s.id)))
+              cur = Some(UpsertState(tsUs, id, typ, v))
+          }
+          cur.foreach(state.update)
+          cur.iterator.map(s =>
+            UpsertRow(key, s.tsUs, s.id, s.typ, s.value)).toIterator
+      }
+  }
+
   /** Watermarked per-window value-bin counts — the streaming half of a
     * drift monitor ([[graft.operators.EvalOps.psiByGroup]] composes the
     * PSI against a static reference): each tumbling window reduces to

@@ -352,6 +352,32 @@ class StreamingOpsSpec extends SparkSpec {
       ("2026-01-01 11:00:00", "b", 1L)))
   }
 
+  test("upsertLatestByKey: cross-batch latest wins; a late-arriving older row never regresses the view") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = StreamingOps.upsertLatestByKey(source.toDS())
+      .writeStream.format("memory").queryName("upsert_stream_test")
+      .outputMode("update").start()
+    // batch 1: key 1 at ts 10 then 20; key 2 at ts 5
+    source.addData((1L, 10L, 100L, "a", 1.0), (1L, 20L, 101L, "b", 2.0),
+      (2L, 5L, 102L, "c", 3.0))
+    q.processAllAvailable()
+    // batch 2: key 1 gets a LATE OLDER row (ts 15 < stored 20 — must
+    // not regress) and key 2 advances; same-ts tie on key 2 resolved
+    // by the larger id
+    source.addData((1L, 15L, 103L, "x", 9.0), (2L, 5L, 104L, "d", 4.0))
+    q.processAllAvailable()
+    val got = spark.table("upsert_stream_test")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+          .orderBy($"last_ts_us".desc, $"last_event_id".desc)))
+      .filter($"rn" === 1)
+      .select("user_id", "last_event_id", "last_type", "last_value")
+      .as[(Long, Long, String, Double)].collect().toSet
+    q.stop()
+    assert(got == Set((1L, 101L, "b", 2.0), (2L, 104L, "d", 4.0)))
+  }
+
   test("streamingUniformSample: cross-batch k-smallest matches the batch sampler; state bounded at k") {
     implicit val sqlCtx = spark.sqlContext
     // ids 0..49 over 2 shards, delivered in two batches (reversed order
