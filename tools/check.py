@@ -33,6 +33,17 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
         con.execute(f"SET temp_directory='{tmp}'")
         con.execute(f"SET max_temp_directory_size="
                     f"'{os.environ.get('DUCKDB_TEMP_LIMIT', '40GB')}'")
+        # a SIGKILL'd (timed-out) run can't clean its own spill, and a
+        # 37 GB orphan per killed attempt silently eats the box — the
+        # sf10 audit's cascading no-space failures were this. Reap any
+        # duck_* dir whose owning pid is gone before adding our own.
+        import atexit, shutil, signal
+        for d in glob.glob(".tmp/duck_*"):
+            pid = d.rsplit("_", 1)[-1]
+            if pid != str(os.getpid()) and not os.path.exists(f"/proc/{pid}"):
+                shutil.rmtree(d, ignore_errors=True)
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
