@@ -112,6 +112,14 @@ private[graft] object EntryEval {
       EvalOps.abTest(Tables.events(s, dir), col("event_type"),
           col("user_id"), col("value") > 50.0)
         .orderBy("grp")),
+    // CUPED variance reduction (Deng et al. 2013): per-user pre-
+    // experiment covariate X = even-event_id value sum, outcome Y =
+    // odd-event_id value sum (deterministic, SF-balanced split);
+    // metric quantized to integer units so every moment lane is exact
+    // and every published ratio is integer half-up (ratioRound).
+    "q_cuped" -> ((s, dir) =>
+      EvalOps.cupedAdjust(Tables.events(s, dir), col("user_id"),
+        round(col("value")), pmod(col("event_id"), lit(2L)) === 0)),
     // Experimentation, nonparametric: tie-corrected Mann–Whitney U on
     // the purchase-vs-view value distributions (deci-unit grid). Exact
     // doubled mid-rank arithmetic in 128-bit lanes; one IEEE z dag.
@@ -1040,6 +1048,57 @@ private[graft] object EntryEval {
         |SELECT grp, n0, s0, n1, s1, z,
         |       coalesce(abs(z) > 1.96, FALSE) AS significant
         |FROM z ORDER BY grp""".stripMargin,
+    // CUPED replay: identical per-unit X/Y sums, HUGEINT pooled
+    // moments, every published ratio the shared integer-half-up form;
+    // ρ² multiplied and rounded in the DECIMAL domain (round-after-
+    // cast rule)
+    "q_cuped" ->
+      s"""WITH pu AS (
+         |  SELECT user_id AS u,
+         |         CAST(sum(CASE WHEN event_id % 2 = 0
+         |                       THEN CAST(round(value) AS BIGINT)
+         |                       ELSE 0 END) AS BIGINT) AS x,
+         |         CAST(sum(CASE WHEN event_id % 2 <> 0
+         |                       THEN CAST(round(value) AS BIGINT)
+         |                       ELSE 0 END) AS BIGINT) AS y
+         |  FROM events GROUP BY 1
+         |), g AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         |         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         |         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         |         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+         |  FROM pu
+         |), a AS (
+         |  SELECT u % 2 AS arm, CAST(count(*) AS BIGINT) AS n_a,
+         |         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sxa,
+         |         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sya
+         |  FROM pu GROUP BY 1
+         |), m AS (
+         |  SELECT arm, n_a, sxa, sya, n, sx,
+         |         n * sxx - sx * sx AS varp,
+         |         n * sxy - sx * sy AS covp,
+         |         n * syy - sy * sy AS vary
+         |  FROM a CROSS JOIN g
+         |), t AS (
+         |  SELECT arm, n_a, sya, varp,
+         |         sya * varp * n - covp * (sxa * n - n_a * sx) AS numc,
+         |         n_a * varp * n AS denc,
+         |         CASE WHEN varp > 0
+         |              THEN ${ratioRoundSql("covp", "varp", 6)} END AS theta,
+         |         CASE WHEN vary > 0
+         |              THEN ${ratioRoundSql("covp", "vary", 6)} END AS theta2
+         |  FROM m
+         |)
+         |SELECT arm, n_a AS n_units,
+         |       ${ratioRoundSql("sya", "n_a", 4)} AS mean_y,
+         |       CASE WHEN varp > 0
+         |            THEN ${ratioRoundSql("numc", "denc", 4)} END AS mean_y_cuped,
+         |       theta,
+         |       CAST(round(CAST(theta AS DECIMAL(18,6))
+         |                  * CAST(theta2 AS DECIMAL(18,6)), 6) AS DOUBLE) AS rho2
+         |FROM t ORDER BY arm""".stripMargin,
     "q_roc_auc" ->
       """WITH lab AS (
         |  SELECT n_chars // 16 AS score,

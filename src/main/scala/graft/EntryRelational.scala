@@ -424,6 +424,16 @@ private[graft] object EntryRelational {
       TemporalOps.transitionMatrix(Tables.events(s, dir), Seq("user_id"),
           "ts", "event_type", "event_id")
         .orderBy("from_type", "to_type")),
+    // Frequent sequential patterns (GSP/PrefixSpan family, length ≤ 3)
+    // over each user's high-value event timeline, min support 25% of
+    // active users — Apriori-pruned level joins, greedy earliest-match
+    // embeddings, every support an exact int64 distinct-key count. The
+    // value ≥ 100 slice keeps per-user sequences sparse enough that
+    // level-3 pruning visibly bites at every SF.
+    "q_seq_patterns" -> ((s, dir) =>
+      TemporalOps.sequentialPatterns(
+        Tables.events(s, dir).filter(col("value") >= 100),
+        "user_id", "ts", "event_type", "event_id", supNum = 1, supDen = 4)),
     // Distributed K-means (Lloyd's): full-corpus assignment passes with
     // k×dims driver state only; decimal-exact centroid updates make
     // every iteration's literals bit-identical in any engine, so the
@@ -536,6 +546,41 @@ private[graft] object EntryRelational {
          |SELECT from_type, to_type, n,
          |       ${ratioRoundSql("n", "sum(n) OVER (PARTITION BY from_type)", 6)} AS p
          |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // GSP replay: identical greedy level construction — p1 = first a,
+    // p2 = first b after p1, level-3 existence after p2; supports are
+    // exact BIGINT distinct-key counts, threshold a cross-multiplication
+    "q_seq_patterns" ->
+      """WITH e AS (
+        |  SELECT user_id AS k, event_type AS sym,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS pos
+        |  FROM events WHERE value >= 100
+        |), nu AS (SELECT count(DISTINCT k) AS n_keys FROM e),
+        |p1 AS (SELECT k, sym AS a, min(pos) AS p1 FROM e GROUP BY 1, 2),
+        |f1 AS (
+        |  SELECT a, count(*) AS sup FROM p1 GROUP BY a
+        |  HAVING count(*) * 4 >= (SELECT n_keys FROM nu) * 1
+        |), p2 AS (
+        |  SELECT p.k, p.a, e.sym AS b, min(e.pos) AS p2
+        |  FROM p1 p JOIN f1 USING (a)
+        |  JOIN e ON e.k = p.k AND e.pos > p.p1
+        |  JOIN f1 fb ON fb.a = e.sym
+        |  GROUP BY 1, 2, 3
+        |), f2 AS (
+        |  SELECT a, b, count(*) AS sup FROM p2 GROUP BY a, b
+        |  HAVING count(*) * 4 >= (SELECT n_keys FROM nu) * 1
+        |), f3 AS (
+        |  SELECT p.a, p.b, e.sym AS c, count(DISTINCT p.k) AS sup
+        |  FROM p2 p JOIN f2 USING (a, b)
+        |  JOIN e ON e.k = p.k AND e.pos > p.p2
+        |  JOIN f1 fc ON fc.a = e.sym
+        |  GROUP BY 1, 2, 3
+        |  HAVING count(DISTINCT p.k) * 4 >= (SELECT n_keys FROM nu) * 1
+        |)
+        |SELECT 1 AS length, a AS pattern, sup FROM f1
+        |UNION ALL SELECT 2, a || '>' || b, sup FROM f2
+        |UNION ALL SELECT 3, a || '>' || b || '>' || c, sup FROM f3
+        |ORDER BY length, sup DESC, pattern""".stripMargin,
     "q_kmeans" -> kmeansOracleSql(dims = 8, k = 4, iters = 2),
     // silhouette replay: same kmeans CTE chain; a2 = own-centroid
     // dist², b2 = least over the others (1e308 sentinel masks own);

@@ -638,6 +638,77 @@ object EvalOps {
       coalesce(abs(when(ok, t)) > tCrit, lit(false)).as("significant"))
   }
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013)
+    * — the experimentation-platform standard for tightening A/B
+    * metrics with a pre-experiment covariate: per unit, the adjusted
+    * metric is Y − θ·(X − X̄) with θ = cov(X,Y)/var(X) fitted on the
+    * POOLED population; the achievable variance reduction is exactly
+    * ρ² = cov²/(var X · var Y). Publishes, per arm (deterministic
+    * `pmod(unit, 2)` split): n_units, the raw and CUPED-adjusted
+    * mean of Y, plus the pooled θ and ρ² (constant columns).
+    *
+    * Exactness: `metric` must be integer-valued (the caller quantizes
+    * — the gate uses round(value)); per-unit X/Y are int64 sums, and
+    * ALL pooled moments (Σx, Σy, Σx², Σxy, Σy²) are DECIMAL(38,0)
+    * sums, so n·Σxy − Σx·Σy style centered moments are exact
+    * integers. Every published ratio goes through
+    * [[graft.PlanUtils.ratioRound]] (integer half-up — no
+    * round-of-double-ratio tie exposure anywhere): the adjusted mean
+    * is the single exact rational
+    *   (Σyₐ·varP·n − covP·(Σxₐ·n − nₐ·Σx)) / (nₐ·varP·n),
+    * and ρ² = θ·θ₂ (θ₂ = cov/var Y) is multiplied in the DECIMAL
+    * domain from the two published 6-dp values and rounded AS DECIMAL
+    * (the round-after-cast lesson). The numerator lane peaks at
+    * ~Σy·varP·n ≈ 4·10³⁰ on this corpus at sf10 and saturates
+    * DECIMAL(38,0) around sf30 — the [[TemporalOps.cusumShift]]
+    * publication-lane precedent.
+    *
+    * Plan shape: one unit-keyed aggregate reduces the event corpus to
+    * a unit-sized (x, y) table (cached — it feeds the pooled-moment
+    * aggregate and the per-arm aggregate); both consumers are partial-
+    * aggregated shuffles; the 1-row pooled moments broadcast onto the
+    * 2-row arm table. Nothing after the first aggregate exceeds unit
+    * cardinality.
+    */
+  def cupedAdjust(df: DataFrame, unit: Column, metric: Column,
+      preFlag: Column): DataFrame = {
+    val dec0 = "decimal(38,0)"
+    val perUnit = graft.CacheScope.autoRelease(
+      df.select(unit.as("u"), preFlag.cast("boolean").as("__pre"),
+          metric.cast("long").as("__m"))
+        .groupBy("u")
+        .agg(sum(when(col("__pre"), col("__m")).otherwise(0L)).as("x"),
+          sum(when(!col("__pre"), col("__m")).otherwise(0L)).as("y")))
+    val g = perUnit.agg(
+      count(lit(1)).cast(dec0).as("n"),
+      sum(col("x").cast(dec0)).as("sx"),
+      sum(col("y").cast(dec0)).as("sy"),
+      sum(col("x").cast(dec0) * col("x")).as("sxx"),
+      sum(col("x").cast(dec0) * col("y")).as("sxy"),
+      sum(col("y").cast(dec0) * col("y")).as("syy"))
+    val varP = col("n") * col("sxx") - col("sx") * col("sx")
+    val covP = col("n") * col("sxy") - col("sx") * col("sy")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
+    val numC = col("sya") * varP * col("n") -
+      covP * (col("sxa") * col("n") - col("n_a").cast(dec0) * col("sx"))
+    val denC = col("n_a").cast(dec0) * varP * col("n")
+    val theta = when(varP > 0, graft.PlanUtils.ratioRound(covP, varP, 6))
+    val theta2 = when(varY > 0, graft.PlanUtils.ratioRound(covP, varY, 6))
+    val rho2 = round(theta.cast("decimal(18,6)")
+      * theta2.cast("decimal(18,6)"), 6).cast("double")
+    perUnit.groupBy(pmod(col("u"), lit(2L)).as("arm"))
+      .agg(count(lit(1)).as("n_a"),
+        sum(col("x").cast(dec0)).as("sxa"),
+        sum(col("y").cast(dec0)).as("sya"))
+      .crossJoin(broadcast(g))
+      .select(col("arm"), col("n_a").as("n_units"),
+        graft.PlanUtils.ratioRound(col("sya"), col("n_a"), 4).as("mean_y"),
+        when(varP > 0, graft.PlanUtils.ratioRound(numC, denC, 4))
+          .as("mean_y_cuped"),
+        theta.as("theta"), rho2.as("rho2"))
+      .orderBy("arm")
+  }
+
   def labelNoise(knnLists: DataFrame, labels: DataFrame): DataFrame = {
     val lbl = labels.select(col("vec_id"), col("label"))
     val withQ = knnLists

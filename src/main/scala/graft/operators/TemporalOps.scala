@@ -848,4 +848,75 @@ object TemporalOps {
         col("cusum_neg").cast("long").as("cusum_neg"),
         (col("cusum_pos") === max(col("cusum_pos")).over(wAll)).as("is_peak"))
   }
+
+  /** Frequent sequential patterns up to length 3 (GSP / PrefixSpan
+    * family — Srikant & Agrawal 1996, Pei et al. 2001): which ordered
+    * event-type subsequences ⟨a⟩, ⟨a,b⟩, ⟨a,b,c⟩ do at least
+    * `supNum/supDen` of the active keys exhibit? The classic
+    * market-basket-over-time mining op ([[funnel]] is the special case
+    * that scores ONE analyst-chosen pattern; this one MINES them).
+    *
+    * Matching semantics are greedy earliest occurrence, which for plain
+    * subsequence EXISTENCE is exact (if any embedding exists, the one
+    * through the earliest feasible positions exists): p1(a) = first a;
+    * p2(a,b) = first b strictly after p1(a); ⟨a,b,c⟩ matches iff any c
+    * falls strictly after p2(a,b). Support = distinct keys matched —
+    * every statistic an exact int64 count, no floats anywhere, and the
+    * support threshold is the exact cross-multiplication
+    * sup·supDen ≥ n_keys·supNum (no ratio is ever materialized).
+    *
+    * Scale/plan shape: the per-key order index is one row_number window
+    * keyed by the sequence key — per-key history, not the corpus,
+    * bounds a partition (the [[sessionize]] argument). Each level is
+    * Apriori-pruned BEFORE its join: level k's probe joins the cached
+    * level-(k−1) resolution (key-keyed, ≤ |f_{k-1}| rows per key)
+    * against the event table once, with the frequent-symbol sets
+    * (alphabet-sized) broadcast on both endpoints, so candidate growth
+    * is governed by the measured frequent sets, never the raw
+    * alphabet². The indexed event table and both resolutions each feed
+    * two+ consumers → query-scoped [[graft.CacheScope]] persists (the
+    * [[funnel]] lesson: without them each level re-derives the whole
+    * chain). Level count is fixed at 3 here; deeper levels iterate the
+    * same projection step.
+    */
+  def sequentialPatterns(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, idCol: String, supNum: Int = 1, supDen: Int = 4)
+      : DataFrame = {
+    require(supNum > 0 && supDen >= supNum, "support must be in (0, 1]")
+    val e = graft.CacheScope.autoRelease(
+      events.select(col(keyCol).as("k"), col(typeCol).as("sym"),
+        row_number().over(Window.partitionBy(keyCol)
+          .orderBy(col(tsCol), col(idCol))).as("pos")))
+    val nu = e.agg(count_distinct(col("k")).as("n_keys"))
+    def frequent(sup: Column) = sup * lit(supDen.toLong) >=
+      col("n_keys") * lit(supNum.toLong)
+    val p1 = graft.CacheScope.autoRelease(
+      e.groupBy(col("k"), col("sym").as("a")).agg(min("pos").as("p1")))
+    val f1 = p1.groupBy("a").agg(count(lit(1)).as("sup"))
+      .crossJoin(broadcast(nu)).filter(frequent(col("sup")))
+      .select("a", "sup")
+    val p2 = graft.CacheScope.autoRelease(
+      p1.join(broadcast(f1.select("a")), "a")
+        .join(e, Seq("k")).filter(col("pos") > col("p1"))
+        .join(broadcast(f1.select(col("a").as("sym"))), "sym")
+        .groupBy(col("k"), col("a"), col("sym").as("b"))
+        .agg(min("pos").as("p2")))
+    val f2 = p2.groupBy("a", "b").agg(count(lit(1)).as("sup"))
+      .crossJoin(broadcast(nu)).filter(frequent(col("sup")))
+      .select("a", "b", "sup")
+    val f3 = p2.join(broadcast(f2.select("a", "b")), Seq("a", "b"))
+      .join(e, Seq("k")).filter(col("pos") > col("p2"))
+      .join(broadcast(f1.select(col("a").as("sym"))), "sym")
+      .groupBy(col("a"), col("b"), col("sym").as("c"))
+      .agg(count_distinct(col("k")).as("sup"))
+      .crossJoin(broadcast(nu)).filter(frequent(col("sup")))
+      .select("a", "b", "c", "sup")
+    f1.select(lit(1).as("length"), col("a").as("pattern"), col("sup"))
+      .unionAll(f2.select(lit(2).as("length"),
+        concat_ws(">", col("a"), col("b")).as("pattern"), col("sup")))
+      .unionAll(f3.select(lit(3).as("length"),
+        concat_ws(">", col("a"), col("b"), col("c")).as("pattern"),
+        col("sup")))
+      .orderBy(col("length"), col("sup").desc, col("pattern"))
+  }
 }

@@ -610,4 +610,32 @@ class EvalOpsSpec extends SparkSpec {
       .as[Option[Double]].collect().toList
     assert(g3 == List(Some(1.0)))
   }
+
+  test("cupedAdjust: hand moments, exact rational means, pooled theta/rho2") {
+    // per-unit (x, y): u1 (2,10) u2 (4,14) u3 (6,18) u4 (8,26)
+    // n=4 sx=20 sy=68 sxx=120 sxy=392 syy=1296
+    // varP=80 covP=208 varY=560 → theta=2.6, theta2=0.371429,
+    // rho2 = round(2.6·0.371429, 6) = 0.965715 (true ρ²≈0.9657143)
+    // arm0 (u2,u4): meanY=20, cuped=(40·320−208·(48−40))/640 = 17.4
+    // arm1 (u1,u3): meanY=14, cuped=(28·320+208·8)/640 = 16.6
+    // invariant: arm cuped means average back to the pooled mean 17
+    val ev = Seq(
+      (1L, 0L, 2.0), (1L, 1L, 10.0), (2L, 2L, 4.0), (2L, 3L, 14.0),
+      (3L, 4L, 6.0), (3L, 5L, 18.0), (4L, 6L, 8.0), (4L, 7L, 26.0))
+      .toDF("u", "id", "v")
+    val got = EvalOps.cupedAdjust(ev, col("u"), col("v"),
+        pmod(col("id"), lit(2L)) === 0)
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toList
+    assert(got == List(
+      (0L, 2L, 20.0, 17.4, 2.6, 0.965715),
+      (1L, 2L, 14.0, 16.6, 2.6, 0.965715)))
+    // zero pre-covariate variance → theta/cuped NULL, raw mean intact
+    val flat = Seq((1L, 0L, 5.0), (1L, 1L, 7.0), (2L, 2L, 5.0), (2L, 3L, 9.0))
+      .toDF("u", "id", "v")
+    val g2 = EvalOps.cupedAdjust(flat, col("u"), col("v"),
+        pmod(col("id"), lit(2L)) === 0)
+      .select("mean_y", "mean_y_cuped", "theta")
+      .as[(Double, Option[Double], Option[Double])].collect().toList
+    assert(g2 == List((9.0, None, None), (7.0, None, None)))
+  }
 }

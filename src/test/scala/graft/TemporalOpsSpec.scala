@@ -562,4 +562,27 @@ class TemporalOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Boolean)].collect().toList
     assert(g2 == List.fill(3)((0L, 0L, 0L, true)))
   }
+
+  test("sequentialPatterns: greedy embeddings, Apriori pruning, exact supports") {
+    // 4 users, min support 1/2 → sup ≥ 2. Hand-enumerated:
+    //   u1: a b c | u2: b a b c | u3: c b a | u4: a c b
+    // L2 survivors: a>b:3 a>c:3 b>a:2 b>c:2 c>b:2 (c>a:1, b>b:1 pruned)
+    // L3: only a>b>c (u1; u2 via p1(a)=2,p2(b)=3,c@4) = 2. u4 fails it:
+    // greedy p2 = first b AFTER a = pos 3, no c after — and no other
+    // embedding exists either (greedy-exactness for existence).
+    val ev = (Seq((1L, "a"), (1L, "b"), (1L, "c")).zipWithIndex ++
+      Seq((2L, "b"), (2L, "a"), (2L, "b"), (2L, "c")).zipWithIndex ++
+      Seq((3L, "c"), (3L, "b"), (3L, "a")).zipWithIndex ++
+      Seq((4L, "a"), (4L, "c"), (4L, "b")).zipWithIndex)
+      .map { case ((u, sym), i) => (u, i.toLong * 10, sym, u * 100 + i) }
+      .toDF("user_id", "t", "event_type", "event_id")
+    val got = TemporalOps.sequentialPatterns(ev, "user_id", "t",
+        "event_type", "event_id", supNum = 1, supDen = 2)
+      .as[(Int, String, Long)].collect().toList
+    assert(got == List(
+      (1, "a", 4L), (1, "b", 4L), (1, "c", 4L),
+      (2, "a>b", 3L), (2, "a>c", 3L),
+      (2, "b>a", 2L), (2, "b>c", 2L), (2, "c>b", 2L),
+      (3, "a>b>c", 2L)))
+  }
 }
