@@ -432,4 +432,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
     spark.catalog.clearCache()
   }
+
+  test("q_seq_patterns: position index + level resolutions pinned, no pattern-keyed cartesian") {
+    // the pos-index window table feeds p1 and both level probes, and
+    // p1/p2 each feed a support count plus the next level — unpinned,
+    // each level re-runs the whole chain (the funnel 2^k lesson). The
+    // only nested-loop joins are the 1-row active-key total crosses.
+    val plan = finalPlan("q_seq_patterns")
+    assert(scansOf(plan) >= 5, plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q_cuped: one corpus scan reduced by the unit aggregate, pooled moments broadcast") {
+    // the per-unit (x, y) table is pinned (arm aggregate + pooled-
+    // moment aggregate both read it) and the 1-row moment table rides
+    // a broadcast cross — nothing after the first aggregate exceeds
+    // unit cardinality
+    // (plan.toString repeats the cached subtree's inner parquet scan
+    // per consumer, so the single-scan property is pinned via the
+    // InMemoryTableScan count, not a raw "Scan parquet" count)
+    val plan = finalPlan("q_cuped")
+    assert(scansOf(plan) >= 2, plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
 }
