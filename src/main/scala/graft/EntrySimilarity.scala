@@ -70,6 +70,17 @@ private[graft] object EntrySimilarity {
           iters = 2, tau = 0.4)
         .orderBy(col("cluster"), col("vec_id").asc_nulls_last,
           col("dup_of").asc_nulls_last)),
+    // Linear-time MMD² two-sample test (Gretton et al. 2012) between
+    // the label<5 and label≥5 embedding slices — the embedding-
+    // DISTRIBUTION drift check the scalar drift family can't express.
+    // Bucket-partitioned pairing (no global window); RBF kernels one
+    // mirrored IEEE dag at 9 dp; means integer half-up.
+    // gammaDen = 2 ≈ the typical ‖x−y‖² on unit-ish vectors (the
+    // median heuristic's value here) — kernels land mid-range instead
+    // of saturating at 1.
+    "q_mmd_embed" -> ((s, dir) =>
+      SimilarityOps.mmdLinear(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("label") < 5, gammaDen = 2.0)),
     // Embedding-cosine near-dup pairs via LSH candidates + exact verify
     // (no cross join anywhere in the plan). The oracle is the exact
     // all-pairs answer — equality doubles as the recall proof, like
@@ -383,6 +394,69 @@ private[graft] object EntrySimilarity {
          |${mmrRoundsSql(5)}
          |SELECT q_id, mmr_rank, nn_id, score
          |FROM a5 ORDER BY q_id, mmr_rank""".stripMargin,
+    // MMD linear-estimator replay: identical bucket-partitioned
+    // pairing windows and quad joins; norms and cross-dots are exact
+    // DECIMAL(38,18) accumulations, each RBF kernel the same IEEE dag
+    // rounded 9 dp, h exact decimal, means integer half-up
+    "q_mmd_embed" ->
+      s"""WITH s AS (
+         |  SELECT vec_id, embedding, label, vec_id % 16 AS bkt FROM embeddings
+         |), sa AS (
+         |  SELECT vec_id, bkt, row_number() OVER (PARTITION BY bkt
+         |    ORDER BY vec_id) AS r FROM s WHERE label < 5
+         |), sb AS (
+         |  SELECT vec_id, bkt, row_number() OVER (PARTITION BY bkt
+         |    ORDER BY vec_id) AS r FROM s WHERE NOT (label < 5)
+         |), pr AS (
+         |  SELECT sa.bkt, sa.r, sa.vec_id AS xv, sb.vec_id AS yv
+         |  FROM sa JOIN sb ON sa.bkt = sb.bkt AND sa.r = sb.r
+         |), q AS (
+         |  SELECT p1.bkt, (p1.r + 1) // 2 AS g, p1.xv AS x1, p1.yv AS y1,
+         |         p2.xv AS x2, p2.yv AS y2
+         |  FROM pr p1 JOIN pr p2
+         |    ON p1.bkt = p2.bkt AND p2.r = p1.r + 1 AND p1.r % 2 = 1
+         |), n2 AS (
+         |  SELECT vec_id, CAST(sum(CAST(CAST(embedding[d+1] AS DOUBLE)
+         |         * CAST(embedding[d+1] AS DOUBLE) AS DECIMAL(38,18)))
+         |         AS DOUBLE) AS n2
+         |  FROM s, range(64) r(d) GROUP BY vec_id
+         |), pairs AS (
+         |  SELECT bkt, g, 1 AS slot, x1 AS u, x2 AS w FROM q
+         |  UNION ALL SELECT bkt, g, 2, y1, y2 FROM q
+         |  UNION ALL SELECT bkt, g, 3, x1, y2 FROM q
+         |  UNION ALL SELECT bkt, g, 4, x2, y1 FROM q
+         |), dots AS (
+         |  SELECT p.bkt, p.g, p.slot, p.u, p.w,
+         |         CAST(sum(CAST(CAST(va.embedding[d+1] AS DOUBLE)
+         |              * CAST(vb.embedding[d+1] AS DOUBLE)
+         |              AS DECIMAL(38,18))) AS DOUBLE) AS dp
+         |  FROM pairs p JOIN s va ON va.vec_id = p.u
+         |       JOIN s vb ON vb.vec_id = p.w, range(64) r(d)
+         |  GROUP BY 1, 2, 3, 4, 5
+         |), kk AS (
+         |  SELECT d.bkt, d.g, d.slot,
+         |         CAST(round(exp(-(nu.n2 - 2.0 * d.dp + nw.n2) / 2.0), 9)
+         |              AS DECIMAL(20,9)) AS k
+         |  FROM dots d JOIN n2 nu ON nu.vec_id = d.u
+         |       JOIN n2 nw ON nw.vec_id = d.w
+         |), h AS (
+         |  SELECT bkt, g,
+         |         sum(CASE WHEN slot <= 2 THEN k END) AS kw,
+         |         sum(CASE WHEN slot >= 3 THEN k END) AS kc
+         |  FROM kk GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_quads,
+         |         sum(kw) AS sw, sum(kc) AS sc
+         |  FROM h
+         |)
+         |SELECT n_quads,
+         |  ${ratioRoundSql("CAST((sw - sc) * 1000000000 AS HUGEINT)",
+             "n_quads * 1000000000", 6)} AS mmd2,
+         |  ${ratioRoundSql("CAST(sw * 1000000000 AS HUGEINT)",
+             "n_quads * 2000000000", 6)} AS mean_within,
+         |  ${ratioRoundSql("CAST(sc * 1000000000 AS HUGEINT)",
+             "n_quads * 2000000000", 6)} AS mean_cross
+         |FROM tot""".stripMargin,
     // SemDeDup full replay: the q_kmeans Lloyd chain (shared CTEs)
     // assigns clusters, then cosine only WITHIN a cluster (va < vb),
     // drop rule = smallest qualifying earlier neighbor, plus a

@@ -1192,4 +1192,75 @@ object SimilarityOps {
         col("n"), (col("n") - coalesce(col("nd"), lit(0L))).as("n_kept"))
     detail.unionByName(summary)
   }
+
+  /** Linear-time MMD² two-sample test on embeddings (Gretton, Borgwardt,
+    * Rasch, Schölkopf & Smola, JMLR 2012 §6 — the MMD_l estimator):
+    * did the embedding DISTRIBUTION shift between two slices? The
+    * squared-distance drift check the scalar family (KS/PSI/JS) cannot
+    * express: with an RBF kernel k(u,v) = exp(−‖u−v‖²/`gammaDen`),
+    * MMD² estimates E[k(x,x′)] + E[k(y,y′)] − 2·E[k(x,y)], which is 0
+    * iff the two distributions agree.
+    *
+    * The quadratic estimator is corpus² — this is the LINEAR one:
+    * vectors pair 1:1 across sides, consecutive pairs form quadruples,
+    * and each quadruple contributes one independent
+    * h = k(x₁,x₂) + k(y₁,y₂) − k(x₁,y₂) − k(x₂,y₁); MMD² = mean h.
+    * Pairing must be deterministic but arbitrary (any measurable
+    * pairing is unbiased under H₀): vectors bucket by
+    * pmod(id, `buckets`) and rank WITHIN their bucket, so the
+    * row_number window is bucket-partitioned — no global sort, no
+    * single-partition stage, and the unpaired remainder (≤ 1 pair per
+    * bucket per side) drops.
+    *
+    * Numerics: norms and cross-dots run through [[dot]] (Neumaier, 1-ulp);
+    * each kernel value is ONE mirrored IEEE dag rounded at 9 dp (the
+    * libm-exp rule — same risk budget as the ln-based gates), h is
+    * exact DECIMAL arithmetic over the four rounded kernels, and the
+    * published means are integer half-up ([[graft.PlanUtils.ratioRound]]).
+    *
+    * Plan shape: two filtered scans → bucket-keyed windows → one
+    * (bkt, r) equi-join to pair sides → one (bkt, g) equi-join to form
+    * quadruples → one 1-row aggregate. Everything is key-partitioned;
+    * per-bucket work is corpus/`buckets`-bounded, so `buckets` is the
+    * parallelism knob at 100 TB.
+    */
+  def mmdLinear(emb: DataFrame, idCol: String, vecCol: String,
+      sideA: Column, buckets: Int = 16, gammaDen: Double = 64.0): DataFrame = {
+    val w = Window.partitionBy("bkt").orderBy("id")
+    def side(cond: Column, vn: String) =
+      emb.filter(cond).select(col(idCol).as("id"), col(vecCol).as(vn),
+          pmod(col(idCol), lit(buckets.toLong)).as("bkt"))
+        .withColumn("r", row_number().over(w))
+        .withColumn(s"n2$vn", dot(col(vn), col(vn)))
+    val paired = side(sideA, "x").join(
+      side(!sideA, "y").drop("id"), Seq("bkt", "r"))
+    def half(m: Int, g: Column) = paired.filter(pmod(col("r"), lit(2)) === m)
+      .select(col("bkt"), g.as("g"),
+        col("x").as(s"x${2 - m}"), col("n2x").as(s"nx${2 - m}"),
+        col("y").as(s"y${2 - m}"), col("n2y").as(s"ny${2 - m}"))
+    // quad index: odd rank r pairs with rank r+1 (⌈r/2⌉ on both sides;
+    // double division is exact below 2^52, floor makes it integral)
+    val quads = half(1, floor((col("r") + lit(1)) / lit(2)).cast("long")).join(
+      half(0, floor(col("r") / lit(2)).cast("long")), Seq("bkt", "g"))
+    def k(u: Column, n2u: Column, v: Column, n2v: Column) =
+      round(exp(-(n2u - lit(2.0) * dot(u, v) + n2v) / lit(gammaDen)), 9)
+        .cast("decimal(20,9)")
+    val dec0 = "decimal(38,0)"
+    val scaled = (c: Column) => (c * lit(1000000000L)).cast(dec0)
+    quads
+      .select(
+        (k(col("x1"), col("nx1"), col("x2"), col("nx2"))
+          + k(col("y1"), col("ny1"), col("y2"), col("ny2"))).as("kw"),
+        (k(col("x1"), col("nx1"), col("y2"), col("ny2"))
+          + k(col("x2"), col("nx2"), col("y1"), col("ny1"))).as("kc"))
+      .agg(count(lit(1)).as("n_quads"),
+        sum(col("kw")).as("sw"), sum(col("kc")).as("sc"))
+      .select(col("n_quads"),
+        graft.PlanUtils.ratioRound(scaled(col("sw") - col("sc")),
+          col("n_quads") * lit(1000000000L), 6).as("mmd2"),
+        graft.PlanUtils.ratioRound(scaled(col("sw")),
+          col("n_quads") * lit(2000000000L), 6).as("mean_within"),
+        graft.PlanUtils.ratioRound(scaled(col("sc")),
+          col("n_quads") * lit(2000000000L), 6).as("mean_cross"))
+  }
 }

@@ -431,4 +431,37 @@ class SimilarityOpsSpec extends SparkSpec {
       .as[Double].collect().toList
     assert(g2 == List(1.0))
   }
+
+  test("mmdLinear: detects a planted shift, exactly zero under H0, drops remainders") {
+    // A at [1,0], B at [0,1], gammaDen=2: within-kernels exp(0)=1,
+    // cross exp(-1)=0.367879441 (9dp) → h = 2 − 2·0.367879441 per quad,
+    // mmd2 = 1.264241118 → 1.264241 at 6dp
+    def emb(rows: Seq[(Long, Seq[Float], Int)]) =
+      rows.toDF("vec_id", "embedding", "label")
+    val shifted = emb(
+      (0 until 8).map(i => (i.toLong * 2, Seq(1.0f, 0.0f), 0)) ++
+      (0 until 8).map(i => (i.toLong * 2 + 1, Seq(0.0f, 1.0f), 1)))
+    val got = SimilarityOps.mmdLinear(shifted, "vec_id", "embedding",
+        col("label") === 0, buckets = 1, gammaDen = 2.0)
+      .as[(Long, Double, Double, Double)].collect().toList
+    assert(got == List((4L, 1.264241, 1.0, 0.367879)))
+    // identical distributions: every kernel equal → mmd2 exactly 0
+    val same = emb(
+      (0 until 8).map(i => (i.toLong * 2, Seq(1.0f, 0.0f), 0)) ++
+      (0 until 8).map(i => (i.toLong * 2 + 1, Seq(1.0f, 0.0f), 1)))
+    val g2 = SimilarityOps.mmdLinear(same, "vec_id", "embedding",
+        col("label") === 0, buckets = 1, gammaDen = 2.0)
+      .as[(Long, Double, Double, Double)].collect().toList
+    assert(g2 == List((4L, 0.0, 1.0, 1.0)))
+    // ragged sides: 3 vs 2 pairable → 2 pairs → 1 quad; the 3rd A
+    // vector and the odd pair remainder drop
+    val ragged = emb(Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (4L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.0f, 1.0f), 1), (3L, Seq(0.0f, 1.0f), 1)))
+    val g3 = SimilarityOps.mmdLinear(ragged, "vec_id", "embedding",
+        col("label") === 0, buckets = 1, gammaDen = 2.0)
+      .select("n_quads").as[Long].collect().toList
+    assert(g3 == List(1L))
+  }
 }
