@@ -175,6 +175,19 @@ private[graft] object EntryDedup {
           md5(graft.functions.NfcNormalize(col("raw")).cast("binary"))
             .as("norm_md5"))
         .orderBy("doc_id")),
+    // Record linkage: Jaro–Winkler fuzzy match over the corpus's
+    // string entities (document vocabulary ∪ product names), blocked
+    // on (first char, length band) — the native codegen'd JW kernel
+    // against DuckDB's builtin, raw-double published (bit-parity is
+    // the pinned compute-order contract, JaroWinkler.scala).
+    "q_jaro_winkler" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("s"))
+      val names = Tables.part(s, dir).select(col("p_name").as("s"))
+      DedupOps.jaroLinkage(toks.unionByName(names), "s", 0.75, 1)
+        .orderBy(desc("jw"), col("s1"), col("s2"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -344,5 +357,29 @@ private[graft] object EntryDedup {
         |       strlen(nfc_normalize(raw)) AS n_norm_bytes,
         |       md5(nfc_normalize(raw)) AS norm_md5
         |FROM t ORDER BY doc_id""".stripMargin,
+    // JW linkage replay: identical blocking (first char + length
+    // band via unnest), DuckDB's builtin jaro_winkler_similarity —
+    // the raw-double publication IS the bit-parity assertion for the
+    // native kernel's pinned compute order
+    "q_jaro_winkler" ->
+      """WITH strs AS (
+        |  SELECT DISTINCT s FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS s
+        |    FROM documents
+        |    UNION ALL SELECT p_name FROM part)
+        |  WHERE len(s) > 0
+        |), keyed AS (
+        |  SELECT s, substr(s, 1, 1) AS c, len(s) AS l,
+        |         unnest([len(s), len(s) + 1]) AS band
+        |  FROM strs
+        |), cand AS (
+        |  SELECT DISTINCT a.s AS s1, b.s AS s2, a.l AS l1, b.l AS l2
+        |  FROM keyed a JOIN keyed b
+        |    ON a.c = b.c AND a.band = b.band AND a.s < b.s
+        |  WHERE abs(a.l - b.l) <= 1
+        |)
+        |SELECT s1, s2, l1, l2, jaro_winkler_similarity(s1, s2) AS jw
+        |FROM cand WHERE jaro_winkler_similarity(s1, s2) >= 0.75
+        |ORDER BY jw DESC, s1, s2""".stripMargin,
   )
 }

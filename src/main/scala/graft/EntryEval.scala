@@ -112,6 +112,17 @@ private[graft] object EntryEval {
       EvalOps.abTest(Tables.events(s, dir), col("event_type"),
           col("user_id"), col("value") > 50.0)
         .orderBy("grp")),
+    // Uncertainty-aware ranking: Wilson lower bound of each brand's
+    // return rate over lineitem (broadcast part-dim join) — the
+    // "don't sort by average rating" fix; lb is one deterministic
+    // IEEE dag from exact counts, published raw.
+    "q_wilson" -> ((s, dir) =>
+      EvalOps.wilsonLowerBound(
+          Tables.lineitem(s, dir).join(
+            broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey")),
+          col("p_brand"), col("l_returnflag") === "R")
+        .orderBy(desc("wilson_lb"), col("key"))),
     // CUPED variance reduction (Deng et al. 2013): per-user pre-
     // experiment covariate X = even-event_id value sum, outcome Y =
     // odd-event_id value sum (deterministic, SF-balanced split);
@@ -1019,6 +1030,29 @@ private[graft] object EntryEval {
         |FROM ss""".stripMargin,
     // A/B replay: same four counters, same pooled-z double dag;
     // DuckDB sums CAST to BIGINT, flag decided on the published z
+    // Wilson replay: identical counts, the IDENTICAL IEEE dag with z
+    // written as 1.96 and z² as 1.96 * 1.96 (never folded) — raw
+    // double equality is the gate
+    "q_wilson" ->
+      s"""WITH j AS (
+        |  SELECT p.p_brand AS key,
+        |         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS s
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |), agg AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS x
+        |  FROM j GROUP BY key
+        |)
+        |SELECT key, n, x,
+        |       ${ratioRoundSql("x", "n", 6)} + 0.0 AS p_hat,
+        |       (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        |          + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+        |          - 1.96 * sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+        |                          * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+        |                          / CAST(n AS DOUBLE)
+        |                        + (1.96 * 1.96)
+        |                          / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |         / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_lb
+        |FROM agg ORDER BY wilson_lb DESC, key""".stripMargin,
     "q_ab_test" ->
       """WITH c AS (
         |  SELECT event_type AS grp, user_id % 2 AS v,

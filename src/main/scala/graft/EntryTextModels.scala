@@ -194,6 +194,14 @@ private[graft] object EntryTextModels {
       TemporalOps.seasonalProfile(Tables.events(s, dir), col("event_type"),
           col("ts"), expr("CAST(floor(value * 10) AS BIGINT)"))
         .orderBy("grp", "dow")),
+    // Sample autocorrelation r_1..r_7 per event type over the
+    // calendar-dense daily sum series — the seasonality DIAGNOSTIC
+    // (q_seasonal assumes the weekly cycle; this measures it). Exact
+    // mean-cleared integer rationals through ratioRound.
+    "q_acf" -> ((s, dir) =>
+      TemporalOps.acf(Tables.events(s, dir), col("event_type"),
+          col("ts"), expr("CAST(floor(value * 10) AS BIGINT)"))
+        .orderBy("grp", "k")),
     // Semi-structured extraction: the events.props JSON column parsed
     // with a real JSON reader (from_json + schema) and aggregated on
     // the extracted field — the metadata-filtering shape every curation
@@ -1071,6 +1079,53 @@ private[graft] object EntryTextModels {
         |SELECT p.grp, p.dow, p.n_days, p.n, p.eff, k.peak_day, k.peak_res
         |FROM prof p JOIN pk k USING (grp, dow)
         |ORDER BY grp, dow""".stripMargin,
+    // ACF replay: dense calendar grid via generate_series, one
+    // 7-lag window pass, mean-cleared integer rationals in HUGEINT
+    // lanes, exact half-up publication
+    "q_acf" ->
+      s"""WITH daily AS (
+        |  SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS day,
+        |         sum(CAST(CAST(floor(value * 10) AS BIGINT) AS HUGEINT)) AS s
+        |  FROM events GROUP BY 1, 2
+        |), span AS (SELECT grp, min(day) AS d0, max(day) AS d1
+        |            FROM daily GROUP BY grp),
+        |grid AS (SELECT grp, unnest(generate_series(d0, d1)) AS day FROM span),
+        |dense AS (
+        |  SELECT g.grp, g.day, coalesce(d.s, CAST(0 AS HUGEINT)) AS s
+        |  FROM grid g LEFT JOIN daily d ON g.grp = d.grp AND g.day = d.day
+        |), lagged AS (
+        |  SELECT grp, s,
+        |         lag(s, 1) OVER w AS l1, lag(s, 2) OVER w AS l2,
+        |         lag(s, 3) OVER w AS l3, lag(s, 4) OVER w AS l4,
+        |         lag(s, 5) OVER w AS l5, lag(s, 6) OVER w AS l6,
+        |         lag(s, 7) OVER w AS l7
+        |  FROM dense WINDOW w AS (PARTITION BY grp ORDER BY day)
+        |), pairs AS (
+        |  SELECT grp, k, s, xl FROM (
+        |    SELECT grp, s, r.k AS k,
+        |           CASE r.k WHEN 1 THEN l1 WHEN 2 THEN l2 WHEN 3 THEN l3
+        |                    WHEN 4 THEN l4 WHEN 5 THEN l5 WHEN 6 THEN l6
+        |                    WHEN 7 THEN l7 END AS xl
+        |    FROM lagged
+        |    CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS k) r
+        |  ) WHERE xl IS NOT NULL
+        |), perk AS (
+        |  SELECT grp, k, sum(s * xl) AS p_k, sum(xl) AS a_k, sum(s) AS b_k,
+        |         CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM pairs GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT grp, CAST(count(*) AS HUGEINT) AS n, sum(s) AS t,
+        |         sum(s * s) AS q
+        |  FROM dense GROUP BY grp
+        |)
+        |SELECT p.grp, p.k, p.n_pairs,
+        |       CASE WHEN n * n * q - n * t * t > 0 THEN
+        |         ${ratioRoundSql(
+                   "n * n * p_k - n * t * (a_k + b_k) + CAST(n_pairs AS HUGEINT) * t * t",
+                   "n * n * q - n * t * t", 6)} + 0.0
+        |       END AS acf
+        |FROM perk p JOIN tot USING (grp)
+        |ORDER BY grp, k""".stripMargin,
     // CUSUM replay: integer-scaled deviations dev = s·N − n·T in
     // HUGEINT lanes (DECIMAL(38,0) on the engine side), running
     // sum/min/max windows over the day grid, exact-int publication

@@ -593,6 +593,41 @@ object EvalOps {
       z.as("z"), coalesce(abs(z) > zCrit, lit(false)).as("significant"))
   }
 
+  /** Wilson score-interval lower bound per key — "how not to sort by
+    * average rating" (Wilson 1927; the ranking fix popularized for
+    * star-ratings/comment ranking): the naive success rate p̂ ranks a
+    * 1/1 item above a 95/100 item; the Wilson lower bound
+    *   lb = (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    * shrinks small-n estimates toward 0 so ranking is
+    * uncertainty-aware.
+    *
+    * Portability: (n, x) are exact int64 counts from ONE partial-
+    * combined aggregate; p̂ is published through the exact half-up
+    * [[graft.PlanUtils.ratioRound]], and lb is a deterministic scalar
+    * IEEE dag from (x, n) — the oracle writes the IDENTICAL expression
+    * (z as the literal product 1.96·1.96, never a folded 3.8416 — the
+    * NOTES.md double-constant rule), so the RAW double is published
+    * and the ranking it induces is bit-identical cross-engine.
+    *
+    * Plan shape: corpus → one group-keyed combine; the scalar dag runs
+    * on the key-sized table. Output: (key, n, x, p_hat, wilson_lb).
+    */
+  def wilsonLowerBound(df: DataFrame, key: Column, success: Column,
+      z: Double = 1.96): DataFrame = {
+    val agg = df.select(key.as("key"), success.cast("long").as("__s"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("__s").as("x"))
+    val nD = col("n").cast("double")
+    val p = col("x").cast("double") / nD
+    val zz = lit(z) * lit(z)
+    val lb = (p + zz / (lit(2.0) * nD)
+        - lit(z) * sqrt(p * (lit(1.0) - p) / nD + zz / (lit(4.0) * nD * nD))) /
+      (lit(1.0) + zz / nD)
+    agg.select(col("key"), col("n"), col("x"),
+      (graft.PlanUtils.ratioRound(col("x"), col("n"), 6) + 0.0).as("p_hat"),
+      lb.as("wilson_lb"))
+  }
+
   /** Welch's unequal-variance t-test per experiment group — the
     * continuous-metric sibling of [[abTest]]: units split by a
     * deterministic hash of `unit`, compared on the MEAN of `metric`.

@@ -849,6 +849,77 @@ object TemporalOps {
         (col("cusum_pos") === max(col("cusum_pos")).over(wAll)).as("is_peak"))
   }
 
+  /** Sample autocorrelation function r_k (lags 1..`maxLag`) per group
+    * over the calendar-dense daily series — "does this metric echo
+    * itself a day / a week later": the diagnostic that motivates every
+    * seasonal model ([[seasonalProfile]] ASSUMES the weekly cycle; ACF
+    * MEASURES it, and r_7 > r_1 is the weekly-seasonality signature).
+    *
+    * Series: per-day SUMS of the caller's integer grid (sums, never
+    * means — the series value stays an exact integer), on a dense
+    * calendar: each group's [min, max] day span is scaffolded with
+    * `sequence` and missing days filled with 0, so lag k always means
+    * k CALENDAR days, not k observed rows.
+    *
+    * Exactness: the textbook estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄) /
+    * Σ(x_t−x̄)² is computed with the mean CLEARED — multiplying
+    * through by n² gives
+    *   r_k = [n²·P_k − n·S·(A_k+B_k) + (n−k)·S²] / [n²·Q − n·S²]
+    * with P_k = Σ x_t·x_{t+k}, A_k/B_k the head/tail partial sums, S/Q
+    * the series sum and sum of squares — every term an exact
+    * DECIMAL(38,0) integer, published through the exact half-up
+    * [[graft.PlanUtils.ratioRound]] (zero-variance groups publish
+    * null). Lane headroom: n²·P_k ~ n³·x̄² stays under 10³⁸ to ~sf10⁴
+    * on this corpus.
+    *
+    * Plan shape: corpus → ONE (grp, day) partial-combined aggregate
+    * (the only corpus-sized exchange); the scaffold join, the single
+    * window pass (all maxLag lag exprs share one (grp, day) sort), the
+    * lag-pair explode and both closing aggregates run on the DAY-sized
+    * table — bounded by the time span × maxLag, never the event count.
+    * Totals broadcast. Output: (grp, k, n_pairs, acf), lag-ordered.
+    */
+  def acf(events: DataFrame, group: Column, tsCol: Column, xGrid: Column,
+      maxLag: Int = 7, dayUs: Long = 86400000000L): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val dec = "decimal(38,0)"
+    val daily = events.select(group.as("grp"), unix_micros(tsCol).as("__us"),
+        xGrid.cast("long").as("x"))
+      .select(col("grp"), expr(s"__us div ${dayUs}L").as("day"), col("x"))
+      .groupBy("grp", "day")
+      .agg(sum(col("x").cast(dec)).as("sRaw"))
+    val span = daily.groupBy("grp")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = span.select(col("grp"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dense = grid.join(daily, Seq("grp", "day"), "left")
+      .select(col("grp"), col("day"),
+        coalesce(col("sRaw"), lit(0L).cast(dec)).as("s"))
+    val w = Window.partitionBy("grp").orderBy("day")
+    val lagCols = (1 to maxLag).map(k => lag(col("s"), k).over(w).as(s"l$k"))
+    val lagged = dense.select(col("grp") +: col("s") +: lagCols: _*)
+    val pairs = lagged.select(col("grp"), col("s"),
+        explode(array((1 to maxLag).map(k =>
+          struct(lit(k.toLong).as("k"), col(s"l$k").as("xl"))): _*)).as("p"))
+      .select(col("grp"), col("p.k").as("k"), col("s"), col("p.xl").as("xl"))
+      .filter(col("xl").isNotNull)
+    val perK = pairs.groupBy("grp", "k")
+      .agg(sum(col("s") * col("xl")).as("p_k"), sum("xl").as("a_k"),
+        sum("s").as("b_k"), count(lit(1)).as("n_pairs"))
+    val tot = dense.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("s").as("t"),
+        sum(col("s") * col("s")).as("q"))
+    val n = col("n").cast(dec)
+    val den = n * n * col("q") - n * col("t") * col("t")
+    perK.join(broadcast(tot), Seq("grp"))
+      .select(col("grp"), col("k"), col("n_pairs"),
+        when(den > 0, graft.PlanUtils.ratioRound(
+            n * n * col("p_k") - n * col("t") * (col("a_k") + col("b_k"))
+              + col("n_pairs").cast(dec) * col("t") * col("t"),
+            den, 6) + 0.0)
+          .as("acf"))
+  }
+
   /** Frequent sequential patterns up to length 3 (GSP / PrefixSpan
     * family — Srikant & Agrawal 1996, Pei et al. 2001): which ordered
     * event-type subsequences ⟨a⟩, ⟨a,b⟩, ⟨a,b,c⟩ do at least

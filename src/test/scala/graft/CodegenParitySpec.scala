@@ -67,6 +67,38 @@ class CodegenParitySpec extends SparkSpec {
     assert(interp == sqlRef)
   }
 
+  test("JaroWinkler: interpreted equals codegen; DuckDB-builtin pinned doubles") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.JaroWinkler
+    // Pins are the oracle builtin's EXACT doubles (DuckDB probe, this
+    // repo's bit-parity contract): transposition, window clipping,
+    // prefix boost + cap, sub-0.7 no-boost, differing-first-char
+    // no-boost, identity, disjoint, empty convention.
+    val pinned = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("duane", "dwayne", 0.8400000000000001),
+      ("aaaaaaaa", "aaaaaaab", 0.95), // prefix cap at 4
+      ("crate", "trace", 0.7333333333333334), // jaro>0.7 but p=0
+      ("zyx", "xyz", 0.5555555555555555), // below boost threshold
+      ("abcd", "abcd", 1.0),
+      ("a", "b", 0.0),
+      ("", "x", 0.0), ("x", "", 0.0), ("", "", 0.0)) // empty → 0, incl. both
+    pinned.foreach { case (a, b, want) =>
+      val interp = JaroWinkler.compute(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(interp == want, s"interp ($a, $b)")
+      val viaDf = Seq((a, b)).toDF("a", "b").repartition(1)
+        .select(JaroWinkler($"a", $"b").as("jw")).head().getDouble(0)
+      assert(viaDf == want, s"codegen ($a, $b)")
+    }
+    // symmetry on asymmetric-length inputs (window derives from max)
+    assert(JaroWinkler.compute(UTF8String.fromString("dixon"),
+        UTF8String.fromString("dicksonx")) ==
+      JaroWinkler.compute(UTF8String.fromString("dicksonx"),
+        UTF8String.fromString("dixon")))
+  }
+
   test("SrpCodes: interpreted equals codegen on testdata vectors") {
     val emb = Tables.embeddings(spark, sf0).limit(20).collect()
       .map(_.getSeq[Float](1))

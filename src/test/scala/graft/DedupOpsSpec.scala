@@ -428,4 +428,24 @@ class DedupOpsSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((2L, 1L, 3L), (7L, 7L, 1L), (9L, 9L, 1L)))
   }
+
+  test("jaroLinkage: blocking (first char + length band) gates exactly; no pair twice") {
+    val strs = Seq("martha", "marhta", "marthas", // equal-len + len+1 pairs
+      "xartha",    // JW-close to martha but first char differs → BLOCKED out
+      "mar",       // same first char, |len-6| > 1 → blocked out
+      "zzz", "zzz" // duplicate input strings collapse before pairing
+    ).toDF("s")
+    val got = DedupOps.jaroLinkage(strs, "s", minJw = 0.8, lenSlack = 1)
+      .as[(String, String, Long, Long, Double)].collect().toList
+    // each unordered pair exactly once (equal-length pairs meet on
+    // BOTH registered bands; DISTINCT must collapse them)
+    assert(got.size == got.map(t => (t._1, t._2)).distinct.size)
+    assert(got.map(t => (t._1, t._2)).toSet == Set(
+      ("marhta", "martha"), ("marhta", "marthas"), ("martha", "marthas")))
+    val jw = got.map(t => ((t._1, t._2), t._5)).toMap
+    // the oracle builtin's exact double (CodegenParitySpec pins)
+    assert(jw(("marhta", "martha")) == 0.9611111111111111)
+    // threshold is inclusive ≥ minJw and filters (xartha never scored)
+    assert(got.forall(_._5 >= 0.8))
+  }
 }

@@ -638,4 +638,17 @@ class EvalOpsSpec extends SparkSpec {
       .as[(Double, Option[Double], Option[Double])].collect().toList
     assert(g2 == List((9.0, None, None), (7.0, None, None)))
   }
+
+  test("wilsonLowerBound: 95/100 outranks 1/1 (the average-rating trap); exact dag") {
+    val df = (Seq.fill(95)(("big", 1)) ++ Seq.fill(5)(("big", 0)) ++
+      Seq(("tiny", 1))).toDF("k", "s")
+    val got = EvalOps.wilsonLowerBound(df, col("k"), col("s") === 1)
+      .orderBy(desc("wilson_lb"))
+      .as[(String, Long, Long, Double, Double)].collect().toList
+    // raw doubles of the pinned IEEE dag (z = 1.96): the 100%-but-n=1
+    // key shrinks BELOW the 95%-at-n=100 key
+    assert(got == List(
+      ("big", 100L, 95L, 0.95, 0.8882480347279117),
+      ("tiny", 1L, 1L, 1.0, 0.20654329147389294)))
+  }
 }

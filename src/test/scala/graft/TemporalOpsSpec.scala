@@ -585,4 +585,31 @@ class TemporalOpsSpec extends SparkSpec {
       (2, "b>a", 2L), (2, "b>c", 2L), (2, "c>b", 2L),
       (3, "a>b>c", 2L)))
   }
+
+  test("acf: alternating series hand values; calendar zero-fill; zero-variance null") {
+    def t(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // grp "alt": one event per day for 8 days, daily sums 10,0,10,0,…
+    // (period-2): exact r_1 = -0.875, r_2 = 0.75, r_3 = -0.625
+    val alt = (0L until 8L).map(d =>
+      ("alt", t(d), if (d % 2 == 0) 1.0 else 0.0))
+    // grp "gap": events on days 0 and 2 only — the dense calendar
+    // inserts day 1 as ZERO, giving series 10,0,10 (r_1 over the
+    // 3-day grid, NOT a 2-row observed series)
+    val gap = Seq(("gap", t(0), 1.0), ("gap", t(2), 1.0))
+    // grp "flat": constant series → zero variance → null acf
+    val flat = (0L until 4L).map(d => ("flat", t(d), 2.0))
+    val ev = (alt ++ gap ++ flat).toDF("event_type", "ts", "value")
+    val got = TemporalOps.acf(ev, col("event_type"), col("ts"),
+        expr("CAST(floor(value * 10) AS BIGINT)"), maxLag = 3)
+      .orderBy("grp", "k")
+      .as[(String, Long, Long, Option[Double])].collect().toList
+    assert(got == List(
+      ("alt", 1L, 7L, Some(-0.875)), ("alt", 2L, 6L, Some(0.75)),
+      ("alt", 3L, 5L, Some(-0.625)),
+      ("flat", 1L, 3L, None), ("flat", 2L, 2L, None),
+      ("flat", 3L, 1L, None),
+      // series 10,0,10 (x̄ = 20/3): r_1 = −400/600 = −2/3, r_2 =
+      // 100/600 = 1/6 — half-up at 6 dp
+      ("gap", 1L, 2L, Some(-0.666667)), ("gap", 2L, 1L, Some(0.166667))))
+  }
 }
