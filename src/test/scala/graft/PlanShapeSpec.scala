@@ -455,4 +455,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(scansOf(plan) >= 2, plan.take(2000))
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  test("q_jaro_winkler: blocked linkage is an equi-join, never a cartesian") {
+    // the (firstChar, lengthBand) blocking must reach the join as an
+    // EQUI key (the s1 < s2 ordering rides along as a filter) — a
+    // CartesianProduct/NestedLoop here is the all-pairs O(V²) linkage
+    // the blocking exists to prevent
+    val plan = finalPlan("q_jaro_winkler")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("NestedLoop"), plan.take(2000))
+  }
+
+  test("q_acf: one corpus-keyed aggregate below a partitioned window; totals broadcast") {
+    // the corpus is reduced to (grp, day) by the FIRST aggregate; the
+    // 7-lag window must be per-group (a global single-partition window
+    // would serialize the series concat) and the per-group totals ride
+    // a broadcast join back onto the lag pairs
+    val df = SparkEntry.queries("q_acf")(spark, sf0)
+    df.queryExecution.toRdd.count()
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // partitioned window: the Window spec carries the grp partition key
+    assert(plan.contains("windowspecdefinition(grp"), plan.take(2000))
+  }
+
+  test("q_wilson: part dim broadcast; corpus shuffled once (agg) plus the output sort") {
+    val df = SparkEntry.queries("q_wilson")(spark, sf0)
+    val shuffles = countShuffles(df)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // partial+final brand aggregate (1 exchange) + the 25-row output
+    // sort (1 range exchange) — a third exchange means the dim join
+    // stopped broadcasting
+    assert(shuffles <= 2, s"$shuffles shuffles\n${plan.take(2000)}")
+  }
 }
