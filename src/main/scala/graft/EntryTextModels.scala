@@ -202,6 +202,14 @@ private[graft] object EntryTextModels {
       TemporalOps.acf(Tables.events(s, dir), col("event_type"),
           col("ts"), expr("CAST(floor(value * 10) AS BIGINT)"))
         .orderBy("grp", "k")),
+    // Nonparametric trend kit per event type: Mann–Kendall S/z
+    // (exact-int S, tie-corrected variance, one IEEE z dag) +
+    // Theil–Sen slope (median pairwise rational through ratioRound)
+    // — q_cusum detects level SHIFTS, this detects monotone DRIFT.
+    "q_trend_robust" -> ((s, dir) =>
+      TemporalOps.trendRobust(Tables.events(s, dir), col("event_type"),
+          col("ts"), expr("CAST(floor(value * 10) AS BIGINT)"))
+        .orderBy("grp")),
     // Semi-structured extraction: the events.props JSON column parsed
     // with a real JSON reader (from_json + schema) and aggregated on
     // the extracted field — the metadata-filtering shape every curation
@@ -1126,6 +1134,61 @@ private[graft] object EntryTextModels {
         |       END AS acf
         |FROM perk p JOIN tot USING (grp)
         |ORDER BY grp, k""".stripMargin,
+    // Mann–Kendall/Theil–Sen replay: same pairwise day table, exact
+    // S and tie-corrected 18·Var in HUGEINT lanes, the identical z
+    // dag, slope median by (double, num, den) rank with the two
+    // middle picks averaged as an exact rational
+    "q_trend_robust" ->
+      s"""WITH daily AS (
+        |  SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS day,
+        |         sum(CAST(CAST(floor(value * 10) AS BIGINT) AS HUGEINT)) AS s
+        |  FROM events GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT a.grp, b.s - a.s AS num, b.day - a.day AS den
+        |  FROM daily a JOIN daily b ON a.grp = b.grp AND a.day < b.day
+        |), mk AS (
+        |  SELECT grp, CAST(sum(CASE WHEN num > 0 THEN 1
+        |                            WHEN num < 0 THEN -1
+        |                            ELSE 0 END) AS BIGINT) AS s_mk
+        |  FROM pairs GROUP BY grp
+        |), nd AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_days
+        |          FROM daily GROUP BY grp),
+        |tt AS (
+        |  SELECT grp, sum(t * (t - 1) * (2 * t + 5)) AS tt FROM (
+        |    SELECT grp, CAST(count(*) AS BIGINT) AS t
+        |    FROM daily GROUP BY grp, s) GROUP BY grp
+        |), v AS (
+        |  SELECT nd.grp, n_days,
+        |         n_days * (n_days - 1) * (2 * n_days + 5) - tt AS v18
+        |  FROM nd JOIN tt USING (grp)
+        |), ranked AS (
+        |  SELECT grp, num, den,
+        |         row_number() OVER (PARTITION BY grp
+        |           ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+        |                    num, den) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS c
+        |  FROM pairs
+        |), picks AS (
+        |  SELECT grp,
+        |         max(CASE WHEN rn = (c + 1) // 2 THEN num END) AS n1,
+        |         max(CASE WHEN rn = (c + 1) // 2 THEN den END) AS d1,
+        |         max(CASE WHEN rn = (c + 2) // 2 THEN num END) AS n2,
+        |         max(CASE WHEN rn = (c + 2) // 2 THEN den END) AS d2
+        |  FROM ranked GROUP BY grp
+        |)
+        |SELECT v.grp, v.n_days, coalesce(m.s_mk, 0) AS s_mk,
+        |       CASE WHEN v18 > 0 THEN
+        |         CASE WHEN m.s_mk > 0 THEN
+        |                (CAST(m.s_mk AS DOUBLE) - 1.0)
+        |                  / sqrt(CAST(v18 AS DOUBLE) / 18.0)
+        |              WHEN m.s_mk < 0 THEN
+        |                (CAST(m.s_mk AS DOUBLE) + 1.0)
+        |                  / sqrt(CAST(v18 AS DOUBLE) / 18.0)
+        |              ELSE 0.0 END END AS z_mk,
+        |       ${ratioRoundSql("n1 * d2 + n2 * d1",
+                  "2 * CAST(d1 AS HUGEINT) * d2", 6)} + 0.0 AS sen_slope
+        |FROM v LEFT JOIN mk m USING (grp) LEFT JOIN picks USING (grp)
+        |ORDER BY grp""".stripMargin,
     // CUSUM replay: integer-scaled deviations dev = s·N − n·T in
     // HUGEINT lanes (DECIMAL(38,0) on the engine side), running
     // sum/min/max windows over the day grid, exact-int publication

@@ -920,6 +920,92 @@ object TemporalOps {
           .as("acf"))
   }
 
+  /** Mann–Kendall trend test + Theil–Sen slope per group over the
+    * observed daily series — the nonparametric trend kit (Mann 1945,
+    * Kendall 1975; Theil 1950, Sen 1968): "is this metric
+    * monotonically drifting, and how fast", robust to outliers and
+    * free of the linearity/normality assumptions OLS trend lines
+    * carry. The CUSUM gate detects level SHIFTS; this one detects and
+    * sizes monotone DRIFT.
+    *
+    * Statistics, all from the pairwise day table (i < j):
+    *   - S = Σ sgn(x_j − x_i) — an exact int64;
+    *   - tie-corrected variance 18·Var(S) = n(n−1)(2n+5) −
+    *     Σ_t t(t−1)(2t+5) over value-tie groups t — exact int64;
+    *   - z = (S∓1)/√(Var) with the standard continuity correction,
+    *     ONE deterministic IEEE dag from the two exact ints (published
+    *     raw; null when Var = 0 — n < 2 or all values tied);
+    *   - Theil–Sen slope = median over pairs of (x_j − x_i)/(d_j −
+    *     d_i): slope rationals sort by their (identical cross-engine)
+    *     double value with the (num, den) pair as deterministic
+    *     tiebreak; the two middle ranks ⌊(c+1)/2⌋, ⌊(c+2)/2⌋ are
+    *     picked by conditional aggregation and their exact rational
+    *     mean (n₁d₂ + n₂d₁)/(2d₁d₂) publishes through half-up
+    *     [[graft.PlanUtils.ratioRound]].
+    *
+    * Scale: the corpus reduces to (grp, day) in ONE partial-combined
+    * aggregate; the pair self-join and the rank window are
+    * day-span²-sized per group (≤ ~66k pairs/year), bounded by the
+    * TIME AXIS, never the event count — the [[cusumShift]] argument
+    * squared, still metric-sized. Output: (grp, n_days, s_mk, z_mk,
+    * sen_slope).
+    */
+  def trendRobust(events: DataFrame, group: Column, tsCol: Column,
+      xGrid: Column, dayUs: Long = 86400000000L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = events.select(group.as("grp"), unix_micros(tsCol).as("__us"),
+        xGrid.cast("long").as("x"))
+      .select(col("grp"), expr(s"__us div ${dayUs}L").as("day"), col("x"))
+      .groupBy("grp", "day")
+      .agg(sum(col("x").cast(dec)).as("s"))
+    val pinned = graft.CacheScope.autoRelease(daily)
+    val pairs = pinned.as("a").join(pinned.as("b"),
+        col("a.grp") === col("b.grp") && col("a.day") < col("b.day"))
+      .select(col("a.grp").as("grp"),
+        (col("b.s") - col("a.s")).as("num"),
+        (col("b.day") - col("a.day")).as("den"))
+    val mk = pairs.groupBy("grp")
+      .agg(sum(when(col("num") > 0, 1L).when(col("num") < 0, -1L)
+        .otherwise(0L)).as("s_mk"))
+    val nDays = pinned.groupBy("grp").agg(count(lit(1)).as("n_days"))
+    val tieTerm = pinned.groupBy("grp", "s").agg(count(lit(1)).as("t"))
+      .groupBy("grp")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tt"))
+    val v18 = nDays.join(tieTerm, Seq("grp"))
+      .select(col("grp"), col("n_days"),
+        (col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5)
+          - col("tt")).as("v18"))
+    val wRank = Window.partitionBy("grp")
+      .orderBy(col("num").cast("double") / col("den").cast("double"),
+        col("num"), col("den"))
+    val wCnt = Window.partitionBy("grp")
+    val ranked = pairs
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("c", count(lit(1)).over(wCnt))
+      .withColumn("r1", expr("(c + 1) div 2"))
+      .withColumn("r2", expr("(c + 2) div 2"))
+      .filter(col("rn") === col("r1") || col("rn") === col("r2"))
+    val sen = ranked.groupBy("grp").agg(
+      max(when(col("rn") === col("r1"), col("num"))).as("n1"),
+      max(when(col("rn") === col("r1"), col("den"))).as("d1"),
+      max(when(col("rn") === col("r2"), col("num"))).as("n2"),
+      max(when(col("rn") === col("r2"), col("den"))).as("d2"))
+    val sD = col("s_mk").cast("double")
+    val z = when(col("v18") > 0,
+      when(col("s_mk") > 0,
+          (sD - lit(1.0)) / sqrt(col("v18").cast("double") / lit(18.0)))
+        .when(col("s_mk") < 0,
+          (sD + lit(1.0)) / sqrt(col("v18").cast("double") / lit(18.0)))
+        .otherwise(lit(0.0)))
+    v18.join(mk, Seq("grp"), "left").join(sen, Seq("grp"), "left")
+      .select(col("grp"), col("n_days"),
+        coalesce(col("s_mk"), lit(0L)).as("s_mk"), z.as("z_mk"),
+        (graft.PlanUtils.ratioRound(
+          col("n1") * col("d2") + col("n2") * col("d1"),
+          lit(2L).cast(dec) * col("d1") * col("d2"), 6) + 0.0)
+          .as("sen_slope"))
+  }
+
   /** Frequent sequential patterns up to length 3 (GSP / PrefixSpan
     * family — Srikant & Agrawal 1996, Pei et al. 2001): which ordered
     * event-type subsequences ⟨a⟩, ⟨a,b⟩, ⟨a,b,c⟩ do at least

@@ -480,6 +480,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(grp"), plan.take(2000))
   }
 
+  test("q_trend_robust: daily table pinned above its three consumers; no cartesian") {
+    // the corpus reduces to (grp, day) ONCE (cache feeds the pair
+    // self-join, the tie counts and the day counts); everything
+    // downstream is day-span²-sized per group
+    val plan = finalPlan("q_trend_robust")
+    assert(scansOf(plan) >= 3, plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("q_wilson: part dim broadcast; corpus shuffled once (agg) plus the output sort") {
     val df = SparkEntry.queries("q_wilson")(spark, sf0)
     val shuffles = countShuffles(df)

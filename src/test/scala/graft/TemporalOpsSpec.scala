@@ -612,4 +612,26 @@ class TemporalOpsSpec extends SparkSpec {
       // 100/600 = 1/6 — half-up at 6 dp
       ("gap", 1L, 2L, Some(-0.666667)), ("gap", 2L, 1L, Some(0.166667))))
   }
+
+  test("trendRobust: monotone series hand S/z/slope; all-tied variance null") {
+    def t(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // "up": daily sums 10,20,30,40,50 — all 10 pairs rise: S = 10,
+    // no ties: 18·Var = 5·4·15 = 300, z = 9/√(300/18); every pairwise
+    // slope is exactly 10 deci-units/day
+    val up = (0L until 5L).map(d => ("up", t(d), (d + 1).toDouble))
+    val down = (0L until 5L).map(d => ("down", t(d), (5 - d).toDouble))
+    // "tied": constant series — S = 0 and the tie correction cancels
+    // 18·Var to 0 → z null; the slope median is still exactly 0
+    val tied = (0L until 3L).map(d => ("tied", t(d), 3.0))
+    val ev = (up ++ down ++ tied).toDF("event_type", "ts", "value")
+    val got = TemporalOps.trendRobust(ev, col("event_type"), col("ts"),
+        expr("CAST(floor(value * 10) AS BIGINT)"))
+      .orderBy("grp")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().toList
+    assert(got == List(
+      ("down", 5L, -10L, Some(-2.2045407685048604), Some(-10.0)),
+      ("tied", 3L, 0L, None, Some(0.0)),
+      ("up", 5L, 10L, Some(2.2045407685048604), Some(10.0))))
+  }
 }
