@@ -241,6 +241,12 @@ private[graft] object EntryTextModels {
     // Sketch tier, distinct counts: HLL++ next to the exact distinct,
     // certificate = relative error within 3x the requested rsd. Oracle
     // emits literal TRUE -> hash equality proves the bound.
+    // AMS tug-of-war F2 sketch vs the exact self-join size of
+    // user_id — 9 portable ±1-hash counters in ONE pass, median of
+    // means, exact int64 arithmetic through to the published
+    // ratioRound estimate and relative error.
+    "q_ams_f2" -> ((s, dir) =>
+      SketchOps.amsF2(Tables.events(s, dir), "user_id")),
     "q_approx_distinct" -> ((s, dir) =>
       SketchOps.distinctCountCertificate(Tables.events(s, dir),
           Seq("event_type"), "user_id", rsd = 0.05, errBound = 0.15)
@@ -797,6 +803,45 @@ private[graft] object EntryTextModels {
         |FROM r JOIN cs USING (cohort) ORDER BY 1, 2""".stripMargin,
     // sketch certificates: the oracle contributes the exact side and a
     // literal TRUE -- hash equality proves the published error bound
+    // AMS replay: the identical 48 ±1 counters — parity of the
+    // per-estimator Horner cubic mod the shared prime (4-wise family;
+    // see SketchOps.amsF2 on why a multiplicative-hash bit is NOT
+    // usable here), integer median-of-means identity, exact half-up
+    // publication
+    "q_ams_f2" -> {
+      val p = SketchOps.AmsPrime
+      val cols = 16
+      val sums = (0 until 3 * cols).map { i =>
+        val Seq(a3, a2, a1, a0) = SketchOps.AmsSalts.map(s => (s * (i + 1)) % p)
+        s"sum(CASE WHEN (((($a3 * (user_id % $p) + $a2) % $p)" +
+          s" * (user_id % $p) + $a1) % $p * (user_id % $p) + $a0)" +
+          s" % $p % 2 = 0 THEN 1 ELSE -1 END) AS s$i"
+      }.mkString(",\n         ")
+      val ms = (0 until 3).map(g =>
+        (0 until cols).map(c => { val i = g * cols + c; s"s$i * s$i" })
+          .mkString("(", " + ", s") AS m$g")).mkString(", ")
+      s"""WITH sums AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         $sums
+        |  FROM events
+        |), means AS (
+        |  SELECT n, $ms FROM sums
+        |), est AS (
+        |  SELECT n, m0 + m1 + m2 - greatest(m0, m1, m2)
+        |           - least(m0, m1, m2) AS med_num
+        |  FROM means
+        |), exact AS (
+        |  SELECT CAST(sum(f * f) AS BIGINT) AS exact_f2 FROM (
+        |    SELECT CAST(count(*) AS BIGINT) AS f FROM events
+        |    GROUP BY user_id)
+        |)
+        |SELECT n, exact_f2,
+        |       ${ratioRoundSql("med_num", s"$cols", 6)} + 0.0 AS est_f2,
+        |       ${ratioRoundSql(
+                 s"abs(CAST(med_num AS HUGEINT) - $cols * CAST(exact_f2 AS HUGEINT))",
+                 s"$cols * CAST(exact_f2 AS HUGEINT)", 6)} + 0.0 AS rel_err
+        |FROM est CROSS JOIN exact""".stripMargin
+    },
     "q_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_n,
         |       TRUE AS within_bound

@@ -84,4 +84,82 @@ object SketchOps {
       (col("rank_le") >= target - eps &&
         (col("rank_lt") + lit(1L)) <= target + eps).as("within_bound"): _*)
   }
+
+  /** AMS/tug-of-war second-moment sketch (Alon, Matias, Szegedy 1996)
+    * next to the exact F₂ — the join-size estimator: F₂ = Σ_v f_v² IS
+    * the self-equi-join cardinality of `keyCol`, the number every
+    * optimizer wants before committing to a join strategy and the
+    * skew diagnostic (uniform keys → F₂ ≈ n²/V; one hot key → ≈ f²).
+    *
+    * Sketch: `rows`×`cols` independent ±1 hashes of the key; each
+    * estimator X_i = (Σ_rows sign_i(key))² is unbiased for F₂;
+    * publish the classic median (over `rows`) of means (over `cols`).
+    * The ±1 hash MUST be (approximately) 4-wise independent — the
+    * paper's requirement is load-bearing, not theoretical hygiene: a
+    * first cut used bit 10 of a Knuth multiplicative hash, and on
+    * dense integer keys that sign sequence is an arithmetic
+    * progression mod p with O(log) discrepancy — signs cancel far
+    * BETTER than random, X_i collapses ~100× below F₂ (measured
+    * rel_err 0.99). The shipped family is the textbook degree-3
+    * polynomial mod a prime (parity of Horner((a₃,a₂,a₁,a₀), key mod
+    * 1048573)), coefficients salted per estimator — p < 2²⁰ keeps
+    * every Horner step int64-exact in BOTH engines at any key scale
+    * (measured rel_err 0.19 at 3×16 on the sf0.1 corpus).
+    *
+    * Exactness: every S_i is an exact int64 counter from ONE
+    * partial-combined aggregate (the sketch costs rows·cols counters
+    * per partition, NOT an Expand — contrast exact distinct); X_i,
+    * the mean numerators and the median-of-3 identity (Σ − max − min)
+    * stay integer; the estimate and its relative error publish through
+    * exact half-up [[graft.PlanUtils.ratioRound]]. The exact F₂ rides
+    * a second key-keyed aggregate and exists to certify — a production
+    * pipeline keeps only the single-row sketch pass.
+    *
+    * Output (one row): (n, exact_f2, est_f2, rel_err).
+    */
+  def amsF2(df: DataFrame, keyCol: String, rows: Int = 3,
+      cols: Int = 16): DataFrame = {
+    require(rows == 3 && cols >= 1,
+      "median-of-3 identity: rows must be 3; cols >= 1")
+    val dec = "decimal(38,0)"
+    val r = rows * cols
+    val p = AmsPrime
+    def sign(i: Int) = {
+      val Seq(a3, a2, a1, a0) = AmsSalts.map(s => (s * (i + 1)) % p)
+      val xm = pmod(col("__k"), lit(p))
+      val h = pmod(pmod(pmod(lit(a3) * xm + lit(a2), lit(p)) * xm
+        + lit(a1), lit(p)) * xm + lit(a0), lit(p))
+      when(h % 2 === 0, 1L).otherwise(-1L)
+    }
+    val sums = df.select(col(keyCol).cast("long").as("__k"))
+      .agg(count(lit(1)).as("n"),
+        (0 until r).map(i => sum(sign(i)).as(s"s$i")): _*)
+    val means = sums.select(col("n") +:
+      (0 until rows).map(g =>
+        (0 until cols).map(c => { val i = g * cols + c
+          col(s"s$i") * col(s"s$i") }).reduce(_ + _).as(s"m$g")): _*)
+    val est = means.select(col("n"),
+      (col("m0") + col("m1") + col("m2")
+        - greatest(col("m0"), col("m1"), col("m2"))
+        - least(col("m0"), col("m1"), col("m2"))).as("med_num"))
+    val exact = df.select(col(keyCol).cast("long").as("__k"))
+      .groupBy("__k").agg(count(lit(1)).as("f"))
+      .agg(sum(col("f").cast(dec) * col("f")).as("exact_f2"))
+    est.join(exact)
+      .select(col("n"), col("exact_f2").cast("long").as("exact_f2"),
+        (graft.PlanUtils.ratioRound(col("med_num"), lit(cols.toLong), 6)
+          + 0.0).as("est_f2"),
+        (graft.PlanUtils.ratioRound(
+          abs(col("med_num").cast(dec) - lit(cols.toLong) * col("exact_f2")),
+          lit(cols.toLong).cast(dec) * col("exact_f2").cast(dec), 6) + 0.0)
+          .as("rel_err"))
+  }
+
+  /** AMS hash-family constants, shared with the q_ams_f2 oracle
+    * generator: the modulus prime (< 2²⁰ for int64-exact Horner steps
+    * at any key magnitude) and the four coefficient salts, multiplied
+    * by (estimator index + 1) mod p.
+    */
+  private[graft] val AmsPrime = 1048573L
+  private[graft] val AmsSalts = Seq(40503L, 92821L, 486187L, 12289L)
 }

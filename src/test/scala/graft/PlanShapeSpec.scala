@@ -489,6 +489,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("q_ams_f2: 48 sketch counters ride ONE aggregate — no Expand, no per-key pass for the sketch") {
+    // the sketch side must stay a single partial-combined aggregate
+    // (the whole point vs exact distinct's Expand); the only Expand-
+    // free second pass is the exact-F2 certifier's key-keyed aggregate
+    val df = SparkEntry.queries("q_ams_f2")(spark, sf0)
+    df.queryExecution.toRdd.count()
+    val plan = planString(df)
+    assert(!plan.contains("Expand"), plan.take(2000))
+    val shuffles = countShuffles(df)
+    // sketch agg (1) + exact key agg (1) + its final single-row agg
+    assert(shuffles <= 3, s"$shuffles shuffles\n${plan.take(2000)}")
+  }
+
   test("q_wilson: part dim broadcast; corpus shuffled once (agg) plus the output sort") {
     val df = SparkEntry.queries("q_wilson")(spark, sf0)
     val shuffles = countShuffles(df)

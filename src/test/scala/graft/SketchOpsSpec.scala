@@ -54,4 +54,23 @@ class SketchOpsSpec extends SparkSpec {
       .as[(String, Int, Long, Boolean)].head()
     assert(got == (("g", 0, 100L, true)))
   }
+
+  test("amsF2: exact on a single hot key; in-band on a spread corpus") {
+    import org.apache.spark.sql.functions._
+    // one key: every estimator is (±n)² = n² = F2 exactly — the
+    // tug-of-war sketch has zero variance when one key carries all
+    // mass, so est == exact and rel_err == 0 identically
+    val hot = Seq.fill(50)(7L).toDF("k")
+    val gh = SketchOps.amsF2(hot, "k")
+      .as[(Long, Long, Double, Double)].head()
+    assert(gh == ((50L, 2500L, 2500.0, 0.0)))
+    // 1000 spread keys, 5 rows each: F2 = 25k; the 4-wise cubic
+    // family must land the median-of-means within the coarse AMS
+    // band (the Knuth-bit hash this replaced collapsed ~100× low)
+    val spread = (0 until 5000).map(i => (i % 1000).toLong).toDF("k")
+    val gs = SketchOps.amsF2(spread, "k")
+      .as[(Long, Long, Double, Double)].head()
+    assert(gs._2 == 25000L)
+    assert(gs._4 < 0.75, s"rel_err ${gs._4}")
+  }
 }
