@@ -131,6 +131,15 @@ private[graft] object EntryEval {
     "q_cuped" -> ((s, dir) =>
       EvalOps.cupedAdjust(Tables.events(s, dir), col("user_id"),
         round(col("value")), pmod(col("event_id"), lit(2L)) === 0)),
+    // Quasi-experimental: difference-in-differences per event type —
+    // treatment by unit hash, pre/post at the data-derived midpoint
+    // day; DiD published as the exact cleared rational, t from the
+    // unpooled four-cell SE (the welch dag shape).
+    "q_did" -> ((s, dir) =>
+      EvalOps.diffInDiff(Tables.events(s, dir), col("event_type"),
+          col("user_id"), col("ts"),
+          expr("CAST(floor(value * 10) AS BIGINT)"))
+        .orderBy("grp")),
     // Experimentation, nonparametric: tie-corrected Mann–Whitney U on
     // the purchase-vs-view value distributions (deci-unit grid). Exact
     // doubled mid-rank arithmetic in 128-bit lanes; one IEEE z dag.
@@ -1030,6 +1039,61 @@ private[graft] object EntryEval {
         |FROM ss""".stripMargin,
     // A/B replay: same four counters, same pooled-z double dag;
     // DuckDB sums CAST to BIGINT, flag decided on the published z
+    // DiD replay: identical 12 conditional counters, the exact
+    // cleared rational for the estimate, the identical unpooled-SE
+    // double dag for t (same summand ORDER — IEEE addition is not
+    // associative)
+    "q_did" -> {
+      def cell(nm: String, cond: String) =
+        s"""CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n_$nm,
+           |    sum(CASE WHEN $cond THEN CAST(x AS HUGEINT) ELSE 0 END) AS s_$nm,
+           |    sum(CASE WHEN $cond THEN CAST(x * x AS HUGEINT) ELSE 0 END) AS q_$nm"""
+          .stripMargin
+      def varS(nm: String) =
+        s"(CAST(q_$nm AS DOUBLE) - CAST(s_$nm AS DOUBLE) * CAST(s_$nm AS DOUBLE) / n_$nm) / (n_$nm - 1)"
+      s"""WITH base AS (
+        |  SELECT event_type AS grp, user_id % 2 = 1 AS t,
+        |         epoch_us(ts) // 86400000000 AS day,
+        |         CAST(floor(value * 10) AS BIGINT) AS x
+        |  FROM events
+        |), span AS (SELECT (min(day) + max(day) + 1) // 2 AS cut FROM base),
+        |cells AS (SELECT b.*, b.day >= s.cut AS po
+        |          FROM base b CROSS JOIN span s),
+        |agg AS (
+        |  SELECT grp,
+        |    ${cell("tpre", "t AND NOT po")},
+        |    ${cell("tpost", "t AND po")},
+        |    ${cell("cpre", "NOT t AND NOT po")},
+        |    ${cell("cpost", "NOT t AND po")}
+        |  FROM cells GROUP BY grp
+        |), m AS (
+        |  SELECT *,
+        |    (CAST(s_tpost AS DOUBLE) / n_tpost
+        |       - CAST(s_tpre AS DOUBLE) / n_tpre)
+        |      - (CAST(s_cpost AS DOUBLE) / n_cpost
+        |           - CAST(s_cpre AS DOUBLE) / n_cpre) AS did_d,
+        |    ${varS("tpost")} / n_tpost + ${varS("tpre")} / n_tpre
+        |      + ${varS("cpost")} / n_cpost
+        |      + ${varS("cpre")} / n_cpre AS se2,
+        |    n_tpre > 1 AND n_tpost > 1 AND n_cpre > 1 AND n_cpost > 1
+        |      AS nok
+        |  FROM agg
+        |), f AS (
+        |  SELECT *, CASE WHEN nok AND se2 > 0 THEN
+        |    round(did_d / sqrt(se2), 6) + 0.0 END AS t_did
+        |  FROM m
+        |)
+        |SELECT grp, n_tpre, n_tpost, n_cpre, n_cpost,
+        |  CASE WHEN n_tpre > 0 AND n_tpost > 0
+        |        AND n_cpre > 0 AND n_cpost > 0 THEN
+        |    ${ratioRoundSql(
+               "(s_tpost * n_tpre - s_tpre * n_tpost) * (CAST(n_cpost AS HUGEINT) * n_cpre) - (s_cpost * n_cpre - s_cpre * n_cpost) * (CAST(n_tpost AS HUGEINT) * n_tpre)",
+               "(CAST(n_tpost AS HUGEINT) * n_tpre) * (CAST(n_cpost AS HUGEINT) * n_cpre)",
+               6)} + 0.0 END AS did,
+        |  t_did,
+        |  coalesce(abs(t_did) > 1.96, FALSE) AS significant
+        |FROM f ORDER BY grp""".stripMargin
+    },
     // Wilson replay: identical counts, the IDENTICAL IEEE dag with z
     // written as 1.96 and z² as 1.96 * 1.96 (never folded) — raw
     // double equality is the gate

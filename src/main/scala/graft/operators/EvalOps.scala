@@ -744,6 +744,95 @@ object EvalOps {
       .orderBy("arm")
   }
 
+  /** Difference-in-differences per group — the quasi-experimental
+    * member of the experimentation family ([[abTest]]/[[welchTTest]]
+    * compare arms at one time; [[cupedAdjust]] tightens with a
+    * pre-period covariate; DiD estimates a treatment effect when
+    * assignment is NOT randomized, by differencing out both the
+    * group baseline and the common time trend):
+    *   DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre).
+    *
+    * Treatment arm is the deterministic `pmod(unit, 2)` split; the
+    * pre/post cut is the midpoint of the observed day span (one
+    * 1-row aggregate broadcast back — both engines derive the same
+    * cut from the data, no wall-clock literal).
+    *
+    * Exactness: `metric` must be integer-valued (caller grid), so
+    * the 4 cells' (n, Σx, Σx²) lanes are exact DECIMAL(38,0) ints
+    * from ONE group-keyed aggregate; DiD itself is published as the
+    * EXACT rational [A·D_C − B·D_T] / (D_T·D_C) (A/B the cleared
+    * cell-mean differences, D the cell-count products) through
+    * half-up [[graft.PlanUtils.ratioRound]]. The t statistic uses the
+    * unpooled four-cell SE — the [[welchTTest]] IEEE dag shape, cell
+    * variances from the same exact lanes — published at 6 dp; any
+    * cell with n ≤ 1 (or zero SE) nulls the inference columns.
+    *
+    * Plan shape: corpus → ONE partial-combined group aggregate (12
+    * conditional counters); the cut is a broadcast 1-row cross; all
+    * arithmetic runs on the group-sized table. Output: (grp, n_tpre,
+    * n_tpost, n_cpre, n_cpost, did, t_did, significant).
+    */
+  def diffInDiff(df: DataFrame, group: Column, unit: Column,
+      tsCol: Column, metric: Column, tCrit: Double = 1.96,
+      dayUs: Long = 86400000000L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val based = df.select(group.as("grp"),
+      (pmod(unit, lit(2L)) === 1).as("__t"),
+      unix_micros(tsCol).as("__us"), metric.cast("long").as("__x"))
+      .withColumn("day", expr(s"__us div ${dayUs}L")).drop("__us")
+    val span = based.agg(
+        (min(col("day")) + max(col("day")) + 1).as("__c2"))
+      .select(expr("__c2 div 2").as("cut"))
+    val cells = based.join(broadcast(span))
+      .withColumn("__po", col("day") >= col("cut"))
+    def cnt(t: Boolean, po: Boolean) =
+      sum(when(col("__t") === t && col("__po") === po, 1L).otherwise(0L))
+    def s(t: Boolean, po: Boolean) =
+      sum(when(col("__t") === t && col("__po") === po,
+        col("__x").cast(dec)).otherwise(lit(0L).cast(dec)))
+    def q(t: Boolean, po: Boolean) =
+      sum(when(col("__t") === t && col("__po") === po,
+        (col("__x") * col("__x")).cast(dec)).otherwise(lit(0L).cast(dec)))
+    val agg = cells.groupBy("grp").agg(
+      cnt(true, false).as("n_tpre"), s(true, false).as("__s_tpre"),
+      q(true, false).as("__q_tpre"),
+      cnt(true, true).as("n_tpost"), s(true, true).as("__s_tpost"),
+      q(true, true).as("__q_tpost"),
+      cnt(false, false).as("n_cpre"), s(false, false).as("__s_cpre"),
+      q(false, false).as("__q_cpre"),
+      cnt(false, true).as("n_cpost"), s(false, true).as("__s_cpost"),
+      q(false, true).as("__q_cpost"))
+    val aT = col("__s_tpost") * col("n_tpre") - col("__s_tpre") * col("n_tpost")
+    val aC = col("__s_cpost") * col("n_cpre") - col("__s_cpre") * col("n_cpost")
+    val dT = col("n_tpost").cast(dec) * col("n_tpre")
+    val dC = col("n_cpost").cast(dec) * col("n_cpre")
+    def meanD(s0: Column, n0: Column) = s0.cast("double") / n0
+    def varS(s0: Column, q0: Column, n0: Column) =
+      (q0.cast("double") - s0.cast("double") * s0.cast("double") / n0) /
+        (n0 - 1)
+    val didD =
+      (meanD(col("__s_tpost"), col("n_tpost"))
+        - meanD(col("__s_tpre"), col("n_tpre"))) -
+      (meanD(col("__s_cpost"), col("n_cpost"))
+        - meanD(col("__s_cpre"), col("n_cpre")))
+    val se2 =
+      varS(col("__s_tpost"), col("__q_tpost"), col("n_tpost")) / col("n_tpost") +
+      varS(col("__s_tpre"), col("__q_tpre"), col("n_tpre")) / col("n_tpre") +
+      varS(col("__s_cpost"), col("__q_cpost"), col("n_cpost")) / col("n_cpost") +
+      varS(col("__s_cpre"), col("__q_cpre"), col("n_cpre")) / col("n_cpre")
+    val ok = col("n_tpre") > 1 && col("n_tpost") > 1 &&
+      col("n_cpre") > 1 && col("n_cpost") > 1 && se2 > 0
+    val t = round(didD / sqrt(se2), 6) + 0.0
+    agg.select(col("grp"), col("n_tpre"), col("n_tpost"),
+      col("n_cpre"), col("n_cpost"),
+      when(col("n_tpre") > 0 && col("n_tpost") > 0 &&
+          col("n_cpre") > 0 && col("n_cpost") > 0,
+        graft.PlanUtils.ratioRound(aT * dC - aC * dT, dT * dC, 6) + 0.0)
+        .as("did"),
+      when(ok, t).as("t_did"),
+      coalesce(abs(when(ok, t)) > tCrit, lit(false)).as("significant"))
+  }
+
   def labelNoise(knnLists: DataFrame, labels: DataFrame): DataFrame = {
     val lbl = labels.select(col("vec_id"), col("label"))
     val withQ = knnLists

@@ -639,6 +639,33 @@ class EvalOpsSpec extends SparkSpec {
     assert(g2 == List((9.0, None, None), (7.0, None, None)))
   }
 
+  test("diffInDiff: planted effect 5 survives baseline gap + common trend; exact t") {
+    def t(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // treated (odd unit) baseline 12, control 10; common post trend
+    // +3; planted treatment effect +5. Days 0..3 → cut = 2. Each
+    // cell carries two values mean±1 so every cell variance is
+    // exactly 2 → se2 = 4, t = 5/2.
+    val ev = Seq(
+      (1L, t(0), 11L), (1L, t(1), 13L), // T pre  (mean 12)
+      (1L, t(2), 19L), (1L, t(3), 21L), // T post (mean 20)
+      (2L, t(0), 9L), (2L, t(1), 11L),  // C pre  (mean 10)
+      (2L, t(2), 12L), (2L, t(3), 14L)  // C post (mean 13)
+    ).map { case (u, ts0, v) => ("g", u, ts0, v) }
+      .toDF("grp0", "u", "ts", "v")
+    val got = EvalOps.diffInDiff(ev, col("grp0"), col("u"), col("ts"),
+        col("v"))
+      .as[(String, Long, Long, Long, Long, Option[Double], Option[Double],
+        Boolean)].head()
+    assert(got == (("g", 2L, 2L, 2L, 2L, Some(5.0), Some(2.5), true)))
+    // a cell with n = 1 nulls the inference but keeps the estimate
+    val thin = ev.filter(col("v") =!= 13L)
+    val g2 = EvalOps.diffInDiff(thin, col("grp0"), col("u"), col("ts"),
+        col("v"))
+      .as[(String, Long, Long, Long, Long, Option[Double], Option[Double],
+        Boolean)].head()
+    assert(g2._2 == 1L && g2._6.isDefined && g2._7.isEmpty && !g2._8)
+  }
+
   test("wilsonLowerBound: 95/100 outranks 1/1 (the average-rating trap); exact dag") {
     val df = (Seq.fill(95)(("big", 1)) ++ Seq.fill(5)(("big", 0)) ++
       Seq(("tiny", 1))).toDF("k", "s")
