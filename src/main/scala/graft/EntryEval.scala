@@ -131,6 +131,17 @@ private[graft] object EntryEval {
     "q_cuped" -> ((s, dir) =>
       EvalOps.cupedAdjust(Tables.events(s, dir), col("user_id"),
         round(col("value")), pmod(col("event_id"), lit(2L)) === 0)),
+    // Uncertainty pooling: empirical-Bayes beta-binomial shrinkage of
+    // brand return rates (the Wilson gate's cross-key companion —
+    // MoM Beta prior from exact micro-unit rate moments, posterior
+    // means published).
+    "q_eb_shrink" -> ((s, dir) =>
+      EvalOps.ebShrink(
+          Tables.lineitem(s, dir).join(
+            broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey")),
+          col("p_brand"), col("l_returnflag") === "R")
+        .orderBy(desc("p_shrunk"), col("key"))),
     // Quasi-experimental: difference-in-differences per event type —
     // treatment by unit hash, pre/post at the data-derived midpoint
     // day; DiD published as the exact cleared rational, t from the
@@ -1039,6 +1050,49 @@ private[graft] object EntryEval {
         |FROM ss""".stripMargin,
     // A/B replay: same four counters, same pooled-z double dag;
     // DuckDB sums CAST to BIGINT, flag decided on the published z
+    // EB replay: identical integer micro-unit rates (hugeint floor
+    // division), exact moment lanes, the identical MoM/posterior
+    // IEEE dag
+    "q_eb_shrink" ->
+      s"""WITH j AS (
+        |  SELECT p.p_brand AS key,
+        |         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS s
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |), pk AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(s) AS BIGINT) AS x
+        |  FROM j GROUP BY key
+        |), wu AS (
+        |  SELECT *, (2 * CAST(x AS HUGEINT) * 1000000 + n)
+        |              // (2 * CAST(n AS HUGEINT)) AS u
+        |  FROM pk
+        |), mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS kk,
+        |         CAST(sum(u) AS HUGEINT) AS su,
+        |         sum(CAST(u AS HUGEINT) * u) AS suu
+        |  FROM wu
+        |), m AS (
+        |  SELECT kk,
+        |    CAST(su AS DOUBLE) / (CAST(kk AS DOUBLE) * 1000000.0) AS m1,
+        |    CAST(kk * suu - su * su AS DOUBLE)
+        |      / (CAST(kk AS DOUBLE) * (CAST(kk AS DOUBLE) - 1.0) * 1e12)
+        |      AS m2
+        |  FROM mom
+        |), pr AS (
+        |  SELECT *, m1 * (1.0 - m1) / m2 - 1.0 AS tot FROM m
+        |), qq AS (
+        |  SELECT *, m1 * tot AS ab_a, (1.0 - m1) * tot AS ab_b,
+        |         kk > 1 AND m2 > 0 AND tot > 0 AS ok
+        |  FROM pr
+        |)
+        |SELECT w.key, w.n, w.x,
+        |  ${ratioRoundSql("w.x", "w.n", 6)} + 0.0 AS p_hat,
+        |  CASE WHEN ok THEN
+        |    round((w.x + ab_a) / (w.n + ab_a + ab_b), 6) + 0.0 END AS p_shrunk,
+        |  CASE WHEN ok THEN round(ab_a, 6) + 0.0 END AS alpha,
+        |  CASE WHEN ok THEN round(ab_b, 6) + 0.0 END AS beta
+        |FROM wu w CROSS JOIN qq
+        |ORDER BY p_shrunk DESC, key""".stripMargin,
     // DiD replay: identical 12 conditional counters, the exact
     // cleared rational for the estimate, the identical unpooled-SE
     // double dag for t (same summand ORDER — IEEE addition is not

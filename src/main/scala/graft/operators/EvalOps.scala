@@ -628,6 +628,61 @@ object EvalOps {
       lb.as("wilson_lb"))
   }
 
+  /** Empirical-Bayes beta-binomial shrinkage per key — the POOLING
+    * companion to [[wilsonLowerBound]] (Wilson bounds each key's rate
+    * in isolation; EB borrows strength ACROSS keys): fit Beta(α, β)
+    * to the observed rate population by method of moments, then
+    * publish each key's posterior-mean rate (x + α)/(n + α + β) —
+    * small-n keys shrink toward the population mean instead of
+    * toward 0 (Efron & Morris 1975; the batting-average estimator).
+    *
+    * Portability: per-key rates are quantized to EXACT micro-units
+    * u = halfUp(x·10⁶/n) in pure integer arithmetic (both engines run
+    * the same hugeint/decimal floor-division — no double ever enters
+    * the moment lanes), so Σu / Σu² / K are exact ints and the MoM
+    * dag (m₁, m₂ sample variance, total = m₁(1−m₁)/m₂ − 1, α = m₁·
+    * total, β = (1−m₁)·total, shrunk rate) is ONE deterministic IEEE
+    * chain written identically in the oracle; published at 6 dp. A
+    * degenerate population (m₂ = 0, or total ≤ 0 — overdispersed
+    * beyond what any Beta prior explains) nulls α/β/shrunk.
+    *
+    * Plan shape: corpus → one key-keyed combine (pinned — the moment
+    * pass and the publication both read it); the 1-row moment table
+    * broadcasts back. Output: (key, n, x, p_hat, p_shrunk, alpha,
+    * beta) ranked by the shrunk rate.
+    */
+  def ebShrink(df: DataFrame, key: Column, success: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perKey = graft.CacheScope.autoRelease(
+      df.select(key.as("key"), success.cast("long").as("__s"))
+        .groupBy("key")
+        .agg(count(lit(1)).as("n"), sum("__s").as("x")))
+    // exact micro-unit rate: u = halfUp(x·10⁶ / n) as an integer
+    val a = col("x").cast(dec) * lit(1000000L) * lit(2L) + col("n")
+    val b = col("n").cast(dec) * lit(2L)
+    val withU = perKey.withColumn("u",
+      ((a - pmod(a, b)) / b).cast("long"))
+    val mom = withU.agg(count(lit(1)).as("kk"),
+      sum(col("u")).as("su"),
+      sum(col("u").cast(dec) * col("u")).as("suu"))
+    val kD = col("kk").cast("double")
+    val m1 = col("su").cast("double") / (kD * lit(1000000.0))
+    val m2 = (col("kk").cast(dec) * col("suu")
+        - col("su").cast(dec) * col("su")).cast("double") /
+      (kD * (kD - lit(1.0)) * lit(1e12))
+    val tot = m1 * (lit(1.0) - m1) / m2 - lit(1.0)
+    val alpha = m1 * tot
+    val beta = (lit(1.0) - m1) * tot
+    val ok = col("kk") > 1 && m2 > 0 && tot > 0
+    val shrunk = (col("x") + alpha) / (col("n") + alpha + beta)
+    withU.join(broadcast(mom))
+      .select(col("key"), col("n"), col("x"),
+        (graft.PlanUtils.ratioRound(col("x"), col("n"), 6) + 0.0).as("p_hat"),
+        when(ok, round(shrunk, 6) + 0.0).as("p_shrunk"),
+        when(ok, round(alpha, 6) + 0.0).as("alpha"),
+        when(ok, round(beta, 6) + 0.0).as("beta"))
+  }
+
   /** Welch's unequal-variance t-test per experiment group — the
     * continuous-metric sibling of [[abTest]]: units split by a
     * deterministic hash of `unit`, compared on the MEAN of `metric`.

@@ -666,6 +666,33 @@ class EvalOpsSpec extends SparkSpec {
     assert(g2._2 == 1L && g2._6.isDefined && g2._7.isEmpty && !g2._8)
   }
 
+  test("ebShrink: small-n key shrinks toward the population mean; degenerate prior nulls") {
+    def rows(k: String, n: Int, x: Int) =
+      (Seq.fill(x)((k, 1)) ++ Seq.fill(n - x)((k, 0)))
+    val df = (rows("a", 100, 30) ++ rows("b", 100, 40) ++
+      rows("c", 100, 50) ++ rows("d", 4, 2)).toDF("k", "s")
+    val got = EvalOps.ebShrink(df, col("k"), col("s") === 1)
+      .orderBy("key")
+      .as[(String, Long, Long, Double, Option[Double], Option[Double],
+        Option[Double])].collect().toList
+    // pinned doubles of the exact MoM dag (m1 = 0.425, tot = 25.659…):
+    // d (2/4) shrinks 0.5 → 0.435115 while c (50/100) barely moves to
+    // 0.484685 — the posterior ranks c ABOVE d despite equal p̂
+    assert(got == List(
+      ("a", 100L, 30L, 0.3, Some(0.325525), Some(10.905114), Some(14.753977)),
+      ("b", 100L, 40L, 0.4, Some(0.405105), Some(10.905114), Some(14.753977)),
+      ("c", 100L, 50L, 0.5, Some(0.484685), Some(10.905114), Some(14.753977)),
+      ("d", 4L, 2L, 0.5, Some(0.435115), Some(10.905114), Some(14.753977))))
+    // three extreme rates (0.95, 0.05, 1/1) are MORE dispersed than
+    // any Bernoulli mixture a Beta prior explains → tot < 0 → nulls
+    val deg = (rows("a", 100, 95) ++ rows("b", 100, 5) ++ rows("c", 1, 1))
+      .toDF("k", "s")
+    val g2 = EvalOps.ebShrink(deg, col("k"), col("s") === 1)
+      .as[(String, Long, Long, Double, Option[Double], Option[Double],
+        Option[Double])].collect().toList
+    assert(g2.forall(r => r._5.isEmpty && r._6.isEmpty && r._7.isEmpty))
+  }
+
   test("wilsonLowerBound: 95/100 outranks 1/1 (the average-rating trap); exact dag") {
     val df = (Seq.fill(95)(("big", 1)) ++ Seq.fill(5)(("big", 0)) ++
       Seq(("tiny", 1))).toDF("k", "s")
