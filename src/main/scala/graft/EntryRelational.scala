@@ -424,6 +424,14 @@ private[graft] object EntryRelational {
       TemporalOps.transitionMatrix(Tables.events(s, dir), Seq("user_id"),
           "ts", "event_type", "event_id")
         .orderBy("from_type", "to_type")),
+    // Stationary distribution of the q_transitions chain: 12
+    // integer-exact power rounds on the scale-12 quantized kernel
+    // (BigInt driver iteration on the type²-sized matrix; the corpus
+    // pass is the same lead-window count aggregate).
+    "q_stationary" -> ((s, dir) =>
+      TemporalOps.stationaryDistribution(Tables.events(s, dir),
+          Seq("user_id"), "ts", "event_type", "event_id")
+        .orderBy("state")),
     // Frequent sequential patterns (GSP/PrefixSpan family, length ≤ 3)
     // over each user's high-value event timeline, min support 25% of
     // active users — Apriori-pruned level joins, greedy earliest-match
@@ -546,6 +554,52 @@ private[graft] object EntryRelational {
          |SELECT from_type, to_type, n,
          |       ${ratioRoundSql("n", "sum(n) OVER (PARTITION BY from_type)", 6)} AS p
          |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // Stationary replay: identical scale-12 kernel quantization
+    // (hugeint half-up), uniform start with rank-ordered remainder,
+    // 12 power rounds unrolled as MATERIALIZED CTE pairs (the
+    // q_pagerank idiom), renormalized each round; zero-mass states
+    // zero-filled at publication
+    "q_stationary" -> {
+      val rounds = (1 to 12).map { t =>
+        s"""g$t AS MATERIALIZED (
+           |  SELECT pm.t AS state, sum(r${t - 1}.pi * pm.p) AS raw
+           |  FROM r${t - 1} JOIN pm ON r${t - 1}.state = pm.f
+           |  GROUP BY pm.t),
+           |r$t AS MATERIALIZED (
+           |  SELECT state,
+           |         (2 * raw * 1000000000000 + s.tot) // (2 * s.tot) AS pi
+           |  FROM g$t, (SELECT sum(raw) AS tot FROM g$t) s)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (
+        |  SELECT event_type AS f,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS t
+        |  FROM events
+        |), c AS (
+        |  SELECT f, t, CAST(count(*) AS HUGEINT) AS n
+        |  FROM seq WHERE t IS NOT NULL GROUP BY f, t
+        |), st AS (
+        |  SELECT f AS state, row_number() OVER (ORDER BY f) - 1 AS j
+        |  FROM (SELECT DISTINCT f FROM c)
+        |), cc AS (SELECT c.* FROM c JOIN st ON c.t = st.state),
+        |rt AS (SELECT f, sum(n) AS r FROM cc GROUP BY f),
+        |pm AS MATERIALIZED (
+        |  SELECT cc.f, cc.t, (2 * cc.n * 1000000000000 + rt.r)
+        |                       // (2 * rt.r) AS p
+        |  FROM cc JOIN rt USING (f)
+        |), kk AS (SELECT CAST(count(*) AS HUGEINT) AS k FROM st),
+        |r0 AS MATERIALIZED (
+        |  SELECT state, 1000000000000 // k
+        |           + CASE WHEN j < 1000000000000 % k THEN 1 ELSE 0 END AS pi
+        |  FROM st CROSS JOIN kk),
+        |$rounds
+        |SELECT st.state,
+        |       CAST(coalesce(r12.pi, 0) AS BIGINT) AS pi_micro,
+        |       CAST(CAST(coalesce(r12.pi, 0) AS BIGINT) AS DOUBLE)
+        |         / 1e12 AS pi
+        |FROM st LEFT JOIN r12 USING (state)
+        |ORDER BY st.state""".stripMargin
+    },
     // GSP replay: identical greedy level construction — p1 = first a,
     // p2 = first b after p1, level-3 existence after p2; supports are
     // exact BIGINT distinct-key counts, threshold a cross-multiplication

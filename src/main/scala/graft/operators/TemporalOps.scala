@@ -483,6 +483,79 @@ object TemporalOps {
         sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
   }
 
+  /** Stationary distribution π of the [[transitionMatrix]] chain —
+    * "where does user behavior settle": the long-run fraction of time
+    * the event process spends in each state, the PageRank-without-
+    * teleport of the behavioral graph (composes with q_transitions
+    * the way [[acf]] composes with q_seasonal: one gate estimates the
+    * kernel, the other its fixpoint).
+    *
+    * Exactness — NO floats anywhere: transition probabilities are
+    * quantized to scale-12 integers p = halfUp(c·10¹²/r) (exact
+    * hugeint/BigInt floor division both engines); π starts uniform on
+    * the from-state set (remainder micro-units to the rank-lowest
+    * states) and each of the `iters` power rounds is
+    *   raw_j = Σ_i π_i·p_ij  (≤ 10²⁴, exact),
+    *   π'_j  = halfUp(raw_j·10¹² / Σ raw)  (renormalize — quantized
+    *   rows don't sum to exactly 10¹², so drift is squeezed out every
+    *   round).
+    * 12 deterministic integer rounds: the gate needs no convergence
+    * argument, just replay equality; the oracle unrolls the same
+    * rounds as MATERIALIZED CTEs (the q_pagerank/kmeans idiom).
+    *
+    * State space = states observed as FROM (transitions into to-only
+    * states are dropped before iterating — the chain must be closed;
+    * renormalization re-absorbs the clipped mass). The K² count
+    * matrix is collected driver-side (bounded by the TYPE alphabet,
+    * never the corpus — the driver-local Lloyd precedent) and the
+    * BigInt iteration costs microseconds; the corpus pass is the ONE
+    * lead-window + count aggregate [[transitionMatrix]] already runs.
+    * Output: (state, pi_micro — the exact scale-12 integer, pi).
+    */
+  def stationaryDistribution(events: DataFrame, keys: Seq[String],
+      tsCol: String, typeCol: String, tiebreak: String,
+      iters: Int = 12): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = events.sparkSession
+    val seqW = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreak))
+    val counts = events
+      .withColumn("__to", lead(col(typeCol), 1).over(seqW))
+      .filter(col("__to").isNotNull)
+      .groupBy(col(typeCol).as("f"), col("__to").as("t"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = counts.map(_._1).distinct.sorted
+    val idx = states.zipWithIndex.toMap
+    val k = states.length
+    val S = BigInt(1000000000000L)
+    def halfUp(num: BigInt, den: BigInt): BigInt = (2 * num + den) / (2 * den)
+    val rowTot = counts.groupBy(_._1).map { case (f, cs) =>
+      f -> BigInt(cs.filter(c => idx.contains(c._2)).map(_._3).sum)
+    }
+    // closed-chain kernel: only transitions between from-states
+    val p = Array.ofDim[BigInt](k, k)
+    for (i <- 0 until k; j <- 0 until k) p(i)(j) = BigInt(0)
+    counts.filter(c => idx.contains(c._2)).foreach { case (f, t, n) =>
+      p(idx(f))(idx(t)) = halfUp(BigInt(n) * S, rowTot(f))
+    }
+    var pi = Array.tabulate(k)(j =>
+      S / k + (if (BigInt(j) < S % k) BigInt(1) else BigInt(0)))
+    var t = 0
+    while (t < iters) {
+      val raw = Array.tabulate(k)(j =>
+        (0 until k).map(i => pi(i) * p(i)(j)).sum)
+      val tot = raw.sum
+      if (tot == 0) t = iters // degenerate kernel: keep the last π
+      else { pi = raw.map(r => halfUp(r * S, tot)); t += 1 }
+    }
+    import spark.implicits._
+    states.zipWithIndex.map { case (st, j) => (st, pi(j).toLong) }
+      .toSeq.toDF("state", "pi_micro")
+      .select(col("state"), col("pi_micro"),
+        (col("pi_micro").cast("double") / lit(1e12)).as("pi"))
+  }
+
   /** Cohort retention — the companion question to [[funnel]]: of the
     * keys whose FIRST event fell in cohort period `c`, how many came
     * back in period `c + k`? Periods are `periodDays`-day buckets of

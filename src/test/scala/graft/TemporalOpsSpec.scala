@@ -613,6 +613,34 @@ class TemporalOpsSpec extends SparkSpec {
       ("gap", 1L, 2L, Some(-0.666667)), ("gap", 2L, 1L, Some(0.166667))))
   }
 
+  test("stationaryDistribution: 2-state chain lands the 1/3–2/3 fixpoint; to-only state clipped") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // one user, sequence A,B,B,A,B → kernel P(A→B)=1, P(B→A)=P(B→B)=½
+    // whose stationary is (1/3, 2/3); after 12 exact integer rounds
+    // from uniform the pinned micro values are 333374023438 /
+    // 666625976563 (convergence gap (−½)¹² — the GATE pins the
+    // integer replay, not the limit)
+    val ev = Seq("A", "B", "B", "A", "B").zipWithIndex
+      .map { case (s, i) => (1L, t(i * 10), s, i.toLong) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = TemporalOps.stationaryDistribution(ev, Seq("user_id"),
+        "ts", "event_type", "event_id")
+      .orderBy("state")
+      .as[(String, Long, Double)].collect().toList
+    assert(got.map(r => (r._1, r._2)) ==
+      List(("A", 333374023438L), ("B", 666625976563L)))
+    assert(math.abs(got(1)._2 / 1e12 - 2.0 / 3.0) < 3e-4)
+    // a to-only state (never a FROM) is clipped before iterating and
+    // publishes nothing — the chain must be closed over from-states
+    val ev2 = Seq("A", "B", "A", "Z").zipWithIndex
+      .map { case (s, i) => (1L, t(i * 10), s, i.toLong) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val g2 = TemporalOps.stationaryDistribution(ev2, Seq("user_id"),
+        "ts", "event_type", "event_id")
+      .select("state").as[String].collect().toSet
+    assert(g2 == Set("A", "B"))
+  }
+
   test("trendRobust: monotone series hand S/z/slope; all-tied variance null") {
     def t(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
     // "up": daily sums 10,20,30,40,50 — all 10 pairs rise: S = 10,
