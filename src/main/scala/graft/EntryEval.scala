@@ -281,6 +281,13 @@ private[graft] object EntryEval {
     "q_km_survival" -> ((s, dir) =>
       TemporalOps.kmSurvival(Tables.events(s, dir), unitUs = 21600000000L)
         .orderBy("t")),
+    // Survival inference: log-rank test between the unit-hash arms'
+    // retention curves (KM describes; this answers "same curve?").
+    // Hypergeometric terms quantized to scale-9 ints, decimal sums,
+    // one IEEE z dag.
+    "q_logrank" -> ((s, dir) =>
+      TemporalOps.logRankTest(Tables.events(s, dir),
+        unitUs = 21600000000L)),
     // Classifier evaluation: exact tie-aware ROC curve + AUC (Mann–
     // Whitney rank-sum, BIGINT mid-ranks) of the doc-length score
     // against the en label. Corpus → ONE score-keyed aggregate; every
@@ -843,6 +850,68 @@ private[graft] object EntryEval {
          |${btRoundsSql(5)}
          |SELECT t.i AS item, t.n_comps, t.wins, round(p.p, 6) AS strength
          |FROM tot t JOIN p5 p ON p.i = t.i ORDER BY item""".stripMargin,
+    // Log-rank replay: identical lifetime/at-risk construction per
+    // arm, hypergeometric terms as scale-9 hugeint half-up integers,
+    // order-independent sums, the identical z dag
+    "q_logrank" ->
+      s"""WITH pk AS (
+        |  SELECT user_id AS k, min(epoch_us(ts)) AS first_us,
+        |         max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY user_id
+        |), hz AS (SELECT max(epoch_us(ts)) AS h_us FROM events),
+        |lives AS (
+        |  SELECT (k % 2 = 1) AS g1,
+        |         (last_us - first_us) // 21600000000 AS t,
+        |         h.h_us - last_us < 21600000000 AS censored
+        |  FROM pk CROSS JOIN hz h
+        |), byt AS (
+        |  SELECT t,
+        |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS end1,
+        |    CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS end2,
+        |    CAST(sum(CASE WHEN g1 AND NOT censored THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN NOT g1 AND NOT censored THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS d2
+        |  FROM lives GROUP BY t
+        |), risk AS (
+        |  SELECT *, sum(end1) OVER w AS n1, sum(end2) OVER w AS n2,
+        |         d1 + d2 AS d
+        |  FROM byt
+        |  WINDOW w AS (ORDER BY t DESC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), terms AS (
+        |  SELECT d1, n1 + n2 AS n, d, n1, n2 FROM risk WHERE d > 0
+        |), qt AS (
+        |  SELECT d1,
+        |    (2 * (CAST(d AS HUGEINT) * n1 * 1000000000) + n)
+        |      // (2 * CAST(n AS HUGEINT)) AS e1t,
+        |    CASE WHEN n > 1 THEN
+        |      (2 * (CAST(d AS HUGEINT) * n1 * n2 * (n - d) * 1000000000)
+        |         + CAST(n AS HUGEINT) * n * (n - 1))
+        |        // (2 * (CAST(n AS HUGEINT) * n * (n - 1)))
+        |    ELSE 0 END AS vt
+        |  FROM terms
+        |), tots AS (
+        |  SELECT CAST(sum(d1) AS BIGINT) AS o1, sum(e1t) AS e1s,
+        |         sum(vt) AS vs
+        |  FROM qt
+        |), arms AS (
+        |  SELECT CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_treat,
+        |         CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_ctrl
+        |  FROM lives
+        |), f AS (
+        |  SELECT *, CASE WHEN vs > 0 THEN
+        |    round((CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE) / 1e9)
+        |            / sqrt(CAST(vs AS DOUBLE) / 1e9), 6) + 0.0 END AS z
+        |  FROM arms CROSS JOIN tots
+        |)
+        |SELECT n_treat, n_ctrl, o1,
+        |       round(CAST(e1s AS DOUBLE) / 1e9, 6) + 0.0 AS e1,
+        |       round(CAST(vs AS DOUBLE) / 1e9, 6) + 0.0 AS v1,
+        |       z, coalesce(abs(z) > 1.96, FALSE) AS significant
+        |FROM f""".stripMargin,
     // KM replay: exact-int risk/death counts, 9-dp ln factors
     // decimal-cumulated in lifetime order, exp published at 6dp
     "q_km_survival" ->

@@ -809,6 +809,84 @@ object TemporalOps {
           .otherwise(round(exp(col("cum_ln").cast("double")), 6)).as("survival"))
   }
 
+  /** Log-rank test (Mantel 1966) between the two unit-hash arms'
+    * survival curves — the inference companion to [[kmSurvival]] (KM
+    * DESCRIBES each curve; log-rank answers "are they the same
+    * curve", the churn/retention A/B question):
+    *   O₁ = Σ_t d₁t,  E₁ = Σ_t d_t·n₁t/n_t,
+    *   V = Σ_t d_t·(n₁t·n₂t)(n_t−d_t)/(n_t²(n_t−1)),
+    *   z = (O₁ − E₁)/√V.
+    *
+    * Portability: the per-time hypergeometric terms are rationals
+    * with DIFFERENT denominators, so exact rational summation is
+    * unavailable — instead each term is quantized to a scale-9
+    * integer by exact half-up division (both engines run the same
+    * hugeint/decimal floor arithmetic) and the DECIMAL sums of those
+    * integers are order-independent; O₁ stays an exact int64 and z
+    * is one IEEE dag from the three exact lanes, published at 6 dp
+    * (null when V = 0). Quantization error is ≤ 5e-10 per term —
+    * five orders below the 6-dp publication. Lane headroom: the
+    * scale-0 [[graft.PlanUtils.ratioRound]] round-trips each term
+    * through an exact double, so per-time d·10⁹ must stay < 2⁵³ —
+    * holds to ~9M deaths at ONE lifetime value (~10¹² users on this
+    * corpus shape).
+    *
+    * Plan shape: the corpus reduces to per-unit lifetimes (one
+    * key-keyed aggregate — the [[kmSurvival]] front half, arms by
+    * `pmod(key, 2)`), then to the distinct-lifetime table; the
+    * at-risk windows and the final 1-row reduction run there. The
+    * global windows are distinct-lifetime-sized by construction (the
+    * kmSurvival scale argument). Output: one row (n_treat, n_ctrl,
+    * o1, e1, v1, z, significant).
+    */
+  def logRankTest(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", censorGapUs: Long = 21600000000L,
+      unitUs: Long = 86400000000L, zCrit: Double = 1.96): DataFrame = {
+    val dec = "decimal(38,0)"
+    val us = unix_micros(col(tsCol))
+    val perKey = events.groupBy(col(keyCol))
+      .agg(min(us).as("first_us"), max(us).as("last_us"))
+    val horizon = events.agg(max(us).as("h_us"))
+    val lives = perKey.crossJoin(broadcast(horizon))
+      .select((pmod(col(keyCol), lit(2L)) === 1).as("g1"),
+        expr(s"(last_us - first_us) div ${unitUs}L").as("t"),
+        (col("h_us") - col("last_us") < lit(censorGapUs)).as("censored"))
+    val byT = lives.groupBy("t").agg(
+      sum(when(col("g1"), 1L).otherwise(0L)).as("end1"),
+      sum(when(!col("g1"), 1L).otherwise(0L)).as("end2"),
+      sum(when(col("g1") && !col("censored"), 1L).otherwise(0L)).as("d1"),
+      sum(when(!col("g1") && !col("censored"), 1L).otherwise(0L)).as("d2"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = byT
+      .withColumn("n1", sum(col("end1")).over(wDesc))
+      .withColumn("n2", sum(col("end2")).over(wDesc))
+      .withColumn("d", col("d1") + col("d2"))
+      .withColumn("n", col("n1") + col("n2"))
+      .filter(col("d") > 0)
+    val e1t = graft.PlanUtils.ratioRound(
+      col("d").cast(dec) * col("n1") * lit(1000000000L), col("n"), 0)
+    val vt = when(col("n") > 1, graft.PlanUtils.ratioRound(
+        col("d").cast(dec) * col("n1") * col("n2") * (col("n") - col("d"))
+          * lit(1000000000L),
+        col("n").cast(dec) * col("n") * (col("n") - 1), 0))
+      .otherwise(lit(0.0))
+    val tots = risk.agg(sum("d1").as("o1"),
+      sum(e1t.cast(dec)).as("e1s"), sum(vt.cast(dec)).as("vs"))
+    val arms = lives.agg(
+      sum(when(col("g1"), 1L).otherwise(0L)).as("n_treat"),
+      sum(when(!col("g1"), 1L).otherwise(0L)).as("n_ctrl"))
+    val e1d = col("e1s").cast("double") / lit(1e9)
+    val vd = col("vs").cast("double") / lit(1e9)
+    val z = round((col("o1").cast("double") - e1d) / sqrt(vd), 6) + 0.0
+    arms.join(broadcast(tots))
+      .select(col("n_treat"), col("n_ctrl"), col("o1"),
+        (round(e1d, 6) + 0.0).as("e1"), (round(vd, 6) + 0.0).as("v1"),
+        when(col("vs") > 0, z).as("z"),
+        coalesce(abs(when(col("vs") > 0, z)) > zCrit, lit(false))
+          .as("significant"))
+  }
+
   /** Day-of-week seasonal profile + deseasonalized residual peaks per
     * group — the "is Monday always low, and which day broke its own
     * pattern" decomposition behind seasonal-aware alerting (a raw

@@ -641,6 +641,24 @@ class TemporalOpsSpec extends SparkSpec {
     assert(g2 == Set("A", "B"))
   }
 
+  test("logRankTest: hand hypergeometric table; censored horizon user excluded from O") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // lifetimes (unit = 1 s): treated 1,3,5 → 100 s; control 2,4 →
+    // 10 s; control 6 → 200 s and sets the horizon (censored under
+    // censorGap 1 µs). Event times: t=10 (d=2, n1=3, n2=3) and t=100
+    // (d=3, n1=3, n2=1) → O₁ = 3, E₁ = 1 + 2.25, V = 0.4 + 0.1875,
+    // z = −0.25/√0.5875 — every quantized term lands exactly
+    val ev = Seq(1L -> 100L, 3L -> 100L, 5L -> 100L,
+      2L -> 10L, 4L -> 10L, 6L -> 200L).flatMap { case (u, last) =>
+      Seq((u, t(0)), (u, t(last)))
+    }.toDF("user_id", "ts")
+    val got = TemporalOps.logRankTest(ev, censorGapUs = 1L,
+        unitUs = 1000000L)
+      .as[(Long, Long, Long, Double, Double, Option[Double], Boolean)]
+      .head()
+    assert(got == ((3L, 3L, 3L, 3.25, 0.5875, Some(-0.326164), false)))
+  }
+
   test("trendRobust: monotone series hand S/z/slope; all-tied variance null") {
     def t(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
     // "up": daily sums 10,20,30,40,50 — all 10 pairs rise: S = 10,
