@@ -463,6 +463,11 @@ private[graft] object EntryTextModels {
     // frequency-spectrum health check (and KN's discount statistic).
     "q_good_turing" -> ((s, dir) =>
       TextOps.goodTuring(Tables.documents(s, dir), maxR = 10)),
+    // Vocabulary-coverage planning: Chao1 richness per language —
+    // GT's unseen-mass sibling estimating the unseen TYPE count from
+    // singletons/doubletons; one exact rational over exact counts.
+    "q_chao1" -> ((s, dir) =>
+      TextOps.chao1Richness(Tables.documents(s, dir)).orderBy("lang")),
     // Jensen–Shannon divergence between the en and non-en token
     // distributions — symmetric bounded vocabulary-drift measure,
     // finite on one-sided (open-vocab) tokens where KL diverges.
@@ -1381,6 +1386,26 @@ private[graft] object EntryTextModels {
         |ORDER BY c2.c2 DESC, c2.w1, c2.w2 LIMIT 50""".stripMargin,
     // Good–Turing replay: word counts → count-of-counts; r* and
     // p_unseen each one double division of exact BIGINTs, 9 dp
+    // Chao1 replay: same tokenizer, (lang, token) counts, frequency-
+    // class counters, bias-corrected correction as one hugeint
+    // half-up rational added to the exact V
+    "q_chao1" ->
+      s"""WITH t AS (
+        |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents
+        |), wc AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+        |          FROM t GROUP BY lang, w),
+        |agg AS (
+        |  SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS v_obs,
+        |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM wc GROUP BY lang
+        |)
+        |SELECT lang, n_tokens, v_obs, f1, f2,
+        |       v_obs + (${ratioRoundSql("f1 * (f1 - 1)", "2 * (f2 + 1)", 6)}
+        |                + 0.0) AS chao1
+        |FROM agg ORDER BY lang""".stripMargin,
     "q_good_turing" ->
       """WITH t AS (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w

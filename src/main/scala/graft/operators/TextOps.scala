@@ -540,6 +540,44 @@ object TextOps {
       .limit(maxR)
   }
 
+  /** Chao1 species-richness estimate per language (Chao 1984,
+    * bias-corrected form) — "how many word types EXIST given what we
+    * sampled": V̂ = V_obs + F₁(F₁−1)/(2(F₂+1)), driven entirely by
+    * the singleton/doubleton counts [[goodTuring]] already studies
+    * (GT estimates the unseen MASS; Chao1 estimates the unseen TYPE
+    * COUNT — the corpus-coverage planning number: a corpus whose
+    * Chao1 ≈ V_obs is vocabulary-saturated, one whose Chao1 ≫ V_obs
+    * is still discovering its tail).
+    *
+    * Exactness: V/F₁/F₂/token totals are exact int64 from two keyed
+    * aggregates; the correction term is ONE rational published via
+    * half-up [[graft.PlanUtils.ratioRound]] and added to the exact V.
+    * On the closed driver vocabulary F₁ = F₂ = 0 above tiny SFs →
+    * Chao1 = V exactly (the saturation verdict, correct by
+    * construction); the zipf corpus exercises the estimating regime.
+    *
+    * Plan shape: explode → (lang, token) combine → lang-keyed
+    * frequency-class combine; nothing after the first aggregate
+    * exceeds vocabulary cardinality. Output: (lang, n_tokens, v_obs,
+    * f1, f2, chao1).
+    */
+  def chao1Richness(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val wc = docs.select(col(langCol).as("lang"),
+        explode(DedupOps.words(col(textCol))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    wc.groupBy("lang").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("v_obs"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("lang"), col("n_tokens"), col("v_obs"), col("f1"),
+        col("f2"),
+        (col("v_obs") + (graft.PlanUtils.ratioRound(
+          col("f1") * (col("f1") - 1), lit(2L) * (col("f2") + 1), 6) + 0.0))
+          .as("chao1"))
+  }
+
   /** Jensen–Shannon divergence between two corpus slices' unigram
     * distributions (Lin 1991) — the symmetric, bounded (≤ ln 2) drift
     * measure for "did the token mix shift": JSD(P‖Q) =

@@ -372,4 +372,16 @@ class TextOpsSpec extends SparkSpec {
     assert(disj.getAs[Double]("jsd") == 0.693147)
     assert(disj.getAs[Double]("kl_a_to_m") == 0.693147)
   }
+
+  test("chao1Richness: singleton/doubleton hand case; saturated vocab estimates itself") {
+    val docs = Seq(
+      ("en", "a a b c"),   // V=3, F1=2 (b,c), F2=1 (a) → 3 + 2·1/(2·2) = 3.5
+      ("de", "x x y y")    // V=2, F1=0, F2=2 → chao1 = V exactly
+    ).toDF("lang", "text")
+    val got = TextOps.chao1Richness(docs).orderBy("lang")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toList
+    assert(got == List(
+      ("de", 4L, 2L, 0L, 2L, 2.0),
+      ("en", 4L, 3L, 2L, 1L, 3.5)))
+  }
 }
