@@ -131,6 +131,14 @@ private[graft] object EntryEval {
     "q_cuped" -> ((s, dir) =>
       EvalOps.cupedAdjust(Tables.events(s, dir), col("user_id"),
         round(col("value")), pmod(col("event_id"), lit(2L)) === 0)),
+    // Assumption-free inference: unit-level permutation test per
+    // event type — 63 deterministic hash re-assignments, exact
+    // cross-multiplied exceedance comparisons, add-one p; zero float
+    // error anywhere.
+    "q_perm_test" -> ((s, dir) =>
+      EvalOps.permutationTest(Tables.events(s, dir), col("event_type"),
+          col("user_id"), expr("CAST(floor(value * 10) AS BIGINT)"))
+        .orderBy("grp")),
     // Uncertainty pooling: empirical-Bayes beta-binomial shrinkage of
     // brand return rates (the Wilson gate's cross-key companion —
     // MoM Beta prior from exact micro-unit rate moments, posterior
@@ -1119,6 +1127,66 @@ private[graft] object EntryEval {
         |FROM ss""".stripMargin,
     // A/B replay: same four counters, same pooled-z double dag;
     // DuckDB sums CAST to BIGINT, flag decided on the published z
+    // Permutation replay: identical unit table, the identical salted
+    // Horner-cubic arm family, cross-multiplied exact exceedance,
+    // add-one p through hugeint half-up
+    "q_perm_test" ->
+      s"""WITH units AS (
+        |  SELECT event_type AS grp, user_id AS u,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(CAST(floor(value * 10) AS BIGINT) AS HUGEINT)) AS s
+        |  FROM events GROUP BY 1, 2
+        |), obs AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n_units,
+        |    sum(CASE WHEN u % 2 = 1 THEN s ELSE 0 END) AS s1,
+        |    CAST(sum(CASE WHEN u % 2 = 1 THEN n ELSE 0 END) AS HUGEINT) AS n1,
+        |    sum(CASE WHEN u % 2 = 0 THEN s ELSE 0 END) AS s0,
+        |    CAST(sum(CASE WHEN u % 2 = 0 THEN n ELSE 0 END) AS HUGEINT) AS n0
+        |  FROM units GROUP BY grp
+        |), obsd AS (
+        |  SELECT grp, n_units, s1 * n0 - s0 * n1 AS onum,
+        |         n1 * n0 AS oden
+        |  FROM obs
+        |), salted AS (
+        |  SELECT u.*, r.b,
+        |    (40503 * (r.b + 100)) % 1048573 AS a3,
+        |    (92821 * (r.b + 100)) % 1048573 AS a2,
+        |    (486187 * (r.b + 100)) % 1048573 AS a1,
+        |    (12289 * (r.b + 100)) % 1048573 AS a0
+        |  FROM units u
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 63)) AS b) r
+        |), armed AS (
+        |  SELECT grp, b, n, s,
+        |    (((((a3 * (u % 1048573) + a2) % 1048573) * (u % 1048573) + a1)
+        |       % 1048573 * (u % 1048573) + a0) % 1048573) % 2 = 0 AS arm
+        |  FROM salted
+        |), reps AS (
+        |  SELECT grp, b,
+        |    sum(CASE WHEN arm THEN s ELSE 0 END) AS s1,
+        |    CAST(sum(CASE WHEN arm THEN n ELSE 0 END) AS HUGEINT) AS n1,
+        |    sum(CASE WHEN NOT arm THEN s ELSE 0 END) AS s0,
+        |    CAST(sum(CASE WHEN NOT arm THEN n ELSE 0 END) AS HUGEINT) AS n0
+        |  FROM armed GROUP BY grp, b
+        |), repd AS (
+        |  SELECT grp, s1 * n0 - s0 * n1 AS rnum, n1 * n0 AS rden FROM reps
+        |), x AS (
+        |  SELECT r.grp,
+        |    CASE WHEN rden > 0 THEN abs(rnum) * oden >= abs(onum) * rden
+        |         ELSE TRUE END AS ex
+        |  FROM repd r JOIN obsd USING (grp)
+        |), fin AS (
+        |  SELECT grp, CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_exceed
+        |  FROM x GROUP BY grp
+        |)
+        |SELECT o.grp, o.n_units,
+        |  CASE WHEN oden > 0 THEN ${ratioRoundSql("onum", "oden", 6)} + 0.0
+        |       END AS d_obs,
+        |  f.n_exceed,
+        |  CASE WHEN oden > 0 THEN
+        |    ${ratioRoundSql("f.n_exceed + 1", "64", 6)} + 0.0 END AS p_value
+        |FROM obsd o JOIN fin f USING (grp)
+        |ORDER BY o.grp""".stripMargin,
     // EB replay: identical integer micro-unit rates (hugeint floor
     // division), exact moment lanes, the identical MoM/posterior
     // IEEE dag

@@ -628,6 +628,81 @@ object EvalOps {
       lb.as("wilson_lb"))
   }
 
+  /** Unit-level permutation (approximate randomization) test per
+    * group — inference with NO distributional assumptions where
+    * [[abTest]]/[[welchTTest]] lean on normality: the null
+    * distribution of the arm mean-difference is built by
+    * re-assigning UNITS to pseudo-arms `bReps` times and the p-value
+    * is the exceedance fraction (add-one form, Phipson & Smyth
+    * 2010). Re-assignments are the salted 4-wise Horner-cubic parity
+    * family ([[SketchOps.amsF2]]'s portable hash — deterministic,
+    * replayable, engine-identical), so the whole test is a
+    * deterministic function of the data: no RNG, no seed plumbing.
+    *
+    * EXACT end to end — the rare permutation test with zero float
+    * error: per-unit (n, Σx) are integer lanes; each replicate's
+    * mean difference D_b = s₁/n₁ − s₀/n₀ is compared to D_obs by
+    * cross-multiplication in DECIMAL lanes (|D_b| ≥ |D_obs| ⟺
+    * |num_b|·den_obs ≥ |num_obs|·den_b — no division ever happens),
+    * and p = (1 + #exceed)/(B + 1) publishes through half-up
+    * [[graft.PlanUtils.ratioRound]]. A replicate with an empty arm
+    * counts as exceeding (conservative, measure-zero at any real
+    * unit count); an empty OBSERVED arm nulls the row.
+    *
+    * Plan shape: corpus → ONE (grp, unit) combine (pinned); the
+    * B-fold explode runs on the UNIT table (B×units rows, never
+    * B×corpus), followed by one (grp, b) combine and a group-sized
+    * reduction. Output: (grp, n_units, d_obs, n_exceed, p_value).
+    */
+  def permutationTest(df: DataFrame, group: Column, unit: Column,
+      metric: Column, bReps: Int = 63): DataFrame = {
+    require(bReps >= 1, "bReps must be >= 1")
+    val dec = "decimal(38,0)"
+    val p = SketchOps.AmsPrime
+    val units = graft.CacheScope.autoRelease(
+      df.select(group.as("grp"), unit.as("u"), metric.cast("long").as("x"))
+        .groupBy("grp", "u")
+        .agg(count(lit(1)).as("n"), sum(col("x").cast(dec)).as("s")))
+    def arms(armCol: Column) = Seq(
+      sum(when(armCol, col("s")).otherwise(lit(0L).cast(dec))).as("s1"),
+      sum(when(armCol, col("n")).otherwise(0L)).as("n1"),
+      sum(when(!armCol, col("s")).otherwise(lit(0L).cast(dec))).as("s0"),
+      sum(when(!armCol, col("n")).otherwise(0L)).as("n0"))
+    def dNum = col("s1") * col("n0") - col("s0") * col("n1")
+    def dDen = col("n1").cast(dec) * col("n0")
+    val obs = units.groupBy("grp")
+      .agg(count(lit(1)).as("n_units"),
+        arms(pmod(col("u"), lit(2L)) === 1): _*)
+      .select(col("grp"), col("n_units"), dNum.as("onum"), dDen.as("oden"))
+    // salted Horner-cubic parity per replicate (offset 100 decouples
+    // the coefficient stream from the AMS F2 estimators)
+    val Seq(k3, k2, k1, k0) = SketchOps.AmsSalts
+    val xm = pmod(col("u"), lit(p))
+    def coef(kj: Long) = pmod(lit(kj) * (col("b") + lit(100)), lit(p))
+    val h = pmod(pmod(pmod(coef(k3) * xm + coef(k2), lit(p)) * xm
+      + coef(k1), lit(p)) * xm + coef(k0), lit(p))
+    val reps = units
+      .withColumn("b", explode(sequence(lit(1), lit(bReps))))
+      .groupBy("grp", "b")
+      .agg(arms(h % 2 === 0).head, arms(h % 2 === 0).tail: _*)
+      .select(col("grp"), dNum.as("rnum"), dDen.as("rden"))
+    val exceed = when(col("rden") > 0,
+      abs(col("rnum")) * col("oden") >= abs(col("onum")) * col("rden"))
+      .otherwise(lit(true))
+    reps.join(broadcast(obs), Seq("grp"))
+      .groupBy("grp")
+      .agg(first(col("n_units")).as("n_units"),
+        first(col("onum")).as("onum"), first(col("oden")).as("oden"),
+        sum(when(exceed, 1L).otherwise(0L)).as("n_exceed"))
+      .select(col("grp"), col("n_units"),
+        when(col("oden") > 0,
+          graft.PlanUtils.ratioRound(col("onum"), col("oden"), 6) + 0.0)
+          .as("d_obs"),
+        col("n_exceed"),
+        when(col("oden") > 0, graft.PlanUtils.ratioRound(
+          col("n_exceed") + 1, lit(bReps + 1L), 6) + 0.0).as("p_value"))
+  }
+
   /** Empirical-Bayes beta-binomial shrinkage per key — the POOLING
     * companion to [[wilsonLowerBound]] (Wilson bounds each key's rate
     * in isolation; EB borrows strength ACROSS keys): fit Beta(α, β)

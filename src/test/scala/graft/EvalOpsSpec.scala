@@ -666,6 +666,20 @@ class EvalOpsSpec extends SparkSpec {
     assert(g2._2 == 1L && g2._6.isDefined && g2._7.isEmpty && !g2._8)
   }
 
+  test("permutationTest: planted extreme effect hits the add-one floor; exact p lattice") {
+    // 40 units, odd units all 100, even all 0 — the observed parity
+    // split IS the most extreme assignment, so no hash replicate
+    // exceeds it: n_exceed = 0, p = 1/64 (the add-one floor)
+    val strong = (1 to 40).map(u => ("g", u.toLong, if (u % 2 == 1) 100L else 0L))
+      .toDF("grp0", "u", "v")
+    val got = EvalOps.permutationTest(strong, col("grp0"), col("u"), col("v"))
+      .as[(String, Long, Option[Double], Long, Option[Double])].head()
+    assert(got == (("g", 40L, Some(100.0), 0L, Some(0.015625))))
+    // p always sits on the (k+1)/64 lattice — exactness means the
+    // published value is a fraction with denominator 64, never noise
+    assert((got._5.get * 64).isWhole)
+  }
+
   test("ebShrink: small-n key shrinks toward the population mean; degenerate prior nulls") {
     def rows(k: String, n: Int, x: Int) =
       (Seq.fill(x)((k, 1)) ++ Seq.fill(n - x)((k, 0)))
