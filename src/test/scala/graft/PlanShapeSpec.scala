@@ -502,6 +502,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles <= 3, s"$shuffles shuffles\n${plan.take(2000)}")
   }
 
+  test("q_perm_test: unit table pinned; the 63-fold explode sits ABOVE the corpus aggregate") {
+    // the replicate fan-out must multiply the UNIT table, never the
+    // corpus: the only corpus-sized exchange is the (grp, unit)
+    // combine, whose cache feeds both the observed arms and the
+    // replicate explode
+    val plan = finalPlan("q_perm_test")
+    assert(scansOf(plan) >= 2, plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q_logrank: one lifetime aggregate below the at-risk windows; 1-row joins broadcast") {
+    val df = SparkEntry.queries("q_logrank")(spark, sf0)
+    df.queryExecution.toRdd.count()
+    val plan = planString(df)
+    // the per-unit lifetime reduction is the only corpus-keyed pass;
+    // the horizon and totals ride broadcast crosses
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("q_wilson: part dim broadcast; corpus shuffled once (agg) plus the output sort") {
     val df = SparkEntry.queries("q_wilson")(spark, sf0)
     val shuffles = countShuffles(df)
