@@ -131,6 +131,13 @@ private[graft] object EntryEval {
     "q_cuped" -> ((s, dir) =>
       EvalOps.cupedAdjust(Tables.events(s, dir), col("user_id"),
         round(col("value")), pmod(col("event_id"), lit(2L)) === 0)),
+    // Stratified association: CMH test of arm × (value > 50) across
+    // event-type strata — the Simpson's-paradox guard; scale-9
+    // quantized hypergeometric terms, decimal sums, one χ² dag, plus
+    // the MH common odds ratio.
+    "q_cmh" -> ((s, dir) =>
+      EvalOps.cmhTest(Tables.events(s, dir), col("event_type"),
+        col("user_id"), col("value") > 50.0)),
     // Assumption-free inference: unit-level permutation test per
     // event type — 63 deterministic hash re-assignments, exact
     // cross-multiplied exceedance comparisons, add-one p; zero float
@@ -1127,6 +1134,59 @@ private[graft] object EntryEval {
         |FROM ss""".stripMargin,
     // A/B replay: same four counters, same pooled-z double dag;
     // DuckDB sums CAST to BIGINT, flag decided on the published z
+    // CMH replay: identical 4-counter strata, scale-9 hugeint
+    // half-up terms, order-independent sums, identical χ²/OR dags
+    "q_cmh" ->
+      s"""WITH cells AS (
+        |  SELECT event_type AS st,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND value > 50.0
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND NOT value > 50.0
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 50.0
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND NOT value > 50.0
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM events GROUP BY event_type
+        |), wn AS (SELECT *, a + b + c + d AS n FROM cells),
+        |qt AS (
+        |  SELECT *,
+        |    (2 * (CAST(a + b AS HUGEINT) * (a + c) * 1000000000) + n)
+        |      // (2 * CAST(n AS HUGEINT)) AS et,
+        |    CASE WHEN n > 1 THEN
+        |      (2 * (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
+        |            * 1000000000) + CAST(n AS HUGEINT) * n * (n - 1))
+        |        // (2 * (CAST(n AS HUGEINT) * n * (n - 1)))
+        |    ELSE 0 END AS vt,
+        |    (2 * (CAST(a AS HUGEINT) * d * 1000000000) + n)
+        |      // (2 * CAST(n AS HUGEINT)) AS adt,
+        |    (2 * (CAST(b AS HUGEINT) * c * 1000000000) + n)
+        |      // (2 * CAST(n AS HUGEINT)) AS bct
+        |  FROM wn WHERE n > 0
+        |), tots AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |         CAST(sum(a) AS BIGINT) AS sum_a, sum(et) AS es,
+        |         sum(vt) AS vs, sum(adt) AS ads, sum(bct) AS bcs
+        |  FROM qt
+        |), f AS (
+        |  SELECT *,
+        |    CASE WHEN vs > 0 THEN
+        |      round((abs(CAST(sum_a AS DOUBLE) - CAST(es AS DOUBLE) / 1e9)
+        |               - 0.5)
+        |            * (abs(CAST(sum_a AS DOUBLE) - CAST(es AS DOUBLE) / 1e9)
+        |                 - 0.5)
+        |            / (CAST(vs AS DOUBLE) / 1e9), 6) + 0.0 END AS chi2
+        |  FROM tots
+        |)
+        |SELECT n_strata, sum_a,
+        |  round(CAST(es AS DOUBLE) / 1e9, 6) + 0.0 AS e,
+        |  round(CAST(vs AS DOUBLE) / 1e9, 6) + 0.0 AS v,
+        |  chi2,
+        |  CASE WHEN bcs > 0 THEN
+        |    round(CAST(ads AS DOUBLE) / CAST(bcs AS DOUBLE), 6) + 0.0
+        |  END AS or_mh,
+        |  coalesce(chi2 > 3.84, FALSE) AS significant
+        |FROM f""".stripMargin,
     // Permutation replay: identical unit table, the identical salted
     // Horner-cubic arm family, cross-multiplied exact exceedance,
     // add-one p through hugeint half-up

@@ -628,6 +628,71 @@ object EvalOps {
       lb.as("wilson_lb"))
   }
 
+  /** Cochran–Mantel–Haenszel test (Mantel & Haenszel 1959) —
+    * arm/outcome association CONTROLLING for a stratification
+    * variable: the guard against Simpson's paradox that a pooled
+    * [[abTest]] walks straight into (an arm over-represented in a
+    * high-rate stratum looks causal pooled, vanishes stratified).
+    * Per stratum i the 2×2 table contributes a_i (treated
+    * successes), E_i = n1_i·m1_i/n_i and V_i = n1_i·n0_i·m1_i·m0_i /
+    * (n_i²(n_i−1)); the statistic is
+    *   χ² = (|Σa − ΣE| − ½)² / ΣV  (continuity-corrected).
+    *
+    * Portability: the same discipline as the log-rank gate — per-
+    * stratum E/V are rationals with different denominators, so each
+    * is quantized to a scale-9 integer by exact half-up division and
+    * the sums run in DECIMAL lanes (order-independent); Σa stays an
+    * exact int64, and χ² is one IEEE dag from the three exact lanes
+    * published at 6 dp (null when ΣV = 0). Also publishes the
+    * Mantel–Haenszel common odds ratio Σ(a_i·d_i/n_i)/Σ(b_i·c_i/n_i)
+    * from two more quantized-term sums.
+    *
+    * Plan shape: corpus → ONE stratum-keyed 4-counter combine;
+    * everything after is stratum-count-sized. Output: one row
+    * (n_strata, sum_a, e, v, chi2, or_mh, significant at χ²₁ > 3.84).
+    */
+  def cmhTest(df: DataFrame, stratum: Column, unit: Column,
+      success: Column, chiCrit: Double = 3.84): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(stratum.as("st"),
+        (pmod(unit, lit(2L)) === 1).as("__t"), success.cast("long").as("__s"))
+      .groupBy("st").agg(
+        sum(when(col("__t"), col("__s")).otherwise(0L)).as("a"),
+        sum(when(col("__t"), lit(1L) - col("__s")).otherwise(0L)).as("b"),
+        sum(when(!col("__t"), col("__s")).otherwise(0L)).as("c"),
+        sum(when(!col("__t"), lit(1L) - col("__s")).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+    val S = 1000000000L
+    val et = graft.PlanUtils.ratioRound(
+      (col("a") + col("b")).cast(dec) * (col("a") + col("c")) * lit(S),
+      col("n"), 0)
+    val vt = when(col("n") > 1, graft.PlanUtils.ratioRound(
+        (col("a") + col("b")).cast(dec) * (col("c") + col("d"))
+          * (col("a") + col("c")) * (col("b") + col("d")) * lit(S),
+        col("n").cast(dec) * col("n") * (col("n") - 1), 0))
+      .otherwise(lit(0.0))
+    val adt = graft.PlanUtils.ratioRound(
+      col("a").cast(dec) * col("d") * lit(S), col("n"), 0)
+    val bct = graft.PlanUtils.ratioRound(
+      col("b").cast(dec) * col("c") * lit(S), col("n"), 0)
+    val tots = cells.filter(col("n") > 0).agg(
+      count(lit(1)).as("n_strata"), sum("a").as("sum_a"),
+      sum(et.cast(dec)).as("es"), sum(vt.cast(dec)).as("vs"),
+      sum(adt.cast(dec)).as("ads"), sum(bct.cast(dec)).as("bcs"))
+    val eD = col("es").cast("double") / lit(1e9)
+    val vD = col("vs").cast("double") / lit(1e9)
+    val chi2 = round(
+      (abs(col("sum_a").cast("double") - eD) - lit(0.5))
+        * (abs(col("sum_a").cast("double") - eD) - lit(0.5)) / vD, 6) + 0.0
+    val orMh = round(col("ads").cast("double") / col("bcs").cast("double"), 6) + 0.0
+    tots.select(col("n_strata"), col("sum_a"),
+      (round(eD, 6) + 0.0).as("e"), (round(vD, 6) + 0.0).as("v"),
+      when(col("vs") > 0, chi2).as("chi2"),
+      when(col("bcs") > 0, orMh).as("or_mh"),
+      coalesce(when(col("vs") > 0, chi2) > chiCrit, lit(false))
+        .as("significant"))
+  }
+
   /** Unit-level permutation (approximate randomization) test per
     * group — inference with NO distributional assumptions where
     * [[abTest]]/[[welchTTest]] lean on normality: the null

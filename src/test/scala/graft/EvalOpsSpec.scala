@@ -666,6 +666,24 @@ class EvalOpsSpec extends SparkSpec {
     assert(g2._2 == 1L && g2._6.isDefined && g2._7.isEmpty && !g2._8)
   }
 
+  test("cmhTest: hand 2-stratum table — chi2 exactly 2.375, MH odds ratio 3.068966") {
+    // stratum X: treated 8/2, control 2/8 (strong association);
+    // stratum Y: all cells 5 (null). E = 5 + 5, V = 2·10⁴/7600,
+    // χ² = (|13 − 10| − ½)²/ΣV = 2.375 exactly on the quantized lanes
+    def stratum(st: String, cells: (Int, Int, Int, Int)) = {
+      val (a, b, c, d) = cells
+      Seq.fill(a)((st, 1L, 1)) ++ Seq.fill(b)((st, 1L, 0)) ++
+        Seq.fill(c)((st, 2L, 1)) ++ Seq.fill(d)((st, 2L, 0))
+    }
+    val df = (stratum("X", (8, 2, 2, 8)) ++ stratum("Y", (5, 5, 5, 5)))
+      .toDF("st0", "u", "s")
+    val got = EvalOps.cmhTest(df, col("st0"), col("u"), col("s") === 1)
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double],
+        Boolean)].head()
+    assert(got == ((2L, 13L, 10.0, 2.631579, Some(2.375),
+      Some(3.068966), false)))
+  }
+
   test("permutationTest: planted extreme effect hits the add-one floor; exact p lattice") {
     // 40 units, odd units all 100, even all 0 — the observed parity
     // split IS the most extreme assignment, so no hash replicate
