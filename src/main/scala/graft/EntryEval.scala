@@ -131,6 +131,15 @@ private[graft] object EntryEval {
     "q_cuped" -> ((s, dir) =>
       EvalOps.cupedAdjust(Tables.events(s, dir), col("user_id"),
         round(col("value")), pmod(col("event_id"), lit(2L)) === 0)),
+    // Tie-robust rank correlation: Kendall τ-b between the unit
+    // value bin and hour-of-day per event type — concordance counts
+    // from 2-D suffix sums on the DENSE bin grid (bin²-sized, no
+    // pairwise term anywhere), exact ints to one √ dag.
+    "q_kendall" -> ((s, dir) =>
+      EvalOps.kendallTauB(Tables.events(s, dir), col("event_type"),
+          expr("CAST(floor(value) AS BIGINT)"),
+          expr("(unix_micros(ts) div 3600000000L) % 24"))
+        .orderBy("grp")),
     // Stratified association: CMH test of arm × (value > 50) across
     // event-type strata — the Simpson's-paradox guard; scale-9
     // quantized hypergeometric terms, decimal sums, one χ² dag, plus
@@ -1134,6 +1143,59 @@ private[graft] object EntryEval {
         |FROM ss""".stripMargin,
     // A/B replay: same four counters, same pooled-z double dag;
     // DuckDB sums CAST to BIGINT, flag decided on the published z
+    // Kendall replay: identical dense grid, the identical two window
+    // passes (strict 2-D suffix/prefix sums), doubled tie lanes, the
+    // identical √ dag
+    "q_kendall" ->
+      s"""WITH cells AS (
+        |  SELECT event_type AS grp, CAST(floor(value) AS BIGINT) AS x,
+        |         (epoch_us(ts) // 3600000000) % 24 AS y,
+        |         CAST(count(*) AS BIGINT) AS f
+        |  FROM events GROUP BY 1, 2, 3
+        |), xs AS (SELECT DISTINCT grp, x FROM cells),
+        |ys AS (SELECT DISTINCT grp, y FROM cells),
+        |grid AS (
+        |  SELECT g.grp, g.x, g.y, coalesce(c.f, 0) AS f
+        |  FROM (SELECT xs.grp, xs.x, ys.y FROM xs JOIN ys USING (grp)) g
+        |  LEFT JOIN cells c ON c.grp = g.grp AND c.x = g.x AND c.y = g.y
+        |), s1 AS (
+        |  SELECT *,
+        |    sum(f) OVER (PARTITION BY grp, x ORDER BY y
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ry,
+        |    sum(f) OVER (PARTITION BY grp, x ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ly
+        |  FROM grid
+        |), s2 AS (
+        |  SELECT *,
+        |    sum(ry) OVER (PARTITION BY grp, y ORDER BY x
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS sc,
+        |    sum(ly) OVER (PARTITION BY grp, y ORDER BY x
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS sd
+        |  FROM s1
+        |), perg AS (
+        |  SELECT grp, CAST(sum(f) AS BIGINT) AS n,
+        |         sum(CAST(f AS HUGEINT) * coalesce(sc, 0)) AS c_pairs,
+        |         sum(CAST(f AS HUGEINT) * coalesce(sd, 0)) AS d_pairs
+        |  FROM s2 GROUP BY grp
+        |), mx AS (
+        |  SELECT grp, sum(CAST(t AS HUGEINT) * (t - 1)) AS tt_x FROM (
+        |    SELECT grp, x, CAST(sum(f) AS BIGINT) AS t
+        |    FROM cells GROUP BY grp, x) GROUP BY grp
+        |), my AS (
+        |  SELECT grp, sum(CAST(t AS HUGEINT) * (t - 1)) AS tt_y FROM (
+        |    SELECT grp, y, CAST(sum(f) AS BIGINT) AS t
+        |    FROM cells GROUP BY grp, y) GROUP BY grp
+        |)
+        |SELECT p.grp, p.n, CAST(c_pairs AS BIGINT) AS c_pairs,
+        |       CAST(d_pairs AS BIGINT) AS d_pairs,
+        |  CASE WHEN (CAST(n AS HUGEINT) * (n - 1) - tt_x)
+        |             * (CAST(n AS HUGEINT) * (n - 1) - tt_y) > 0 THEN
+        |    round(CAST(c_pairs - d_pairs AS DOUBLE) * 2.0
+        |          / sqrt(CAST((CAST(n AS HUGEINT) * (n - 1) - tt_x)
+        |                      * (CAST(n AS HUGEINT) * (n - 1) - tt_y)
+        |                      AS DOUBLE)), 6) + 0.0 END AS tau_b
+        |FROM perg p JOIN mx USING (grp) JOIN my USING (grp)
+        |ORDER BY p.grp""".stripMargin,
     // CMH replay: identical 4-counter strata, scale-9 hugeint
     // half-up terms, order-independent sums, identical χ²/OR dags
     "q_cmh" ->

@@ -666,6 +666,26 @@ class EvalOpsSpec extends SparkSpec {
     assert(g2._2 == 1L && g2._6.isDefined && g2._7.isEmpty && !g2._8)
   }
 
+  test("kendallTauB: tied hand case tau = 0.5 exactly; monotone = 1; flat margin nulls") {
+    // points (1,1),(1,2),(2,1),(2,2),(3,3): C = 5, D = 1, one tie
+    // pair per margin → τ_b = 2·4/√(16·16) = 0.5 exactly
+    val df = Seq((1, 1), (1, 2), (2, 1), (2, 2), (3, 3))
+      .toDF("x", "y").withColumn("g", lit("g"))
+    val got = EvalOps.kendallTauB(df, col("g"), col("x"), col("y"))
+      .as[(String, Long, Long, Long, Option[Double])].head()
+    assert(got == (("g", 5L, 5L, 1L, Some(0.5))))
+    // perfectly concordant untied → 1.0
+    val mono = Seq((1, 10), (2, 20), (3, 30)).toDF("x", "y")
+      .withColumn("g", lit("g"))
+    assert(EvalOps.kendallTauB(mono, col("g"), col("x"), col("y"))
+      .as[(String, Long, Long, Long, Option[Double])].head()._5 == Some(1.0))
+    // a constant margin (all x equal) → zero denominator → null
+    val flat = Seq((7, 1), (7, 2), (7, 3)).toDF("x", "y")
+      .withColumn("g", lit("g"))
+    assert(EvalOps.kendallTauB(flat, col("g"), col("x"), col("y"))
+      .as[(String, Long, Long, Long, Option[Double])].head()._5.isEmpty)
+  }
+
   test("cmhTest: hand 2-stratum table — chi2 exactly 2.375, MH odds ratio 3.068966") {
     // stratum X: treated 8/2, control 2/8 (strong association);
     // stratum Y: all cells 5 (null). E = 5 + 5, V = 2·10⁴/7600,
