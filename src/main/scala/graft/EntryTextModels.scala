@@ -202,6 +202,13 @@ private[graft] object EntryTextModels {
       TemporalOps.acf(Tables.events(s, dir), col("event_type"),
           col("ts"), expr("CAST(floor(value * 10) AS BIGINT)"))
         .orderBy("grp", "k")),
+    // Whiteness test on the published ACF lanes: Ljung–Box Q over
+    // lags 1..7 per event type — quantized-term portmanteau, one
+    // IEEE dag, χ²(7) significance.
+    "q_ljung_box" -> ((s, dir) =>
+      TemporalOps.ljungBox(Tables.events(s, dir), col("event_type"),
+          col("ts"), expr("CAST(floor(value * 10) AS BIGINT)"))
+        .orderBy("grp")),
     // Nonparametric trend kit per event type: Mann–Kendall S/z
     // (exact-int S, tie-corrected variance, one IEEE z dag) +
     // Theil–Sen slope (median pairwise rational through ratioRound)
@@ -478,6 +485,47 @@ private[graft] object EntryTextModels {
         docs.filter(col("lang") =!= "en"))
     }),
   )
+
+  /** Shared DuckDB CTE chain for the exact-integer ACF lanes —
+    * consumed by the q_acf oracle (publication) and the q_ljung_box
+    * oracle (portmanteau aggregation on the same lanes).
+    */
+  private val AcfCtes: String =
+    """WITH daily AS (
+        |  SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS day,
+        |         sum(CAST(CAST(floor(value * 10) AS BIGINT) AS HUGEINT)) AS s
+        |  FROM events GROUP BY 1, 2
+        |), span AS (SELECT grp, min(day) AS d0, max(day) AS d1
+        |            FROM daily GROUP BY grp),
+        |grid AS (SELECT grp, unnest(generate_series(d0, d1)) AS day FROM span),
+        |dense AS (
+        |  SELECT g.grp, g.day, coalesce(d.s, CAST(0 AS HUGEINT)) AS s
+        |  FROM grid g LEFT JOIN daily d ON g.grp = d.grp AND g.day = d.day
+        |), lagged AS (
+        |  SELECT grp, s,
+        |         lag(s, 1) OVER w AS l1, lag(s, 2) OVER w AS l2,
+        |         lag(s, 3) OVER w AS l3, lag(s, 4) OVER w AS l4,
+        |         lag(s, 5) OVER w AS l5, lag(s, 6) OVER w AS l6,
+        |         lag(s, 7) OVER w AS l7
+        |  FROM dense WINDOW w AS (PARTITION BY grp ORDER BY day)
+        |), pairs AS (
+        |  SELECT grp, k, s, xl FROM (
+        |    SELECT grp, s, r.k AS k,
+        |           CASE r.k WHEN 1 THEN l1 WHEN 2 THEN l2 WHEN 3 THEN l3
+        |                    WHEN 4 THEN l4 WHEN 5 THEN l5 WHEN 6 THEN l6
+        |                    WHEN 7 THEN l7 END AS xl
+        |    FROM lagged
+        |    CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS k) r
+        |  ) WHERE xl IS NOT NULL
+        |), perk AS (
+        |  SELECT grp, k, sum(s * xl) AS p_k, sum(xl) AS a_k, sum(s) AS b_k,
+        |         CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM pairs GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT grp, CAST(count(*) AS HUGEINT) AS n, sum(s) AS t,
+        |         sum(s * s) AS q
+        |  FROM dense GROUP BY grp
+        |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // BPE primitive: same tokenizer, word-frequency table first, then
@@ -1141,41 +1189,7 @@ private[graft] object EntryTextModels {
     // 7-lag window pass, mean-cleared integer rationals in HUGEINT
     // lanes, exact half-up publication
     "q_acf" ->
-      s"""WITH daily AS (
-        |  SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS day,
-        |         sum(CAST(CAST(floor(value * 10) AS BIGINT) AS HUGEINT)) AS s
-        |  FROM events GROUP BY 1, 2
-        |), span AS (SELECT grp, min(day) AS d0, max(day) AS d1
-        |            FROM daily GROUP BY grp),
-        |grid AS (SELECT grp, unnest(generate_series(d0, d1)) AS day FROM span),
-        |dense AS (
-        |  SELECT g.grp, g.day, coalesce(d.s, CAST(0 AS HUGEINT)) AS s
-        |  FROM grid g LEFT JOIN daily d ON g.grp = d.grp AND g.day = d.day
-        |), lagged AS (
-        |  SELECT grp, s,
-        |         lag(s, 1) OVER w AS l1, lag(s, 2) OVER w AS l2,
-        |         lag(s, 3) OVER w AS l3, lag(s, 4) OVER w AS l4,
-        |         lag(s, 5) OVER w AS l5, lag(s, 6) OVER w AS l6,
-        |         lag(s, 7) OVER w AS l7
-        |  FROM dense WINDOW w AS (PARTITION BY grp ORDER BY day)
-        |), pairs AS (
-        |  SELECT grp, k, s, xl FROM (
-        |    SELECT grp, s, r.k AS k,
-        |           CASE r.k WHEN 1 THEN l1 WHEN 2 THEN l2 WHEN 3 THEN l3
-        |                    WHEN 4 THEN l4 WHEN 5 THEN l5 WHEN 6 THEN l6
-        |                    WHEN 7 THEN l7 END AS xl
-        |    FROM lagged
-        |    CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS k) r
-        |  ) WHERE xl IS NOT NULL
-        |), perk AS (
-        |  SELECT grp, k, sum(s * xl) AS p_k, sum(xl) AS a_k, sum(s) AS b_k,
-        |         CAST(count(*) AS BIGINT) AS n_pairs
-        |  FROM pairs GROUP BY 1, 2
-        |), tot AS (
-        |  SELECT grp, CAST(count(*) AS HUGEINT) AS n, sum(s) AS t,
-        |         sum(s * s) AS q
-        |  FROM dense GROUP BY grp
-        |)
+      s"""$AcfCtes
         |SELECT p.grp, p.k, p.n_pairs,
         |       CASE WHEN n * n * q - n * t * t > 0 THEN
         |         ${ratioRoundSql(
@@ -1184,6 +1198,41 @@ private[graft] object EntryTextModels {
         |       END AS acf
         |FROM perk p JOIN tot USING (grp)
         |ORDER BY grp, k""".stripMargin,
+    // Ljung–Box replay: the same ACF lanes as a CTE, micro-unit
+    // integers recovered by round(acf·10⁶), terms quantized by
+    // hugeint half-up, the identical Q dag
+    "q_ljung_box" ->
+      s"""$AcfCtes
+        |, acfr AS (
+        |  SELECT p.grp, p.k, p.n_pairs,
+        |       CASE WHEN n * n * q - n * t * t > 0 THEN
+        |         ${ratioRoundSql(
+                   "n * n * p_k - n * t * (a_k + b_k) + CAST(n_pairs AS HUGEINT) * t * t",
+                   "n * n * q - n * t * t", 6)} + 0.0
+        |       END AS acf
+        |  FROM perk p JOIN tot USING (grp)
+        |), lb AS (
+        |  SELECT grp, CAST(max(n_pairs + k) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS m,
+        |         CAST(count(acf) AS BIGINT) AS m_ok,
+        |         sum(CASE WHEN acf IS NOT NULL THEN
+        |               (2 * (CAST(CAST(round(acf * 1000000.0) AS BIGINT)
+        |                          AS HUGEINT)
+        |                     * CAST(round(acf * 1000000.0) AS BIGINT)
+        |                     * 1000) + n_pairs)
+        |                 // (2 * CAST(n_pairs AS HUGEINT))
+        |             ELSE 0 END) AS st
+        |  FROM acfr GROUP BY grp
+        |)
+        |SELECT grp, n, m,
+        |  CASE WHEN m_ok = m THEN
+        |    round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+        |          * CAST(st AS DOUBLE) / 1e15, 6) + 0.0 END AS q_stat,
+        |  coalesce(CASE WHEN m_ok = m THEN
+        |    round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+        |          * CAST(st AS DOUBLE) / 1e15, 6) + 0.0 END > 14.067,
+        |    FALSE) AS significant
+        |FROM lb ORDER BY grp""".stripMargin,
     // Mann–Kendall/Theil–Sen replay: same pairwise day table, exact
     // S and tie-corrected 18·Var in HUGEINT lanes, the identical z
     // dag, slope median by (double, num, den) rank with the two

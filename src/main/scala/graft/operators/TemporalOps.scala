@@ -1071,6 +1071,50 @@ object TemporalOps {
           .as("acf"))
   }
 
+  /** Ljung–Box portmanteau test (Ljung & Box 1978) per group — "is
+    * this series white noise AT ALL lags jointly": Q = n(n+2)·Σ_{k≤m}
+    * r_k²/(n−k), the aggregate follow-up to [[acf]] (ACF shows WHICH
+    * lag echoes; Q rejects whiteness without picking one — the
+    * residual-diagnostic standard).
+    *
+    * Defined ON THE PUBLISHED ACF LANES: r_k enters as its exact
+    * 6-dp micro-unit integer u_k = round(r_k·10⁶) (the acf gate's
+    * half-up rational — both engines recover the identical integer),
+    * each term u_k²·10³/(n−k) quantizes by exact half-up division,
+    * and the DECIMAL term sum feeds ONE IEEE dag
+    * Q = n(n+2)·Σt/10¹⁵ published at 6 dp. Q is thus a deterministic
+    * statistic of the quantized ACF — self-consistent with what the
+    * engine publishes, and portable by the same argument. A group
+    * with any null r_k (zero variance) publishes null Q. Term lane:
+    * u²·10³ ≤ 10¹⁵ < 2⁵³ — exact at every |r| ≤ 1.
+    *
+    * Plan shape: [[acf]]'s (one corpus aggregate + day-grid work)
+    * plus a group-sized reduction. `chiCrit` defaults to the
+    * χ²(7, 0.95) quantile for the default maxLag. Output: (grp, n,
+    * m, q_stat, significant).
+    */
+  def ljungBox(events: DataFrame, group: Column, tsCol: Column,
+      xGrid: Column, maxLag: Int = 7, chiCrit: Double = 14.067,
+      dayUs: Long = 86400000000L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val a = acf(events, group, tsCol, xGrid, maxLag, dayUs)
+    val u = round(col("acf") * lit(1000000.0)).cast("long")
+    val t = graft.PlanUtils.ratioRound(
+      (u * u).cast(dec) * lit(1000L), col("n_pairs"), 0)
+    val agg = a.groupBy("grp").agg(
+      max(col("n_pairs") + col("k")).as("n"),
+      count(lit(1)).as("m"), count(col("acf")).as("m_ok"),
+      sum(when(col("acf").isNotNull, t).otherwise(lit(0.0)).cast(dec))
+        .as("st"))
+    val nD = col("n").cast("double")
+    val q = round(nD * (nD + lit(2.0)) * col("st").cast("double")
+      / lit(1e15), 6) + 0.0
+    agg.select(col("grp"), col("n"), col("m"),
+      when(col("m_ok") === col("m"), q).as("q_stat"),
+      coalesce(when(col("m_ok") === col("m"), q) > chiCrit, lit(false))
+        .as("significant"))
+  }
+
   /** Mann–Kendall trend test + Theil–Sen slope per group over the
     * observed daily series — the nonparametric trend kit (Mann 1945,
     * Kendall 1975; Theil 1950, Sen 1968): "is this metric

@@ -641,6 +641,25 @@ class TemporalOpsSpec extends SparkSpec {
     assert(g2 == Set("A", "B"))
   }
 
+  test("ljungBox: alternating series Q exactly 22.5; zero-variance group nulls") {
+    def t(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // the acf fixture: r = (−0.875, 0.75, −0.625) at n = 8 → every
+    // quantized term is exact and Q = 8·10·(Σ u²·10³/(n−k))/10¹⁵ =
+    // 80·0.28125 = 22.5 exactly; χ²(3, .95) = 7.815 → significant
+    val alt = (0L until 8L).map(d =>
+      ("alt", t(d), if (d % 2 == 0) 1.0 else 0.0))
+    val flat = (0L until 4L).map(d => ("flat", t(d), 2.0))
+    val got = TemporalOps.ljungBox((alt ++ flat).toDF("event_type", "ts", "value"),
+        col("event_type"), col("ts"),
+        expr("CAST(floor(value * 10) AS BIGINT)"), maxLag = 3,
+        chiCrit = 7.815)
+      .orderBy("grp")
+      .as[(String, Long, Long, Option[Double], Boolean)].collect().toList
+    assert(got == List(
+      ("alt", 8L, 3L, Some(22.5), true),
+      ("flat", 4L, 3L, None, false)))
+  }
+
   test("logRankTest: hand hypergeometric table; censored horizon user excluded from O") {
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
     // lifetimes (unit = 1 s): treated 1,3,5 → 100 s; control 2,4 →
