@@ -874,9 +874,12 @@ object EvalOps {
       sum(col("u").cast(dec) * col("u")).as("suu"))
     val kD = col("kk").cast("double")
     val m1 = col("su").cast("double") / (kD * lit(1000000.0))
-    val m2 = (col("kk").cast(dec) * col("suu")
+    // guard the K−1 denominator BEFORE the division is planned: under
+    // ANSI mode a single-key population raises DIVIDE_BY_ZERO even
+    // though `ok` would mask the result (EdgeCasesSpec pins this)
+    val m2 = when(col("kk") > 1, (col("kk").cast(dec) * col("suu")
         - col("su").cast(dec) * col("su")).cast("double") /
-      (kD * (kD - lit(1.0)) * lit(1e12))
+      (kD * (kD - lit(1.0)) * lit(1e12)))
     val tot = m1 * (lit(1.0) - m1) / m2 - lit(1.0)
     val alpha = m1 * tot
     val beta = (lit(1.0) - m1) * tot

@@ -880,7 +880,11 @@ object TemporalOps {
     val vd = col("vs").cast("double") / lit(1e9)
     val z = round((col("o1").cast("double") - e1d) / sqrt(vd), 6) + 0.0
     arms.join(broadcast(tots))
-      .select(col("n_treat"), col("n_ctrl"), col("o1"),
+      // empty population: the global agg still emits one row, but its
+      // sums are SQL nulls — publish exact zero counts instead
+      .select(coalesce(col("n_treat"), lit(0L)).as("n_treat"),
+        coalesce(col("n_ctrl"), lit(0L)).as("n_ctrl"),
+        coalesce(col("o1"), lit(0L)).as("o1"),
         (round(e1d, 6) + 0.0).as("e1"), (round(vd, 6) + 0.0).as("v1"),
         when(col("vs") > 0, z).as("z"),
         coalesce(abs(when(col("vs") > 0, z)) > zCrit, lit(false))

@@ -223,4 +223,65 @@ class EdgeCasesSpec extends SparkSpec {
       .as[String].collect()
     assert(r.sameElements(Array("111")))
   }
+
+  test("round-8 session-6 ops on empty or degenerate inputs never throw") {
+    import graft.operators.{DedupOps, EvalOps, SketchOps, TemporalOps, TextOps}
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val emptyEv = Seq.empty[(String, java.sql.Timestamp, Long, Double)]
+      .toDF("event_type", "ts", "user_id", "value")
+    val oneEv = Seq(("a", ts(10), 1L, 5.0))
+      .toDF("event_type", "ts", "user_id", "value")
+    val grid = expr("CAST(floor(value * 10) AS BIGINT)")
+    // time-series family: empty → empty; single observation → the
+    // degenerate row (no pairs/lags), never a crash
+    assert(TemporalOps.acf(emptyEv, col("event_type"), col("ts"), grid)
+      .count() == 0)
+    assert(TemporalOps.acf(oneEv, col("event_type"), col("ts"), grid)
+      .count() == 0) // one day → no lag pairs
+    assert(TemporalOps.trendRobust(emptyEv, col("event_type"), col("ts"),
+      grid).count() == 0)
+    val tr1 = TemporalOps.trendRobust(oneEv, col("event_type"), col("ts"),
+        grid).as[(String, Long, Long, Option[Double], Option[Double])].head()
+    assert(tr1 == (("a", 1L, 0L, None, None)))
+    assert(TemporalOps.ljungBox(emptyEv, col("event_type"), col("ts"),
+      grid).count() == 0)
+    assert(TemporalOps.stationaryDistribution(emptyEv, Seq("user_id"),
+      "ts", "event_type", "value").count() == 0)
+    // a single event has no transitions → empty chain
+    assert(TemporalOps.stationaryDistribution(oneEv, Seq("user_id"),
+      "ts", "event_type", "value").count() == 0)
+    // log-rank is a global aggregate: empty input → ONE degenerate
+    // row (0 units per arm, null inference), not an empty frame
+    val lrEmpty = TemporalOps.logRankTest(emptyEv, "user_id", "ts")
+      .select("n_treat", "n_ctrl", "z", "significant")
+      .as[(Long, Long, Option[Double], Boolean)].head()
+    assert(lrEmpty == ((0L, 0L, None, false)))
+    // stats family: empty → empty; all-one-arm → null inference
+    assert(EvalOps.diffInDiff(emptyEv, col("event_type"), col("user_id"),
+      col("ts"), grid).count() == 0)
+    val didOneArm = EvalOps.diffInDiff(
+        Seq(("a", ts(0), 2L, 1.0), ("a", ts(86400 * 9), 2L, 2.0))
+          .toDF("event_type", "ts", "user_id", "value"),
+        col("event_type"), col("user_id"), col("ts"), grid)
+      .select("did", "t_did").as[(Option[Double], Option[Double])].head()
+    assert(didOneArm == ((None, None)))
+    assert(EvalOps.permutationTest(emptyEv, col("event_type"),
+      col("user_id"), grid).count() == 0)
+    assert(EvalOps.cmhTest(emptyEv, col("event_type"), col("user_id"),
+      col("value") > 1).count() == 1) // single all-zero row, null stats
+    assert(EvalOps.kendallTauB(emptyEv, col("event_type"),
+      expr("CAST(value AS BIGINT)"), col("user_id")).count() == 0)
+    assert(EvalOps.wilsonLowerBound(emptyEv, col("event_type"),
+      col("value") > 1).count() == 0)
+    assert(EvalOps.ebShrink(oneEv, col("event_type"), col("value") > 1)
+      .select("p_shrunk").as[Option[Double]].head().isEmpty) // K = 1
+    // sketch/text/linkage: empty in, empty (or empty-population) out
+    assert(SketchOps.amsF2(emptyEv.select(col("user_id").as("k")), "k")
+      .select("exact_f2").as[Option[Long]].head().isEmpty)
+    assert(TextOps.chao1Richness(
+      Seq.empty[(String, String)].toDF("lang", "text")).count() == 0)
+    assert(DedupOps.jaroLinkage(
+      Seq.empty[String].toDF("s")).count() == 0)
+    assert(DedupOps.jaroLinkage(Seq("solo").toDF("s")).count() == 0)
+  }
 }
