@@ -29,6 +29,12 @@ private[graft] object EntrySimilarity {
       SimilarityOps.mrlRecall(Tables.embeddings(s, dir), col("vec_id") < 10,
           k = 10, truncDims = 16)
         .orderBy(col("q_id").asc_nulls_last)),
+    // Embedding-space health: per-label anisotropy (mean pairwise
+    // dot / mean squared norm) from exact quantized sums — the
+    // pre-ANN isotropy check; no pairwise term anywhere.
+    "q_isotropy" -> ((s, dir) =>
+      SimilarityOps.anisotropyReport(Tables.embeddings(s, dir))
+        .orderBy("label")),
     // Mutual-kNN graph (k=5): undirected edges where each endpoint is
     // in the other's top-5 — the hub-pruned edge set graph dedup
     // clusters on. Exact baseline (brute-force lists + one k·n-keyed
@@ -135,6 +141,36 @@ private[graft] object EntrySimilarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // anisotropy replay: identical 10⁻⁶ quantization of the raw
+    // doubles, per-dim sums, the ‖Σv‖²−Σ‖v‖² identity in hugeint
+    // lanes, half-up rationals
+    "q_isotropy" ->
+      s"""WITH comps AS (
+        |  SELECT label, vec_id, d,
+        |         CAST(round(CAST(embedding[d + 1] AS DOUBLE) * 1000000)
+        |              AS BIGINT) AS c
+        |  FROM embeddings, range(64) r(d)
+        |), perdim AS (
+        |  SELECT label, d, sum(CAST(c AS HUGEINT)) AS s
+        |  FROM comps GROUP BY label, d
+        |), p AS (SELECT label, sum(s * s) AS pp FROM perdim GROUP BY label),
+        |nq AS (
+        |  SELECT label, CAST(count(*) // 64 AS BIGINT) AS n,
+        |         sum(CAST(c AS HUGEINT) * c) AS q
+        |  FROM comps GROUP BY label
+        |)
+        |SELECT nq.label, nq.n,
+        |  CASE WHEN n > 1 THEN ${ratioRoundSql("pp - q",
+             "CAST(n AS HUGEINT) * (n - 1) * 1000000000000", 9)} + 0.0
+        |  END AS mean_dot,
+        |  CASE WHEN n > 0 THEN ${ratioRoundSql("q",
+             "CAST(n AS HUGEINT) * 1000000000000", 9)} + 0.0
+        |  END AS mean_norm2,
+        |  CASE WHEN n > 1 AND q > 0 THEN ${ratioRoundSql("pp - q",
+             "CAST(n - 1 AS HUGEINT) * q", 9)} + 0.0
+        |  END AS anisotropy
+        |FROM nq JOIN p USING (label)
+        |ORDER BY label""".stripMargin,
     "q_cosine_nn" ->
       s"""WITH $CosineCte,
          |dots AS (

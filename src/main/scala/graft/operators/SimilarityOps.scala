@@ -152,6 +152,57 @@ object SimilarityOps {
     * same card runs over [[annTopK]]/[[ivfTopK]] lists — the join and
     * output contract don't change.
     */
+  /** Embedding-space anisotropy report per label (Ethayarajh 2019's
+    * diagnostic, the identity form): how concentrated is the space —
+    * mean pairwise dot over mean squared norm,
+    *   A = (‖Σv‖² − Σ‖v‖²) / ((n−1)·Σ‖v‖²),
+    * which for L2-comparable embeddings tracks the mean pairwise
+    * cosine. A ≈ 0 is an isotropic (retrieval-healthy) space; A → 1
+    * means vectors share a dominant direction and cosine scores
+    * saturate — the pre-flight check before building ANN indexes.
+    * Per-label rows make it the cluster-structure probe: labels with
+    * structure read higher within-label A than the pooled space.
+    *
+    * EXACT with no pairwise term: components quantize at 10⁻⁶ by
+    * round() of the RAW double (both engines see identical input
+    * doubles — no norm division happens before quantization, the
+    * drift-free choice), then P = Σ_d S_d², Q = Σ‖c‖², n are exact
+    * integer lanes from two keyed combines and every published value
+    * is one half-up rational ([[graft.PlanUtils.ratioRound]] at
+    * 9 dp). ‖Σv‖² − Σ‖v‖² counts each ordered pair's dot once.
+    *
+    * Plan shape: explode → (label, dim) combine + (label) combine —
+    * dims×labels-sized after the first exchange. Output: (label, n,
+    * mean_dot, mean_norm2, anisotropy); single-vector or all-zero
+    * labels null the ratio columns.
+    */
+  def anisotropyReport(embeddings: DataFrame, dims: Int = 64): DataFrame = {
+    val dec = "decimal(38,0)"
+    val comps = graft.CacheScope.autoRelease(
+      embeddings.select(col("label"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(col("label"), col("vec_id"), col("d"),
+          expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("c")))
+    val perDim = comps.groupBy("label", "d")
+      .agg(sum(col("c").cast(dec)).as("s"))
+    val p = perDim.groupBy("label").agg(sum(col("s") * col("s")).as("pp"))
+    val nq = comps.groupBy("label")
+      .agg(expr(s"count(1) div $dims").as("n"), // integer div: exact
+        sum((col("c") * col("c")).cast(dec)).as("q"))
+    val scale = lit(1000000000000L) // 10¹²: two 10⁻⁶ quantizations
+    nq.join(p, Seq("label"))
+      .select(col("label"), col("n"),
+        when(col("n") > 1, graft.PlanUtils.ratioRound(
+          col("pp") - col("q"),
+          col("n").cast(dec) * (col("n") - 1) * scale, 9) + 0.0)
+          .as("mean_dot"),
+        when(col("n") > 0, graft.PlanUtils.ratioRound(
+          col("q"), col("n").cast(dec) * scale, 9) + 0.0).as("mean_norm2"),
+        when(col("n") > 1 && col("q") > 0, graft.PlanUtils.ratioRound(
+          col("pp") - col("q"), (col("n") - 1).cast(dec) * col("q"), 9)
+          + 0.0).as("anisotropy"))
+  }
+
   def mrlRecall(embeddings: DataFrame, queryPred: Column, k: Int,
       truncDims: Int): DataFrame = {
     val full = bruteForceTopK(embeddings, queryPred, k)

@@ -464,4 +464,20 @@ class SimilarityOpsSpec extends SparkSpec {
       .select("n_quads").as[Long].collect().toList
     assert(g3 == List(1L))
   }
+
+  test("anisotropyReport: parallel vectors A = 1, orthogonal A = 0, singleton nulls") {
+    val vecs = Seq(
+      (0, 1L, Seq(1f, 0f, 0f, 0f)), (0, 2L, Seq(1f, 0f, 0f, 0f)), // parallel
+      (1, 3L, Seq(1f, 0f, 0f, 0f)), (1, 4L, Seq(0f, 1f, 0f, 0f)), // orthogonal
+      (2, 5L, Seq(0f, 0f, 1f, 0f))                                // singleton
+    ).toDF("label", "vec_id", "embedding")
+    val got = SimilarityOps.anisotropyReport(vecs, dims = 4)
+      .orderBy("label")
+      .as[(Int, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toList
+    assert(got == List(
+      (0, 2L, Some(1.0), Some(1.0), Some(1.0)),
+      (1, 2L, Some(0.0), Some(1.0), Some(0.0)),
+      (2, 1L, None, Some(1.0), None)))
+  }
 }
