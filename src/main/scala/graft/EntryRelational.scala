@@ -498,6 +498,43 @@ private[graft] object EntryRelational {
             .cast("decimal(28,12)")).cast("double"), 4).as("revenue"))
         .orderBy("o_orderpriority")
     }),
+    // Lake write-path: DYNAMIC partition overwrite — a late batch
+    // replaces ONLY the partitions it carries rows for (the daily
+    // restatement every partitioned lake runs); untouched partitions
+    // must survive byte-for-byte. Full static write, then a dynamic
+    // overwrite of the two newest 30-day buckets with even-key orders
+    // repriced +1000 — so replaced partitions change BOTH cardinality
+    // and values; the read-back aggregate is the gate. Exact cents
+    // lanes; the writer conf is restored after the write (the
+    // session-state-strip rule).
+    "q_dpo" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/tmp/graft_dpo_$tag"
+      val monthUs = 2592000000000L // 30-day buckets of epoch micros
+      val orders = Tables.orders(s, dir)
+        .withColumn("o_month",
+          expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div ${monthUs}L"))
+      orders.write.mode("overwrite").partitionBy("o_month").parquet(base)
+      val cut = orders.agg((max(col("o_month")) - 1).as("cutm"))
+      val batch = orders.join(broadcast(cut))
+        .filter(col("o_month") >= col("cutm") &&
+          pmod(col("o_orderkey"), lit(2L)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .drop("cutm")
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try batch.write.mode("overwrite").partitionBy("o_month").parquet(base)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(base)
+        .groupBy("o_month")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("sum_cents"))
+        .orderBy("o_month")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -554,6 +591,26 @@ private[graft] object EntryRelational {
          |SELECT from_type, to_type, n,
          |       ${ratioRoundSql("n", "sum(n) OVER (PARTITION BY from_type)", 6)} AS p
          |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // DPO replay: the overwrite SEMANTICS as set algebra — months
+    // below the cut keep their original rows, months at/above it
+    // keep only the batch's (even-key, repriced) rows; exact cents
+    "q_dpo" ->
+      """WITH o AS (
+        |  SELECT *, epoch_us(o_orderdate) // 2592000000000 AS o_month
+        |  FROM orders
+        |), cut AS (SELECT max(o_month) - 1 AS cutm FROM o),
+        |expected AS (
+        |  SELECT o_month, o_totalprice FROM o CROSS JOIN cut
+        |  WHERE o_month < cutm
+        |  UNION ALL
+        |  SELECT o_month, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM o CROSS JOIN cut
+        |  WHERE o_month >= cutm AND o_orderkey % 2 = 0
+        |)
+        |SELECT o_month, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents
+        |FROM expected GROUP BY o_month ORDER BY o_month""".stripMargin,
     // Stationary replay: identical scale-12 kernel quantization
     // (hugeint half-up), uniform start with rank-ordered remainder,
     // 12 power rounds unrolled as MATERIALIZED CTE pairs (the

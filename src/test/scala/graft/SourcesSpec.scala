@@ -65,4 +65,26 @@ class SourcesSpec extends SparkSpec {
     assert(merged.filter($"source".isNull).agg(max($"doc_id")).head().getLong(0) < 100)
     assert(merged.filter($"doc_id" >= 100 && $"source".isNull).isEmpty)
   }
+
+  test("dynamic partition overwrite replaces only the batch's partitions") {
+    val base = "/tmp/graft_dpo_spec"
+    val full = Seq((1L, "p1", 10.0), (2L, "p1", 20.0),
+      (3L, "p2", 30.0), (4L, "p3", 40.0)).toDF("id", "pt", "v")
+    full.write.mode("overwrite").partitionBy("pt").parquet(base)
+    // batch touches ONLY p2, with different cardinality and values
+    val batch = Seq((30L, "p2", 300.0), (31L, "p2", 310.0))
+      .toDF("id", "pt", "v")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try batch.write.mode("overwrite").partitionBy("pt").parquet(base)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val got = spark.read.parquet(base).select("id", "pt", "v")
+      .as[(Long, String, Double)].collect().toSet
+    // p1/p3 byte-for-byte intact; p2 fully replaced (row 3 gone)
+    assert(got == Set((1L, "p1", 10.0), (2L, "p1", 20.0),
+      (30L, "p2", 300.0), (31L, "p2", 310.0), (4L, "p3", 40.0)))
+  }
 }
