@@ -416,6 +416,12 @@ private[graft] object EntryTextModels {
     // oracle recomputes the same weights/copy counts from the same
     // integer formulas, so the gate proves the whole chain — mass agg,
     // window total, weight arithmetic, per-doc copy realization.
+    // Two-way corpus rebalance: survey raking (IPF) of the lang ×
+    // source cell table to uniform margins — 3 alternating half-step
+    // rounds in exact scale-9 integer weight lanes, zero floats.
+    "q_rake" -> ((s, dir) =>
+      MixtureOps.rakeWeights(Tables.documents(s, dir))
+        .orderBy("lang", "source")),
     "q_mixture_weights" -> ((s, dir) =>
       MixtureOps.mixtureWeights(Tables.documents(s, dir), mixTargets)
         .select(col("domain"), col("n_docs"), col("mass"),
@@ -1326,6 +1332,42 @@ private[graft] object EntryTextModels {
     // for srcN, N < 20 — mirrors SparkEntry.mixTargets), weights with the
     // same left-to-right association as the engine, and the resample's
     // copy counts from the same Knuth hash threshold
+    // Raking replay: identical half-up integer half-steps unrolled
+    // as MATERIALIZED CTE pairs (row margin, then column margin)
+    "q_rake" -> {
+      val rounds = (1 to 3).map { t =>
+        val p = if (t == 1) "w0" else s"w${t - 1}"
+        s"""a$t AS MATERIALIZED (
+           |  SELECT $p.r, $p.c, $p.n,
+           |    CASE WHEN s.s > 0 THEN (2 * $p.w * tr.t + s.s) // (2 * s.s)
+           |         ELSE 0 END AS w
+           |  FROM $p JOIN (SELECT r, sum(w) AS s FROM $p GROUP BY r) s
+           |    USING (r) CROSS JOIN tr),
+           |w$t AS MATERIALIZED (
+           |  SELECT a$t.r, a$t.c, a$t.n,
+           |    CASE WHEN s.s > 0 THEN (2 * a$t.w * tc.t + s.s) // (2 * s.s)
+           |         ELSE 0 END AS w
+           |  FROM a$t JOIN (SELECT c, sum(w) AS s FROM a$t GROUP BY c) s
+           |    USING (c) CROSS JOIN tc)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cells AS (
+        |  SELECT lang AS r, source AS c, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2
+        |), tg AS (
+        |  SELECT CAST(sum(n) AS HUGEINT) AS nn,
+        |         CAST(count(DISTINCT r) AS HUGEINT) AS lr,
+        |         CAST(count(DISTINCT c) AS HUGEINT) AS lc
+        |  FROM cells
+        |), tr AS (SELECT (2 * nn * 1000000000 + lr) // (2 * lr) AS t FROM tg),
+        |tc AS (SELECT (2 * nn * 1000000000 + lc) // (2 * lc) AS t FROM tg),
+        |w0 AS MATERIALIZED (
+        |  SELECT r, c, n, CAST(n AS HUGEINT) * 1000000000 AS w FROM cells
+        |),
+        |$rounds
+        |SELECT r AS lang, c AS source, n, CAST(w AS BIGINT) AS w_micro9,
+        |       CAST(CAST(w AS BIGINT) AS DOUBLE) / 1e9 AS w
+        |FROM w3 ORDER BY lang, source""".stripMargin
+    },
     "q_mixture_weights" ->
       """WITH pd AS (
         |  SELECT source AS domain, count(*) AS n_docs, sum(n_chars) AS mass

@@ -88,4 +88,60 @@ object MixtureOps {
       .select(col(idCol), col("domain"),
         explode(sequence(lit(1L), col("n_copies"))).as("copy_no"))
   }
+
+  /** Survey raking / iterative proportional fitting (Deming &
+    * Stephan 1940) over a two-way cell table — reweight the corpus so
+    * BOTH margins match uniform targets simultaneously (the
+    * two-dimensional generalization of [[mixtureWeights]]'s single
+    * domain axis): the language-×-source rebalance a curation
+    * pipeline runs when upsampling one axis must not skew the other.
+    *
+    * `rounds` alternating half-steps scale each row to the row
+    * target, then each column to the column target. Exactness: the
+    * whole iteration runs in scale-9 INTEGER weight lanes — targets
+    * are half-up integers N·10⁹/L and N·10⁹/C, every rescale is the
+    * exact half-up rational w·T/Σw (hugeint/BigInt floor arithmetic
+    * both engines), so there is no float anywhere and the oracle
+    * unrolls identical half-steps as chained CTEs. Structural zeros
+    * (unobserved cells) stay zero — standard IPF semantics; with
+    * them the margins converge to the closest achievable fit, and
+    * the gate pins the REPLAY, not an idealized limit.
+    *
+    * Plan shape: corpus → ONE (row, col) combine; the cell table
+    * (margin-cardinality², bounded by design) is collected
+    * driver-side (the stationary-distribution precedent) and the
+    * BigInt rounds cost microseconds. Output: (rowCol, colCol, n,
+    * w_micro9 — the exact scale-9 integer weight, w).
+    */
+  def rakeWeights(docs: DataFrame, rowCol: String = "lang",
+      colCol: String = "source", rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = docs.sparkSession
+    val S = BigInt(1000000000L)
+    def halfUp(num: BigInt, den: BigInt): BigInt = (2 * num + den) / (2 * den)
+    val cells = docs.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    val rows = cells.map(_._1).distinct.sorted
+    val cols = cells.map(_._2).distinct.sorted
+    val n = BigInt(cells.map(_._3).sum)
+    val tr = if (rows.nonEmpty) halfUp(n * S, BigInt(rows.length)) else BigInt(0)
+    val tc = if (cols.nonEmpty) halfUp(n * S, BigInt(cols.length)) else BigInt(0)
+    var w = cells.map { case (r, c, cnt) => ((r, c), BigInt(cnt) * S) }.toMap
+    for (_ <- 1 to rounds) {
+      val rs = w.groupBy(_._1._1).map { case (r, m) => r -> m.values.sum }
+      w = w.map { case ((r, c), v) =>
+        ((r, c), if (rs(r) > 0) halfUp(v * tr, rs(r)) else BigInt(0))
+      }
+      val cs = w.groupBy(_._1._2).map { case (c, m) => c -> m.values.sum }
+      w = w.map { case ((r, c), v) =>
+        ((r, c), if (cs(c) > 0) halfUp(v * tc, cs(c)) else BigInt(0))
+      }
+    }
+    import spark.implicits._
+    cells.map { case (r, c, cnt) => (r, c, cnt, w((r, c)).toLong) }
+      .toSeq.toDF(rowCol, colCol, "n", "w_micro9")
+      .select(col(rowCol), col(colCol), col("n"), col("w_micro9"),
+        (col("w_micro9").cast("double") / lit(1e9)).as("w"))
+  }
 }

@@ -60,4 +60,25 @@ class MixtureOpsSpec extends SparkSpec {
       .filter($"domain" === "src7").count()
     assert(none == 0L)
   }
+
+  test("rakeWeights: hand 2x2 IPF — column margins exact, rows within one half-step") {
+    import graft.operators.MixtureOps
+    // cells 30/10/10/10 raked to uniform 30/30 margins: pinned
+    // scale-9 integers after 3 integer half-up rounds (the replay IS
+    // the contract; the limit would be (20,10,10,20))
+    val docs = (Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y")))
+      .toDF("lang", "source")
+    val got = MixtureOps.rakeWeights(docs).orderBy("lang", "source")
+      .as[(String, String, Long, Long, Double)].collect().toList
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) == List(
+      ("a", "x", 30L, 19014084507L), ("a", "y", 10L, 10975609756L),
+      ("b", "x", 10L, 10985915493L), ("b", "y", 10L, 19024390244L)))
+    // the closing half-step scales COLUMNS, so column margins land on
+    // the target exactly; rows are within one rescale of it
+    val colSums = got.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(colSums == Map("x" -> 30000000000L, "y" -> 30000000000L))
+    val rowSums = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(rowSums.values.forall(s => math.abs(s - 30000000000L) < 30000000L))
+  }
 }
