@@ -147,6 +147,13 @@ private[graft] object EntryEval {
     "q_cmh" -> ((s, dir) =>
       EvalOps.cmhTest(Tables.events(s, dir), col("event_type"),
         col("user_id"), col("value") > 50.0)),
+    // Distributed-bootstrap CI: Poisson bootstrap of the per-unit
+    // mean per event type — 63 deterministic hash-Poisson replicates
+    // in one pass, exact rational replicate means, percentile CI.
+    "q_poisson_boot" -> ((s, dir) =>
+      EvalOps.poissonBootstrapCI(Tables.events(s, dir), col("event_type"),
+          col("user_id"), expr("CAST(floor(value * 10) AS BIGINT)"))
+        .orderBy("grp")),
     // Assumption-free inference: unit-level permutation test per
     // event type — 63 deterministic hash re-assignments, exact
     // cross-multiplied exceedance comparisons, add-one p; zero float
@@ -1249,6 +1256,66 @@ private[graft] object EntryEval {
         |  END AS or_mh,
         |  coalesce(chi2 > 3.84, FALSE) AS significant
         |FROM f""".stripMargin,
+    // Poisson-bootstrap replay: identical unit table and salted
+    // cubic hash (salt stream 200), the pinned Poisson(1) CDF
+    // cutoffs in hash space, exact rational replicate means ranked
+    // by (double, num, den), percentile picks half-up published
+    "q_poisson_boot" ->
+      s"""WITH units AS (
+        |  SELECT event_type AS grp, user_id AS u,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(CAST(floor(value * 10) AS BIGINT) AS HUGEINT)) AS s
+        |  FROM events GROUP BY 1, 2
+        |), salted AS (
+        |  SELECT u.*, r.b,
+        |    (40503 * (r.b + 200)) % 1048573 AS a3,
+        |    (92821 * (r.b + 200)) % 1048573 AS a2,
+        |    (486187 * (r.b + 200)) % 1048573 AS a1,
+        |    (12289 * (r.b + 200)) % 1048573 AS a0
+        |  FROM units u
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 63)) AS b) r
+        |), hashed AS (
+        |  SELECT grp, b, n, s,
+        |    (((((a3 * (u % 1048573) + a2) % 1048573) * (u % 1048573) + a1)
+        |       % 1048573 * (u % 1048573) + a0) % 1048573) AS h
+        |  FROM salted
+        |), cnt AS (
+        |  SELECT grp, b, n, s,
+        |    CASE WHEN h < 385748 THEN 0 WHEN h < 771496 THEN 1
+        |         WHEN h < 964371 THEN 2 WHEN h < 1028662 THEN 3
+        |         WHEN h < 1044735 THEN 4 WHEN h < 1047949 THEN 5
+        |         ELSE 6 END AS c
+        |  FROM hashed
+        |), reps AS (
+        |  SELECT grp, b, sum(CAST(c AS HUGEINT) * s) AS rnum,
+        |         sum(CAST(c AS HUGEINT) * n) AS rden
+        |  FROM cnt GROUP BY grp, b
+        |), ranked AS (
+        |  SELECT grp, rnum, rden,
+        |    row_number() OVER (PARTITION BY grp
+        |      ORDER BY CAST(rnum AS DOUBLE) / CAST(rden AS DOUBLE),
+        |               rnum, rden) AS rn
+        |  FROM reps WHERE rden > 0
+        |), ci AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n_valid,
+        |    max(CASE WHEN rn = 2 THEN rnum END) AS lo_n,
+        |    max(CASE WHEN rn = 2 THEN rden END) AS lo_d,
+        |    max(CASE WHEN rn = 62 THEN rnum END) AS hi_n,
+        |    max(CASE WHEN rn = 62 THEN rden END) AS hi_d
+        |  FROM ranked GROUP BY grp
+        |), obs AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n_units, sum(s) AS os,
+        |         CAST(sum(n) AS HUGEINT) AS onn
+        |  FROM units GROUP BY grp
+        |)
+        |SELECT o.grp, o.n_units,
+        |  ${ratioRoundSql("os", "onn", 6)} + 0.0 AS mean,
+        |  CASE WHEN n_valid = 63 THEN
+        |    ${ratioRoundSql("lo_n", "lo_d", 6)} + 0.0 END AS ci_lo,
+        |  CASE WHEN n_valid = 63 THEN
+        |    ${ratioRoundSql("hi_n", "hi_d", 6)} + 0.0 END AS ci_hi
+        |FROM obs o LEFT JOIN ci USING (grp)
+        |ORDER BY o.grp""".stripMargin,
     // Permutation replay: identical unit table, the identical salted
     // Horner-cubic arm family, cross-multiplied exact exceedance,
     // add-one p through hugeint half-up

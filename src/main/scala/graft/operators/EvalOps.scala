@@ -695,6 +695,82 @@ object EvalOps {
             / sqrt(den2.cast("double")), 6) + 0.0).as("tau_b"))
   }
 
+  /** Poisson bootstrap CI per group (Chamandy, Muralidharan, Najmi &
+    * Naidu 2012 — the industrial bootstrap for distributed data):
+    * classic resampling needs the full dataset per replicate; the
+    * Poisson approximation gives each UNIT an independent
+    * Poisson(1) multiplicity per replicate, so all `bReps` replicate
+    * means stream out of ONE pass over the unit table. The published
+    * interval is the percentile CI of the replicate means.
+    *
+    * Deterministic and exact: multiplicities come from the salted
+    * Horner-cubic hash ([[permutationTest]]'s family, its own salt
+    * stream) thresholded against pinned integer Poisson(1) CDF
+    * cutoffs in hash space — no RNG; each replicate mean is the
+    * exact rational Σc·s / Σc·n carried as (num, den) DECIMAL lanes;
+    * replicates rank by their (identical cross-engine) double value
+    * with the exact rational as tiebreak (the Theil–Sen idiom), the
+    * 2.5%/97.5% ranks are picked by conditional aggregation and
+    * publish through half-up [[graft.PlanUtils.ratioRound]]. A group
+    * with any empty-resample replicate (measure-zero beyond tiny
+    * populations) publishes null CI.
+    *
+    * Plan shape: the pinned (grp, unit) combine is the only
+    * corpus-sized exchange; the B-fold explode multiplies the UNIT
+    * table; the rank window runs over B rows per group. Output:
+    * (grp, n_units, mean, ci_lo, ci_hi).
+    */
+  def poissonBootstrapCI(df: DataFrame, group: Column, unit: Column,
+      metric: Column, bReps: Int = 63): DataFrame = {
+    require(bReps >= 3, "bReps must be >= 3")
+    val dec = "decimal(38,0)"
+    val p = SketchOps.AmsPrime
+    // Poisson(1) CDF cutoffs quantized into [0, p) hash space
+    val cuts = Seq(385748L, 771496L, 964371L, 1028662L, 1044735L, 1047949L)
+    val units = graft.CacheScope.autoRelease(
+      df.select(group.as("grp"), unit.as("u"), metric.cast("long").as("x"))
+        .groupBy("grp", "u")
+        .agg(count(lit(1)).as("n"), sum(col("x").cast(dec)).as("s")))
+    val Seq(k3, k2, k1, k0) = SketchOps.AmsSalts
+    val xm = pmod(col("u"), lit(p))
+    def coef(kj: Long) = pmod(lit(kj) * (col("b") + lit(200)), lit(p))
+    val h = pmod(pmod(pmod(coef(k3) * xm + coef(k2), lit(p)) * xm
+      + coef(k1), lit(p)) * xm + coef(k0), lit(p))
+    val c = cuts.zipWithIndex.foldRight(lit(cuts.length.toLong)) {
+      case ((cut, i), rest) => when(h < cut, i.toLong).otherwise(rest)
+    }
+    val reps = units
+      .withColumn("b", explode(sequence(lit(1), lit(bReps))))
+      .withColumn("c", c)
+      .groupBy("grp", "b")
+      .agg(sum(col("c").cast(dec) * col("s")).as("rnum"),
+        sum(col("c").cast(dec) * col("n")).as("rden"))
+    val wRank = Window.partitionBy("grp")
+      .orderBy(col("rnum").cast("double") / col("rden").cast("double"),
+        col("rnum"), col("rden"))
+    val loRank = math.max(1, math.ceil(bReps * 0.025).toInt)
+    val hiRank = bReps + 1 - loRank
+    val ranked = reps.filter(col("rden") > 0)
+      .withColumn("rn", row_number().over(wRank))
+    val ci = ranked.groupBy("grp").agg(
+      count(lit(1)).as("n_valid"),
+      max(when(col("rn") === loRank, col("rnum"))).as("lo_n"),
+      max(when(col("rn") === loRank, col("rden"))).as("lo_d"),
+      max(when(col("rn") === hiRank, col("rnum"))).as("hi_n"),
+      max(when(col("rn") === hiRank, col("rden"))).as("hi_d"))
+    val obs = units.groupBy("grp").agg(
+      count(lit(1)).as("n_units"), sum("s").as("os"), sum("n").as("on"))
+    val ok = col("n_valid") === bReps
+    obs.join(ci, Seq("grp"), "left")
+      .select(col("grp"), col("n_units"),
+        (graft.PlanUtils.ratioRound(col("os"), col("on").cast(dec), 6) + 0.0)
+          .as("mean"),
+        when(ok, graft.PlanUtils.ratioRound(col("lo_n"), col("lo_d"), 6)
+          + 0.0).as("ci_lo"),
+        when(ok, graft.PlanUtils.ratioRound(col("hi_n"), col("hi_d"), 6)
+          + 0.0).as("ci_hi"))
+  }
+
   /** Cochran–Mantel–Haenszel test (Mantel & Haenszel 1959) —
     * arm/outcome association CONTROLLING for a stratification
     * variable: the guard against Simpson's paradox that a pooled

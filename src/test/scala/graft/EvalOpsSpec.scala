@@ -686,6 +686,23 @@ class EvalOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Option[Double])].head()._5.isEmpty)
   }
 
+  test("poissonBootstrapCI: constant population collapses the CI exactly; CI brackets the mean") {
+    // every unit carries value 3 → each replicate mean is EXACTLY 3
+    // whatever the resample counts — ci_lo = mean = ci_hi = 3.0
+    val const = (1 to 50).flatMap(u => Seq(("g", u.toLong, 3L), ("g", u.toLong, 3L)))
+      .toDF("grp0", "u", "v")
+    val gc = EvalOps.poissonBootstrapCI(const, col("grp0"), col("u"), col("v"))
+      .as[(String, Long, Double, Option[Double], Option[Double])].head()
+    assert(gc == (("g", 50L, 3.0, Some(3.0), Some(3.0))))
+    // heterogeneous: CI must bracket the mean with nonzero width
+    val het = (1 to 60).map(u => ("g", u.toLong, (u % 10).toLong))
+      .toDF("grp0", "u", "v")
+    val gh = EvalOps.poissonBootstrapCI(het, col("grp0"), col("u"), col("v"))
+      .as[(String, Long, Double, Option[Double], Option[Double])].head()
+    assert(gh._4.get < gh._3 && gh._3 < gh._5.get)
+    assert(gh._5.get - gh._4.get < 4.0) // sane width for sd≈2.87, n=60
+  }
+
   test("cmhTest: hand 2-stratum table — chi2 exactly 2.375, MH odds ratio 3.068966") {
     // stratum X: treated 8/2, control 2/8 (strong association);
     // stratum Y: all cells 5 (null). E = 5 + 5, V = 2·10⁴/7600,
