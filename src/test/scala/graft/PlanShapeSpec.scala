@@ -522,6 +522,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("q_poisson_boot: unit table pinned; replicate fan-out above the corpus aggregate") {
+    // same contract as q_perm_test: the (grp, unit) combine is the
+    // only corpus-sized exchange; its cache feeds the observed means
+    // AND the 63-replicate explode
+    val plan = finalPlan("q_poisson_boot")
+    assert(scansOf(plan) >= 2, plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q_isotropy: component table pinned above the dim and label combines") {
+    val plan = finalPlan("q_isotropy")
+    assert(scansOf(plan) >= 2, plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("q_wilson: part dim broadcast; corpus shuffled once (agg) plus the output sort") {
     val df = SparkEntry.queries("q_wilson")(spark, sf0)
     val shuffles = countShuffles(df)
