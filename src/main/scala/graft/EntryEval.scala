@@ -483,6 +483,15 @@ private[graft] object EntryEval {
     "q_skew_report" -> ((s, dir) =>
       DataQualityOps.skewReport(Tables.events(s, dir), col("user_id"), k = 10)
         .orderBy("rank")),
+    // Tail-index quantification: Hill α̂ of per-user activity per
+    // event type over the top-100 order statistics — the number
+    // behind salting/AQE-skew sizing (q_skew_report names hot keys;
+    // this measures HOW heavy the tail is). Nano-unit ln integers,
+    // half-up rationals.
+    "q_hill" -> ((s, dir) =>
+      DataQualityOps.hillTailIndex(Tables.events(s, dir),
+          col("event_type"), col("user_id"), k = 10)
+        .orderBy("grp")),
     // Cross-source harmonization: exact quantile normalization of each
     // event type's deci-grid value distribution onto the pooled one —
     // integer cross-multiplied ECDF comparisons, no float discipline.
@@ -2059,6 +2068,33 @@ private[graft] object EntryEval {
         |CROSS JOIN tot
         |ORDER BY a.bucket""".stripMargin,
     // skew replay: key-count table + totals, ties to the smaller key
+    // Hill replay: identical (f desc, key) order statistics, the
+    // identical nano-unit ln integers, half-up rationals
+    "q_hill" ->
+      s"""WITH counts AS (
+        |  SELECT event_type AS grp, user_id AS key,
+        |         CAST(count(*) AS BIGINT) AS f
+        |  FROM events GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY grp
+        |    ORDER BY f DESC, key) AS rn
+        |  FROM counts
+        |), ref AS (
+        |  SELECT grp, f AS x_ref FROM ranked WHERE rn = 11
+        |), agg AS (
+        |  SELECT r.grp, max(ref.x_ref) AS x_ref,
+        |    CAST(sum(CAST(round(ln(CAST(r.f AS DOUBLE) / ref.x_ref)
+        |                        * 1000000000) AS BIGINT)) AS BIGINT) AS sum_t
+        |  FROM ranked r JOIN ref USING (grp)
+        |  WHERE r.rn <= 10
+        |  GROUP BY r.grp
+        |)
+        |SELECT grp, CAST(10 AS BIGINT) AS k, x_ref,
+        |  ${ratioRoundSql("sum_t", "CAST(10 AS HUGEINT) * 1000000000", 6)} + 0.0 AS hill_h,
+        |  CASE WHEN sum_t > 0 THEN
+        |    ${ratioRoundSql("CAST(10 AS HUGEINT) * 1000000000", "sum_t", 6)}
+        |      + 0.0 END AS alpha
+        |FROM agg ORDER BY grp""".stripMargin,
     "q_skew_report" ->
       """WITH cnt AS (
         |  SELECT user_id AS key, count(*) AS n FROM events GROUP BY user_id

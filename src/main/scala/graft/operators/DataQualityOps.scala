@@ -387,4 +387,47 @@ object DataQualityOps {
           col("n_total").cast("double"), 9).as("skew_vs_mean"),
         col("n_total"), col("n_keys"))
   }
+
+  /** Hill tail-index estimator (Hill 1975) of the per-key activity
+    * distribution, per group — "HOW heavy is the hot-key tail":
+    * [[skewReport]] names the hot keys; the Hill α̂ quantifies the
+    * power-law exponent they follow (α̂ ≈ 1 → Zipf-like, salting
+    * mandatory; α̂ large → light tail, plain hash partitioning holds)
+    * — the number behind every salting/AQE-skew sizing decision.
+    * Over the top-k order statistics x₍₁₎ ≥ … ≥ x₍ₖ₎ with reference
+    * x₍ₖ₊₁₎: H = (1/k)·Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎), α̂ = 1/H.
+    *
+    * Portability: order statistics come from the deterministic
+    * (count desc, key) total order; each ln ratio quantizes straight
+    * to a nano-unit integer t = round(ln(xᵢ/x_ref)·10⁹) (identical
+    * doubles in, identical ints out), Σt is an exact int64 and both
+    * H and α̂ publish as half-up rationals over (Σt, k·10⁹). An
+    * all-ties head (Σt = 0) nulls α̂; a group with fewer than k+1
+    * keys has no x₍ₖ₊₁₎ and is dropped (no estimate exists).
+    *
+    * Plan shape: corpus → one (grp, key) combine; the rank window
+    * runs over the key-cardinality table per group and everything
+    * after is k-sized. Output: (grp, k, x_ref, hill_h, alpha).
+    */
+  def hillTailIndex(df: DataFrame, group: Column, key: Column,
+      k: Int = 100): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val counts = df.select(group.as("grp"), key.as("key"))
+      .groupBy("grp", "key").agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy("grp").orderBy(col("f").desc, col("key"))
+    val top = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k + 1)
+    val ref = top.filter(col("rn") === k + 1)
+      .select(col("grp"), col("f").as("x_ref"))
+    val t = expr("CAST(round(ln(CAST(f AS DOUBLE) / x_ref) * 1000000000) AS BIGINT)")
+    top.filter(col("rn") <= k).join(ref, Seq("grp"))
+      .groupBy("grp")
+      .agg(first(col("x_ref")).as("x_ref"), sum(t).as("sum_t"))
+      .select(col("grp"), lit(k.toLong).as("k"), col("x_ref"),
+        (graft.PlanUtils.ratioRound(col("sum_t"),
+          lit(k.toLong) * lit(1000000000L), 6) + 0.0).as("hill_h"),
+        when(col("sum_t") > 0, graft.PlanUtils.ratioRound(
+          lit(k.toLong) * lit(1000000000L), col("sum_t"), 6) + 0.0)
+          .as("alpha"))
+  }
 }

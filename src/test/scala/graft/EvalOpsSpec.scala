@@ -686,6 +686,20 @@ class EvalOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Option[Double])].head()._5.isEmpty)
   }
 
+  test("hillTailIndex: hand order statistics H = ln 4 exactly; small group dropped") {
+    import graft.operators.DataQualityOps
+    // 10 head keys at f = 8 over reference x₍₁₁₎ = 2: every ln ratio
+    // is ln 4 → H = 1.386294, α = 1/H = 0.721348 on the nano lanes
+    val g = (1 to 10).flatMap(u => Seq.fill(8)(("g", u.toLong))) ++
+      Seq.fill(2)(("g", 11L)) ++
+      (1 to 3).flatMap(u => Seq.fill(2)(("tiny", u.toLong)))
+    val got = DataQualityOps.hillTailIndex(g.toDF("grp0", "u"),
+        col("grp0"), col("u"), k = 10)
+      .as[(String, Long, Long, Double, Option[Double])].collect().toList
+    // the 3-key "tiny" group has no x₍₁₁₎ → dropped
+    assert(got == List(("g", 10L, 2L, 1.386294, Some(0.721348))))
+  }
+
   test("poissonBootstrapCI: constant population collapses the CI exactly; CI brackets the mean") {
     // every unit carries value 3 → each replicate mean is EXACTLY 3
     // whatever the resample counts — ci_lo = mean = ci_hi = 3.0
