@@ -947,9 +947,12 @@ private[graft] object EntryEval {
         |            / sqrt(CAST(vs AS DOUBLE) / 1e9), 6) + 0.0 END AS z
         |  FROM arms CROSS JOIN tots
         |)
-        |SELECT n_treat, n_ctrl, o1,
-        |       round(CAST(e1s AS DOUBLE) / 1e9, 6) + 0.0 AS e1,
-        |       round(CAST(vs AS DOUBLE) / 1e9, 6) + 0.0 AS v1,
+        |SELECT coalesce(n_treat, 0) AS n_treat,
+        |       coalesce(n_ctrl, 0) AS n_ctrl, coalesce(o1, 0) AS o1,
+        |       ${ratioRoundSql("e1s", "CAST(1000000000 AS HUGEINT)", 6)}
+        |         + 0.0 AS e1,
+        |       ${ratioRoundSql("vs", "CAST(1000000000 AS HUGEINT)", 6)}
+        |         + 0.0 AS v1,
         |       z, coalesce(abs(z) > 1.96, FALSE) AS significant
         |FROM f""".stripMargin,
     // KM replay: exact-int risk/death counts, 9-dp ln factors
@@ -1249,19 +1252,17 @@ private[graft] object EntryEval {
         |), f AS (
         |  SELECT *,
         |    CASE WHEN vs > 0 THEN
-        |      round((abs(CAST(sum_a AS DOUBLE) - CAST(es AS DOUBLE) / 1e9)
-        |               - 0.5)
-        |            * (abs(CAST(sum_a AS DOUBLE) - CAST(es AS DOUBLE) / 1e9)
-        |                 - 0.5)
-        |            / (CAST(vs AS DOUBLE) / 1e9), 6) + 0.0 END AS chi2
+        |      ${ratioRoundSql(
+                 "(abs(CAST(sum_a AS HUGEINT) * 1000000000 - es) - 500000000) * (abs(CAST(sum_a AS HUGEINT) * 1000000000 - es) - 500000000)",
+                 "vs * CAST(1000000000 AS HUGEINT)", 6)} + 0.0 END AS chi2
         |  FROM tots
         |)
         |SELECT n_strata, sum_a,
-        |  round(CAST(es AS DOUBLE) / 1e9, 6) + 0.0 AS e,
-        |  round(CAST(vs AS DOUBLE) / 1e9, 6) + 0.0 AS v,
+        |  ${ratioRoundSql("es", "CAST(1000000000 AS HUGEINT)", 6)} + 0.0 AS e,
+        |  ${ratioRoundSql("vs", "CAST(1000000000 AS HUGEINT)", 6)} + 0.0 AS v,
         |  chi2,
         |  CASE WHEN bcs > 0 THEN
-        |    round(CAST(ads AS DOUBLE) / CAST(bcs AS DOUBLE), 6) + 0.0
+        |    ${ratioRoundSql("ads", "bcs", 6)} + 0.0
         |  END AS or_mh,
         |  coalesce(chi2 > 3.84, FALSE) AS significant
         |FROM f""".stripMargin,

@@ -509,18 +509,28 @@ private[graft] object EntryRelational {
     // session-state-strip rule).
     "q_dpo" -> ((s, dir) => {
       val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
-      val base = s"/tmp/graft_dpo_$tag"
+      // pid suffix: two processes gating the same corpus must not
+      // interleave their static/dynamic writes on one directory
+      val base =
+        s"/tmp/graft_dpo_${tag}_${ProcessHandle.current().pid()}"
       val monthUs = 2592000000000L // 30-day buckets of epoch micros
       val orders = Tables.orders(s, dir)
         .withColumn("o_month",
           expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div ${monthUs}L"))
       orders.write.mode("overwrite").partitionBy("o_month").parquet(base)
       val cut = orders.agg((max(col("o_month")) - 1).as("cutm"))
+      // every cut-window month must appear in the batch, or dynamic
+      // overwrite leaves that month's ORIGINAL partition intact while
+      // the oracle's replay replaces it — the month's min key rides
+      // along as the escort row regardless of parity
       val batch = orders.join(broadcast(cut))
-        .filter(col("o_month") >= col("cutm") &&
-          pmod(col("o_orderkey"), lit(2L)) === 0)
+        .filter(col("o_month") >= col("cutm"))
+        .withColumn("__minkey", min("o_orderkey").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("o_month")))
+        .filter(pmod(col("o_orderkey"), lit(2L)) === 0 ||
+          col("o_orderkey") === col("__minkey"))
         .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-        .drop("cutm")
+        .drop("cutm", "__minkey")
       val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try batch.write.mode("overwrite").partitionBy("o_month").parquet(base)
@@ -599,13 +609,17 @@ private[graft] object EntryRelational {
         |  SELECT *, epoch_us(o_orderdate) // 2592000000000 AS o_month
         |  FROM orders
         |), cut AS (SELECT max(o_month) - 1 AS cutm FROM o),
+        |win AS (
+        |  SELECT o.*, min(o_orderkey) OVER (PARTITION BY o_month) AS mk
+        |  FROM o CROSS JOIN cut WHERE o_month >= cutm
+        |),
         |expected AS (
         |  SELECT o_month, o_totalprice FROM o CROSS JOIN cut
         |  WHERE o_month < cutm
         |  UNION ALL
         |  SELECT o_month, o_totalprice + 1000.0 AS o_totalprice
-        |  FROM o CROSS JOIN cut
-        |  WHERE o_month >= cutm AND o_orderkey % 2 = 0
+        |  FROM win
+        |  WHERE o_orderkey % 2 = 0 OR o_orderkey = mk
         |)
         |SELECT o_month, CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))

@@ -1232,11 +1232,11 @@ private[graft] object EntryTextModels {
         |)
         |SELECT grp, n, m,
         |  CASE WHEN m_ok = m THEN
-        |    round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
-        |          * CAST(st AS DOUBLE) / 1e15, 6) + 0.0 END AS q_stat,
+        |    ${ratioRoundSql("CAST(n AS HUGEINT) * (n + 2) * st",
+             "CAST(1000000000000000 AS HUGEINT)", 6)} + 0.0 END AS q_stat,
         |  coalesce(CASE WHEN m_ok = m THEN
-        |    round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
-        |          * CAST(st AS DOUBLE) / 1e15, 6) + 0.0 END > 14.067,
+        |    ${ratioRoundSql("CAST(n AS HUGEINT) * (n + 2) * st",
+             "CAST(1000000000000000 AS HUGEINT)", 6)} + 0.0 END > 14.067,
         |    FALSE) AS significant
         |FROM lb ORDER BY grp""".stripMargin,
     // Mann–Kendall/Theil–Sen replay: same pairwise day table, exact

@@ -724,18 +724,13 @@ object EvalOps {
       metric: Column, bReps: Int = 63): DataFrame = {
     require(bReps >= 3, "bReps must be >= 3")
     val dec = "decimal(38,0)"
-    val p = SketchOps.AmsPrime
-    // Poisson(1) CDF cutoffs quantized into [0, p) hash space
+    // Poisson(1) CDF cutoffs quantized into [0, AmsPrime) hash space
     val cuts = Seq(385748L, 771496L, 964371L, 1028662L, 1044735L, 1047949L)
     val units = graft.CacheScope.autoRelease(
       df.select(group.as("grp"), unit.as("u"), metric.cast("long").as("x"))
         .groupBy("grp", "u")
         .agg(count(lit(1)).as("n"), sum(col("x").cast(dec)).as("s")))
-    val Seq(k3, k2, k1, k0) = SketchOps.AmsSalts
-    val xm = pmod(col("u"), lit(p))
-    def coef(kj: Long) = pmod(lit(kj) * (col("b") + lit(200)), lit(p))
-    val h = pmod(pmod(pmod(coef(k3) * xm + coef(k2), lit(p)) * xm
-      + coef(k1), lit(p)) * xm + coef(k0), lit(p))
+    val h = SketchOps.hornerHash(col("u"), col("b") + lit(200))
     val c = cuts.zipWithIndex.foldRight(lit(cuts.length.toLong)) {
       case ((cut, i), rest) => when(h < cut, i.toLong).otherwise(rest)
     }
@@ -822,16 +817,20 @@ object EvalOps {
       count(lit(1)).as("n_strata"), sum("a").as("sum_a"),
       sum(et.cast(dec)).as("es"), sum(vt.cast(dec)).as("vs"),
       sum(adt.cast(dec)).as("ads"), sum(bct.cast(dec)).as("bcs"))
-    val eD = col("es").cast("double") / lit(1e9)
-    val vD = col("vs").cast("double") / lit(1e9)
-    val chi2 = round(
-      (abs(col("sum_a").cast("double") - eD) - lit(0.5))
-        * (abs(col("sum_a").cast("double") - eD) - lit(0.5)) / vD, 6) + 0.0
-    val orMh = round(col("ads").cast("double") / col("bcs").cast("double"), 6) + 0.0
+    // every published statistic here is an EXACT rational of the
+    // integer lanes (no √ anywhere), so publish through half-up
+    // ratioRound — round(double, 6) of an exact rational is the
+    // tie-boundary divergence class the sf10 audit fixed
+    val x9 = abs(col("sum_a").cast(dec) * lit(S) - col("es")) - lit(S / 2)
+    val chi2 = graft.PlanUtils.ratioRound(x9 * x9,
+      col("vs").cast(dec) * lit(S), 6) + 0.0
     tots.select(col("n_strata"), col("sum_a"),
-      (round(eD, 6) + 0.0).as("e"), (round(vD, 6) + 0.0).as("v"),
+      (graft.PlanUtils.ratioRound(col("es"), lit(S), 6) + 0.0).as("e"),
+      (graft.PlanUtils.ratioRound(col("vs"), lit(S), 6) + 0.0).as("v"),
       when(col("vs") > 0, chi2).as("chi2"),
-      when(col("bcs") > 0, orMh).as("or_mh"),
+      when(col("bcs") > 0,
+        graft.PlanUtils.ratioRound(col("ads"), col("bcs"), 6) + 0.0)
+        .as("or_mh"),
       coalesce(when(col("vs") > 0, chi2) > chiCrit, lit(false))
         .as("significant"))
   }
@@ -866,7 +865,6 @@ object EvalOps {
       metric: Column, bReps: Int = 63): DataFrame = {
     require(bReps >= 1, "bReps must be >= 1")
     val dec = "decimal(38,0)"
-    val p = SketchOps.AmsPrime
     val units = graft.CacheScope.autoRelease(
       df.select(group.as("grp"), unit.as("u"), metric.cast("long").as("x"))
         .groupBy("grp", "u")
@@ -883,12 +881,9 @@ object EvalOps {
         arms(pmod(col("u"), lit(2L)) === 1): _*)
       .select(col("grp"), col("n_units"), dNum.as("onum"), dDen.as("oden"))
     // salted Horner-cubic parity per replicate (offset 100 decouples
-    // the coefficient stream from the AMS F2 estimators)
-    val Seq(k3, k2, k1, k0) = SketchOps.AmsSalts
-    val xm = pmod(col("u"), lit(p))
-    def coef(kj: Long) = pmod(lit(kj) * (col("b") + lit(100)), lit(p))
-    val h = pmod(pmod(pmod(coef(k3) * xm + coef(k2), lit(p)) * xm
-      + coef(k1), lit(p)) * xm + coef(k0), lit(p))
+    // the coefficient stream from the AMS F2 estimators) — the SHARED
+    // kernel, one definition for all three oracle families
+    val h = SketchOps.hornerHash(col("u"), col("b") + lit(100))
     val reps = units
       .withColumn("b", explode(sequence(lit(1), lit(bReps))))
       .groupBy("grp", "b")

@@ -118,7 +118,7 @@ object MixtureOps {
     require(rounds >= 1, "rounds must be >= 1")
     val spark = docs.sparkSession
     val S = BigInt(1000000000L)
-    def halfUp(num: BigInt, den: BigInt): BigInt = (2 * num + den) / (2 * den)
+    val halfUp = graft.PlanUtils.halfUpBig _
     val cells = docs.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
       .agg(count(lit(1)).as("n"))
       .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))

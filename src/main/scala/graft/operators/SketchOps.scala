@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sketch-backed approximate aggregation with ERROR CERTIFICATES.
@@ -123,14 +123,9 @@ object SketchOps {
       "median-of-3 identity: rows must be 3; cols >= 1")
     val dec = "decimal(38,0)"
     val r = rows * cols
-    val p = AmsPrime
-    def sign(i: Int) = {
-      val Seq(a3, a2, a1, a0) = AmsSalts.map(s => (s * (i + 1)) % p)
-      val xm = pmod(col("__k"), lit(p))
-      val h = pmod(pmod(pmod(lit(a3) * xm + lit(a2), lit(p)) * xm
-        + lit(a1), lit(p)) * xm + lit(a0), lit(p))
-      when(h % 2 === 0, 1L).otherwise(-1L)
-    }
+    def sign(i: Int) =
+      when(hornerHash(col("__k"), lit((i + 1).toLong)) % 2 === 0, 1L)
+        .otherwise(-1L)
     val sums = df.select(col(keyCol).cast("long").as("__k"))
       .agg(count(lit(1)).as("n"),
         (0 until r).map(i => sum(sign(i)).as(s"s$i")): _*)
@@ -162,4 +157,20 @@ object SketchOps {
     */
   private[graft] val AmsPrime = 1048573L
   private[graft] val AmsSalts = Seq(40503L, 92821L, 486187L, 12289L)
+
+  /** The shared 4-wise Horner-cubic hash dag: h = Horner((a₃..a₀),
+    * key mod p) with coefficients salted by `saltMul` (an estimator
+    * index, a replicate stream, …). ONE definition — this expression
+    * is a bit-parity contract with three oracle families (AMS signs,
+    * permutation arms, Poisson-bootstrap multiplicities); building it
+    * per-site invites silent desynchronization.
+    */
+  private[graft] def hornerHash(key: Column, saltMul: Column): Column = {
+    val p = AmsPrime
+    val Seq(k3, k2, k1, k0) = AmsSalts
+    def coef(kj: Long) = pmod(lit(kj) * saltMul, lit(p))
+    val xm = pmod(key, lit(p))
+    pmod(pmod(pmod(coef(k3) * xm + coef(k2), lit(p)) * xm
+      + coef(k1), lit(p)) * xm + coef(k0), lit(p))
+  }
 }

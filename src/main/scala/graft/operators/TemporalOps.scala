@@ -529,7 +529,7 @@ object TemporalOps {
     val idx = states.zipWithIndex.toMap
     val k = states.length
     val S = BigInt(1000000000000L)
-    def halfUp(num: BigInt, den: BigInt): BigInt = (2 * num + den) / (2 * den)
+    val halfUp = graft.PlanUtils.halfUpBig _
     val rowTot = counts.groupBy(_._1).map { case (f, cs) =>
       f -> BigInt(cs.filter(c => idx.contains(c._2)).map(_._3).sum)
     }
@@ -546,8 +546,13 @@ object TemporalOps {
       val raw = Array.tabulate(k)(j =>
         (0 until k).map(i => pi(i) * p(i)(j)).sum)
       val tot = raw.sum
-      if (tot == 0) t = iters // degenerate kernel: keep the last π
-      else { pi = raw.map(r => halfUp(r * S, tot)); t += 1 }
+      if (tot == 0) {
+        // degenerate kernel (all mass flowed to clipped/outgoing-free
+        // states): publish ZEROS — the same convention the oracle's
+        // empty round CTEs coalesce to, and the honest answer ("no
+        // stationary mass survives on the closed chain")
+        pi = Array.fill(k)(BigInt(0)); t = iters
+      } else { pi = raw.map(r => halfUp(r * S, tot)); t += 1 }
     }
     import spark.implicits._
     states.zipWithIndex.map { case (st, j) => (st, pi(j).toLong) }
@@ -885,7 +890,12 @@ object TemporalOps {
       .select(coalesce(col("n_treat"), lit(0L)).as("n_treat"),
         coalesce(col("n_ctrl"), lit(0L)).as("n_ctrl"),
         coalesce(col("o1"), lit(0L)).as("o1"),
-        (round(e1d, 6) + 0.0).as("e1"), (round(vd, 6) + 0.0).as("v1"),
+        // e1s/vs are exact scale-9 ints: publish by half-up ratioRound,
+        // not round(double) — the tie-boundary class
+        (graft.PlanUtils.ratioRound(col("e1s"), lit(1000000000L), 6) + 0.0)
+          .as("e1"),
+        (graft.PlanUtils.ratioRound(col("vs"), lit(1000000000L), 6) + 0.0)
+          .as("v1"),
         when(col("vs") > 0, z).as("z"),
         coalesce(abs(when(col("vs") > 0, z)) > zCrit, lit(false))
           .as("significant"))
@@ -1110,9 +1120,11 @@ object TemporalOps {
       count(lit(1)).as("m"), count(col("acf")).as("m_ok"),
       sum(when(col("acf").isNotNull, t).otherwise(lit(0.0)).cast(dec))
         .as("st"))
-    val nD = col("n").cast("double")
-    val q = round(nD * (nD + lit(2.0)) * col("st").cast("double")
-      / lit(1e15), 6) + 0.0
+    // Q = n(n+2)·Σt/10¹⁵ is an exact rational of the integer lanes —
+    // publish half-up, not round(double) (the tie-boundary class)
+    val q = graft.PlanUtils.ratioRound(
+      (col("n") * (col("n") + 2)).cast(dec) * col("st"),
+      lit(1000000000000000L), 6) + 0.0
     agg.select(col("grp"), col("n"), col("m"),
       when(col("m_ok") === col("m"), q).as("q_stat"),
       coalesce(when(col("m_ok") === col("m"), q) > chiCrit, lit(false))

@@ -250,6 +250,14 @@ class EdgeCasesSpec extends SparkSpec {
     // a single event has no transitions → empty chain
     assert(TemporalOps.stationaryDistribution(oneEv, Seq("user_id"),
       "ts", "event_type", "value").count() == 0)
+    // a mass-losing kernel (the only transition targets a clipped
+    // to-only state) publishes ZEROS — the oracle's convention
+    val lossy = Seq(("A", ts(1), 1L, 1.0), ("Z", ts(2), 1L, 1.0))
+      .toDF("event_type", "ts", "user_id", "value")
+    val gl = TemporalOps.stationaryDistribution(lossy, Seq("user_id"),
+        "ts", "event_type", "value")
+      .as[(String, Long, Double)].collect().toList
+    assert(gl == List(("A", 0L, 0.0)))
     // log-rank is a global aggregate: empty input → ONE degenerate
     // row (0 units per arm, null inference), not an empty frame
     val lrEmpty = TemporalOps.logRankTest(emptyEv, "user_id", "ts")
