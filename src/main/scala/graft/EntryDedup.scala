@@ -26,6 +26,22 @@ private[graft] object EntryDedup {
       DedupOps.verifiedNearDups(Tables.documents(s, dir))
         .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
         .orderBy("da", "db")),
+    // chooseBanding fed END-TO-END: the data-driven (r, bands) chooser
+    // (DedupOps.chooseBanding — one bounded 2048-doc signature sample)
+    // picks the ladder rung, verifiedNearDups runs it, and the gate
+    // hash-compares against the SAME exact all-pairs oracle as
+    // q_neardup_minhash (byte-identical SQL, so the check tooling's
+    // want-cache covers both with one DuckDB run). On the driver corpus
+    // the chooser keeps the default (4,32) — spec-pinned — so equality
+    // doubles as a chooser-doesn't-misfire pin; the saturated-corpus
+    // escalation branch (8,16) is recall-pinned in DedupOpsSpec.
+    "q_neardup_auto" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (r, b) = DedupOps.chooseBanding(docs)
+      DedupOps.verifiedNearDups(docs, r = r, bands = b)
+        .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
+        .orderBy("da", "db")
+    }),
     // Incremental ingest dedup: near-dup pairs touching the mod-7
     // "new batch" only — batch bands broadcast against the corpus
     // band table, never a corpus self-join. Oracle = the exact
@@ -49,12 +65,9 @@ private[graft] object EntryDedup {
       val isNew = pmod(col("doc_id"), lit(7L)) === 0
       val pairs = graft.streaming.StreamingOps.streamingNearDups(
         Tables.documentsStream(s, dir).filter(isNew), docs.filter(!isNew))
-      val qn = s"graft_stream_neardup_${StreamSeq.incrementAndGet()}"
-      val q = pairs.writeStream.format("memory").queryName(qn)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(qn)
+      // append mode + DATA-SIZED output (verified pair set grows with
+      // the corpus): parquet file sink, never a driver collect
+      fileSinkRun(pairs, "sincrnd")
         .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
         .orderBy("da", "db")
     }),
@@ -195,6 +208,15 @@ private[graft] object EntryDedup {
       """SELECT min(doc_id) AS rep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY rep_doc_id""".stripMargin,
     "q_neardup_minhash" ->
+      s"""WITH ${ShingleCte("documents")}
+         |SELECT co.da, co.db,
+         |       round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jac
+         |FROM co JOIN sz x ON x.doc_id = co.da JOIN sz y ON y.doc_id = co.db
+         |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+         |ORDER BY co.da, co.db""".stripMargin,
+    // byte-identical to q_neardup_minhash's oracle BY DESIGN: the
+    // chooser-selected ladder must reproduce the exact all-pairs answer
+    "q_neardup_auto" ->
       s"""WITH ${ShingleCte("documents")}
          |SELECT co.da, co.db,
          |       round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jac

@@ -484,7 +484,7 @@ private[graft] object EntryEval {
       DataQualityOps.skewReport(Tables.events(s, dir), col("user_id"), k = 10)
         .orderBy("rank")),
     // Tail-index quantification: Hill α̂ of per-user activity per
-    // event type over the top-100 order statistics — the number
+    // event type over the top-10 order statistics — the number
     // behind salting/AQE-skew sizing (q_skew_report names hot keys;
     // this measures HOW heavy the tail is). Nano-unit ln integers,
     // half-up rationals.
@@ -1249,13 +1249,18 @@ private[graft] object EntryEval {
         |         CAST(sum(a) AS BIGINT) AS sum_a, sum(et) AS es,
         |         sum(vt) AS vs, sum(adt) AS ads, sum(bct) AS bcs
         |  FROM qt
+        |), x AS (
+        |  -- continuity correction clamped at 0: max(|Σa−E|−½, 0)
+        |  SELECT *, greatest(
+        |    abs(CAST(sum_a AS HUGEINT) * 1000000000 - es) - 500000000,
+        |    CAST(0 AS HUGEINT)) AS x9
+        |  FROM tots
         |), f AS (
         |  SELECT *,
         |    CASE WHEN vs > 0 THEN
-        |      ${ratioRoundSql(
-                 "(abs(CAST(sum_a AS HUGEINT) * 1000000000 - es) - 500000000) * (abs(CAST(sum_a AS HUGEINT) * 1000000000 - es) - 500000000)",
+        |      ${ratioRoundSql("x9 * x9",
                  "vs * CAST(1000000000 AS HUGEINT)", 6)} + 0.0 END AS chi2
-        |  FROM tots
+        |  FROM x
         |)
         |SELECT n_strata, sum_a,
         |  ${ratioRoundSql("es", "CAST(1000000000 AS HUGEINT)", 6)} + 0.0 AS e,

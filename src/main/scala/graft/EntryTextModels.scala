@@ -382,12 +382,10 @@ private[graft] object EntryTextModels {
       val attributed = graft.streaming.StreamingOps.attributionByKey(
         stream, "purchase", Set("click", "view", "signup"),
         24L * 3600 * 1000000)
-      val qn = s"graft_stream_attr_${StreamSeq.incrementAndGet()}"
-      val q = attributed.toDF().writeStream.format("memory").queryName(qn)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(qn)
+      // append mode + DATA-SIZED output (one row per conversion, ∝
+      // purchase events): parquet file sink, never a driver collect —
+      // the StreamingSinkContractSpec classification
+      fileSinkRun(attributed.toDF(), "sattr")
         .select("user_id", "conv_event_id", "conv_ts_us", "touch_type",
           "touch_event_id", "mins_since_touch")
         .orderBy("user_id", "conv_event_id")
@@ -400,12 +398,10 @@ private[graft] object EntryTextModels {
           col("event_id"), col("value"))
         .as[(Long, Long, Long, Double)]
       val scored = graft.streaming.StreamingOps.rollingAnomalyByKey(stream)
-      val qn = s"graft_stream_anomaly_${StreamSeq.incrementAndGet()}"
-      val q = scored.toDF().writeStream.format("memory").queryName(qn)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(qn)
+      // append mode + DATA-SIZED output (one scored row per input event
+      // of the keyed slice — on a Zipf corpus the hot keys make that ∝
+      // corpus): parquet file sink, never a driver collect
+      fileSinkRun(scored.toDF(), "sanom")
         .select("user_id", "event_id", "seq", "value", "n_prior",
           "base_mean", "base_std", "z", "is_anomaly")
         .orderBy("user_id", "seq")

@@ -78,6 +78,13 @@ object PlanUtils {
   def halfUpMean4(centsSum: Column, n: Column): Column =
     ratioRound(centsSum, n * lit(100L), 4)
 
+  /** BigInt twin of [[ratioRound]]'s half-up core for bounded
+    * driver-side iterations (stationary distribution, raking) — ONE
+    * definition so the engine loops and the oracle floor-division
+    * replays can never drift apart. Contract: den > 0, num >= 0.
+    */
+  def halfUpBig(num: BigInt, den: BigInt): BigInt = (2 * num + den) / (2 * den)
+
   /** Half-up (away-from-zero) rounding of the EXACT rational num/den
     * at `s` decimal places, in pure integer arithmetic — the
     * engine-portable replacement for `round(num/den as double, s)`
@@ -97,13 +104,6 @@ object PlanUtils {
     * exact quotient); DuckDB rendering: hugeint `//` (EntryHelpers
     * .ratioRoundSql). Published value = q/10^s, an exact double.
     */
-  /** BigInt twin of [[ratioRound]]'s half-up core for bounded
-    * driver-side iterations (stationary distribution, raking) — ONE
-    * definition so the engine loops and the oracle floor-division
-    * replays can never drift apart. Contract: den > 0, num >= 0.
-    */
-  def halfUpBig(num: BigInt, den: BigInt): BigInt = (2 * num + den) / (2 * den)
-
   def ratioRound(num: Column, den: Column, s: Int): Column = {
     require(s >= 0 && s <= 9, "scale must be in [0, 9]")
     val dec0 = "decimal(38,0)"

@@ -774,7 +774,8 @@ object EvalOps {
     * Per stratum i the 2×2 table contributes a_i (treated
     * successes), E_i = n1_i·m1_i/n_i and V_i = n1_i·n0_i·m1_i·m0_i /
     * (n_i²(n_i−1)); the statistic is
-    *   χ² = (|Σa − ΣE| − ½)² / ΣV  (continuity-corrected).
+    *   χ² = max(|Σa − ΣE| − ½, 0)² / ΣV  (continuity-corrected,
+    * clamped at 0 so a near-null |Σa−ΣE| < ½ reads as χ² = 0).
     *
     * Portability: the same discipline as the log-rank gate — per-
     * stratum E/V are rationals with different denominators, so each
@@ -820,8 +821,13 @@ object EvalOps {
     // every published statistic here is an EXACT rational of the
     // integer lanes (no √ anywhere), so publish through half-up
     // ratioRound — round(double, 6) of an exact rational is the
-    // tie-boundary divergence class the sf10 audit fixed
-    val x9 = abs(col("sum_a").cast(dec) * lit(S) - col("es")) - lit(S / 2)
+    // tie-boundary divergence class the sf10 audit fixed. The
+    // continuity correction clamps at 0 (textbook max(|Σa−E|−½, 0)):
+    // unclamped, a near-null |Σa−E| < ½ would square into a spurious
+    // positive χ².
+    val x9 = greatest(
+      abs(col("sum_a").cast(dec) * lit(S) - col("es")) - lit(S / 2),
+      lit(0L).cast(dec))
     val chi2 = graft.PlanUtils.ratioRound(x9 * x9,
       col("vs").cast(dec) * lit(S), 6) + 0.0
     tots.select(col("n_strata"), col("sum_a"),

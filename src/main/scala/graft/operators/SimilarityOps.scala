@@ -117,41 +117,6 @@ object SimilarityOps {
       .select("q_id", "nn_id", "sim", "rank")
   }
 
-  /** Mutual-kNN graph — the edge set graph-based dedup/clustering
-    * builds on (two docs are joined iff EACH is in the other's top-k):
-    * mutuality prunes the asymmetric hub edges a plain kNN list keeps,
-    * which is what makes the downstream connected components clean.
-    * Output: one row per undirected edge (va < vb) with the cosine
-    * sim and both directed ranks.
-    *
-    * This form is the exact baseline: [[bruteForceTopK]] over every
-    * node (one corpus scan per side, queries broadcast) + one
-    * (va,vb)-keyed self-join of the k·n-row top lists — the join input
-    * is k·n, never n². At corpus scale the brute-force sim stage is
-    * the O(n²) term to replace: feed the same mutual join from
-    * [[annTopK]] lists (LSH) or [[ivfTopK]] cells instead — the
-    * mutual-join shape and output contract are unchanged, recall
-    * follows the ANN certificates.
-    */
-  /** Matryoshka (MRL, Kusupati et al. 2022) truncation recall card:
-    * how much of each query's exact top-k survives when the index
-    * stores only the first `truncDims` dimensions — the
-    * dimension-vs-recall tradeoff measurement run before shipping a
-    * truncated (cheaper) index. Output: (q_id, n_hits, recall) per
-    * query + an ALL row (mean recall over queries).
-    *
-    * The intersection is on NEIGHBOR IDS (exact ints from two
-    * deterministically tie-broken rankings), so the published card
-    * needs no float discipline beyond the rankings themselves; recall
-    * is one IEEE division per row.
-    *
-    * Scale shape: two corpus scans (full + truncated dots, query side
-    * broadcast both times — [[bruteForceTopK]]'s certified-baseline
-    * shape, queries bounded by the caller's predicate), one
-    * (q, nn)-keyed join of two queries×k lists. At corpus scale the
-    * same card runs over [[annTopK]]/[[ivfTopK]] lists — the join and
-    * output contract don't change.
-    */
   /** Embedding-space anisotropy report per label (Ethayarajh 2019's
     * diagnostic, the identity form): how concentrated is the space —
     * mean pairwise dot over mean squared norm,
@@ -203,6 +168,25 @@ object SimilarityOps {
           + 0.0).as("anisotropy"))
   }
 
+  /** Matryoshka (MRL, Kusupati et al. 2022) truncation recall card:
+    * how much of each query's exact top-k survives when the index
+    * stores only the first `truncDims` dimensions — the
+    * dimension-vs-recall tradeoff measurement run before shipping a
+    * truncated (cheaper) index. Output: (q_id, n_hits, recall) per
+    * query + an ALL row (mean recall over queries).
+    *
+    * The intersection is on NEIGHBOR IDS (exact ints from two
+    * deterministically tie-broken rankings), so the published card
+    * needs no float discipline beyond the rankings themselves; recall
+    * is one IEEE division per row.
+    *
+    * Scale shape: two corpus scans (full + truncated dots, query side
+    * broadcast both times — [[bruteForceTopK]]'s certified-baseline
+    * shape, queries bounded by the caller's predicate), one
+    * (q, nn)-keyed join of two queries×k lists. At corpus scale the
+    * same card runs over [[annTopK]]/[[ivfTopK]] lists — the join and
+    * output contract don't change.
+    */
   def mrlRecall(embeddings: DataFrame, queryPred: Column, k: Int,
       truncDims: Int): DataFrame = {
     val full = bruteForceTopK(embeddings, queryPred, k)
@@ -228,6 +212,22 @@ object SimilarityOps {
     perQ.unionByName(allRow)
   }
 
+  /** Mutual-kNN graph — the edge set graph-based dedup/clustering
+    * builds on (two docs are joined iff EACH is in the other's top-k):
+    * mutuality prunes the asymmetric hub edges a plain kNN list keeps,
+    * which is what makes the downstream connected components clean.
+    * Output: one row per undirected edge (va < vb) with the cosine
+    * sim and both directed ranks.
+    *
+    * This form is the exact baseline: [[bruteForceTopK]] over every
+    * node (one corpus scan per side, queries broadcast) + one
+    * (va,vb)-keyed self-join of the k·n-row top lists — the join input
+    * is k·n, never n². At corpus scale the brute-force sim stage is
+    * the O(n²) term to replace: feed the same mutual join from
+    * [[annTopK]] lists (LSH) or [[ivfTopK]] cells instead — the
+    * mutual-join shape and output contract are unchanged, recall
+    * follows the ANN certificates.
+    */
   def mutualKnnGraph(embeddings: DataFrame, k: Int): DataFrame = {
     val top = graft.CacheScope.autoRelease(knnLists(embeddings, k))
     val e1 = top.filter(col("q_id") < col("nn_id"))

@@ -537,6 +537,68 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("q_cmh: one stratum-keyed combine, then stratum-count-sized — no join, no cartesian") {
+    // the 4-counter stratum combine is the ONLY corpus-sized exchange;
+    // everything above it (E/V/OR terms, the single-row totals) is
+    // strata-sized. A third exchange or any join means a term left the
+    // combined table
+    val df = SparkEntry.queries("q_cmh")(spark, sf0)
+    val shuffles = countShuffles(df)
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("Join"), s"q_cmh should be join-free:\n${plan.take(2000)}")
+    // stratum agg exchange + single-partition totals exchange
+    assert(shuffles <= 2, s"$shuffles shuffles\n${plan.take(2000)}")
+  }
+
+  test("q_hill: the rank window runs over the (grp, key) combine, never the raw corpus") {
+    // order statistics need a per-group rank, but its input must be
+    // the key-cardinality count table (one corpus combine below the
+    // window); the ref join is grp-keyed, never a cartesian
+    val df = SparkEntry.queries("q_hill")(spark, sf0)
+    df.queryExecution.toRdd.count()
+    val plan = planString(df)
+    val wIdx = plan.indexOf("Window")
+    assert(wIdx >= 0 && plan.indexOf("HashAggregate", wIdx) > wIdx,
+      s"no aggregate below the rank window:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    spark.catalog.clearCache()
+  }
+
+  test("q_rake: the published table is the bounded driver-side cell fit — a local relation") {
+    // rakeWeights reduces the corpus to the margin-cardinality² cell
+    // table (ONE combine, collected bounded — the stationary-
+    // distribution precedent) and iterates in BigInt driver-side; the
+    // RETURNED plan must therefore be a shuffle-free local scan. An
+    // exchange here means the IPF rounds moved onto the cluster path
+    // and the gate's exact-replay contract broke
+    val df = SparkEntry.queries("q_rake")(spark, sf0)
+    val shuffles = countShuffles(df)
+    val plan = planString(df)
+    assert(plan.contains("LocalTableScan"), plan.take(2000))
+    // the only exchange is the cells-sized output sort — a hash
+    // exchange would mean a cluster-side aggregate/join appeared
+    assert(shuffles <= 1, s"$shuffles shuffles\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+  }
+
+  test("q_dpo: read-back scans the partitioned layout and aggregates — one exchange, no join") {
+    // the gate's value is the WRITE (dynamic partition overwrite); the
+    // returned read-back must stay a partition-pruned-capable parquet
+    // scan + month-keyed aggregate: o_month arrives as a partition
+    // column (absent from ReadSchema), and the only exchange is the
+    // group-by
+    val df = SparkEntry.queries("q_dpo")(spark, sf0)
+    val shuffles = countShuffles(df)
+    val plan = planString(df)
+    assert(plan.contains("FileScan parquet"), plan.take(2000))
+    assert(!plan.matches("(?s).*ReadSchema:[^\\n]*o_month.*"),
+      s"o_month must be a partition column, not a data column:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), plan.take(2000))
+    // month-keyed aggregate + month-count-sized output sort
+    assert(shuffles <= 2, s"$shuffles shuffles\n${plan.take(2000)}")
+  }
+
   test("q_wilson: part dim broadcast; corpus shuffled once (agg) plus the output sort") {
     val df = SparkEntry.queries("q_wilson")(spark, sf0)
     val shuffles = countShuffles(df)

@@ -93,4 +93,81 @@ class StreamingSinksSpec extends SparkSpec {
     assert(got.count() == 300)
     assert(got.select("doc_id").distinct().count() == 300) // exactly-once: no dups
   }
+
+  /** The gate→sink CONTRACT (VERDICT r8 #5): a memory sink collects its
+    * whole result table onto the driver, so a gate may use one ONLY
+    * when that table is bounded by STATE size (keys, windows, bins,
+    * k·shards — never raw-data size); every gate whose output grows
+    * with the corpus must leave through the parquet file sink
+    * (EntryHelpers.fileSinkRun — the zipf_sf1 interval-join
+    * maxResultSize abort, SCALE.md r8 finding 3, is the failure class
+    * this pins away). Sink capability forces the split the other way
+    * too: the parquet sink is append-only, so update/complete-mode
+    * gates CANNOT file-sink — which is exactly why every memory gate
+    * below must also justify its driver-side bound.
+    *
+    * The test scans the Entry* registries and asserts each q_stream_*
+    * gate uses its classified sink; a NEW streaming gate fails the
+    * completeness check until it is classified here.
+    */
+  test("gate→sink contract: data-sized gates file-sink, memory gates are state-bounded") {
+    // append-mode, data-sized output → parquet file sink
+    val fileGates = Set(
+      "q_stream_static_join",   // one row per streamed event
+      "q_stream_dedup",         // one row per distinct doc
+      "q_stream_interval_join", // join output, hot-key quadratic under skew
+      "q_stream_interval_outer",// superset of the inner join
+      "q_stream_attribution",   // one row per conversion
+      "q_stream_anomaly",       // one scored row per keyed event
+      "q_stream_incr_neardup")  // verified pair set grows with corpus
+    // update/complete mode (append-only parquet sink can't express
+    // them) AND driver table bounded by state size
+    val memoryGates = Map( // name -> (outputMode, bound)
+      "q_stream_sample" -> ("update", "k·shards·batches snapshots"),
+      "q_stream_upsert" -> ("update", "one row per key per batch"),
+      "q_stream_psi" -> ("complete", "bins × windows"),
+      "q_stream_sessionize" -> ("complete",
+        "session-window state itself (a 24h watermark cannot close tail sessions in append mode)"),
+      "q_stream_welford" -> ("complete", "one row per group"),
+      "q_stream_welford_state" -> ("update", "keys × batches"),
+      "q_stream_window" -> ("complete", "tumbling windows"),
+      "q_stream_hop" -> ("complete", "hopping windows"),
+      "q_stream_topk" -> ("complete", "windows × categories"))
+
+    val srcDir = java.nio.file.Paths.get("src/main/scala/graft")
+    val sources = java.nio.file.Files.list(srcDir).toArray.map(_.toString)
+      .filter(p => p.matches(".*/Entry[A-Za-z]+\\.scala"))
+      .map(p => new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8"))
+    // gate definition blocks: from `"q_stream_x" -> ((s, dir)` to the
+    // next `"q_` key (oracleSql entries don't match the arrow form)
+    val gateDef = """"(q_stream_[a-z_]+)" -> \(\(s, dir\)""".r
+    val blocks: Map[String, String] = sources.flatMap { text =>
+      val starts = gateDef.findAllMatchIn(text).toList
+      starts.map { m =>
+        val from = m.end
+        val to = text.indexOf("\"q_", from) match {
+          case -1 => text.length
+          case i => i
+        }
+        m.group(1) -> text.substring(from, to)
+      }
+    }.toMap
+    // completeness: every gate in the registries is classified here
+    assert(blocks.keySet == fileGates ++ memoryGates.keySet,
+      s"unclassified streaming gates: ${blocks.keySet -- fileGates -- memoryGates.keySet}; " +
+        s"stale contract entries: ${(fileGates ++ memoryGates.keySet) -- blocks.keySet}")
+    for (g <- fileGates) {
+      assert(blocks(g).contains("fileSinkRun"), s"$g must use the parquet file sink")
+      assert(!blocks(g).contains("format(\"memory\")"),
+        s"$g is data-sized: the memory sink is the driver-collect anti-pattern")
+    }
+    for ((g, (mode, _)) <- memoryGates) {
+      assert(blocks(g).contains("format(\"memory\")"), s"$g expected a memory sink")
+      assert(blocks(g).contains(s"outputMode(\"$mode\")"),
+        s"$g expected outputMode $mode (the mode is WHY memory is allowed)")
+      assert(!blocks(g).contains("fileSinkRun"),
+        s"$g classified memory-sink but uses fileSinkRun — reclassify")
+    }
+  }
 }

@@ -52,6 +52,10 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
     if only:
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
+    # byte-identical oracle SQL (physical-twin gates like
+    # q_cf_sims/q_cf_sims_salted) runs ONCE per process — the sf10
+    # audit's "green by identity" argument made mechanical
+    want_cache = {}
     for name in sorted(oracle):
         sql = oracle[name]
         res_dir = os.path.join(out_dir, name)
@@ -60,7 +64,10 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
             print(f"FAIL {name}: no spark result parquet"); n_fail += 1; continue
         try:
             got = canon(pd.concat([pd.read_parquet(f) for f in files]))
-            want = canon(con.sql(sql).df())
+            if sql in want_cache:
+                want = want_cache[sql]
+            else:
+                want = want_cache[sql] = canon(con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         ok_schema = list(got.columns) == list(want.columns)

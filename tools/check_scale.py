@@ -15,32 +15,54 @@ import json, os, subprocess, sys
 import concurrent.futures as cf
 
 def main(sf_dir, out_dir, timeout=900, workers=8):
-    names = sorted(json.load(open(os.path.join(out_dir, "oracle_sql.json"))))
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     # rows-only queries (no oracle) are cheap — let check.py handle them
     # in the first worker batch by passing them through as names too
     dirs = sorted(n for n in os.listdir(out_dir)
                   if os.path.isdir(os.path.join(out_dir, n)))
-    names = sorted(set(names) | set(dirs))
+    names = sorted(set(oracle) | set(dirs))
+    # byte-identical oracle SQL (physical twins, e.g. q_cf_sims /
+    # q_cf_sims_salted) goes to ONE check.py subprocess so the in-
+    # process want-cache covers all twins with a single DuckDB run
+    by_sql, groups = {}, []
+    for n in names:
+        sql = oracle.get(n)
+        if sql is not None and sql in by_sql:
+            by_sql[sql].append(n)
+        else:
+            g = [n]
+            if sql is not None:
+                by_sql[sql] = g
+            groups.append(g)
     results = {}
 
-    def one(name):
+    def one(group):
         env = dict(os.environ, DUCKDB_MEMORY_LIMIT="12GB")
         try:
             p = subprocess.run(
                 [sys.executable, os.path.join(os.path.dirname(__file__), "check.py"),
-                 sf_dir, out_dir, name],
+                 sf_dir, out_dir, ",".join(group)],
                 capture_output=True, text=True, timeout=timeout, env=env)
             out = p.stdout.strip()
-            line = next((l for l in out.splitlines()
-                         if l.startswith(("PASS", "FAIL"))), out[:200])
-            return name, line
+            lines = {}
+            for name in group:
+                # trailing space/colon: names can be prefixes of one
+                # another (q_cf_sims vs q_cf_sims_salted)
+                lines[name] = next(
+                    (l for l in out.splitlines()
+                     if l.startswith((f"PASS {name} ", f"FAIL {name} ",
+                                      f"FAIL {name}:"))),
+                    out[:200])
+            return lines
         except subprocess.TimeoutExpired:
-            return name, f"ORACLE_TIMEOUT {name} (> {timeout}s)"
+            return {name: f"ORACLE_TIMEOUT {name} (> {timeout}s)"
+                    for name in group}
 
     with cf.ThreadPoolExecutor(max_workers=workers) as ex:
-        for name, line in ex.map(one, names):
-            results[name] = line
-            print(line, flush=True)
+        for lines in ex.map(one, groups):
+            for name, line in sorted(lines.items()):
+                results[name] = line
+                print(line, flush=True)
 
     n_pass = sum(1 for v in results.values() if v.startswith("PASS"))
     n_to = sum(1 for v in results.values() if v.startswith("ORACLE_TIMEOUT"))

@@ -2,8 +2,9 @@
 # Serial large-budget oracle retries for the sf10 audit (builder
 # tooling): the parallel incremental pass caps each DuckDB worker at
 # 12 GB / 40 GB spill so two workers can't exhaust the box; oracles
-# that OOM'd there get ONE serial retry at 48 GB memory / 60 GB spill
-# before being recorded as resource exclusions.
+# that OOM'd there get ONE serial retry at 48 GB memory / 35 GB spill
+# (override via DUCKDB_TEMP_LIMIT) before being recorded as resource
+# exclusions.
 # Usage: tools/retry_oracle.sh <sfDir> <outDir> <query> [timeoutSec]
 set -uo pipefail
 cd "$(dirname "$0")/.."
