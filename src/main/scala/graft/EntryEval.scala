@@ -1062,7 +1062,7 @@ private[graft] object EntryEval {
         |                 * (CAST(n1 + n2 + 1 AS DOUBLE)
         |                    - CAST(ties AS DOUBLE)
         |                      / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))),
-        |             6) AS z
+        |             6) + 0.0 AS z
         |FROM t""".stripMargin,
     // Spearman replay: same joint (grp,x,y) combine, same doubled
     // mid-rank identity per marginal, HUGEINT lanes mirroring
@@ -1128,7 +1128,7 @@ private[graft] object EntryEval {
     // per-group term decimal-summed, same raw-SS F dag; flag decided
     // on the published 6-dp F
     "q_anova" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT event_type AS grp, CAST(floor(value * 10) AS BIGINT) AS v
         |  FROM events
         |), g AS (
@@ -1137,29 +1137,43 @@ private[graft] object EntryEval {
         |         CAST(sum(v * v) AS HUGEINT) AS q_g
         |  FROM c GROUP BY grp
         |), gt AS (
+        |  -- exact scale-9 half-up lane (the engine's q9 dag): no
+        |  -- double division anywhere before publication
         |  SELECT grp, n_g, s_g, q_g,
-        |         CAST(round(CAST(s_g * s_g AS DOUBLE) / n_g, 9)
-        |              AS DECIMAL(38,9)) AS t_g
+        |         (2 * s_g * s_g * 1000000000 + n_g)
+        |           // (2 * CAST(n_g AS HUGEINT)) AS t_g
         |  FROM g
         |), tot AS (
         |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
         |         sum(s_g) AS s, sum(q_g) AS q, sum(t_g) AS t
         |  FROM gt
         |), ss AS (
-        |  SELECT k, n,
-        |         CAST(t AS DOUBLE)
-        |           - round(CAST(s * s AS DOUBLE) / n, 9) AS ssb,
-        |         CAST(q AS DOUBLE) - CAST(t AS DOUBLE) AS ssw,
-        |         CAST(q AS DOUBLE)
-        |           - round(CAST(s * s AS DOUBLE) / n, 9) AS sst
+        |  SELECT k, n, t,
+        |         (2 * s * s * 1000000000 + n)
+        |           // (2 * CAST(n AS HUGEINT)) AS grand9,
+        |         q * CAST(1000000000 AS HUGEINT) AS q9
         |  FROM tot
+        |), lanes AS (
+        |  SELECT k, n, t - grand9 AS ssb9, q9 - t AS ssw9,
+        |         q9 - grand9 AS sst9
+        |  FROM ss
         |)
-        |SELECT k, n, round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
-        |       k - 1 AS df1, n - k AS df2,
-        |       round((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat,
-        |       round(ssb / sst, 6) AS eta_sq,
-        |       round((ssb / (k - 1)) / (ssw / (n - k)), 6) > 2.21 AS significant
-        |FROM ss""".stripMargin,
+        |SELECT k, n,
+        |  ${ratioRoundSql("ssb9", "CAST(1000000000 AS HUGEINT)", 2)} + 0.0
+        |    AS ss_between,
+        |  ${ratioRoundSql("ssw9", "CAST(1000000000 AS HUGEINT)", 2)} + 0.0
+        |    AS ss_within,
+        |  k - 1 AS df1, n - k AS df2,
+        |  CASE WHEN ssw9 > 0 AND n > k THEN
+        |    ${ratioRoundSql("ssb9 * (n - k)", "ssw9 * (k - 1)", 6)} + 0.0
+        |  END AS f_stat,
+        |  CASE WHEN sst9 > 0 THEN
+        |    ${ratioRoundSql("ssb9", "sst9", 6)} + 0.0
+        |  END AS eta_sq,
+        |  coalesce(CASE WHEN ssw9 > 0 AND n > k THEN
+        |    ${ratioRoundSql("ssb9 * (n - k)", "ssw9 * (k - 1)", 6)} + 0.0
+        |  END > 2.21, FALSE) AS significant
+        |FROM lanes""".stripMargin,
     // A/B replay: same four counters, same pooled-z double dag;
     // DuckDB sums CAST to BIGINT, flag decided on the published z
     // Kendall replay: identical dense grid, the identical two window

@@ -617,7 +617,7 @@ private[graft] object EntryHelpers {
       |), c AS (
       |  SELECT user_id, event_id, seq, value, n_prior, base_mean, base_std,
       |         CASE WHEN n_prior >= 4 AND base_std > 0
-      |              THEN round((value - base_mean) / base_std, 4) END AS z
+      |              THEN round((value - base_mean) / base_std, 4) + 0.0 END AS z
       |  FROM b
       |)
       |SELECT user_id, event_id, seq, value, n_prior, base_mean, base_std, z,

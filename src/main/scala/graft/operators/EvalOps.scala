@@ -259,14 +259,15 @@ object EvalOps {
         - (col("n1").cast(dec) * (col("n1") + lit(1L)).cast(dec))).cast(dec))
       .select(col("n1"), col("n2"), col("u1_twice").cast("long").as("u1_twice"),
         col("ties").cast("long").as("tie_cubes"),
-        round((col("u1_twice") - col("n1").cast(dec) * col("n2").cast(dec))
+        (round((col("u1_twice") - col("n1").cast(dec) * col("n2").cast(dec))
           .cast("double")
           / (lit(2L) * sqrt(
             (col("n1").cast(dec) * col("n2").cast(dec)).cast("double") / lit(12)
               * ((col("n_all") + lit(1L)).cast("double")
                  - col("ties").cast("double")
                    / (col("n_all").cast("double") * (col("n_all") - lit(1L)))))),
-            6).as("z"))
+            6) + 0.0) // + 0.0: signed-zero normalization (house idiom)
+          .as("z"))
   }
 
   /** Exact two-sample Kolmogorov–Smirnov drift statistic between two
@@ -1473,11 +1474,21 @@ object EvalOps {
     *
     * Decomposition off ONE group-keyed combine of exact integer-grid
     * sums (metric pre-scaled to a long grid by the caller):
-    * SSB = Σ_g s_g²/n_g − S²/N, SSW = Σ_g (q_g − s_g²/n_g). Each
-    * group's s_g²/n_g is one IEEE division of DECIMAL(38,0)-exact
-    * integers, rounded 9 dp and DECIMAL-summed across the K groups
-    * (order-independent — the [[woeIv]] portable-term pattern), so
-    * F and eta² are fixed IEEE dags on reproducible inputs.
+    * SSB = Σ_g s_g²/n_g − S²/N, SSW = Σ_g (q_g − s_g²/n_g).
+    *
+    * EXACT nano-unit lanes end to end (the sf10/zipf tie-boundary
+    * class — the first form rounded each s_g²/n_g as an IEEE DOUBLE at
+    * 9 dp, and the zipf corpus's hot-group sums landed it on the
+    * x.…5 boundary where Spark and DuckDB round apart): each s_g²/n_g
+    * and the grand term S²/N quantize by half-up INTEGER division to a
+    * scale-9 decimal(38,0) lane ([[graft.PlanUtils.ratioRound]]'s
+    * convention, kept in decimal because the nano values exceed
+    * int64), the SS lanes are exact differences of those integers,
+    * and every published stat is one half-up rational:
+    * ss at 2 dp (sum-of-squares is corpus-sized — ssw·10² must stay
+    * an exact long, good to sf ~10⁴; 6 dp would saturate near sf2),
+    * F and eta² at 6 dp (O(1)-sized). No float touches anything
+    * until the final published division.
     *
     * Scale shape: corpus → one K-row aggregate; everything after is
     * K-sized. The final single-row total is a coalesce(1)-free
@@ -1486,29 +1497,39 @@ object EvalOps {
   def anovaF(df: DataFrame, group: Column, metric: Column,
       fCrit: Double = 2.21): DataFrame = {
     val dec = "decimal(38,0)"
-    val dterm = "decimal(38,9)"
+    val S9 = lit(1000000000L)
+    // half-up num/den at scale 9, kept in a decimal(38,0) lane (the
+    // values exceed int64; ratioRound's long cast would overflow)
+    def q9(num: Column, den: Column): Column = {
+      val a = num.cast(dec) * S9 * lit(2L) + den.cast(dec)
+      val b = den.cast(dec) * lit(2L)
+      (a - pmod(a, b)) / b
+    }
     val byG = df.select(group.as("grp"), metric.cast("long").as("v"))
       .groupBy("grp")
       .agg(count(lit(1)).as("n_g"), sum(col("v").cast(dec)).as("s_g"),
         sum((col("v").cast(dec) * col("v")).cast(dec)).as("q_g"))
-      // one IEEE division of exact ints, rounded 9dp -> portable term
-      .withColumn("t_g",
-        round((col("s_g") * col("s_g")).cast("double") / col("n_g"), 9)
-          .cast(dterm))
+      .withColumn("t_g", q9(col("s_g") * col("s_g"), col("n_g")).cast(dec))
     val tot = byG.agg(
       count(lit(1)).as("k"), sum("n_g").as("n"),
       sum("s_g").as("s"), sum("q_g").as("q"), sum("t_g").as("t"))
-    val grand = round((col("s") * col("s")).cast("double") / col("n"), 9)
-    val ssb = col("t").cast("double") - grand
-    val ssw = col("q").cast("double") - col("t").cast("double")
-    val sst = col("q").cast("double") - grand
-    val f = round((ssb / (col("k") - 1)) / (ssw / (col("n") - col("k"))), 6)
+      .withColumn("grand9", q9(col("s") * col("s"), col("n")).cast(dec))
+      .withColumn("ssb9", col("t") - col("grand9"))
+      .withColumn("ssw9", col("q").cast(dec) * S9 - col("t"))
+      .withColumn("sst9", col("q").cast(dec) * S9 - col("grand9"))
+    val f = graft.PlanUtils.ratioRound(
+      col("ssb9") * (col("n") - col("k")),
+      col("ssw9") * (col("k") - lit(1L)), 6) + 0.0
     tot.select(col("k"), col("n"),
-      round(ssb, 6).as("ss_between"), round(ssw, 6).as("ss_within"),
+      (graft.PlanUtils.ratioRound(col("ssb9"), S9, 2) + 0.0).as("ss_between"),
+      (graft.PlanUtils.ratioRound(col("ssw9"), S9, 2) + 0.0).as("ss_within"),
       (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"),
-      f.as("f_stat"),
-      round(ssb / sst, 6).as("eta_sq"),
-      (f > fCrit).as("significant"))
+      when(col("ssw9") > 0 && col("n") > col("k"), f).as("f_stat"),
+      when(col("sst9") > 0,
+        graft.PlanUtils.ratioRound(col("ssb9"), col("sst9"), 6) + 0.0)
+        .as("eta_sq"),
+      coalesce(when(col("ssw9") > 0 && col("n") > col("k"), f) > fCrit,
+        lit(false)).as("significant"))
   }
 
   /** Benjamini–Hochberg step-up FDR correction over a table of

@@ -638,7 +638,11 @@ object TemporalOps {
     val mean = round(sum(col(valueCol).cast("decimal(28,12)")).over(w)
       .cast("double") / nPrior, 6)
     val std = round(stddev_pop(col(valueCol).cast("double")).over(w), 6)
-    val z = round((col("value") - col("base_mean")) / col("base_std"), 4)
+    // + 0.0 normalizes the signed zero: a value a hair BELOW its
+    // baseline rounds to -0.0 in DuckDB (sign-preserving round) but
+    // +0.0 in Spark (BigDecimal round drops the sign) — the zipf
+    // corpus's hot-user windows hit the boundary (zipf_sf0.01 audit)
+    val z = round((col("value") - col("base_mean")) / col("base_std"), 4) + 0.0
     events
       .select(keys.map(col) :+ col(tsCol) :+ col(tiebreak) :+
         col(valueCol).cast("double").as("value") :+

@@ -515,7 +515,7 @@ object StreamingOps {
                 }
               val z = (mOpt, sdOpt) match {
                 case (Some(m), Some(sd)) if n >= minPrior && sd > 0.0 =>
-                  Some(r((v - m) / sd, 4))
+                  Some(r((v - m) / sd, 4) + 0.0) // + 0.0: kill -0.0 (gate parity)
                 case _ => None
               }
               val seq = s.seq + 1
