@@ -190,15 +190,24 @@ private[graft] object EntryDedup {
         .orderBy("doc_id")),
     // Record linkage: Jaro–Winkler fuzzy match over the corpus's
     // string entities (document vocabulary ∪ product names), blocked
-    // on (first char, length band) — the native codegen'd JW kernel
-    // against DuckDB's builtin, raw-double published (bit-parity is
-    // the pinned compute-order contract, JaroWinkler.scala).
+    // on (2-char prefix, length band) with the canonical-band join —
+    // the native codegen'd JW kernel against DuckDB's builtin,
+    // raw-double published (bit-parity is the pinned compute-order
+    // contract, JaroWinkler.scala).
     "q_jaro_winkler" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(explode(
           expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("s"))
       val names = Tables.part(s, dir).select(col("p_name").as("s"))
-      DedupOps.jaroLinkage(toks.unionByName(names), "s", 0.75, 1)
+      // minJw 0.90 is the scale-honest gate threshold: on id-shaped
+      // vocabularies (the zipf corpus renders words as w<rank>) the
+      // 0.75..0.9 score bracket admits multi-digit-substitution pairs
+      // whose TRUE count is quadratic in block population (~80M pairs
+      // at zipf_sf0.1); >= 0.9 keeps single-edit/transposition
+      // neighbors — an output near-LINEAR in the vocabulary — so the
+      // gate stays comparable at every audit SF. The operator's own
+      // default remains 0.75 for natural-text entity tables.
+      DedupOps.jaroLinkage(toks.unionByName(names), "s", 0.90, 1)
         .orderBy(desc("jw"), col("s1"), col("s2"))
     }),
   )
@@ -391,17 +400,18 @@ private[graft] object EntryDedup {
         |    UNION ALL SELECT p_name FROM part)
         |  WHERE len(s) > 0
         |), keyed AS (
-        |  SELECT s, substr(s, 1, 1) AS c, len(s) AS l,
+        |  SELECT s, substr(s, 1, 2) AS c, len(s) AS l,
         |         unnest([len(s), len(s) + 1]) AS band
         |  FROM strs
         |), cand AS (
-        |  SELECT DISTINCT a.s AS s1, b.s AS s2, a.l AS l1, b.l AS l2
+        |  SELECT a.s AS s1, b.s AS s2, a.l AS l1, b.l AS l2
         |  FROM keyed a JOIN keyed b
         |    ON a.c = b.c AND a.band = b.band AND a.s < b.s
+        |   AND a.band = greatest(a.l, b.l)
         |  WHERE abs(a.l - b.l) <= 1
         |)
         |SELECT s1, s2, l1, l2, jaro_winkler_similarity(s1, s2) AS jw
-        |FROM cand WHERE jaro_winkler_similarity(s1, s2) >= 0.75
+        |FROM cand WHERE jaro_winkler_similarity(s1, s2) >= 0.9
         |ORDER BY jw DESC, s1, s2""".stripMargin,
   )
 }

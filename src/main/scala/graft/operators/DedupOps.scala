@@ -906,38 +906,89 @@ object DedupOps {
     *
     * Blocking (the scale path — JW has no metric structure to bucket
     * by, so linkage systems block on cheap invariants): a candidate
-    * pair must share the FIRST CHARACTER and differ in length by at
-    * most `lenSlack` — both near-universal for true clerical variants
-    * (the Winkler boost itself presumes a shared prefix). Each string
-    * registers `lenSlack+1` (firstChar, lengthBand) keys; matching
-    * bands catch exactly the |len diff| ≤ lenSlack pairs, so the join
-    * is a pure equi-join Catalyst shuffles on the band key — no
-    * length-range theta join. Block population is per-(char, length)
-    * vocabulary frequency: at an open-vocabulary corpus the band keys
-    * spread (e.g. 374k types → ~36·L bands), and a hot band is
-    * AQE-splittable because the quadratic sits in a self-join, not a
-    * group. DISTINCT collapses the ≤ 2 duplicate key-matches per pair
-    * (equal-length pairs meet on both registered bands).
+    * pair must share the first `prefixLen` characters and differ in
+    * length by at most `lenSlack` — both near-universal for true
+    * clerical variants (the Winkler boost itself presumes a shared
+    * prefix; Winkler's census blocking keys on multi-char prefixes).
+    * Each string registers `lenSlack+1` (prefix, lengthBand) keys;
+    * matching bands catch exactly the |len diff| ≤ lenSlack pairs, so
+    * the join is a pure equi-join Catalyst shuffles on the band key —
+    * no length-range theta join. A pair whose lengths differ shares
+    * exactly one registered band; an equal-length pair shares all
+    * `lenSlack+1` — the join keeps only the CANONICAL band
+    * `band == max(l1, l2)` (always in the shared set), so each
+    * unordered pair emerges exactly once and the scored-then-filtered
+    * stream never passes through a candidate-table-sized DISTINCT
+    * exchange (the first form paid that shuffle; on an 800M-candidate
+    * corpus it WAS the query).
+    *
+    * Block population is per-(prefix, length) vocabulary frequency.
+    * `prefixLen` is the recall/population dial: 1 keeps every
+    * shared-first-letter variant but degenerates on id-shaped
+    * vocabularies (the zipf_sf0.1 audit corpus renders words as
+    * `w<rank>` — one first char, 7 lengths, so prefixLen=1 collapsed
+    * ~80k types into single blocks ≈ 800M candidates); the default 2
+    * is the standard linkage compromise — a true JW ≥ 0.75 variant
+    * pair differing inside the first two characters is rare (the
+    * transposition would have to hit position 1–2), and block counts
+    * multiply by the second-character alphabet.
+    *
+    * Hot blocks are COMPUTE-skewed, not byte-skewed: a 12k-string
+    * block is ~240 KB of shuffle data (far under AQE's skew-split
+    * threshold) but 144M pair enumerations — one join key, one task,
+    * one core (measured: the zipf_sf0.1 corpus ran the whole join at
+    * user≈real, 9.3 min on 32 cores). The fix is grid-partitioning
+    * the self-join (the all-pairs technique of Vernica et al.,
+    * SIGMOD 2010): each string gets a deterministic chunk
+    * `hash(s) mod chunkFan`; the left side carries (ownChunk, t) for
+    * every t, the right side (u, ownChunk) for every u, and the
+    * chunk pair joins as part of the EQUI key — each unordered pair
+    * meets in exactly one of the chunkFan² grid cells, so the hot
+    * block's quadratic spreads over chunkFan² tasks at a chunkFan×
+    * row-replication cost on the (tiny) vocabulary table. Grid
+    * chunking never changes the pair set — the oracle replays
+    * blocking only.
     *
     * Output: (s1, s2, l1, l2, jw) with s1 < s2, jw a RAW double
     * (deterministic scalar dag from the pinned compute order).
     */
   def jaroLinkage(strs: DataFrame, strCol: String = "s",
-      minJw: Double = 0.75, lenSlack: Int = 1): DataFrame = {
+      minJw: Double = 0.75, lenSlack: Int = 1, prefixLen: Int = 2,
+      chunkFan: Int = 8): DataFrame = {
     require(lenSlack >= 0, "lenSlack must be >= 0")
+    require(prefixLen >= 1, "prefixLen must be >= 1")
+    require(chunkFan >= 1, "chunkFan must be >= 1")
     val keyed = strs.select(col(strCol).as("__s")).distinct()
       .filter(length(col("__s")) > 0)
-      .select(col("__s"), substring(col("__s"), 1, 1).as("__c"),
+      .select(col("__s"), substring(col("__s"), 1, prefixLen).as("__c"),
         length(col("__s")).as("__l"),
         explode(sequence(length(col("__s")),
           length(col("__s")) + lit(lenSlack))).as("__band"))
-    val cand = keyed.as("a").join(keyed.as("b"),
+      .withColumn("__own", pmod(xxhash64(col("__s")), lit(chunkFan)).cast("int"))
+    val grid = sequence(lit(0), lit(chunkFan - 1))
+    // Explicit-N keyed repartition on the full (prefix, band, cell)
+    // key: pair enumeration is compute-dense but byte-tiny (a 12k-
+    // string block is ~240 KB yet 144M JW probes), so AQE's small-
+    // partition coalescing would otherwise pack the whole probe side
+    // into ONE task (measured: 100% of one core, 9+ min; 32 cores
+    // idle). A user-specified partition COUNT is exempt from AQE
+    // coalescing, and keying by the grid cell is what lets a hot
+    // block's cells land on different tasks.
+    val fan = strs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    def spread(df: DataFrame): DataFrame =
+      df.repartition(fan, col("__c"), col("__band"), col("__cl"), col("__cr"))
+    val lhs = spread(keyed
+      .withColumn("__cr", explode(grid)).withColumnRenamed("__own", "__cl"))
+    val rhs = spread(keyed
+      .withColumn("__cl", explode(grid)).withColumnRenamed("__own", "__cr"))
+    val cand = lhs.as("a").join(rhs.as("b"),
         col("a.__c") === col("b.__c") && col("a.__band") === col("b.__band") &&
-          col("a.__s") < col("b.__s"))
+          col("a.__cl") === col("b.__cl") && col("a.__cr") === col("b.__cr") &&
+          col("a.__s") < col("b.__s") &&
+          col("a.__band") === greatest(col("a.__l"), col("b.__l")))
       .filter(abs(col("a.__l") - col("b.__l")) <= lenSlack)
       .select(col("a.__s").as("s1"), col("b.__s").as("s2"),
         col("a.__l").cast("long").as("l1"), col("b.__l").cast("long").as("l2"))
-      .distinct()
     cand.withColumn("jw", graft.functions.JaroWinkler(col("s1"), col("s2")))
       .filter(col("jw") >= minJw)
   }

@@ -429,16 +429,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(got == Seq((2L, 1L, 3L), (7L, 7L, 1L), (9L, 9L, 1L)))
   }
 
-  test("jaroLinkage: blocking (first char + length band) gates exactly; no pair twice") {
+  test("jaroLinkage: blocking (prefix + length band) gates exactly; no pair twice") {
     val strs = Seq("martha", "marhta", "marthas", // equal-len + len+1 pairs
       "xartha",    // JW-close to martha but first char differs → BLOCKED out
-      "mar",       // same first char, |len-6| > 1 → blocked out
+      "mxrtha",    // shares 'm' but not 'ma' → blocked at default prefixLen=2
+      "mar",       // same prefix, |len-6| > 1 → blocked out
       "zzz", "zzz" // duplicate input strings collapse before pairing
     ).toDF("s")
     val got = DedupOps.jaroLinkage(strs, "s", minJw = 0.8, lenSlack = 1)
       .as[(String, String, Long, Long, Double)].collect().toList
-    // each unordered pair exactly once (equal-length pairs meet on
-    // BOTH registered bands; DISTINCT must collapse them)
+    // each unordered pair exactly once BY CONSTRUCTION: equal-length
+    // pairs share both registered bands but the join keeps only the
+    // canonical band == max(l1, l2) — no post-join DISTINCT exists to
+    // mask a double-emit
     assert(got.size == got.map(t => (t._1, t._2)).distinct.size)
     assert(got.map(t => (t._1, t._2)).toSet == Set(
       ("marhta", "martha"), ("marhta", "marthas"), ("martha", "marthas")))
@@ -447,5 +450,15 @@ class DedupOpsSpec extends SparkSpec {
     assert(jw(("marhta", "martha")) == 0.9611111111111111)
     // threshold is inclusive ≥ minJw and filters (xartha never scored)
     assert(got.forall(_._5 >= 0.8))
+    // prefixLen=1 (the wider recall dial) re-admits the second-char
+    // variant pair while still emitting each pair exactly once
+    val wide = DedupOps.jaroLinkage(strs, "s", minJw = 0.8, lenSlack = 1,
+        prefixLen = 1)
+      .as[(String, String, Long, Long, Double)].collect().toList
+    assert(wide.size == wide.map(t => (t._1, t._2)).distinct.size)
+    // JW(martha, mxrtha) = 0.9 (5/6 matches, 1-char Winkler prefix)
+    assert(wide.map(t => (t._1, t._2)).contains(("martha", "mxrtha")))
+    assert(Set(("marhta", "martha"), ("martha", "marthas"))
+      .subsetOf(wide.map(t => (t._1, t._2)).toSet))
   }
 }
