@@ -45,10 +45,11 @@ private[graft] object EntryCore {
           round(col("score"), 6).as("score"))
         .orderBy("doc_id", "word")),
     // Beyond the reference: Count-Min-Sketch heavy hitters (relative
-    // frequency ≥ 2%) — sampled candidate discovery + one mergeable
-    // fixed-size sketch aggregation; estimates equal exact counts on
-    // this corpus, so the exact-count oracle doubles as the accuracy
-    // proof.
+    // frequency ≥ 2%) — sampled candidate discovery, one mergeable
+    // fixed-size sketch aggregation as the no-false-negative screen,
+    // then an exact confirm count over the screened words (publication
+    // is estimator-free; the open-vocab audit corpus showed CMS
+    // collision drift the closed-vocab corpora masked).
     "q_heavy_hitters" -> ((s, dir) =>
       TextOps.heavyHitters(Tables.documents(s, dir), minFreq = 0.02)
         .orderBy("word")),
@@ -412,7 +413,7 @@ private[graft] object EntryCore {
         |  SELECT unnest(regexp_extract_all(lower(text), '((?:[\.,!?;"])|(?:(?:\#|\@)?[A-Za-z0-9_\-]+(?:''[a-z]{1,3})?))', 1)) AS word
         |  FROM documents
         |), tot AS (SELECT count(*) AS n FROM toks)
-        |SELECT word, count(*) AS est_cnt
+        |SELECT word, count(*) AS cnt
         |FROM toks, tot GROUP BY word, tot.n
         |HAVING count(*) >= 0.02 * n
         |ORDER BY word""".stripMargin,

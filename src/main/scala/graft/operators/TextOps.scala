@@ -694,8 +694,8 @@ object TextOps {
 
   /** Heavy hitters — every token with relative frequency ≥ `minFreq` —
     * via Count-Min Sketch (Cormode & Muthukrishnan 2005), the
-    * mergeable-sketch scale path for frequency queries. Two passes,
-    * neither of which ever aggregates the full distinct-token table:
+    * mergeable-sketch scale path for frequency queries. Three passes,
+    * none of which ever aggregates the full distinct-token table:
     *
     *  1. CANDIDATES from a `sampleRate` hash-sample of token
     *     OCCURRENCES (seeded, engine-portable draw on (doc, position)):
@@ -705,18 +705,26 @@ object TextOps {
     *     1/sampleRate× (at 100 TB, sampleRate ~ polylog/(minFreq²·N) —
     *     a fixed absolute sample; the fully-bounded alternative is a
     *     per-partition SpaceSaving heap, not needed at this error bar).
-    *  2. COUNTS from ONE aggregation folding the full stream into
+    *  2. SCREEN by ONE aggregation folding the full stream into
     *     (count(*), count_min_sketch) — a few KB of partial-aggregated,
-    *     mergeable state regardless of corpus size. The |candidates|
-    *     (≤ ~2/minFreq) estimates + the final ≥ minFreq·N filter run
-    *     driver-side, the same O(small) pattern as the momentum-GD
-    *     solve.
+    *     mergeable state regardless of corpus size. CMS estimates are
+    *     one-sided (est ≥ exact), so screening candidates at
+    *     est ≥ minFreq·N never drops a true heavy hitter.
+    *  3. CONFIRM exactly: one broadcast-membership-filtered aggregation
+    *     over the token stream counts ONLY the screened words (≤ ~2/
+    *     minFreq of them) and applies the true threshold. Publication
+    *     must be estimator-free — the zipf_sf0.1 audit caught the raw
+    *     CMS estimates drifting +2/+3 above exact (collision mass grows
+    *     as vocabulary/width; an 80k-type open vocabulary against a
+    *     2·10⁴-cell width is no longer collision-free) while the
+    *     closed-vocab corpora masked it at every SF. The confirm
+    *     output is heavy-hitter-sized, the same pattern as Bloom
+    *     decontamination's confirm join.
     *
-    * On the test corpora the sketch is far wider than the vocabulary,
-    * so estimates equal exact counts and the q_heavy_hitters oracle
-    * (exact SQL counts with the same threshold) hash-matches — the
-    * equality IS the accuracy certificate, same trick as the LSH
-    * queries.
+    * The exact-count oracle with the same threshold hash-matches by
+    * construction at every corpus; the sketch+sample stages carry the
+    * scale story (nothing distinct-vocabulary-sized ever aggregates
+    * unscreened).
     */
   def heavyHitters(docs: DataFrame, minFreq: Double = 0.02,
       sampleRate: Double = 0.1, eps: Double = 1e-4,
@@ -724,46 +732,46 @@ object TextOps {
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs
+    val toks = graft.CacheScope.autoRelease(docs
       .select(col("doc_id"), posexplode(tokens(col(textCol))))
-      .select(col("doc_id"), col("pos"), col("col").as("word"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // the (count, sketch) pass runs first so `total` can size both
-      // the sampling decision and the candidate thresholds
-      val agg = toks.agg(count(lit(1)).as("n"),
-        expr(s"count_min_sketch(word, ${eps}d, ${confidence}d, $seed)").as("s")).head()
-      val total = agg.getLong(0)
-      // an empty token stream aggregates to a NULL sketch — empty
-      // result, not an NPE
-      val sketchBytes = agg.getAs[Array[Byte]](1)
-      if (total == 0L || sketchBytes == null)
-        return Seq.empty[(String, Long)].toDF("word", "est_cnt")
-      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(sketchBytes))
-      // Candidate discovery: the occurrence-sampled aggregation only
-      // concentrates when the expected sample is big enough; on a small
-      // corpus (or tiny sampleRate) fall back to exact counts — which
-      // are cheap precisely because the corpus is small. Without the
-      // fallback, a corpus whose every (doc,pos) hash lands above
-      // sampleRate returns NOTHING while the oracle returns rows.
-      val candidates: Array[String] =
-        if (total * sampleRate >= 1000.0) {
-          toks.filter(
-            RelationalOps.hashUniform(concat_ws("#", col("doc_id"), col("pos")), s"hh$seed")
-              < lit(sampleRate))
-            .groupBy("word").agg(count(lit(1)).as("c"))
-            .filter(col("c") >= lit(0.5 * minFreq * sampleRate * total))
-            .select("word").as[String].collect()
-        } else {
-          toks.groupBy("word").agg(count(lit(1)).as("c"))
-            .filter(col("c") >= lit(minFreq * total))
-            .select("word").as[String].collect()
-        }
-      candidates.toSeq.map(w => (w, cms.estimateCount(w)))
-        .filter(_._2 >= minFreq * total)
-        .toDF("word", "est_cnt")
-    } finally toks.unpersist()
+      .select(col("doc_id"), col("pos"), col("col").as("word")))
+    // the (count, sketch) pass runs first so `total` can size both
+    // the sampling decision and the candidate thresholds
+    val agg = toks.agg(count(lit(1)).as("n"),
+      expr(s"count_min_sketch(word, ${eps}d, ${confidence}d, $seed)").as("s")).head()
+    val total = agg.getLong(0)
+    // an empty token stream aggregates to a NULL sketch — empty
+    // result, not an NPE
+    val sketchBytes = agg.getAs[Array[Byte]](1)
+    if (total == 0L || sketchBytes == null)
+      return Seq.empty[(String, Long)].toDF("word", "cnt")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    // Candidate discovery: the occurrence-sampled aggregation only
+    // concentrates when the expected sample is big enough; on a small
+    // corpus (or tiny sampleRate) fall back to exact counts — which
+    // are cheap precisely because the corpus is small. Without the
+    // fallback, a corpus whose every (doc,pos) hash lands above
+    // sampleRate returns NOTHING while the oracle returns rows.
+    val candidates: Array[String] =
+      if (total * sampleRate >= 1000.0) {
+        toks.filter(
+          RelationalOps.hashUniform(concat_ws("#", col("doc_id"), col("pos")), s"hh$seed")
+            < lit(sampleRate))
+          .groupBy("word").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= lit(0.5 * minFreq * sampleRate * total))
+          .select("word").as[String].collect()
+      } else {
+        toks.groupBy("word").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= lit(minFreq * total))
+          .select("word").as[String].collect()
+      }
+    val screened = candidates.toSeq
+      .filter(w => cms.estimateCount(w) >= minFreq * total)
+    if (screened.isEmpty) Seq.empty[(String, Long)].toDF("word", "cnt")
+    else toks.filter(col("word").isin(screened: _*))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(minFreq * total))
   }
 
   /** Per-letter mean and population std-dev of per-document counts,
