@@ -645,15 +645,19 @@ private[graft] object EntryTextModels {
     // collocations: adjacency via 1-based list indexing over
     // generate_series (empty when a doc has <2 tokens); lift in
     // 128-bit-exact integer arithmetic (HUGEINT / DECIMAL(38,0)) with
-    // floor division — the int64 form overflowed at the sf10 audit
+    // floor division — the int64 form overflowed at the sf10 audit.
+    // uni/big MATERIALIZED: inlined, DuckDB can't derive the equi-join
+    // against the correlated-unnest projection and plans CROSS_PRODUCT
+    // (bigrams × vocabulary ≈ 15e9 rows at zipf_sf0.1's 80k types —
+    // >60 GB spill; the 31-type uniform corpus hid it)
     "q_colloc" ->
       """WITH toks AS (
         |  SELECT regexp_extract_all(lower(text), '((?:[\.,!?;"])|(?:(?:\#|\@)?[A-Za-z0-9_\-]+(?:''[a-z]{1,3})?))', 1) AS t
         |  FROM documents
         |), flat AS (SELECT unnest(t) AS word FROM toks),
-        |uni AS (SELECT word, count(*) AS c FROM flat GROUP BY 1),
+        |uni AS MATERIALIZED (SELECT word, count(*) AS c FROM flat GROUP BY 1),
         |tot AS (SELECT count(*) AS n FROM flat),
-        |big AS (
+        |big AS MATERIALIZED (
         |  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS cxy
         |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
         |  GROUP BY 1, 2
@@ -674,14 +678,14 @@ private[graft] object EntryTextModels {
       s"""WITH toks AS (
          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
          |  FROM documents
-         |), big AS (
+         |), big AS MATERIALIZED (
          |  SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
          |  FROM toks JOIN range(2000) t(i) ON i + 2 <= len(ws)
          |), uni AS (
          |  SELECT unnest(ws) AS w FROM toks
-         |), c2 AS (
+         |), c2 AS MATERIALIZED (
          |  SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2
-         |), c1 AS (
+         |), c1 AS MATERIALIZED (
          |  SELECT w AS w1, count(*) AS c1 FROM uni GROUP BY w
          |), v AS (SELECT count(DISTINCT w) AS v FROM uni),
          |terms AS (
@@ -1454,14 +1458,14 @@ private[graft] object EntryTextModels {
       """WITH t AS (
         |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
         |  FROM documents
-        |), c2 AS (
+        |), c2 AS MATERIALIZED (
         |  SELECT ws[i+1] AS w1, ws[i+2] AS w2, count(*) AS c2
         |  FROM t JOIN range(2000) r(i) ON i + 2 <= len(ws)
         |  GROUP BY 1, 2
-        |), byw1 AS (
+        |), byw1 AS MATERIALIZED (
         |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1h, count(*) AS n_follow
         |  FROM c2 GROUP BY w1
-        |), byw2 AS (
+        |), byw2 AS MATERIALIZED (
         |  SELECT w2, count(*) AS n_prec FROM c2 GROUP BY w2
         |), ty AS (SELECT count(*) AS n_types FROM c2)
         |SELECT c2.w1, c2.w2, c2.c2, b1.c1h, b1.n_follow, b2.n_prec,
