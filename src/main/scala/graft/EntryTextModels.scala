@@ -1001,7 +1001,7 @@ private[graft] object EntryTextModels {
         |  FROM t
         |), agg AS (
         |  SELECT doc_id, count(*) AS n_types, CAST(max(n) AS BIGINT) AS n_tokens,
-        |         round(CAST(sum(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
+        |         CAST(round(sum(CAST(term AS DECIMAL(28,12))), 6) AS DOUBLE) AS entropy
         |  FROM terms GROUP BY doc_id
         |)
         |SELECT doc_id, n_types, n_tokens, entropy,

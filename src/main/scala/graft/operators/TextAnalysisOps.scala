@@ -152,7 +152,12 @@ object TextAnalysisOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_types"),
         max(col("n")).as("n_tokens"),
-        round(sum(col("term").cast("decimal(28,12)")).cast("double"), 6)
+        // round in the DECIMAL domain, THEN cast (the q_naive_bayes
+        // round-after-cast class): the exact 9-dp term sum can end in
+        // …500 at the 7th place — round(double, 6) of its inexact
+        // double diverges between engines there (zipf_sf10 audit:
+        // 6 of 500k docs)
+        round(sum(col("term").cast("decimal(28,12)")), 6).cast("double")
           .as("entropy"))
       .withColumn("entropy_norm",
         when(col("n_types") > 1,
