@@ -273,8 +273,12 @@ class DedupOpsSpec extends SparkSpec {
     // background Jaccard crosses the r=4 threshold (~0.42) on this
     // corpus; the r=8 curve (t≈0.71) prunes the coincidental pairs.
     // The gap WIDENS with n (candidates ~n²/|space| vs true pairs ~n):
-    // 6.5× at 2k docs here, 51× at the 500k-doc sf10 corpus (SCALE.md)
-    assert(candDefault > 5 * candSteep,
+    // 51× at the 500k-doc sf10 corpus (SCALE.md). Measured here: 6.5×
+    // at 4k docs under the round-8 double-hashed rows, 4.8× under the
+    // round-9 independently-seeded rows (correlated rows also inflated
+    // BACKGROUND band collisions, so the fix shrinks the numerator);
+    // the pin is the collapse, not the exact ratio.
+    assert(candDefault > 4 * candSteep,
       s"default $candDefault vs steep $candSteep")
     // and the steeper config still finds the exact minJac-0.8 answer
     val exact = DedupOps.ngramJaccardPairs(docs, minJac = 0.8)
