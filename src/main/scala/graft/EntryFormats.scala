@@ -277,8 +277,9 @@ private[graft] object EntryFormats {
       Tables.events(s, dir).filter(col("user_id") < 20)
         .select(col("user_id"), col("event_id"),
           row_number().over(w).as("event_seq"),
-          round(sum(col("value").cast("decimal(28,12)")).over(w).cast("double"), 4)
-            .as("running_value"))
+          // decimal-domain round, cast after (r8 divergence-#6 rule)
+          round(sum(col("value").cast("decimal(28,12)")).over(w), 4)
+            .cast("double").as("running_value"))
         .orderBy("user_id", "event_seq")
     }),
     // Skew-safe join: events keyed by event_type (5 distinct values —
@@ -632,7 +633,7 @@ private[graft] object EntryFormats {
     "q_window_running" ->
       """SELECT user_id, event_id,
         |       row_number() OVER w AS event_seq,
-        |       round(CAST(sum(CAST(value AS DECIMAL(28,12))) OVER w AS DOUBLE), 4) AS running_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(28,12))) OVER w, 4) AS DOUBLE) AS running_value
         |FROM events WHERE user_id < 20
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_seq""".stripMargin,

@@ -494,8 +494,13 @@ private[graft] object EntryRelational {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
+          // round in the DECIMAL domain, cast after (the r8 divergence-#6
+          // rule): round(double, 4) of the cast sum ties at the 4th dp
+          // under hot-key accumulation — zipf_sf10 caught exactly one
+          // priority group landing ON x.xxx5 with the engines rounding
+          // apart (…8.5571 vs …8.5572)
           round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(28,12)")).cast("double"), 4).as("revenue"))
+            .cast("decimal(28,12)")), 4).cast("double").as("revenue"))
         .orderBy("o_orderpriority")
     }),
     // Lake write-path: DYNAMIC partition overwrite — a late batch
@@ -1287,7 +1292,7 @@ private[graft] object EntryRelational {
          |  SELECT o_custkey AS cust,
          |         date_diff('day', CAST(max(o_orderdate) AS DATE), a.mx) AS recency_days,
          |         count(*) AS frequency,
-         |         round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,12))) AS DOUBLE), 4) AS monetary
+         |         CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,12))), 4) AS DOUBLE) AS monetary
          |  FROM orders CROSS JOIN
          |       (SELECT CAST(max(o_orderdate) AS DATE) AS mx FROM orders) a
          |  GROUP BY o_custkey, a.mx
@@ -1473,7 +1478,7 @@ private[graft] object EntryRelational {
     // layout must change the plan, never the answer
     "q_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
-        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,12))) AS DOUBLE), 4) AS revenue
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,12))), 4) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // batch replay of the windowed type counts + rank ≤ 3; rk cast to

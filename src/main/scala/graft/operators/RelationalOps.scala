@@ -771,8 +771,10 @@ object RelationalOps {
     val stats0 = orders.groupBy(col("o_custkey").as("cust"))
       .agg(max(col("o_orderdate").cast("date")).as("__last"),
         count(lit(1)).as("frequency"),
-        round(sum(col("o_totalprice").cast("decimal(28,12)")).cast("double"), 4)
-          .as("monetary"))
+        // decimal-domain round, cast after (r8 divergence-#6 rule):
+        // rounding the cast double ties at the 4th dp under hot-key sums
+        round(sum(col("o_totalprice").cast("decimal(28,12)")), 4)
+          .cast("double").as("monetary"))
     val st = graft.CacheScope.autoRelease(stats0
       .crossJoin(broadcast(
         orders.agg(max(col("o_orderdate").cast("date")).as("__anchor"))))
