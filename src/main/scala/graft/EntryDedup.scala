@@ -190,8 +190,8 @@ private[graft] object EntryDedup {
         .orderBy("doc_id")),
     // Record linkage: Jaro–Winkler fuzzy match over the corpus's
     // string entities (document vocabulary ∪ product names), blocked
-    // on (2-char prefix, length band) with the canonical-band join —
-    // the native codegen'd JW kernel against DuckDB's builtin,
+    // on (census-chosen prefix, length band) with the canonical-band
+    // join — the native codegen'd JW kernel against DuckDB's builtin,
     // raw-double published (bit-parity is the pinned compute-order
     // contract, JaroWinkler.scala).
     "q_jaro_winkler" -> ((s, dir) => {
@@ -207,7 +207,17 @@ private[graft] object EntryDedup {
       // neighbors — an output near-LINEAR in the vocabulary — so the
       // gate stays comparable at every audit SF. The operator's own
       // default remains 0.75 for natural-text entity tables.
-      DedupOps.jaroLinkage(toks.unionByName(names), "s", 0.90, 1)
+      //
+      // The blocking prefix is DATA-CHOSEN (adaptiveJaroPrefix: the
+      // smallest rung of {2,3,4} whose exact blocked pair count fits
+      // 1e9 — prefix-2 on every driver corpus and on zipf to sf0.1,
+      // prefix-4 on zipf_sf10 where the saturated rank decade makes
+      // prefix-2 a 3.6e10-candidate block set); the oracle replays
+      // the identical census and CASE ladder in SQL, so the choice
+      // itself is hash-gated.
+      val strs = toks.unionByName(names)
+      val p = DedupOps.adaptiveJaroPrefix(strs)
+      DedupOps.jaroLinkage(strs, "s", 0.90, 1, prefixLen = p)
         .orderBy(desc("jw"), col("s1"), col("s2"))
     }),
   )
@@ -388,10 +398,13 @@ private[graft] object EntryDedup {
         |       strlen(nfc_normalize(raw)) AS n_norm_bytes,
         |       md5(nfc_normalize(raw)) AS norm_md5
         |FROM t ORDER BY doc_id""".stripMargin,
-    // JW linkage replay: identical blocking (first char + length
-    // band via unnest), DuckDB's builtin jaro_winkler_similarity —
-    // the raw-double publication IS the bit-parity assertion for the
-    // native kernel's pinned compute order
+    // JW linkage replay: identical blocking (census-chosen prefix +
+    // length band via unnest), DuckDB's builtin
+    // jaro_winkler_similarity — the raw-double publication IS the
+    // bit-parity assertion for the native kernel's pinned compute
+    // order. The census CTE replays adaptiveJaroPrefix exactly:
+    // integer-exact blocked pair counts per ladder rung, smallest
+    // rung under the 1e9 budget, steepest as fallback.
     "q_jaro_winkler" ->
       """WITH strs AS (
         |  SELECT DISTINCT s FROM (
@@ -399,10 +412,21 @@ private[graft] object EntryDedup {
         |    FROM documents
         |    UNION ALL SELECT p_name FROM part)
         |  WHERE len(s) > 0
-        |), keyed AS (
-        |  SELECT s, substr(s, 1, 2) AS c, len(s) AS l,
-        |         unnest([len(s), len(s) + 1]) AS band
+        |), banded AS MATERIALIZED (
+        |  SELECT s, len(s) AS l, unnest([len(s), len(s) + 1]) AS band
         |  FROM strs
+        |), chosen AS (
+        |  SELECT CASE
+        |    WHEN (SELECT coalesce(sum((n * (n - 1)) // 2), 0)
+        |          FROM (SELECT count(*) AS n FROM banded
+        |                GROUP BY substr(s, 1, 2), band)) <= 1000000000 THEN 2
+        |    WHEN (SELECT coalesce(sum((n * (n - 1)) // 2), 0)
+        |          FROM (SELECT count(*) AS n FROM banded
+        |                GROUP BY substr(s, 1, 3), band)) <= 1000000000 THEN 3
+        |    ELSE 4 END AS p
+        |), keyed AS MATERIALIZED (
+        |  SELECT s, substr(s, 1, (SELECT p FROM chosen)) AS c, l, band
+        |  FROM banded
         |), cand AS (
         |  SELECT a.s AS s1, b.s AS s2, a.l AS l1, b.l AS l2
         |  FROM keyed a JOIN keyed b

@@ -75,8 +75,11 @@ object DedupOps {
       .select("rep_doc_id", "n_copies")
 
   /** MinHash signatures via the native [[graft.functions.MinHashSignature]]
-    * expression — k hash functions from two xxHash64 evaluations per
-    * element (double hashing), one tight loop per row. The reference
+    * expression — k INDEPENDENTLY SEEDED xxhash64 rows per element
+    * (sig[j] = min over elements of xxhash64(h0(e), seed = j); the
+    * Kirsch–Mitzenmacher double-hash shortcut was removed in round 9
+    * after it broke minwise row independence — see the expression's
+    * scaladoc for the diagnosis), one tight loop per row. The reference
     * uses 500 named functions the same conceptual way (`Part_2.pdf`
     * p.4 Q3b); a nested higher-order-function formulation is ~1000×
     * slower in interpreted eval (see the expression's scaladoc).
@@ -173,17 +176,28 @@ object DedupOps {
     * one count + one limit-job + a driver-local pass — run once per
     * corpus, not per query.
     */
+  /** The chooser's BOUNDED sample plan, exposed so PlanShapeSpec can pin
+    * the bound: everything [[chooseBanding]] collects flows through this
+    * one `limit(sampleSize)` — driver state is ≤ sampleSize × sigLen
+    * longs by plan construction, never corpus-sized.
+    */
+  private[graft] def bandingSamplePlan(docs: DataFrame, sigLen: Int = 128,
+      nGram: Int = 3, textCol: String = "text",
+      sampleSize: Int = 2048): DataFrame = {
+    val sampled = docs.select(col("doc_id"), col(textCol))
+      .orderBy(xxhash64(col("doc_id")), col("doc_id"))
+      .limit(sampleSize)
+    minhashSignatures(hashedShingled(sampled, nGram, textCol), sigLen, "hs")
+      .select("sig")
+  }
+
   def chooseBanding(docs: DataFrame, minJac: Double = 0.8, sigLen: Int = 128,
       nGram: Int = 3, textCol: String = "text", sampleSize: Int = 2048,
       maxSpuriousPerDoc: Double = 0.1): (Int, Int) = {
     require(sampleSize >= 64, "need >= 64 sampled docs for a stable estimate")
     val nDocs = docs.count()
-    val sampled = docs.select(col("doc_id"), col(textCol))
-      .orderBy(xxhash64(col("doc_id")), col("doc_id"))
-      .limit(sampleSize)
-    val sigs = minhashSignatures(hashedShingled(sampled, nGram, textCol),
-        sigLen, "hs")
-      .select("sig").collect()
+    val sigs = bandingSamplePlan(docs, sigLen, nGram, textCol, sampleSize)
+      .collect()
       .map(_.getSeq[Long](0).toArray)
     val ests = sigs.sliding(2, 2).collect { case Array(a, b) =>
       var eq = 0
@@ -952,6 +966,49 @@ object DedupOps {
     * Output: (s1, s2, l1, l2, jw) with s1 < s2, jw a RAW double
     * (deterministic scalar dag from the pinned compute order).
     */
+  /** Data-chosen blocking prefix for [[jaroLinkage]] — the chooseBanding
+    * pattern applied to linkage blocking. The candidate-pair load of a
+    * (prefix, lengthBand) blocking is Σ_blocks n·(n−1)/2 over block
+    * populations n, and it is corpus-shaped: natural-text vocabularies
+    * spread over the prefix alphabet, while id-shaped vocabularies
+    * (the zipf audit corpora render words as `w<rank>`) collapse whole
+    * rank decades into one prefix-2 block — ~3.6e10 candidates at
+    * zipf_sf10, quadratic in the saturated decade. Each extra prefix
+    * character divides an id-shaped block by the digit alphabet (block
+    * size is capped at 10^(len−p) per decade), so the census walks the
+    * ladder {2, 3, 4} and picks the SMALLEST prefix whose exact blocked
+    * pair count fits `maxPairs` — maximal recall under a bounded
+    * compute budget, the steepest rung as fallback.
+    *
+    * The census is ONE vocabulary-sized aggregation per rung (the
+    * blocked pair count, integer-exact via DIV — a double sum could
+    * round apart from the oracle AT the budget boundary), never
+    * corpus-sized driver state, and — load-bearing for the gate — it is
+    * exactly replayable in ANSI SQL, so q_jaro_winkler's oracle makes
+    * the same choice from the same data (scalar-subquery census, CASE
+    * ladder). Blocking is PART of blocked-linkage semantics; the prefix
+    * escalating on a corpus where prefix-2 would be infeasible is the
+    * documented recall trade, priced and replayed, not drift.
+    */
+  def adaptiveJaroPrefix(strs: DataFrame, strCol: String = "s",
+      lenSlack: Int = 1, maxPairs: Long = 1000000000L,
+      ladder: Seq[Int] = Seq(2, 3, 4)): Int = {
+    require(ladder.nonEmpty && ladder == ladder.sorted, "ladder must ascend")
+    val banded = strs.select(col(strCol).as("__s")).distinct()
+      .filter(length(col("__s")) > 0)
+      .select(col("__s"),
+        explode(sequence(length(col("__s")),
+          length(col("__s")) + lit(lenSlack))).as("__band"))
+    val pairLoad = ladder.init.map { p =>
+      p -> banded
+        .groupBy(substring(col("__s"), 1, p).as("__c"), col("__band"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("pairs"))
+        .collect()(0).getLong(0)
+    }
+    pairLoad.find(_._2 <= maxPairs).map(_._1).getOrElse(ladder.last)
+  }
+
   def jaroLinkage(strs: DataFrame, strCol: String = "s",
       minJw: Double = 0.75, lenSlack: Int = 1, prefixLen: Int = 2,
       chunkFan: Int = 8): DataFrame = {

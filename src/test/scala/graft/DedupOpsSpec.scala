@@ -465,4 +465,27 @@ class DedupOpsSpec extends SparkSpec {
     assert(Set(("marhta", "martha"), ("martha", "marthas"))
       .subsetOf(wide.map(t => (t._1, t._2)).toSet))
   }
+
+  test("adaptiveJaroPrefix: natural vocab keeps rung 2; id-dense blocks escalate under the budget") {
+    import spark.implicits._
+    // natural-text vocabulary: blocks spread over the prefix alphabet,
+    // pair load tiny → the smallest rung (full recall) wins
+    val natural = Seq("martha", "marhta", "jones", "johns", "smith",
+      "smyth", "baker", "barker").toDF("s")
+    assert(DedupOps.adaptiveJaroPrefix(natural) === 2)
+    // id-shaped vocabulary (the zipf corpus shape, w<rank>): one
+    // prefix-2 block per length decade. 5000 strings w1000..w5999
+    // (len 5, prefix-2 blocks w1..w5 of 1000 each, two bands) →
+    // pairs(2) ≈ 2·5·C(1000,2) ≈ 5.0e6, pairs(3) ≈ 2·50·C(100,2)
+    // ≈ 5.0e5 — a 1e6 budget must skip rung 2 and stop at rung 3
+    val ids = spark.range(1000, 6000)
+      .select(concat(lit("w"), col("id")).as("s"))
+    assert(DedupOps.adaptiveJaroPrefix(ids, maxPairs = 1000000L) === 3)
+    // and when even the census' measured rungs blow the budget, the
+    // steepest rung is the fallback (never an unbounded block)
+    assert(DedupOps.adaptiveJaroPrefix(ids, maxPairs = 1000L) === 4)
+    // the choice is recall-monotone in the budget: a budget admitting
+    // rung 2 returns rung 2 on the same corpus
+    assert(DedupOps.adaptiveJaroPrefix(ids, maxPairs = 100000000L) === 2)
+  }
 }

@@ -609,4 +609,43 @@ class PlanShapeSpec extends SparkSpec {
     // stopped broadcasting
     assert(shuffles <= 2, s"$shuffles shuffles\n${plan.take(2000)}")
   }
+
+  test("q_neardup_auto: chooser sample is plan-bounded; band join shape-identical to q_neardup_minhash") {
+    // The gate's load-bearing property: chooseBanding decides (r, b)
+    // from a BOUNDED 2048-doc sample (driver state ≤ sample × sigLen
+    // longs by plan construction), then the banding join it feeds is
+    // shape-identical to q_neardup_minhash's. A chooser change that
+    // silently adds a corpus-sized pre-pass, or a chooser decision that
+    // mutates the join shape, breaks this pin before it breaks a value.
+    val docs = Tables.documents(spark, sf0)
+    // (a) the only thing the chooser collects flows through one global
+    // limit at the sample size — no corpus-sized driver state. Probed on
+    // a corpus LARGER than the sample (at sf0's 500 docs the bound is
+    // vacuous), and as a row-count bound rather than a plan-string match:
+    // the shingle stage sits behind PlanUtils.spread's deliberate
+    // RDD optimizer barrier, so the limit is real but invisible to the
+    // downstream physical plan string.
+    val big = spark.range(5000).select(col("id").as("doc_id"),
+      concat(lit("w "), col("id"), lit(" x y")).as("text"))
+    val collected = graft.operators.DedupOps.bandingSamplePlan(big).count()
+    assert(collected <= 2048, s"chooser sample grew corpus-sized: $collected rows")
+    // (b) on the driver corpus the chooser keeps the default rung —
+    // equality with q_neardup_minhash's oracle depends on this
+    assert(graft.operators.DedupOps.chooseBanding(docs) === (4, 32))
+    // (c) the executed band-join pipeline is operator-for-operator the
+    // shape q_neardup_minhash runs: same node sequence, same exchanges
+    def shape(df: DataFrame): Seq[String] = {
+      df.queryExecution.toRdd.count()
+      def walk(p: SparkPlan): Seq[String] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case _ => p.getClass.getSimpleName +: p.children.flatMap(walk)
+      }
+      walk(planOf(df))
+    }
+    val auto = shape(SparkEntry.queries("q_neardup_auto")(spark, sf0))
+    val fixed = shape(SparkEntry.queries("q_neardup_minhash")(spark, sf0))
+    assert(auto === fixed,
+      s"auto plan shape diverged from q_neardup_minhash:\nauto:  $auto\nfixed: $fixed")
+  }
 }
