@@ -544,14 +544,14 @@ private[graft] object EntryCore {
          |                    / (1 - (ry1*ry1 + ry2*ry2 - 2*ry1*ry2*r12) / (1 - r12*r12))), 6) AS t1
          |FROM st ORDER BY beta1 DESC, word""".stripMargin,
     "q_cf_sims" ->
-      s"""WITH ${Ratings.OracleDedupCte},
+      s"""WITH ${Ratings.OracleDedupCteMat},
          |$CfCte
          |SELECT t_item, item_id, round(sim, 6) AS sim, n_common
          |FROM nbrs ORDER BY t_item, item_id""".stripMargin,
     // the salted plan form is output-identical by construction — the
     // SAME oracle gates both (hash equality across plan forms)
     "q_cf_sims_salted" ->
-      s"""WITH ${Ratings.OracleDedupCte},
+      s"""WITH ${Ratings.OracleDedupCteMat},
          |$CfCte
          |SELECT t_item, item_id, round(sim, 6) AS sim, n_common
          |FROM nbrs ORDER BY t_item, item_id""".stripMargin,
@@ -587,7 +587,7 @@ private[graft] object EntryCore {
          |       round((a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12), 6) + 0.0 AS y2
          |FROM m ORDER BY item_id""".stripMargin,
     "q_cf_recommend" ->
-      s"""WITH ${Ratings.OracleDedupCte},
+      s"""WITH ${Ratings.OracleDedupCteMat},
          |$CfCte,
          |cand AS (
          |  SELECT r2.user_id, n.t_item,

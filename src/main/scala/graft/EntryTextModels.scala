@@ -764,7 +764,11 @@ private[graft] object EntryTextModels {
         |ORDER BY mi DESC, token LIMIT 30""".stripMargin,
     // windowed co-occurrence + PPMI: pairs from the positional arrays
     // (offsets 1..3), marginals from the pair table itself, single
-    // 9-dp ln term clamped at 0
+    // 9-dp ln term clamped at 0. cab is MATERIALIZED (ea3a5ce class):
+    // it is referenced three times (tot, marg, final join), and DuckDB
+    // inlines plain CTEs — at zipf_sf10 that re-runs the 1.5e8-row
+    // positional explode + pair aggregation three times (> 900 s);
+    // materialized once it is a single pass
     "q_cooccur" ->
       """WITH toks AS (
         |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
@@ -774,7 +778,7 @@ private[graft] object EntryTextModels {
         |       LATERAL unnest(generate_series(1, len(ws) - 1)) g(i),
         |       LATERAL unnest(generate_series(1, 3)) dd(d)
         |  WHERE i + d <= len(ws)
-        |), cab AS (SELECT w1, w2, count(*) AS n_ab FROM big GROUP BY 1, 2),
+        |), cab AS MATERIALIZED (SELECT w1, w2, count(*) AS n_ab FROM big GROUP BY 1, 2),
         |tot AS (SELECT sum(n_ab) AS t FROM cab),
         |marg AS (
         |  SELECT w, sum(n_ab) AS m FROM (

@@ -88,4 +88,15 @@ object Ratings {
         |    FROM ratings_raw) t
         |  WHERE rn = 1
         |)""".stripMargin
+
+  /** [[OracleDedupCte]] with `ratings` MATERIALIZED — for the CF-family
+    * oracles only, whose downstream CTE chain references `ratings` (and
+    * its 60M-row window dedup) repeatedly; DuckDB inlines plain CTEs and
+    * re-ran the whole chain per reference (OOM at zipf_sf10, judge-
+    * confirmed at 48 GB). NOT safe where the CTE nests inside another
+    * oracle (q_als_item embeds it twice — materialization hoists the
+    * alias into one scope and DuckDB rejects the duplicate).
+    */
+  val OracleDedupCteMat: String =
+    OracleDedupCte.replace(", ratings AS (", ", ratings AS MATERIALIZED (")
 }
