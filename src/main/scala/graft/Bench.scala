@@ -100,7 +100,17 @@ object Bench {
     // must never read as a smaller (better) total
     val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
     val failedJson = failed.mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"queries":$qs,"spread":$spread,"failed":$failedJson,"load_avg":{"start":${fmt(loadStart)},"end":${fmt(loadAvg)}},"sf":"$sfDir"}"""
+    // Contention self-report: BENCH_r09 started at load 10.7 and every
+    // tail-visible query read 1.1–1.5× slower than the quiet-box truth —
+    // a cross-round comparison on such an artifact is noise, not signal.
+    // A start load above ~2 on an otherwise-idle box means someone else
+    // is running; the flag lets round artifacts auto-disqualify
+    // themselves from "faster/slower than last round" claims.
+    val loadEnd = loadAvg
+    val contended = loadStart > 2.0
+    if (contended)
+      System.err.println(f"WARN: bench started at load_avg $loadStart%.1f (> 2.0) - numbers are contention-inflated; re-run on a quiet box before cross-round comparison")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"queries":$qs,"spread":$spread,"failed":$failedJson,"load_avg":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}},"contended":$contended,"sf":"$sfDir"}"""
     println(json)
     // Durable copy: the driver captures stdout by tail and has truncated
     // the line mid-JSON before (BENCH_r05) — the file can't be cut.
