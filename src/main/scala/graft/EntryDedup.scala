@@ -302,9 +302,12 @@ private[graft] object EntryDedup {
          |SELECT node AS doc_id, min(label) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     // canonical docs: closure + keep-longest rank + singleton union —
-    // the engine's three gated stages replayed as one oracle chain
+    // the engine's three gated stages replayed as one oracle chain.
+    // The pair table is the PREFIX-FILTERED variant (ShinglePrefixCte:
+    // ppjoin-complete for jac >= 0.8) — the naive shared-shingle
+    // self-join OOM'd DuckDB at 48 GB on zipf_sf10's hot trigrams
     "q_canonical_docs" ->
-      s"""WITH RECURSIVE ${ShingleCte("documents")},
+      s"""WITH RECURSIVE ${ShinglePrefixCte("documents", 0.8)},
          |pr AS (
          |  SELECT co.da, co.db
          |  FROM co JOIN sz x ON x.doc_id = co.da JOIN sz y ON y.doc_id = co.db

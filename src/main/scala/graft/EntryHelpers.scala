@@ -816,6 +816,51 @@ private[graft] object EntryHelpers {
        |  GROUP BY a.doc_id, b.doc_id
        |)""".stripMargin
 
+  /** [[ShingleCte]] with the pair table PREFIX-FILTERED — the exact
+    * same (sh, sz, co ⊇ all pairs with Jaccard ≥ `minJac`) contract,
+    * feasible on corpora where the naive shared-shingle self-join
+    * explodes (zipf_sf10: hot trigrams appear in ~16k docs each, so
+    * plain `co` is ~1e9+ pairs and DuckDB OOMs at 48 GB). Losslessness
+    * is the prefix-filtering principle (Chaudhuri et al., ICDE'06;
+    * ppjoin Lemma 1, Xiao et al., WWW'08): under ONE global total
+    * order (ascending document frequency, ties by shingle text), if
+    * |A∩B| ≥ α then the (|A|−α+1)-prefix of A and the (|B|−α+1)-prefix
+    * of B share an element; Jaccard ≥ t gives |A∩B| ≥ ⌈t·max(|A|,|B|)⌉,
+    * so the per-set (n − ⌈t·n⌉ + 1)-prefixes suffice. Candidates from
+    * the prefix join are then verified with their EXACT intersection
+    * size — pairs below t may drop out of `co`, pairs at/above t never
+    * do, and every consumer filters at ≥ t. MATERIALIZED throughout
+    * (each CTE is referenced repeatedly downstream).
+    */
+  private[graft] def ShinglePrefixCte(src: String, minJac: Double): String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM $src
+       |), sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+       |  FROM toks JOIN range(2000) t(i) ON i + 3 <= len(ws)
+       |), sz AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), sdf AS MATERIALIZED (
+       |  SELECT s, count(*) AS df FROM sh GROUP BY s
+       |), pfx AS MATERIALIZED (
+       |  SELECT doc_id, s FROM (
+       |    SELECT sh.doc_id, sh.s,
+       |           row_number() OVER (PARTITION BY sh.doc_id
+       |                              ORDER BY sdf.df, sh.s) AS rk,
+       |           count(*) OVER (PARTITION BY sh.doc_id) AS n
+       |    FROM sh JOIN sdf USING (s)) q
+       |  WHERE rk <= n - CAST(ceil($minJac * n) AS BIGINT) + 1
+       |), cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id
+       |), co AS MATERIALIZED (
+       |  SELECT c.da, c.db, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.da
+       |  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+       |  GROUP BY c.da, c.db
+       |)""".stripMargin
+
   /** DuckDB CTE chain mirroring CFOps (support filters → centering →
     * cosine similarities → 50-neighbor cap) for targets (3, 7).
     */
