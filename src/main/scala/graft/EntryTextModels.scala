@@ -786,8 +786,9 @@ private[graft] object EntryTextModels {
         |    UNION ALL SELECT w2, n_ab FROM cab) GROUP BY w
         |)
         |SELECT w1, w2, n_ab,
-        |       round(greatest(0.0,
-        |         round(ln(CAST(n_ab * tot.t AS DOUBLE) / (m1.m * m2.m)), 9)), 6) AS ppmi
+        |       CAST(round(CAST(greatest(0.0,
+        |         round(ln(CAST(n_ab * tot.t AS DOUBLE) / (m1.m * m2.m)), 9))
+        |         AS DECIMAL(28,9)), 6) AS DOUBLE) AS ppmi
         |FROM cab CROSS JOIN tot
         |JOIN marg m1 ON m1.w = w1
         |JOIN marg m2 ON m2.w = w2

@@ -1068,9 +1068,18 @@ object TextOps {
       .join(marg.select(col("w").as("w1"), col("__m").as("__m1")), "w1")
       .join(marg.select(col("w").as("w2"), col("__m").as("__m2")), "w2")
       .select(col("w1"), col("w2"), col("n_ab"),
+        // the 9-dp round makes ln() engine-portable (libm ulp absorbed);
+        // the SECOND round to 6 dp must then happen in the DECIMAL
+        // domain: rounding the 9-dp DOUBLE splits at …9500-at-the-7th
+        // boundaries (Spark rounds the shortest-repr decimal HALF_UP,
+        // DuckDB the binary expansion — zipf_sf10 caught 1 row in 1.1M,
+        // ppmi 1.003960 vs 1.003959). A scale-9 double→decimal cast is
+        // exact in both engines (9-dp spacing ≫ double ulp at these
+        // magnitudes), and decimal round(…, 6) is half-up in both.
         round(greatest(lit(0.0),
           round(log((col("n_ab") * col("__t")).cast("double")
-            / (col("__m1") * col("__m2"))), 9)), 6).as("ppmi"))
+            / (col("__m1") * col("__m2"))), 9)).cast("decimal(28,9)"), 6)
+          .cast("double").as("ppmi"))
       .orderBy("w1", "w2")
   }
 
