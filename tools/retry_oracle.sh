@@ -9,7 +9,8 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 SF=$1; OUT=$2; Q=$3; T=${4:-1800}
-DUCKDB_MEMORY_LIMIT=48GB DUCKDB_TEMP_LIMIT=${DUCKDB_TEMP_LIMIT:-35GB} \
+DUCKDB_MEMORY_LIMIT=${DUCKDB_MEMORY_LIMIT:-48GB} \
+  DUCKDB_TEMP_LIMIT=${DUCKDB_TEMP_LIMIT:-35GB} \
   timeout "$T" python3 tools/check.py "$SF" "$OUT" "$Q"
 rc=$?
 if [ $rc -eq 124 ]; then echo "ORACLE_TIMEOUT $Q (> ${T}s serial retry)"; fi
