@@ -144,6 +144,21 @@ object DedupOps {
     * and the default is the right config. [[chooseBanding]] measures
     * this decision from a bounded sample of the actual corpus.
     */
+  /** The chooser's BOUNDED sample plan, exposed so PlanShapeSpec can pin
+    * the bound: everything [[chooseBanding]] collects flows through this
+    * one `limit(sampleSize)` — driver state is ≤ sampleSize × sigLen
+    * longs by plan construction, never corpus-sized.
+    */
+  private[graft] def bandingSamplePlan(docs: DataFrame, sigLen: Int = 128,
+      nGram: Int = 3, textCol: String = "text",
+      sampleSize: Int = 2048): DataFrame = {
+    val sampled = docs.select(col("doc_id"), col(textCol))
+      .orderBy(xxhash64(col("doc_id")), col("doc_id"))
+      .limit(sampleSize)
+    minhashSignatures(hashedShingled(sampled, nGram, textCol), sigLen, "hs")
+      .select("sig")
+  }
+
   /** Data-driven (r, bands) chooser — the WHEN-TO-RAISE-r guidance
     * above promoted to code. The blowup statistic is NOT the
     * background Jaccard's upper quantile (even on the measured
@@ -176,21 +191,6 @@ object DedupOps {
     * one count + one limit-job + a driver-local pass — run once per
     * corpus, not per query.
     */
-  /** The chooser's BOUNDED sample plan, exposed so PlanShapeSpec can pin
-    * the bound: everything [[chooseBanding]] collects flows through this
-    * one `limit(sampleSize)` — driver state is ≤ sampleSize × sigLen
-    * longs by plan construction, never corpus-sized.
-    */
-  private[graft] def bandingSamplePlan(docs: DataFrame, sigLen: Int = 128,
-      nGram: Int = 3, textCol: String = "text",
-      sampleSize: Int = 2048): DataFrame = {
-    val sampled = docs.select(col("doc_id"), col(textCol))
-      .orderBy(xxhash64(col("doc_id")), col("doc_id"))
-      .limit(sampleSize)
-    minhashSignatures(hashedShingled(sampled, nGram, textCol), sigLen, "hs")
-      .select("sig")
-  }
-
   def chooseBanding(docs: DataFrame, minJac: Double = 0.8, sigLen: Int = 128,
       nGram: Int = 3, textCol: String = "text", sampleSize: Int = 2048,
       maxSpuriousPerDoc: Double = 0.1): (Int, Int) = {
@@ -909,6 +909,49 @@ object DedupOps {
     reps.unionByName(singles)
   }
 
+  /** Data-chosen blocking prefix for [[jaroLinkage]] — the chooseBanding
+    * pattern applied to linkage blocking. The candidate-pair load of a
+    * (prefix, lengthBand) blocking is Σ_blocks n·(n−1)/2 over block
+    * populations n, and it is corpus-shaped: natural-text vocabularies
+    * spread over the prefix alphabet, while id-shaped vocabularies
+    * (the zipf audit corpora render words as `w<rank>`) collapse whole
+    * rank decades into one prefix-2 block — ~3.6e10 candidates at
+    * zipf_sf10, quadratic in the saturated decade. Each extra prefix
+    * character divides an id-shaped block by the digit alphabet (block
+    * size is capped at 10^(len−p) per decade), so the census walks the
+    * ladder {2, 3, 4} and picks the SMALLEST prefix whose exact blocked
+    * pair count fits `maxPairs` — maximal recall under a bounded
+    * compute budget, the steepest rung as fallback.
+    *
+    * The census is ONE vocabulary-sized aggregation per rung (the
+    * blocked pair count, integer-exact via DIV — a double sum could
+    * round apart from the oracle AT the budget boundary), never
+    * corpus-sized driver state, and — load-bearing for the gate — it is
+    * exactly replayable in ANSI SQL, so q_jaro_winkler's oracle makes
+    * the same choice from the same data (scalar-subquery census, CASE
+    * ladder). Blocking is PART of blocked-linkage semantics; the prefix
+    * escalating on a corpus where prefix-2 would be infeasible is the
+    * documented recall trade, priced and replayed, not drift.
+    */
+  def adaptiveJaroPrefix(strs: DataFrame, strCol: String = "s",
+      lenSlack: Int = 1, maxPairs: Long = 1000000000L,
+      ladder: Seq[Int] = Seq(2, 3, 4)): Int = {
+    require(ladder.nonEmpty && ladder == ladder.sorted, "ladder must ascend")
+    val banded = strs.select(col(strCol).as("__s")).distinct()
+      .filter(length(col("__s")) > 0)
+      .select(col("__s"),
+        explode(sequence(length(col("__s")),
+          length(col("__s")) + lit(lenSlack))).as("__band"))
+    val pairLoad = ladder.init.map { p =>
+      p -> banded
+        .groupBy(substring(col("__s"), 1, p).as("__c"), col("__band"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("pairs"))
+        .collect()(0).getLong(0)
+    }
+    pairLoad.find(_._2 <= maxPairs).map(_._1).getOrElse(ladder.last)
+  }
+
   /** Jaro–Winkler record linkage over a string-entity table — the
     * fuzzy-match member of the dedup family that edit distance
     * mis-ranks: transposed characters ("marhta"), dropped letters and
@@ -966,49 +1009,6 @@ object DedupOps {
     * Output: (s1, s2, l1, l2, jw) with s1 < s2, jw a RAW double
     * (deterministic scalar dag from the pinned compute order).
     */
-  /** Data-chosen blocking prefix for [[jaroLinkage]] — the chooseBanding
-    * pattern applied to linkage blocking. The candidate-pair load of a
-    * (prefix, lengthBand) blocking is Σ_blocks n·(n−1)/2 over block
-    * populations n, and it is corpus-shaped: natural-text vocabularies
-    * spread over the prefix alphabet, while id-shaped vocabularies
-    * (the zipf audit corpora render words as `w<rank>`) collapse whole
-    * rank decades into one prefix-2 block — ~3.6e10 candidates at
-    * zipf_sf10, quadratic in the saturated decade. Each extra prefix
-    * character divides an id-shaped block by the digit alphabet (block
-    * size is capped at 10^(len−p) per decade), so the census walks the
-    * ladder {2, 3, 4} and picks the SMALLEST prefix whose exact blocked
-    * pair count fits `maxPairs` — maximal recall under a bounded
-    * compute budget, the steepest rung as fallback.
-    *
-    * The census is ONE vocabulary-sized aggregation per rung (the
-    * blocked pair count, integer-exact via DIV — a double sum could
-    * round apart from the oracle AT the budget boundary), never
-    * corpus-sized driver state, and — load-bearing for the gate — it is
-    * exactly replayable in ANSI SQL, so q_jaro_winkler's oracle makes
-    * the same choice from the same data (scalar-subquery census, CASE
-    * ladder). Blocking is PART of blocked-linkage semantics; the prefix
-    * escalating on a corpus where prefix-2 would be infeasible is the
-    * documented recall trade, priced and replayed, not drift.
-    */
-  def adaptiveJaroPrefix(strs: DataFrame, strCol: String = "s",
-      lenSlack: Int = 1, maxPairs: Long = 1000000000L,
-      ladder: Seq[Int] = Seq(2, 3, 4)): Int = {
-    require(ladder.nonEmpty && ladder == ladder.sorted, "ladder must ascend")
-    val banded = strs.select(col(strCol).as("__s")).distinct()
-      .filter(length(col("__s")) > 0)
-      .select(col("__s"),
-        explode(sequence(length(col("__s")),
-          length(col("__s")) + lit(lenSlack))).as("__band"))
-    val pairLoad = ladder.init.map { p =>
-      p -> banded
-        .groupBy(substring(col("__s"), 1, p).as("__c"), col("__band"))
-        .agg(count(lit(1)).as("n"))
-        .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("pairs"))
-        .collect()(0).getLong(0)
-    }
-    pairLoad.find(_._2 <= maxPairs).map(_._1).getOrElse(ladder.last)
-  }
-
   def jaroLinkage(strs: DataFrame, strCol: String = "s",
       minJw: Double = 0.75, lenSlack: Int = 1, prefixLen: Int = 2,
       chunkFan: Int = 8): DataFrame = {
