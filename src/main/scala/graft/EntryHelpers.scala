@@ -232,6 +232,103 @@ private[graft] object EntryHelpers {
        |)""".stripMargin
   }
 
+  /** q_semdedup's census CTE chain: [[operators.SimilarityOps.chooseSemDedupK]]
+    * replayed in ANSI SQL. One LONG-FORM Lloyd chain per ladder rung —
+    * centroids are k ROWS (cl, c0..c{dims-1}), not k column groups, so
+    * every rung shares one SQL shape and k never appears as a column
+    * count (the wide [[kmeansCtes]] form cannot express a data-chosen
+    * k). Parity with [[operators.ClusterOps.kmeansAssign]] surface by
+    * surface:
+    *  - init: `vec_id < K` ≡ the k smallest ids (dense from 0; ≡
+    *    take-all when n < K on both sides);
+    *  - distance: explicit left-assoc `+` chain in dimension order —
+    *    the engine's fold (its +0.0 seed is exact on a non-negative
+    *    first term);
+    *  - argmin: rows at `d = min(d)` per vec_id, then `min(cl)` — the
+    *    engine's `array_position(ds, array_min(ds))` first-index tie
+    *    rule (equality over the SAME computed doubles, so the float
+    *    compare is exact). The distance subquery is deliberately a
+    *    PLAIN inline (computed twice — once for the min, once for the
+    *    join): recomputing n×K cheap arithmetic rows beats
+    *    materializing them (the n×K stream is the memory hazard at
+    *    sf10, not the FLOPs);
+    *  - update: DECIMAL(38,12) sums / exact counts, empty clusters
+    *    carry the previous centroid via LEFT JOIN + coalesce;
+    *  - census: integer-exact blocked pair counts (`//` DIV — a double
+    *    sum could round apart from the engine AT the budget boundary,
+    *    the adaptiveJaroPrefix lesson), smallest rung under `maxPairs`,
+    *    steepest as fallback. Only `ladder.init` rungs are censused
+    *    (the fallback is unconditional), mirroring the engine's
+    *    early-stop walk.
+    * Ends with `chosen(k)` and `asg(vec_id, cluster)` — the rung-asg
+    * UNION filtered by the chosen k, so only linear (fit-sized) work
+    * runs for non-chosen rungs; the quadratic pair stage downstream
+    * sees one rung only.
+    */
+  private[graft] def semDedupLadderCtes(dims: Int, iters: Int,
+      maxPairs: Long, ladder: Seq[Int]): String = {
+    val xCols = (0 until dims)
+      .map(d => s"CAST(embedding[${d + 1}] AS DOUBLE) AS x$d").mkString(", ")
+    val dist = (0 until dims)
+      .map(d => s"(x.x$d - c.c$d) * (x.x$d - c.c$d)").mkString(" + ")
+    def distRows(cent: String) =
+      s"SELECT x.vec_id, c.cl, $dist AS d FROM xk x, $cent c"
+    def assignSql(cent: String, pub: String) =
+      s"""  SELECT dd.vec_id, $pub FROM (${distRows(cent)}) dd
+         |  JOIN (SELECT vec_id, min(d) AS md
+         |        FROM (${distRows(cent)}) mm GROUP BY vec_id) m
+         |    ON m.vec_id = dd.vec_id AND dd.d = m.md
+         |  GROUP BY dd.vec_id""".stripMargin
+    val rungs = ladder.map { bigK =>
+      val iterSteps = (1 to iters).map { t =>
+        val upd = (0 until dims).map(d =>
+          s"CAST(sum(CAST(x.x$d AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS c$d")
+          .mkString(", ")
+        val carry = (0 until dims)
+          .map(d => s"coalesce(u.c$d, p.c$d) AS c$d").mkString(", ")
+        s"""k${bigK}a$t AS MATERIALIZED (
+           |${assignSql(s"k${bigK}c${t - 1}", "min(dd.cl) AS cl")}
+           |),
+           |k${bigK}u$t AS (
+           |  SELECT a.cl, $upd
+           |  FROM k${bigK}a$t a JOIN xk x USING (vec_id) GROUP BY a.cl
+           |),
+           |k${bigK}c$t AS MATERIALIZED (
+           |  SELECT p.cl, $carry
+           |  FROM k${bigK}c${t - 1} p LEFT JOIN k${bigK}u$t u ON u.cl = p.cl
+           |)""".stripMargin
+      }.mkString(",\n")
+      val c0Cols = (0 until dims).map(d => s"x$d AS c$d").mkString(", ")
+      s"""k${bigK}c0 AS MATERIALIZED (
+         |  SELECT vec_id AS cl, $c0Cols FROM xk WHERE vec_id < $bigK
+         |),
+         |$iterSteps,
+         |k${bigK}asg AS MATERIALIZED (
+         |${assignSql(s"k${bigK}c$iters", "CAST(min(dd.cl) AS INTEGER) AS cluster")}
+         |)""".stripMargin
+    }.mkString(",\n")
+    val loads = ladder.init.map { bigK =>
+      s"""k${bigK}load AS (
+         |  SELECT coalesce(sum((n * (n - 1)) // 2), 0) AS pairs
+         |  FROM (SELECT count(*) AS n FROM k${bigK}asg GROUP BY cluster) s$bigK
+         |)""".stripMargin
+    }.mkString(",\n")
+    val cases = ladder.init.map(bigK =>
+      s"WHEN (SELECT pairs FROM k${bigK}load) <= $maxPairs THEN $bigK")
+      .mkString(" ")
+    val union = ladder.map(bigK =>
+      s"  SELECT vec_id, cluster FROM k${bigK}asg" +
+        s" WHERE (SELECT k FROM chosen) = $bigK")
+      .mkString("\n  UNION ALL\n")
+    s"""xk AS MATERIALIZED (SELECT vec_id, $xCols FROM embeddings),
+       |$rungs,
+       |$loads,
+       |chosen AS (SELECT CASE $cases ELSE ${ladder.last} END AS k),
+       |asg AS MATERIALIZED (
+       |$union
+       |)""".stripMargin
+  }
+
   /** DuckDB replay of [[TextOps.bpeMerges]] as unrolled MATERIALIZED CTEs
     * (the kmeans/pagerank pattern — each round's wf CTE is referenced
     * twice, so materialization is load-bearing, NOTES.md). Same ␁-wrapped

@@ -68,11 +68,15 @@ private[graft] object EntrySimilarity {
         .orderBy("q_id", "mmr_rank")),
     // SemDeDup (Abbas et al. 2023): k-means buckets play the LSH-band
     // role, cosine checked only within a cluster — pairs are
-    // Σ C(n_c, 2), never corpus². Oracle replays the ENTIRE pipeline
-    // (Lloyd fit → assign → within-cluster cosine → drop rule), so the
-    // gate proves fit, bucketing AND dedup semantics together.
+    // Σ C(n_c, 2), never corpus². k is CENSUS-CHOSEN (smallest ladder
+    // rung whose fitted pair load fits the 5e7 budget — the paper
+    // grows k with the corpus; the driver SFs keep k=4 with unchanged
+    // answers). Oracle replays the ENTIRE pipeline (per-rung Lloyd
+    // fits → census CASE ladder → assign → within-cluster cosine →
+    // drop rule), so fit, bucketing, THE CHOICE, and dedup semantics
+    // are all hash-gated together.
     "q_semdedup" -> ((s, dir) =>
-      SimilarityOps.semDedup(Tables.embeddings(s, dir), dims = 8, k = 4,
+      SimilarityOps.semDedupAdaptive(Tables.embeddings(s, dir), dims = 8,
           iters = 2, tau = 0.4)
         .orderBy(col("cluster"), col("vec_id").asc_nulls_last,
           col("dup_of").asc_nulls_last)),
@@ -493,12 +497,14 @@ private[graft] object EntrySimilarity {
          |  ${ratioRoundSql("CAST(sc * 1000000000 AS HUGEINT)",
              "n_quads * 2000000000", 6)} AS mean_cross
          |FROM tot""".stripMargin,
-    // SemDeDup full replay: the q_kmeans Lloyd chain (shared CTEs)
-    // assigns clusters, then cosine only WITHIN a cluster (va < vb),
-    // drop rule = smallest qualifying earlier neighbor, plus a
-    // per-cluster (n, n_kept) summary row
+    // SemDeDup full replay: per-rung long-form Lloyd chains + the
+    // census CASE ladder pick the SAME k the engine chose (the
+    // adaptiveJaroPrefix oracle pattern), then cosine only WITHIN a
+    // cluster (va < vb), drop rule = smallest qualifying earlier
+    // neighbor, plus a per-cluster (n, n_kept) summary row
     "q_semdedup" ->
-      s"""WITH ${kmeansCtes(dims = 8, k = 4, iters = 2)},
+      s"""WITH ${semDedupLadderCtes(dims = 8, iters = 2,
+             SimilarityOps.SemDedupMaxPairs, SimilarityOps.SemDedupLadder)},
          |nrmv AS MATERIALIZED (
          |  SELECT vec_id, sqrt(CAST(sum(CAST(CAST(embedding[d+1] AS DOUBLE)
          |         * CAST(embedding[d+1] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)) AS nrm

@@ -53,6 +53,38 @@ object ClusterOps {
       when(ds.drop(j + 1).map(d <= _).reduce(_ && _), j).otherwise(rest)
     }
 
+  /** The default (small-k) assignment column: one [[dist2]] fold per
+    * centroid and the lowest-index [[argmin]] `when`-cascade. Codegen-
+    * friendly at gate-sized k, but the cascade is O(k²) in expression
+    * size — k beyond a few dozen needs [[arrAssign]].
+    */
+  private[operators] def cascadeAssign(
+      cents: Array[Array[Double]]): Column =
+    argmin(cents.toIndexedSeq.map(c => dist2(col("__x"), c)))
+
+  /** k-scalable assignment column: the centroid matrix enters the plan
+    * as ONE nested-array literal; per row, `transform` computes the k
+    * squared distances (explicit left-assoc sum over the dims — the
+    * same IEEE dag as [[dist2]]'s fold, since adding a non-negative
+    * first term to +0.0 is exact) and `array_position(ds,
+    * array_min(ds))` takes the FIRST index attaining the minimum —
+    * exactly [[argmin]]'s lowest-index tie rule. Expression size is
+    * O(dims), not O(k²), so a census-chosen k (thousands at 100 TB —
+    * SemDeDup fits 11k clusters on 100M embeddings, Abbas et al. 2023)
+    * stays plannable; the arithmetic is bit-identical to
+    * [[cascadeAssign]], only the plan encoding changes.
+    */
+  private[operators] def arrAssign(dims: Int)(
+      cents: Array[Array[Double]]): Column = {
+    val carr = typedLit(cents.map(_.toSeq).toSeq)
+    val ds = transform(carr, c =>
+      (0 until dims).map { d =>
+        val diff = element_at(col("__x"), d + 1) - element_at(c, d + 1)
+        diff * diff
+      }.reduceLeft(_ + _))
+    (array_position(ds, array_min(ds)) - 1).cast("int")
+  }
+
   /** `iters` Lloyd iterations over a frame carrying (`idCol`, `__x`:
     * array<double>); returns the final k × dims centroid matrix — the
     * only driver state. Init = the vectors of the k smallest ids
@@ -61,17 +93,20 @@ object ClusterOps {
     * previous centroid. Shared by [[kmeans]] (full-corpus form) and
     * [[graft.operators.SimilarityOps.ivfTopK]]'s sample fit — one
     * quantizer implementation, two consumers. The caller persists `x`
-    * (each iteration re-reads it).
+    * (each iteration re-reads it). `assign` picks the assignment-plan
+    * encoding ([[cascadeAssign]] or [[arrAssign]] — bit-identical
+    * results by construction).
     */
   private[operators] def lloyd(x: DataFrame, idCol: String,
-      k: Int, dims: Int, iters: Int): Array[Array[Double]] = {
+      k: Int, dims: Int, iters: Int,
+      assign: Array[Array[Double]] => Column = cascadeAssign)
+      : Array[Array[Double]] = {
     var cents: Array[Array[Double]] = x.orderBy(col(idCol)).limit(k)
       .select(col("__x")).collect()
       .map(_.getSeq[Double](0).toArray)
     var it = 0
     while (it < iters) {
-      val assigned = x.withColumn("__cl",
-        argmin(cents.toIndexedSeq.map(c => dist2(col("__x"), c))))
+      val assigned = x.withColumn("__cl", assign(cents))
       // per-(cluster, dim) decimal means + counts: k×dims doubles to
       // the driver — the entire mutable state of the algorithm
       val sums = assigned.groupBy(col("__cl"))
@@ -113,6 +148,36 @@ object ClusterOps {
       graft.CacheScope.autoRelease(x)
         .select(col(idCol), argmin(finalDs).as("cluster"),
           round(least(finalDs: _*), 6).as("dist2"))
+    } catch {
+      case t: Throwable => x.unpersist(blocking = false); throw t
+    }
+  }
+
+  /** [[kmeans]] with the k-scalable [[arrAssign]] plan encoding,
+    * publishing assignments only: (idCol, cluster). Bit-identical to
+    * [[kmeans]]' assignments at any k (same init, same decimal-mean
+    * updates, same distance dags, same lowest-index ties — only the
+    * expression encoding differs), but the plan stays O(dims) as k
+    * grows, so census-chosen cluster counts (SemDeDup's k ∝ corpus)
+    * don't hit the when-cascade's O(k²) analysis wall. `n < k` corpora
+    * degrade gracefully: init takes all n rows as centroids on both
+    * engine and oracle (`vec_id < k` ≡ take-all when ids are dense).
+    * The input is repartitioned on `idCol` before the iteration cache:
+    * a single-file parquet scan otherwise pins every Lloyd map pass to
+    * 1-2 tasks regardless of cores.
+    */
+  def kmeansAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+      dims: Int, k: Int, iters: Int): DataFrame = {
+    require(k >= 2 && dims >= 1 && iters >= 1, "k>=2, dims>=1, iters>=1")
+    val x = embeddings.select(col(idCol),
+      expr(s"transform(slice($vecCol, 1, $dims), e -> CAST(e AS DOUBLE))")
+        .as("__x"))
+      .repartition(col(idCol))
+      .persist()
+    try {
+      val cents = lloyd(x, idCol, k, dims, iters, arrAssign(dims))
+      graft.CacheScope.autoRelease(x)
+        .select(col(idCol), arrAssign(dims)(cents).as("cluster"))
     } catch {
       case t: Throwable => x.unpersist(blocking = false); throw t
     }

@@ -937,20 +937,31 @@ object DedupOps {
       lenSlack: Int = 1, maxPairs: Long = 1000000000L,
       ladder: Seq[Int] = Seq(2, 3, 4)): Int = {
     require(ladder.nonEmpty && ladder == ladder.sorted, "ladder must ascend")
-    val banded = strs.select(col(strCol).as("__s")).distinct()
+    ladder.init.iterator
+      .map(p => p ->
+        jaroCensusPlan(strs, strCol, lenSlack, p).collect()(0).getLong(0))
+      .find(_._2 <= maxPairs).map(_._1).getOrElse(ladder.last)
+  }
+
+  /** One ladder rung's census frame — the exact blocked pair count of
+    * a (prefix `p`, lengthBand) blocking as a ONE-ROW global aggregate
+    * (vocabulary-sized group-by → partial+final count-sum; nothing
+    * corpus-sized reaches the driver). Factored out of
+    * [[adaptiveJaroPrefix]] so PlanShapeSpec can pin the bound: a
+    * census change that silently grows the collect past one row, or
+    * adds a corpus-sized pre-pass, breaks the pin before it breaks a
+    * value.
+    */
+  private[graft] def jaroCensusPlan(strs: DataFrame, strCol: String,
+      lenSlack: Int, p: Int): DataFrame =
+    strs.select(col(strCol).as("__s")).distinct()
       .filter(length(col("__s")) > 0)
       .select(col("__s"),
         explode(sequence(length(col("__s")),
           length(col("__s")) + lit(lenSlack))).as("__band"))
-    val pairLoad = ladder.init.map { p =>
-      p -> banded
-        .groupBy(substring(col("__s"), 1, p).as("__c"), col("__band"))
-        .agg(count(lit(1)).as("n"))
-        .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("pairs"))
-        .collect()(0).getLong(0)
-    }
-    pairLoad.find(_._2 <= maxPairs).map(_._1).getOrElse(ladder.last)
-  }
+      .groupBy(substring(col("__s"), 1, p).as("__c"), col("__band"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("pairs"))
 
   /** Jaro–Winkler record linkage over a string-entity table — the
     * fuzzy-match member of the dedup family that edit distance

@@ -97,6 +97,14 @@ object Ratings {
     * oracle (q_als_item embeds it twice — materialization hoists the
     * alias into one scope and DuckDB rejects the duplicate).
     */
-  val OracleDedupCteMat: String =
-    OracleDedupCte.replace(", ratings AS (", ", ratings AS MATERIALIZED (")
+  val OracleDedupCteMat: String = {
+    val mat =
+      OracleDedupCte.replace(", ratings AS (", ", ratings AS MATERIALIZED (")
+    // the string replace is a formatting-sensitive coupling: if the
+    // anchor drifts, the replace becomes a no-op and the CF oracles
+    // silently regress to the 48 GB un-materialized OOM — fail loudly
+    require(mat != OracleDedupCte,
+      "OracleDedupCteMat: MATERIALIZED anchor not found in OracleDedupCte")
+    mat
+  }
 }

@@ -1205,9 +1205,73 @@ object SimilarityOps {
     * (cluster, NULLs, n, n_kept).
     */
   def semDedup(embeddings: DataFrame, dims: Int = 8, k: Int = 4,
-      iters: Int = 2, tau: Double = 0.4): DataFrame = {
-    val asg = ClusterOps.kmeans(embeddings, "vec_id", "embedding", dims, k, iters)
-      .select(col("vec_id"), col("cluster"))
+      iters: Int = 2, tau: Double = 0.4): DataFrame =
+    semDedupWith(embeddings,
+      ClusterOps.kmeans(embeddings, "vec_id", "embedding", dims, k, iters)
+        .select(col("vec_id"), col("cluster")), tau)
+
+  /** The SemDeDup ladder default: the candidate-pair budget and the k
+    * rungs the census walks. Shared with the q_semdedup oracle
+    * generator so engine and SQL replay the same choice.
+    */
+  val SemDedupLadder: Seq[Int] = Seq(4, 32, 256, 2048)
+  val SemDedupMaxPairs: Long = 50000000L
+
+  /** Census-chosen cluster count for [[semDedup]] — the chooseBanding /
+    * adaptiveJaroPrefix pattern applied a third time: the gate's
+    * quadratic term is the within-cluster pair count Σ_c C(n_c, 2),
+    * and a FIXED k makes it ~(n/k)² — quadratic in the corpus even
+    * though the operator's whole design is bucketed (SemDeDup grows k
+    * with the corpus: 11k clusters on 100M embeddings, Abbas et al.
+    * 2023 — the same S-curve parameter discipline as the LSH banding
+    * material the dedup family implements, reference `Assignment 2/
+    * Part_2.pdf` p.5-6). The census walks `ladder` ascending and picks
+    * the SMALLEST k whose ACTUAL fitted pair load (integer-exact DIV
+    * over the real cluster populations, not a balancedness assumption)
+    * fits `maxPairs`; the steepest rung is the fallback. Each rung's
+    * census is one [[ClusterOps.kmeansAssign]] fit (linear passes) plus
+    * a ONE-ROW pair-count collect — never corpus-sized driver state —
+    * and the walk early-stops at the first rung under budget, so small
+    * corpora pay exactly one fit. Exactly replayable in ANSI SQL
+    * (scalar-subquery census per rung, CASE ladder), so the oracle
+    * makes the same choice from the same data and the CHOICE itself is
+    * hash-gated.
+    */
+  def chooseSemDedupK(embeddings: DataFrame, dims: Int = 8, iters: Int = 2,
+      maxPairs: Long = SemDedupMaxPairs,
+      ladder: Seq[Int] = SemDedupLadder): Int = {
+    require(ladder.nonEmpty && ladder == ladder.sorted, "ladder must ascend")
+    ladder.init.iterator.map { k =>
+      val load = ClusterOps
+        .kmeansAssign(embeddings, "vec_id", "embedding", dims, k, iters)
+        .groupBy("cluster").agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("pairs"))
+        .collect()(0).getLong(0)
+      k -> load
+    }.find(_._2 <= maxPairs).map(_._1).getOrElse(ladder.last)
+  }
+
+  /** [[semDedup]] with [[chooseSemDedupK]]'s data-chosen cluster count
+    * and the k-scalable assignment encoding — the gate form with a
+    * scale path: the quadratic pair term is bounded by `maxPairs`
+    * whenever any ladder rung fits, and the cluster key the pairs
+    * shuffle on carries ≥ `chosen k`-way parallelism.
+    */
+  def semDedupAdaptive(embeddings: DataFrame, dims: Int = 8,
+      iters: Int = 2, tau: Double = 0.4,
+      maxPairs: Long = SemDedupMaxPairs,
+      ladder: Seq[Int] = SemDedupLadder): DataFrame = {
+    val k = chooseSemDedupK(embeddings, dims, iters, maxPairs, ladder)
+    semDedupWith(embeddings,
+      ClusterOps.kmeansAssign(embeddings, "vec_id", "embedding",
+        dims, k, iters), tau)
+  }
+
+  /** The SemDeDup tail (within-cluster cosine, drop rule, summary)
+    * over a supplied (vec_id, cluster) assignment.
+    */
+  private def semDedupWith(embeddings: DataFrame, asg: DataFrame,
+      tau: Double): DataFrame = {
     // pinned: both self-join sides + the cluster-size aggregate read it
     val vecs = graft.CacheScope.autoRelease(
       embeddings.select(col("vec_id"), col("embedding"))

@@ -51,6 +51,52 @@ class ClusterOpsSpec extends SparkSpec {
     assert(sizes.values.sum == emb.count())
   }
 
+  test("kmeansAssign: bit-identical assignments to kmeans at any k (encoding parity)") {
+    // same init, same decimal-mean updates, same distance dags, same
+    // lowest-index ties — arrAssign only changes the plan ENCODING
+    // (nested-array literal + array_position instead of the O(k²)
+    // when-cascade), so assignments must match exactly. Odd k probes a
+    // non-gate configuration.
+    val emb = Tables.embeddings(spark, sf0)
+    for (k <- Seq(4, 7)) {
+      val a = ClusterOps.kmeans(emb, "vec_id", "embedding",
+          dims = 8, k = k, iters = 2)
+        .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+      val b = ClusterOps.kmeansAssign(emb, "vec_id", "embedding",
+          dims = 8, k = k, iters = 2)
+        .as[(Long, Int)].collect().toMap
+      assert(a == b, s"k=$k: scalable encoding diverged from cascade")
+    }
+  }
+
+  test("kmeansAssign: array_position tie breaks to the lowest centroid index") {
+    // the midpoint corpus from the kmeans tie test — first-index-of-min
+    // must reproduce the when-cascade's tie rule (and the oracle's
+    // min(cl)-at-min-d)
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 0.0f)),
+      (2L, Array(-1.0f, 0.0f)), (3L, Array(11.0f, 0.0f)),
+      (4L, Array(5.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = ClusterOps.kmeansAssign(pts, "vec_id", "embedding",
+        dims = 2, k = 2, iters = 1)
+      .orderBy("vec_id").as[(Long, Int)].collect()
+    assert(got(4)._2 == 0)
+  }
+
+  test("kmeansAssign: n < k degrades to one cluster per point (ladder-fallback shape)") {
+    // a census fallback rung can exceed the corpus: init takes all n
+    // rows as centroids, every point is distance 0 to its own vector,
+    // and (dense ids) cluster == vec_id — the exact `vec_id < k`
+    // take-all the oracle replays
+    val pts = (0L to 4L).map(i =>
+      (i, Array(i.toFloat, (i * i).toFloat))).toDF("vec_id", "embedding")
+    val got = ClusterOps.kmeansAssign(pts, "vec_id", "embedding",
+        dims = 2, k = 2048, iters = 2)
+      .orderBy("vec_id").as[(Long, Int)].collect()
+    assert(got.forall { case (id, cl) => cl.toLong == id })
+  }
+
   test("gridDensityClusters: diagonal cells merge, far blob separate, sparse = noise") {
     // eps=1 grid. Blob A: 3 pts in cell (0,0) + 3 pts in DIAGONAL cell
     // (1,1) -> one cluster. Blob B: 3 pts in far cell (5,5). One lone

@@ -610,6 +610,73 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles <= 2, s"$shuffles shuffles\n${plan.take(2000)}")
   }
 
+  /** Executed node sequence (AQE-resolved) — the shape-identity probe
+    * shared by the adaptive-chooser pins: a data-chosen parameter must
+    * only pick a CONSTANT, never mutate the plan shape.
+    */
+  private def execShape(df: DataFrame): Seq[String] = {
+    df.queryExecution.toRdd.count()
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case _ => p.getClass.getSimpleName +: p.children.flatMap(walk)
+    }
+    walk(planOf(df))
+  }
+
+  test("q_jaro_winkler: census rungs are one-row aggregates; chosen-prefix join shape-identical to fixed-prefix") {
+    // (a) each adaptiveJaroPrefix rung collects exactly ONE row from a
+    // bounded aggregate chain (distinct → block group-by → global
+    // count-sum: ≤ 3 exchanges, vocabulary-sized throughout) — probed
+    // on a corpus larger than the gate's so a corpus-sized pre-pass
+    // can't hide behind small inputs
+    val big = spark.range(5000)
+      .select(concat(lit("w"), col("id")).as("s"))
+    val census = graft.operators.DedupOps.jaroCensusPlan(big, "s", 1, 2)
+    assert(census.count() === 1L)
+    assert(countShuffles(census) <= 3, planString(census).take(2000))
+    // (b) the driver corpus keeps rung 2 — oracle equality depends on it
+    val toks = Tables.documents(spark, sf0).select(explode(
+      expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("s"))
+    val strs = toks.unionByName(
+      Tables.part(spark, sf0).select(col("p_name").as("s")))
+    assert(graft.operators.DedupOps.adaptiveJaroPrefix(strs) === 2)
+    // (c) the census-chosen gate executes operator-for-operator the
+    // fixed-prefix plan — the two census pre-jobs run and finish
+    // BEFORE the linkage plan is built, so a census change that leaked
+    // a corpus-sized stage into the join pipeline breaks this pin
+    val auto = execShape(SparkEntry.queries("q_jaro_winkler")(spark, sf0))
+    val fixed = execShape(
+      graft.operators.DedupOps.jaroLinkage(strs, "s", 0.90, 1, prefixLen = 2)
+        .orderBy(desc("jw"), col("s1"), col("s2")))
+    assert(auto === fixed,
+      s"census path diverged from fixed-prefix shape:\nauto:  $auto\nfixed: $fixed")
+  }
+
+  test("q_semdedup: census rungs are one-row pair-count collects; chosen-k tail shape-identical to fixed-k") {
+    // (a) a census rung's only driver-bound row is the pair-count
+    // aggregate over a kmeansAssign fit — one row, and the fit's own
+    // driver state is the k × dims centroid matrix (lloyd collects)
+    val emb = Tables.embeddings(spark, sf0)
+    val asg = graft.operators.ClusterOps.kmeansAssign(
+      emb, "vec_id", "embedding", dims = 8, k = 4, iters = 2)
+    val censusRow = asg.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("pairs"))
+    assert(censusRow.count() === 1L)
+    // (b) the adaptive gate's tail executes the SAME node sequence as
+    // the fixed-k operator at the driver-chosen rung (k=4): the census
+    // only picks the constant k, the within-cluster pipeline is shared
+    val adaptive = execShape(SparkEntry.queries("q_semdedup")(spark, sf0))
+    val fixed = execShape(
+      graft.operators.SimilarityOps.semDedupAdaptive(emb, dims = 8,
+          iters = 2, tau = 0.4, maxPairs = Long.MaxValue,
+          ladder = Seq(4, 8))
+        .orderBy(col("cluster"), col("vec_id").asc_nulls_last,
+          col("dup_of").asc_nulls_last))
+    assert(adaptive === fixed,
+      s"adaptive tail diverged:\nadaptive: $adaptive\nfixed: $fixed")
+  }
+
   test("q_neardup_auto: chooser sample is plan-bounded; band join shape-identical to q_neardup_minhash") {
     // The gate's load-bearing property: chooseBanding decides (r, b)
     // from a BOUNDED 2048-doc sample (driver state ≤ sample × sigLen

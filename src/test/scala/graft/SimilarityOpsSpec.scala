@@ -377,6 +377,44 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(summary == Set((3L, 1L), (2L, 1L))) // {0,2,4} keep 0; {1,3} keep 1
   }
 
+  test("chooseSemDedupK: smallest rung under the pair budget; escalation; steepest fallback") {
+    // 64 points in 8 tight, far-apart blobs (centers 10·e_j over 8
+    // dims); ids interleave blobs so the first-k init seeds one
+    // centroid per blob at k=8. Fitted pair loads are then
+    // deterministic at the probed rungs: k=8 recovers the blobs
+    // exactly (load = 8·C(8,2) = 224); k=2's load is ≥ 2·C(32,2) = 992
+    // whatever the 2-centroid split looks like (convexity floor at the
+    // balanced split) and ≤ C(64,2) = 2016.
+    val pts = (0 until 64).map { i =>
+      val blob = i % 8
+      val v = Array.fill(8)(0.0f)
+      v(blob) = 10.0f
+      v((blob + 1) % 8) = (i / 8) * 0.01f // deterministic within-blob jitter
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    def choose(budget: Long) = SimilarityOps.chooseSemDedupK(pts,
+      dims = 8, iters = 2, maxPairs = budget, ladder = Seq(2, 8, 16))
+    assert(choose(2016L) === 2)  // any k=2 split fits → smallest rung
+    assert(choose(500L) === 8)   // 992+ > 500 skips rung 2; 224 fits
+    assert(choose(10L) === 16)   // nothing censused fits → steepest
+  }
+
+  test("semDedupAdaptive: driver-scale corpora keep k=4 with semDedup-identical output") {
+    // the census' smallest rung wins whenever the corpus' WORST-CASE
+    // pair count fits the budget (C(500,2) ≈ 1.2e5 ≪ 5e7), so the
+    // adaptive gate must reproduce the fixed-k=4 operator bit for bit
+    // — this is what keeps the driver-SF oracle answers unchanged
+    val emb = Tables.embeddings(spark, sf0)
+    assert(SimilarityOps.chooseSemDedupK(emb) === 4)
+    val cols = Seq("cluster", "vec_id", "dup_of", "sim", "n", "n_kept")
+      .map(col)
+    val fixed = SimilarityOps.semDedup(emb, dims = 8, k = 4,
+      iters = 2, tau = 0.4).select(cols: _*).collect().toSet
+    val adaptive = SimilarityOps.semDedupAdaptive(emb, dims = 8,
+      iters = 2, tau = 0.4).select(cols: _*).collect().toSet
+    assert(adaptive === fixed)
+  }
+
   test("powerIterationPC2: recovers both axes of an anisotropic cloud; components orthogonal") {
     // axis-aligned cloud (zero cross-covariance): spread along e1
     // (±8, ±4) ≫ e2 (±3, ±1.5), nothing on e3/e4 → pc1 = ±e1,

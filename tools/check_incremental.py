@@ -8,13 +8,16 @@ the out dir up front (copy one from a small-SF Verify run — the SQL text
 is SF-independent).
 
 Usage: tools/check_incremental.py <sfDir> <outDir> [timeoutSec] [workers]
-Stops when <outDir>/VERIFY_DONE exists and every completed query dir has
-been checked. Results append to <outDir>/incremental_results.txt.
+                                  [enginePid]
+Stops when <outDir>/VERIFY_DONE exists (or, when enginePid is given,
+that process is dead — a mid-loop driver OOM must fail the lane, not
+hang it) and every completed query dir has been checked. Results
+append to <outDir>/incremental_results.txt.
 """
 import json, os, subprocess, sys, time
 import concurrent.futures as cf
 
-def main(sf_dir, out_dir, timeout=900, workers=2):
+def main(sf_dir, out_dir, timeout=900, workers=2, engine_pid=None):
     res_path = os.path.join(out_dir, "incremental_results.txt")
     done = set()
     if os.path.exists(res_path):
@@ -24,7 +27,11 @@ def main(sf_dir, out_dir, timeout=900, workers=2):
     lock_print = __import__("threading").Lock()
 
     def one(name):
-        env = dict(os.environ, DUCKDB_MEMORY_LIMIT="12GB")
+        # worker budgets are HARD-scoped here (a caller's serial-phase
+        # DUCKDB_TEMP_LIMIT must not leak in: two workers inheriting a
+        # 60 GB spill cap raced the disk in the r10 regeneration)
+        env = dict(os.environ, DUCKDB_MEMORY_LIMIT="12GB",
+                   DUCKDB_TEMP_LIMIT="40GB")
         try:
             p = subprocess.run(
                 [sys.executable, os.path.join(os.path.dirname(__file__), "check.py"),
@@ -43,10 +50,20 @@ def main(sf_dir, out_dir, timeout=900, workers=2):
                     f.write("  | " + detail.replace("\n", "\n  | ") + "\n")
             print(line, flush=True)
 
+    def engine_alive():
+        if engine_pid is None:
+            return True
+        try:
+            os.kill(engine_pid, 0)
+            return True
+        except OSError:
+            return False
+
     with cf.ThreadPoolExecutor(max_workers=workers) as ex:
         pending = {}
         while True:
-            finished = os.path.exists(os.path.join(out_dir, "VERIFY_DONE"))
+            finished = (os.path.exists(os.path.join(out_dir, "VERIFY_DONE"))
+                        or not engine_alive())
             for name in sorted(os.listdir(out_dir)):
                 d = os.path.join(out_dir, name)
                 if (name not in done and name not in pending
@@ -57,6 +74,10 @@ def main(sf_dir, out_dir, timeout=900, workers=2):
                 if fut.done():
                     done.add(name); del pending[name]
             if finished and not pending:
+                if not os.path.exists(os.path.join(out_dir, "VERIFY_DONE")):
+                    print("WARN: engine process died without VERIFY_DONE -- "
+                          "unchecked queries will ledger as engine-side "
+                          "no-result", flush=True)
                 break
             time.sleep(20)
     n = {"PASS": 0, "FAIL": 0, "ORACLE_TIMEOUT": 0}
@@ -70,4 +91,5 @@ def main(sf_dir, out_dir, timeout=900, workers=2):
 if __name__ == "__main__":
     a = sys.argv
     main(a[1], a[2], int(a[3]) if len(a) > 3 else 900,
-         int(a[4]) if len(a) > 4 else 2)
+         int(a[4]) if len(a) > 4 else 2,
+         int(a[5]) if len(a) > 5 else None)

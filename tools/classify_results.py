@@ -121,7 +121,7 @@ def main(argv):
         if no_result:
             print(f"| engine-side no-result (see verify.log) | "
                   f"{len(no_result)} | {' '.join(no_result)} |")
-        print(f"| **total with a record** | **{total}** | |")
+        print(f"| **total attempted** | **{total}** | |")
         if transitions:
             print("\n**Retry transitions** (first-pass → final):\n")
             for n, t in sorted(transitions):

@@ -22,7 +22,10 @@ for lane in uniform:/root/testdata/sf0.01 zipf:fixtures/zipf_sf0.01; do
   rm -rf "$out"
   echo "=== lane: $name ($sf) ==="
   tools/audit_lane.sh "$sf" "$out" "${ORACLE_TIMEOUT:-900}" || true
+  # audit_lane writes manifest.json on AUDIT_ONLY subset runs — gate
+  # against the attempted set, not the full registry
+  m="$out/manifest.json"; [ -f "$m" ] || m="$out/oracle_sql.json"
   python3 tools/classify_results.py "$out/incremental_results.txt" \
-    --gate "$out/oracle_sql.json" || ok=1
+    --gate "$m" || ok=1
 done
 exit $ok
