@@ -113,11 +113,16 @@ object Bench {
     val results = stats.map { case (n, s) => n -> (if (s.ok) s.median else -1.0) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // mirror the wall convention: a crashed query's cpu lane is -1.0,
+    // never its real partial CPU (which would read as a speedup in
+    // cross-round comparisons); getProcessCpuTime's documented -1
+    // "unsupported" return would also surface as a negative delta here
+    def cpuOf(s: Stat): Double = if (s.ok && s.cpuMedian >= 0) s.cpuMedian else -1.0
     val spread = stats.map { case (k, s) =>
       s"\"" + k + "\":{\"min\":" + fmt(s.min) + ",\"max\":" + fmt(s.max) +
-        ",\"stddev\":" + fmt(s.stddev) + ",\"cpu_sec\":" + fmt(s.cpuMedian) + "}"
+        ",\"stddev\":" + fmt(s.stddev) + ",\"cpu_sec\":" + fmt(cpuOf(s)) + "}"
     }.mkString("{", ",", "}")
-    val cpuQs = stats.map { case (k, s) => s"\"" + k + "\":" + fmt(s.cpuMedian) }
+    val cpuQs = stats.map { case (k, s) => s"\"" + k + "\":" + fmt(cpuOf(s)) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     // any failure invalidates the headline number — a crashed query

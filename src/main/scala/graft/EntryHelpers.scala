@@ -267,6 +267,13 @@ private[graft] object EntryHelpers {
     */
   private[graft] def semDedupLadderCtes(dims: Int, iters: Int,
       maxPairs: Long, ladder: Seq[Int]): String = {
+    // a single-rung ladder would render `CASE  ELSE k END` (no WHEN
+    // branch) and a dangling comma in the WITH list — fail loudly at
+    // generation time instead of as a DuckDB syntax error at oracle
+    // time (the engine-side chooseSemDedupK handles that ladder fine,
+    // so without this guard the two sides would diverge on the edge)
+    require(ladder.size >= 2,
+      s"semDedupLadderCtes needs >= 2 rungs, got $ladder")
     val xCols = (0 until dims)
       .map(d => s"CAST(embedding[${d + 1}] AS DOUBLE) AS x$d").mkString(", ")
     val dist = (0 until dims)

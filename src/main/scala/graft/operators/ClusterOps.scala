@@ -329,19 +329,23 @@ object ClusterOps {
             + col("cqq")).as("d2"))
     val c0 = pts.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("c_id"), col("q").as("cq"), col("qq").as("cqq"))
-    var md = d2To(c0).localCheckpoint()
+    // lazy checkpoints throughout (the labelPropagation idiom): the
+    // min-distance recurrence still truncates its lineage per round,
+    // but the k greedy rounds run inside the caller's single action
+    // instead of 2 blocking jobs per round
+    var md = d2To(c0).localCheckpoint(false)
     var out = c0.select(lit(0).as("sel_rank"), col("c_id").as("vec_id"),
       lit(0.0).as("d2"))
     for (r <- 1 until k) {
       val next = md.orderBy(col("d2").desc, col("vec_id").asc).limit(1)
-        .localCheckpoint()
+        .localCheckpoint(false)
       val c = next.join(pts, "vec_id")
         .select(col("vec_id").as("c_id"), col("q").as("cq"), col("qq").as("cqq"))
       out = out.unionByName(
         next.select(lit(r).as("sel_rank"), col("vec_id"), col("d2")))
       md = md.join(d2To(c).withColumnRenamed("d2", "nd"), "vec_id")
         .select(col("vec_id"), least(col("d2"), col("nd")).as("d2"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     val cov = md.agg(max("d2").as("d2"))
       .select(lit(k).as("sel_rank"), lit(null).cast("long").as("vec_id"),

@@ -1335,11 +1335,15 @@ object EvalOps {
       // item-sized; localCheckpoint truncates the recurrence lineage —
       // praw is referenced twice (normalizer + update) and p twice
       // (both sides of the pair join), so an unpinned plan doubles
-      // per round (the nearDupClusters/bpeMerges lesson)
+      // per round (the nearDupClusters/bpeMerges lesson). LAZY form
+      // (the labelPropagation/kCore idiom): an eager checkpoint here
+      // is one blocking driver job per MM round; lazy truncates the
+      // lineage identically but lets all rounds run inside the
+      // caller's single action.
       val praw = tot.join(broadcast(den), Seq("i"))
         .select(col("i"), round(col("wins").cast("double")
           / col("den").cast("double"), 9).as("praw"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = praw.agg(sum(col("praw").cast(dec)).as("s"))
       p = praw.crossJoin(broadcast(s))
         .select(col("i"),

@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   * Scale notes: each round is one shuffle join (edges x ranks, keyed
   * by src) plus one partial-aggregated exchange keyed by dst — the
   * standard distributed PageRank plan; nothing corpus-sized touches
-  * the driver. Per-round DataFrames are persisted and released
-  * exactly like [[DedupOps.nearDupClusters]] so round k+1 reads round
-  * k's cache, not the whole re-derived lineage. The BIGINT scaling is
+  * the driver. Rounds chain LAZILY (each rank table is referenced
+  * exactly once by the next round, so the unrolled plan is linear and
+  * the whole walk runs inside the caller's single action — no
+  * per-round blocking jobs). The BIGINT scaling is
   * an oracle-exactness device: (20d)^k overflows int64 past ~10
   * rounds x trillion-node graphs, where a production run would switch
   * the rank column to DOUBLE and accept last-ulp nondeterminism.
@@ -57,28 +58,38 @@ object GraphOps {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
     try {
-      var ranks = nodes.select(col("node"), lit(1L).as("r")).persist()
+      // LAZY round chain, no per-round action (the bfsHops lesson,
+      // measured there at ~10%): each round's rank table is referenced
+      // EXACTLY once — by the next round's join — so the unrolled plan
+      // is linear (no 2^k funnel) and needs neither persist nor a
+      // blocking count(). The whole walk runs inside the caller's ONE
+      // action instead of `iters` serialized driver round-trips; only
+      // the pinned edge list is cached (filled by round 1's stage,
+      // read by rounds 2..iters).
+      var ranks = nodes.select(col("node"), lit(1L).as("r"))
       var k = 0
       while (k < iters) {
         val base = 3L * outDeg * pow60(scalePerIter, k)
         val contrib = e.join(ranks, e("src") === ranks("node"))
           .groupBy(e("dst").as("node"))
           .agg(sum(col("r")).as("in_r"))
-        val next = nodes.select(col("node"))
+        ranks = nodes.select(col("node"))
           .join(contrib, Seq("node"), "left")
           .select(col("node"),
             (lit(base) + lit(17L) * coalesce(col("in_r"), lit(0L))).as("r"))
-          .persist()
-        next.count() // materialize so the old round can be released
-        ranks.unpersist(blocking = false)
-        ranks = next
         k += 1
       }
       val denom = nNodes.toDouble * pow60(scalePerIter, iters).toDouble
-      graft.CacheScope.autoRelease(ranks)
+      val out = ranks
         .select(col("node"), col("r").as("rank_scaled"),
           round(col("r").cast("double") / denom, 9).as("rank"))
-    } finally e.unpersist(blocking = false)
+      // the edge cache must outlive this function (nothing has run yet
+      // when it returns) — release on the first consuming action
+      graft.CacheScope.onConsumed(out)(e.unpersist(blocking = false))
+      out
+    } catch {
+      case t: Throwable => e.unpersist(blocking = false); throw t
+    }
   }
 
   /** Personalized PageRank (Jeh–Widom 2003): random walk with restart
@@ -111,31 +122,32 @@ object GraphOps {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
     try {
+      // lazy round chain — see [[pageRank]]: each round referenced once,
+      // so no per-round persist/count; one caller action runs the walk
       var ranks = nodes
         .select(col("node"), when(col("seed"), 1L).otherwise(0L).as("r"))
-        .persist()
       var k = 0
       while (k < iters) {
         val base = 3L * outDeg * pow60(scalePerIter, k)
         val contrib = e.join(ranks, e("src") === ranks("node"))
           .groupBy(e("dst").as("node"))
           .agg(sum(col("r")).as("in_r"))
-        val next = nodes.select(col("node"), col("seed"))
+        ranks = nodes.select(col("node"), col("seed"))
           .join(contrib, Seq("node"), "left")
           .select(col("node"),
             (when(col("seed"), lit(base)).otherwise(lit(0L))
               + lit(17L) * coalesce(col("in_r"), lit(0L))).as("r"))
-          .persist()
-        next.count() // materialize so the old round can be released
-        ranks.unpersist(blocking = false)
-        ranks = next
         k += 1
       }
       val denom = nSeeds.toDouble * pow60(scalePerIter, iters).toDouble
-      graft.CacheScope.autoRelease(ranks)
+      val out = ranks
         .select(col("node"), col("r").as("rank_scaled"),
           round(col("r").cast("double") / denom, 9).as("rank"))
-    } finally e.unpersist(blocking = false)
+      graft.CacheScope.onConsumed(out)(e.unpersist(blocking = false))
+      out
+    } catch {
+      case t: Throwable => e.unpersist(blocking = false); throw t
+    }
   }
 
   /** Deterministic synthetic link graph over dense ids 0..n-1: node i
@@ -191,36 +203,46 @@ object GraphOps {
     val eDst = edges.select(col("src"), col("dst"))
       .repartition(col("dst")).persist()
     try {
-      var hubs = nodes.select(col("node"), lit(1L).as("h")).persist()
+      // LAZY round chain (the pageRank/bfsHops lesson): every mid-round
+      // score table is referenced exactly once by the next leg, so the
+      // unrolled plan is linear and runs inside the caller's ONE action
+      // — no per-round persist/count (2 blocking jobs per round before).
+      // The one genuinely shared frame is the LAST round's authority
+      // table (feeds the final hub gather AND the output join); it
+      // alone keeps a lazy persist mark.
+      var hubs = nodes.select(col("node"), lit(1L).as("h"))
       var auths: DataFrame = null
       var k = 0
       while (k < rounds) {
-        val a = nodes.select(col("node"))
+        val a0 = nodes.select(col("node"))
           .join(eSrc.join(hubs, eSrc("src") === hubs("node"))
             .groupBy(eSrc("dst").as("node")).agg(sum(col("h")).as("s")),
             Seq("node"), "left")
           .select(col("node"), coalesce(col("s"), lit(0L)).as("a"))
-          .persist()
-        a.count()
+        val a = if (k == rounds - 1) a0.persist() else a0
         val h = nodes.select(col("node"))
           .join(eDst.join(a, eDst("dst") === a("node"))
             .groupBy(eDst("src").as("node")).agg(sum(col("a")).as("s")),
             Seq("node"), "left")
           .select(col("node"), coalesce(col("s"), lit(0L)).as("h"))
-          .persist()
-        h.count()
-        hubs.unpersist(blocking = false)
-        if (auths != null) auths.unpersist(blocking = false)
         hubs = h
         auths = a
         k += 1
       }
-      graft.CacheScope.autoRelease(hubs)
-        .join(graft.CacheScope.autoRelease(auths), "node")
+      val lastA = auths
+      val out = hubs.join(auths, "node")
         .select(col("node"), col("h").as("hub"), col("a").as("auth"))
-    } finally {
-      eSrc.unpersist(blocking = false)
-      eDst.unpersist(blocking = false)
+      graft.CacheScope.onConsumed(out) {
+        lastA.unpersist(blocking = false)
+        eSrc.unpersist(blocking = false)
+        eDst.unpersist(blocking = false)
+      }
+      out
+    } catch {
+      case t: Throwable =>
+        eSrc.unpersist(blocking = false)
+        eDst.unpersist(blocking = false)
+        throw t
     }
   }
 

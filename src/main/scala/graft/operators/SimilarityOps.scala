@@ -1153,7 +1153,11 @@ object SimilarityOps {
       .select(col("q_id"), col("nn_id"), (lit(lambda) * col("rel")).as("score"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("q_id"), col("nn_id"), lit(1).as("mmr_rank"), col("score"))
-      .localCheckpoint()
+      // lazy checkpoint (the labelPropagation idiom): truncates the
+      // per-round recurrence lineage without one blocking job per
+      // greedy round — all `select` rounds run inside the caller's
+      // single action
+      .localCheckpoint(false)
     for (r <- 2 to select) {
       val rem = cand.join(sel.select(col("q_id"), col("nn_id")),
         Seq("q_id", "nn_id"), "left_anti")
@@ -1169,7 +1173,7 @@ object SimilarityOps {
         scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
           .select(col("q_id"), col("nn_id"), lit(r).as("mmr_rank"),
             col("score")))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     sel.select(col("q_id"), col("mmr_rank"), col("nn_id"), col("score"))
   }
@@ -1239,16 +1243,36 @@ object SimilarityOps {
     */
   def chooseSemDedupK(embeddings: DataFrame, dims: Int = 8, iters: Int = 2,
       maxPairs: Long = SemDedupMaxPairs,
-      ladder: Seq[Int] = SemDedupLadder): Int = {
+      ladder: Seq[Int] = SemDedupLadder): Int =
+    chooseSemDedupKAssigned(embeddings, dims, iters, maxPairs, ladder)._1
+
+  /** [[chooseSemDedupK]] returning (k, assignment frame) so the caller
+    * can REUSE the chosen rung's fit instead of refitting it: the
+    * centroids are literals baked into the returned frame's plan, so
+    * reuse skips the whole Lloyd fit (init + `iters` corpus-pass
+    * collects) the census already paid for that rung. Only the ladder
+    * fallback (no rung under budget) fits once more — the census never
+    * fitted the last rung. Bit-identical output either way
+    * ([[ClusterOps.kmeansAssign]] is deterministic).
+    */
+  private[graft] def chooseSemDedupKAssigned(embeddings: DataFrame,
+      dims: Int = 8, iters: Int = 2,
+      maxPairs: Long = SemDedupMaxPairs,
+      ladder: Seq[Int] = SemDedupLadder): (Int, DataFrame) = {
     require(ladder.nonEmpty && ladder == ladder.sorted, "ladder must ascend")
     ladder.init.iterator.map { k =>
-      val load = ClusterOps
+      val asg = ClusterOps
         .kmeansAssign(embeddings, "vec_id", "embedding", dims, k, iters)
+      val load = asg
         .groupBy("cluster").agg(count(lit(1)).as("n"))
         .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("pairs"))
         .collect()(0).getLong(0)
-      k -> load
-    }.find(_._2 <= maxPairs).map(_._1).getOrElse(ladder.last)
+      (k, asg, load)
+    }.find(_._3 <= maxPairs).map(t => (t._1, t._2)).getOrElse {
+      val k = ladder.last
+      (k, ClusterOps.kmeansAssign(embeddings, "vec_id", "embedding",
+        dims, k, iters))
+    }
   }
 
   /** [[semDedup]] with [[chooseSemDedupK]]'s data-chosen cluster count
@@ -1261,10 +1285,9 @@ object SimilarityOps {
       iters: Int = 2, tau: Double = 0.4,
       maxPairs: Long = SemDedupMaxPairs,
       ladder: Seq[Int] = SemDedupLadder): DataFrame = {
-    val k = chooseSemDedupK(embeddings, dims, iters, maxPairs, ladder)
-    semDedupWith(embeddings,
-      ClusterOps.kmeansAssign(embeddings, "vec_id", "embedding",
-        dims, k, iters), tau)
+    val (_, asg) =
+      chooseSemDedupKAssigned(embeddings, dims, iters, maxPairs, ladder)
+    semDedupWith(embeddings, asg, tau)
   }
 
   /** The SemDeDup tail (within-cluster cosine, drop rule, summary)

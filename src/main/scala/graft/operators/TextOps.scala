@@ -884,13 +884,18 @@ object TextOps {
         .select(col("doc_id"), col("label"), DedupOps.words(col(textCol)).as("__ws")))
     val trainTok = ws.filter(col("doc_id") % evalMod =!= 0)
       .select(col("label"), explode(col("__ws")).as("w"))
-    val cwc = trainTok.groupBy("label", "w").agg(count(lit(1)).as("__cwc"))
-    val cls = trainTok.groupBy("label").agg(count(lit(1)).as("__nc"))
+    // ONE corpus-sized explode+aggregate over the train stream; the
+    // other model tables derive from its vocabulary-sized output
+    // (n_c = Σ_w c_wc and V = |distinct w| by definition) instead of
+    // re-exploding the corpus once per table — 3 explode passes → 1
+    val cwc = graft.CacheScope.autoRelease(
+      trainTok.groupBy("label", "w").agg(count(lit(1)).as("__cwc")))
+    val cls = cwc.groupBy("label").agg(sum(col("__cwc")).as("__nc"))
     val nd = ws.filter(col("doc_id") % evalMod =!= 0)
       .groupBy("label").agg(count(lit(1)).as("__ndc"))
-    val nTrainDocs = ws.filter(col("doc_id") % evalMod =!= 0)
-      .agg(count(lit(1)).as("__n"))
-    val vocab = trainTok.agg(count_distinct(col("w")).as("__v"))
+    // N = Σ_c nd_c (every train doc carries exactly one label row)
+    val nTrainDocs = nd.agg(sum(col("__ndc")).as("__n"))
+    val vocab = cwc.agg(count_distinct(col("w")).as("__v"))
     // class table: label, n_c, prior (9-dp rounded ln of an exact ratio)
     val classes = cls.join(nd, "label").crossJoin(nTrainDocs)
       .select(col("label").as("c"), col("__nc"),

@@ -615,7 +615,12 @@ class PlanShapeSpec extends SparkSpec {
     * only pick a CONSTANT, never mutate the plan shape.
     */
   private def execShape(df: DataFrame): Seq[String] = {
-    df.queryExecution.toRdd.count()
+    // fullEval, not raw toRdd.count(): the raw action never fires
+    // autoRelease listeners (CacheScope contract), so each pin run
+    // would leak its persisted blocks + listeners into the rest of
+    // the suite (NOTES.md documents cache-block pressure flipping
+    // AQE broadcast sides in shape pins)
+    graft.CacheScope.fullEval(df)
     def walk(p: SparkPlan): Seq[String] = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
@@ -702,7 +707,11 @@ class PlanShapeSpec extends SparkSpec {
     // (c) the executed band-join pipeline is operator-for-operator the
     // shape q_neardup_minhash runs: same node sequence, same exchanges
     def shape(df: DataFrame): Seq[String] = {
-      df.queryExecution.toRdd.count()
+      // fullEval, not raw toRdd.count(): the raw action never fires
+      // autoRelease listeners (CacheScope contract), so each pin run
+      // would leak its persisted blocks + listeners into the rest of
+      // the suite
+      graft.CacheScope.fullEval(df)
       def walk(p: SparkPlan): Seq[String] = p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
