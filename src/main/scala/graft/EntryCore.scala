@@ -99,10 +99,9 @@ private[graft] object EntryCore {
         .as[(Long, String, Long, Long, String, Double)]
       val out = graft.streaming.StreamingOps.streamingUniformSample(src, 1000)
       val qn = s"graft_stream_sample_${StreamSeq.incrementAndGet()}"
-      val q = out.toDF().writeStream.format("memory").queryName(qn)
+      runStream(s)(out.toDF().writeStream.format("memory").queryName(qn)
         .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
       // latest snapshot per shard via a window (a groupBy+self-join on
       // a memory-sink view hits conflicting attribute ids); the table
       // is shards·k·batches rows — sink-side work constant in stream
@@ -155,10 +154,9 @@ private[graft] object EntryCore {
         .as[(Long, Long, Long, String, Double)]
       val out = graft.streaming.StreamingOps.upsertLatestByKey(src)
       val qn = s"graft_stream_upsert_${StreamSeq.incrementAndGet()}"
-      val q = out.toDF().writeStream.format("memory").queryName(qn)
+      runStream(s)(out.toDF().writeStream.format("memory").queryName(qn)
         .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
       val w = Window.partitionBy("user_id")
         .orderBy(col("last_ts_us").desc, col("last_event_id").desc)
       s.table(qn).withColumn("__rn", row_number().over(w))

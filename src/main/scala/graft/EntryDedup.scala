@@ -80,8 +80,21 @@ private[graft] object EntryDedup {
       val docs = Tables.documents(s, dir)
       val isNew = pmod(col("doc_id"), lit(7L)) === 0
       val old = docs.filter(!isNew)
-      val oldClusters = DedupOps.nearDupClusters(DedupOps.verifiedNearDups(old))
-      val incr = DedupOps.incrementalNearDups(old, docs.filter(isNew))
+      // ONE corpus tokenize→shingle→minhash pass shared by BOTH pair
+      // passes (the old-corpus self-pairs and the incremental batch
+      // pairs each recomputed it from scratch — guide §6, fewer corpus
+      // scans). Manually persisted: autoRelease would fire on the
+      // old-pairs CC loop's FIRST label-sum action and strip the cache
+      // before the incremental pass reads it; instead it releases when
+      // the incremental pairs' first consuming action (the supernode CC
+      // loop) lands.
+      val base = DedupOps.minhashSignatures(
+        DedupOps.hashedShingled(docs, 3), 128, "hs").persist()
+      val oldClusters = DedupOps.nearDupClusters(
+        DedupOps.verifiedNearDups(old, sigBase = Some(base.filter(!isNew))))
+      val incr = DedupOps.incrementalNearDups(old, docs.filter(isNew),
+        sigBase = Some(base))
+      graft.CacheScope.onConsumed(incr)(base.unpersist(blocking = false))
       DedupOps.incrementalClusters(oldClusters, incr.select("da", "db"))
         .orderBy("doc_id")
     }),

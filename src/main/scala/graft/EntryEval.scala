@@ -420,10 +420,9 @@ private[graft] object EntryEval {
         Tables.eventsStream(s, dir), "ts", "value",
         "1 day", "2 days", binWidth = 50.0, maxBin = 9)
       val qn = s"graft_stream_psi_${StreamSeq.incrementAndGet()}"
-      val q = binned.writeStream.format("memory").queryName(qn)
+      runStream(s)(binned.writeStream.format("memory").queryName(qn)
         .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
       val cur = s.table(qn)
         .select(unix_micros(col("w_start")).as("grp"), col("bin"), col("cnt"))
       val ref = Tables.events(s, dir)

@@ -226,10 +226,9 @@ private[graft] object EntryFormats {
       val sessions = TemporalOps.sessionize(
         stream.withWatermark("ts", "24 hours"), Seq("user_id"), "ts", "30 minutes")
       val qn = s"graft_stream_sessionize_${StreamSeq.incrementAndGet()}"
-      val q = sessions.writeStream.format("memory").queryName(qn)
+      runStream(s)(sessions.writeStream.format("memory").queryName(qn)
         .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
       s.table(qn)
         .select(col("user_id"), unix_micros(col("s_start")).as("start_us"),
           unix_micros(col("s_end")).as("end_us"), col("n_events"))
@@ -394,10 +393,9 @@ private[graft] object EntryFormats {
           decMean(col("value")).as("mean_value"),
           round(stddev_pop(col("value")), 4).as("std_value"))
       val qn = s"graft_stream_welford_${StreamSeq.incrementAndGet()}"
-      val q = sampled.writeStream.format("memory").queryName(qn)
+      runStream(s)(sampled.writeStream.format("memory").queryName(qn)
         .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
       s.table(qn).orderBy("event_type")
     }),
     // The CUSTOM-STATE streaming path: welfordByKey's explicit
@@ -412,10 +410,9 @@ private[graft] object EntryFormats {
         .select(col("event_type"), col("value")).as[(String, Double)]
       val stats = graft.streaming.StreamingOps.welfordByKey(stream)
       val qn = s"graft_stream_welford_state_${StreamSeq.incrementAndGet()}"
-      val q = stats.toDF().writeStream.format("memory").queryName(qn)
+      runStream(s)(stats.toDF().writeStream.format("memory").queryName(qn)
         .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
       s.table(qn).groupBy(col("key").as("event_type"))
         .agg(max(col("n")).as("n"),
           max_by(round(col("mean"), 4), col("n")).as("mean_value"),
@@ -430,10 +427,9 @@ private[graft] object EntryFormats {
       val agg = graft.streaming.StreamingOps.windowedStats(stream, "ts", "value",
         "1 hour", "2 hours")
       val qn = s"graft_stream_window_${StreamSeq.incrementAndGet()}"
-      val q = agg.writeStream.format("memory").queryName(qn)
+      runStream(s)(agg.writeStream.format("memory").queryName(qn)
         .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
       s.table(qn)
         .select(unix_micros(col("w_start")).as("start_us"), col("n"),
           col("mean_value"))
@@ -517,10 +513,13 @@ private[graft] object EntryFormats {
           col("value").as("v_value"))
       val joined = graft.streaming.StreamingOps.intervalJoinLeftOuter(
         purchases, views, Seq("user_id"), "p_ts", "v_ts", "24 hours", "1 second")
-      val evB = Tables.events(s, dir)
-      def maxUs(t: String): Long = evB.filter(col("event_type") === t)
-        .agg(max(unix_micros(col("ts")))).head().getLong(0)
-      val horizonUs = math.min(maxUs("purchase"), maxUs("view")) -
+      // one batch scan for BOTH per-type max timestamps (was two
+      // separate driver jobs = two corpus scans)
+      val mx = Tables.events(s, dir).agg(
+        max(when(col("event_type") === "purchase", unix_micros(col("ts")))),
+        max(when(col("event_type") === "view", unix_micros(col("ts")))))
+        .head()
+      val horizonUs = math.min(mx.getLong(0), mx.getLong(1)) -
         24L * 3600 * 1000000
       fileSinkRun(joined, "sijo")
         .filter(unix_micros(col("p_ts")) <= horizonUs)

@@ -50,6 +50,47 @@ private[graft] object EntryHelpers {
     */
   private[graft] val StreamSeq = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Shuffle/state partition count for STREAMING queries — sized from
+    * expected STATE volume, not core count (guide §2.1/§2.2). Every
+    * stateful micro-batch pays a fixed per-shuffle-partition cost: one
+    * state-store provider load + delta commit PER STORE PER PARTITION
+    * PER BATCH (a stream-stream join keeps four stores per partition),
+    * regardless of how many rows the partition holds. With
+    * `spark.sql.shuffle.partitions = $SPARK_GRAFT_CPUS` the two
+    * interval-join lanes were the bench's two most expensive entries
+    * AND anti-scaled (r12 scaling block: 8 cores ran them 3× FASTER
+    * than 32 — the partition count, not the data, was the workload).
+    * State partitioning is a DECLARED layout choice, pinned at the
+    * first run by the checkpoint, so it must come from state-volume
+    * arithmetic: partitions ≈ ceil(peak state bytes / 256 MB). Local
+    * default 8: every gate corpus' peak state (both interval-join
+    * buffers within watermark+lookback) is ≪ one 256 MB partition, and
+    * 8 keeps the store/commit path genuinely parallel; production sets
+    * SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS from the same arithmetic
+    * (e.g. ~400 partitions for a 100 GB-state join). Results are
+    * partition-count-invariant (all stream ops here are keyed
+    * aggregates/joins); the oracle gate re-proves it.
+    */
+  private[graft] val StreamShufflePartitions: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS").map(_.toInt)
+      .getOrElse(8)
+
+  /** Start-and-await a streaming query with the session's shuffle
+    * partitions pinned to [[StreamShufflePartitions]] for the duration
+    * of the start call (Structured Streaming clones the session conf at
+    * `start()`, so the override binds the STREAM's state layout and
+    * nothing else; the batch value is restored immediately after the
+    * run). All 16 q_stream_* lanes funnel through here.
+    */
+  private[graft] def runStream(spark: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, StreamShufflePartitions.toString)
+    try { val q = start; q.awaitTermination() }
+    finally spark.conf.set(key, old)
+  }
+
   /** Run an append-mode stream through a PARQUET file sink and read the
     * result back — the production sink shape for DATA-SIZED streaming
     * output. The memory sink collects every result row onto the driver:
@@ -66,12 +107,11 @@ private[graft] object EntryHelpers {
     val dir = java.nio.file.Files
       .createTempDirectory(s"graft_${tag}_${StreamSeq.incrementAndGet()}_")
       .toString
-    val q = df.writeStream.format("parquet")
+    runStream(spark)(df.writeStream.format("parquet")
       .option("path", s"$dir/out")
       .option("checkpointLocation", s"$dir/chk")
       .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
     spark.read.schema(df.schema).parquet(s"$dir/out")
   }
 

@@ -215,21 +215,31 @@ object DedupOps {
 
   def verifiedNearDups(docs: DataFrame, nGram: Int = 3, sigLen: Int = 128,
       r: Int = 4, bands: Int = 32, minJac: Double = 0.8,
-      textCol: String = "text", rowPrefixMod: Option[Long] = None): DataFrame = {
+      textCol: String = "text", rowPrefixMod: Option[Long] = None,
+      sigBase: Option[DataFrame] = None): DataFrame = {
     // The shingle+signature base feeds three plan branches (banding,
     // left verify, right verify); persist so the CPU-heavy tokenize →
     // shingle → hash → minhash work runs once. MEMORY_AND_DISK: at
     // cluster scale the base (~1 KB/doc) spills rather than OOMs.
-    val hashed = hashedShingled(docs, nGram, textCol)
-    val withSig = rowPrefixMod match {
-      case None => minhashSignatures(hashed, sigLen, "hs")
-      case Some(m) =>
-        minhashSignatures(
-          hashed.withColumn("hs_sig", filter(col("hs"), h => pmod(h, lit(m)) === 0))
-            .filter(size(col("hs_sig")) > 0),
-          sigLen, "hs_sig").drop("hs_sig")
+    // `sigBase` lets a caller that ALREADY holds this (doc_id, hs, sig)
+    // frame (computed with the same nGram/sigLen/textCol and
+    // rowPrefixMod = None) share one corpus tokenize→minhash pass across
+    // several pair passes (q_incr_clusters: old-corpus pairs + the
+    // incremental batch pairs — guide §6, fewer corpus scans). The
+    // caller owns its caching/release; this function caches only the
+    // base it computes itself.
+    val base = sigBase.getOrElse {
+      val hashed = hashedShingled(docs, nGram, textCol)
+      val withSig = rowPrefixMod match {
+        case None => minhashSignatures(hashed, sigLen, "hs")
+        case Some(m) =>
+          minhashSignatures(
+            hashed.withColumn("hs_sig", filter(col("hs"), h => pmod(h, lit(m)) === 0))
+              .filter(size(col("hs_sig")) > 0),
+            sigLen, "hs_sig").drop("hs_sig")
+      }
+      graft.CacheScope.autoRelease(withSig)
     }
-    val base = graft.CacheScope.autoRelease(withSig)
     val cand = lshCandidates(base.select("doc_id", "sig"), r, bands)
     val sa = base.select(col("doc_id").as("da"), col("hs").as("sha"))
     val sb = base.select(col("doc_id").as("db"), col("hs").as("shb"))
@@ -264,11 +274,17 @@ object DedupOps {
     */
   def incrementalNearDups(oldDocs: DataFrame, newDocs: DataFrame,
       nGram: Int = 3, sigLen: Int = 128, r: Int = 4, bands: Int = 32,
-      minJac: Double = 0.8, textCol: String = "text"): DataFrame = {
-    val all = oldDocs.select(col("doc_id"), col(textCol))
-      .unionByName(newDocs.select(col("doc_id"), col(textCol)))
-    val base = graft.CacheScope.autoRelease(
-      minhashSignatures(hashedShingled(all, nGram, textCol), sigLen, "hs"))
+      minJac: Double = 0.8, textCol: String = "text",
+      sigBase: Option[DataFrame] = None): DataFrame = {
+    // `sigBase`: caller-provided (doc_id, hs, sig) frame covering
+    // old ∪ new — shares the corpus minhash pass with a sibling pair
+    // pass (see [[verifiedNearDups]]); caller owns caching/release.
+    val base = sigBase.getOrElse {
+      val all = oldDocs.select(col("doc_id"), col(textCol))
+        .unionByName(newDocs.select(col("doc_id"), col(textCol)))
+      graft.CacheScope.autoRelease(
+        minhashSignatures(hashedShingled(all, nGram, textCol), sigLen, "hs"))
+    }
     val allBands = lshBands(base.select("doc_id", "sig"), r, bands)
     val newBands = allBands
       .join(broadcast(newDocs.select(col("doc_id"))), Seq("doc_id"))

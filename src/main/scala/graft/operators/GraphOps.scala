@@ -35,6 +35,19 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Lazy-lineage escape hatch for the Pregel loops (pageRank / ppr /
+    * hits): a lazy `localCheckpoint(false)` truncates the unrolled round
+    * chain every this-many rounds, so ARBITRARY `iters` can't grow
+    * analyzer cost and recovery-recompute scope linearly with the whole
+    * walk. 8 is chosen ABOVE every declared gate depth (iters ≤ 5,
+    * hits rounds = 2), so the gated plans stay pure-lazy and
+    * byte-identical; a 20-round walk pays two cheap truncations instead
+    * of a 20-round analyzed plan (GraphOpsSpec pins the deep-walk path).
+    * Results are unaffected — the checkpoint is a plan barrier, not a
+    * computation change.
+    */
+  private val CheckpointEvery = 8
+
   /** PageRank with damping 0.85 over `edges` (`src`, `dst` BIGINT;
     * parallel edges allowed and counted with multiplicity). Every node
     * in `nodes` (column `node`) MUST have out-degree exactly `outDeg`
@@ -78,6 +91,10 @@ object GraphOps {
           .select(col("node"),
             (lit(base) + lit(17L) * coalesce(col("in_r"), lit(0L))).as("r"))
         k += 1
+        // deep-walk lineage guard (see [[CheckpointEvery]]); never fires
+        // at the declared gate depths, so their plans stay pure-lazy
+        if (k % CheckpointEvery == 0 && k < iters)
+          ranks = ranks.localCheckpoint(false)
       }
       val denom = nNodes.toDouble * pow60(scalePerIter, iters).toDouble
       val out = ranks
@@ -138,6 +155,9 @@ object GraphOps {
             (when(col("seed"), lit(base)).otherwise(lit(0L))
               + lit(17L) * coalesce(col("in_r"), lit(0L))).as("r"))
         k += 1
+        // deep-walk lineage guard (see [[CheckpointEvery]])
+        if (k % CheckpointEvery == 0 && k < iters)
+          ranks = ranks.localCheckpoint(false)
       }
       val denom = nSeeds.toDouble * pow60(scalePerIter, iters).toDouble
       val out = ranks
@@ -228,6 +248,10 @@ object GraphOps {
         hubs = h
         auths = a
         k += 1
+        // deep-walk lineage guard (see [[CheckpointEvery]]); the
+        // mid-chain hub table is the only frame the next round reads
+        if (k % CheckpointEvery == 0 && k < rounds)
+          hubs = hubs.localCheckpoint(false)
       }
       val lastA = auths
       val out = hubs.join(auths, "node")

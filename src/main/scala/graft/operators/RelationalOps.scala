@@ -894,17 +894,38 @@ object RelationalOps {
     val npTot = gv.agg(sum("n").as("n_p"))
     // map(g, v) = min { v′ : F_pool(v′) ≥ F_g(v) } = the pooled value
     // whose cumulative interval (cum_p − np, cum_p] contains the exact
-    // ceiling rank r = ⌈cum_g·n_p / n_g⌉ — so the broadcast join emits
-    // EXACTLY ONE row per grid point (the first form joined every
-    // pool row above the threshold and re-aggregated: ~pool/2 rows per
-    // point — bench: 2× the whole query's cost at sf0.1)
+    // ceiling rank r = ⌈cum_g·n_p / n_g⌉. Computed as a SORTED MERGE,
+    // not a join: the interval-containment form planned as a
+    // BroadcastNestedLoopJoin that evaluated the range predicate
+    // against EVERY pool row per grid point — grid × pool comparisons
+    // (~5·10⁸ at sf0.1; the whole query's dominant cost, r13 bench
+    // 6.3 s → the merge form's ~2 s). Here grid points (key r) and
+    // pool boundaries (key cum_p) union into ONE ordered stream; a
+    // running min of the pool value over the ≥-key suffix (descending
+    // sort, pool rows first on ties so r = cum_p matches) yields the
+    // first boundary ≥ r — exactly the covering interval, because the
+    // pool intervals tile (0, n_p] contiguously and vp increases with
+    // cum_p. One (grid+pool)-sized single-partition window — the same
+    // metric-sized global-sort class as the pooled-ECDF window above —
+    // replaces the quadratic loop; output rows are bit-identical.
     val a = col("cum_g").cast(dec0) * col("n_p") + col("n_g") - lit(1L)
     val r = ((a - pmod(a, col("n_g"))) / col("n_g")).cast(dec0)
-    grpT.crossJoin(broadcast(npTot)).withColumn("__r", r)
-      .join(broadcast(poolT),
-        (col("cum_p") - col("np")).cast(dec0) < col("__r")
-          && col("__r") <= col("cum_p").cast(dec0))
+    val grpType = gv.schema("grp").dataType
+    val lhs = grpT.crossJoin(broadcast(npTot))
       .select(col("grp"), col("v"), col("n"), col("cum_g"), col("n_g"),
-        col("vp").as("mapped"))
+        r.as("__k"), lit(null).cast("long").as("__vp"),
+        lit(false).as("__pool"))
+    val rhs = poolT.select(lit(null).cast(grpType).as("grp"),
+      lit(null).cast("long").as("v"), lit(null).cast("long").as("n"),
+      lit(null).cast("long").as("cum_g"), lit(null).cast("long").as("n_g"),
+      col("cum_p").cast(dec0).as("__k"), col("vp").as("__vp"),
+      lit(true).as("__pool"))
+    val wMap = Window.orderBy(col("__k").desc, col("__pool").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lhs.unionByName(rhs)
+      .withColumn("mapped", min("__vp").over(wMap))
+      .filter(!col("__pool"))
+      .select(col("grp"), col("v"), col("n"), col("cum_g"), col("n_g"),
+        col("mapped"))
   }
 }

@@ -331,9 +331,13 @@ object TextOps {
       .select(col("doc_id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
     val uni = ws.select(explode(col("__ws")).as("w"))
     val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
-    val c1 = uni.groupBy("w").agg(count(lit(1)).as("__c1"))
-      .withColumnRenamed("w", "w1")
-    val v = uni.agg(count_distinct(col("w")).as("__v"))
+    // cached: feeds the scoring join AND the vocab-size aggregate below
+    // (V = |c1| — derived from the count table instead of a second
+    // corpus-wide explode + count_distinct exchange; guide §6)
+    val c1 = graft.CacheScope.autoRelease(
+      uni.groupBy("w").agg(count(lit(1)).as("__c1"))
+        .withColumnRenamed("w", "w1"))
+    val v = c1.agg(count(lit(1)).as("__v"))
     val nll = round(log((col("__c1") + col("__v")).cast("double")
       / (col("__c2") + lit(1L))), 9)
     val avg = sum(nll.cast("decimal(28,12)")).cast("double") / count(lit(1))
@@ -391,8 +395,12 @@ object TextOps {
     val c1 = graft.CacheScope.autoRelease(
       trainWs.select(explode(col("__ws")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c1")))
-    val tv = trainWs.select(explode(col("__ws")).as("w"))
-      .agg(count(lit(1)).as("t"), count_distinct(col("w")).as("v"))
+    // T = Σ c1 (token occurrences), V = |c1| (vocab size): derived from
+    // the CACHED unigram table — the count table already holds both
+    // statistics, so the former second corpus-wide explode +
+    // count_distinct exchange is a vocab-sized aggregate instead
+    // (guide §6: fewer corpus passes). Bit-identical by construction.
+    val tv = c1.agg(sum(col("c1")).as("t"), count(lit(1)).as("v"))
     val evalWs = graft.PlanUtils.spread(eval.select(col("doc_id"), col(textCol)))
       .select(col("doc_id"), DedupOps.words(col(textCol)).as("__ws"))
     val tri = ngrams(evalWs, 3, Seq("w1", "w2", "w3"))

@@ -222,6 +222,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(inc.forall { case (a, b) => a % 7 == 0 || b % 7 == 0 })
   }
 
+  test("sigBase sharing: one precomputed minhash base reproduces both pair passes bit-for-bit") {
+    val docs = Tables.documents(spark, sf0)
+    val isNew = col("doc_id") % 7 === 0
+    // the q_incr_clusters shape: ONE corpus minhash base feeds both the
+    // old-corpus self-pairs and the incremental batch pairs
+    val base = DedupOps.minhashSignatures(
+      DedupOps.hashedShingled(docs, 3), 128, "hs").persist()
+    try {
+      val incDefault = DedupOps.incrementalNearDups(
+          docs.filter(!isNew), docs.filter(isNew))
+        .as[(Long, Long, Double)].collect().toSet
+      val incShared = DedupOps.incrementalNearDups(
+          docs.filter(!isNew), docs.filter(isNew), sigBase = Some(base))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(incShared == incDefault && incShared.nonEmpty)
+      val vDefault = DedupOps.verifiedNearDups(docs.filter(!isNew))
+        .as[(Long, Long, Double)].collect().toSet
+      val vShared = DedupOps.verifiedNearDups(docs.filter(!isNew),
+          sigBase = Some(base.filter(!isNew)))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(vShared == vDefault && vShared.nonEmpty)
+    } finally { base.unpersist(blocking = false); () }
+  }
+
   test("incrementalClusters: bridge-merge relabels, pass-through, pairless-old, empty batch") {
     // old clusters: {1,2} (label 1), {5,6} (label 5), {20,21} (label 20)
     val oldC = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (20L, 20L), (21L, 20L))

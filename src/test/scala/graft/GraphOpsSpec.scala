@@ -26,6 +26,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(pr.select("rank_scaled").distinct().count() > 1)
   }
 
+  test("deep walks run through the CheckpointEvery lineage guard (iters > 8)") {
+    val n = 11L
+    val nodes = spark.range(0, n).select(col("id").as("node"))
+    val e = GraphOps.syntheticEdges(nodes, n)
+    // 9 rounds cross the CheckpointEvery = 8 truncation once while the
+    // scaled BIGINT rank stays int64-exact (total mass = n·60^k ≈
+    // 1.1e17 at k = 9; ANSI mode would THROW past ~10 rounds, the
+    // documented bound). This pins that the deep-walk plan stays
+    // analyzable and runs to completion — the declared gate depths
+    // (iters ≤ 5) never enter the guard and keep their pure-lazy plans.
+    val pr = GraphOps.pageRank(nodes, e, outDeg = 3, iters = 9, nNodes = n)
+    assert(pr.count() == n)
+    val h = GraphOps.hits(nodes, e, rounds = 9)
+    assert(h.count() == n)
+  }
+
   test("pageRank matches an independent double-arithmetic reference") {
     val n = 11
     val nodes = spark.range(0, n).select(col("id").as("node"))

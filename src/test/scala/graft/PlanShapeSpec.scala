@@ -717,7 +717,17 @@ class PlanShapeSpec extends SparkSpec {
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
         case _ => p.getClass.getSimpleName +: p.children.flatMap(walk)
       }
-      walk(planOf(df))
+      val out = walk(planOf(df))
+      // scoped-cache release is ASYNC (listener bus): if the first
+      // pin's cache entry is still registered when the second query
+      // persists the same-result subtree, the second reuses the first's
+      // MATERIALIZED InMemoryRelation (actual-size stats) instead of a
+      // fresh one (estimates) and AQE can flip a broadcast build side —
+      // a timing artifact, not a plan difference. clearCache() between
+      // the two evals (the Bench belt-and-braces discipline) makes both
+      // pins plan against the same fresh cache state.
+      df.sparkSession.catalog.clearCache()
+      out
     }
     val auto = shape(SparkEntry.queries("q_neardup_auto")(spark, sf0))
     val fixed = shape(SparkEntry.queries("q_neardup_minhash")(spark, sf0))
