@@ -783,7 +783,18 @@ object RelationalOps {
         col("frequency"), col("monetary")))
     val spark = orders.sparkSession
     import spark.implicits._
-    def scores(metric: String, alias: String): DataFrame = {
+    // Per metric: the (nTiles−1)-row boundary table (value-sized
+    // construction, unchanged), PIVOTED to one wide row so the score
+    // becomes a MAP-SIDE expression 1 + Σᵢ [v > bᵢ] over the customer
+    // table. The previous form fanned the corpus out ×(nTiles−1) per
+    // metric, re-aggregated it by customer, and joined the three score
+    // frames back on cust — 3 corpus fan-outs + 3 customer-keyed
+    // exchanges + 3 joins doing what a projection against three
+    // broadcast 1-row bound frames does (guide §2.3 "project before
+    // the exchange" / §2.4 remove shuffles outright). Scores are
+    // bit-identical: sum(when(v > b, 1)) over the boundary ROWS equals
+    // the same indicator sum over the pivoted boundary COLUMNS.
+    def boundsRow(metric: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val byv = st.groupBy(col(metric).as("v")).agg(count(lit(1)).as("n"))
       val w = Window.orderBy("v")
@@ -796,19 +807,24 @@ object RelationalOps {
         .agg(min(when(
           col("cum") >= expr(s"(i * __nt + ${nTiles - 1}) div $nTiles"),
           col("v"))).as("b"))
-      st.select(col("cust"), col(metric).as("__v"))
-        .crossJoin(broadcast(bounds.select("b")))
-        .groupBy("cust")
-        .agg((lit(1L) + sum(when(col("__v") > col("b"), 1L).otherwise(0L)))
-          .as(alias))
+      val cols = (1 until nTiles)
+        .map(i => min(when(col("i") === i, col("b"))).as(s"__${metric}_b$i"))
+      bounds.agg(cols.head, cols.tail: _*)
     }
-    st.join(scores("recency_days", "r_score"), "cust")
-      .join(scores("frequency", "f_score"), "cust")
-      .join(scores("monetary", "m_score"), "cust")
+    def scoreExpr(metric: String): Column =
+      (1 until nTiles)
+        .map(i => when(col(metric) > col(s"__${metric}_b$i"), 1L).otherwise(0L))
+        .foldLeft(lit(1L))(_ + _)
+    st.crossJoin(broadcast(boundsRow("recency_days")))
+      .crossJoin(broadcast(boundsRow("frequency")))
+      .crossJoin(broadcast(boundsRow("monetary")))
       .select(col("cust").as("o_custkey"), col("recency_days"),
         col("frequency"), col("monetary"),
-        col("r_score"), col("f_score"), col("m_score"),
-        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+        scoreExpr("recency_days").as("r_score"),
+        scoreExpr("frequency").as("f_score"),
+        scoreExpr("monetary").as("m_score"),
+        concat(scoreExpr("recency_days"), scoreExpr("frequency"),
+          scoreExpr("monetary")).as("segment"))
   }
 
   /** Leave-one-out target encoding (Micci-Barreca 2001's mean encoding

@@ -98,6 +98,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("partial_count") || plan.contains("partial count")
       || plan.contains("HashAggregate"), plan)
+    // operator paths may register query-scoped pins at BUILD time; this
+    // test never runs an action, so an explicit clear keeps any lazy
+    // (unmaterialized) cache entry from staying registered and plan-
+    // matching the next test's identical ratings subtree (which would
+    // hide that test's exchanges behind an InMemoryTableScan)
+    spark.catalog.clearCache()
   }
 
   test("lshCodes is exchange-free above the scan (pure projection)") {
@@ -189,6 +195,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") &&
       scan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(lang"),
       scan.take(2000))
+  }
+
+  test("q_rfm: scores are map-side expressions — no equi-join anywhere") {
+    // the three quintile scores ride pivoted 1-row bound frames through
+    // broadcast cross joins; an equi-join appearing means the corpus
+    // fan-out + per-customer re-aggregation + cust-keyed score joins
+    // (3 of each, the pre-r13 shape) are back
+    val df = SparkEntry.queries("q_rfm")(spark, sf0)
+    df.queryExecution.toRdd.count()
+    val plan = planString(df)
+    Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin").foreach(j =>
+      assert(!plan.contains(j), s"$j in q_rfm plan:\n${plan.take(2000)}"))
+    spark.catalog.clearCache()
   }
 
   test("scd2: one exchange — run detection and interval windows share it") {
@@ -408,17 +427,20 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("q_quantile_norm: pooled grid broadcast against the group grid") {
-    // the ECDF mapping join is grid×grid and must run with the pooled
-    // side broadcast — a shuffled non-equi join here would be a
-    // cartesian through the exchange
+  test("q_quantile_norm: ECDF mapping is a sorted merge, never grid×pool") {
+    // the rank→pooled-boundary mapping must run as the union + running-
+    // min window (one (grid+pool)-sized pass): an inequality
+    // BroadcastNestedLoopJoin here evaluates the range predicate
+    // against EVERY pool row per grid point — grid×pool comparisons,
+    // the r12 bench's dominant cost for this query. The only BNLJ
+    // allowed is the condition-free 1-row npTot cross broadcast.
     val df = SparkEntry.queries("q_quantile_norm")(spark, sf0)
     df.queryExecution.toRdd.count()
     val plan = planString(df)
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
-    val jIdx = plan.indexOf("BroadcastNestedLoopJoin")
-    assert(plan.indexOf("HashAggregate", jIdx) > jIdx,
-      s"no aggregate below the mapping join:\n${plan.take(2000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin Inner"),
+      s"quadratic inequality mapping join is back:\n${plan.take(2000)}")
+    assert(plan.contains("min(__vp"),
+      s"running-min merge window missing:\n${plan.take(2000)}")
     spark.catalog.clearCache()
   }
 
@@ -715,6 +737,13 @@ class PlanShapeSpec extends SparkSpec {
       def walk(p: SparkPlan): Seq[String] = p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        // AQE picks a BHJ's build side from runtime stage sizes; when
+        // both sides fit, the choice can flip run-to-run (whichever
+        // stage lands first). Canonicalize the children order so the
+        // pin compares operator SHAPE, not that scheduling race.
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          b.getClass.getSimpleName +:
+            b.children.map(walk).sortBy(_.mkString(",")).flatten
         case _ => p.getClass.getSimpleName +: p.children.flatMap(walk)
       }
       val out = walk(planOf(df))
